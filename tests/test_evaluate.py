@@ -1,0 +1,86 @@
+"""Event-level metric semantics: asymmetric TP counting and epsilon
+placement (src/evaluate.py:65-123, :148-207)."""
+
+import pandas as pd
+import pytest
+
+from conftest import series_df
+from time_series_data_anomaly_detection_spark.operators import (
+    business_metrics,
+    event_level_metrics,
+    pointwise_metrics,
+)
+
+
+def _frame(spark, y_true, y_pred):
+    df = series_df(spark, [0.0] * len(y_true))
+    pdf = df.toPandas().sort_values("rn")
+    pdf["is_anomaly"] = list(y_true)
+    pdf["flag"] = list(y_pred)
+    return spark.createDataFrame(pdf)
+
+
+def test_pointwise(spark):
+    y = [1, 1, 0, 0, 1, 0]
+    p = [1, 0, 1, 0, 1, 0]
+    row = pointwise_metrics(_frame(spark, y, p)).collect()[0]
+    assert (row.tp, row.fp, row.fn) == (2, 1, 1)
+    assert row.precision == pytest.approx(2 / (3 + 1e-9))
+    assert row.recall == pytest.approx(2 / (3 + 1e-9))
+
+
+def test_one_pred_covers_two_true(spark):
+    # pred event [2..9] overlaps two true events -> tp(prec)=1, tp_recall=2
+    y = [0, 1, 1, 0, 0, 0, 1, 1, 0, 0]
+    p = [0, 0, 1, 1, 1, 1, 1, 1, 1, 0]
+    row = event_level_metrics(_frame(spark, y, p), gap=0).collect()[0]
+    assert row.tp == 1 and row.n_pred_events == 1 and row.n_true_events == 2
+    assert row.fn == 0  # both true events were hit
+    assert row.precision == pytest.approx(1 / (1 + 1e-9))
+    assert row.recall == pytest.approx(2 / (2 + 1e-9))
+
+
+def test_two_preds_cover_one_true(spark):
+    y = [0, 1, 1, 1, 1, 1, 1, 0]
+    p = [0, 1, 0, 0, 0, 0, 1, 0]
+    row = event_level_metrics(_frame(spark, y, p), gap=0).collect()[0]
+    # both pred events hit -> tp=2; one true event hit -> recall=1
+    assert row.tp == 2 and row.fp == 0
+    assert row.recall == pytest.approx(1 / (1 + 1e-9))
+
+
+def test_touching_events_overlap(spark):
+    # pred ends exactly where true starts: pe >= ts -> overlap
+    y = [0, 0, 0, 1, 1, 0]
+    p = [0, 1, 1, 1, 0, 0]
+    row = event_level_metrics(_frame(spark, y, p), gap=0).collect()[0]
+    assert row.tp == 1
+
+
+def test_disjoint_no_overlap(spark):
+    y = [1, 1, 0, 0, 0, 0]
+    p = [0, 0, 0, 0, 1, 1]
+    row = event_level_metrics(_frame(spark, y, p), gap=0).collect()[0]
+    assert row.tp == 0 and row.fp == 1 and row.fn == 1
+
+
+def test_business_metrics_latency(spark):
+    # true event starts rn=5 (0-based idx 4); first overlapping pred starts
+    # rn=7 -> latency = 2 rows * 30 min = 60 min. A disjoint early pred at
+    # rn=1 is an FP.
+    y = [0, 0, 0, 0, 1, 1, 1, 1, 0, 0]
+    p = [1, 0, 0, 0, 0, 0, 1, 1, 0, 0]
+    row = business_metrics(_frame(spark, y, p), gap=0).collect()[0]
+    assert row.fp_count == 1
+    assert row.median_latency_minutes == pytest.approx(60.0)
+    # duration: 9 intervals * 30 min
+    assert row.duration_days == pytest.approx(9 * 30 / (60 * 24))
+    assert row.fp_per_day == pytest.approx(1 / (9 * 30 / (60 * 24)))
+
+
+def test_no_pred_events_nan_latency(spark):
+    y = [0, 1, 1, 0]
+    p = [0, 0, 0, 0]
+    row = business_metrics(_frame(spark, y, p), gap=0).collect()[0]
+    assert row.fp_count == 0
+    assert row.median_latency_minutes is None or pd.isna(row.median_latency_minutes)

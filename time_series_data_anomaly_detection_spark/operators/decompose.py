@@ -1,0 +1,104 @@
+"""Seasonal decomposition, Spark-native (SURVEY §2.9 M1 analogue).
+
+The reference decomposes with statsmodels STL (``src/utils.py:5-29``,
+robust Loess).  statsmodels is not available here, and more importantly
+STL's Loess is inherently sequential per series.  Engine approach:
+
+1. ``classical_decompose`` — the classical moving-average decomposition
+   (trend = centered 2×m MA, seasonal = phase means of the detrended
+   series, resid = value - trend - seasonal) expressed ENTIRELY in
+   native window/groupBy algebra: zero Python, whole-stage codegen,
+   exactly SQL-oracle-checkable.
+2. ``functions.stl.stl_decompose`` — a numpy Loess-based STL inside
+   ``applyInPandas`` for parity with the reference's robust variant
+   (one series per group, fanned out across executors).
+
+``resample`` regularizes an irregular event stream onto a fixed grid
+(time-bucket average) — the reference assumes NAB's regular grid, so
+resampling is the bridge from raw event data to every grid-based
+operator.  It is a single groupBy; at scale it is the canonical
+pre-aggregation that shrinks 100 TB of events to a grid frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample(
+    df: DataFrame,
+    every: str = "hour",
+    value_col: str = "value",
+    agg: str = "avg",
+) -> DataFrame:
+    """Bucket an event stream to a regular grid: one row per
+    (series_id, date_trunc(every, timestamp)) with the aggregated value.
+
+    Gaps (empty buckets) are preserved as absent rows; grid-based
+    operators tolerate them because ordering is positional per series.
+    """
+    agg_fn = {"avg": F.avg, "sum": F.sum, "max": F.max, "min": F.min,
+              "count": lambda c: F.count(c).cast("double")}[agg]
+    return (
+        df.groupBy("series_id", F.date_trunc(every, "timestamp").alias("timestamp"))
+        .agg(agg_fn(value_col).alias(value_col))
+    )
+
+
+def classical_decompose(
+    df: DataFrame,
+    period: int = 24,
+    value_col: str = "value",
+    phase_expr=None,
+) -> DataFrame:
+    """Classical additive decomposition on a regular per-series grid.
+
+    trend: centered 2×m moving average for even m —
+    ``(0.5·x[t-m/2] + Σ x[t-m/2+1..t+m/2-1] + 0.5·x[t+m/2]) / m``,
+    computed as the average of two offset window sums (no UDF).  Null
+    within m/2 rows of either series edge (same as statsmodels
+    ``seasonal_decompose``).
+
+    seasonal: mean of (value - trend) per phase (default: hour-of-day
+    for period=24), centered to zero mean per series.
+
+    resid: value - trend - seasonal (null where trend is null).
+    """
+    half = period // 2
+    w = Window.partitionBy("series_id").orderBy("timestamp")
+    if period % 2 == 0:
+        w_a = w.rowsBetween(-half, half - 1)
+        w_b = w.rowsBetween(-half + 1, half)
+        trend = (F.sum(value_col).over(w_a) + F.sum(value_col).over(w_b)) / F.lit(
+            2.0 * period
+        )
+        full = F.count(value_col).over(w.rowsBetween(-half, half)) == (period + 1)
+    else:
+        w_c = w.rowsBetween(-half, half)
+        trend = F.avg(value_col).over(w_c)
+        full = F.count(value_col).over(w_c) == period
+    out = df.withColumn("trend", F.when(full, trend))
+    phase = phase_expr if phase_expr is not None else F.hour("timestamp")
+    out = out.withColumn("__phase", phase).withColumn(
+        "__detr", F.col(value_col) - F.col("trend")
+    )
+    wp = Window.partitionBy("series_id", "__phase")
+    ws = Window.partitionBy("series_id")
+    seasonal_raw = F.avg("__detr").over(wp)
+    out = out.withColumn("__sraw", seasonal_raw)
+    # center: subtract the mean of the per-phase means (not the global
+    # mean of __sraw, which would weight phases by row count)
+    phase_means = (
+        out.groupBy("series_id", "__phase")
+        .agg(F.avg("__detr").alias("__pm"))
+        .groupBy("series_id")
+        .agg(F.avg("__pm").alias("__pm_mean"))
+    )
+    out = (
+        out.join(F.broadcast(phase_means), "series_id")
+        .withColumn("seasonal", F.col("__sraw") - F.col("__pm_mean"))
+        .withColumn("resid", F.col(value_col) - F.col("trend") - F.col("seasonal"))
+        .drop("__phase", "__detr", "__sraw", "__pm_mean")
+    )
+    return out

@@ -1,0 +1,97 @@
+"""Run-length sessionization: flags → events, gap-merge, persistence.
+
+Reference semantics:
+- ``merge_flags_to_events`` (``src/evaluate.py:27-63``): maximal runs of
+  consecutive 1-flags become inclusive ``(start_idx, end_idx)`` events;
+  events whose gap satisfies ``start - prev_end <= gap + 1`` are merged
+  (gap = number of zeros bridged).
+- ``persist_filter`` (``src/evaluate.py:125-146``): zero out runs of 1s
+  shorter than ``p``.
+
+Spark-first shape: classic sessionization — change-point marker via
+``lag``, run id via running ``sum``, run extents via ``groupBy``.  The
+event tables are tiny relative to the input (one row per run), so the
+second-pass gap-merge window runs on a frame thousands of times smaller
+than the points table.  No collect, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _run_ids(df: DataFrame, flag_col: str) -> DataFrame:
+    """Attach ``__run`` — a per-series id that increments whenever the
+    flag value changes (requires ``rn`` from sources.with_row_index)."""
+    w = Window.partitionBy("series_id").orderBy("rn")
+    chg = F.when(
+        F.lag(flag_col).over(w).isNull()
+        | (F.col(flag_col) != F.lag(flag_col).over(w)),
+        1,
+    ).otherwise(0)
+    return df.withColumn("__run", F.sum(chg).over(w))
+
+
+def flags_to_events(
+    df: DataFrame,
+    flag_col: str = "flag",
+    gap: int = 0,
+    idx_col: str = "rn",
+) -> DataFrame:
+    """W5: RLE flags into an event table, then gap-merge.
+
+    Returns ``series_id, event_id, start_idx, end_idx`` (inclusive,
+    1-based when idx_col='rn'), event_id numbered by start order.
+    Gap-merge condition is the reference's exact off-by-one:
+    ``start - prev_end <= gap + 1`` (``src/evaluate.py:57``).  Chained
+    merges collapse correctly because raw runs are disjoint and sorted,
+    so the running ``sum`` of break markers assigns one group per
+    merged chain.
+    """
+    runs = (
+        _run_ids(df, flag_col)
+        .filter(F.col(flag_col) == 1)
+        .groupBy("series_id", "__run")
+        .agg(F.min(idx_col).alias("start_idx"), F.max(idx_col).alias("end_idx"))
+    )
+    we = Window.partitionBy("series_id").orderBy("start_idx")
+    if gap > 0:
+        brk = F.when(
+            F.lag("end_idx").over(we).isNull()
+            | (F.col("start_idx") - F.lag("end_idx").over(we) > gap + 1),
+            1,
+        ).otherwise(0)
+        runs = (
+            runs.withColumn("__evt", F.sum(brk).over(we))
+            .groupBy("series_id", "__evt")
+            .agg(F.min("start_idx").alias("start_idx"), F.max("end_idx").alias("end_idx"))
+        )
+    return runs.select(
+        "series_id",
+        F.row_number()
+        .over(Window.partitionBy("series_id").orderBy("start_idx"))
+        .alias("event_id"),
+        "start_idx",
+        "end_idx",
+    )
+
+
+def persistence_filter(
+    df: DataFrame, flag_col: str = "flag", p: int = 2, out_col: str | None = None
+) -> DataFrame:
+    """W6: zero out 1-runs shorter than ``p`` consecutive samples.
+
+    Reference ``persist_filter`` (``src/evaluate.py:125-146``).
+    Implemented without a join: run id via cumulative change marker,
+    run length via a count window over (series, run).
+    """
+    out_col = out_col or flag_col
+    if p <= 1:
+        return df.withColumn(out_col, F.col(flag_col)) if out_col != flag_col else df
+    marked = _run_ids(df, flag_col)
+    run_len = F.count("*").over(Window.partitionBy("series_id", "__run"))
+    return marked.withColumn(
+        out_col,
+        F.when((F.col(flag_col) == 1) & (run_len < p), 0).otherwise(F.col(flag_col)),
+    ).drop("__run")

@@ -1,0 +1,98 @@
+"""Rolling-window statistics and the adaptive threshold detector.
+
+Reference semantics (``src/utils.py:40-72`` — W1/W2/W3 in SURVEY §2.3):
+trailing ``window``-row rolling mean/std with ``min_periods``, backfill
+of the warm-up head, epsilon-guarded sigma, flag when
+``|x - mean_roll| > k * (sigma_roll + 1e-6)``.
+
+Spark-first shape: one ``Window.partitionBy(series_id).orderBy(...)``
+row frame; stddev/avg/count are native JVM window aggregates inside
+whole-stage codegen, the backfill is a ``first(ignorenulls)`` over the
+forward-unbounded frame.  One shuffle per series partitioning, reused
+by every frame on the same key.  At 100 TB the partition axis is the
+series count; a single pathologically long series would need the
+chunked-overlap variant (see README scale notes), not a bigger window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EPS_SIGMA = 1e-6
+
+
+def _order_cols(df: DataFrame, value_col: str):
+    cols = [c for c in ("timestamp", "event_id") if c in df.columns]
+    return [F.col(c) for c in (cols or ["rn"])]
+
+
+def rolling_stats(
+    df: DataFrame,
+    value_col: str = "value",
+    window: int = 48,
+    min_periods: int = 5,
+    bfill: bool = True,
+    out_prefix: str = "roll",
+) -> DataFrame:
+    """Trailing rolling mean/std (sample, ddof=1) with min_periods + bfill.
+
+    Mirrors ``pd.Series.rolling(window, min_periods).std()/.mean()``
+    then ``fillna(method='bfill')`` (``src/utils.py:63-65``).
+    Adds ``{out_prefix}_mean`` and ``{out_prefix}_std``.
+    """
+    order = _order_cols(df, value_col)
+    w = (
+        Window.partitionBy("series_id")
+        .orderBy(*order)
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    cnt = F.count(value_col).over(w)
+    mean_raw = F.when(cnt >= min_periods, F.avg(value_col).over(w))
+    std_raw = F.when(cnt >= min_periods, F.stddev_samp(value_col).over(w))
+    out = df.withColumn(f"{out_prefix}_mean", mean_raw).withColumn(
+        f"{out_prefix}_std", std_raw
+    )
+    if bfill:
+        # backward fill via a RUNNING frame over descending order: the
+        # last non-null seen while scanning from the series end down to
+        # the current row is the nearest non-null at-or-after it.
+        # Running (unboundedPreceding, currentRow) frames are O(n) in
+        # Spark; the naive first(ignorenulls) over (currentRow,
+        # unboundedFollowing) is a shrinking frame Spark re-evaluates
+        # per row -> O(n^2) per series (65s vs 0.5s at 20k rows/series).
+        wb = (
+            Window.partitionBy("series_id")
+            .orderBy(*[c.desc() for c in order])
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.withColumn(
+            f"{out_prefix}_mean",
+            F.last(f"{out_prefix}_mean", ignorenulls=True).over(wb),
+        ).withColumn(
+            f"{out_prefix}_std",
+            F.last(f"{out_prefix}_std", ignorenulls=True).over(wb),
+        )
+    return out
+
+
+def adaptive_threshold_flags(
+    df: DataFrame,
+    value_col: str = "value",
+    k: float = 3.0,
+    window: int = 48,
+    min_periods: int = 5,
+    flag_col: str = "flag",
+) -> DataFrame:
+    """W1: ``flag = |x - mean_roll| > k * (sigma_roll + 1e-6)``.
+
+    Reference: ``rolling_sigma_threshold`` (``src/utils.py:40-72``).
+    """
+    out = rolling_stats(df, value_col, window, min_periods, bfill=True)
+    return out.withColumn(
+        flag_col,
+        (
+            F.abs(F.col(value_col) - F.col("roll_mean"))
+            > F.lit(k) * (F.col("roll_std") + F.lit(EPS_SIGMA))
+        ).cast("int"),
+    )

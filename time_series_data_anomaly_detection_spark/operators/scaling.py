@@ -1,0 +1,83 @@
+"""Scaling / robust-score operators (SURVEY §2.2 P6-P12).
+
+All pure column algebra + per-series aggregates.  Per-series moments are
+computed with a ``groupBy(series_id)`` aggregate and joined back — at
+scale the aggregate side is tiny (one row per series) and broadcast,
+so the join adds no shuffle of the fact table beyond the one it
+already has.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EPS_Z = 1e-9
+MAD_K = 1.4826  # consistency constant for Gaussian data (src/utils.py:38)
+
+
+def global_zscore(
+    df: DataFrame, value_col: str = "value", out_col: str = "z_global"
+) -> DataFrame:
+    """P6: per-series ``(x - mean) / std`` (sample std, ddof=1)."""
+    moments = df.groupBy("series_id").agg(
+        F.avg(value_col).alias("__mu"),
+        F.stddev_samp(value_col).alias("__sd"),
+    )
+    return (
+        df.join(F.broadcast(moments), "series_id")
+        .withColumn(out_col, (F.col(value_col) - F.col("__mu")) / (F.col("__sd") + F.lit(EPS_Z)))
+        .drop("__mu", "__sd")
+    )
+
+
+def mad_scores(
+    df: DataFrame,
+    value_col: str = "value",
+    out_col: str = "z_mad",
+    keep_internals: bool = False,
+) -> DataFrame:
+    """P7/P10: robust z-score ``|x - median| / (1.4826*MAD + 1e-9)``.
+
+    Reference ``mad_sigma`` (``src/utils.py:31-38``) + the z-score form
+    of ``src/run_hybrid.py:41-42``.  Medians are EXACT (``percentile``,
+    not approx) — MAD-derived thresholds are sensitive to median error
+    (SURVEY §7 hard-parts note).  Two grouped aggregates (median, then
+    MAD of centered values); both produce one row per series and are
+    broadcast back.
+    """
+    med = df.groupBy("series_id").agg(
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("__med")
+    )
+    centered = df.join(F.broadcast(med), "series_id")
+    mad = centered.groupBy("series_id").agg(
+        F.percentile(F.abs(F.col(value_col) - F.col("__med")), F.lit(0.5)).alias("__mad")
+    )
+    out = (
+        centered.join(F.broadcast(mad), "series_id")
+        .withColumn("__sigma", F.lit(MAD_K) * F.col("__mad"))
+        .withColumn(
+            out_col,
+            F.abs(F.col(value_col) - F.col("__med")) / (F.col("__sigma") + F.lit(EPS_Z)),
+        )
+    )
+    if keep_internals:
+        return out.withColumnRenamed("__med", "series_median").withColumnRenamed(
+            "__sigma", "mad_sigma"
+        ).drop("__mad")
+    return out.drop("__med", "__mad", "__sigma")
+
+
+def median_center(
+    df: DataFrame, value_col: str, out_col: str | None = None
+) -> DataFrame:
+    """P8: subtract the per-series exact median (``src/run_bsts.py:54-55``)."""
+    out_col = out_col or value_col
+    med = df.groupBy("series_id").agg(
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("__med")
+    )
+    return (
+        df.join(F.broadcast(med), "series_id")
+        .withColumn(out_col, F.col(value_col) - F.col("__med"))
+        .drop("__med")
+    )

@@ -1,0 +1,82 @@
+"""Threshold-grid sweep (SURVEY §2.6 O3 + A4 rate guard).
+
+Reference: every pipeline sweeps ``k ∈ linspace(2,10,17)`` on a score
+column, rejects candidates flagging >10% of rows (``src/run_gp.py:
+105-107``), keeps the argmax-F1 with FIRST-wins tie-breaking (strict
+``>`` in the loop ⇒ smallest k among ties).
+
+Spark-first shape: explode a literal k-grid against the scored frame
+(no extra scan — one projection per k via the exploded column), compute
+per-(series, k) metrics in ONE aggregate, then ``max_by`` over a
+(f1, -k) struct.  The sweep never re-reads or re-shuffles the input
+per candidate — at 100 TB this is the difference between 1 scan and 17.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EPS = 1e-9
+
+
+def k_grid(start: float = 2.0, stop: float = 10.0, num: int = 17) -> list[float]:
+    """np.linspace equivalent, materialized as plain floats."""
+    if num == 1:
+        return [float(start)]
+    step = (stop - start) / (num - 1)
+    return [round(start + i * step, 10) for i in range(num)]
+
+
+def threshold_sweep_pointwise(
+    df: DataFrame,
+    score_col: str = "z_mad",
+    truth_col: str = "is_anomaly",
+    ks: list[float] | None = None,
+    max_rate: float = 0.10,
+) -> DataFrame:
+    """Sweep ``flag = score > k`` over the grid; pick best-F1 k per series.
+
+    Returns one row per series: ``best_k, f1, precision, recall, rate``.
+    Candidates with anomaly rate > max_rate are rejected (A4); if every
+    candidate is rejected the series falls back to the largest k (the
+    reference keeps k=None and flags nothing — we surface the guard
+    explicitly via rate).
+    """
+    ks = ks or k_grid()
+    kdf = F.explode(F.array(*[F.lit(float(k)) for k in ks])).alias("k")
+    y = F.col(truth_col)
+    flagged = df.select(
+        "series_id", truth_col, F.col(score_col).alias("__score"), kdf
+    ).withColumn("__flag", (F.col("__score") > F.col("k")).cast("int"))
+    per_k = flagged.groupBy("series_id", "k").agg(
+        F.sum(((y == 1) & (F.col("__flag") == 1)).cast("int")).alias("tp"),
+        F.sum(((y == 0) & (F.col("__flag") == 1)).cast("int")).alias("fp"),
+        F.sum(((y == 1) & (F.col("__flag") == 0)).cast("int")).alias("fn"),
+        F.avg("__flag").alias("rate"),
+    )
+    prec = F.col("tp") / (F.col("tp") + F.col("fp") + F.lit(EPS))
+    rec = F.col("tp") / (F.col("tp") + F.col("fn") + F.lit(EPS))
+    scored = (
+        per_k.withColumn("precision", prec)
+        .withColumn("recall", rec)
+        .withColumn(
+            "f1",
+            2 * F.col("precision") * F.col("recall")
+            / (F.col("precision") + F.col("recall") + F.lit(EPS)),
+        )
+        .filter(F.col("rate") <= max_rate)
+    )
+    # first-wins argmax: maximize (f1, -k)
+    pick = F.max(
+        F.struct(F.col("f1"), (-F.col("k")).alias("negk"), F.col("k"),
+                 F.col("precision"), F.col("recall"), F.col("rate"))
+    ).alias("b")
+    return scored.groupBy("series_id").agg(pick).select(
+        "series_id",
+        F.col("b.k").alias("best_k"),
+        F.col("b.f1").alias("f1"),
+        F.col("b.precision").alias("precision"),
+        F.col("b.recall").alias("recall"),
+        F.col("b.rate").alias("rate"),
+    )

@@ -1,0 +1,681 @@
+"""Query registry: every implemented operator as a (spark, sf_dir) ->
+DataFrame callable, paired with an ANSI-SQL DuckDB oracle.
+
+Conventions that make the driver's order-insensitive value-hash match:
+
+- every float output column is ``round(x, 6)`` on BOTH sides (Spark and
+  DuckDB compute in float64 with the same formulas; rounding removes
+  last-ulp jitter from different summation orders);
+- rounding happens ONLY on final outputs, never on intermediates;
+- column names are aliased identically on both sides;
+- row identity is carried by (series_id, rn) instead of raw timestamps
+  where possible (the testdata parquet is TIMESTAMP(NANOS); Spark reads
+  µs, DuckDB ns);
+- deterministic tie-breaking everywhere (ORDER BY ... , event_id).
+
+The shared SQL fragments below mirror the operator implementations
+1:1 — see each operator's docstring for the reference citation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import events_as_series, with_row_index
+from ..operators.rolling import rolling_stats, adaptive_threshold_flags
+from ..operators.scaling import global_zscore, mad_scores
+from ..operators.events import flags_to_events, persistence_filter
+from ..operators.labeling import mark_anomaly_windows, top_value_labels
+from ..operators.splits import fractional_split
+from ..operators.evaluate import (
+    pointwise_metrics,
+    event_level_metrics,
+    business_metrics,
+)
+from ..operators.sweep import threshold_sweep_pointwise, k_grid
+from ..operators.decompose import resample, classical_decompose
+
+R = 6  # output rounding decimals
+
+
+def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_row_index(events_as_series(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB SQL fragments (the oracle mirrors of the operators)
+# ---------------------------------------------------------------------------
+
+SQL_S = """
+s AS (
+  SELECT event_type AS series_id, ts AS timestamp, value, event_id,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+  FROM events
+)
+"""
+
+# W1 rolling mean/std, min_periods=5, bfill — mirrors operators.rolling
+SQL_ROLL = """
+roll_raw AS (
+  SELECT series_id, timestamp, rn, value,
+    CASE WHEN count(value) OVER w >= 5 THEN avg(value) OVER w END AS m_raw,
+    CASE WHEN count(value) OVER w >= 5 THEN stddev_samp(value) OVER w END AS s_raw
+  FROM s
+  WINDOW w AS (PARTITION BY series_id ORDER BY rn
+               ROWS BETWEEN 47 PRECEDING AND CURRENT ROW)
+),
+roll AS (
+  SELECT series_id, timestamp, rn, value,
+    first_value(m_raw IGNORE NULLS) OVER wb AS roll_mean,
+    first_value(s_raw IGNORE NULLS) OVER wb AS roll_std
+  FROM roll_raw
+  WINDOW wb AS (PARTITION BY series_id ORDER BY rn
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+"""
+
+# P7/P10 MAD z-scores — mirrors operators.scaling.mad_scores
+SQL_MAD = """
+med AS (SELECT series_id, median(value) AS med FROM s GROUP BY 1),
+madt AS (
+  SELECT s.series_id, median(abs(s.value - med.med)) AS mad
+  FROM s JOIN med USING (series_id) GROUP BY 1
+),
+mads AS (
+  SELECT s.series_id, s.timestamp, s.rn, s.value,
+         abs(s.value - med.med) / (1.4826 * madt.mad + 1e-9) AS z_mad
+  FROM s JOIN med USING (series_id) JOIN madt USING (series_id)
+)
+"""
+
+# P2 label windows from top-5 values — mirrors labeling.top_value_labels
+#  + mark_anomaly_windows (anchor = label row's rn; ±3 rows)
+SQL_TRUTH = """
+lab AS (
+  SELECT series_id, rn AS anchor FROM (
+    SELECT series_id, rn,
+           row_number() OVER (PARTITION BY series_id
+                              ORDER BY value DESC, timestamp, event_id) AS rk
+    FROM s) t
+  WHERE rk <= 5
+),
+truth AS (
+  SELECT s.series_id, s.timestamp, s.rn, s.value,
+         CASE WHEN count(l.anchor) > 0 THEN 1 ELSE 0 END AS is_anomaly
+  FROM s LEFT JOIN lab l
+    ON l.series_id = s.series_id AND s.rn BETWEEN l.anchor - 3 AND l.anchor + 3
+  GROUP BY s.series_id, s.timestamp, s.rn, s.value
+)
+"""
+
+# W1 flags at k=3 on raw values + W6 persistence p=2
+SQL_FLAGS = """
+flags0 AS (
+  SELECT series_id, timestamp, rn, value,
+         CASE WHEN abs(value - roll_mean) > 2.0 * (roll_std + 1e-6)
+              THEN 1 ELSE 0 END AS flag
+  FROM roll
+),
+runs_chg AS (
+  SELECT *, CASE WHEN lag(flag) OVER w IS NULL
+                  OR flag <> lag(flag) OVER w THEN 1 ELSE 0 END AS chg
+  FROM flags0
+  WINDOW w AS (PARTITION BY series_id ORDER BY rn)
+),
+runs_marked AS (
+  SELECT *, sum(chg) OVER (PARTITION BY series_id ORDER BY rn) AS run_id
+  FROM runs_chg
+),
+flags AS (
+  SELECT series_id, timestamp, rn, value,
+         CASE WHEN flag = 1
+                   AND count(*) OVER (PARTITION BY series_id, run_id) < 2
+              THEN 0 ELSE flag END AS flag
+  FROM runs_marked
+)
+"""
+
+
+def _sql_events(src: str, out: str, flag: str, gap: int) -> str:
+    """RLE + gap-merge of ``src.flag`` into event table ``out``
+    (series_id, event_id, start_idx, end_idx) — mirrors
+    operators.events.flags_to_events."""
+    return f"""
+{out}_rle AS (
+  SELECT series_id, run_id, min(rn) AS start_idx, max(rn) AS end_idx
+  FROM (
+    SELECT series_id, rn, f,
+           sum(chg) OVER (PARTITION BY series_id ORDER BY rn) AS run_id
+    FROM (
+      SELECT series_id, rn, {flag} AS f,
+             CASE WHEN lag({flag}) OVER w IS NULL
+                   OR {flag} <> lag({flag}) OVER w THEN 1 ELSE 0 END AS chg
+      FROM {src}
+      WINDOW w AS (PARTITION BY series_id ORDER BY rn)
+    ) t0
+  ) t WHERE f = 1
+  GROUP BY series_id, run_id
+),
+{out}_merged AS (
+  SELECT series_id, min(start_idx) AS start_idx, max(end_idx) AS end_idx
+  FROM (
+    SELECT series_id, start_idx, end_idx,
+           sum(brk) OVER (PARTITION BY series_id ORDER BY start_idx) AS evt
+    FROM (
+      SELECT *, CASE WHEN lag(end_idx) OVER we IS NULL
+                      OR start_idx - lag(end_idx) OVER we > {gap} + 1
+                     THEN 1 ELSE 0 END AS brk
+      FROM {out}_rle
+      WINDOW we AS (PARTITION BY series_id ORDER BY start_idx)
+    ) t0
+  ) t
+  GROUP BY series_id, evt
+),
+{out} AS (
+  SELECT series_id,
+         row_number() OVER (PARTITION BY series_id ORDER BY start_idx) AS event_id,
+         start_idx, end_idx
+  FROM {out}_merged
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Query implementations (Spark side)
+# ---------------------------------------------------------------------------
+
+def q_rolling_stats(spark, sf_dir):
+    s = _series(spark, sf_dir)
+    out = rolling_stats(s)
+    return out.select(
+        "series_id", "rn",
+        F.round("roll_mean", R).alias("roll_mean"),
+        F.round("roll_std", R).alias("roll_std"),
+    )
+
+
+def q_adaptive_flags(spark, sf_dir):
+    s = _series(spark, sf_dir)
+    out = adaptive_threshold_flags(s, k=2.0)
+    out = persistence_filter(out, "flag", p=2)
+    return out.select("series_id", "rn", "flag")
+
+
+def q_mad_scores(spark, sf_dir):
+    s = _series(spark, sf_dir)
+    out = mad_scores(s)
+    return out.select(
+        "series_id", "rn",
+        F.round("z_mad", R).alias("z_mad"),
+        (F.col("z_mad") > 3.0).cast("int").alias("flag"),
+    )
+
+
+def q_global_zscore(spark, sf_dir):
+    s = _series(spark, sf_dir)
+    out = global_zscore(s)
+    return out.select("series_id", "rn", F.round("z_global", R).alias("z_global"))
+
+
+def q_fractional_split(spark, sf_dir):
+    s = _series(spark, sf_dir)
+    return fractional_split(s).select("series_id", "rn", "split")
+
+
+def q_label_windows(spark, sf_dir):
+    s = _series(spark, sf_dir)
+    labels = top_value_labels(s, 5)
+    return mark_anomaly_windows(s, labels, 3).select("series_id", "rn", "is_anomaly")
+
+
+def q_detect_events(spark, sf_dir):
+    # k=2.0 without persistence so runs/merges are actually exercised
+    s = _series(spark, sf_dir)
+    flagged = adaptive_threshold_flags(s, k=2.0)
+    return flags_to_events(flagged, "flag", gap=3).select(
+        "series_id", "event_id", "start_idx", "end_idx"
+    )
+
+
+def _truth_and_flags(spark, sf_dir):
+    # k=2.0: at k=3 + persistence the synthetic series yield zero
+    # predicted events and every metric degenerates to 0
+    s = _series(spark, sf_dir)
+    labels = top_value_labels(s, 5)
+    lab = mark_anomaly_windows(s, labels, 3)
+    flagged = persistence_filter(adaptive_threshold_flags(lab, k=2.0), "flag", p=2)
+    return flagged
+
+
+def q_pointwise_metrics(spark, sf_dir):
+    out = pointwise_metrics(_truth_and_flags(spark, sf_dir))
+    return out.select(
+        "series_id", "tp", "fp", "fn",
+        F.round("precision", R).alias("precision"),
+        F.round("recall", R).alias("recall"),
+        F.round("f1", R).alias("f1"),
+    )
+
+
+def q_event_metrics(spark, sf_dir):
+    out = event_level_metrics(_truth_and_flags(spark, sf_dir), gap=3)
+    return out.select(
+        "series_id", "tp", "fp", "fn", "n_true_events", "n_pred_events",
+        F.round("precision", R).alias("precision"),
+        F.round("recall", R).alias("recall"),
+        F.round("f1", R).alias("f1"),
+    )
+
+
+def q_business_metrics(spark, sf_dir):
+    out = business_metrics(_truth_and_flags(spark, sf_dir), gap=3)
+    return out.select(
+        "series_id", "fp_count",
+        F.round("duration_days", R).alias("duration_days"),
+        F.round("fp_per_day", R).alias("fp_per_day"),
+        F.round("median_latency_minutes", R).alias("median_latency_minutes"),
+    )
+
+
+def q_threshold_sweep(spark, sf_dir):
+    s = _series(spark, sf_dir)
+    labels = top_value_labels(s, 5)
+    lab = mark_anomaly_windows(mad_scores(s), labels, 3)
+    out = threshold_sweep_pointwise(lab, "z_mad", "is_anomaly")
+    return out.select(
+        "series_id",
+        F.round("best_k", R).alias("best_k"),
+        F.round("f1", R).alias("f1"),
+        F.round("rate", R).alias("rate"),
+    )
+
+
+def q_global_moments(spark, sf_dir):
+    s = _series(spark, sf_dir)
+    mu = s.groupBy("series_id").agg(F.avg("value").alias("__mu"))
+    out = (
+        s.join(F.broadcast(mu), "series_id")
+        .groupBy("series_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), R).alias("mean"),
+            F.round(F.stddev_samp("value"), R).alias("std"),
+            F.round(F.percentile("value", F.lit(0.5)), R).alias("median"),
+            F.round(F.min("value"), R).alias("vmin"),
+            F.round(F.max("value"), R).alias("vmax"),
+            F.round(
+                F.avg(F.pow(F.col("value") - F.col("__mu"), 4))
+                / F.pow(F.avg(F.pow(F.col("value") - F.col("__mu"), 2)), 2)
+                - 3.0,
+                R,
+            ).alias("kurtosis"),
+        )
+    )
+    return out
+
+
+def q_acf(spark, sf_dir):
+    from ..operators.acf import acf
+    s = _series(spark, sf_dir)
+    out = acf(s, max_lag=10)
+    return out.select("series_id", "lag", F.round("acf", R).alias("acf"))
+
+
+def q_resample_decompose(spark, sf_dir):
+    s = _series(spark, sf_dir)
+    rs = resample(s, "hour")
+    dc = classical_decompose(rs, period=24)
+    return dc.select(
+        "series_id",
+        F.col("timestamp").cast("string").alias("bucket"),
+        F.round("value", R).alias("value"),
+        F.round("trend", R).alias("trend"),
+        F.round("seasonal", R).alias("seasonal"),
+        F.round("resid", R).alias("resid"),
+    )
+
+
+def q_interval_exceedance(spark, sf_dir):
+    s = _series(spark, sf_dir)
+    out = rolling_stats(s)
+    lo = F.col("roll_mean") - 3.0 * F.col("roll_std")
+    hi = F.col("roll_mean") + 3.0 * F.col("roll_std")
+    return out.select(
+        "series_id", "rn",
+        F.round(lo, R).alias("lower"),
+        F.round(hi, R).alias("upper"),
+        ((F.col("value") < lo) | (F.col("value") > hi)).cast("int").alias("exceed"),
+    )
+
+
+def q_ensemble_fusion(spark, sf_dir):
+    s = _series(spark, sf_dir)
+    scored = global_zscore(mad_scores(s))
+    scored = rolling_stats(scored)
+    z_roll = F.abs(F.col("value") - F.col("roll_mean")) / (
+        F.col("roll_std") + F.lit(1e-6)
+    )
+    combined = (F.col("z_mad") + F.abs(F.col("z_global")) + z_roll) / 3.0
+    return scored.select(
+        "series_id", "rn",
+        F.round(combined, R).alias("combined_score"),
+        (combined > 3.0).cast("int").alias("flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["rolling_stats"] = f"""
+WITH {SQL_S}, {SQL_ROLL}
+SELECT series_id, rn, round(roll_mean, {R}) AS roll_mean,
+       round(roll_std, {R}) AS roll_std
+FROM roll
+"""
+
+ORACLES["adaptive_flags"] = f"""
+WITH {SQL_S}, {SQL_ROLL}, {SQL_FLAGS}
+SELECT series_id, rn, flag FROM flags
+"""
+
+ORACLES["mad_scores"] = f"""
+WITH {SQL_S}, {SQL_MAD}
+SELECT series_id, rn, round(z_mad, {R}) AS z_mad,
+       CASE WHEN z_mad > 3.0 THEN 1 ELSE 0 END AS flag
+FROM mads
+"""
+
+ORACLES["global_zscore"] = f"""
+WITH {SQL_S},
+mo AS (SELECT series_id, avg(value) AS mu, stddev_samp(value) AS sd
+       FROM s GROUP BY 1)
+SELECT s.series_id, s.rn,
+       round((s.value - mo.mu) / (mo.sd + 1e-9), {R}) AS z_global
+FROM s JOIN mo USING (series_id)
+"""
+
+ORACLES["fractional_split"] = f"""
+WITH {SQL_S},
+n AS (SELECT series_id, max(rn) AS n FROM s GROUP BY 1)
+SELECT s.series_id, s.rn,
+       CASE WHEN s.rn <= floor(n.n * 0.5) THEN 'Train'
+            WHEN s.rn <= floor(n.n * 0.75) THEN 'Validation'
+            ELSE 'Test' END AS split
+FROM s JOIN n USING (series_id)
+"""
+
+ORACLES["label_windows"] = f"""
+WITH {SQL_S}, {SQL_TRUTH}
+SELECT series_id, rn, is_anomaly FROM truth
+"""
+
+SQL_FLAGS_K2 = """
+flags2 AS (
+  SELECT series_id, timestamp, rn, value,
+         CASE WHEN abs(value - roll_mean) > 2.0 * (roll_std + 1e-6)
+              THEN 1 ELSE 0 END AS flag
+  FROM roll
+)
+"""
+
+ORACLES["detect_events"] = f"""
+WITH {SQL_S}, {SQL_ROLL}, {SQL_FLAGS_K2}, {_sql_events("flags2", "ev", "flag", 3)}
+SELECT series_id, event_id, start_idx, end_idx FROM ev
+"""
+
+SQL_TF = (
+    SQL_S + "," + SQL_ROLL + "," + SQL_TRUTH + "," + SQL_FLAGS.replace(
+        "FROM roll", "FROM roll"
+    )
+)
+
+ORACLES["pointwise_metrics"] = f"""
+WITH {SQL_S}, {SQL_ROLL}, {SQL_TRUTH}, {SQL_FLAGS},
+j AS (SELECT t.series_id, t.is_anomaly AS y, f.flag AS p
+      FROM truth t JOIN flags f USING (series_id, rn)),
+c AS (SELECT series_id,
+             sum(CASE WHEN y=1 AND p=1 THEN 1 ELSE 0 END) AS tp,
+             sum(CASE WHEN y=0 AND p=1 THEN 1 ELSE 0 END) AS fp,
+             sum(CASE WHEN y=1 AND p=0 THEN 1 ELSE 0 END) AS fn
+      FROM j GROUP BY 1)
+SELECT series_id, tp, fp, fn,
+       round(tp / (tp + fp + 1e-9), {R}) AS precision,
+       round(tp / (tp + fn + 1e-9), {R}) AS recall,
+       round(2 * (tp/(tp+fp+1e-9)) * (tp/(tp+fn+1e-9))
+             / ((tp/(tp+fp+1e-9)) + (tp/(tp+fn+1e-9)) + 1e-9), {R}) AS f1
+FROM c
+"""
+
+_EVENT_TABLES = (
+    _sql_events("truth", "tev", "is_anomaly", 3)
+    + ","
+    + _sql_events("flags", "pev", "flag", 3)
+)
+
+ORACLES["event_metrics"] = f"""
+WITH {SQL_S}, {SQL_ROLL}, {SQL_TRUTH}, {SQL_FLAGS}, {_EVENT_TABLES},
+base AS (SELECT DISTINCT series_id FROM s),
+nt AS (SELECT series_id, count(*) AS n_true_events FROM tev GROUP BY 1),
+np AS (SELECT series_id, count(*) AS n_pred_events FROM pev GROUP BY 1),
+ph AS (SELECT p.series_id, count(*) AS tp FROM pev p
+       WHERE EXISTS (SELECT 1 FROM tev t WHERE t.series_id = p.series_id
+                     AND p.end_idx >= t.start_idx AND p.start_idx <= t.end_idx)
+       GROUP BY 1),
+th AS (SELECT t.series_id, count(*) AS tp_recall FROM tev t
+       WHERE EXISTS (SELECT 1 FROM pev p WHERE p.series_id = t.series_id
+                     AND p.end_idx >= t.start_idx AND p.start_idx <= t.end_idx)
+       GROUP BY 1),
+m AS (
+  SELECT b.series_id,
+         coalesce(nt.n_true_events, 0) AS n_true_events,
+         coalesce(np.n_pred_events, 0) AS n_pred_events,
+         coalesce(ph.tp, 0) AS tp, coalesce(th.tp_recall, 0) AS tp_recall
+  FROM base b LEFT JOIN nt USING (series_id) LEFT JOIN np USING (series_id)
+       LEFT JOIN ph USING (series_id) LEFT JOIN th USING (series_id))
+SELECT series_id, tp, n_pred_events - tp AS fp,
+       n_true_events - tp_recall AS fn, n_true_events, n_pred_events,
+       round(tp / (n_pred_events + 1e-9), {R}) AS precision,
+       round(tp_recall / (n_true_events + 1e-9), {R}) AS recall,
+       round(2 * (tp/(n_pred_events+1e-9)) * (tp_recall/(n_true_events+1e-9))
+             / ((tp/(n_pred_events+1e-9)) + (tp_recall/(n_true_events+1e-9))
+                + 1e-9), {R}) AS f1
+FROM m
+"""
+
+ORACLES["business_metrics"] = f"""
+WITH {SQL_S}, {SQL_ROLL}, {SQL_TRUTH}, {SQL_FLAGS}, {_EVENT_TABLES},
+base AS (SELECT DISTINCT series_id FROM s),
+np AS (SELECT series_id, count(*) AS n_pred_events FROM pev GROUP BY 1),
+ph AS (SELECT p.series_id, count(*) AS tp FROM pev p
+       WHERE EXISTS (SELECT 1 FROM tev t WHERE t.series_id = p.series_id
+                     AND p.end_idx >= t.start_idx AND p.start_idx <= t.end_idx)
+       GROUP BY 1),
+dur AS (SELECT series_id,
+               (floor(epoch(max(timestamp))) - floor(epoch(min(timestamp))))
+               / 86400.0 AS duration_days
+        FROM s GROUP BY 1),
+th AS (SELECT t.series_id, t.start_idx AS t_start,
+              min(p.start_idx) AS first_pred_start
+       FROM tev t JOIN pev p ON p.series_id = t.series_id
+            AND p.end_idx >= t.start_idx AND p.start_idx <= t.end_idx
+       GROUP BY 1, 2),
+lat AS (SELECT th.series_id,
+               median((floor(epoch(sp.timestamp)) - floor(epoch(st.timestamp)))
+                      / 60.0) AS median_latency_minutes
+        FROM th
+        JOIN s st ON st.series_id = th.series_id AND st.rn = th.t_start
+        JOIN s sp ON sp.series_id = th.series_id AND sp.rn = th.first_pred_start
+        GROUP BY 1)
+SELECT b.series_id,
+       coalesce(np.n_pred_events, 0) - coalesce(ph.tp, 0) AS fp_count,
+       round(dur.duration_days, {R}) AS duration_days,
+       round(CASE WHEN dur.duration_days > 0
+                  THEN (coalesce(np.n_pred_events,0) - coalesce(ph.tp,0))
+                       / dur.duration_days
+                  ELSE 0.0 END, {R}) AS fp_per_day,
+       round(lat.median_latency_minutes, {R}) AS median_latency_minutes
+FROM base b LEFT JOIN np USING (series_id) LEFT JOIN ph USING (series_id)
+     LEFT JOIN dur USING (series_id) LEFT JOIN lat USING (series_id)
+"""
+
+_KS = ", ".join(str(k) for k in k_grid())
+
+ORACLES["threshold_sweep"] = f"""
+WITH {SQL_S}, {SQL_MAD}, {SQL_TRUTH},
+grid AS (SELECT unnest([{_KS}]) AS k),
+fl AS (SELECT m.series_id, g.k, t.is_anomaly AS y,
+              CASE WHEN m.z_mad > g.k THEN 1 ELSE 0 END AS p
+       FROM mads m JOIN truth t USING (series_id, rn) CROSS JOIN grid g),
+per_k AS (SELECT series_id, k,
+                 sum(CASE WHEN y=1 AND p=1 THEN 1 ELSE 0 END) AS tp,
+                 sum(CASE WHEN y=0 AND p=1 THEN 1 ELSE 0 END) AS fp,
+                 sum(CASE WHEN y=1 AND p=0 THEN 1 ELSE 0 END) AS fn,
+                 avg(p) AS rate
+          FROM fl GROUP BY 1, 2),
+scored AS (SELECT *,
+                  tp/(tp+fp+1e-9) AS precision, tp/(tp+fn+1e-9) AS recall,
+                  2*(tp/(tp+fp+1e-9))*(tp/(tp+fn+1e-9))
+                  / ((tp/(tp+fp+1e-9)) + (tp/(tp+fn+1e-9)) + 1e-9) AS f1
+           FROM per_k WHERE rate <= 0.10),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY series_id
+                                        ORDER BY f1 DESC, k ASC) AS rk
+           FROM scored)
+SELECT series_id, round(k, {R}) AS best_k, round(f1, {R}) AS f1,
+       round(rate, {R}) AS rate
+FROM ranked WHERE rk = 1
+"""
+
+ORACLES["global_moments"] = f"""
+WITH {SQL_S},
+mo AS (SELECT series_id, avg(value) AS mu FROM s GROUP BY 1)
+SELECT s.series_id, count(*) AS n,
+       round(avg(s.value), {R}) AS mean,
+       round(stddev_samp(s.value), {R}) AS std,
+       round(median(s.value), {R}) AS median,
+       round(min(s.value), {R}) AS vmin,
+       round(max(s.value), {R}) AS vmax,
+       round(avg(pow(s.value - mo.mu, 4))
+             / pow(avg(pow(s.value - mo.mu, 2)), 2) - 3.0, {R}) AS kurtosis
+FROM s JOIN mo USING (series_id)
+GROUP BY s.series_id
+"""
+
+ORACLES["acf"] = f"""
+WITH {SQL_S},
+lags AS (SELECT unnest(generate_series(1, 10)) AS lag),
+shifted AS (
+  SELECT s.series_id, l.lag, s.value,
+         lag(s.value, l.lag) OVER (PARTITION BY s.series_id, l.lag
+                                   ORDER BY s.rn) AS prev
+  FROM s CROSS JOIN lags l)
+SELECT series_id, lag, round(corr(value, prev), {R}) AS acf
+FROM shifted WHERE prev IS NOT NULL
+GROUP BY 1, 2
+"""
+
+SQL_RESAMPLE = """
+rs AS (
+  SELECT series_id, date_trunc('hour', timestamp) AS bucket,
+         avg(value) AS value
+  FROM s GROUP BY 1, 2
+),
+rsn AS (
+  SELECT series_id, bucket, value,
+         row_number() OVER (PARTITION BY series_id ORDER BY bucket) AS brn
+  FROM rs
+)
+"""
+
+SQL_DECOMP = """
+tr AS (
+  SELECT series_id, bucket, brn, value,
+    CASE WHEN count(value) OVER wc = 25 THEN
+      (sum(value) OVER wa + sum(value) OVER wb) / 48.0 END AS trend,
+    hour(bucket) AS phase
+  FROM rsn
+  WINDOW wa AS (PARTITION BY series_id ORDER BY brn
+                ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING),
+         wb AS (PARTITION BY series_id ORDER BY brn
+                ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING),
+         wc AS (PARTITION BY series_id ORDER BY brn
+                ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+ph AS (
+  SELECT series_id, phase, avg(value - trend) AS pm
+  FROM tr GROUP BY 1, 2
+),
+phm AS (SELECT series_id, avg(pm) AS pm_mean FROM ph GROUP BY 1),
+dc AS (
+  SELECT tr.series_id, tr.bucket, tr.value, tr.trend,
+         avg(tr.value - tr.trend)
+           OVER (PARTITION BY tr.series_id, tr.phase) - phm.pm_mean AS seasonal,
+         tr.value - tr.trend
+           - (avg(tr.value - tr.trend)
+                OVER (PARTITION BY tr.series_id, tr.phase) - phm.pm_mean) AS resid
+  FROM tr JOIN phm USING (series_id)
+)
+"""
+
+ORACLES["resample_decompose"] = f"""
+WITH {SQL_S}, {SQL_RESAMPLE}, {SQL_DECOMP}
+SELECT series_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       round(value, {R}) AS value, round(trend, {R}) AS trend,
+       round(seasonal, {R}) AS seasonal, round(resid, {R}) AS resid
+FROM dc
+"""
+
+ORACLES["interval_exceedance"] = f"""
+WITH {SQL_S}, {SQL_ROLL}
+SELECT series_id, rn,
+       round(roll_mean - 3.0 * roll_std, {R}) AS lower,
+       round(roll_mean + 3.0 * roll_std, {R}) AS upper,
+       CASE WHEN value < roll_mean - 3.0 * roll_std
+              OR value > roll_mean + 3.0 * roll_std THEN 1 ELSE 0 END AS exceed
+FROM roll
+"""
+
+ORACLES["ensemble_fusion"] = f"""
+WITH {SQL_S}, {SQL_MAD}, {SQL_ROLL},
+mo AS (SELECT series_id, avg(value) AS mu, stddev_samp(value) AS sd
+       FROM s GROUP BY 1),
+fused AS (
+  SELECT m.series_id, m.rn,
+         (m.z_mad
+          + abs((m.value - mo.mu) / (mo.sd + 1e-9))
+          + abs(m.value - r.roll_mean) / (r.roll_std + 1e-6)) / 3.0 AS combined
+  FROM mads m JOIN roll r USING (series_id, rn) JOIN mo ON mo.series_id = m.series_id)
+SELECT series_id, rn, round(combined, {R}) AS combined_score,
+       CASE WHEN combined > 3.0 THEN 1 ELSE 0 END AS flag
+FROM fused
+"""
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "rolling_stats": q_rolling_stats,
+        "adaptive_flags": q_adaptive_flags,
+        "mad_scores": q_mad_scores,
+        "global_zscore": q_global_zscore,
+        "fractional_split": q_fractional_split,
+        "label_windows": q_label_windows,
+        "detect_events": q_detect_events,
+        "pointwise_metrics": q_pointwise_metrics,
+        "event_metrics": q_event_metrics,
+        "business_metrics": q_business_metrics,
+        "threshold_sweep": q_threshold_sweep,
+        "global_moments": q_global_moments,
+        "acf": q_acf,
+        "resample_decompose": q_resample_decompose,
+        "interval_exceedance": q_interval_exceedance,
+        "ensemble_fusion": q_ensemble_fusion,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

@@ -1,0 +1,125 @@
+"""Model UDFs (SURVEY §2.9): behavioral checks on synthetic series with
+known structure — metric-level parity, not row equality (SURVEY §5)."""
+
+import numpy as np
+import pytest
+
+from conftest import series_df
+from time_series_data_anomaly_detection_spark.functions import (
+    ar_forecast,
+    bocpd_changepoints,
+    bsts_forecast,
+    gp_forecast,
+    kalman_local_level,
+    stl_decompose,
+)
+from time_series_data_anomaly_detection_spark.functions.ar import ar1_forecast_native
+
+
+def test_kalman_tracks_level(spark):
+    rng = np.random.default_rng(5)
+    y = np.concatenate([np.full(100, 10.0), np.full(100, 30.0)]) + rng.normal(0, 1, 200)
+    out = kalman_local_level(series_df(spark, y)).orderBy("rn").toPandas()
+    # after convergence the one-step prediction hugs the level
+    assert abs(out.pred_mean[50:95].mean() - 10) < 1.0
+    assert abs(out.pred_mean[150:].mean() - 30) < 1.5
+    # interval covers most points
+    cover = ((out.value >= out.pred_lower) & (out.value <= out.pred_upper)).mean()
+    assert cover > 0.9
+
+
+def test_kalman_forecast_tail_is_static(spark):
+    y = np.sin(np.arange(100) / 5) + 5
+    out = kalman_local_level(series_df(spark, y), train_frac=0.8).orderBy("rn").toPandas()
+    tail = out.pred_mean[80:]
+    assert tail.nunique() == 1  # frozen level forecast
+    widths = (out.pred_upper - out.pred_lower)[80:].to_numpy()
+    assert (np.diff(widths) > 0).all()  # growing uncertainty
+
+
+def test_bsts_captures_seasonality(spark):
+    rng = np.random.default_rng(9)
+    t = np.arange(480)
+    y = 50 + 0.05 * t + 10 * np.sin(2 * np.pi * t / 24) + rng.normal(0, 1, 480)
+    out = bsts_forecast(series_df(spark, y), period=24, train_frac=0.7)
+    pdf = out.orderBy("rn").toPandas()
+    # dynamic forecast over the last 30% still tracks the seasonal shape
+    test_err = np.abs(pdf.resid[340:]).mean()
+    assert test_err < 5.0
+    # and beats a flat-mean forecast by a wide margin
+    flat_err = np.abs(y[340:] - y[:336].mean()).mean()
+    assert test_err < flat_err / 2
+
+
+def test_gp_fits_periodic(spark):
+    rng = np.random.default_rng(13)
+    t = np.arange(300)
+    y = 5 * np.sin(2 * np.pi * t / 24) + rng.normal(0, 0.3, 300)
+    out = gp_forecast(series_df(spark, y), train_frac=0.8, period=24.0)
+    pdf = out.orderBy("rn").toPandas()
+    train_rmse = np.sqrt(((pdf.value - pdf.pred_mean)[:240] ** 2).mean())
+    assert train_rmse < 1.0
+    assert (pdf.pred_std > 0).all()
+
+
+def test_bocpd_spikes_at_changepoint(spark):
+    rng = np.random.default_rng(21)
+    y = np.concatenate([rng.normal(0, 1, 150), rng.normal(8, 1, 150)])
+    pdf = bocpd_changepoints(series_df(spark, y)).orderBy("rn").toPandas()
+    # cp_prob: exact reference parity — identically the hazard under a
+    # constant-hazard model (the reference's golden cp_probs.csv is all
+    # 0.01); the informative signal is the run-length collapse cp_score
+    np.testing.assert_allclose(pdf.cp_prob, 0.01, atol=1e-9)
+    cs = pdf.cp_score.to_numpy()
+    assert cs[150:155].max() > 5 * np.median(cs[50:140])
+    # and the collapse localizes at the shift, not mid-regime
+    assert cs[150:155].max() > cs[60:140].max()
+
+
+def test_ar_recovers_coefficients(spark):
+    rng = np.random.default_rng(31)
+    n = 500
+    y = np.zeros(n)
+    for t in range(2, n):
+        y[t] = 0.6 * y[t - 1] - 0.3 * y[t - 2] + rng.normal(0, 0.5)
+    pdf = ar_forecast(series_df(spark, y), p=2).orderBy("rn").toPandas()
+    resid_std = pdf.resid[2:].std()
+    assert resid_std < 0.6  # close to the innovation sigma
+
+
+def test_ar1_native_matches_numpy_ols(spark):
+    rng = np.random.default_rng(41)
+    y = rng.normal(0, 1, 200).cumsum() + 50
+    pdf = ar1_forecast_native(series_df(spark, y)).orderBy("rn").toPandas()
+    x_prev, x_cur = y[:-1], y[1:]
+    slope, icept = np.polyfit(x_prev, x_cur, 1)
+    exp = icept + slope * x_prev
+    np.testing.assert_allclose(pdf.pred_mean[1:], exp, rtol=1e-8)
+    assert np.isnan(pdf.pred_mean[0]) or pdf.pred_mean[0] is None
+
+
+def test_stl_separates_components(spark):
+    rng = np.random.default_rng(51)
+    t = np.arange(480)
+    seasonal = 10 * np.sin(2 * np.pi * t / 24)
+    trend = 0.1 * t
+    y = trend + seasonal + rng.normal(0, 0.5, 480)
+    y[200] += 50  # a spike robustness must absorb into resid
+    pdf = stl_decompose(series_df(spark, y), period=24).orderBy("rn").toPandas()
+    # the spike lands in resid, not trend/seasonal
+    assert pdf.resid[200] > 30
+    mid = slice(24, 456)
+    np.testing.assert_allclose(
+        pdf.seasonal[mid], seasonal[mid], atol=2.0
+    )
+
+
+def test_lstm_gate_raises_without_torch(spark):
+    from time_series_data_anomaly_detection_spark.functions.lstm import (
+        HAS_TORCH,
+        lstm_forecast,
+    )
+    if HAS_TORCH:
+        pytest.skip("torch present")
+    with pytest.raises(NotImplementedError):
+        lstm_forecast(series_df(spark, [1.0, 2.0]))

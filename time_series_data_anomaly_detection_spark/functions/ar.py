@@ -1,0 +1,81 @@
+"""Autoregressive forecaster — the deterministic stand-in for the
+reference's LSTM (SURVEY §2.9 M5).
+
+The reference trains a tiny torch LSTM per series on sliding windows
+(``src/lstm_model.py:32-91``).  torch is not available in this
+environment; the engine provides:
+
+- ``ar_forecast`` — AR(p) via least squares on lagged features, fully
+  deterministic.  AR(1) is also expressible in closed form
+  (regr_slope/intercept), which gives the model family a DuckDB oracle.
+- a torch-gated LSTM (``lstm.py``) that activates when torch exists.
+
+Spark shape: for AR(1) the ENTIRE model is native SQL algebra (fit =
+one aggregate of covariances, predict = column arithmetic) — no UDF,
+no per-series loop, scales to any series count in two shuffles.  For
+p>1, a numpy lstsq inside ``applyInPandas``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ar1_forecast_native(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """AR(1) with intercept, fit per series with native aggregates.
+
+    pred[t] = intercept + slope * x[t-1]  (null at the series head).
+    slope/intercept are the OLS estimates over all (x[t-1], x[t])
+    pairs — ``regr_slope``/``regr_intercept`` semantics.
+    """
+    w = Window.partitionBy("series_id").orderBy("rn")
+    lagged = df.withColumn("__prev", F.lag(value_col).over(w))
+    fit = lagged.groupBy("series_id").agg(
+        F.regr_slope(F.col(value_col), F.col("__prev")).alias("__slope"),
+        F.regr_intercept(F.col(value_col), F.col("__prev")).alias("__icept"),
+    )
+    return (
+        lagged.join(F.broadcast(fit), "series_id")
+        .withColumn("pred_mean", F.col("__icept") + F.col("__slope") * F.col("__prev"))
+        .withColumn("resid", F.col(value_col) - F.col("pred_mean"))
+        .drop("__prev", "__slope", "__icept")
+    )
+
+
+AR_SCHEMA = (
+    "series_id string, timestamp timestamp, value double, rn long, "
+    "pred_mean double, resid double"
+)
+
+
+def ar_forecast(df: DataFrame, p: int = 24, train_frac: float = 1.0) -> DataFrame:
+    """AR(p) via numpy lstsq per series (one-step-ahead, in-sample on
+    train, recursive-free direct prediction on the tail using actual
+    lags — the LSTM-predict analogue of sliding-window inference)."""
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rn").reset_index(drop=True)
+        y = pdf["value"].to_numpy(float)
+        n = len(y)
+        pp = min(p, max(n // 4, 1))
+        n_train = max(int(n * train_frac), pp + 2)
+        X = np.column_stack(
+            [np.ones(n - pp)] + [y[pp - k - 1 : n - k - 1] for k in range(pp)]
+        )
+        X_tr = X[: max(n_train - pp, 1)]
+        y_tr = y[pp:n_train]
+        coef, *_ = np.linalg.lstsq(X_tr, y_tr[: len(X_tr)], rcond=None)
+        pred = np.full(n, np.nan)
+        pred[pp:] = X @ coef
+        pdf["pred_mean"] = pred
+        pdf["resid"] = y - pred
+        return pdf[["series_id", "timestamp", "value", "rn", "pred_mean", "resid"]]
+
+    return (
+        df.select("series_id", "timestamp", "value", "rn")
+        .groupBy("series_id")
+        .applyInPandas(fit, AR_SCHEMA)
+    )

@@ -1,0 +1,140 @@
+"""Bayesian Online Changepoint Detection (SURVEY §2.3 W7 / §2.9 M6).
+
+Reference: ``src/bocpd_model.py:50-115`` / ``src/changepoint.py:36-107``
+— Student-t predictive under a Normal-Inverse-Gamma prior, constant
+hazard ``1/lam``, run-length posterior recursion; output
+``cp_prob[t] = R[t+1, 0]`` on the z-normalized series.
+
+scipy is unavailable; the Student-t pdf is computed from
+``math.lgamma``.  The run-length distribution is TRUNCATED: run lengths
+with posterior mass < eps are dropped and the tail capped at
+``max_run`` — this bounds state to O(max_run) per point (the
+reference's full T×T matrix is O(T²) memory; SURVEY §7 flags
+truncation as the scale fix, and it is also what the streaming mode
+needs).
+
+Spark shape: inherently sequential per series → ``applyInPandas`` in
+batch (streaming variant in streaming/bocpd_stream.py).
+"""
+
+from __future__ import annotations
+
+from math import lgamma, pi
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+BOCPD_SCHEMA = (
+    "series_id string, timestamp timestamp, value double, rn long, "
+    "cp_prob double, cp_score double"
+)
+
+
+def _t_logpdf(x: np.ndarray, df: np.ndarray, loc: np.ndarray, scale: np.ndarray):
+    z = (x - loc) / scale
+    return (
+        np.vectorize(lgamma)((df + 1) / 2)
+        - np.vectorize(lgamma)(df / 2)
+        - 0.5 * np.log(df * pi)
+        - np.log(scale)
+        - (df + 1) / 2 * np.log1p(z * z / df)
+    )
+
+
+def bocpd_series(
+    y: np.ndarray,
+    hazard_lam: float = 100.0,
+    mu0: float = 0.0,
+    kappa0: float = 1.0,
+    alpha0: float = 1.0,
+    beta0: float = 1.0,
+    max_run: int = 500,
+    eps: float = 1e-9,
+    short_run: int = 5,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Run-length-truncated BOCPD.
+
+    Returns ``(cp_prob, cp_score)`` per point:
+
+    - ``cp_prob`` = normalized R[t+1, 0] — the reference's output
+      (``src/changepoint.py:99-106``).  NOTE: with a CONSTANT hazard
+      this is identically h by algebra (cp0/total = h·Σrπ/Σrπ), and the
+      reference's own golden artifact confirms it (cp_probs.csv is
+      0.01 everywhere).  Kept for exact parity.
+    - ``cp_score`` = P(run_length <= short_run | x_1:t) — the
+      run-length-posterior collapse, which is the actually informative
+      changepoint signal.
+    """
+    n = len(y)
+    h = 1.0 / hazard_lam
+    r = np.array([1.0])  # P(run length = i) for i = 0..len-1
+    mu = np.array([mu0])
+    kappa = np.array([kappa0])
+    alpha = np.array([alpha0])
+    beta = np.array([beta0])
+    cp = np.empty(n)
+    short = np.empty(n)
+    run_len = np.array([0])  # actual run length per state entry
+    for t in range(n):
+        df = 2 * alpha
+        scale = np.sqrt(beta * (kappa + 1) / (alpha * kappa))
+        pred = np.exp(_t_logpdf(y[t], df, mu, scale))
+        growth = r * pred * (1 - h)
+        cp0 = float(np.sum(r * pred * h))
+        r_new = np.concatenate([[cp0], growth])
+        total = r_new.sum()
+        r_new = r_new / total if total > 0 else np.r_[1.0, np.zeros(len(growth))]
+        cp[t] = r_new[0]
+        rl_new = np.concatenate([[0], run_len + 1])
+        short[t] = float(r_new[rl_new <= short_run].sum())
+        # posterior updates for each surviving run length
+        mu_new = np.concatenate([[mu0], (kappa * mu + y[t]) / (kappa + 1)])
+        kappa_new = np.concatenate([[kappa0], kappa + 1])
+        alpha_new = np.concatenate([[alpha0], alpha + 0.5])
+        beta_new = np.concatenate(
+            [[beta0], beta + kappa * (y[t] - mu) ** 2 / (2 * (kappa + 1))]
+        )
+        # truncate: keep run lengths with mass, cap the tail
+        keep = r_new > eps
+        keep[0] = True
+        if keep.sum() > max_run:
+            idx = np.argsort(r_new)[::-1][:max_run]
+            keep = np.zeros_like(keep)
+            keep[idx] = True
+            keep[0] = True
+        r = r_new[keep]
+        r = r / r.sum()
+        mu, kappa, alpha, beta = (
+            mu_new[keep], kappa_new[keep], alpha_new[keep], beta_new[keep]
+        )
+        run_len = rl_new[keep]
+    return cp, short
+
+
+def bocpd_changepoints(
+    df: DataFrame,
+    hazard_lam: float = 100.0,
+    max_run: int = 500,
+) -> DataFrame:
+    """M6: per-series changepoint probability column ``cp_prob``.
+
+    The input series is z-normalized first (reference
+    ``src/changepoint.py:89-92``).
+    """
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rn").reset_index(drop=True)
+        y = pdf["value"].to_numpy(float)
+        sd = y.std() or 1.0
+        z = (y - y.mean()) / sd
+        cp, short = bocpd_series(z, hazard_lam=hazard_lam, max_run=max_run)
+        pdf["cp_prob"] = cp
+        pdf["cp_score"] = short
+        return pdf[["series_id", "timestamp", "value", "rn", "cp_prob", "cp_score"]]
+
+    return (
+        df.select("series_id", "timestamp", "value", "rn")
+        .groupBy("series_id")
+        .applyInPandas(score, BOCPD_SCHEMA)
+    )

@@ -1,0 +1,205 @@
+"""End-to-end pipelines: the reference's orchestration entry points
+re-expressed as lazy DataFrame DAGs (SURVEY §3).
+
+Reference shape (e.g. ``run_bsts_pipeline``, ``src/run_bsts.py:16-149``):
+scan → label join → split → fit → forecast → residuals → threshold
+sweep on validation → final detection on test → event metrics → sinks.
+Here each stage is a transformation on ONE multi-series frame; the only
+barriers are the per-series shuffle (shared by all stages) and the tiny
+event-table aggregations.  Catalyst collapses the shared lineage; we
+cache exactly at the two genuine reuse points (SURVEY §4): the labeled
+frame and the model-scored frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.decompose import resample
+from ..operators.events import persistence_filter
+from ..operators.evaluate import business_metrics, event_level_metrics
+from ..operators.labeling import mark_anomaly_windows, top_value_labels
+from ..operators.rolling import rolling_stats
+from ..operators.scaling import mad_scores
+from ..operators.splits import fractional_split
+from ..operators.sweep import threshold_sweep_pointwise
+
+
+def score_model(df: DataFrame, model: str = "kalman", **kw) -> DataFrame:
+    """Attach ``resid`` + ``score`` columns for one model family.
+
+    score = |resid| / rolling_std(resid, 48) — the reference's residual
+    z-scoring (``src/run_bsts.py:105-106``); MAD variant for 'stl'
+    (``src/run_hybrid.py:41-42``).
+    """
+    if model == "kalman":
+        from ..functions import kalman_local_level
+
+        scored = kalman_local_level(df, **kw)
+    elif model == "bsts":
+        from ..functions import bsts_forecast
+
+        scored = bsts_forecast(df, **kw)
+    elif model == "gp":
+        from ..functions import gp_forecast
+
+        scored = gp_forecast(df, **kw)
+        return scored.withColumn(
+            "score",
+            F.abs(F.col("value") - F.col("pred_mean"))
+            / (F.col("pred_std") + F.lit(1e-9)),
+        )
+    elif model == "ar":
+        from ..functions import ar_forecast
+
+        kw.setdefault("p", kw.pop("period", 24))
+        scored = ar_forecast(df, **kw)
+        # robust sigma: a burst inflates the trailing rolling std enough
+        # to hide itself (score ~6 instead of ~26); MAD doesn't move
+        return mad_scores(
+            scored.filter(F.col("resid").isNotNull()),
+            value_col="resid",
+            out_col="score",
+        )
+    elif model == "stl":
+        from ..functions import stl_decompose
+
+        dec = stl_decompose(df, **kw)
+        dec = mad_scores(dec, value_col="resid", out_col="score")
+        return dec
+    else:
+        raise ValueError(f"unknown model {model!r}")
+    scored = rolling_stats(scored, value_col="resid", out_prefix="rs")
+    return scored.withColumn(
+        "score", F.abs(F.col("resid")) / (F.col("rs_std") + F.lit(1e-6))
+    ).drop("rs_mean", "rs_std")
+
+
+def detection_pipeline(
+    series: DataFrame,
+    model: str = "kalman",
+    label_top_n: int = 5,
+    label_window: int = 3,
+    persist_p: int = 2,
+    gap: int = 3,
+    resample_every: str | None = None,
+    **model_kw,
+) -> dict[str, DataFrame]:
+    """Full single-model pipeline: label → score → sweep-on-validation →
+    detect-on-all → event + business metrics.
+
+    Returns lazy DataFrames: ``scored`` (per-row), ``best_k`` (per
+    series), ``flagged``, ``event_metrics``, ``business_metrics`` —
+    the caller picks which to materialize (the reference writes all of
+    them as predictions.csv / metrics.json, S3/S4).
+    """
+    if resample_every:
+        from ..sources.loader import with_row_index
+
+        series = with_row_index(resample(series, resample_every))
+    labels = top_value_labels(series, label_top_n)
+    labeled = mark_anomaly_windows(series, labels, label_window)
+    # model UDFs emit a fixed schema (they drop extra columns);
+    # re-attach the truth column by row identity after scoring
+    scored = score_model(series, model, **model_kw).join(
+        labeled.select("series_id", "rn", "is_anomaly"), ["series_id", "rn"]
+    )
+    scored = fractional_split(scored)
+    scored.cache()  # consumed by sweep AND final detection
+
+    sweep = threshold_sweep_pointwise(
+        scored.filter(F.col("split") == "Validation"), "score", "is_anomaly"
+    )
+    with_k = scored.join(
+        F.broadcast(sweep.select("series_id", "best_k")), "series_id", "left"
+    ).withColumn(
+        "flag",
+        (F.col("score") > F.coalesce(F.col("best_k"), F.lit(3.0))).cast("int"),
+    )
+    flagged = persistence_filter(with_k, "flag", p=persist_p)
+    return {
+        "scored": scored,
+        "best_k": sweep,
+        "flagged": flagged,
+        "event_metrics": event_level_metrics(flagged, gap=gap).withColumn(
+            "model", F.lit(model)
+        ),
+        "business_metrics": business_metrics(flagged, gap=gap).withColumn(
+            "model", F.lit(model)
+        ),
+    }
+
+
+def hybrid_pipeline(
+    series: DataFrame,
+    period: int = 24,
+    weights: tuple[float, float, float] = (1 / 3, 1 / 3, 1 / 3),
+    k: float = 3.0,
+    persist_p: int = 2,
+    gap: int = 3,
+) -> dict[str, DataFrame]:
+    """The reference's multi-model ensemble (``src/run_hybrid.py:23-202``):
+    STL-resid MAD z + GP per-step z + AR(24) rolling z, fused by a
+    weighted mean, one shared detection/eval tail.
+
+    One scan, three scoring branches over the SAME per-series partition,
+    pure column fusion — the Spark DAG the survey calls the textbook
+    case (§3.3).
+    """
+    from ..functions import ar_forecast, gp_forecast, stl_decompose
+
+    labels = top_value_labels(series, 5)
+    labeled = mark_anomaly_windows(series, labels, 3)
+    labeled.cache()  # three branches + fusion consume it
+
+    stl = mad_scores(
+        stl_decompose(labeled, period=period), value_col="resid", out_col="z_stl"
+    ).select("series_id", "rn", "z_stl")
+    gp = gp_forecast(labeled, train_frac=0.5).select(
+        "series_id", "rn",
+        (F.abs(F.col("value") - F.col("pred_mean"))
+         / (F.col("pred_std") + F.lit(1e-9))).alias("z_gp"),
+    )
+    ar = rolling_stats(
+        ar_forecast(labeled, p=period), value_col="resid", out_prefix="rs"
+    ).select(
+        "series_id", "rn",
+        (F.abs(F.col("resid")) / (F.col("rs_std") + F.lit(1e-6))).alias("z_ar"),
+    )
+    w1, w2, w3 = weights
+    fused = (
+        labeled.join(stl, ["series_id", "rn"])
+        .join(gp, ["series_id", "rn"])
+        .join(ar, ["series_id", "rn"])
+        .withColumn(
+            "combined_score",
+            F.lit(w1) * F.col("z_stl")
+            + F.lit(w2) * F.col("z_gp")
+            + F.lit(w3) * F.coalesce(F.col("z_ar"), F.lit(0.0)),
+        )
+        .withColumn("flag", (F.col("combined_score") > F.lit(k)).cast("int"))
+    )
+    flagged = persistence_filter(fused, "flag", p=persist_p)
+    return {
+        "scored": fused,
+        "flagged": flagged,
+        "event_metrics": event_level_metrics(flagged, gap=gap).withColumn(
+            "model", F.lit("hybrid")
+        ),
+        "business_metrics": business_metrics(flagged, gap=gap).withColumn(
+            "model", F.lit("hybrid")
+        ),
+    }
+
+
+def leaderboard(metric_frames: list[DataFrame]) -> DataFrame:
+    """A8/S6: union per-model event metrics, sort by F1 desc.
+
+    Mirrors ``aggregate_metrics`` (``src/aggregate_metrics.py:29-67``)
+    without the filesystem round-trip: metrics stay DataFrames.
+    """
+    out = metric_frames[0]
+    for f in metric_frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out.orderBy(F.desc("f1"), "series_id")

@@ -370,7 +370,87 @@ def q_ensemble_fusion(spark, sf_dir):
 # Oracle SQL (DuckDB)
 # ---------------------------------------------------------------------------
 
+def q_ar1_forecast(spark, sf_dir):
+    from ..functions.ar import ar1_forecast_native
+    s = _series(spark, sf_dir)
+    out = ar1_forecast_native(s)
+    return out.select(
+        "series_id", "rn",
+        F.round("pred_mean", R).alias("pred_mean"),
+        F.round("resid", R).alias("resid"),
+    )
+
+
+def q_kalman_forecast(spark, sf_dir):
+    from ..functions import kalman_local_level
+    out = kalman_local_level(_series(spark, sf_dir), train_frac=0.75)
+    return out.select(
+        "series_id", "rn",
+        F.round("pred_mean", R).alias("pred_mean"),
+        F.round("pred_lower", R).alias("pred_lower"),
+        F.round("pred_upper", R).alias("pred_upper"),
+    )
+
+
+def q_bsts_forecast(spark, sf_dir):
+    from ..functions import bsts_forecast
+    out = bsts_forecast(_series(spark, sf_dir), period=24, train_frac=0.5)
+    return out.select(
+        "series_id", "rn",
+        F.round("pred_mean", R).alias("pred_mean"),
+        F.round("pred_lower", R).alias("pred_lower"),
+        F.round("pred_upper", R).alias("pred_upper"),
+    )
+
+
+def q_gp_forecast(spark, sf_dir):
+    from ..functions import gp_forecast
+    out = gp_forecast(_series(spark, sf_dir), train_frac=0.5)
+    return out.select(
+        "series_id", "rn",
+        F.round("pred_mean", R).alias("pred_mean"),
+        F.round("pred_std", R).alias("pred_std"),
+    )
+
+
+def q_bocpd_changepoints(spark, sf_dir):
+    from ..functions import bocpd_changepoints
+    out = bocpd_changepoints(_series(spark, sf_dir))
+    return out.select(
+        "series_id", "rn",
+        F.round("cp_prob", R).alias("cp_prob"),
+        F.round("cp_score", R).alias("cp_score"),
+    )
+
+
+def q_stl_robust(spark, sf_dir):
+    from ..functions import stl_decompose
+    out = stl_decompose(_series(spark, sf_dir), period=24)
+    return out.select(
+        "series_id", "rn",
+        F.round("trend", R).alias("trend"),
+        F.round("seasonal", R).alias("seasonal"),
+        F.round("resid", R).alias("resid"),
+    )
+
+
 ORACLES: dict[str, str] = {}
+
+ORACLES["ar1_forecast"] = f"""
+WITH {SQL_S},
+lagged AS (
+  SELECT series_id, rn, value,
+         lag(value) OVER (PARTITION BY series_id ORDER BY rn) AS prev
+  FROM s),
+fit AS (
+  SELECT series_id, regr_slope(value, prev) AS slope,
+         regr_intercept(value, prev) AS icept
+  FROM lagged GROUP BY 1)
+SELECT l.series_id, l.rn,
+       round(f.icept + f.slope * l.prev, {R}) AS pred_mean,
+       round(l.value - (f.icept + f.slope * l.prev), {R}) AS resid
+FROM lagged l JOIN fit f USING (series_id)
+"""
 
 ORACLES["rolling_stats"] = f"""
 WITH {SQL_S}, {SQL_ROLL}
@@ -674,6 +754,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_decompose": q_resample_decompose,
         "interval_exceedance": q_interval_exceedance,
         "ensemble_fusion": q_ensemble_fusion,
+        "ar1_forecast": q_ar1_forecast,
+        # sequential model fits: applyInPandas, no SQL equivalent ->
+        # rows-only correctness checks (SURVEY §5 tolerance note)
+        "kalman_forecast": q_kalman_forecast,
+        "bsts_forecast": q_bsts_forecast,
+        "gp_forecast": q_gp_forecast,
+        "bocpd_changepoints": q_bocpd_changepoints,
+        "stl_robust": q_stl_robust,
     }
 
 

@@ -1,0 +1,163 @@
+"""Unit tests for the training-data pipeline operators (datapipe.*)
+on tiny hand-written corpora with known answers."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_data_anomaly_detection_spark.datapipe import (
+    ann_lsh_topk,
+    as_binary_payload,
+    cosine_topk,
+    doc_stats,
+    embedding_near_dup,
+    exact_dedup,
+    extract_features,
+    fingerprint,
+    lang_id,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        # near-dup of 0: one word changed
+        (1, "the quick brown fox jumps over the lazy cat near the river bank"),
+        # exact dup of 0 modulo case/whitespace
+        (2, "The  quick brown fox jumps over the lazy dog near the river bank"),
+        (3, "completely different content about spark query engines and shuffles"),
+        (4, "le chat et le chien et les oiseaux sont dans le jardin des plantes"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(5)
+    base = rng.normal(0, 1, 8)
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base + rng.normal(0, 0.01, 8)]),  # near-dup of 0
+        (2, [float(x) for x in -base]),  # opposite
+        (3, [float(x) for x in rng.normal(0, 1, 8)]),
+        (4, [float(x) for x in rng.normal(0, 1, 8)]),
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+
+
+def test_exact_dedup(spark, docs):
+    out = {r.doc_id: r for r in exact_dedup(docs).collect()}
+    assert out[0].dup_group == out[2].dup_group
+    assert out[0].group_size == 2 and out[0].keep == 1 and out[2].keep == 0
+    assert out[1].group_size == 1
+
+
+def test_fingerprint_normalization(spark, docs):
+    out = {r.doc_id: r.fingerprint for r in fingerprint(docs).collect()}
+    assert out[0] == out[2] != out[1]
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.3).collect()
+    }
+    # docs 0/2 identical after normalization -> jaccard 1.0
+    assert pairs[(0, 2)] == pytest.approx(1.0)
+    # 0/1 differ by one word -> 3 of 11 trigrams changed
+    assert pairs[(0, 1)] == pytest.approx(8 / 14, abs=1e-9)
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, n=3, threshold=0.3).collect()
+    }
+    assert (0, 2) in pairs and pairs[(0, 2)] == pytest.approx(1.0)
+    # verified jaccard on candidates equals the exact value
+    if (0, 1) in pairs:
+        assert pairs[(0, 1)] == pytest.approx(8 / 14, abs=1e-9)
+
+
+def test_simhash_similarity(spark, docs):
+    fp = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert fp[0] == fp[2]  # identical token sets
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    # near-dup pair closer than unrelated pair
+    assert hamming(fp[0], fp[1]) < hamming(fp[0], fp[3])
+
+
+def test_lang_id_markers(spark, docs):
+    out = {r.doc_id: r.lang_pred for r in lang_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[4] == "fr"
+
+
+def test_doc_stats(spark, docs):
+    out = {r.doc_id: r for r in doc_stats(docs).collect()}
+    assert out[0].n_tokens == 13
+    assert out[0].n_unique_tokens == 11  # 'the' x3
+    assert 0 < out[0].quality_score <= 1.0
+    assert out[0].stopword_ratio == pytest.approx(3 / 13, rel=1e-6)
+
+
+def test_embedding_near_dup_exact_vs_bucketed(spark, vectors):
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup(vectors, threshold=0.9).collect()
+    }
+    assert list(exact) == [(0, 1)]
+    assert exact[(0, 1)] > 0.99
+    bucketed = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup(vectors, threshold=0.9, bucket_bits=4).collect()
+    }
+    # near-identical vectors share the sign bucket -> still found
+    assert (0, 1) in bucketed
+
+
+def test_cosine_topk(spark, vectors):
+    out = cosine_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=4).collect()
+    ranked = sorted(out, key=lambda r: r.rank)
+    assert [r.query_id for r in ranked] == [0, 0, 0, 0]
+    assert ranked[0].match_id == 1  # the near-dup is rank 1
+    assert ranked[-1].match_id == 2  # the negated vector is last (cos ~ -1)
+    assert ranked[0].cosine > 0.99 and ranked[-1].cosine < -0.99
+
+
+def test_ann_topk_subset_of_bucket(spark, vectors):
+    out = ann_lsh_topk(
+        vectors, vectors.filter(F.col("vec_id") == 0), k=4, bucket_bits=4
+    ).collect()
+    # vector 2 = -v0 differs in every sign bit -> excluded by LSH
+    assert all(r.match_id != 2 for r in out)
+    assert any(r.match_id == 1 for r in out)
+
+
+def test_multimodal_features(spark, docs):
+    feats = extract_features(as_binary_payload(docs)).collect()
+    by_doc = {}
+    for r in feats:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    row0 = sorted(by_doc[0], key=lambda r: r.frame_id)[0]
+    text0 = "the quick brown fox jumps over the lazy dog near the river bank"
+    assert row0.byte_sum == sum(text0.encode())
+    assert row0.n_frames == int(np.ceil(len(text0) / 64))
+    padded = np.pad(
+        np.frombuffer(text0.encode(), dtype=np.uint8).astype(float),
+        (0, row0.n_frames * 64 - len(text0)),
+    )
+    assert row0.f_mean == pytest.approx(padded[:64].mean())
+    assert row0.f_std == pytest.approx(padded[:64].std())
+    assert row0.f_max == pytest.approx(padded[:64].max())

@@ -1,0 +1,38 @@
+"""Large-scale training-data pipeline operators (engine extensions).
+
+Beyond the reference's anomaly-detection surface, these are the
+operations a 100 TB training-data pipeline needs: text analysis,
+deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+embedding near-dup), similarity search (brute-force + LSH-bucketed
+ANN), and multimodal (binary-column) plumbing.
+
+Everything is native DataFrame/SQL unless genuinely impossible
+(multimodal decode uses mapInPandas). Cross-engine determinism rides
+on one portable primitive: ``md5`` hex parsed to int is identical in
+Spark and DuckDB, so every hash-derived value is oracle-checkable.
+"""
+
+from .text import (  # noqa: F401
+    tokenize,
+    doc_stats,
+    lang_id,
+    fingerprint,
+)
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    shingles,
+    ngram_jaccard_pairs,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    simhash,
+    embedding_near_dup,
+)
+from .similarity import (  # noqa: F401
+    with_norm,
+    cosine_topk,
+    ann_lsh_topk,
+)
+from .multimodal import (  # noqa: F401
+    as_binary_payload,
+    extract_features,
+)

@@ -1,0 +1,320 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash, embedding-cosine near-dup.
+
+Scale design (the point of every choice here):
+
+- **Exact** is a hash-groupBy: one shuffle on a 16-byte digest, no
+  text movement after the md5 projection.
+- **n-gram Jaccard** is the exact (quadratic-within-posting-list)
+  method: explode distinct shingle hashes, self-join on the hash —
+  the join key is the 8-byte shingle hash, never the shingle string.
+  At 100 TB the frequent-shingle posting lists are the skew hazard:
+  ``max_shingle_df`` drops shingles occurring in more than that many
+  docs (stopword-grams), which is both a quality and a skew fix.
+- **MinHash+LSH** is the scale path: signature size is constant
+  (NUM_PERM longs/doc regardless of doc length), candidate
+  generation is an equi-join on (band_id, band_signature), and only
+  candidates pay the exact-Jaccard verification.
+- **SimHash** compresses a doc to one 32-bit int with NO explode in
+  the aggregation (32 conditional sums in a single groupBy), so the
+  shuffle carries one row per (doc, token) and the reduce is
+  map-side-combinable.
+- **Embedding near-dup** offers exact O(n²) for small n and a
+  sign-LSH-bucketed variant whose join is equi on the bucket key.
+
+All hashes derive from md5 (portable to the DuckDB oracle, see
+datapipe.text.hash48).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import hash48, tokenize
+
+# ---------------------------------------------------------------------------
+# MinHash parameters: 16 permutations in 4 bands of 4 rows.
+# h_i(x) = (A[i] * hash48(x) + B[i]) mod P  with P = 2^61 - 1.
+# hash48 < 2^48 and A[i] < 2^10 keep A*h < 2^58 — no int64 overflow,
+# in Spark or DuckDB.
+# ---------------------------------------------------------------------------
+MERSENNE_P = (1 << 61) - 1
+NUM_PERM = 16
+BAND_ROWS = 4
+PERM_A = (131, 137, 139, 149, 151, 157, 163, 167,
+          173, 179, 181, 191, 193, 197, 199, 211)
+PERM_B = (17, 19, 23, 29, 31, 37, 41, 43,
+          47, 53, 59, 61, 67, 71, 73, 79)
+
+SIMHASH_BITS = 32
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate detection via content digest (hash-groupBy).
+
+    Returns the input ids annotated with ``dup_group`` (md5 of the
+    normalized text), ``group_size``, ``keep`` (1 for the smallest id
+    in the group — the canonical survivor). One shuffle on the digest.
+    """
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    h = df.select(F.col(id_col), F.md5(norm).alias("dup_group"))
+    w = Window.partitionBy("dup_group")
+    return h.select(
+        id_col,
+        "dup_group",
+        F.count("*").over(w).alias("group_size"),
+        (F.col(id_col) == F.min(id_col).over(w)).cast("int").alias("keep"),
+    )
+
+
+def shingles(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word-n-gram shingle hashes per doc: ``(id, shingle_hash)``.
+
+    The shingle string never leaves the projection — downstream joins
+    and signatures see only the 48-bit hash.
+    """
+    t = tokenize(df, text_col)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("tokens") - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice("tokens", i, n)),
+    )
+    return (
+        t.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .select(id_col, hash48(F.col("shingle")).alias("shingle_hash"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every doc pair sharing at
+    least one shingle; emits pairs with ``jaccard >= threshold``.
+
+    ``max_shingle_df`` prunes shingles present in more than that many
+    docs before the self-join (stopword-gram posting lists are the
+    O(df²) skew bomb at scale).
+    """
+    sh = shingles(df, n, text_col, id_col)
+    if max_shingle_df is not None:
+        freq = sh.groupBy("shingle_hash").agg(F.count("*").alias("df_count"))
+        sh = (
+            sh.join(freq, "shingle_hash")
+            .filter(F.col("df_count") <= max_shingle_df)
+            .drop("df_count")
+        )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle_hash")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc MinHash signature: NUM_PERM columns ``m0..m{15}``.
+
+    One groupBy over the exploded shingle hashes; each permutation is
+    a min-aggregate of an affine rehash — map-side combinable, and
+    signature size is independent of doc length (the scale property).
+    """
+    sh = shingles(df, n, text_col, id_col)
+    aggs = [
+        F.min((F.lit(PERM_A[i]) * F.col("shingle_hash") + F.lit(PERM_B[i])) % MERSENNE_P).alias(f"m{i}")
+        for i in range(NUM_PERM)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
+
+    Pipeline: signatures → band keys (md5 of each 4-row band) →
+    equi-join on (band, key) for candidates → exact Jaccard on the
+    candidate set only → filter. The full O(n²) never materializes;
+    candidate volume is governed by the band collision probability
+    (s-curve around ~0.55 for 4 bands × 4 rows).
+    """
+    sig = minhash_signatures(df, n, text_col, id_col)
+    bands = []
+    for band in range(NUM_PERM // BAND_ROWS):
+        cols = [F.col(f"m{band * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+        bands.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(band).alias("band"),
+                F.md5(F.concat_ws("_", *cols)).alias("band_key"),
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    # exact verification restricted to candidates
+    sh = shingles(df, n, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle_hash")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle_hash")
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle_hash"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash fingerprint (SIMHASH_BITS wide) over distinct token
+    hashes: bit b is the sign of Σ±1 across tokens, +1 when the
+    token hash has bit b set.
+
+    Implemented as SIMHASH_BITS conditional sums in ONE aggregation —
+    no bit-explode, so the shuffle is one row per (doc, token) and the
+    combine happens map-side.
+    """
+    t = tokenize(df, text_col)
+    tok = (
+        t.select(F.col(id_col), F.explode(F.array_distinct("tokens")).alias("tok"))
+        .select(id_col, hash48(F.col("tok")).alias("h"))
+        .distinct()
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select(id_col, fp.cast("long").alias("simhash"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(v):
+    return F.sqrt(
+        F.aggregate(
+            v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_bits: int = 0,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    ``bucket_bits=0``: exact all-pairs (O(n²) — small corpora only).
+    ``bucket_bits=k``: sign-LSH — docs are bucketed by the sign
+    pattern of their first k dimensions and only same-bucket pairs
+    are compared, turning the cross join into an equi-join on the
+    bucket key. Recall is traded for the s-curve of k axis-aligned
+    hyperplanes; at 100 TB this (or a learned IVF) is the only viable
+    shape.
+    """
+    v = df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    if bucket_bits > 0:
+        sig = None
+        for d in range(bucket_bits):
+            term = F.when(
+                F.element_at("v", d + 1).cast("double") > 0, F.lit(1 << d)
+            ).otherwise(F.lit(0))
+            sig = term if sig is None else sig + term
+        v = v.withColumn("bucket", sig.cast("long"))
+        join_keys = ["bucket"]
+        a, b = v.alias("a"), v.alias("b")
+        joined = a.join(b, join_keys)
+    else:
+        a, b = v.alias("a"), v.alias("b")
+        joined = a.crossJoin(b)
+    out = (
+        joined.filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm") + F.lit(1e-12))
+            ).alias("cosine"),
+        )
+    )
+    return out.filter(F.col("cosine") >= threshold)

@@ -1,0 +1,138 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+document fingerprinting.
+
+All native ``pyspark.sql.functions`` — no Python UDFs anywhere, so the
+whole stage stays inside whole-stage codegen and scales linearly with
+input splits (no shuffle at all for per-document ops).
+
+Portable hashing: ``hash48(x) = int(md5(x)[:12], 16)`` evaluates
+identically in Spark (``conv(substring(md5(x),1,12),16,10)``) and
+DuckDB (``CAST('0x'||substr(md5(x),1,12) AS BIGINT)``), giving a
+48-bit value that survives 64-bit arithmetic (a*h+b) without overflow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# word-ish runs OR single punctuation — a BPE-ish pre-tokenizer split
+TOKEN_RE = r"[a-z0-9]+|[^a-z0-9\s]"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# characteristic function words per language for the n-gram/marker
+# heuristic (deterministic, content-based — NOT the metadata column)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "is"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "las", "una", "y"),
+    "de": ("der", "die", "und", "das", "ein"),
+}
+
+
+def hash48(col: Column) -> Column:
+    """Portable 48-bit hash (md5 prefix), identical in DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+
+
+def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Lowercase + regex pre-tokenization into a ``tokens`` array column."""
+    return df.withColumn(
+        "tokens", F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    )
+
+
+def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting + quality scoring (length / stopword / diversity
+    ratios) — the classic pretraining-corpus quality filters.
+
+    quality_score is a deterministic [0,1] blend: penalizes very short
+    docs, zero-stopword docs (non-linguistic), and low lexical
+    diversity (boilerplate / repetition).
+    """
+    t = tokenize(df, text_col)
+    n_tok = F.size("tokens")
+    n_stop = F.size(F.filter("tokens", lambda x: x.isin(*STOPWORDS)))
+    n_uniq = F.size(F.array_distinct("tokens"))
+    stop_ratio = n_stop / (n_tok + F.lit(1e-9))
+    uniq_ratio = n_uniq / (n_tok + F.lit(1e-9))
+    mean_len = F.aggregate(
+        "tokens", F.lit(0.0), lambda acc, x: acc + F.length(x)
+    ) / (n_tok + F.lit(1e-9))
+    quality = (
+        F.least(n_tok / F.lit(50.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+        + uniq_ratio * 0.3
+    )
+    return t.select(
+        *df.columns,
+        n_tok.alias("n_tokens"),
+        F.length(F.col(text_col)).alias("n_chars_computed"),
+        n_uniq.alias("n_unique_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        uniq_ratio.alias("unique_ratio"),
+        mean_len.alias("mean_token_len"),
+        quality.alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: score each language by its
+    characteristic-function-word hit count over the token bag; argmax
+    with deterministic tie-break (score desc, language asc), fallback
+    'und' when no marker hits at all.
+
+    Scale note: per-row map over an array column — no shuffle, no UDF.
+    """
+    t = tokenize(df, text_col)
+
+    def _hits(markers):
+        return lambda x: x.isin(*markers)
+
+    scores = [
+        F.size(F.filter("tokens", _hits(markers))).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    t = t.select(*df.columns, *scores)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.col(f"score_{lang}").alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in LANG_MARKERS
+        ]
+    )
+    # max score, ties by lexicographically smallest lang: sort by
+    # (-score, lang) ascending and take the head
+    best = F.sort_array(
+        F.transform(
+            pairs,
+            lambda p: F.struct(
+                (-p["score"]).alias("neg"), p["lang"].alias("lang"), p["score"].alias("score")
+            ),
+        )
+    )[0]
+    return t.select(
+        *df.columns,
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
+            "lang_pred"
+        ),
+        best["score"].alias("lang_score"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the normalized (lowercased,
+    whitespace-collapsed) text, plus the portable 48-bit int form.
+
+    The normalization makes near-identical docs (case / spacing drift)
+    collide — the cheap first pass before MinHash.
+    """
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return df.select(
+        *df.columns,
+        F.md5(norm).alias("fingerprint"),
+        hash48(norm).alias("fingerprint_int"),
+    )

@@ -737,7 +737,9 @@ FROM fused
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    from . import registry_datapipe
+
+    out = {
         "rolling_stats": q_rolling_stats,
         "adaptive_flags": q_adaptive_flags,
         "mad_scores": q_mad_scores,
@@ -763,7 +765,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bocpd_changepoints": q_bocpd_changepoints,
         "stl_robust": q_stl_robust,
     }
+    out.update(registry_datapipe.queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    from . import registry_datapipe
+
+    out = dict(ORACLES)
+    out.update(registry_datapipe.oracle_sql())
+    return out

@@ -1,0 +1,445 @@
+"""Registry for the training-data pipeline operators (datapipe.*):
+queries over the ``documents`` / ``embeddings`` tables plus their
+DuckDB oracle SQL.
+
+Cross-engine determinism notes (same conventions as registry.py):
+- the portable hash is ``int(md5(x)[:12], 16)`` — Spark
+  ``conv(substring(md5(x),1,12),16,10)`` ≡ DuckDB
+  ``CAST('0x'||substr(md5(x),1,12) AS BIGINT)``;
+- the tokenizer regex, stopword list, MinHash constants, and LSH
+  band layout are literal-identical on both sides;
+- floats rounded to 6 on both sides; pair outputs keyed (id_a, id_b)
+  with id_a < id_b.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..datapipe import (
+    ann_lsh_topk,
+    as_binary_payload,
+    cosine_topk,
+    doc_stats,
+    embedding_near_dup,
+    exact_dedup,
+    extract_features,
+    fingerprint,
+    lang_id,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ..datapipe.dedup import (
+    BAND_ROWS,
+    MERSENNE_P,
+    NUM_PERM,
+    PERM_A,
+    PERM_B,
+    SIMHASH_BITS,
+)
+from ..datapipe.text import LANG_MARKERS, STOPWORDS, TOKEN_RE
+
+R = 6
+
+JACCARD_T = 0.5
+NEARDUP_T = 0.4
+NEARDUP_BITS = 4
+ANN_BITS = 6
+TOPK = 5
+N_QUERIES = 10  # vec_id < 10 are the query set
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Spark queries
+# ---------------------------------------------------------------------------
+
+def q_doc_stats(spark, sf_dir):
+    out = doc_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_tokens", "n_unique_tokens",
+        F.round("stopword_ratio", R).alias("stopword_ratio"),
+        F.round("unique_ratio", R).alias("unique_ratio"),
+        F.round("mean_token_len", R).alias("mean_token_len"),
+        F.round("quality_score", R).alias("quality_score"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    out = lang_id(_docs(spark, sf_dir))
+    return out.select("doc_id", "lang_pred", "lang_score")
+
+
+def q_fingerprint(spark, sf_dir):
+    out = fingerprint(_docs(spark, sf_dir))
+    return out.select("doc_id", "fingerprint", "fingerprint_int")
+
+
+def q_exact_dedup(spark, sf_dir):
+    return exact_dedup(_docs(spark, sf_dir)).select(
+        "doc_id", "dup_group", "group_size", "keep"
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    out = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=JACCARD_T)
+    return out.select("id_a", "id_b", F.round("jaccard", R).alias("jaccard"))
+
+
+def q_minhash_lsh(spark, sf_dir):
+    out = minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=JACCARD_T)
+    return out.select("id_a", "id_b", F.round("jaccard", R).alias("jaccard"))
+
+
+def q_simhash(spark, sf_dir):
+    return simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    out = embedding_near_dup(
+        _embs(spark, sf_dir), threshold=NEARDUP_T, bucket_bits=NEARDUP_BITS
+    )
+    return out.select("id_a", "id_b", F.round("cosine", R).alias("cosine"))
+
+
+def q_cosine_topk(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    out = cosine_topk(e, e.filter(F.col("vec_id") < N_QUERIES), k=TOPK)
+    return out.select(
+        "query_id", "match_id", "rank", F.round("cosine", R).alias("cosine")
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    out = ann_lsh_topk(
+        e, e.filter(F.col("vec_id") < N_QUERIES), k=TOPK, bucket_bits=ANN_BITS
+    )
+    return out.select(
+        "query_id", "match_id", "rank", F.round("cosine", R).alias("cosine")
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    payload = as_binary_payload(_docs(spark, sf_dir))
+    out = extract_features(payload)
+    return out.select(
+        "doc_id", "frame_id", "n_frames", "byte_sum",
+        F.round("f_mean", R).alias("f_mean"),
+        F.round("f_std", R).alias("f_std"),
+        F.round("f_max", R).alias("f_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_STOP = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+SQL_TOKS = f"""
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+  FROM documents
+)
+"""
+
+# distinct trigram shingle hashes per doc (mirrors datapipe.dedup.shingles)
+SQL_SHINGLES = """
+sh AS (
+  SELECT DISTINCT doc_id,
+    CAST('0x' || substr(md5(s), 1, 12) AS BIGINT) AS shingle_hash
+  FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(t) - 2, 0)),
+             i -> array_to_string(t[i:i+2], ' ')))) AS s
+    FROM toks
+  )
+),
+szs AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
+"""
+
+SQL_JACCARD_PAIRS = f"""
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle_hash = b.shingle_hash
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b,
+         inter * 1.0 / (na.n_sh + nb.n_sh - inter) AS jaccard
+  FROM inter
+  JOIN szs na ON na.doc_id = id_a
+  JOIN szs nb ON nb.doc_id = id_b
+)
+"""
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["doc_stats"] = f"""
+WITH {SQL_TOKS},
+st AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         len(list_distinct(t)) AS n_unique_tokens,
+         len(list_filter(t, x -> x IN ({_STOP}))) / (len(t) + 1e-9)
+           AS stopword_ratio,
+         len(list_distinct(t)) / (len(t) + 1e-9) AS unique_ratio,
+         list_sum(list_transform(t, x -> strlen(x))) / (len(t) + 1e-9)
+           AS mean_token_len
+  FROM toks
+)
+SELECT doc_id, n_tokens, n_unique_tokens,
+       round(stopword_ratio, {R}) AS stopword_ratio,
+       round(unique_ratio, {R}) AS unique_ratio,
+       round(coalesce(mean_token_len, 0.0), {R}) AS mean_token_len,
+       round(least(n_tokens / 50.0, 1.0) * 0.4
+             + least(stopword_ratio * 5.0, 1.0) * 0.3
+             + unique_ratio * 0.3, {R}) AS quality_score
+FROM st
+"""
+
+_MARKER_SCORES = ",\n         ".join(
+    "len(list_filter(t, x -> x IN ({}))) AS s_{}".format(
+        ", ".join(f"'{m}'" for m in markers), lang
+    )
+    for lang, markers in LANG_MARKERS.items()
+)
+_LANGS_ASC = sorted(LANG_MARKERS)
+_BEST = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_MARKERS) + ")"
+_PICK = " ".join(
+    f"WHEN s_{lang} = best THEN '{lang}'" for lang in _LANGS_ASC
+)
+
+ORACLES["lang_id"] = f"""
+WITH {SQL_TOKS},
+sc AS (
+  SELECT doc_id,
+         {_MARKER_SCORES}
+  FROM toks
+),
+best AS (SELECT *, {_BEST} AS best FROM sc)
+SELECT doc_id,
+       CASE WHEN best = 0 THEN 'und' {_PICK} END AS lang_pred,
+       best AS lang_score
+FROM best
+"""
+
+ORACLES["fingerprint"] = f"""
+SELECT doc_id,
+       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       CAST('0x' || substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 12)
+            AS BIGINT) AS fingerprint_int
+FROM documents
+"""
+
+ORACLES["exact_dedup"] = """
+WITH h AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS dup_group
+  FROM documents
+)
+SELECT doc_id, dup_group,
+       count(*) OVER (PARTITION BY dup_group) AS group_size,
+       CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY dup_group)
+            THEN 1 ELSE 0 END AS keep
+FROM h
+"""
+
+ORACLES["ngram_jaccard"] = f"""
+WITH {SQL_TOKS}, {SQL_SHINGLES}, {SQL_JACCARD_PAIRS}
+SELECT id_a, id_b, round(jaccard, {R}) AS jaccard
+FROM jac WHERE jaccard >= {JACCARD_T}
+"""
+
+_MINHASH_COLS = ",\n         ".join(
+    f"min(({PERM_A[i]} * shingle_hash + {PERM_B[i]}) % {MERSENNE_P}) AS m{i}"
+    for i in range(NUM_PERM)
+)
+_BAND_SELECTS = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, {band} AS band, md5(concat_ws('_', {cols})) AS band_key FROM sig".format(
+        band=band,
+        cols=", ".join(f"m{band * BAND_ROWS + r}" for r in range(BAND_ROWS)),
+    )
+    for band in range(NUM_PERM // BAND_ROWS)
+)
+
+ORACLES["minhash_lsh"] = f"""
+WITH {SQL_TOKS}, {SQL_SHINGLES},
+sig AS (
+  SELECT doc_id,
+         {_MINHASH_COLS}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+{_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle_hash = a.shingle_hash
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b, inter * 1.0 / (na.n_sh + nb.n_sh - inter) AS jaccard
+  FROM inter JOIN szs na ON na.doc_id = id_a JOIN szs nb ON nb.doc_id = id_b
+)
+SELECT id_a, id_b, round(jaccard, {R}) AS jaccard
+FROM jac WHERE jaccard >= {JACCARD_T}
+"""
+
+_BIT_SUMS = ",\n         ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(SIMHASH_BITS)
+)
+_FP_SUM = " + ".join(
+    f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+)
+
+ORACLES["simhash"] = f"""
+WITH {SQL_TOKS},
+tok AS (
+  SELECT DISTINCT doc_id,
+         CAST('0x' || substr(md5(u), 1, 12) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(list_distinct(t)) AS u FROM toks)
+),
+agg AS (
+  SELECT doc_id,
+         {_BIT_SUMS}
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, CAST({_FP_SUM} AS BIGINT) AS simhash FROM agg
+"""
+
+
+def _sign_bucket_sql(col: str, bits: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN {col}[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)"
+        for d in range(bits)
+    )
+
+
+ORACLES["embedding_near_dup"] = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm,
+         {_sign_bucket_sql("(embedding::DOUBLE[])", NEARDUP_BITS)} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm + 1e-12), {R}) AS cosine
+FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm + 1e-12) >= {NEARDUP_T}
+"""
+
+ORACLES["cosine_topk"] = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         list_dot_product(q.e, c.e) / (q.nrm * c.nrm + 1e-12) AS cosine
+  FROM v q JOIN v c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, match_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, match_id, rank, round(cosine, {R}) AS cosine
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+ORACLES["ann_topk"] = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm,
+         {_sign_bucket_sql("(embedding::DOUBLE[])", ANN_BITS)} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         list_dot_product(q.e, c.e) / (q.nrm * c.nrm + 1e-12) AS cosine
+  FROM v q JOIN v c ON q.bucket = c.bucket
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, match_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, match_id, rank, round(cosine, {R}) AS cosine
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+# multimodal: frames are 64-byte slices of the UTF-8 payload
+# (documents are ASCII so code points == bytes); stats over the
+# zero-padded 64-wide frame, matching _fake_decode exactly.
+ORACLES["multimodal_features"] = f"""
+WITH frames AS (
+  SELECT doc_id,
+         unnest(generate_series(0, CAST(ceil(strlen(text) / 64.0) AS INT) - 1))
+           AS frame_id,
+         CAST(ceil(strlen(text) / 64.0) AS INT) AS n_frames,
+         list_sum(list_transform(regexp_extract_all(text, '.'), c -> ord(c)))
+           AS byte_sum,
+         text
+  FROM documents
+),
+fb AS (
+  SELECT doc_id, frame_id, n_frames, byte_sum,
+         list_transform(regexp_extract_all(substr(text, frame_id * 64 + 1, 64), '.'),
+                        c -> ord(c)) AS fbytes
+  FROM frames
+),
+st AS (
+  SELECT doc_id, frame_id, n_frames, byte_sum,
+         list_sum(fbytes) / 64.0 AS f_mean,
+         list_sum(list_transform(fbytes, x -> x * x)) / 64.0 AS f_sq,
+         list_max(fbytes) AS f_max
+  FROM fb
+)
+SELECT doc_id, frame_id, n_frames, byte_sum,
+       round(f_mean, {R}) AS f_mean,
+       round(sqrt(greatest(f_sq - f_mean * f_mean, 0.0)), {R}) AS f_std,
+       round(CAST(f_max AS DOUBLE), {R}) AS f_max
+FROM st
+"""
+
+
+def queries():
+    return {
+        "doc_stats": q_doc_stats,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "embedding_near_dup": q_embedding_near_dup,
+        "cosine_topk": q_cosine_topk,
+        "ann_topk": q_ann_topk,
+        "multimodal_features": q_multimodal_features,
+    }
+
+
+def oracle_sql():
+    return dict(ORACLES)

@@ -1,0 +1,153 @@
+"""Streaming detectors: stream output must match the batch operators
+on the same data (modulo the documented head-row delta)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_data_anomaly_detection_spark.functions import bocpd_changepoints
+from time_series_data_anomaly_detection_spark.operators.rolling import (
+    adaptive_threshold_flags,
+)
+from time_series_data_anomaly_detection_spark.sources import with_row_index
+from time_series_data_anomaly_detection_spark.streaming import (
+    streaming_bocpd,
+    streaming_rolling_flags,
+    streaming_window_stats,
+)
+
+SCHEMA = "series_id string, timestamp timestamp, value double, event_id long"
+
+
+@pytest.fixture(scope="module")
+def stream_data(spark, tmp_path_factory):
+    """Two series, written as TWO parquet files so availableNow
+    processes multiple input splits (exercising state carry-over)."""
+    root = tmp_path_factory.mktemp("stream_src")
+    rng = np.random.default_rng(3)
+    frames = []
+    for sid in ("a", "b"):
+        n = 300
+        y = rng.normal(50, 2, n)
+        y[200:203] += 40  # injected burst
+        frames.append(
+            pd.DataFrame(
+                {
+                    "series_id": sid,
+                    "timestamp": pd.date_range(
+                        "2024-01-01", periods=n, freq="30min"
+                    ),
+                    "value": y,
+                    "event_id": np.arange(n, dtype="int64"),
+                }
+            )
+        )
+    pdf = pd.concat(frames).reset_index(drop=True)
+    # split by time so each file is a prefix/suffix (state must resume)
+    # micro (not nano) timestamps: the session reads TIMESTAMP(NANOS)
+    # as long (nanosAsLong), which would fight the stream schema
+    cut = pdf["timestamp"].median()
+    kw = dict(index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    pdf[pdf["timestamp"] <= cut].to_parquet(root / "part1.parquet", **kw)
+    pdf[pdf["timestamp"] > cut].to_parquet(root / "part2.parquet", **kw)
+    return str(root), pdf
+
+
+def _run_stream(spark, out_df, name):
+    q = (
+        out_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_streaming_window_stats(spark, stream_data):
+    root, pdf = stream_data
+    stream = spark.readStream.schema(SCHEMA).parquet(root)
+    out = _run_stream(
+        spark, streaming_window_stats(stream, "1 hour", "2 hours"), "winstats"
+    )
+    rows = out.collect()
+    # 300 half-hour points = 150 hourly windows per series; append mode
+    # withholds windows not yet closed by the final watermark (last ts
+    # 05:30 − 2 h ⇒ the 3 trailing windows per series stay open)
+    assert len(rows) == 2 * 147
+    # spot-check one window against pandas
+    r0 = [r for r in rows if r.series_id == "a"][0]
+    w = pdf[
+        (pdf.series_id == "a")
+        & (pdf.timestamp >= r0.window_start)
+        & (pdf.timestamp < r0.window_end)
+    ]["value"]
+    assert r0.n == len(w) == 2
+    assert r0.mean == pytest.approx(w.mean())
+
+
+def test_streaming_rolling_flags_matches_batch(spark, stream_data):
+    root, pdf = stream_data
+    stream = spark.readStream.schema(SCHEMA).parquet(root)
+    out = _run_stream(
+        spark, streaming_rolling_flags(stream, k=3.0), "rollflags"
+    ).toPandas()
+
+    batch_in = with_row_index(spark.createDataFrame(pdf))
+    batch = (
+        adaptive_threshold_flags(batch_in, k=3.0)
+        .select("series_id", "timestamp", "roll_mean", "roll_std", "flag")
+        .toPandas()
+    )
+    m = out.merge(batch, on=["series_id", "timestamp"], suffixes=("_s", "_b"))
+    assert len(m) == len(pdf)
+    # past the min_periods head (which batch bfills), stream == batch
+    settled = m[m["roll_mean_s"].notna()]
+    assert len(settled) == len(pdf) - 2 * 4  # first 4 rows null per series
+    np.testing.assert_allclose(
+        settled["roll_mean_s"], settled["roll_mean_b"], rtol=0, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        settled["roll_std_s"], settled["roll_std_b"], rtol=0, atol=1e-9
+    )
+    assert (settled["flag_s"] == settled["flag_b"]).all()
+    # the injected bursts are flagged
+    burst = m[(m.series_id == "a")].sort_values("timestamp").iloc[200]
+    assert burst.flag_s == 1
+
+
+def test_streaming_bocpd_matches_batch(spark, stream_data):
+    root, pdf = stream_data
+    stream = spark.readStream.schema(SCHEMA).parquet(root)
+    # batch normalizes with global moments; hand the stream the same
+    stats = {
+        sid: (g["value"].mean(), g["value"].std(ddof=0))
+        for sid, g in pdf.groupby("series_id")
+    }
+    (mu_a, sd_a) = stats["a"]
+    out = _run_stream(
+        spark,
+        streaming_bocpd(
+            stream.filter(F.col("series_id") == "a"), norm_mu=mu_a, norm_sd=sd_a
+        ),
+        "bocpdstream",
+    ).toPandas()
+
+    batch = (
+        bocpd_changepoints(
+            with_row_index(
+                spark.createDataFrame(pdf[pdf.series_id == "a"])
+            )
+        )
+        .select("timestamp", "cp_prob", "cp_score")
+        .toPandas()
+    )
+    m = out.merge(batch, on="timestamp", suffixes=("_s", "_b"))
+    assert len(m) == 300
+    np.testing.assert_allclose(m["cp_prob_s"], m["cp_prob_b"], atol=1e-9)
+    np.testing.assert_allclose(m["cp_score_s"], m["cp_score_b"], atol=1e-9)
+    # the burst collapses the run-length posterior
+    srt = m.sort_values("timestamp").reset_index(drop=True)
+    assert srt.loc[200:202, "cp_score_s"].max() > 0.5

@@ -42,8 +42,23 @@ def _t_logpdf(x: np.ndarray, df: np.ndarray, loc: np.ndarray, scale: np.ndarray)
     )
 
 
-def bocpd_series(
+def initial_state(
+    mu0: float = 0.0, kappa0: float = 1.0, alpha0: float = 1.0, beta0: float = 1.0
+) -> dict:
+    """Fresh BOCPD state (one run-length hypothesis: 'just started')."""
+    return {
+        "r": np.array([1.0]),
+        "mu": np.array([mu0]),
+        "kappa": np.array([kappa0]),
+        "alpha": np.array([alpha0]),
+        "beta": np.array([beta0]),
+        "run_len": np.array([0]),
+    }
+
+
+def bocpd_run(
     y: np.ndarray,
+    state: dict,
     hazard_lam: float = 100.0,
     mu0: float = 0.0,
     kappa0: float = 1.0,
@@ -52,30 +67,23 @@ def bocpd_series(
     max_run: int = 500,
     eps: float = 1e-9,
     short_run: int = 5,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Run-length-truncated BOCPD.
-
-    Returns ``(cp_prob, cp_score)`` per point:
-
-    - ``cp_prob`` = normalized R[t+1, 0] — the reference's output
-      (``src/changepoint.py:99-106``).  NOTE: with a CONSTANT hazard
-      this is identically h by algebra (cp0/total = h·Σrπ/Σrπ), and the
-      reference's own golden artifact confirms it (cp_probs.csv is
-      0.01 everywhere).  Kept for exact parity.
-    - ``cp_score`` = P(run_length <= short_run | x_1:t) — the
-      run-length-posterior collapse, which is the actually informative
-      changepoint signal.
+) -> tuple[np.ndarray, np.ndarray, dict]:
+    """Advance BOCPD over ``y`` from ``state``; returns per-point
+    ``(cp_prob, cp_score)`` plus the updated state.  The resumable
+    core shared by the batch operator and the Structured Streaming
+    stateful detector (streaming.bocpd_stream) — identical math, so
+    stream output == batch output on the same prefix.
     """
     n = len(y)
     h = 1.0 / hazard_lam
-    r = np.array([1.0])  # P(run length = i) for i = 0..len-1
-    mu = np.array([mu0])
-    kappa = np.array([kappa0])
-    alpha = np.array([alpha0])
-    beta = np.array([beta0])
+    r = state["r"]
+    mu = state["mu"]
+    kappa = state["kappa"]
+    alpha = state["alpha"]
+    beta = state["beta"]
+    run_len = state["run_len"]
     cp = np.empty(n)
     short = np.empty(n)
-    run_len = np.array([0])  # actual run length per state entry
     for t in range(n):
         df = 2 * alpha
         scale = np.sqrt(beta * (kappa + 1) / (alpha * kappa))
@@ -109,6 +117,49 @@ def bocpd_series(
             mu_new[keep], kappa_new[keep], alpha_new[keep], beta_new[keep]
         )
         run_len = rl_new[keep]
+    out_state = {
+        "r": r, "mu": mu, "kappa": kappa, "alpha": alpha, "beta": beta,
+        "run_len": run_len,
+    }
+    return cp, short, out_state
+
+
+def bocpd_series(
+    y: np.ndarray,
+    hazard_lam: float = 100.0,
+    mu0: float = 0.0,
+    kappa0: float = 1.0,
+    alpha0: float = 1.0,
+    beta0: float = 1.0,
+    max_run: int = 500,
+    eps: float = 1e-9,
+    short_run: int = 5,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Run-length-truncated BOCPD over a whole series.
+
+    Returns ``(cp_prob, cp_score)`` per point:
+
+    - ``cp_prob`` = normalized R[t+1, 0] — the reference's output
+      (``src/changepoint.py:99-106``).  NOTE: with a CONSTANT hazard
+      this is identically h by algebra (cp0/total = h·Σrπ/Σrπ), and the
+      reference's own golden artifact confirms it (cp_probs.csv is
+      0.01 everywhere).  Kept for exact parity.
+    - ``cp_score`` = P(run_length <= short_run | x_1:t) — the
+      run-length-posterior collapse, which is the actually informative
+      changepoint signal.
+    """
+    cp, short, _ = bocpd_run(
+        y,
+        initial_state(mu0, kappa0, alpha0, beta0),
+        hazard_lam=hazard_lam,
+        mu0=mu0,
+        kappa0=kappa0,
+        alpha0=alpha0,
+        beta0=beta0,
+        max_run=max_run,
+        eps=eps,
+        short_run=short_run,
+    )
     return cp, short
 
 

@@ -22,7 +22,7 @@ dict), which is what a 1M-series cluster run needs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .events import flags_to_events
@@ -202,4 +202,72 @@ def business_metrics(
     )
     return out.select(
         "series_id", "fp_count", "duration_days", "fp_per_day", "median_latency_minutes"
+    )
+
+
+def pr_curve(
+    df: DataFrame, score_col: str = "score", truth_col: str = "is_anomaly"
+) -> DataFrame:
+    """A7: precision-recall curve per series from a continuous score.
+
+    One point per distinct score value (the threshold ``pred = score >=
+    t``): cumulative TP/FP over the score-descending order, collapsed
+    to the last row per distinct score. NaN/null scores are masked
+    first (reference ``src/plotting.py:60-62``).
+
+    Scale: a single window over ``(series, score desc)`` — one
+    shuffle, no self-join; the curve is at most one row per distinct
+    score.
+    """
+    d = df.filter(
+        F.col(score_col).isNotNull() & ~F.isnan(F.col(score_col))
+    ).select(
+        "series_id",
+        F.col(score_col).alias("score"),
+        F.col(truth_col).cast("int").alias("y"),
+    )
+    w = Window.partitionBy("series_id").orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    npos = Window.partitionBy("series_id")
+    cum = d.select(
+        "series_id",
+        "score",
+        F.sum("y").over(w).alias("cum_tp"),
+        (F.count("*").over(w) - F.sum("y").over(w)).alias("cum_fp"),
+        F.sum("y").over(npos).alias("n_pos"),
+    )
+    # last cumulative row per distinct score = the threshold point
+    per_t = cum.groupBy("series_id", "score").agg(
+        F.max("cum_tp").alias("tp"),
+        F.max("cum_fp").alias("fp"),
+        F.max("n_pos").alias("n_pos"),
+    )
+    return per_t.select(
+        "series_id",
+        F.col("score").alias("threshold"),
+        "tp",
+        "fp",
+        (F.col("tp") / (F.col("tp") + F.col("fp"))).alias("precision"),
+        (F.col("tp") / (F.col("n_pos") + F.lit(EPS))).alias("recall"),
+    )
+
+
+def average_precision(
+    df: DataFrame, score_col: str = "score", truth_col: str = "is_anomaly"
+) -> DataFrame:
+    """A7: average precision (PR-AUC, step integration) per series:
+    ``AP = Σ (R_i − R_{i−1}) · P_i`` over thresholds descending —
+    the standard summary the reference computes with sklearn
+    (``src/plotting.py:64-65``; step vs trapezoid noted there).
+    """
+    curve = pr_curve(df, score_col, truth_col)
+    w = Window.partitionBy("series_id").orderBy(F.desc("threshold"))
+    stepped = curve.withColumn(
+        "prev_recall", F.coalesce(F.lag("recall").over(w), F.lit(0.0))
+    )
+    return stepped.groupBy("series_id").agg(
+        F.sum(
+            (F.col("recall") - F.col("prev_recall")) * F.col("precision")
+        ).alias("average_precision")
     )

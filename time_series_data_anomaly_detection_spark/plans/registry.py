@@ -34,6 +34,8 @@ from ..operators.evaluate import (
     pointwise_metrics,
     event_level_metrics,
     business_metrics,
+    pr_curve,
+    average_precision,
 )
 from ..operators.sweep import threshold_sweep_pointwise, k_grid
 from ..operators.decompose import resample, classical_decompose
@@ -290,6 +292,33 @@ def q_threshold_sweep(spark, sf_dir):
         F.round("best_k", R).alias("best_k"),
         F.round("f1", R).alias("f1"),
         F.round("rate", R).alias("rate"),
+    )
+
+
+def _scored_with_truth(spark, sf_dir):
+    s = _series(spark, sf_dir)
+    labels = top_value_labels(s, 5)
+    return mark_anomaly_windows(mad_scores(s), labels, 3)
+
+
+def q_pr_curve(spark, sf_dir):
+    out = pr_curve(_scored_with_truth(spark, sf_dir), "z_mad", "is_anomaly")
+    return out.select(
+        "series_id",
+        F.round("threshold", R).alias("threshold"),
+        "tp", "fp",
+        F.round("precision", R).alias("precision"),
+        F.round("recall", R).alias("recall"),
+    )
+
+
+def q_average_precision(spark, sf_dir):
+    out = average_precision(
+        _scored_with_truth(spark, sf_dir), "z_mad", "is_anomaly"
+    )
+    return out.select(
+        "series_id",
+        F.round("average_precision", R).alias("average_precision"),
     )
 
 
@@ -631,6 +660,51 @@ SELECT series_id, round(k, {R}) AS best_k, round(f1, {R}) AS f1,
 FROM ranked WHERE rk = 1
 """
 
+SQL_PR = """
+prj AS (
+  SELECT m.series_id, m.z_mad AS score, t.is_anomaly AS y
+  FROM mads m JOIN truth t USING (series_id, rn)
+),
+prcum AS (
+  SELECT series_id, score,
+         sum(y) OVER w AS cum_tp,
+         count(*) OVER w - sum(y) OVER w AS cum_fp,
+         sum(y) OVER (PARTITION BY series_id) AS n_pos
+  FROM prj
+  WINDOW w AS (PARTITION BY series_id ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+prt AS (
+  SELECT series_id, score, max(cum_tp) AS tp, max(cum_fp) AS fp,
+         max(n_pos) AS n_pos
+  FROM prcum GROUP BY 1, 2
+)
+"""
+
+ORACLES["pr_curve"] = f"""
+WITH {SQL_S}, {SQL_MAD}, {SQL_TRUTH}, {SQL_PR}
+SELECT series_id, round(score, {R}) AS threshold, tp, fp,
+       round(tp * 1.0 / (tp + fp), {R}) AS precision,
+       round(tp / (n_pos + 1e-9), {R}) AS recall
+FROM prt
+"""
+
+ORACLES["average_precision"] = f"""
+WITH {SQL_S}, {SQL_MAD}, {SQL_TRUTH}, {SQL_PR},
+stepped AS (
+  SELECT series_id,
+         tp * 1.0 / (tp + fp) AS precision,
+         tp / (n_pos + 1e-9) AS recall,
+         coalesce(lag(tp / (n_pos + 1e-9))
+                  OVER (PARTITION BY series_id ORDER BY score DESC), 0.0)
+           AS prev_recall
+  FROM prt
+)
+SELECT series_id,
+       round(sum((recall - prev_recall) * precision), {R}) AS average_precision
+FROM stepped GROUP BY 1
+"""
+
 ORACLES["global_moments"] = f"""
 WITH {SQL_S},
 mo AS (SELECT series_id, avg(value) AS mu FROM s GROUP BY 1)
@@ -751,6 +825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_metrics": q_event_metrics,
         "business_metrics": q_business_metrics,
         "threshold_sweep": q_threshold_sweep,
+        "pr_curve": q_pr_curve,
+        "average_precision": q_average_precision,
         "global_moments": q_global_moments,
         "acf": q_acf,
         "resample_decompose": q_resample_decompose,

@@ -4,3 +4,9 @@ from .loader import (  # noqa: F401
     load_series_csv,
     with_row_index,
 )
+from .sinks import (  # noqa: F401
+    read_metrics_tree,
+    write_leaderboard,
+    write_metrics,
+    write_predictions,
+)

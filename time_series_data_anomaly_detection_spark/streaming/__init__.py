@@ -1,0 +1,5 @@
+from .detectors import (  # noqa: F401
+    streaming_window_stats,
+    streaming_rolling_flags,
+    streaming_bocpd,
+)

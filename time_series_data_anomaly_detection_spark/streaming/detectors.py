@@ -1,0 +1,248 @@
+"""Structured Streaming anomaly detectors (SURVEY §2.10 / §7 step 8).
+
+The reference is pure batch; this is the engine's streaming
+EXTENSION, cleanly separated from reference parity. Three shapes:
+
+- ``streaming_window_stats``: native event-time tumbling-window agg
+  with a watermark — stateless per window, fully built-in, the
+  late-data story is Spark's own.
+- ``streaming_rolling_flags``: the W1 adaptive threshold as a
+  per-series stateful operator (``applyInPandasWithState``); state =
+  the trailing ``window−1`` raw values + rows-seen count, O(window)
+  per series. Matches the batch operator except the head rows that
+  batch BACK-fills (a batch-only luxury — the stream can't see the
+  future): the stream emits null stats until ``min_periods`` rows
+  have arrived.
+- ``streaming_bocpd``: BOCPD with run-length-truncated posterior as
+  stateful streaming — the SAME resumable core (functions.bocpd
+  ``bocpd_run``) as the batch operator, so the stream's output
+  equals the batch output row-for-row on any prefix. State is
+  O(max_run) arrays per series. The one semantic delta: the batch
+  operator z-normalizes with GLOBAL series moments; a stream has no
+  global moments, so the caller supplies (mu, sd) — or the raw
+  series is scored unnormalized.
+
+All three key state by ``series_id`` — the same partition axis as
+batch, so a 1M-series stream spreads across executors with no
+hand-scheduling.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..functions.bocpd import bocpd_run, initial_state
+
+
+def streaming_window_stats(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Tumbling event-time window mean/std/count per series with a
+    watermark for late data — the streaming analogue of W1's windowed
+    moments, expressed entirely with built-ins (map-side partial
+    aggregation, watermark-bounded state eviction for free)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col("series_id"))
+        .agg(
+            F.count("value").alias("n"),
+            F.avg("value").alias("mean"),
+            F.stddev_samp("value").alias("std"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .select(
+            "series_id",
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n", "mean", "std", "vmin", "vmax",
+        )
+    )
+
+
+_ROLL_OUT = StructType(
+    [
+        StructField("series_id", StringType()),
+        StructField("timestamp", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("roll_mean", DoubleType()),
+        StructField("roll_std", DoubleType()),
+        StructField("flag", IntegerType()),
+    ]
+)
+_ROLL_STATE = StructType(
+    [
+        StructField("tail", ArrayType(DoubleType())),
+        StructField("seen", LongType()),
+    ]
+)
+
+
+def streaming_rolling_flags(
+    stream: DataFrame,
+    k: float = 3.0,
+    window: int = 48,
+    min_periods: int = 5,
+) -> DataFrame:
+    """W1 adaptive threshold as a stateful stream: trailing
+    ``window``-row mean/std (ddof=1) + ``|x−mean| > k·(std+1e-6)``
+    flag, state = last ``window−1`` values per series."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (series_id,) = key
+        if state.exists:
+            tail, seen = state.get
+            tail = list(tail)
+        else:
+            tail, seen = [], 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values("timestamp").reset_index(drop=True)
+            vals = pdf["value"].to_numpy(float)
+            full = np.concatenate([np.asarray(tail, float), vals])
+            off = len(tail)
+            means = np.full(len(vals), np.nan)
+            stds = np.full(len(vals), np.nan)
+            for i in range(len(vals)):
+                lo = max(0, off + i - (window - 1))
+                w = full[lo : off + i + 1]
+                if seen + i + 1 >= min_periods and len(w) >= 2:
+                    means[i] = w.mean()
+                    stds[i] = w.std(ddof=1)
+            flags = (
+                np.abs(vals - means) > k * (stds + 1e-6)
+            ).astype(float)
+            flags[np.isnan(means)] = np.nan
+            yield pd.DataFrame(
+                {
+                    "series_id": series_id,
+                    "timestamp": pdf["timestamp"],
+                    "value": vals,
+                    "roll_mean": means,
+                    "roll_std": stds,
+                    "flag": pd.array(
+                        [None if np.isnan(f) else int(f) for f in flags],
+                        dtype="Int32",
+                    ),
+                }
+            )
+            tail = [float(x) for x in full[-(window - 1):]]
+            seen += len(vals)
+        state.update((tail, int(seen)))
+
+    return stream.groupBy("series_id").applyInPandasWithState(
+        update,
+        _ROLL_OUT,
+        _ROLL_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+_BOCPD_OUT = StructType(
+    [
+        StructField("series_id", StringType()),
+        StructField("timestamp", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("cp_prob", DoubleType()),
+        StructField("cp_score", DoubleType()),
+    ]
+)
+_BOCPD_STATE = StructType(
+    [
+        StructField("r", ArrayType(DoubleType())),
+        StructField("mu", ArrayType(DoubleType())),
+        StructField("kappa", ArrayType(DoubleType())),
+        StructField("alpha", ArrayType(DoubleType())),
+        StructField("beta", ArrayType(DoubleType())),
+        StructField("run_len", ArrayType(DoubleType())),
+    ]
+)
+
+
+def streaming_bocpd(
+    stream: DataFrame,
+    hazard_lam: float = 100.0,
+    max_run: int = 500,
+    norm_mu: float = 0.0,
+    norm_sd: float = 1.0,
+) -> DataFrame:
+    """M6 BOCPD as a stateful stream — the batch operator's resumable
+    core with the run-length posterior carried in GroupState.
+
+    ``(norm_mu, norm_sd)`` standardize incoming values (the batch op
+    uses global series moments; supply train-time moments here)."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (series_id,) = key
+        if state.exists:
+            r, mu, kappa, alpha, beta, run_len = state.get
+            st = {
+                "r": np.asarray(r, float),
+                "mu": np.asarray(mu, float),
+                "kappa": np.asarray(kappa, float),
+                "alpha": np.asarray(alpha, float),
+                "beta": np.asarray(beta, float),
+                "run_len": np.asarray(run_len, float).astype(int),
+            }
+        else:
+            st = initial_state()
+        for pdf in pdfs:
+            pdf = pdf.sort_values("timestamp").reset_index(drop=True)
+            y = (pdf["value"].to_numpy(float) - norm_mu) / (norm_sd or 1.0)
+            cp, short, st = bocpd_run(
+                y, st, hazard_lam=hazard_lam, max_run=max_run
+            )
+            yield pd.DataFrame(
+                {
+                    "series_id": series_id,
+                    "timestamp": pdf["timestamp"],
+                    "value": pdf["value"],
+                    "cp_prob": cp,
+                    "cp_score": short,
+                }
+            )
+        state.update(
+            (
+                [float(x) for x in st["r"]],
+                [float(x) for x in st["mu"]],
+                [float(x) for x in st["kappa"]],
+                [float(x) for x in st["alpha"]],
+                [float(x) for x in st["beta"]],
+                [float(x) for x in st["run_len"]],
+            )
+        )
+
+    return stream.groupBy("series_id").applyInPandasWithState(
+        update,
+        _BOCPD_OUT,
+        _BOCPD_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

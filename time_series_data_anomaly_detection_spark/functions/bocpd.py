@@ -31,11 +31,22 @@ BOCPD_SCHEMA = (
 )
 
 
-def _t_logpdf(x: np.ndarray, df: np.ndarray, loc: np.ndarray, scale: np.ndarray):
+def _t_logpdf_tab(
+    x: float,
+    df: np.ndarray,
+    loc: np.ndarray,
+    scale: np.ndarray,
+    lg_num: np.ndarray,
+    lg_den: np.ndarray,
+):
+    """Student-t log-pdf with the two lgamma terms supplied from a
+    precomputed table (``np.vectorize(lgamma)`` is a hidden Python
+    loop — at 20k steps × 500 run-length hypotheses it dominates the
+    whole operator)."""
     z = (x - loc) / scale
     return (
-        np.vectorize(lgamma)((df + 1) / 2)
-        - np.vectorize(lgamma)(df / 2)
+        lg_num
+        - lg_den
         - 0.5 * np.log(df * pi)
         - np.log(scale)
         - (df + 1) / 2 * np.log1p(z * z / df)
@@ -84,10 +95,20 @@ def bocpd_run(
     run_len = state["run_len"]
     cp = np.empty(n)
     short = np.empty(n)
+    # alpha rides the grid alpha0 + run_len/2 by construction, so both
+    # lgamma terms are table lookups indexed by run length
+    rl_cap = int(run_len.max()) + n + 2
+    grid = alpha0 + np.arange(rl_cap) / 2.0
+    lg_den_tab = np.array([lgamma(a) for a in grid])
+    lg_num_tab = np.array([lgamma(a + 0.5) for a in grid])
     for t in range(n):
         df = 2 * alpha
         scale = np.sqrt(beta * (kappa + 1) / (alpha * kappa))
-        pred = np.exp(_t_logpdf(y[t], df, mu, scale))
+        pred = np.exp(
+            _t_logpdf_tab(
+                y[t], df, mu, scale, lg_num_tab[run_len], lg_den_tab[run_len]
+            )
+        )
         growth = r * pred * (1 - h)
         cp0 = float(np.sum(r * pred * h))
         r_new = np.concatenate([[cp0], growth])

@@ -249,7 +249,9 @@ def _truth_and_flags(spark, sf_dir):
     labels = top_value_labels(s, 5)
     lab = mark_anomaly_windows(s, labels, 3)
     flagged = persistence_filter(adaptive_threshold_flags(lab, k=2.0), "flag", p=2)
-    return flagged
+    # consumed 3-5× downstream (truth events, pred events, base,
+    # latency row lookups) — materialize the window pipeline once
+    return flagged.cache()
 
 
 def q_pointwise_metrics(spark, sf_dir):

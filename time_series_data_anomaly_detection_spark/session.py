@@ -22,6 +22,13 @@ def get_spark(
     - UTC session timezone so timestamp arithmetic matches the oracle.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    # cap BLAS threads in Python workers: N parallel pandas-UDF tasks
+    # each spawning a full-width OpenBLAS pool oversubscribes the box
+    # (observed 2-3x slowdown on the GP's dgemm); 4 threads/task
+    # balances one task per core against intra-task matmul speed
+    blas = os.environ.get("SPARK_GRAFT_BLAS_THREADS", "4")
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, blas)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")

@@ -21,10 +21,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _run_ids(df: DataFrame, flag_col: str) -> DataFrame:
-    """Attach ``__run`` — a per-series id that increments whenever the
-    flag value changes (requires ``rn`` from sources.with_row_index)."""
-    w = Window.partitionBy("series_id").orderBy("rn")
+KEYS = ("series_id",)
+
+
+def _run_ids(df: DataFrame, flag_col: str, keys: tuple = KEYS) -> DataFrame:
+    """Attach ``__run`` — a per-key id that increments whenever the
+    flag value changes (requires ``rn`` from sources.with_row_index).
+
+    ``keys`` generalizes the partition: the threshold sweep runs the
+    SAME sessionization over (series_id, k) so all grid candidates
+    resolve in one window pass instead of one scan per k.
+    """
+    w = Window.partitionBy(*keys).orderBy("rn")
     chg = F.when(
         F.lag(flag_col).over(w).isNull()
         | (F.col(flag_col) != F.lag(flag_col).over(w)),
@@ -38,6 +46,7 @@ def flags_to_events(
     flag_col: str = "flag",
     gap: int = 0,
     idx_col: str = "rn",
+    keys: tuple = KEYS,
 ) -> DataFrame:
     """W5: RLE flags into an event table, then gap-merge.
 
@@ -50,12 +59,12 @@ def flags_to_events(
     merged chain.
     """
     runs = (
-        _run_ids(df, flag_col)
+        _run_ids(df, flag_col, keys)
         .filter(F.col(flag_col) == 1)
-        .groupBy("series_id", "__run")
+        .groupBy(*keys, "__run")
         .agg(F.min(idx_col).alias("start_idx"), F.max(idx_col).alias("end_idx"))
     )
-    we = Window.partitionBy("series_id").orderBy("start_idx")
+    we = Window.partitionBy(*keys).orderBy("start_idx")
     if gap > 0:
         brk = F.when(
             F.lag("end_idx").over(we).isNull()
@@ -64,13 +73,13 @@ def flags_to_events(
         ).otherwise(0)
         runs = (
             runs.withColumn("__evt", F.sum(brk).over(we))
-            .groupBy("series_id", "__evt")
+            .groupBy(*keys, "__evt")
             .agg(F.min("start_idx").alias("start_idx"), F.max("end_idx").alias("end_idx"))
         )
     return runs.select(
-        "series_id",
+        *keys,
         F.row_number()
-        .over(Window.partitionBy("series_id").orderBy("start_idx"))
+        .over(Window.partitionBy(*keys).orderBy("start_idx"))
         .alias("event_id"),
         "start_idx",
         "end_idx",
@@ -78,7 +87,11 @@ def flags_to_events(
 
 
 def persistence_filter(
-    df: DataFrame, flag_col: str = "flag", p: int = 2, out_col: str | None = None
+    df: DataFrame,
+    flag_col: str = "flag",
+    p: int = 2,
+    out_col: str | None = None,
+    keys: tuple = KEYS,
 ) -> DataFrame:
     """W6: zero out 1-runs shorter than ``p`` consecutive samples.
 
@@ -89,8 +102,8 @@ def persistence_filter(
     out_col = out_col or flag_col
     if p <= 1:
         return df.withColumn(out_col, F.col(flag_col)) if out_col != flag_col else df
-    marked = _run_ids(df, flag_col)
-    run_len = F.count("*").over(Window.partitionBy("series_id", "__run"))
+    marked = _run_ids(df, flag_col, keys)
+    run_len = F.count("*").over(Window.partitionBy(*keys, "__run"))
     return marked.withColumn(
         out_col,
         F.when((F.col(flag_col) == 1) & (run_len < p), 0).otherwise(F.col(flag_col)),

@@ -76,6 +76,35 @@ def rolling_stats(
     return out
 
 
+def sliding_windows(
+    df: DataFrame,
+    seq_len: int = 48,
+    value_col: str = "value",
+    out_col: str = "x_window",
+) -> DataFrame:
+    """W4: supervised sequence extraction — ``x_window`` holds the
+    ``seq_len`` values STRICTLY BEFORE each row (the LSTM input,
+    ``src/lstm_model.py:18-30``: ``X[i] = data[i:i+seq_len]``, target
+    ``y = data[i+seq_len]``); rows without a full window are dropped
+    (the reference's NaN-padded head).
+
+    ``collect_list`` over a bounded row frame keeps list order equal
+    to frame order. Scale note: this multiplies row width by seq_len —
+    prefer building windows inside the training UDF (functions.lstm
+    does) and use this operator when the windows themselves are the
+    product (feature export).
+    """
+    order = _order_cols(df, value_col)
+    w = (
+        Window.partitionBy("series_id")
+        .orderBy(*order)
+        .rowsBetween(-seq_len, -1)
+    )
+    return df.withColumn(out_col, F.collect_list(value_col).over(w)).filter(
+        F.size(out_col) == seq_len
+    )
+
+
 def adaptive_threshold_flags(
     df: DataFrame,
     value_col: str = "value",

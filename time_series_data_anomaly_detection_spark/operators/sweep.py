@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .events import flags_to_events, persistence_filter
+
 EPS = 1e-9
 
 
@@ -68,6 +70,95 @@ def threshold_sweep_pointwise(
         .filter(F.col("rate") <= max_rate)
     )
     # first-wins argmax: maximize (f1, -k)
+    pick = F.max(
+        F.struct(F.col("f1"), (-F.col("k")).alias("negk"), F.col("k"),
+                 F.col("precision"), F.col("recall"), F.col("rate"))
+    ).alias("b")
+    return scored.groupBy("series_id").agg(pick).select(
+        "series_id",
+        F.col("b.k").alias("best_k"),
+        F.col("b.f1").alias("f1"),
+        F.col("b.precision").alias("precision"),
+        F.col("b.recall").alias("recall"),
+        F.col("b.rate").alias("rate"),
+    )
+
+
+def threshold_sweep_event(
+    df: DataFrame,
+    score_col: str = "z_mad",
+    truth_col: str = "is_anomaly",
+    ks: list[float] | None = None,
+    gap: int = 3,
+    persist_p: int = 2,
+    max_rate: float = 0.10,
+) -> DataFrame:
+    """The reference's ACTUAL tuning mode (``src/run_bsts.py:69-94``):
+    per candidate k — flag, persistence-filter, sessionize to events,
+    event-level F1 with gap-merge, rate guard; keep the argmax.
+
+    Spark-first shape: the k-grid is a column, so ONE sessionization
+    pass partitioned by (series_id, k) replaces the reference's
+    17-iteration loop over the full series — one scan and one shuffle
+    regardless of grid size. True events are computed once (they don't
+    depend on k) and broadcast into the overlap joins.
+    """
+    ks = ks or k_grid()
+    true_ev = flags_to_events(df, truth_col, gap=gap)
+    n_true = true_ev.groupBy("series_id").agg(F.count("*").alias("n_true"))
+
+    kdf = F.explode(F.array(*[F.lit(float(k)) for k in ks])).alias("k")
+    flagged = df.select(
+        "series_id", "rn", F.col(score_col).alias("__score"), kdf
+    ).withColumn("__flag", (F.col("__score") > F.col("k")).cast("int"))
+    flagged = persistence_filter(
+        flagged, "__flag", p=persist_p, keys=("series_id", "k")
+    )
+    rate = flagged.groupBy("series_id", "k").agg(F.avg("__flag").alias("rate"))
+    pred_ev = flags_to_events(flagged, "__flag", gap=gap, keys=("series_id", "k"))
+    n_pred = pred_ev.groupBy("series_id", "k").agg(F.count("*").alias("n_pred"))
+
+    t = F.broadcast(
+        true_ev.select(
+            F.col("series_id").alias("t_sid"),
+            F.col("event_id").alias("t_eid"),
+            F.col("start_idx").alias("t_start"),
+            F.col("end_idx").alias("t_end"),
+        )
+    )
+    overlap = (F.col("end_idx") >= F.col("t_start")) & (
+        F.col("start_idx") <= F.col("t_end")
+    )
+    tp_prec = (
+        pred_ev.join(t, on=[F.col("series_id") == F.col("t_sid"), overlap], how="left_semi")
+        .groupBy("series_id", "k")
+        .agg(F.count("*").alias("tp"))
+    )
+    # recall side: distinct true events hit, per k
+    tp_rec = (
+        pred_ev.join(t, on=[F.col("series_id") == F.col("t_sid"), overlap])
+        .groupBy("series_id", "k")
+        .agg(F.countDistinct("t_eid").alias("tp_recall"))
+    )
+    m = (
+        rate.join(n_pred, ["series_id", "k"], "left")
+        .join(tp_prec, ["series_id", "k"], "left")
+        .join(tp_rec, ["series_id", "k"], "left")
+        .join(F.broadcast(n_true), "series_id", "left")
+        .fillna(0, ["n_pred", "tp", "tp_recall", "n_true"])
+    )
+    prec = F.col("tp") / (F.col("n_pred") + F.lit(EPS))
+    rec = F.col("tp_recall") / (F.col("n_true") + F.lit(EPS))
+    scored = (
+        m.withColumn("precision", prec)
+        .withColumn("recall", rec)
+        .withColumn(
+            "f1",
+            2 * F.col("precision") * F.col("recall")
+            / (F.col("precision") + F.col("recall") + F.lit(EPS)),
+        )
+        .filter(F.col("rate") <= max_rate)
+    )
     pick = F.max(
         F.struct(F.col("f1"), (-F.col("k")).alias("negk"), F.col("k"),
                  F.col("precision"), F.col("recall"), F.col("rate"))

@@ -193,6 +193,91 @@ def hybrid_pipeline(
     }
 
 
+def walk_forward_cv(
+    series: DataFrame,
+    model: str = "ar",
+    folds: tuple[float, ...] = (0.5, 0.625, 0.75),
+    horizon: float = 0.125,
+    k: float = 4.0,
+    persist_p: int = 2,
+    gap: int = 3,
+    **model_kw,
+) -> DataFrame:
+    """A9: walk-forward (expanding-window) cross-validation — fit at
+    each fold boundary, evaluate event metrics on the following
+    horizon, average across folds (the reference's missing
+    ``run_experiment.py``, reconstructed from its summary consumer,
+    nb ``02`` cell 12).
+
+    Folds are a driver-side loop over a handful of fractions; each
+    fold is one lazy DAG, unioned before a single action — Spark runs
+    the folds' stages concurrently, so wall-clock is max(fold), not
+    sum(fold).
+    """
+    from ..operators.labeling import top_value_labels, mark_anomaly_windows
+    from pyspark.sql import Window as W
+
+    series = series.cache()  # every fold re-reads the same frame
+    n_w = W.partitionBy("series_id")
+    with_n = series.withColumn("__n", F.max("rn").over(n_w))
+    labels = top_value_labels(series, 5)
+    labeled = mark_anomaly_windows(series, labels, 3).select(
+        "series_id", "rn", "is_anomaly"
+    )
+    per_fold = []
+    for i, frac in enumerate(folds):
+        scored = score_model(series, model, train_frac=frac, **model_kw)
+        evalr = (
+            scored.join(with_n.select("series_id", "rn", "__n"), ["series_id", "rn"])
+            .filter(
+                (F.col("rn") > F.floor(F.col("__n") * frac))
+                & (F.col("rn") <= F.floor(F.col("__n") * (frac + horizon)))
+            )
+            .join(labeled, ["series_id", "rn"])
+            .withColumn("flag", (F.col("score") > F.lit(k)).cast("int"))
+        )
+        flagged = persistence_filter(evalr, "flag", p=persist_p)
+        per_fold.append(
+            event_level_metrics(flagged, gap=gap).withColumn("fold", F.lit(i))
+        )
+    unioned = per_fold[0]
+    for f in per_fold[1:]:
+        unioned = unioned.unionByName(f)
+    return unioned.groupBy("series_id").agg(
+        F.count("*").alias("n_folds"),
+        F.avg("f1").alias("mean_f1"),
+        F.avg("precision").alias("mean_precision"),
+        F.avg("recall").alias("mean_recall"),
+    )
+
+
+def run_benchmark(
+    series: DataFrame,
+    models: tuple[str, ...] = ("stl", "ar", "kalman"),
+    period: int = 24,
+    **kw,
+) -> DataFrame:
+    """§3.1 ``run_final_benchmark``: every model over the same
+    multi-series frame, one leaderboard out (model, series_id, event
+    F1/precision/recall), sorted F1 desc.
+
+    The reference loops (model × dataset) writing files between
+    stages; here each model is a branch of one DAG over the shared
+    cached input and the leaderboard is a union — no filesystem
+    round-trip, and branches parallelize across the cluster.
+    """
+    series = series.cache()
+    frames = []
+    for m in models:
+        model_kw = {"period": period} if m in ("stl", "ar") else {}
+        res = detection_pipeline(series, model=m, **model_kw, **kw)
+        frames.append(res["event_metrics"])
+    return leaderboard(frames).select(
+        "model", "series_id", "f1", "precision", "recall",
+        "n_true_events", "n_pred_events",
+    )
+
+
 def leaderboard(metric_frames: list[DataFrame]) -> DataFrame:
     """A8/S6: union per-model event metrics, sort by F1 desc.
 

@@ -37,7 +37,11 @@ from ..operators.evaluate import (
     pr_curve,
     average_precision,
 )
-from ..operators.sweep import threshold_sweep_pointwise, k_grid
+from ..operators.sweep import (
+    threshold_sweep_pointwise,
+    threshold_sweep_event,
+    k_grid,
+)
 from ..operators.decompose import resample, classical_decompose
 
 R = 6  # output rounding decimals
@@ -189,6 +193,42 @@ def _sql_events(src: str, out: str, flag: str, gap: int) -> str:
 # Query implementations (Spark side)
 # ---------------------------------------------------------------------------
 
+def q_sliding_windows(spark, sf_dir):
+    from ..operators.rolling import sliding_windows
+
+    s = _series(spark, sf_dir)
+    out = sliding_windows(s, seq_len=48)
+    return out.select(
+        "series_id",
+        "rn",
+        F.posexplode("x_window").alias("pos", "x"),
+    ).select("series_id", "rn", "pos", F.round("x", R).alias("x"))
+
+
+def q_walk_forward_cv(spark, sf_dir):
+    from .pipelines import walk_forward_cv
+
+    out = walk_forward_cv(_series(spark, sf_dir), model="ar", period=24)
+    return out.select(
+        "series_id", "n_folds",
+        F.round("mean_f1", R).alias("mean_f1"),
+        F.round("mean_precision", R).alias("mean_precision"),
+        F.round("mean_recall", R).alias("mean_recall"),
+    )
+
+
+def q_benchmark_leaderboard(spark, sf_dir):
+    from .pipelines import run_benchmark
+
+    out = run_benchmark(_series(spark, sf_dir), models=("stl", "ar"))
+    return out.select(
+        "model", "series_id",
+        F.round("f1", R).alias("f1"),
+        F.round("precision", R).alias("precision"),
+        F.round("recall", R).alias("recall"),
+    )
+
+
 def q_rolling_stats(spark, sf_dir):
     s = _series(spark, sf_dir)
     out = rolling_stats(s)
@@ -289,6 +329,19 @@ def q_threshold_sweep(spark, sf_dir):
     labels = top_value_labels(s, 5)
     lab = mark_anomaly_windows(mad_scores(s), labels, 3)
     out = threshold_sweep_pointwise(lab, "z_mad", "is_anomaly")
+    return out.select(
+        "series_id",
+        F.round("best_k", R).alias("best_k"),
+        F.round("f1", R).alias("f1"),
+        F.round("rate", R).alias("rate"),
+    )
+
+
+def q_threshold_sweep_event(spark, sf_dir):
+    s = _series(spark, sf_dir)
+    labels = top_value_labels(s, 5)
+    lab = mark_anomaly_windows(mad_scores(s), labels, 3)
+    out = threshold_sweep_event(lab, "z_mad", "is_anomaly")
     return out.select(
         "series_id",
         F.round("best_k", R).alias("best_k"),
@@ -481,6 +534,16 @@ SELECT l.series_id, l.rn,
        round(f.icept + f.slope * l.prev, {R}) AS pred_mean,
        round(l.value - (f.icept + f.slope * l.prev), {R}) AS resid
 FROM lagged l JOIN fit f USING (series_id)
+"""
+
+ORACLES["sliding_windows"] = f"""
+WITH {SQL_S},
+pos AS (SELECT unnest(generate_series(0, 47)) AS pos)
+SELECT s.series_id, s.rn, p.pos, round(src.value, {R}) AS x
+FROM s CROSS JOIN pos p
+JOIN s src ON src.series_id = s.series_id
+          AND src.rn = s.rn - 48 + p.pos
+WHERE s.rn >= 49
 """
 
 ORACLES["rolling_stats"] = f"""
@@ -707,6 +770,106 @@ SELECT series_id,
 FROM stepped GROUP BY 1
 """
 
+ORACLES["threshold_sweep_event"] = f"""
+WITH {SQL_S}, {SQL_MAD}, {SQL_TRUTH},
+{_sql_events("truth", "tev", "is_anomaly", 3)},
+grid AS (SELECT unnest([{_KS}]) AS k),
+fl0 AS (
+  SELECT m.series_id, m.rn, g.k,
+         CASE WHEN m.z_mad > g.k THEN 1 ELSE 0 END AS f
+  FROM mads m CROSS JOIN grid g
+),
+pmark AS (
+  SELECT *, sum(chg) OVER (PARTITION BY series_id, k ORDER BY rn) AS run_id
+  FROM (
+    SELECT *, CASE WHEN lag(f) OVER w IS NULL OR f <> lag(f) OVER w
+                   THEN 1 ELSE 0 END AS chg
+    FROM fl0
+    WINDOW w AS (PARTITION BY series_id, k ORDER BY rn)
+  )
+),
+pers AS (
+  SELECT series_id, rn, k,
+         CASE WHEN f = 1
+                   AND count(*) OVER (PARTITION BY series_id, k, run_id) < 2
+              THEN 0 ELSE f END AS f
+  FROM pmark
+),
+rate AS (SELECT series_id, k, avg(f) AS rate FROM pers GROUP BY 1, 2),
+prle AS (
+  SELECT series_id, k, run_id, min(rn) AS start_idx, max(rn) AS end_idx
+  FROM (
+    SELECT series_id, rn, k, f,
+           sum(chg) OVER (PARTITION BY series_id, k ORDER BY rn) AS run_id
+    FROM (
+      SELECT series_id, rn, k, f,
+             CASE WHEN lag(f) OVER w IS NULL OR f <> lag(f) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM pers
+      WINDOW w AS (PARTITION BY series_id, k ORDER BY rn)
+    )
+  ) WHERE f = 1
+  GROUP BY series_id, k, run_id
+),
+pev AS (
+  SELECT series_id, k, min(start_idx) AS start_idx, max(end_idx) AS end_idx
+  FROM (
+    SELECT series_id, k, start_idx, end_idx,
+           sum(brk) OVER (PARTITION BY series_id, k ORDER BY start_idx) AS evt
+    FROM (
+      SELECT *, CASE WHEN lag(end_idx) OVER we IS NULL
+                      OR start_idx - lag(end_idx) OVER we > 4
+                     THEN 1 ELSE 0 END AS brk
+      FROM prle
+      WINDOW we AS (PARTITION BY series_id, k ORDER BY start_idx)
+    )
+  )
+  GROUP BY series_id, k, evt
+),
+ntr AS (SELECT series_id, count(*) AS n_true FROM tev GROUP BY 1),
+npd AS (SELECT series_id, k, count(*) AS n_pred FROM pev GROUP BY 1, 2),
+tpp AS (
+  SELECT p.series_id, p.k, count(*) AS tp FROM pev p
+  WHERE EXISTS (SELECT 1 FROM tev t WHERE t.series_id = p.series_id
+                AND p.end_idx >= t.start_idx AND p.start_idx <= t.end_idx)
+  GROUP BY 1, 2
+),
+tpr AS (
+  SELECT p.series_id, p.k, count(DISTINCT t.event_id) AS tp_recall
+  FROM pev p JOIN tev t ON t.series_id = p.series_id
+       AND p.end_idx >= t.start_idx AND p.start_idx <= t.end_idx
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT r.series_id, r.k, r.rate,
+         coalesce(npd.n_pred, 0) AS n_pred,
+         coalesce(tpp.tp, 0) AS tp,
+         coalesce(tpr.tp_recall, 0) AS tp_recall,
+         coalesce(ntr.n_true, 0) AS n_true
+  FROM rate r
+  LEFT JOIN npd USING (series_id, k)
+  LEFT JOIN tpp USING (series_id, k)
+  LEFT JOIN tpr USING (series_id, k)
+  LEFT JOIN ntr USING (series_id)
+),
+sc AS (
+  SELECT *,
+         tp / (n_pred + 1e-9) AS precision,
+         tp_recall / (n_true + 1e-9) AS recall,
+         2 * (tp/(n_pred+1e-9)) * (tp_recall/(n_true+1e-9))
+         / ((tp/(n_pred+1e-9)) + (tp_recall/(n_true+1e-9)) + 1e-9) AS f1
+  FROM m WHERE rate <= 0.10
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY series_id
+                               ORDER BY f1 DESC, k ASC) AS rk
+  FROM sc
+)
+SELECT series_id, round(k, {R}) AS best_k, round(f1, {R}) AS f1,
+       round(rate, {R}) AS rate
+FROM ranked WHERE rk = 1
+"""
+
 ORACLES["global_moments"] = f"""
 WITH {SQL_S},
 mo AS (SELECT series_id, avg(value) AS mu FROM s GROUP BY 1)
@@ -816,6 +979,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from . import registry_datapipe
 
     out = {
+        "sliding_windows": q_sliding_windows,
+        "walk_forward_cv": q_walk_forward_cv,
+        "benchmark_leaderboard": q_benchmark_leaderboard,
         "rolling_stats": q_rolling_stats,
         "adaptive_flags": q_adaptive_flags,
         "mad_scores": q_mad_scores,
@@ -827,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_metrics": q_event_metrics,
         "business_metrics": q_business_metrics,
         "threshold_sweep": q_threshold_sweep,
+        "threshold_sweep_event": q_threshold_sweep_event,
         "pr_curve": q_pr_curve,
         "average_precision": q_average_precision,
         "global_moments": q_global_moments,

@@ -59,9 +59,12 @@ def load_labels_json(spark: SparkSession, path: str) -> DataFrame:
     label join (operators.labeling).
     """
     raw = spark.read.option("multiLine", True).json(path)
+    # NAB keys are paths ("realKnownCause/a.csv") — backtick-quote so
+    # the dot is not parsed as a struct field access
+    cols = [F.col(f"`{c}`") for c in raw.columns]
     stacked = raw.select(
         F.explode(
-            F.from_json(F.to_json(F.struct(*raw.columns)), "map<string,array<string>>")
+            F.from_json(F.to_json(F.struct(*cols)), "map<string,array<string>>")
         ).alias("series_id", "ts_list")
     )
     return stacked.select(

@@ -119,3 +119,17 @@ def test_run_benchmark_leaderboard(spark, burst_series):
     # leaderboard sorted by f1 desc
     f1s = [r.f1 for r in lb]
     assert f1s == sorted(f1s, reverse=True)
+
+
+def test_pacf_ar1_structure(spark):
+    from time_series_data_anomaly_detection_spark.operators.acf import pacf
+
+    rng = np.random.default_rng(9)
+    y = np.zeros(2000)
+    for i in range(1, 2000):
+        y[i] = 0.7 * y[i - 1] + rng.normal()
+    out = {r.lag: r.pacf for r in pacf(series_df(spark, y), max_lag=6).collect()}
+    # AR(1): PACF(1) ~ rho, PACF(k>=2) ~ 0
+    assert out[1] == pytest.approx(0.7, abs=0.06)
+    for k in range(2, 7):
+        assert abs(out[k]) < 0.1

@@ -111,6 +111,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("df_count") <= max_shingle_df)
             .drop("df_count")
         )
+    sh = sh.cache()  # consumed by both join sides + the size agg
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -139,6 +140,15 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def minhash_signatures_from(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """MinHash signatures from a prebuilt shingle-hash frame."""
+    aggs = [
+        F.min((F.lit(PERM_A[i]) * F.col("shingle_hash") + F.lit(PERM_B[i])) % MERSENNE_P).alias(f"m{i}")
+        for i in range(NUM_PERM)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
 def minhash_signatures(
     df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -148,12 +158,7 @@ def minhash_signatures(
     a min-aggregate of an affine rehash — map-side combinable, and
     signature size is independent of doc length (the scale property).
     """
-    sh = shingles(df, n, text_col, id_col)
-    aggs = [
-        F.min((F.lit(PERM_A[i]) * F.col("shingle_hash") + F.lit(PERM_B[i])) % MERSENNE_P).alias(f"m{i}")
-        for i in range(NUM_PERM)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return minhash_signatures_from(shingles(df, n, text_col, id_col), id_col)
 
 
 def minhash_lsh_pairs(
@@ -171,20 +176,34 @@ def minhash_lsh_pairs(
     candidate volume is governed by the band collision probability
     (s-curve around ~0.55 for 4 bands × 4 rows).
     """
-    sig = minhash_signatures(df, n, text_col, id_col)
-    bands = []
-    for band in range(NUM_PERM // BAND_ROWS):
-        cols = [F.col(f"m{band * BAND_ROWS + r}") for r in range(BAND_ROWS)]
-        bands.append(
-            sig.select(
-                F.col(id_col),
+    # shingles feed the signatures AND the verification joins — cache
+    # instead of recomputing the tokenize+explode pipeline per branch
+    # (at cluster scale: persist/checkpoint the signature table)
+    sh = shingles(df, n, text_col, id_col).cache()
+    sig = minhash_signatures_from(sh, id_col)
+    # all bands in ONE pass: signature row -> array of (band, key)
+    # structs -> explode (a 4-way union would re-derive the whole
+    # signature pipeline per band)
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(band).alias("band"),
-                F.md5(F.concat_ws("_", *cols)).alias("band_key"),
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"m{band * BAND_ROWS + r}")
+                            for r in range(BAND_ROWS)
+                        ],
+                    )
+                ).alias("band_key"),
             )
-        )
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionByName(b)
+            for band in range(NUM_PERM // BAND_ROWS)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.explode(band_structs).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -196,7 +215,6 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verification restricted to candidates
-    sh = shingles(df, n, text_col, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col(id_col).alias("id_a"), "shingle_hash")
     sb = sh.select(F.col(id_col).alias("id_b"), "shingle_hash")

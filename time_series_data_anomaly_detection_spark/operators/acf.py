@@ -37,3 +37,45 @@ def acf(df: DataFrame, max_lag: int = 10, value_col: str = "value") -> DataFrame
         shifted.groupBy(F.col("a.series_id").alias("series_id"), "lag")
         .agg(F.corr(F.col(f"a.{value_col}"), F.col("prev")).alias("acf"))
     )
+
+
+def pacf(df: DataFrame, max_lag: int = 10, value_col: str = "value") -> DataFrame:
+    """Per-series PACF for lags 1..max_lag via Durbin–Levinson on the
+    ACF sequence (statsmodels ``plot_pacf`` companion, nb 01 cell 7).
+
+    The recursion is sequential in lag but runs on the TINY per-series
+    ACF table (max_lag rows/series), so it rides a grouped-map UDF
+    over the aggregate, not the raw points — the heavy lifting stays
+    in the native ACF aggregation.
+    """
+    import pandas as pd
+
+    rho = acf(df, max_lag, value_col)
+
+    def dl(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("lag").reset_index(drop=True)
+        r = pdf["acf"].to_numpy(float)
+        m = len(r)
+        phi_prev: list[float] = []
+        out = []
+        for k in range(1, m + 1):
+            if k == 1:
+                phi_kk = r[0]
+                phi = [phi_kk]
+            else:
+                num = r[k - 1] - sum(
+                    phi_prev[j] * r[k - 2 - j] for j in range(k - 1)
+                )
+                den = 1.0 - sum(phi_prev[j] * r[j] for j in range(k - 1))
+                phi_kk = num / den if abs(den) > 1e-12 else 0.0
+                phi = [
+                    phi_prev[j] - phi_kk * phi_prev[k - 2 - j]
+                    for j in range(k - 1)
+                ] + [phi_kk]
+            out.append((pdf["series_id"].iloc[0], k, float(phi_kk)))
+            phi_prev = phi
+        return pd.DataFrame(out, columns=["series_id", "lag", "pacf"])
+
+    return rho.groupBy("series_id").applyInPandas(
+        dl, "series_id string, lag int, pacf double"
+    )

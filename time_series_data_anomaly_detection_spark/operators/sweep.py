@@ -113,7 +113,7 @@ def threshold_sweep_event(
     ).withColumn("__flag", (F.col("__score") > F.col("k")).cast("int"))
     flagged = persistence_filter(
         flagged, "__flag", p=persist_p, keys=("series_id", "k")
-    )
+    ).cache()  # consumed by the rate guard AND the event extraction
     rate = flagged.groupBy("series_id", "k").agg(F.avg("__flag").alias("rate"))
     pred_ev = flags_to_events(flagged, "__flag", gap=gap, keys=("series_id", "k"))
     n_pred = pred_ev.groupBy("series_id", "k").agg(F.count("*").alias("n_pred"))

@@ -54,7 +54,9 @@ def score_model(df: DataFrame, model: str = "kalman", **kw) -> DataFrame:
         from ..functions import ar_forecast
 
         kw.setdefault("p", kw.pop("period", 24))
-        scored = ar_forecast(df, **kw)
+        # cache: mad_scores consumes its input 3x (median agg, MAD
+        # agg, final join) — without it the fit UDF reruns each time
+        scored = ar_forecast(df, **kw).cache()
         # robust sigma: a burst inflates the trailing rolling std enough
         # to hide itself (score ~6 instead of ~26); MAD doesn't move
         return mad_scores(
@@ -65,7 +67,7 @@ def score_model(df: DataFrame, model: str = "kalman", **kw) -> DataFrame:
     elif model == "stl":
         from ..functions import stl_decompose
 
-        dec = stl_decompose(df, **kw)
+        dec = stl_decompose(df, **kw).cache()  # 3x consumers in mad_scores
         dec = mad_scores(dec, value_col="resid", out_col="score")
         return dec
     else:
@@ -117,7 +119,10 @@ def detection_pipeline(
         "flag",
         (F.col("score") > F.coalesce(F.col("best_k"), F.lit(3.0))).cast("int"),
     )
-    flagged = persistence_filter(with_k, "flag", p=persist_p)
+    # event + business metrics each consume this frame ~5x (true/pred
+    # event tables, base, latency lookups) — without the cache the
+    # model UDF reruns once per consumer
+    flagged = persistence_filter(with_k, "flag", p=persist_p).cache()
     return {
         "scored": scored,
         "best_k": sweep,
@@ -154,7 +159,9 @@ def hybrid_pipeline(
     labeled.cache()  # three branches + fusion consume it
 
     stl = mad_scores(
-        stl_decompose(labeled, period=period), value_col="resid", out_col="z_stl"
+        stl_decompose(labeled, period=period).cache(),  # 3x in mad_scores
+        value_col="resid",
+        out_col="z_stl",
     ).select("series_id", "rn", "z_stl")
     gp = gp_forecast(labeled, train_frac=0.5).select(
         "series_id", "rn",
@@ -180,7 +187,9 @@ def hybrid_pipeline(
         )
         .withColumn("flag", (F.col("combined_score") > F.lit(k)).cast("int"))
     )
-    flagged = persistence_filter(fused, "flag", p=persist_p)
+    # cache: downstream metrics would otherwise re-run all three model
+    # branches once per consumer
+    flagged = persistence_filter(fused, "flag", p=persist_p).cache()
     return {
         "scored": fused,
         "flagged": flagged,
@@ -236,7 +245,9 @@ def walk_forward_cv(
             .join(labeled, ["series_id", "rn"])
             .withColumn("flag", (F.col("score") > F.lit(k)).cast("int"))
         )
-        flagged = persistence_filter(evalr, "flag", p=persist_p)
+        # cache per fold: the metrics consume the frame ~5x and would
+        # re-fit the fold's model each time
+        flagged = persistence_filter(evalr, "flag", p=persist_p).cache()
         per_fold.append(
             event_level_metrics(flagged, gap=gap).withColumn("fold", F.lit(i))
         )

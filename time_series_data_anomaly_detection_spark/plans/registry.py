@@ -408,6 +408,27 @@ def q_acf(spark, sf_dir):
     return out.select("series_id", "lag", F.round("acf", R).alias("acf"))
 
 
+def q_pacf(spark, sf_dir):
+    from ..operators.acf import pacf
+
+    s = _series(spark, sf_dir)
+    out = pacf(s, max_lag=10)
+    return out.select("series_id", "lag", F.round("pacf", R).alias("pacf"))
+
+
+def q_hybrid_detection(spark, sf_dir):
+    from .pipelines import hybrid_pipeline
+
+    res = hybrid_pipeline(_series(spark, sf_dir), period=24, k=4.0)
+    out = res["event_metrics"]
+    return out.select(
+        "model", "series_id", "tp", "fp", "fn",
+        F.round("precision", R).alias("precision"),
+        F.round("recall", R).alias("recall"),
+        F.round("f1", R).alias("f1"),
+    )
+
+
 def q_resample_decompose(spark, sf_dir):
     s = _series(spark, sf_dir)
     rs = resample(s, "hour")
@@ -998,6 +1019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "average_precision": q_average_precision,
         "global_moments": q_global_moments,
         "acf": q_acf,
+        "pacf": q_pacf,
+        "hybrid_detection": q_hybrid_detection,
         "resample_decompose": q_resample_decompose,
         "interval_exceedance": q_interval_exceedance,
         "ensemble_fusion": q_ensemble_fusion,

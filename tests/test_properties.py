@@ -1,0 +1,158 @@
+"""Property-based tests (hypothesis): the fiddly sequential semantics
+— RLE + gap-merge, persistence, rolling min_periods + bfill, label
+windows — checked against independent pandas implementations of the
+reference behavior (SURVEY §5 'fiddly semantics' list) on random
+inputs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import flags_df, series_df
+
+from time_series_data_anomaly_detection_spark.operators.events import (
+    flags_to_events,
+    persistence_filter,
+)
+from time_series_data_anomaly_detection_spark.operators.labeling import (
+    mark_anomaly_windows,
+)
+from time_series_data_anomaly_detection_spark.operators.rolling import (
+    rolling_stats,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def ref_events(flags, gap):
+    """Reference RLE + gap-merge (semantics of src/evaluate.py:27-63):
+    maximal runs of 1s -> inclusive (start, end); merge when
+    start - prev_end <= gap + 1."""
+    runs = []
+    start = None
+    for i, f in enumerate(flags):
+        if f == 1 and start is None:
+            start = i
+        elif f == 0 and start is not None:
+            runs.append((start, i - 1))
+            start = None
+    if start is not None:
+        runs.append((start, len(flags) - 1))
+    if gap <= 0 or not runs:
+        return runs
+    merged = [list(runs[0])]
+    for s, e in runs[1:]:
+        if s - merged[-1][1] <= gap + 1:
+            merged[-1][1] = e
+        else:
+            merged.append([s, e])
+    return [tuple(r) for r in merged]
+
+
+def ref_persist(flags, p):
+    """Reference persistence (src/evaluate.py:125-146): zero runs < p."""
+    out = list(flags)
+    for s, e in ref_events(flags, 0):
+        if e - s + 1 < p:
+            for i in range(s, e + 1):
+                out[i] = 0
+    return out
+
+
+@given(
+    flags=st.lists(st.integers(0, 1), min_size=1, max_size=60),
+    gap=st.integers(0, 4),
+)
+@SETTINGS
+def test_flags_to_events_matches_reference(spark, flags, gap):
+    got = [
+        (r.start_idx - 1, r.end_idx - 1)  # rn is 1-based
+        for r in flags_to_events(flags_df(spark, flags), gap=gap)
+        .orderBy("start_idx")
+        .collect()
+    ]
+    assert got == ref_events(flags, gap)
+
+
+@given(
+    flags=st.lists(st.integers(0, 1), min_size=1, max_size=60),
+    p=st.integers(1, 5),
+)
+@SETTINGS
+def test_persistence_matches_reference(spark, flags, p):
+    got = [
+        r.flag
+        for r in persistence_filter(flags_df(spark, flags), p=p)
+        .orderBy("rn")
+        .collect()
+    ]
+    assert got == ref_persist(flags, p)
+
+
+@given(
+    values=st.lists(
+        st.floats(-100, 100, allow_nan=False, width=32),
+        min_size=1,
+        max_size=80,
+    ),
+    window=st.integers(2, 10),
+    min_periods=st.integers(1, 6),
+)
+@SETTINGS
+def test_rolling_matches_pandas(spark, values, window, min_periods):
+    # pandas raises for min_periods > window; semantics undefined
+    min_periods = min(min_periods, window)
+    got = (
+        rolling_stats(
+            series_df(spark, values), window=window, min_periods=min_periods
+        )
+        .orderBy("rn")
+        .toPandas()
+    )
+    s = pd.Series([float(v) for v in values])
+    exp_mean = s.rolling(window, min_periods=min_periods).mean().bfill()
+    exp_std = s.rolling(window, min_periods=min_periods).std().bfill()
+    # atol 1e-6: Spark and pandas use different stddev accumulation
+    # orders; near-zero variance windows cancel differently (~1e-8)
+    np.testing.assert_allclose(
+        got["roll_mean"].to_numpy(float), exp_mean.to_numpy(float),
+        atol=1e-6, equal_nan=True,
+    )
+    np.testing.assert_allclose(
+        got["roll_std"].to_numpy(float), exp_std.to_numpy(float),
+        atol=1e-6, equal_nan=True,
+    )
+
+
+@given(
+    n=st.integers(10, 60),
+    anchors=st.lists(st.integers(0, 59), min_size=1, max_size=4),
+    w=st.integers(0, 5),
+)
+@SETTINGS
+def test_label_windows_match_reference(spark, n, anchors, w):
+    anchors = sorted({a for a in anchors if a < n})
+    if not anchors:
+        anchors = [0]
+    base = pd.date_range("2024-01-01", periods=n, freq="30min")
+    s = series_df(spark, np.arange(n, dtype=float))
+    labels = spark.createDataFrame(
+        pd.DataFrame(
+            {"series_id": "s1", "label_ts": [base[a] for a in anchors]}
+        )
+    )
+    got = (
+        mark_anomaly_windows(s, labels, w).orderBy("rn").toPandas()["is_anomaly"]
+    )
+    # reference: searchsorted anchor, mark [idx-w, idx+w] clamped
+    # (src/load_nab.py:46-61)
+    exp = np.zeros(n, dtype=int)
+    for a in anchors:
+        exp[max(a - w, 0) : min(a + w, n - 1) + 1] = 1
+    assert list(got) == list(exp)

@@ -27,6 +27,12 @@ from .dedup import (  # noqa: F401
     simhash,
     embedding_near_dup,
 )
+from .corpus import (  # noqa: F401
+    ngram_counts,
+    top_ngrams,
+    corpus_filter,
+    source_stats,
+)
 from .similarity import (  # noqa: F401
     with_norm,
     cosine_topk,

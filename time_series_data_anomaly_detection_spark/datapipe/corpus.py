@@ -1,0 +1,100 @@
+"""Corpus-level operators: the end products of a training-data
+pipeline — n-gram statistics, the quality/dedup filter funnel, and
+per-source reporting.
+
+Shapes chosen for 100 TB:
+- n-gram counting is the canonical map-side-combinable aggregation:
+  explode → hash-partition on the gram → count; ``top_k`` applies a
+  per-partition partial top-k (rank window AFTER the full aggregate —
+  the count agg has already collapsed cardinality to |vocab|^n).
+- the corpus filter is one projection + one dedup join: quality gates
+  evaluate inline (no shuffle); the exact-dup survivor join is the
+  only wide stage.
+- source stats are a straight groupBy over computed columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import exact_dedup
+from .text import doc_stats, lang_id, tokenize
+
+
+def ngram_counts(
+    df: DataFrame, n: int = 2, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus-wide n-gram frequency table: (ngram, count, doc_freq)."""
+    t = tokenize(df, text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("tokens") - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice("tokens", i, n)),
+    )
+    tall = t.select(F.explode(grams).alias("ngram"), F.col("doc_id"))
+    out = tall.groupBy("ngram").agg(
+        F.count("*").alias("count"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    return out.filter(F.col("count") >= min_count)
+
+
+def top_ngrams(
+    df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Top-k n-grams by count (ties broken lexicographically — full
+    determinism for the oracle)."""
+    counts = ngram_counts(df, n, text_col)
+    w = Window.orderBy(F.desc("count"), F.asc("ngram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "ngram", "count", "doc_freq")
+    )
+
+
+def corpus_filter(
+    df: DataFrame,
+    min_quality: float = 0.5,
+    min_tokens: int = 20,
+    langs: tuple[str, ...] = ("en",),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The pretraining filter funnel: quality gate + token-length gate
+    + language gate + exact-dup removal, with a per-doc ``verdict``
+    column naming the FIRST failed gate (kept docs say 'keep') —
+    the funnel report and the filtered corpus in one result.
+    """
+    stats = doc_stats(df, text_col)
+    lid = lang_id(df, text_col).select(id_col, "lang_pred")
+    dup = exact_dedup(df, text_col, id_col).select(id_col, "keep")
+    joined = (
+        stats.join(lid, id_col)
+        .join(dup, id_col)
+        .withColumn(
+            "verdict",
+            F.when(F.col("keep") == 0, F.lit("duplicate"))
+            .when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+            .when(~F.col("lang_pred").isin(*langs), F.lit("wrong_lang"))
+            .when(F.col("quality_score") < min_quality, F.lit("low_quality"))
+            .otherwise(F.lit("keep")),
+        )
+    )
+    return joined.select(
+        id_col, "n_tokens", "quality_score", "lang_pred", "verdict"
+    )
+
+
+def source_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source corpus report: doc count, token volume, mean quality
+    — the partition-pruning dimension a curated lake reports on."""
+    stats = doc_stats(df, text_col)
+    return stats.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.avg("n_tokens").alias("mean_tokens"),
+        F.avg("quality_score").alias("mean_quality"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )

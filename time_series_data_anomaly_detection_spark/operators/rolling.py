@@ -49,7 +49,10 @@ def rolling_stats(
     )
     cnt = F.count(value_col).over(w)
     mean_raw = F.when(cnt >= min_periods, F.avg(value_col).over(w))
-    std_raw = F.when(cnt >= min_periods, F.stddev_samp(value_col).over(w))
+    # stddev_samp of a single row is NaN (not null) in Spark; pandas
+    # treats it as missing and bfills it — null it out so ours does too
+    std_col = F.stddev_samp(value_col).over(w)
+    std_raw = F.when((cnt >= min_periods) & ~F.isnan(std_col), std_col)
     out = df.withColumn(f"{out_prefix}_mean", mean_raw).withColumn(
         f"{out_prefix}_std", std_raw
     )

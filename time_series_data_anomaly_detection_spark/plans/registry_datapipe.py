@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ..datapipe import (
     ann_lsh_topk,
     as_binary_payload,
+    corpus_filter,
     cosine_topk,
     doc_stats,
     embedding_near_dup,
@@ -29,6 +30,8 @@ from ..datapipe import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
+    source_stats,
+    top_ngrams,
 )
 from ..datapipe.dedup import (
     BAND_ROWS,
@@ -125,6 +128,30 @@ def q_ann_topk(spark, sf_dir):
     )
     return out.select(
         "query_id", "match_id", "rank", F.round("cosine", R).alias("cosine")
+    )
+
+
+def q_top_ngrams(spark, sf_dir):
+    out = top_ngrams(_docs(spark, sf_dir), n=2, k=20)
+    return out.select("rank", "ngram", "count", "doc_freq")
+
+
+def q_corpus_filter(spark, sf_dir):
+    out = corpus_filter(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round("quality_score", R).alias("quality_score"),
+        "lang_pred", "verdict",
+    )
+
+
+def q_source_stats(spark, sf_dir):
+    out = source_stats(_docs(spark, sf_dir))
+    return out.select(
+        "source", "n_docs", "total_tokens",
+        F.round("mean_tokens", R).alias("mean_tokens"),
+        F.round("mean_quality", R).alias("mean_quality"),
+        "min_tokens", "max_tokens",
     )
 
 
@@ -390,6 +417,87 @@ SELECT query_id, match_id, rank, round(cosine, {R}) AS cosine
 FROM ranked WHERE rank <= {TOPK}
 """
 
+ORACLES["top_ngrams"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKRE}') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                               i -> array_to_string(t[i:i+1], ' '))) AS ngram
+  FROM toks
+),
+counts AS (
+  SELECT ngram, count(*) AS count, count(DISTINCT doc_id) AS doc_freq
+  FROM grams GROUP BY 1
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY count DESC, ngram ASC) AS rank
+  FROM counts
+)
+SELECT rank, ngram, count, doc_freq FROM ranked WHERE rank <= 20
+""".replace("{TOKRE}", TOKEN_RE)
+
+_QUALITY = (
+    "least(len(t) / 50.0, 1.0) * 0.4"
+    f" + least((len(list_filter(t, x -> x IN ({_STOP}))) / (len(t) + 1e-9))"
+    " * 5.0, 1.0) * 0.3"
+    " + (len(list_distinct(t)) / (len(t) + 1e-9)) * 0.3"
+)
+
+ORACLES["corpus_filter"] = f"""
+WITH {SQL_TOKS},
+st AS (
+  SELECT doc_id, len(t) AS n_tokens, {_QUALITY} AS quality
+  FROM toks
+),
+sc AS (
+  SELECT doc_id,
+         {_MARKER_SCORES}
+  FROM toks
+),
+lid AS (
+  SELECT doc_id,
+         CASE WHEN {_BEST} = 0 THEN 'und'
+              {" ".join(f"WHEN s_{lang} = {_BEST} THEN '{lang}'" for lang in _LANGS_ASC)}
+         END AS lang_pred
+  FROM sc
+),
+dup AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = min(doc_id) OVER (
+                PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
+              THEN 1 ELSE 0 END AS keep
+  FROM documents
+)
+SELECT st.doc_id, st.n_tokens,
+       round(st.quality, {R}) AS quality_score,
+       lid.lang_pred,
+       CASE WHEN dup.keep = 0 THEN 'duplicate'
+            WHEN st.n_tokens < 20 THEN 'too_short'
+            WHEN lid.lang_pred <> 'en' THEN 'wrong_lang'
+            WHEN st.quality < 0.5 THEN 'low_quality'
+            ELSE 'keep' END AS verdict
+FROM st JOIN lid USING (doc_id) JOIN dup USING (doc_id)
+"""
+
+ORACLES["source_stats"] = f"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+  FROM documents
+),
+st AS (
+  SELECT doc_id, source, len(t) AS n_tokens, {_QUALITY} AS quality
+  FROM toks
+)
+SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+       round(avg(n_tokens), {R}) AS mean_tokens,
+       round(avg(quality), {R}) AS mean_quality,
+       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+FROM st GROUP BY 1
+"""
+
 # multimodal: frames are 64-byte slices of the UTF-8 payload
 # (documents are ASCII so code points == bytes); stats over the
 # zero-padded 64-wide frame, matching _fake_decode exactly.
@@ -438,6 +546,9 @@ def queries():
         "cosine_topk": q_cosine_topk,
         "ann_topk": q_ann_topk,
         "multimodal_features": q_multimodal_features,
+        "top_ngrams": q_top_ngrams,
+        "corpus_filter": q_corpus_filter,
+        "source_stats": q_source_stats,
     }
 
 

@@ -1,0 +1,97 @@
+"""Parity against the reference's golden artifacts on REAL NAB data
+(SURVEY §5: golden CSVs are the reference's correctness surface).
+
+The input series (timestamp, value) is embedded in each golden CSV, so
+these tests replay OUR operators on the reference's exact input and
+compare outputs:
+
+- STL: our robust decomposition is a from-scratch Cleveland-style
+  implementation (statsmodels absent here), so parity is at signal
+  level against the golden Loess output: trend R² > 0.85, seasonal
+  correlation > 0.95, residual scale within 3x (measured: 0.92 /
+  0.97 / 2.6 — a fixed-width smoother can't equal adaptive Loess
+  point-for-point).
+- BOCPD: the reference's cp_prob output is identically the hazard
+  (SURVEY's algebra note, confirmed by the artifact) — ours must be
+  exactly 1/lam everywhere too.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from time_series_data_anomaly_detection_spark.sources import with_row_index
+
+GOLDEN_STL = (
+    "/root/reference/notebooks/results/stl/realKnownCause__nyc_taxi.csv/"
+    "stl_results.csv"
+)
+GOLDEN_BOCPD = (
+    "/root/reference/results/bocpd/realKnownCause__nyc_taxi.csv/cp_probs.csv"
+)
+
+
+def _series_frame(spark, golden: pd.DataFrame):
+    pdf = pd.DataFrame(
+        {
+            "series_id": "nyc_taxi",
+            "timestamp": pd.to_datetime(golden["timestamp"]),
+            "value": golden["value"].astype(float),
+            "event_id": np.arange(len(golden), dtype="int64"),
+        }
+    )
+    return with_row_index(spark.createDataFrame(pdf))
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN_STL), reason="no reference")
+def test_stl_signal_parity_nyc_taxi(spark):
+    from time_series_data_anomaly_detection_spark.functions import stl_decompose
+
+    golden = pd.read_csv(GOLDEN_STL)
+    ours = (
+        stl_decompose(_series_frame(spark, golden), period=48)
+        .orderBy("rn")
+        .toPandas()
+    )
+    assert len(ours) == len(golden)
+
+    g_trend = golden["trend"].to_numpy(float)
+    o_trend = ours["trend"].to_numpy(float)
+    ss_res = float(((g_trend - o_trend) ** 2).sum())
+    ss_tot = float(((g_trend - g_trend.mean()) ** 2).sum())
+    r2 = 1 - ss_res / ss_tot
+    assert r2 > 0.85, f"trend R2 {r2}"
+
+    corr = float(
+        np.corrcoef(golden["seasonal"].to_numpy(float), ours["seasonal"])[0, 1]
+    )
+    assert corr > 0.95, f"seasonal corr {corr}"
+
+    g_mad = float(np.median(np.abs(golden["residual"])))
+    o_mad = float(np.median(np.abs(ours["resid"])))
+    assert 0.3 < o_mad / g_mad < 3.0, f"residual MAD ratio {o_mad / g_mad}"
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN_BOCPD), reason="no reference")
+def test_bocpd_cp_prob_parity_nyc_taxi(spark):
+    from time_series_data_anomaly_detection_spark.functions import (
+        bocpd_changepoints,
+    )
+
+    golden = pd.read_csv(GOLDEN_BOCPD)
+    ours = (
+        bocpd_changepoints(_series_frame(spark, golden), hazard_lam=100.0)
+        .orderBy("rn")
+        .toPandas()
+    )
+    assert len(ours) == len(golden)
+    # the reference artifact is 0.01 everywhere (constant hazard); ours
+    # must reproduce that exactly, and the golden confirms it
+    np.testing.assert_allclose(
+        golden["cp_prob"].to_numpy(float), 0.01, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        ours["cp_prob"].to_numpy(float), 0.01, atol=1e-9
+    )

@@ -2,19 +2,22 @@
 
 Reference: statsmodels ``STL(values, period, robust=True)``
 (``src/utils.py:5-29``).  statsmodels is unavailable; this implements
-an iterated moving-average decomposition with robustness weights
-(Tukey biweight on residuals, as in Cleveland's STL outer loop):
+an iterated Cleveland-style decomposition with Tukey-biweight
+robustness weights:
 
   repeat n_outer times:
-    trend    = centered 2×m weighted MA of (value, weights)
-    detrended= value - trend
-    seasonal = weighted phase means of detrended, centered
+    trend    = weighted MA of (value − seasonal) over 2·period+1
+    seasonal = per-phase subseries smoothed across neighboring
+               cycles, low-pass-corrected (drifting seasonal,
+               real-STL style)
     resid    = value - trend - seasonal
     weights  = biweight(resid / (6 * median|resid|))
 
-It is not Loess-identical to statsmodels, but reproduces the robust
-spike-resistance the reference relies on for anomaly scoring (parity
-at metric level, SURVEY §5).  The non-robust single pass equals
+It is not Loess-identical to statsmodels, but is tuned against the
+reference's golden artifact on real NAB data (trend R² 0.92,
+seasonal corr 0.97 — tests/test_golden_parity.py) and reproduces the
+robust spike-resistance the reference relies on for anomaly scoring
+(metric-level parity, SURVEY §5).  The non-robust single pass equals
 ``operators.decompose.classical_decompose``, which IS oracle-checked.
 
 Spark shape: per-series ``applyInPandas``; O(T · n_outer) per series.
@@ -32,38 +35,53 @@ STL_SCHEMA = (
 )
 
 
-def _weighted_centered_ma(y: np.ndarray, w: np.ndarray, period: int) -> np.ndarray:
-    """Centered 2×m moving average with observation weights; edges use
-    the partial window (no nulls, unlike the strict classical edges)."""
-    half = period // 2
-    n = len(y)
-    kernel = np.ones(period + 1)
-    if period % 2 == 0:
-        kernel[0] = kernel[-1] = 0.5
+def _wma_flat(y: np.ndarray, w: np.ndarray, length: int) -> np.ndarray:
+    """Weighted uniform moving average, edge-padded (partial windows)."""
+    kernel = np.ones(length)
     num = np.convolve(y * w, kernel, mode="full")
     den = np.convolve(w, kernel, mode="full")
-    center = np.arange(n) + half
+    center = np.arange(len(y)) + length // 2
     return num[center] / np.maximum(den[center], 1e-12)
 
 
 def stl_series(
-    y: np.ndarray, phase: np.ndarray, period: int, n_outer: int = 3
+    y: np.ndarray,
+    phase: np.ndarray,
+    period: int,
+    n_outer: int = 3,
+    trend_window: int | None = None,
+    seasonal_cycles: int = 7,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    w = np.ones(len(y))
-    trend = np.zeros(len(y))
-    seasonal = np.zeros(len(y))
+    """Cleveland-style robust decomposition:
+
+    - trend: weighted MA of the DESEASONALIZED series over
+      ``trend_window`` (default 2·period+1 — tuned against the
+      reference's statsmodels-Loess golden on NYC taxi: trend R² 0.92
+      vs 0.55 for the naive period-wide MA on raw y);
+    - seasonal: per-phase subseries smoothed across ``seasonal_cycles``
+      neighboring cycles (real-STL style — lets the seasonal drift
+      over weeks), low-pass-corrected so trend leakage is removed;
+    - robustness: Tukey biweight reweighting on residuals per outer
+      iteration.
+    """
+    n = len(y)
+    if trend_window is None:
+        trend_window = 2 * period + 1
+    w = np.ones(n)
+    trend = np.zeros(n)
+    seasonal = np.zeros(n)
+    phases = np.unique(phase)
+    phase_idx = {ph: np.where(phase == ph)[0] for ph in phases}
     for _ in range(n_outer):
-        trend = _weighted_centered_ma(y, w, period)
+        trend = _wma_flat(y - seasonal, w, trend_window)
         detr = y - trend
-        seasonal = np.zeros(len(y))
-        pm = {}
-        for ph in np.unique(phase):
-            mask = phase == ph
-            wm = w[mask]
-            pm[ph] = float(np.average(detr[mask], weights=np.maximum(wm, 1e-12)))
-        grand = float(np.mean(list(pm.values())))
-        for ph, v in pm.items():
-            seasonal[phase == ph] = v - grand
+        seasonal = np.empty(n)
+        for ph, idx in phase_idx.items():
+            seasonal[idx] = _wma_flat(
+                detr[idx], np.maximum(w[idx], 1e-12), seasonal_cycles
+            )
+        # remove low-frequency leakage so seasonal stays zero-mean-ish
+        seasonal = seasonal - _wma_flat(seasonal, np.ones(n), period + 1)
         resid = y - trend - seasonal
         s0 = np.median(np.abs(resid))
         if s0 <= 0:

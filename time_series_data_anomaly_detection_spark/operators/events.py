@@ -41,29 +41,33 @@ def _run_ids(df: DataFrame, flag_col: str, keys: tuple = KEYS) -> DataFrame:
     return df.withColumn("__run", F.sum(chg).over(w))
 
 
-def flags_to_events(
+def raw_runs(
     df: DataFrame,
     flag_col: str = "flag",
-    gap: int = 0,
     idx_col: str = "rn",
     keys: tuple = KEYS,
 ) -> DataFrame:
-    """W5: RLE flags into an event table, then gap-merge.
+    """Maximal runs of consecutive 1-flags as ``keys, start_idx,
+    end_idx`` (inclusive).  The ONLY full-data pass in the event stack —
+    everything downstream (persistence, gap-merge, overlap metrics)
+    operates on this frame, which is thousands of times smaller."""
+    return (
+        _run_ids(df, flag_col, keys)
+        .filter(F.col(flag_col) == 1)
+        .groupBy(*keys, "__run")
+        .agg(F.min(idx_col).alias("start_idx"), F.max(idx_col).alias("end_idx"))
+    )
 
-    Returns ``series_id, event_id, start_idx, end_idx`` (inclusive,
-    1-based when idx_col='rn'), event_id numbered by start order.
+
+def merge_runs(runs: DataFrame, gap: int = 0, keys: tuple = KEYS) -> DataFrame:
+    """Gap-merge disjoint sorted runs and number them by start order.
+
     Gap-merge condition is the reference's exact off-by-one:
     ``start - prev_end <= gap + 1`` (``src/evaluate.py:57``).  Chained
     merges collapse correctly because raw runs are disjoint and sorted,
     so the running ``sum`` of break markers assigns one group per
     merged chain.
     """
-    runs = (
-        _run_ids(df, flag_col, keys)
-        .filter(F.col(flag_col) == 1)
-        .groupBy(*keys, "__run")
-        .agg(F.min(idx_col).alias("start_idx"), F.max(idx_col).alias("end_idx"))
-    )
     we = Window.partitionBy(*keys).orderBy("start_idx")
     if gap > 0:
         brk = F.when(
@@ -84,6 +88,21 @@ def flags_to_events(
         "start_idx",
         "end_idx",
     )
+
+
+def flags_to_events(
+    df: DataFrame,
+    flag_col: str = "flag",
+    gap: int = 0,
+    idx_col: str = "rn",
+    keys: tuple = KEYS,
+) -> DataFrame:
+    """W5: RLE flags into an event table, then gap-merge.
+
+    Returns ``series_id, event_id, start_idx, end_idx`` (inclusive,
+    1-based when idx_col='rn'), event_id numbered by start order.
+    """
+    return merge_runs(raw_runs(df, flag_col, idx_col, keys), gap, keys)
 
 
 def persistence_filter(

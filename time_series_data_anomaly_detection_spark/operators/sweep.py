@@ -98,11 +98,17 @@ def threshold_sweep_event(
     event-level F1 with gap-merge, rate guard; keep the argmax.
 
     Spark-first shape: the k-grid is a column, so ONE sessionization
-    pass partitioned by (series_id, k) replaces the reference's
-    17-iteration loop over the full series — one scan and one shuffle
-    regardless of grid size. True events are computed once (they don't
-    depend on k) and broadcast into the overlap joins.
+    pass partitioned by (series_id, k) is the only full-data work —
+    persistence (drop runs shorter than p: zeroing short 1-runs cannot
+    create or merge runs, so run-level filtering ≡ the reference's
+    row-level rewrite + re-RLE), the post-persistence anomaly rate
+    (Σ surviving run lengths / n rows), and the gap-merge all operate
+    on the run table, which is thousands of times smaller than the
+    points frame.  True events are computed once (k-independent) and
+    broadcast into one overlap join serving both TP sides.
     """
+    from .events import merge_runs, raw_runs
+
     ks = ks or k_grid()
     true_ev = flags_to_events(df, truth_col, gap=gap)
     n_true = true_ev.groupBy("series_id").agg(F.count("*").alias("n_true"))
@@ -111,11 +117,28 @@ def threshold_sweep_event(
     flagged = df.select(
         "series_id", "rn", F.col(score_col).alias("__score"), kdf
     ).withColumn("__flag", (F.col("__score") > F.col("k")).cast("int"))
-    flagged = persistence_filter(
-        flagged, "__flag", p=persist_p, keys=("series_id", "k")
-    ).cache()  # consumed by the rate guard AND the event extraction
-    rate = flagged.groupBy("series_id", "k").agg(F.avg("__flag").alias("rate"))
-    pred_ev = flags_to_events(flagged, "__flag", gap=gap, keys=("series_id", "k"))
+    runs = raw_runs(flagged, "__flag", keys=("series_id", "k")).withColumn(
+        "run_len", F.col("end_idx") - F.col("start_idx") + 1
+    )
+    if persist_p > 1:
+        runs = runs.filter(F.col("run_len") >= persist_p)
+
+    # every (series, k) cell must survive even with zero runs — build
+    # the grid from the per-series row counts (also the rate denominator)
+    n_rows = df.groupBy("series_id").agg(F.count("*").alias("__n"))
+    grid = n_rows.select(
+        "series_id", "__n", F.explode(F.array(*[F.lit(float(k)) for k in ks])).alias("k")
+    )
+    flagged_len = runs.groupBy("series_id", "k").agg(
+        F.sum("run_len").alias("__flagged")
+    )
+    rate = grid.join(flagged_len, ["series_id", "k"], "left").select(
+        "series_id",
+        "k",
+        (F.coalesce(F.col("__flagged"), F.lit(0)) / F.col("__n")).alias("rate"),
+    )
+
+    pred_ev = merge_runs(runs, gap=gap, keys=("series_id", "k"))
     n_pred = pred_ev.groupBy("series_id", "k").agg(F.count("*").alias("n_pred"))
 
     t = F.broadcast(
@@ -129,21 +152,16 @@ def threshold_sweep_event(
     overlap = (F.col("end_idx") >= F.col("t_start")) & (
         F.col("start_idx") <= F.col("t_end")
     )
-    tp_prec = (
-        pred_ev.join(t, on=[F.col("series_id") == F.col("t_sid"), overlap], how="left_semi")
-        .groupBy("series_id", "k")
-        .agg(F.count("*").alias("tp"))
-    )
-    # recall side: distinct true events hit, per k
-    tp_rec = (
-        pred_ev.join(t, on=[F.col("series_id") == F.col("t_sid"), overlap])
-        .groupBy("series_id", "k")
-        .agg(F.countDistinct("t_eid").alias("tp_recall"))
+    # ONE overlap join serving both asymmetric TP sides
+    hits = pred_ev.join(
+        t, on=[F.col("series_id") == F.col("t_sid"), overlap], how="inner"
+    ).groupBy("series_id", "k").agg(
+        F.countDistinct("event_id").alias("tp"),
+        F.countDistinct("t_eid").alias("tp_recall"),
     )
     m = (
         rate.join(n_pred, ["series_id", "k"], "left")
-        .join(tp_prec, ["series_id", "k"], "left")
-        .join(tp_rec, ["series_id", "k"], "left")
+        .join(hits, ["series_id", "k"], "left")
         .join(F.broadcast(n_true), "series_id", "left")
         .fillna(0, ["n_pred", "tp", "tp_recall", "n_true"])
     )

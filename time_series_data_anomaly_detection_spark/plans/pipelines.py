@@ -86,6 +86,7 @@ def detection_pipeline(
     persist_p: int = 2,
     gap: int = 3,
     resample_every: str | None = None,
+    labeled: DataFrame | None = None,
     **model_kw,
 ) -> dict[str, DataFrame]:
     """Full single-model pipeline: label → score → sweep-on-validation →
@@ -95,13 +96,18 @@ def detection_pipeline(
     series), ``flagged``, ``event_metrics``, ``business_metrics`` —
     the caller picks which to materialize (the reference writes all of
     them as predictions.csv / metrics.json, S3/S4).
+
+    ``labeled`` lets multi-model callers (``run_benchmark``) compute the
+    label join ONCE and share it across model branches instead of
+    re-deriving it per model.
     """
     if resample_every:
         from ..sources.loader import with_row_index
 
         series = with_row_index(resample(series, resample_every))
-    labels = top_value_labels(series, label_top_n)
-    labeled = mark_anomaly_windows(series, labels, label_window)
+    if labeled is None:
+        labels = top_value_labels(series, label_top_n)
+        labeled = mark_anomaly_windows(series, labels, label_window)
     # model UDFs emit a fixed schema (they drop extra columns);
     # re-attach the truth column by row identity after scoring
     scored = score_model(series, model, **model_kw).join(
@@ -278,10 +284,17 @@ def run_benchmark(
     round-trip, and branches parallelize across the cluster.
     """
     series = series.cache()
+    # one label pass shared by every model branch (the truth column is
+    # model-independent; without this each branch re-runs the label
+    # as-of/range join over the full points frame)
+    labels = top_value_labels(series, kw.get("label_top_n", 5))
+    labeled = mark_anomaly_windows(
+        series, labels, kw.get("label_window", 3)
+    ).select("series_id", "rn", "is_anomaly").cache()
     frames = []
     for m in models:
         model_kw = {"period": period} if m in ("stl", "ar") else {}
-        res = detection_pipeline(series, model=m, **model_kw, **kw)
+        res = detection_pipeline(series, model=m, labeled=labeled, **model_kw, **kw)
         frames.append(res["event_metrics"])
     return leaderboard(frames).select(
         "model", "series_id", "f1", "precision", "recall",

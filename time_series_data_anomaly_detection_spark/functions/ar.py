@@ -74,8 +74,10 @@ def ar_forecast(df: DataFrame, p: int = 24, train_frac: float = 1.0) -> DataFram
         pdf["resid"] = y - pred
         return pdf[["series_id", "timestamp", "value", "rn", "pred_mean", "resid"]]
 
+    from ._partition import udf_repartition
+
     return (
-        df.select("series_id", "timestamp", "value", "rn")
+        udf_repartition(df.select("series_id", "timestamp", "value", "rn"), "series_id")
         .groupBy("series_id")
         .applyInPandas(fit, AR_SCHEMA)
     )

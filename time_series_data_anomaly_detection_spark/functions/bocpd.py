@@ -205,8 +205,10 @@ def bocpd_changepoints(
         pdf["cp_score"] = short
         return pdf[["series_id", "timestamp", "value", "rn", "cp_prob", "cp_score"]]
 
+    from ._partition import udf_repartition
+
     return (
-        df.select("series_id", "timestamp", "value", "rn")
+        udf_repartition(df.select("series_id", "timestamp", "value", "rn"), "series_id")
         .groupBy("series_id")
         .applyInPandas(score, BOCPD_SCHEMA)
     )

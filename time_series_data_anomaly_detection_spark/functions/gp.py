@@ -12,8 +12,17 @@ are FIXED (no marginal-likelihood optimization) so results are
 deterministic — the reference's ``n_restarts_optimizer`` path is a
 stochastic fit checked at metric tolerance anyway (SURVEY §5).
 
-Spark shape: one Cholesky per series inside ``applyInPandas``; cap
-keeps it ≤ O(1000³) per group regardless of series length.
+Spark shape: scoring cost is O(n·m²) per series (n points × m≤1000
+train rows), far heavier than the O(m³/3) fit, so parallelism must not
+be capped at the series count (5 series × 20k rows would use 5 of 32
+cores; a 3-series × 1B-row cluster job would use 3 executors).  The
+plan chunks each series' prediction rows into ``chunk``-row buckets,
+replicates the (≤1000-row) train slice to every bucket, and fits+scores
+per ``(series_id, bucket)`` group.  Re-running the small Cholesky per
+bucket (~15% extra flops) buys bucket-level parallelism and avoids
+shuffling an O(m²)=8 MB factor per series as binary state.  Results are
+bit-identical across bucketings: the fit sees the same train rows in
+every bucket.
 """
 
 from __future__ import annotations
@@ -21,6 +30,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 GP_SCHEMA = (
     "series_id string, timestamp timestamp, value double, rn long, "
@@ -54,6 +64,7 @@ def gp_forecast(
     period: float = 24.0,
     length_scale: float = 50.0,
     noise: float = 0.1,
+    chunk: int = 2048,
 ) -> DataFrame:
     """M4: per-series GP regression on the row index.
 
@@ -62,38 +73,65 @@ def gp_forecast(
     changes results, SURVEY §4), predicts mean/std for ALL rows.
     Output: ``pred_mean, pred_std`` columns.
     """
+    pts = df.select("series_id", "timestamp", "value", "rn")
+    stats = pts.groupBy("series_id").agg(
+        F.count("*").alias("__n"), F.min("rn").alias("__rn0")
+    )
+    pts = pts.join(F.broadcast(stats), "series_id")
+    pos = F.col("rn") - F.col("__rn0")  # 0-based position in the series
+    n_train = F.greatest(
+        F.floor(F.col("__n") * F.lit(float(train_frac))).cast("long"), F.lit(2)
+    )
+    lo = F.greatest(n_train - F.lit(int(max_train)), F.lit(0))
+    last_bucket = F.floor((F.col("__n") - F.lit(1)) / F.lit(int(chunk)))
+    # every row is a prediction target in its own bucket; train-slice
+    # rows are ALSO replicated to every bucket so each group is
+    # self-contained (≤ max_train extra rows per bucket — a bounded,
+    # ~1.5× increase in the one shuffle this op already needed)
+    pred_rows = pts.withColumn("__bucket", F.floor(pos / F.lit(int(chunk)))).withColumn(
+        "__role", F.lit(0)
+    )
+    train_rows = (
+        pts.filter((pos >= lo) & (pos < n_train))
+        .withColumn("__bucket", F.explode(F.sequence(F.lit(0), last_bucket)))
+        .withColumn("__role", F.lit(1))
+    )
+    both = pred_rows.unionByName(train_rows).withColumn(
+        "__pos", (F.col("rn") - F.col("__rn0")).cast("long")
+    )
 
-    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("rn").reset_index(drop=True)
-        y_all = pdf["value"].to_numpy(float)
-        n = len(y_all)
-        n_train = max(int(n * train_frac), 2)
-        lo = max(n_train - max_train, 0)
-        x_tr = np.arange(lo, n_train, dtype=float)
-        y_tr = y_all[lo:n_train]
+    def fit_score(pdf: pd.DataFrame) -> pd.DataFrame:
+        tr = pdf[pdf["__role"] == 1].sort_values("__pos")
+        pr = pdf[pdf["__role"] == 0].sort_values("__pos").reset_index(drop=True)
+        if len(pr) == 0:
+            return pr.iloc[0:0][
+                ["series_id", "timestamp", "value", "rn", "pred_mean", "pred_std"]
+            ]
+        x_tr = tr["__pos"].to_numpy(float)
+        y_tr = tr["value"].to_numpy(float)
         mu, sd = float(y_tr.mean()), float(y_tr.std()) or 1.0
         yn = (y_tr - mu) / sd
         amp2, pamp2, pls = 1.0, 1.0, 1.0
         noise2 = noise**2
         K = _kernel(x_tr, x_tr, amp2, length_scale, period, pamp2, pls)
         K[np.diag_indices_from(K)] += noise2
-        # one O(m³) inverse, then the per-point variance is a single
-        # DGEMM (Ks @ Kinv) instead of a dense solve against an m×n
-        # right-hand side — the solve was 10× the whole query's cost
-        # at 20k points/series
-        Kinv = np.linalg.inv(K)
-        alpha = Kinv @ yn
-        x_star = np.arange(n, dtype=float)
+        x_star = pr["__pos"].to_numpy(float)
         Ks = _kernel(x_star, x_tr, amp2, length_scale, period, pamp2, pls)
-        mean = Ks @ alpha
-        var = (amp2 + pamp2 + noise2) - np.einsum("ij,ij->i", Ks @ Kinv, Ks)
+        # one LU factorization serves both the mean (K⁻¹y) and the
+        # variance (K⁻¹Ksᵀ) — ~2× fewer flops than inv() + dense GEMM
+        sol = np.linalg.solve(K, np.column_stack([yn, Ks.T]))
+        mean = Ks @ sol[:, 0]
+        var = (amp2 + pamp2 + noise2) - np.einsum("ij,ji->i", Ks, sol[:, 1:])
         var = np.maximum(var, 1e-12)
-        pdf["pred_mean"] = mean * sd + mu
-        pdf["pred_std"] = np.sqrt(var) * sd
-        return pdf[["series_id", "timestamp", "value", "rn", "pred_mean", "pred_std"]]
+        out = pr[["series_id", "timestamp", "value", "rn"]].copy()
+        out["pred_mean"] = mean * sd + mu
+        out["pred_std"] = np.sqrt(var) * sd
+        return out
+
+    from ._partition import udf_repartition
 
     return (
-        df.select("series_id", "timestamp", "value", "rn")
-        .groupBy("series_id")
-        .applyInPandas(fit, GP_SCHEMA)
+        udf_repartition(both, "series_id", "__bucket")
+        .groupBy("series_id", "__bucket")
+        .applyInPandas(fit_score, GP_SCHEMA)
     )

@@ -110,8 +110,10 @@ def kalman_local_level(
              "pred_mean", "pred_lower", "pred_upper", "resid"]
         ]
 
+    from ._partition import udf_repartition
+
     return (
-        df.select("series_id", "timestamp", "value", "rn")
+        udf_repartition(df.select("series_id", "timestamp", "value", "rn"), "series_id")
         .groupBy("series_id")
         .applyInPandas(fit, KALMAN_SCHEMA)
     )
@@ -217,8 +219,10 @@ def bsts_forecast(
              "pred_mean", "pred_lower", "pred_upper", "resid"]
         ]
 
+    from ._partition import udf_repartition
+
     return (
-        df.select("series_id", "timestamp", "value", "rn")
+        udf_repartition(df.select("series_id", "timestamp", "value", "rn"), "series_id")
         .groupBy("series_id")
         .applyInPandas(fit, BSTS_SCHEMA)
     )

@@ -81,8 +81,10 @@ def lstm_forecast(
         pdf["resid"] = pdf["value"] - pdf["pred_mean"]
         return pdf[["series_id", "timestamp", "value", "rn", "pred_mean", "resid"]]
 
+    from ._partition import udf_repartition
+
     return (
-        df.select("series_id", "timestamp", "value", "rn")
+        udf_repartition(df.select("series_id", "timestamp", "value", "rn"), "series_id")
         .groupBy("series_id")
         .applyInPandas(fit, LSTM_SCHEMA)
     )

@@ -118,4 +118,10 @@ def stl_decompose(
     cols = ["series_id", "timestamp", "value", "rn"] + (
         [phase_col] if phase_col else []
     )
-    return df.select(*cols).groupBy("series_id").applyInPandas(fit, STL_SCHEMA)
+    from ._partition import udf_repartition
+
+    return (
+        udf_repartition(df.select(*cols), "series_id")
+        .groupBy("series_id")
+        .applyInPandas(fit, STL_SCHEMA)
+    )

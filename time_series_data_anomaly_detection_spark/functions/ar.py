@@ -51,17 +51,37 @@ AR_SCHEMA = (
 )
 
 
-def ar_forecast(df: DataFrame, p: int = 24, train_frac: float = 1.0) -> DataFrame:
+def ar_forecast(
+    df: DataFrame,
+    p: int = 24,
+    train_frac: float = 1.0,
+    frac_col: str | None = None,
+    score_col: str | None = None,
+) -> DataFrame:
     """AR(p) via numpy lstsq per series (one-step-ahead, in-sample on
     train, recursive-free direct prediction on the tail using actual
-    lags — the LSTM-predict analogue of sliding-window inference)."""
+    lags — the LSTM-predict analogue of sliding-window inference).
+
+    ``score_col`` additionally emits the MAD z-score of the residuals
+    (exact ``mad_scores`` math) computed inside the same pass — zero
+    extra stages versus 4 aggregate/join waves for the operator form.
+
+    ``frac_col`` fuses many train fractions into ONE grouped-map pass:
+    the input carries a per-row fraction column (e.g. exploded
+    walk-forward fold boundaries) and fitting groups on
+    ``(series_id, frac_col)`` — one shuffle for all folds instead of
+    one full fit DAG per fold.
+    """
+
+    out_cols = ["series_id", "timestamp", "value", "rn", "pred_mean", "resid"]
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("rn").reset_index(drop=True)
+        tf = float(pdf[frac_col].iloc[0]) if frac_col else train_frac
         y = pdf["value"].to_numpy(float)
         n = len(y)
         pp = min(p, max(n // 4, 1))
-        n_train = max(int(n * train_frac), pp + 2)
+        n_train = max(int(n * tf), pp + 2)
         X = np.column_stack(
             [np.ones(n - pp)] + [y[pp - k - 1 : n - k - 1] for k in range(pp)]
         )
@@ -72,12 +92,23 @@ def ar_forecast(df: DataFrame, p: int = 24, train_frac: float = 1.0) -> DataFram
         pred[pp:] = X @ coef
         pdf["pred_mean"] = pred
         pdf["resid"] = y - pred
-        return pdf[["series_id", "timestamp", "value", "rn", "pred_mean", "resid"]]
+        cols = out_cols + ([frac_col] if frac_col else [])
+        if score_col:
+            from ._score import mad_z
+
+            pdf[score_col] = mad_z(pdf["resid"].to_numpy(float))
+            cols = cols + [score_col]
+        return pdf[cols]
 
     from ._partition import udf_repartition
 
+    keys = ("series_id", frac_col) if frac_col else ("series_id",)
+    schema = AR_SCHEMA + (f", {frac_col} double" if frac_col else "")
+    if score_col:
+        schema += f", {score_col} double"
+    sel = list(out_cols[:4]) + ([frac_col] if frac_col else [])
     return (
-        udf_repartition(df.select("series_id", "timestamp", "value", "rn"), "series_id")
-        .groupBy("series_id")
-        .applyInPandas(fit, AR_SCHEMA)
+        udf_repartition(df.select(*sel), *keys)
+        .groupBy(*keys)
+        .applyInPandas(fit, schema)
     )

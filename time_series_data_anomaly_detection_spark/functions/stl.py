@@ -93,12 +93,19 @@ def stl_series(
 
 
 def stl_decompose(
-    df: DataFrame, period: int = 24, n_outer: int = 3, phase_col: str | None = None
+    df: DataFrame,
+    period: int = 24,
+    n_outer: int = 3,
+    phase_col: str | None = None,
+    score_col: str | None = None,
 ) -> DataFrame:
     """M1: robust decomposition columns trend/seasonal/resid per series.
 
     Phase defaults to ``rn % period`` (positional, like statsmodels);
     pass ``phase_col`` to use e.g. hour-of-day on calendar grids.
+    ``score_col`` additionally emits the MAD z-score of the residuals
+    (exact ``mad_scores`` math) inside the same pass — zero extra
+    stages versus 4 aggregate/join waves for the operator form.
     """
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -111,17 +118,22 @@ def stl_decompose(
         )
         trend, seasonal, resid = stl_series(y, phase, period, n_outer)
         pdf["trend"], pdf["seasonal"], pdf["resid"] = trend, seasonal, resid
-        return pdf[
-            ["series_id", "timestamp", "value", "rn", "trend", "seasonal", "resid"]
-        ]
+        out = ["series_id", "timestamp", "value", "rn", "trend", "seasonal", "resid"]
+        if score_col:
+            from ._score import mad_z
+
+            pdf[score_col] = mad_z(resid)
+            out = out + [score_col]
+        return pdf[out]
 
     cols = ["series_id", "timestamp", "value", "rn"] + (
         [phase_col] if phase_col else []
     )
     from ._partition import udf_repartition
 
+    schema = STL_SCHEMA + (f", {score_col} double" if score_col else "")
     return (
         udf_repartition(df.select(*cols), "series_id")
         .groupBy("series_id")
-        .applyInPandas(fit, STL_SCHEMA)
+        .applyInPandas(fit, schema)
     )

@@ -30,12 +30,24 @@ from .events import flags_to_events
 EPS = 1e-9
 
 
+KEYS = ("series_id",)
+
+
 def pointwise_metrics(
-    df: DataFrame, truth_col: str = "is_anomaly", pred_col: str = "flag"
+    df: DataFrame,
+    truth_col: str = "is_anomaly",
+    pred_col: str = "flag",
+    keys: tuple = KEYS,
 ) -> DataFrame:
-    """A1: per-series confusion counts + precision/recall/f1."""
+    """A1: per-series confusion counts + precision/recall/f1.
+
+    ``keys`` generalizes the grouping so fused multi-model / multi-fold
+    DAGs (one frame keyed by (series_id, model) or (series_id, fold))
+    evaluate every cell in ONE aggregation pass instead of one DAG per
+    cell.
+    """
     y, p = F.col(truth_col), F.col(pred_col)
-    agg = df.groupBy("series_id").agg(
+    agg = df.groupBy(*keys).agg(
         F.sum(((y == 1) & (p == 1)).cast("int")).alias("tp"),
         F.sum(((y == 0) & (p == 1)).cast("int")).alias("fp"),
         F.sum(((y == 1) & (p == 0)).cast("int")).alias("fn"),
@@ -50,7 +62,9 @@ def pointwise_metrics(
     )
 
 
-def _event_pairs(df: DataFrame, truth_col: str, pred_col: str, gap: int) -> DataFrame:
+def _event_pairs(
+    df: DataFrame, truth_col: str, pred_col: str, gap: int, keys: tuple = KEYS
+) -> DataFrame:
     """ONE full-outer overlap join between the two event tables.
 
     Every true and predicted event appears at least once (unmatched side
@@ -61,14 +75,14 @@ def _event_pairs(df: DataFrame, truth_col: str, pred_col: str, gap: int) -> Data
     the previous shape ran two overlap joins plus four count
     aggregations (measured 2× fewer stages per metrics call at sf0.1).
     """
-    t = flags_to_events(df, truth_col, gap=gap).select(
-        F.col("series_id").alias("t_sid"),
+    t = flags_to_events(df, truth_col, gap=gap, keys=keys).select(
+        *[F.col(k).alias(f"t_{k}") for k in keys],
         F.col("event_id").alias("t_eid"),
         F.col("start_idx").alias("t_start"),
         F.col("end_idx").alias("t_end"),
     )
-    p = flags_to_events(df, pred_col, gap=gap).select(
-        F.col("series_id").alias("p_sid"),
+    p = flags_to_events(df, pred_col, gap=gap, keys=keys).select(
+        *[F.col(k).alias(f"p_{k}") for k in keys],
         F.col("event_id").alias("p_eid"),
         F.col("start_idx").alias("p_start"),
         F.col("end_idx").alias("p_end"),
@@ -76,16 +90,18 @@ def _event_pairs(df: DataFrame, truth_col: str, pred_col: str, gap: int) -> Data
     overlap = (F.col("p_end") >= F.col("t_start")) & (
         F.col("p_start") <= F.col("t_end")
     )
-    return t.join(
-        p, on=[F.col("p_sid") == F.col("t_sid"), overlap], how="full_outer"
-    ).withColumn("series_id", F.coalesce(F.col("t_sid"), F.col("p_sid")))
+    cond = [F.col(f"p_{k}") == F.col(f"t_{k}") for k in keys] + [overlap]
+    out = t.join(p, on=cond, how="full_outer")
+    for k in keys:
+        out = out.withColumn(k, F.coalesce(F.col(f"t_{k}"), F.col(f"p_{k}")))
+    return out
 
 
-def _event_counts(pairs: DataFrame) -> DataFrame:
+def _event_counts(pairs: DataFrame, keys: tuple = KEYS) -> DataFrame:
     """Per-series existential counts from the pair frame: distinct
     events per side, and distinct events with ≥1 overlap partner
     (the reference's asymmetric TP, ``src/evaluate.py:77-100``)."""
-    return pairs.groupBy("series_id").agg(
+    return pairs.groupBy(*keys).agg(
         F.countDistinct("t_eid").alias("n_true_events"),
         F.countDistinct("p_eid").alias("n_pred_events"),
         F.countDistinct(
@@ -102,11 +118,12 @@ def event_level_metrics(
     truth_col: str = "is_anomaly",
     pred_col: str = "flag",
     gap: int = 0,
+    keys: tuple = KEYS,
 ) -> DataFrame:
     """A2: event-level P/R/F1 per series with the reference's asymmetric TP."""
-    counts = _event_counts(_event_pairs(df, truth_col, pred_col, gap))
-    base = df.select("series_id").distinct()
-    out = base.join(counts, "series_id", "left").fillna(
+    counts = _event_counts(_event_pairs(df, truth_col, pred_col, gap, keys), keys)
+    base = df.select(*keys).distinct()
+    out = base.join(counts, list(keys), "left").fillna(
         0, ["n_true_events", "n_pred_events", "tp", "tp_recall"]
     )
     out = (

@@ -36,6 +36,7 @@ def mad_scores(
     value_col: str = "value",
     out_col: str = "z_mad",
     keep_internals: bool = False,
+    keys: tuple = ("series_id",),
 ) -> DataFrame:
     """P7/P10: robust z-score ``|x - median| / (1.4826*MAD + 1e-9)``.
 
@@ -46,15 +47,15 @@ def mad_scores(
     MAD of centered values); both produce one row per series and are
     broadcast back.
     """
-    med = df.groupBy("series_id").agg(
+    med = df.groupBy(*keys).agg(
         F.percentile(F.col(value_col), F.lit(0.5)).alias("__med")
     )
-    centered = df.join(F.broadcast(med), "series_id")
-    mad = centered.groupBy("series_id").agg(
+    centered = df.join(F.broadcast(med), list(keys))
+    mad = centered.groupBy(*keys).agg(
         F.percentile(F.abs(F.col(value_col) - F.col("__med")), F.lit(0.5)).alias("__mad")
     )
     out = (
-        centered.join(F.broadcast(mad), "series_id")
+        centered.join(F.broadcast(mad), list(keys))
         .withColumn("__sigma", F.lit(MAD_K) * F.col("__mad"))
         .withColumn(
             out_col,

@@ -36,6 +36,7 @@ def threshold_sweep_pointwise(
     truth_col: str = "is_anomaly",
     ks: list[float] | None = None,
     max_rate: float = 0.10,
+    keys: tuple = ("series_id",),
 ) -> DataFrame:
     """Sweep ``flag = score > k`` over the grid; pick best-F1 k per series.
 
@@ -49,9 +50,9 @@ def threshold_sweep_pointwise(
     kdf = F.explode(F.array(*[F.lit(float(k)) for k in ks])).alias("k")
     y = F.col(truth_col)
     flagged = df.select(
-        "series_id", truth_col, F.col(score_col).alias("__score"), kdf
+        *keys, truth_col, F.col(score_col).alias("__score"), kdf
     ).withColumn("__flag", (F.col("__score") > F.col("k")).cast("int"))
-    per_k = flagged.groupBy("series_id", "k").agg(
+    per_k = flagged.groupBy(*keys, "k").agg(
         F.sum(((y == 1) & (F.col("__flag") == 1)).cast("int")).alias("tp"),
         F.sum(((y == 0) & (F.col("__flag") == 1)).cast("int")).alias("fp"),
         F.sum(((y == 1) & (F.col("__flag") == 0)).cast("int")).alias("fn"),
@@ -74,8 +75,8 @@ def threshold_sweep_pointwise(
         F.struct(F.col("f1"), (-F.col("k")).alias("negk"), F.col("k"),
                  F.col("precision"), F.col("recall"), F.col("rate"))
     ).alias("b")
-    return scored.groupBy("series_id").agg(pick).select(
-        "series_id",
+    return scored.groupBy(*keys).agg(pick).select(
+        *keys,
         F.col("b.k").alias("best_k"),
         F.col("b.f1").alias("f1"),
         F.col("b.precision").alias("precision"),

@@ -54,22 +54,17 @@ def score_model(df: DataFrame, model: str = "kalman", **kw) -> DataFrame:
         from ..functions import ar_forecast
 
         kw.setdefault("p", kw.pop("period", 24))
-        # cache: mad_scores consumes its input 3x (median agg, MAD
-        # agg, final join) — without it the fit UDF reruns each time
-        scored = ar_forecast(df, **kw).cache()
         # robust sigma: a burst inflates the trailing rolling std enough
-        # to hide itself (score ~6 instead of ~26); MAD doesn't move
-        return mad_scores(
-            scored.filter(F.col("resid").isNotNull()),
-            value_col="resid",
-            out_col="score",
-        )
+        # to hide itself (score ~6 instead of ~26); MAD doesn't move.
+        # Scored in-UDF (functions._score) — exact mad_scores math,
+        # none of its stage waves; null-resid head rows keep null
+        # scores (they were filtered out before, and null > k is false
+        # either way)
+        return ar_forecast(df, score_col="score", **kw)
     elif model == "stl":
         from ..functions import stl_decompose
 
-        dec = stl_decompose(df, **kw).cache()  # 3x consumers in mad_scores
-        dec = mad_scores(dec, value_col="resid", out_col="score")
-        return dec
+        return stl_decompose(df, score_col="score", **kw)
     else:
         raise ValueError(f"unknown model {model!r}")
     scored = rolling_stats(scored, value_col="resid", out_prefix="rs")
@@ -164,11 +159,9 @@ def hybrid_pipeline(
     labeled = mark_anomaly_windows(series, labels, 3)
     labeled.cache()  # three branches + fusion consume it
 
-    stl = mad_scores(
-        stl_decompose(labeled, period=period).cache(),  # 3x in mad_scores
-        value_col="resid",
-        out_col="z_stl",
-    ).select("series_id", "rn", "z_stl")
+    stl = stl_decompose(labeled, period=period, score_col="z_stl").select(
+        "series_id", "rn", "z_stl"
+    )
     gp = gp_forecast(labeled, train_frac=0.5).select(
         "series_id", "rn",
         (F.abs(F.col("value") - F.col("pred_mean"))
@@ -229,38 +222,45 @@ def walk_forward_cv(
     the folds' stages concurrently, so wall-clock is max(fold), not
     sum(fold).
     """
+    from ..functions import ar_forecast
     from ..operators.labeling import top_value_labels, mark_anomaly_windows
-    from pyspark.sql import Window as W
 
-    series = series.cache()  # every fold re-reads the same frame
-    n_w = W.partitionBy("series_id")
-    with_n = series.withColumn("__n", F.max("rn").over(n_w))
+    if model != "ar":
+        raise ValueError("fused walk-forward CV currently supports model='ar'")
+    p = model_kw.get("period", model_kw.get("p", 24))
+
+    # the base frame feeds the fold fan-out, the row counts, and the
+    # label join — cache it once instead of re-running the scan +
+    # row_number window per consumer
+    series = series.cache()
     labels = top_value_labels(series, 5)
     labeled = mark_anomaly_windows(series, labels, 3).select(
         "series_id", "rn", "is_anomaly"
     )
-    per_fold = []
-    for i, frac in enumerate(folds):
-        scored = score_model(series, model, train_frac=frac, **model_kw)
-        evalr = (
-            scored.join(with_n.select("series_id", "rn", "__n"), ["series_id", "rn"])
-            .filter(
-                (F.col("rn") > F.floor(F.col("__n") * frac))
-                & (F.col("rn") <= F.floor(F.col("__n") * (frac + horizon)))
-            )
-            .join(labeled, ["series_id", "rn"])
-            .withColumn("flag", (F.col("score") > F.lit(k)).cast("int"))
+    # fan the series out by fold boundary, then ONE grouped-map fit
+    # keyed by (series_id, fold) and ONE metrics DAG — fold count
+    # changes data volume, not stage count (the previous per-fold loop
+    # ran fit + 5-stage metrics once per fold)
+    fanned = series.withColumn(
+        "__frac", F.explode(F.array(*[F.lit(float(f)) for f in folds]))
+    )
+    keys = ("series_id", "__frac")
+    scored = ar_forecast(fanned, p=p, frac_col="__frac", score_col="score")
+    n_rows = series.groupBy("series_id").agg(F.max("rn").alias("__n"))
+    evalr = (
+        scored.join(F.broadcast(n_rows), "series_id")
+        .filter(
+            (F.col("rn") > F.floor(F.col("__n") * F.col("__frac")))
+            & (F.col("rn") <= F.floor(F.col("__n") * (F.col("__frac") + F.lit(horizon))))
         )
-        # cache per fold: the metrics consume the frame ~5x and would
-        # re-fit the fold's model each time
-        flagged = persistence_filter(evalr, "flag", p=persist_p).cache()
-        per_fold.append(
-            event_level_metrics(flagged, gap=gap).withColumn("fold", F.lit(i))
-        )
-    unioned = per_fold[0]
-    for f in per_fold[1:]:
-        unioned = unioned.unionByName(f)
-    return unioned.groupBy("series_id").agg(
+        .join(labeled, ["series_id", "rn"])
+        .withColumn("flag", (F.col("score") > F.lit(k)).cast("int"))
+    )
+    # cache: the metrics consume the frame ~5x and would re-fit every
+    # fold's model each time
+    flagged = persistence_filter(evalr, "flag", p=persist_p, keys=keys).cache()
+    per_fold = event_level_metrics(flagged, gap=gap, keys=keys)
+    return per_fold.groupBy("series_id").agg(
         F.count("*").alias("n_folds"),
         F.avg("f1").alias("mean_f1"),
         F.avg("precision").alias("mean_precision"),
@@ -291,12 +291,39 @@ def run_benchmark(
     labeled = mark_anomaly_windows(
         series, labels, kw.get("label_window", 3)
     ).select("series_id", "rn", "is_anomaly").cache()
-    frames = []
+    # score per model (each family is its own UDF), then fuse: one
+    # (series_id, model)-keyed frame through ONE sweep, ONE persistence
+    # pass, ONE event-metrics DAG — stage count is independent of the
+    # model count (the per-model loop ran a ~10-stage tail per model)
+    scored_frames = []
     for m in models:
         model_kw = {"period": period} if m in ("stl", "ar") else {}
-        res = detection_pipeline(series, model=m, labeled=labeled, **model_kw, **kw)
-        frames.append(res["event_metrics"])
-    return leaderboard(frames).select(
+        s = score_model(series, m, **model_kw).select(
+            "series_id", "rn", "score"
+        ).withColumn("model", F.lit(m))
+        scored_frames.append(s)
+    scored = scored_frames[0]
+    for s in scored_frames[1:]:
+        scored = scored.unionByName(s)
+    keys = ("series_id", "model")
+    scored = fractional_split(scored.join(labeled, ["series_id", "rn"]))
+    scored.cache()  # consumed by sweep AND final detection
+    sweep = threshold_sweep_pointwise(
+        scored.filter(F.col("split") == "Validation"), "score", "is_anomaly",
+        keys=keys,
+    )
+    with_k = scored.join(
+        F.broadcast(sweep.select("series_id", "model", "best_k")),
+        list(keys), "left",
+    ).withColumn(
+        "flag",
+        (F.col("score") > F.coalesce(F.col("best_k"), F.lit(3.0))).cast("int"),
+    )
+    flagged = persistence_filter(
+        with_k, "flag", p=kw.get("persist_p", 2), keys=keys
+    ).cache()
+    em = event_level_metrics(flagged, gap=kw.get("gap", 3), keys=keys)
+    return em.orderBy(F.desc("f1"), "series_id").select(
         "model", "series_id", "f1", "precision", "recall",
         "n_true_events", "n_pred_events",
     )

@@ -73,31 +73,41 @@ def gp_forecast(
     changes results, SURVEY §4), predicts mean/std for ALL rows.
     Output: ``pred_mean, pred_std`` columns.
     """
-    pts = df.select("series_id", "timestamp", "value", "rn")
-    stats = pts.groupBy("series_id").agg(
-        F.count("*").alias("__n"), F.min("rn").alias("__rn0")
-    )
-    pts = pts.join(F.broadcast(stats), "series_id")
+    from pyspark.sql import Window
+
+    # per-series extent via a window over the series partition — ONE
+    # pass over the input (a separate agg + join re-ran the upstream
+    # lineage a second time; a union of pred/train branches ran it a
+    # third)
+    w = Window.partitionBy("series_id")
+    pts = df.select("series_id", "timestamp", "value", "rn").withColumn(
+        "__n", F.count("*").over(w)
+    ).withColumn("__rn0", F.min("rn").over(w))
     pos = F.col("rn") - F.col("__rn0")  # 0-based position in the series
     n_train = F.greatest(
         F.floor(F.col("__n") * F.lit(float(train_frac))).cast("long"), F.lit(2)
     )
     lo = F.greatest(n_train - F.lit(int(max_train)), F.lit(0))
     last_bucket = F.floor((F.col("__n") - F.lit(1)) / F.lit(int(chunk)))
-    # every row is a prediction target in its own bucket; train-slice
-    # rows are ALSO replicated to every bucket so each group is
-    # self-contained (≤ max_train extra rows per bucket — a bounded,
-    # ~1.5× increase in the one shuffle this op already needed)
-    pred_rows = pts.withColumn("__bucket", F.floor(pos / F.lit(int(chunk)))).withColumn(
-        "__role", F.lit(0)
+    # every row is a prediction target in its own bucket (role 0);
+    # train-slice rows are ALSO replicated to every bucket (role 1) so
+    # each group is self-contained (≤ max_train extra rows per bucket —
+    # a bounded ~1.5× increase in the one shuffle this op needs).  One
+    # explode emits both roles in a single pass.
+    own = F.array(F.struct(F.floor(pos / F.lit(int(chunk))).alias("b"), F.lit(0).alias("r")))
+    train_copies = F.transform(
+        F.sequence(F.lit(0), last_bucket),
+        lambda b: F.struct(b.alias("b"), F.lit(1).alias("r")),
     )
-    train_rows = (
-        pts.filter((pos >= lo) & (pos < n_train))
-        .withColumn("__bucket", F.explode(F.sequence(F.lit(0), last_bucket)))
-        .withColumn("__role", F.lit(1))
-    )
-    both = pred_rows.unionByName(train_rows).withColumn(
-        "__pos", (F.col("rn") - F.col("__rn0")).cast("long")
+    assignments = F.when(
+        (pos >= lo) & (pos < n_train), F.concat(own, train_copies)
+    ).otherwise(own)
+    both = (
+        pts.withColumn("__a", F.explode(assignments))
+        .withColumn("__bucket", F.col("__a.b"))
+        .withColumn("__role", F.col("__a.r"))
+        .withColumn("__pos", (F.col("rn") - F.col("__rn0")).cast("long"))
+        .drop("__a")
     )
 
     def fit_score(pdf: pd.DataFrame) -> pd.DataFrame:

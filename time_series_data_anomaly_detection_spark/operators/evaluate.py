@@ -63,7 +63,12 @@ def pointwise_metrics(
 
 
 def _event_pairs(
-    df: DataFrame, truth_col: str, pred_col: str, gap: int, keys: tuple = KEYS
+    df: DataFrame,
+    truth_col: str,
+    pred_col: str,
+    gap: int,
+    keys: tuple = KEYS,
+    persist_p: int = 1,
 ) -> DataFrame:
     """ONE full-outer overlap join between the two event tables.
 
@@ -75,13 +80,25 @@ def _event_pairs(
     the previous shape ran two overlap joins plus four count
     aggregations (measured 2× fewer stages per metrics call at sf0.1).
     """
+    from .events import merge_runs, raw_runs
+
     t = flags_to_events(df, truth_col, gap=gap, keys=keys).select(
         *[F.col(k).alias(f"t_{k}") for k in keys],
         F.col("event_id").alias("t_eid"),
         F.col("start_idx").alias("t_start"),
         F.col("end_idx").alias("t_end"),
     )
-    p = flags_to_events(df, pred_col, gap=gap, keys=keys).select(
+    # W6 persistence applied on the RUN table: zeroing 1-runs shorter
+    # than p then re-sessionizing ≡ dropping short raw runs before the
+    # gap-merge — a filter on a tiny frame instead of 3 more window
+    # passes over the full points frame (persistence_filter remains for
+    # callers that need the row-level flags, e.g. prediction sinks)
+    p_runs = raw_runs(df, pred_col, keys=keys)
+    if persist_p > 1:
+        p_runs = p_runs.filter(
+            F.col("end_idx") - F.col("start_idx") + 1 >= persist_p
+        )
+    p = merge_runs(p_runs, gap=gap, keys=keys).select(
         *[F.col(k).alias(f"p_{k}") for k in keys],
         F.col("event_id").alias("p_eid"),
         F.col("start_idx").alias("p_start"),
@@ -119,9 +136,12 @@ def event_level_metrics(
     pred_col: str = "flag",
     gap: int = 0,
     keys: tuple = KEYS,
+    persist_p: int = 1,
 ) -> DataFrame:
     """A2: event-level P/R/F1 per series with the reference's asymmetric TP."""
-    counts = _event_counts(_event_pairs(df, truth_col, pred_col, gap, keys), keys)
+    counts = _event_counts(
+        _event_pairs(df, truth_col, pred_col, gap, keys, persist_p), keys
+    )
     base = df.select(*keys).distinct()
     out = base.join(counts, list(keys), "left").fillna(
         0, ["n_true_events", "n_pred_events", "tp", "tp_recall"]
@@ -148,6 +168,7 @@ def business_metrics(
     truth_col: str = "is_anomaly",
     pred_col: str = "flag",
     gap: int = 0,
+    persist_p: int = 1,
 ) -> DataFrame:
     """A3: FP events/day + median detection latency (minutes) per series.
 
@@ -156,7 +177,7 @@ def business_metrics(
     median across hit true events (null when none — the reference
     emits NaN).
     """
-    pairs = _event_pairs(df, truth_col, pred_col, gap)
+    pairs = _event_pairs(df, truth_col, pred_col, gap, persist_p=persist_p)
     counts = _event_counts(pairs).select("series_id", "n_pred_events", "tp")
     # duration + distinct series in the SAME scan of the points frame
     base = df.groupBy("series_id").agg(

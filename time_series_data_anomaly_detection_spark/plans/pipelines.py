@@ -120,20 +120,23 @@ def detection_pipeline(
         "flag",
         (F.col("score") > F.coalesce(F.col("best_k"), F.lit(3.0))).cast("int"),
     )
-    # event + business metrics each consume this frame ~5x (true/pred
+    # event + business metrics each consume this frame ~3x (true/pred
     # event tables, base, latency lookups) — without the cache the
-    # model UDF reruns once per consumer
-    flagged = persistence_filter(with_k, "flag", p=persist_p).cache()
+    # model UDF reruns once per consumer.  Persistence rides inside the
+    # metrics as a run-length filter; row-level flags stay lazy for
+    # prediction sinks.
+    with_k = with_k.cache()
+    flagged = persistence_filter(with_k, "flag", p=persist_p)
     return {
         "scored": scored,
         "best_k": sweep,
         "flagged": flagged,
-        "event_metrics": event_level_metrics(flagged, gap=gap).withColumn(
-            "model", F.lit(model)
-        ),
-        "business_metrics": business_metrics(flagged, gap=gap).withColumn(
-            "model", F.lit(model)
-        ),
+        "event_metrics": event_level_metrics(
+            with_k, gap=gap, persist_p=persist_p
+        ).withColumn("model", F.lit(model)),
+        "business_metrics": business_metrics(
+            with_k, gap=gap, persist_p=persist_p
+        ).withColumn("model", F.lit(model)),
     }
 
 
@@ -155,29 +158,47 @@ def hybrid_pipeline(
     """
     from ..functions import ar_forecast, gp_forecast, stl_decompose
 
+    # the model UDFs project away everything but (series_id, timestamp,
+    # value, rn) — feed them the bare cached series so the label join
+    # stays OUT of the thrice-consumed branch lineage.  The cache is
+    # materialized EAGERLY: a lazy cache populated inside one multi-
+    # branch action is raced by its ~5 concurrent consumer stages, each
+    # recomputing the scan + row_number (measured 4s of duplicate work
+    # at sf0.1)
+    series = series.cache()
+    series.count()
     labels = top_value_labels(series, 5)
     labeled = mark_anomaly_windows(series, labels, 3)
-    labeled.cache()  # three branches + fusion consume it
 
-    stl = stl_decompose(labeled, period=period, score_col="z_stl").select(
-        "series_id", "rn", "z_stl"
+    stl = stl_decompose(series, period=period, score_col="z_stl").select(
+        "series_id", "rn", F.lit("stl").alias("tag"), F.col("z_stl").alias("z")
     )
-    gp = gp_forecast(labeled, train_frac=0.5).select(
-        "series_id", "rn",
+    gp = gp_forecast(series, train_frac=0.5).select(
+        "series_id", "rn", F.lit("gp").alias("tag"),
         (F.abs(F.col("value") - F.col("pred_mean"))
-         / (F.col("pred_std") + F.lit(1e-9))).alias("z_gp"),
+         / (F.col("pred_std") + F.lit(1e-9))).alias("z"),
     )
     ar = rolling_stats(
-        ar_forecast(labeled, p=period), value_col="resid", out_prefix="rs"
+        ar_forecast(series, p=period), value_col="resid", out_prefix="rs"
     ).select(
-        "series_id", "rn",
-        (F.abs(F.col("resid")) / (F.col("rs_std") + F.lit(1e-6))).alias("z_ar"),
+        "series_id", "rn", F.lit("ar").alias("tag"),
+        (F.abs(F.col("resid")) / (F.col("rs_std") + F.lit(1e-6))).alias("z"),
+    )
+    # branches are 1:1 by (series_id, rn): union + one conditional-agg
+    # shuffle pivots them back to columns — 1 exchange where three
+    # sort-merge joins cost an exchange + sort per side
+    zs = (
+        stl.unionByName(gp).unionByName(ar)
+        .groupBy("series_id", "rn")
+        .agg(
+            F.max(F.when(F.col("tag") == "stl", F.col("z"))).alias("z_stl"),
+            F.max(F.when(F.col("tag") == "gp", F.col("z"))).alias("z_gp"),
+            F.max(F.when(F.col("tag") == "ar", F.col("z"))).alias("z_ar"),
+        )
     )
     w1, w2, w3 = weights
     fused = (
-        labeled.join(stl, ["series_id", "rn"])
-        .join(gp, ["series_id", "rn"])
-        .join(ar, ["series_id", "rn"])
+        labeled.join(zs, ["series_id", "rn"])
         .withColumn(
             "combined_score",
             F.lit(w1) * F.col("z_stl")
@@ -187,17 +208,19 @@ def hybrid_pipeline(
         .withColumn("flag", (F.col("combined_score") > F.lit(k)).cast("int"))
     )
     # cache: downstream metrics would otherwise re-run all three model
-    # branches once per consumer
-    flagged = persistence_filter(fused, "flag", p=persist_p).cache()
+    # branches once per consumer.  Persistence rides inside the metrics
+    # as a run-length filter; row-level flags (for sinks) stay lazy.
+    fused = fused.cache()
+    flagged = persistence_filter(fused, "flag", p=persist_p)
     return {
         "scored": fused,
         "flagged": flagged,
-        "event_metrics": event_level_metrics(flagged, gap=gap).withColumn(
-            "model", F.lit("hybrid")
-        ),
-        "business_metrics": business_metrics(flagged, gap=gap).withColumn(
-            "model", F.lit("hybrid")
-        ),
+        "event_metrics": event_level_metrics(
+            fused, gap=gap, persist_p=persist_p
+        ).withColumn("model", F.lit("hybrid")),
+        "business_metrics": business_metrics(
+            fused, gap=gap, persist_p=persist_p
+        ).withColumn("model", F.lit("hybrid")),
     }
 
 
@@ -231,8 +254,9 @@ def walk_forward_cv(
 
     # the base frame feeds the fold fan-out, the row counts, and the
     # label join — cache it once instead of re-running the scan +
-    # row_number window per consumer
+    # row_number window per consumer (eager: see hybrid_pipeline)
     series = series.cache()
+    series.count()
     labels = top_value_labels(series, 5)
     labeled = mark_anomaly_windows(series, labels, 3).select(
         "series_id", "rn", "is_anomaly"
@@ -256,10 +280,12 @@ def walk_forward_cv(
         .join(labeled, ["series_id", "rn"])
         .withColumn("flag", (F.col("score") > F.lit(k)).cast("int"))
     )
-    # cache: the metrics consume the frame ~5x and would re-fit every
+    # cache: the metrics consume the frame ~3x and would re-fit every
     # fold's model each time
-    flagged = persistence_filter(evalr, "flag", p=persist_p, keys=keys).cache()
-    per_fold = event_level_metrics(flagged, gap=gap, keys=keys)
+    evalr = evalr.cache()
+    per_fold = event_level_metrics(
+        evalr, gap=gap, keys=keys, persist_p=persist_p
+    )
     return per_fold.groupBy("series_id").agg(
         F.count("*").alias("n_folds"),
         F.avg("f1").alias("mean_f1"),
@@ -284,6 +310,7 @@ def run_benchmark(
     round-trip, and branches parallelize across the cluster.
     """
     series = series.cache()
+    series.count()  # eager: see hybrid_pipeline
     # one label pass shared by every model branch (the truth column is
     # model-independent; without this each branch re-runs the label
     # as-of/range join over the full points frame)
@@ -319,10 +346,11 @@ def run_benchmark(
         "flag",
         (F.col("score") > F.coalesce(F.col("best_k"), F.lit(3.0))).cast("int"),
     )
-    flagged = persistence_filter(
-        with_k, "flag", p=kw.get("persist_p", 2), keys=keys
-    ).cache()
-    em = event_level_metrics(flagged, gap=kw.get("gap", 3), keys=keys)
+    with_k = with_k.cache()
+    em = event_level_metrics(
+        with_k, gap=kw.get("gap", 3), keys=keys,
+        persist_p=kw.get("persist_p", 2),
+    )
     return em.orderBy(F.desc("f1"), "series_id").select(
         "model", "series_id", "f1", "precision", "recall",
         "n_true_events", "n_pred_events",

@@ -325,10 +325,9 @@ def q_business_metrics(spark, sf_dir):
 
 
 def q_threshold_sweep(spark, sf_dir):
-    s = _series(spark, sf_dir)
-    labels = top_value_labels(s, 5)
-    lab = mark_anomaly_windows(mad_scores(s), labels, 3)
-    out = threshold_sweep_pointwise(lab, "z_mad", "is_anomaly")
+    out = threshold_sweep_pointwise(
+        _scored_with_truth(spark, sf_dir), "z_mad", "is_anomaly"
+    )
     return out.select(
         "series_id",
         F.round("best_k", R).alias("best_k"),
@@ -338,10 +337,9 @@ def q_threshold_sweep(spark, sf_dir):
 
 
 def q_threshold_sweep_event(spark, sf_dir):
-    s = _series(spark, sf_dir)
-    labels = top_value_labels(s, 5)
-    lab = mark_anomaly_windows(mad_scores(s), labels, 3)
-    out = threshold_sweep_event(lab, "z_mad", "is_anomaly")
+    out = threshold_sweep_event(
+        _scored_with_truth(spark, sf_dir), "z_mad", "is_anomaly"
+    )
     return out.select(
         "series_id",
         F.round("best_k", R).alias("best_k"),
@@ -351,9 +349,11 @@ def q_threshold_sweep_event(spark, sf_dir):
 
 
 def _scored_with_truth(spark, sf_dir):
+    # consumed 2-3x by curve/AP windows and the sweeps' event tables —
+    # materialize the mad + label pipeline once
     s = _series(spark, sf_dir)
     labels = top_value_labels(s, 5)
-    return mark_anomaly_windows(mad_scores(s), labels, 3)
+    return mark_anomaly_windows(mad_scores(s), labels, 3).cache()
 
 
 def q_pr_curve(spark, sf_dir):

@@ -5,12 +5,16 @@ label timestamp, binary-search the insertion index (first row with
 ``timestamp >= label_ts``), then set ``is_anomaly = 1`` on rows
 ``[idx - w, idx + w]`` (row-count window, clamped to the series).
 
-Spark-first shape: the labels table is tiny — broadcast it twice:
-1. as-of join: per label, ``min(rn) where timestamp >= label_ts``
-   (a broadcast theta join + groupBy label, never a shuffle of the
-   series table);
-2. range join: mark rows with ``rn BETWEEN lo AND hi``; overlapping
-   windows collapse via the join's semi semantics.
+Spark-first shape:
+1. as-of anchor: labels are UNIONED into the ordered point stream and
+   anchored with one running-min window over (series, ts desc) — the
+   broadcast theta join (``series.ts >= label_ts`` then ``min(rn)``)
+   materializes O(labels × rows/2) intermediate pairs per series,
+   which explodes at scale; the union+window form is O(rows + labels)
+   on the same series exchange every downstream operator already uses;
+2. range mark: broadcast the tiny ``(series_id, lo, hi)`` window table
+   into a hash semi-join on series_id with the BETWEEN as residual;
+   overlapping windows collapse via the semi semantics.
 """
 
 from __future__ import annotations
@@ -50,15 +54,27 @@ def mark_anomaly_windows(
     matching numpy ``searchsorted`` clamping (``src/load_nab.py:58-59``).
     """
     nrows = series.groupBy("series_id").agg(F.max("rn").alias("__n"))
-    # as-of: first row at-or-after the label instant; clamp to series end
+    # as-of: first row at-or-after the label instant; clamp to series
+    # end.  Labels ride the ordered point stream: over (series, ts
+    # DESC, points-before-labels-on-ties) the running min(rn) at a
+    # label row is exactly min(rn | ts >= label_ts) — searchsorted
+    # semantics in one window pass, no theta-join blowup.
+    pts = series.select(
+        "series_id", "timestamp", "rn", F.lit(0).alias("__lbl")
+    )
+    lbl = labels.select(
+        "series_id",
+        F.col("label_ts").alias("timestamp"),
+        F.lit(None).cast("long").alias("rn"),
+        F.lit(1).alias("__lbl"),
+    )
+    w = Window.partitionBy("series_id").orderBy(
+        F.col("timestamp").desc(), F.col("__lbl").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     anchored = (
-        F.broadcast(labels)
-        .join(series.select("series_id", "timestamp", "rn"),
-              on=[labels.series_id == series.series_id,
-                  series.timestamp >= labels.label_ts],
-              how="left")
-        .groupBy(labels.series_id.alias("series_id"), "label_ts")
-        .agg(F.min("rn").alias("__anchor"))
+        pts.unionByName(lbl)
+        .withColumn("__anchor", F.min("rn").over(w))
+        .filter(F.col("__lbl") == 1)
         .join(F.broadcast(nrows), "series_id")
         .select(
             "series_id",

@@ -33,6 +33,18 @@ def main() -> None:
     from time_series_data_anomaly_detection_spark.sources import events_as_series
 
     events_as_series(spark, sf_dir).count()
+    # ...and the Arrow python-worker pool — one group per task slot so
+    # every worker forks + imports numpy off the clock (it lands on the
+    # first pandas-UDF query otherwise)
+    def _warm(p):
+        import numpy  # noqa: F401
+
+        return p
+
+    n_slots = spark.sparkContext.defaultParallelism
+    spark.range(n_slots * 4).repartition(n_slots, "id").groupBy(
+        "id"
+    ).applyInPandas(_warm, "id long").count()
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():

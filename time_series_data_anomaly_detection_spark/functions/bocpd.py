@@ -14,7 +14,7 @@ truncation as the scale fix, and it is also what the streaming mode
 needs).
 
 Spark shape: inherently sequential per series → ``applyInPandas`` in
-batch (streaming variant in streaming/bocpd_stream.py).
+batch (streaming variant: streaming.detectors.streaming_bocpd).
 """
 
 from __future__ import annotations
@@ -82,7 +82,8 @@ def bocpd_run(
     """Advance BOCPD over ``y`` from ``state``; returns per-point
     ``(cp_prob, cp_score)`` plus the updated state.  The resumable
     core shared by the batch operator and the Structured Streaming
-    stateful detector (streaming.bocpd_stream) — identical math, so
+    stateful detector (streaming.detectors.streaming_bocpd) —
+    identical math, so
     stream output == batch output on the same prefix.
     """
     n = len(y)

@@ -53,12 +53,13 @@ def mark_anomaly_windows(
     fall after the last row of a series anchor at the last row —
     matching numpy ``searchsorted`` clamping (``src/load_nab.py:58-59``).
     """
-    nrows = series.groupBy("series_id").agg(F.max("rn").alias("__n"))
     # as-of: first row at-or-after the label instant; clamp to series
     # end.  Labels ride the ordered point stream: over (series, ts
     # DESC, points-before-labels-on-ties) the running min(rn) at a
     # label row is exactly min(rn | ts >= label_ts) — searchsorted
-    # semantics in one window pass, no theta-join blowup.
+    # semantics in one window pass, no theta-join blowup.  The series
+    # length rides the SAME exchange as a whole-partition max(rn)
+    # (a separate groupBy + broadcast join would re-scan the input).
     pts = series.select(
         "series_id", "timestamp", "rn", F.lit(0).alias("__lbl")
     )
@@ -71,11 +72,12 @@ def mark_anomaly_windows(
     w = Window.partitionBy("series_id").orderBy(
         F.col("timestamp").desc(), F.col("__lbl").asc()
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wp = Window.partitionBy("series_id")
     anchored = (
         pts.unionByName(lbl)
         .withColumn("__anchor", F.min("rn").over(w))
+        .withColumn("__n", F.max("rn").over(wp))
         .filter(F.col("__lbl") == 1)
-        .join(F.broadcast(nrows), "series_id")
         .select(
             "series_id",
             F.coalesce("__anchor", "__n").alias("__anchor"),

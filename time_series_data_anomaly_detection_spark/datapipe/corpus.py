@@ -88,13 +88,21 @@ def corpus_filter(
 
 def source_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-source corpus report: doc count, token volume, mean quality
-    — the partition-pruning dimension a curated lake reports on."""
+    — the partition-pruning dimension a curated lake reports on.
+
+    ``mean_quality`` averages doubles through an exact decimal sum
+    (order/engine-independent — see ``_exact.py``); integer means are
+    exact already."""
+    from .._exact import DEC
+
     stats = doc_stats(df, text_col)
     return stats.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.avg("n_tokens").alias("mean_tokens"),
-        F.avg("quality_score").alias("mean_quality"),
+        (F.sum("n_tokens") / F.count("*")).alias("mean_tokens"),
+        (
+            F.sum(F.col("quality_score").cast(DEC)).cast("double") / F.count("*")
+        ).alias("mean_quality"),
         F.min("n_tokens").alias("min_tokens"),
         F.max("n_tokens").alias("max_tokens"),
     )

@@ -39,14 +39,20 @@ def as_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 def _fake_decode(payload: bytes) -> np.ndarray:
     """Deterministic stand-in decoder: byte histogram moments per
     FRAME_BYTES frame. Replace with a real image/audio decode; shape
-    contract: (n_frames, feat_dim)."""
+    contract: (n_frames, feat_dim).
+
+    std uses the sum-of-squares identity sqrt(max(E[x²]−μ², 0)) — both
+    sums are integer-exact in float64, so the result is bit-identical
+    to the SQL oracle's same algebra (numpy's ``.std()`` computes
+    E[(x−μ)²], a different float path)."""
     arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
     n_frames = max(1, int(np.ceil(arr.size / FRAME_BYTES)))
     pad = n_frames * FRAME_BYTES - arr.size
     framed = np.pad(arr, (0, pad)).reshape(n_frames, FRAME_BYTES)
-    return np.stack(
-        [framed.mean(axis=1), framed.std(axis=1), framed.max(axis=1)], axis=1
-    )
+    f_mean = framed.sum(axis=1) / FRAME_BYTES
+    f_sq = (framed * framed).sum(axis=1) / FRAME_BYTES
+    f_std = np.sqrt(np.maximum(f_sq - f_mean * f_mean, 0.0))
+    return np.stack([f_mean, f_std, framed.max(axis=1)], axis=1)
 
 
 def extract_features(
@@ -67,35 +73,48 @@ def extract_features(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"])
-                feats = _fake_decode(payload)
-                n_frames = feats.shape[0]
-                bsum = int(np.frombuffer(payload, dtype=np.uint8).sum())
-                for fid in range(0, n_frames, frame_stride):
-                    out.append(
-                        (
-                            row[id_col],
-                            fid,
-                            n_frames,
-                            bsum,
-                            float(feats[fid, 0]),
-                            float(feats[fid, 1]),
-                            float(feats[fid, 2]),
-                        )
-                    )
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            payloads = [bytes(p) for p in pdf["payload"]]
+            lens = np.array([len(p) for p in payloads], dtype=np.int64)
+            nf = np.maximum(1, -(-lens // FRAME_BYTES))  # ceil-div, min 1
+            # one zero-padded (total_frames, FRAME_BYTES) matrix for the
+            # whole Arrow batch: one memcpy per payload, then pure
+            # vectorized numpy — no per-row/per-frame Python loop
+            offs = np.zeros(len(payloads) + 1, dtype=np.int64)
+            np.cumsum(nf, out=offs[1:])
+            flat = np.zeros(int(offs[-1]) * FRAME_BYTES, dtype=np.float64)
+            for i, p in enumerate(payloads):
+                start = offs[i] * FRAME_BYTES
+                flat[start : start + lens[i]] = np.frombuffer(p, dtype=np.uint8)
+            framed = flat.reshape(-1, FRAME_BYTES)
+            s = framed.sum(axis=1)
+            f_mean = s / FRAME_BYTES
+            f_sq = (framed * framed).sum(axis=1) / FRAME_BYTES
+            # sum-of-squares identity, integer-exact in float64: matches
+            # the SQL oracle's algebra bitwise (numpy .std() would not)
+            f_std = np.sqrt(np.maximum(f_sq - f_mean * f_mean, 0.0))
+            f_max = framed.max(axis=1)
+            # per-payload byte checksum: padding contributes zero, so a
+            # segmented sum of the frame sums is the payload byte sum
+            bsum = np.add.reduceat(s, offs[:-1])[: len(payloads)]
+            frame_ids = np.arange(int(offs[-1]), dtype=np.int64) - np.repeat(
+                offs[:-1], nf
+            )
+            keep = frame_ids % frame_stride == 0
             yield pd.DataFrame(
-                out,
-                columns=[
-                    id_col,
-                    "frame_id",
-                    "n_frames",
-                    "byte_sum",
-                    "f_mean",
-                    "f_std",
-                    "f_max",
-                ],
+                {
+                    id_col: np.repeat(ids, nf)[keep],
+                    "frame_id": frame_ids[keep].astype(np.int32),
+                    "n_frames": np.repeat(nf, nf)[keep].astype(np.int32),
+                    "byte_sum": np.repeat(
+                        bsum.astype(np.int64), nf
+                    )[keep],
+                    "f_mean": f_mean[keep],
+                    "f_std": f_std[keep],
+                    "f_max": f_max[keep],
+                }
             )
 
     return df.select(id_col, "payload").mapInPandas(gen, schema)

@@ -29,19 +29,37 @@ def ar1_forecast_native(df: DataFrame, value_col: str = "value") -> DataFrame:
 
     pred[t] = intercept + slope * x[t-1]  (null at the series head).
     slope/intercept are the OLS estimates over all (x[t-1], x[t])
-    pairs — ``regr_slope``/``regr_intercept`` semantics.
+    pairs — ``regr_slope``/``regr_intercept`` semantics, computed from
+    exact decimal sums (slope = (n·Σxy − ΣxΣy)/(n·Σxx − Σx²),
+    icept = (Σy − slope·Σx)/n) so they are order/engine-independent and
+    bit-match the oracle's identical algebra (see ``_exact.py``).
     """
+    from .._exact import DEC
+
     w = Window.partitionBy("series_id").orderBy("rn")
     lagged = df.withColumn("__prev", F.lag(value_col).over(w))
-    fit = lagged.groupBy("series_id").agg(
-        F.regr_slope(F.col(value_col), F.col("__prev")).alias("__slope"),
-        F.regr_intercept(F.col(value_col), F.col("__prev")).alias("__icept"),
+    x, y = F.col("__prev"), F.col(value_col)
+    sums = (
+        lagged.filter(x.isNotNull())
+        .groupBy("series_id")
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum(x.cast(DEC)).cast("double").alias("__sx"),
+            F.sum(y.cast(DEC)).cast("double").alias("__sy"),
+            F.sum((x * x).cast(DEC)).cast("double").alias("__sxx"),
+            F.sum((y * x).cast(DEC)).cast("double").alias("__sxy"),
+        )
+    )
+    n, sx, sy = F.col("__n"), F.col("__sx"), F.col("__sy")
+    slope = (n * F.col("__sxy") - sx * sy) / (n * F.col("__sxx") - sx * sx)
+    fit = sums.withColumn("__slope", slope).withColumn(
+        "__icept", (sy - F.col("__slope") * sx) / n
     )
     return (
         lagged.join(F.broadcast(fit), "series_id")
         .withColumn("pred_mean", F.col("__icept") + F.col("__slope") * F.col("__prev"))
         .withColumn("resid", F.col(value_col) - F.col("pred_mean"))
-        .drop("__prev", "__slope", "__icept")
+        .drop("__prev", "__slope", "__icept", "__n", "__sx", "__sy", "__sxx", "__sxy")
     )
 
 

@@ -16,12 +16,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .._exact import DEC
+
 
 def acf(df: DataFrame, max_lag: int = 10, value_col: str = "value") -> DataFrame:
-    """Per-series ACF for lags 1..max_lag: columns (series_id, lag, acf)."""
+    """Per-series ACF for lags 1..max_lag: columns (series_id, lag, acf).
+
+    Pearson r from exact decimal sums (sx, sy, sxx, syy, sxy) instead
+    of ``F.corr`` — corr's streaming co-moments are summation-order-
+    dependent; the explicit form is order/engine-independent and
+    mirrors the oracle bit for bit (see ``_exact.py``).
+    """
     lags = F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag")
     tall = df.select("series_id", "rn", value_col, lags)
-    w = Window.partitionBy("series_id", "lag").orderBy("rn")
     # lag() needs a literal offset; emulate variable shift with a self-join
     shifted = tall.alias("a").join(
         df.select(
@@ -33,10 +40,20 @@ def acf(df: DataFrame, max_lag: int = 10, value_col: str = "value") -> DataFrame
         ],
         how="inner",
     )
-    return (
-        shifted.groupBy(F.col("a.series_id").alias("series_id"), "lag")
-        .agg(F.corr(F.col(f"a.{value_col}"), F.col("prev")).alias("acf"))
+    x = F.col(f"a.{value_col}")
+    y = F.col("prev")
+    agg = shifted.groupBy(F.col("a.series_id").alias("series_id"), "lag").agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("sx"),
+        F.sum(y.cast(DEC)).cast("double").alias("sy"),
+        F.sum((x * x).cast(DEC)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(DEC)).cast("double").alias("syy"),
+        F.sum((x * y).cast(DEC)).cast("double").alias("sxy"),
     )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = n * F.col("sxy") - sx * sy
+    den = F.sqrt((n * F.col("sxx") - sx * sx) * (n * F.col("syy") - sy * sy))
+    return agg.select("series_id", "lag", (num / den).alias("acf"))
 
 
 def pacf(df: DataFrame, max_lag: int = 10, value_col: str = "value") -> DataFrame:

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .._exact import DEC
+
 
 def resample(
     df: DataFrame,
@@ -37,9 +39,17 @@ def resample(
 
     Gaps (empty buckets) are preserved as absent rows; grid-based
     operators tolerate them because ordering is positional per series.
+    ``avg``/``sum`` accumulate through exact decimals so the grid values
+    are order/engine-independent (see ``_exact.py``).
     """
-    agg_fn = {"avg": F.avg, "sum": F.sum, "max": F.max, "min": F.min,
-              "count": lambda c: F.count(c).cast("double")}[agg]
+    c = F.col(value_col)
+    agg_fn = {
+        "avg": lambda _: F.sum(c.cast(DEC)).cast("double") / F.count(value_col),
+        "sum": lambda _: F.sum(c.cast(DEC)).cast("double"),
+        "max": F.max,
+        "min": F.min,
+        "count": lambda col: F.count(col).cast("double"),
+    }[agg]
     return (
         df.groupBy("series_id", F.date_trunc(every, "timestamp").alias("timestamp"))
         .agg(agg_fn(value_col).alias(value_col))
@@ -67,16 +77,20 @@ def classical_decompose(
     """
     half = period // 2
     w = Window.partitionBy("series_id").orderBy("timestamp")
+    v = F.col(value_col)
     if period % 2 == 0:
         w_a = w.rowsBetween(-half, half - 1)
         w_b = w.rowsBetween(-half + 1, half)
-        trend = (F.sum(value_col).over(w_a) + F.sum(value_col).over(w_b)) / F.lit(
-            2.0 * period
-        )
+        trend = (
+            F.sum(v.cast(DEC)).over(w_a).cast("double")
+            + F.sum(v.cast(DEC)).over(w_b).cast("double")
+        ) / F.lit(2.0 * period)
         full = F.count(value_col).over(w.rowsBetween(-half, half)) == (period + 1)
     else:
         w_c = w.rowsBetween(-half, half)
-        trend = F.avg(value_col).over(w_c)
+        trend = F.sum(v.cast(DEC)).over(w_c).cast("double") / F.count(
+            value_col
+        ).over(w_c)
         full = F.count(value_col).over(w_c) == period
     out = df.withColumn("trend", F.when(full, trend))
     phase = phase_expr if phase_expr is not None else F.hour("timestamp")
@@ -84,16 +98,27 @@ def classical_decompose(
         "__detr", F.col(value_col) - F.col("trend")
     )
     wp = Window.partitionBy("series_id", "__phase")
-    ws = Window.partitionBy("series_id")
-    seasonal_raw = F.avg("__detr").over(wp)
+    seasonal_raw = F.sum(F.col("__detr").cast(DEC)).over(wp).cast(
+        "double"
+    ) / F.count("__detr").over(wp)
     out = out.withColumn("__sraw", seasonal_raw)
     # center: subtract the mean of the per-phase means (not the global
-    # mean of __sraw, which would weight phases by row count)
+    # mean of __sraw, which would weight phases by row count); exact
+    # decimal sums at every level (see _exact.py)
     phase_means = (
         out.groupBy("series_id", "__phase")
-        .agg(F.avg("__detr").alias("__pm"))
+        .agg(
+            (
+                F.sum(F.col("__detr").cast(DEC)).cast("double")
+                / F.count("__detr")
+            ).alias("__pm")
+        )
         .groupBy("series_id")
-        .agg(F.avg("__pm").alias("__pm_mean"))
+        .agg(
+            (
+                F.sum(F.col("__pm").cast(DEC)).cast("double") / F.count("__pm")
+            ).alias("__pm_mean")
+        )
     )
     out = (
         out.join(F.broadcast(phase_means), "series_id")

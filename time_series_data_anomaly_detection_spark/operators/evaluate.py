@@ -287,13 +287,19 @@ def average_precision(
     the standard summary the reference computes with sklearn
     (``src/plotting.py:64-65``; step vs trapezoid noted there).
     """
+    from .._exact import DEC
+
     curve = pr_curve(df, score_col, truth_col)
     w = Window.partitionBy("series_id").orderBy(F.desc("threshold"))
     stepped = curve.withColumn(
         "prev_recall", F.coalesce(F.lag("recall").over(w), F.lit(0.0))
     )
+    # exact decimal sum: the step-area accumulation is order-dependent
+    # in doubles (see _exact.py)
     return stepped.groupBy("series_id").agg(
         F.sum(
-            (F.col("recall") - F.col("prev_recall")) * F.col("precision")
-        ).alias("average_precision")
+            ((F.col("recall") - F.col("prev_recall")) * F.col("precision")).cast(DEC)
+        )
+        .cast("double")
+        .alias("average_precision")
     )

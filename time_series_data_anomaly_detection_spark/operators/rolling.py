@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .._exact import DEC
+
 EPS_SIGMA = 1e-6
 
 
@@ -40,6 +42,12 @@ def rolling_stats(
     Mirrors ``pd.Series.rolling(window, min_periods).std()/.mean()``
     then ``fillna(method='bfill')`` (``src/utils.py:63-65``).
     Adds ``{out_prefix}_mean`` and ``{out_prefix}_std``.
+
+    Mean/std are derived from exact DECIMAL(38,12) windowed sums of x
+    and x*x (order-independent, engine-independent; std =
+    sqrt((s2 - s1*s1/n)/(n-1)) in doubles) so results are bit-identical
+    to the DuckDB oracle's same algebra — see ``_exact.py``.  The 1e-12
+    decimal quantization is far below the 1e-6 output rounding.
     """
     order = _order_cols(df, value_col)
     w = (
@@ -47,12 +55,18 @@ def rolling_stats(
         .orderBy(*order)
         .rowsBetween(-(window - 1), Window.currentRow)
     )
+    v = F.col(value_col)
     cnt = F.count(value_col).over(w)
-    mean_raw = F.when(cnt >= min_periods, F.avg(value_col).over(w))
-    # stddev_samp of a single row is NaN (not null) in Spark; pandas
-    # treats it as missing and bfills it — null it out so ours does too
-    std_col = F.stddev_samp(value_col).over(w)
-    std_raw = F.when((cnt >= min_periods) & ~F.isnan(std_col), std_col)
+    s1 = F.sum(v.cast(DEC)).over(w).cast("double")
+    s2 = F.sum((v * v).cast(DEC)).over(w).cast("double")
+    mean_raw = F.when(cnt >= min_periods, s1 / cnt)
+    # sample std needs >= 2 rows (pandas yields NaN for a single row and
+    # bfills it; null it out so ours does too)
+    var = (s2 - s1 * s1 / cnt) / (cnt - 1)
+    std_raw = F.when(
+        (cnt >= min_periods) & (cnt >= 2),
+        F.sqrt(F.greatest(var, F.lit(0.0))),
+    )
     out = df.withColumn(f"{out_prefix}_mean", mean_raw).withColumn(
         f"{out_prefix}_std", std_raw
     )

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .._exact import DEC
+
 EPS_Z = 1e-9
 MAD_K = 1.4826  # consistency constant for Gaussian data (src/utils.py:38)
 
@@ -19,15 +21,30 @@ MAD_K = 1.4826  # consistency constant for Gaussian data (src/utils.py:38)
 def global_zscore(
     df: DataFrame, value_col: str = "value", out_col: str = "z_global"
 ) -> DataFrame:
-    """P6: per-series ``(x - mean) / std`` (sample std, ddof=1)."""
+    """P6: per-series ``(x - mean) / std`` (sample std, ddof=1).
+
+    Mean/std derive from exact decimal sums (order/engine-independent;
+    see ``_exact.py``) so the oracle's identical algebra matches bit
+    for bit.
+    """
+    v = F.col(value_col)
     moments = df.groupBy("series_id").agg(
-        F.avg(value_col).alias("__mu"),
-        F.stddev_samp(value_col).alias("__sd"),
+        F.count(value_col).alias("__n"),
+        F.sum(v.cast(DEC)).cast("double").alias("__s1"),
+        F.sum((v * v).cast(DEC)).cast("double").alias("__s2"),
+    )
+    mu = F.col("__s1") / F.col("__n")
+    sd = F.sqrt(
+        F.greatest(
+            (F.col("__s2") - F.col("__s1") * F.col("__s1") / F.col("__n"))
+            / (F.col("__n") - 1),
+            F.lit(0.0),
+        )
     )
     return (
         df.join(F.broadcast(moments), "series_id")
-        .withColumn(out_col, (F.col(value_col) - F.col("__mu")) / (F.col("__sd") + F.lit(EPS_Z)))
-        .drop("__mu", "__sd")
+        .withColumn(out_col, (F.col(value_col) - mu) / (sd + F.lit(EPS_Z)))
+        .drop("__n", "__s1", "__s2")
     )
 
 

@@ -43,8 +43,50 @@ from ..operators.sweep import (
     k_grid,
 )
 from ..operators.decompose import resample, classical_decompose
+from .._exact import DEC as DEC_T, r6 as _r6col
 
 R = 6  # output rounding decimals
+
+
+def _rnd(col, _r=R):
+    """Drop-in for _rnd(col, 6) on float OUTPUT columns: the
+    tie-proof quantizer of _exact.r6 (round() half-ties resolve
+    differently across engines; floor(x*1e6+0.5)/1e6 is bit-identical
+    given bit-identical x)."""
+    return _r6col(col)
+
+
+def tieproof_round_sql(sql: str) -> str:
+    """Rewrite every ``round(EXPR, 6)`` in oracle SQL into the shared
+    floor quantizer (the DuckDB mirror of :func:`_rnd`).  Balanced-
+    paren scan, applied to the final oracle strings in oracle_sql()."""
+    out: list[str] = []
+    i = 0
+    while True:
+        j = sql.find("round(", i)
+        if j == -1:
+            out.append(sql[i:])
+            return "".join(out)
+        out.append(sql[i:j])
+        depth, k = 1, j + len("round(")
+        last_comma = -1
+        while depth:
+            ch = sql[k]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 1:
+                last_comma = k
+            k += 1
+        body, digits = sql[j + 6 : last_comma], sql[last_comma + 1 : k - 1]
+        assert digits.strip() == str(R), f"unexpected round() digits: {digits!r}"
+        out.append(
+            f"(CASE WHEN isnan(CAST(({body}) AS DOUBLE)) THEN NULL "
+            f"ELSE floor(CAST(({body}) AS DOUBLE) * 1000000.0 + 0.5) "
+            f"/ 1000000.0 END)"
+        )
+        i = k
 
 
 def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -64,11 +106,22 @@ s AS (
 """
 
 # W1 rolling mean/std, min_periods=5, bfill — mirrors operators.rolling
+# (exact decimal windowed sums + the same double algebra: see _exact.py)
 SQL_ROLL = """
 roll_raw AS (
   SELECT series_id, timestamp, rn, value,
-    CASE WHEN count(value) OVER w >= 5 THEN avg(value) OVER w END AS m_raw,
-    CASE WHEN count(value) OVER w >= 5 THEN stddev_samp(value) OVER w END AS s_raw
+    CASE WHEN count(value) OVER w >= 5 THEN
+      CAST(sum(CAST(value AS DECIMAL(38,12))) OVER w AS DOUBLE)
+      / count(value) OVER w
+    END AS m_raw,
+    CASE WHEN count(value) OVER w >= 5 AND count(value) OVER w >= 2 THEN
+      sqrt(greatest(
+        (CAST(sum(CAST(value * value AS DECIMAL(38,12))) OVER w AS DOUBLE)
+         - CAST(sum(CAST(value AS DECIMAL(38,12))) OVER w AS DOUBLE)
+           * CAST(sum(CAST(value AS DECIMAL(38,12))) OVER w AS DOUBLE)
+           / count(value) OVER w)
+        / (count(value) OVER w - 1), 0.0))
+    END AS s_raw
   FROM s
   WINDOW w AS (PARTITION BY series_id ORDER BY rn
                ROWS BETWEEN 47 PRECEDING AND CURRENT ROW)
@@ -202,7 +255,7 @@ def q_sliding_windows(spark, sf_dir):
         "series_id",
         "rn",
         F.posexplode("x_window").alias("pos", "x"),
-    ).select("series_id", "rn", "pos", F.round("x", R).alias("x"))
+    ).select("series_id", "rn", "pos", _rnd("x", R).alias("x"))
 
 
 def q_walk_forward_cv(spark, sf_dir):
@@ -211,9 +264,9 @@ def q_walk_forward_cv(spark, sf_dir):
     out = walk_forward_cv(_series(spark, sf_dir), model="ar", period=24)
     return out.select(
         "series_id", "n_folds",
-        F.round("mean_f1", R).alias("mean_f1"),
-        F.round("mean_precision", R).alias("mean_precision"),
-        F.round("mean_recall", R).alias("mean_recall"),
+        _rnd("mean_f1", R).alias("mean_f1"),
+        _rnd("mean_precision", R).alias("mean_precision"),
+        _rnd("mean_recall", R).alias("mean_recall"),
     )
 
 
@@ -223,9 +276,9 @@ def q_benchmark_leaderboard(spark, sf_dir):
     out = run_benchmark(_series(spark, sf_dir), models=("stl", "ar"))
     return out.select(
         "model", "series_id",
-        F.round("f1", R).alias("f1"),
-        F.round("precision", R).alias("precision"),
-        F.round("recall", R).alias("recall"),
+        _rnd("f1", R).alias("f1"),
+        _rnd("precision", R).alias("precision"),
+        _rnd("recall", R).alias("recall"),
     )
 
 
@@ -234,8 +287,8 @@ def q_rolling_stats(spark, sf_dir):
     out = rolling_stats(s)
     return out.select(
         "series_id", "rn",
-        F.round("roll_mean", R).alias("roll_mean"),
-        F.round("roll_std", R).alias("roll_std"),
+        _rnd("roll_mean", R).alias("roll_mean"),
+        _rnd("roll_std", R).alias("roll_std"),
     )
 
 
@@ -251,7 +304,7 @@ def q_mad_scores(spark, sf_dir):
     out = mad_scores(s)
     return out.select(
         "series_id", "rn",
-        F.round("z_mad", R).alias("z_mad"),
+        _rnd("z_mad", R).alias("z_mad"),
         (F.col("z_mad") > 3.0).cast("int").alias("flag"),
     )
 
@@ -259,7 +312,7 @@ def q_mad_scores(spark, sf_dir):
 def q_global_zscore(spark, sf_dir):
     s = _series(spark, sf_dir)
     out = global_zscore(s)
-    return out.select("series_id", "rn", F.round("z_global", R).alias("z_global"))
+    return out.select("series_id", "rn", _rnd("z_global", R).alias("z_global"))
 
 
 def q_fractional_split(spark, sf_dir):
@@ -298,9 +351,9 @@ def q_pointwise_metrics(spark, sf_dir):
     out = pointwise_metrics(_truth_and_flags(spark, sf_dir))
     return out.select(
         "series_id", "tp", "fp", "fn",
-        F.round("precision", R).alias("precision"),
-        F.round("recall", R).alias("recall"),
-        F.round("f1", R).alias("f1"),
+        _rnd("precision", R).alias("precision"),
+        _rnd("recall", R).alias("recall"),
+        _rnd("f1", R).alias("f1"),
     )
 
 
@@ -308,9 +361,9 @@ def q_event_metrics(spark, sf_dir):
     out = event_level_metrics(_truth_and_flags(spark, sf_dir), gap=3)
     return out.select(
         "series_id", "tp", "fp", "fn", "n_true_events", "n_pred_events",
-        F.round("precision", R).alias("precision"),
-        F.round("recall", R).alias("recall"),
-        F.round("f1", R).alias("f1"),
+        _rnd("precision", R).alias("precision"),
+        _rnd("recall", R).alias("recall"),
+        _rnd("f1", R).alias("f1"),
     )
 
 
@@ -318,9 +371,9 @@ def q_business_metrics(spark, sf_dir):
     out = business_metrics(_truth_and_flags(spark, sf_dir), gap=3)
     return out.select(
         "series_id", "fp_count",
-        F.round("duration_days", R).alias("duration_days"),
-        F.round("fp_per_day", R).alias("fp_per_day"),
-        F.round("median_latency_minutes", R).alias("median_latency_minutes"),
+        _rnd("duration_days", R).alias("duration_days"),
+        _rnd("fp_per_day", R).alias("fp_per_day"),
+        _rnd("median_latency_minutes", R).alias("median_latency_minutes"),
     )
 
 
@@ -330,9 +383,9 @@ def q_threshold_sweep(spark, sf_dir):
     )
     return out.select(
         "series_id",
-        F.round("best_k", R).alias("best_k"),
-        F.round("f1", R).alias("f1"),
-        F.round("rate", R).alias("rate"),
+        _rnd("best_k", R).alias("best_k"),
+        _rnd("f1", R).alias("f1"),
+        _rnd("rate", R).alias("rate"),
     )
 
 
@@ -342,9 +395,9 @@ def q_threshold_sweep_event(spark, sf_dir):
     )
     return out.select(
         "series_id",
-        F.round("best_k", R).alias("best_k"),
-        F.round("f1", R).alias("f1"),
-        F.round("rate", R).alias("rate"),
+        _rnd("best_k", R).alias("best_k"),
+        _rnd("f1", R).alias("f1"),
+        _rnd("rate", R).alias("rate"),
     )
 
 
@@ -360,10 +413,10 @@ def q_pr_curve(spark, sf_dir):
     out = pr_curve(_scored_with_truth(spark, sf_dir), "z_mad", "is_anomaly")
     return out.select(
         "series_id",
-        F.round("threshold", R).alias("threshold"),
+        _rnd("threshold", R).alias("threshold"),
         "tp", "fp",
-        F.round("precision", R).alias("precision"),
-        F.round("recall", R).alias("recall"),
+        _rnd("precision", R).alias("precision"),
+        _rnd("recall", R).alias("recall"),
     )
 
 
@@ -373,39 +426,61 @@ def q_average_precision(spark, sf_dir):
     )
     return out.select(
         "series_id",
-        F.round("average_precision", R).alias("average_precision"),
+        _rnd("average_precision", R).alias("average_precision"),
     )
 
 
 def q_global_moments(spark, sf_dir):
+    # exact decimal sums for mean/std/kurtosis; d*d instead of pow()
+    # (cross-engine pow(x, 2.0) is not guaranteed bitwise) — mirrors the
+    # oracle algebra 1:1 (see _exact.py)
     s = _series(spark, sf_dir)
-    mu = s.groupBy("series_id").agg(F.avg("value").alias("__mu"))
+    v = F.col("value")
+    mo = s.groupBy("series_id").agg(
+        F.count("*").alias("__n"),
+        F.sum(v.cast(DEC_T)).cast("double").alias("__s1"),
+    )
+    mu = (F.col("__s1") / F.col("__n")).alias("__mu")
+    d = v - F.col("__mu")
+    p2 = d * d
+    p4 = (d * d) * (d * d)
     out = (
-        s.join(F.broadcast(mu), "series_id")
+        s.join(F.broadcast(mo.select("series_id", mu)), "series_id")
         .groupBy("series_id")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("value"), R).alias("mean"),
-            F.round(F.stddev_samp("value"), R).alias("std"),
-            F.round(F.percentile("value", F.lit(0.5)), R).alias("median"),
-            F.round(F.min("value"), R).alias("vmin"),
-            F.round(F.max("value"), R).alias("vmax"),
-            F.round(
-                F.avg(F.pow(F.col("value") - F.col("__mu"), 4))
-                / F.pow(F.avg(F.pow(F.col("value") - F.col("__mu"), 2)), 2)
-                - 3.0,
-                R,
-            ).alias("kurtosis"),
+            F.sum(v.cast(DEC_T)).cast("double").alias("__t1"),
+            F.sum((v * v).cast(DEC_T)).cast("double").alias("__t2"),
+            _rnd(F.percentile("value", F.lit(0.5)), R).alias("median"),
+            _rnd(F.min("value"), R).alias("vmin"),
+            _rnd(F.max("value"), R).alias("vmax"),
+            F.sum(p2.cast(DEC_T)).cast("double").alias("__m2s"),
+            F.sum(p4.cast(DEC_T)).cast("double").alias("__m4s"),
         )
     )
-    return out
+    n = F.col("n")
+    mean = F.col("__t1") / n
+    std = F.sqrt(
+        F.greatest(
+            (F.col("__t2") - F.col("__t1") * F.col("__t1") / n) / (n - 1),
+            F.lit(0.0),
+        )
+    )
+    kurt = (F.col("__m4s") / n) / ((F.col("__m2s") / n) * (F.col("__m2s") / n)) - 3.0
+    return out.select(
+        "series_id", "n",
+        _rnd(mean, R).alias("mean"),
+        _rnd(std, R).alias("std"),
+        "median", "vmin", "vmax",
+        _rnd(kurt, R).alias("kurtosis"),
+    )
 
 
 def q_acf(spark, sf_dir):
     from ..operators.acf import acf
     s = _series(spark, sf_dir)
     out = acf(s, max_lag=10)
-    return out.select("series_id", "lag", F.round("acf", R).alias("acf"))
+    return out.select("series_id", "lag", _rnd("acf", R).alias("acf"))
 
 
 def q_pacf(spark, sf_dir):
@@ -413,7 +488,7 @@ def q_pacf(spark, sf_dir):
 
     s = _series(spark, sf_dir)
     out = pacf(s, max_lag=10)
-    return out.select("series_id", "lag", F.round("pacf", R).alias("pacf"))
+    return out.select("series_id", "lag", _rnd("pacf", R).alias("pacf"))
 
 
 def q_hybrid_detection(spark, sf_dir):
@@ -423,9 +498,9 @@ def q_hybrid_detection(spark, sf_dir):
     out = res["event_metrics"]
     return out.select(
         "model", "series_id", "tp", "fp", "fn",
-        F.round("precision", R).alias("precision"),
-        F.round("recall", R).alias("recall"),
-        F.round("f1", R).alias("f1"),
+        _rnd("precision", R).alias("precision"),
+        _rnd("recall", R).alias("recall"),
+        _rnd("f1", R).alias("f1"),
     )
 
 
@@ -436,10 +511,10 @@ def q_resample_decompose(spark, sf_dir):
     return dc.select(
         "series_id",
         F.col("timestamp").cast("string").alias("bucket"),
-        F.round("value", R).alias("value"),
-        F.round("trend", R).alias("trend"),
-        F.round("seasonal", R).alias("seasonal"),
-        F.round("resid", R).alias("resid"),
+        _rnd("value", R).alias("value"),
+        _rnd("trend", R).alias("trend"),
+        _rnd("seasonal", R).alias("seasonal"),
+        _rnd("resid", R).alias("resid"),
     )
 
 
@@ -450,8 +525,8 @@ def q_interval_exceedance(spark, sf_dir):
     hi = F.col("roll_mean") + 3.0 * F.col("roll_std")
     return out.select(
         "series_id", "rn",
-        F.round(lo, R).alias("lower"),
-        F.round(hi, R).alias("upper"),
+        _rnd(lo, R).alias("lower"),
+        _rnd(hi, R).alias("upper"),
         ((F.col("value") < lo) | (F.col("value") > hi)).cast("int").alias("exceed"),
     )
 
@@ -466,7 +541,7 @@ def q_ensemble_fusion(spark, sf_dir):
     combined = (F.col("z_mad") + F.abs(F.col("z_global")) + z_roll) / 3.0
     return scored.select(
         "series_id", "rn",
-        F.round(combined, R).alias("combined_score"),
+        _rnd(combined, R).alias("combined_score"),
         (combined > 3.0).cast("int").alias("flag"),
     )
 
@@ -481,8 +556,8 @@ def q_ar1_forecast(spark, sf_dir):
     out = ar1_forecast_native(s)
     return out.select(
         "series_id", "rn",
-        F.round("pred_mean", R).alias("pred_mean"),
-        F.round("resid", R).alias("resid"),
+        _rnd("pred_mean", R).alias("pred_mean"),
+        _rnd("resid", R).alias("resid"),
     )
 
 
@@ -491,9 +566,9 @@ def q_kalman_forecast(spark, sf_dir):
     out = kalman_local_level(_series(spark, sf_dir), train_frac=0.75)
     return out.select(
         "series_id", "rn",
-        F.round("pred_mean", R).alias("pred_mean"),
-        F.round("pred_lower", R).alias("pred_lower"),
-        F.round("pred_upper", R).alias("pred_upper"),
+        _rnd("pred_mean", R).alias("pred_mean"),
+        _rnd("pred_lower", R).alias("pred_lower"),
+        _rnd("pred_upper", R).alias("pred_upper"),
     )
 
 
@@ -502,9 +577,9 @@ def q_bsts_forecast(spark, sf_dir):
     out = bsts_forecast(_series(spark, sf_dir), period=24, train_frac=0.5)
     return out.select(
         "series_id", "rn",
-        F.round("pred_mean", R).alias("pred_mean"),
-        F.round("pred_lower", R).alias("pred_lower"),
-        F.round("pred_upper", R).alias("pred_upper"),
+        _rnd("pred_mean", R).alias("pred_mean"),
+        _rnd("pred_lower", R).alias("pred_lower"),
+        _rnd("pred_upper", R).alias("pred_upper"),
     )
 
 
@@ -513,8 +588,8 @@ def q_gp_forecast(spark, sf_dir):
     out = gp_forecast(_series(spark, sf_dir), train_frac=0.5)
     return out.select(
         "series_id", "rn",
-        F.round("pred_mean", R).alias("pred_mean"),
-        F.round("pred_std", R).alias("pred_std"),
+        _rnd("pred_mean", R).alias("pred_mean"),
+        _rnd("pred_std", R).alias("pred_std"),
     )
 
 
@@ -523,8 +598,8 @@ def q_bocpd_changepoints(spark, sf_dir):
     out = bocpd_changepoints(_series(spark, sf_dir))
     return out.select(
         "series_id", "rn",
-        F.round("cp_prob", R).alias("cp_prob"),
-        F.round("cp_score", R).alias("cp_score"),
+        _rnd("cp_prob", R).alias("cp_prob"),
+        _rnd("cp_score", R).alias("cp_score"),
     )
 
 
@@ -533,9 +608,9 @@ def q_stl_robust(spark, sf_dir):
     out = stl_decompose(_series(spark, sf_dir), period=24)
     return out.select(
         "series_id", "rn",
-        F.round("trend", R).alias("trend"),
-        F.round("seasonal", R).alias("seasonal"),
-        F.round("resid", R).alias("resid"),
+        _rnd("trend", R).alias("trend"),
+        _rnd("seasonal", R).alias("seasonal"),
+        _rnd("resid", R).alias("resid"),
     )
 
 
@@ -547,10 +622,19 @@ lagged AS (
   SELECT series_id, rn, value,
          lag(value) OVER (PARTITION BY series_id ORDER BY rn) AS prev
   FROM s),
+arsum AS (
+  SELECT series_id, count(*) AS n,
+         CAST(sum(CAST(prev AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(prev * prev AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(value * prev AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+  FROM lagged WHERE prev IS NOT NULL GROUP BY 1),
+fit0 AS (
+  SELECT series_id, n, sx, sy,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+  FROM arsum),
 fit AS (
-  SELECT series_id, regr_slope(value, prev) AS slope,
-         regr_intercept(value, prev) AS icept
-  FROM lagged GROUP BY 1)
+  SELECT series_id, slope, (sy - slope * sx) / n AS icept FROM fit0)
 SELECT l.series_id, l.rn,
        round(f.icept + f.slope * l.prev, {R}) AS pred_mean,
        round(l.value - (f.icept + f.slope * l.prev), {R}) AS resid
@@ -586,13 +670,26 @@ SELECT series_id, rn, round(z_mad, {R}) AS z_mad,
 FROM mads
 """
 
+# exact-decimal moments (mirrors operators.scaling.global_zscore)
+SQL_MO = """
+mo AS (
+  SELECT series_id, count(value) AS n,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS s2
+  FROM s GROUP BY 1
+),
+mo2 AS (
+  SELECT series_id, n, s1 / n AS mu,
+         sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) AS sd
+  FROM mo
+)
+"""
+
 ORACLES["global_zscore"] = f"""
-WITH {SQL_S},
-mo AS (SELECT series_id, avg(value) AS mu, stddev_samp(value) AS sd
-       FROM s GROUP BY 1)
+WITH {SQL_S}, {SQL_MO}
 SELECT s.series_id, s.rn,
-       round((s.value - mo.mu) / (mo.sd + 1e-9), {R}) AS z_global
-FROM s JOIN mo USING (series_id)
+       round((s.value - mo2.mu) / (mo2.sd + 1e-9), {R}) AS z_global
+FROM s JOIN mo2 USING (series_id)
 """
 
 ORACLES["fractional_split"] = f"""
@@ -787,7 +884,9 @@ stepped AS (
   FROM prt
 )
 SELECT series_id,
-       round(sum((recall - prev_recall) * precision), {R}) AS average_precision
+       round(CAST(sum(CAST((recall - prev_recall) * precision
+                           AS DECIMAL(38,12))) AS DOUBLE), {R})
+         AS average_precision
 FROM stepped GROUP BY 1
 """
 
@@ -893,17 +992,31 @@ FROM ranked WHERE rk = 1
 
 ORACLES["global_moments"] = f"""
 WITH {SQL_S},
-mo AS (SELECT series_id, avg(value) AS mu FROM s GROUP BY 1)
-SELECT s.series_id, count(*) AS n,
-       round(avg(s.value), {R}) AS mean,
-       round(stddev_samp(s.value), {R}) AS std,
-       round(median(s.value), {R}) AS median,
-       round(min(s.value), {R}) AS vmin,
-       round(max(s.value), {R}) AS vmax,
-       round(avg(pow(s.value - mo.mu, 4))
-             / pow(avg(pow(s.value - mo.mu, 2)), 2) - 3.0, {R}) AS kurtosis
-FROM s JOIN mo USING (series_id)
-GROUP BY s.series_id
+gm0 AS (
+  SELECT series_id, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS s1
+  FROM s GROUP BY 1),
+gmu AS (SELECT series_id, s1 / n AS mu FROM gm0),
+ag AS (
+  SELECT s.series_id, count(*) AS n,
+         CAST(sum(CAST(s.value AS DECIMAL(38,12))) AS DOUBLE) AS t1,
+         CAST(sum(CAST(s.value * s.value AS DECIMAL(38,12))) AS DOUBLE) AS t2,
+         round(median(s.value), {R}) AS median,
+         round(min(s.value), {R}) AS vmin,
+         round(max(s.value), {R}) AS vmax,
+         CAST(sum(CAST((s.value - gmu.mu) * (s.value - gmu.mu)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS m2s,
+         CAST(sum(CAST(((s.value - gmu.mu) * (s.value - gmu.mu))
+                       * ((s.value - gmu.mu) * (s.value - gmu.mu))
+                       AS DECIMAL(38,12))) AS DOUBLE) AS m4s
+  FROM s JOIN gmu USING (series_id)
+  GROUP BY s.series_id)
+SELECT series_id, n,
+       round(t1 / n, {R}) AS mean,
+       round(sqrt(greatest((t2 - t1 * t1 / n) / (n - 1), 0.0)), {R}) AS std,
+       median, vmin, vmax,
+       round((m4s / n) / ((m2s / n) * (m2s / n)) - 3.0, {R}) AS kurtosis
+FROM ag
 """
 
 ORACLES["acf"] = f"""
@@ -913,16 +1026,27 @@ shifted AS (
   SELECT s.series_id, l.lag, s.value,
          lag(s.value, l.lag) OVER (PARTITION BY s.series_id, l.lag
                                    ORDER BY s.rn) AS prev
-  FROM s CROSS JOIN lags l)
-SELECT series_id, lag, round(corr(value, prev), {R}) AS acf
-FROM shifted WHERE prev IS NOT NULL
-GROUP BY 1, 2
+  FROM s CROSS JOIN lags l),
+am AS (
+  SELECT series_id, lag, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(prev AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(prev * prev AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(value * prev AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+  FROM shifted WHERE prev IS NOT NULL
+  GROUP BY 1, 2)
+SELECT series_id, lag,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), {R}) AS acf
+FROM am
 """
 
 SQL_RESAMPLE = """
 rs AS (
   SELECT series_id, date_trunc('hour', timestamp) AS bucket,
-         avg(value) AS value
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / count(value)
+           AS value
   FROM s GROUP BY 1, 2
 ),
 rsn AS (
@@ -936,7 +1060,9 @@ SQL_DECOMP = """
 tr AS (
   SELECT series_id, bucket, brn, value,
     CASE WHEN count(value) OVER wc = 25 THEN
-      (sum(value) OVER wa + sum(value) OVER wb) / 48.0 END AS trend,
+      (CAST(sum(CAST(value AS DECIMAL(38,12))) OVER wa AS DOUBLE)
+       + CAST(sum(CAST(value AS DECIMAL(38,12))) OVER wb AS DOUBLE)) / 48.0
+    END AS trend,
     hour(bucket) AS phase
   FROM rsn
   WINDOW wa AS (PARTITION BY series_id ORDER BY brn
@@ -946,19 +1072,29 @@ tr AS (
          wc AS (PARTITION BY series_id ORDER BY brn
                 ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
 ),
+srw AS (
+  SELECT series_id, bucket, value, trend, phase,
+         CAST(sum(CAST(value - trend AS DECIMAL(38,12)))
+              OVER (PARTITION BY series_id, phase) AS DOUBLE)
+         / count(value - trend) OVER (PARTITION BY series_id, phase) AS sraw
+  FROM tr
+),
 ph AS (
-  SELECT series_id, phase, avg(value - trend) AS pm
+  SELECT series_id, phase,
+         CAST(sum(CAST(value - trend AS DECIMAL(38,12))) AS DOUBLE)
+         / count(value - trend) AS pm
   FROM tr GROUP BY 1, 2
 ),
-phm AS (SELECT series_id, avg(pm) AS pm_mean FROM ph GROUP BY 1),
+phm AS (
+  SELECT series_id,
+         CAST(sum(CAST(pm AS DECIMAL(38,12))) AS DOUBLE) / count(pm) AS pm_mean
+  FROM ph GROUP BY 1
+),
 dc AS (
-  SELECT tr.series_id, tr.bucket, tr.value, tr.trend,
-         avg(tr.value - tr.trend)
-           OVER (PARTITION BY tr.series_id, tr.phase) - phm.pm_mean AS seasonal,
-         tr.value - tr.trend
-           - (avg(tr.value - tr.trend)
-                OVER (PARTITION BY tr.series_id, tr.phase) - phm.pm_mean) AS resid
-  FROM tr JOIN phm USING (series_id)
+  SELECT srw.series_id, srw.bucket, srw.value, srw.trend,
+         srw.sraw - phm.pm_mean AS seasonal,
+         srw.value - srw.trend - (srw.sraw - phm.pm_mean) AS resid
+  FROM srw JOIN phm USING (series_id)
 )
 """
 
@@ -981,15 +1117,13 @@ FROM roll
 """
 
 ORACLES["ensemble_fusion"] = f"""
-WITH {SQL_S}, {SQL_MAD}, {SQL_ROLL},
-mo AS (SELECT series_id, avg(value) AS mu, stddev_samp(value) AS sd
-       FROM s GROUP BY 1),
+WITH {SQL_S}, {SQL_MAD}, {SQL_ROLL}, {SQL_MO},
 fused AS (
   SELECT m.series_id, m.rn,
          (m.z_mad
-          + abs((m.value - mo.mu) / (mo.sd + 1e-9))
+          + abs((m.value - mo2.mu) / (mo2.sd + 1e-9))
           + abs(m.value - r.roll_mean) / (r.roll_std + 1e-6)) / 3.0 AS combined
-  FROM mads m JOIN roll r USING (series_id, rn) JOIN mo ON mo.series_id = m.series_id)
+  FROM mads m JOIN roll r USING (series_id, rn) JOIN mo2 ON mo2.series_id = m.series_id)
 SELECT series_id, rn, round(combined, {R}) AS combined_score,
        CASE WHEN combined > 3.0 THEN 1 ELSE 0 END AS flag
 FROM fused
@@ -1042,4 +1176,4 @@ def oracle_sql() -> dict[str, str]:
 
     out = dict(ORACLES)
     out.update(registry_datapipe.oracle_sql())
-    return out
+    return {name: tieproof_round_sql(sql) for name, sql in out.items()}

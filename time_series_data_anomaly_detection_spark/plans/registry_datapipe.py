@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .registry import _rnd
+
 from ..datapipe import (
     ann_lsh_topk,
     as_binary_payload,
@@ -69,10 +71,10 @@ def q_doc_stats(spark, sf_dir):
     out = doc_stats(_docs(spark, sf_dir))
     return out.select(
         "doc_id", "n_tokens", "n_unique_tokens",
-        F.round("stopword_ratio", R).alias("stopword_ratio"),
-        F.round("unique_ratio", R).alias("unique_ratio"),
-        F.round("mean_token_len", R).alias("mean_token_len"),
-        F.round("quality_score", R).alias("quality_score"),
+        _rnd("stopword_ratio", R).alias("stopword_ratio"),
+        _rnd("unique_ratio", R).alias("unique_ratio"),
+        _rnd("mean_token_len", R).alias("mean_token_len"),
+        _rnd("quality_score", R).alias("quality_score"),
     )
 
 
@@ -94,12 +96,12 @@ def q_exact_dedup(spark, sf_dir):
 
 def q_ngram_jaccard(spark, sf_dir):
     out = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=JACCARD_T)
-    return out.select("id_a", "id_b", F.round("jaccard", R).alias("jaccard"))
+    return out.select("id_a", "id_b", _rnd("jaccard", R).alias("jaccard"))
 
 
 def q_minhash_lsh(spark, sf_dir):
     out = minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=JACCARD_T)
-    return out.select("id_a", "id_b", F.round("jaccard", R).alias("jaccard"))
+    return out.select("id_a", "id_b", _rnd("jaccard", R).alias("jaccard"))
 
 
 def q_simhash(spark, sf_dir):
@@ -110,14 +112,14 @@ def q_embedding_near_dup(spark, sf_dir):
     out = embedding_near_dup(
         _embs(spark, sf_dir), threshold=NEARDUP_T, bucket_bits=NEARDUP_BITS
     )
-    return out.select("id_a", "id_b", F.round("cosine", R).alias("cosine"))
+    return out.select("id_a", "id_b", _rnd("cosine", R).alias("cosine"))
 
 
 def q_cosine_topk(spark, sf_dir):
     e = _embs(spark, sf_dir)
     out = cosine_topk(e, e.filter(F.col("vec_id") < N_QUERIES), k=TOPK)
     return out.select(
-        "query_id", "match_id", "rank", F.round("cosine", R).alias("cosine")
+        "query_id", "match_id", "rank", _rnd("cosine", R).alias("cosine")
     )
 
 
@@ -127,7 +129,7 @@ def q_ann_topk(spark, sf_dir):
         e, e.filter(F.col("vec_id") < N_QUERIES), k=TOPK, bucket_bits=ANN_BITS
     )
     return out.select(
-        "query_id", "match_id", "rank", F.round("cosine", R).alias("cosine")
+        "query_id", "match_id", "rank", _rnd("cosine", R).alias("cosine")
     )
 
 
@@ -140,7 +142,7 @@ def q_corpus_filter(spark, sf_dir):
     out = corpus_filter(_docs(spark, sf_dir))
     return out.select(
         "doc_id", "n_tokens",
-        F.round("quality_score", R).alias("quality_score"),
+        _rnd("quality_score", R).alias("quality_score"),
         "lang_pred", "verdict",
     )
 
@@ -149,8 +151,8 @@ def q_source_stats(spark, sf_dir):
     out = source_stats(_docs(spark, sf_dir))
     return out.select(
         "source", "n_docs", "total_tokens",
-        F.round("mean_tokens", R).alias("mean_tokens"),
-        F.round("mean_quality", R).alias("mean_quality"),
+        _rnd("mean_tokens", R).alias("mean_tokens"),
+        _rnd("mean_quality", R).alias("mean_quality"),
         "min_tokens", "max_tokens",
     )
 
@@ -160,9 +162,9 @@ def q_multimodal_features(spark, sf_dir):
     out = extract_features(payload)
     return out.select(
         "doc_id", "frame_id", "n_frames", "byte_sum",
-        F.round("f_mean", R).alias("f_mean"),
-        F.round("f_std", R).alias("f_std"),
-        F.round("f_max", R).alias("f_max"),
+        _rnd("f_mean", R).alias("f_mean"),
+        _rnd("f_std", R).alias("f_std"),
+        _rnd("f_max", R).alias("f_max"),
     )
 
 
@@ -492,8 +494,9 @@ st AS (
   FROM toks
 )
 SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
-       round(avg(n_tokens), {R}) AS mean_tokens,
-       round(avg(quality), {R}) AS mean_quality,
+       round(sum(n_tokens) / count(*), {R}) AS mean_tokens,
+       round(CAST(sum(CAST(quality AS DECIMAL(38,12))) AS DOUBLE) / count(*),
+             {R}) AS mean_quality,
        min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
 FROM st GROUP BY 1
 """

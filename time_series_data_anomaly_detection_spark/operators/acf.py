@@ -56,43 +56,67 @@ def acf(df: DataFrame, max_lag: int = 10, value_col: str = "value") -> DataFrame
     return agg.select("series_id", "lag", (num / den).alias("acf"))
 
 
+def durbin_levinson_steps(max_lag: int) -> list[dict[str, str]]:
+    """Unrolled Durbin–Levinson recursion as a sequence of SQL-text
+    select stages over a wide frame with columns ``r1..r{max_lag}``.
+
+    Each returned dict maps NEW column name -> SQL expression over the
+    columns of the previous stage.  ``phi_k_j`` is the j-th AR
+    coefficient of the order-k model; ``phi_k_k`` is the PACF at lag k.
+    Shared verbatim by the Spark implementation (``selectExpr``) and
+    the DuckDB oracle (chained CTEs), so both engines evaluate the
+    IDENTICAL expression tree — bit-identical results given the
+    bit-identical ACF inputs.  Sums unroll in ascending-j order (plain
+    ``+`` chains: no aggregation, no order ambiguity).
+    """
+    steps: list[dict[str, str]] = [{"phi_1_1": "r1"}]
+    for k in range(2, max_lag + 1):
+        num = f"r{k} - (" + " + ".join(
+            f"phi_{k - 1}_{j} * r{k - j}" for j in range(1, k)
+        ) + ")"
+        den = "1.0 - (" + " + ".join(
+            f"phi_{k - 1}_{j} * r{j}" for j in range(1, k)
+        ) + ")"
+        steps.append(
+            {
+                f"phi_{k}_{k}": (
+                    f"CASE WHEN abs({den}) > 1e-12 "
+                    f"THEN ({num}) / ({den}) ELSE 0.0 END"
+                )
+            }
+        )
+        steps.append(
+            {
+                f"phi_{k}_{j}": f"phi_{k - 1}_{j} - phi_{k}_{k} * phi_{k - 1}_{k - j}"
+                for j in range(1, k)
+            }
+        )
+    return steps
+
+
 def pacf(df: DataFrame, max_lag: int = 10, value_col: str = "value") -> DataFrame:
     """Per-series PACF for lags 1..max_lag via Durbin–Levinson on the
     ACF sequence (statsmodels ``plot_pacf`` companion, nb 01 cell 7).
 
-    The recursion is sequential in lag but runs on the TINY per-series
-    ACF table (max_lag rows/series), so it rides a grouped-map UDF
-    over the aggregate, not the raw points — the heavy lifting stays
-    in the native ACF aggregation.
+    Fully native: the ACF table is pivoted to one row per series
+    (max_lag columns) and the recursion unrolls into column algebra —
+    no UDF, no Python, whole-stage codegen over a frame with one row
+    per series.  The same generated expressions power the DuckDB
+    oracle (see ``durbin_levinson_steps``).
     """
-    import pandas as pd
-
     rho = acf(df, max_lag, value_col)
-
-    def dl(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("lag").reset_index(drop=True)
-        r = pdf["acf"].to_numpy(float)
-        m = len(r)
-        phi_prev: list[float] = []
-        out = []
-        for k in range(1, m + 1):
-            if k == 1:
-                phi_kk = r[0]
-                phi = [phi_kk]
-            else:
-                num = r[k - 1] - sum(
-                    phi_prev[j] * r[k - 2 - j] for j in range(k - 1)
-                )
-                den = 1.0 - sum(phi_prev[j] * r[j] for j in range(k - 1))
-                phi_kk = num / den if abs(den) > 1e-12 else 0.0
-                phi = [
-                    phi_prev[j] - phi_kk * phi_prev[k - 2 - j]
-                    for j in range(k - 1)
-                ] + [phi_kk]
-            out.append((pdf["series_id"].iloc[0], k, float(phi_kk)))
-            phi_prev = phi
-        return pd.DataFrame(out, columns=["series_id", "lag", "pacf"])
-
-    return rho.groupBy("series_id").applyInPandas(
-        dl, "series_id string, lag int, pacf double"
+    wide = rho.groupBy("series_id").agg(
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("acf"))).alias(f"r{k}")
+            for k in range(1, max_lag + 1)
+        ]
+    )
+    cur = wide
+    for step in durbin_levinson_steps(max_lag):
+        cur = cur.selectExpr(
+            "*", *[f"{expr} AS {name}" for name, expr in step.items()]
+        )
+    stack = ", ".join(f"{k}, phi_{k}_{k}" for k in range(1, max_lag + 1))
+    return cur.selectExpr(
+        "series_id", f"stack({max_lag}, {stack}) AS (lag, pacf)"
     )

@@ -50,6 +50,16 @@ def score_model(df: DataFrame, model: str = "kalman", **kw) -> DataFrame:
             F.abs(F.col("value") - F.col("pred_mean"))
             / (F.col("pred_std") + F.lit(1e-9)),
         )
+    elif model == "ar1":
+        # fully native SQL-algebra family: closed-form AR(1) fit + MAD
+        # z-score of residuals — zero Python, and every step has an
+        # exact DuckDB mirror (the oracle-checkable member of the AR
+        # family; benchmark_leaderboard_ar1 / walk_forward_cv_ar1)
+        from ..functions.ar import ar1_forecast_native
+
+        return mad_scores(
+            ar1_forecast_native(df), value_col="resid", out_col="score"
+        )
     elif model == "ar":
         from ..functions import ar_forecast
 
@@ -245,11 +255,14 @@ def walk_forward_cv(
     the folds' stages concurrently, so wall-clock is max(fold), not
     sum(fold).
     """
+    from pyspark.sql import Window
+
+    from .._exact import DEC
     from ..functions import ar_forecast
     from ..operators.labeling import top_value_labels, mark_anomaly_windows
 
-    if model != "ar":
-        raise ValueError("fused walk-forward CV currently supports model='ar'")
+    if model not in ("ar", "ar1"):
+        raise ValueError("fused walk-forward CV supports model='ar'|'ar1'")
     p = model_kw.get("period", model_kw.get("p", 24))
 
     # the base frame feeds the fold fan-out, the row counts, and the
@@ -265,12 +278,58 @@ def walk_forward_cv(
     # keyed by (series_id, fold) and ONE metrics DAG — fold count
     # changes data volume, not stage count (the previous per-fold loop
     # ran fit + 5-stage metrics once per fold)
-    fanned = series.withColumn(
-        "__frac", F.explode(F.array(*[F.lit(float(f)) for f in folds]))
-    )
     keys = ("series_id", "__frac")
-    scored = ar_forecast(fanned, p=p, frac_col="__frac", score_col="score")
     n_rows = series.groupBy("series_id").agg(F.max("rn").alias("__n"))
+    fold_arr = F.explode(F.array(*[F.lit(float(f)) for f in folds]))
+    if model == "ar1":
+        # native closed-form AR(1) per (series, fold): train on the
+        # first max(floor(n*frac), 3) rows, exact decimal sums for the
+        # OLS moments (bit-matches the DuckDB oracle), MAD z residual
+        # score — no UDF anywhere in this variant
+        w = Window.partitionBy("series_id").orderBy("rn")
+        lagged = series.withColumn("__prev", F.lag("value").over(w))
+        fanned = (
+            lagged.withColumn("__frac", fold_arr)
+            .join(F.broadcast(n_rows), "series_id")
+            .withColumn(
+                "__nt",
+                F.greatest(
+                    F.floor(F.col("__n") * F.col("__frac")).cast("long"),
+                    F.lit(3),
+                ),
+            )
+        )
+        train = (F.col("rn") >= 2) & (F.col("rn") <= F.col("__nt"))
+        pv, vv = F.col("__prev"), F.col("value")
+        sums = fanned.groupBy(*keys).agg(
+            F.count(F.when(train, F.lit(1))).alias("__cnt"),
+            F.sum(F.when(train, pv).cast(DEC)).cast("double").alias("__sx"),
+            F.sum(F.when(train, vv).cast(DEC)).cast("double").alias("__sy"),
+            F.sum(F.when(train, pv * pv).cast(DEC)).cast("double").alias("__sxx"),
+            F.sum(F.when(train, vv * pv).cast(DEC)).cast("double").alias("__sxy"),
+        )
+        cnt, sx, sy = F.col("__cnt"), F.col("__sx"), F.col("__sy")
+        fit = sums.withColumn(
+            "__slope",
+            (cnt * F.col("__sxy") - sx * sy) / (cnt * F.col("__sxx") - sx * sx),
+        ).withColumn("__icept", (sy - F.col("__slope") * sx) / cnt)
+        scored = (
+            fanned.join(
+                F.broadcast(fit.select(*keys, "__slope", "__icept")), list(keys)
+            )
+            .withColumn(
+                "resid",
+                F.col("value")
+                - (F.col("__icept") + F.col("__slope") * F.col("__prev")),
+            )
+            .drop("__prev", "__slope", "__icept", "__n", "__nt")
+        )
+        scored = mad_scores(
+            scored, value_col="resid", out_col="score", keys=keys
+        )
+    else:
+        fanned = series.withColumn("__frac", fold_arr)
+        scored = ar_forecast(fanned, p=p, frac_col="__frac", score_col="score")
     evalr = (
         scored.join(F.broadcast(n_rows), "series_id")
         .filter(
@@ -286,11 +345,18 @@ def walk_forward_cv(
     per_fold = event_level_metrics(
         evalr, gap=gap, keys=keys, persist_p=persist_p
     )
+    # exact decimal fold means (order/engine-independent — _exact.py)
     return per_fold.groupBy("series_id").agg(
         F.count("*").alias("n_folds"),
-        F.avg("f1").alias("mean_f1"),
-        F.avg("precision").alias("mean_precision"),
-        F.avg("recall").alias("mean_recall"),
+        (F.sum(F.col("f1").cast(DEC)).cast("double") / F.count("*")).alias(
+            "mean_f1"
+        ),
+        (
+            F.sum(F.col("precision").cast(DEC)).cast("double") / F.count("*")
+        ).alias("mean_precision"),
+        (F.sum(F.col("recall").cast(DEC)).cast("double") / F.count("*")).alias(
+            "mean_recall"
+        ),
     )
 
 

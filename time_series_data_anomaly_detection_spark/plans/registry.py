@@ -198,6 +198,57 @@ flags AS (
 """
 
 
+def _sql_events_keyed(
+    src: str, out: str, flag: str, gap: int, keys: str = "series_id",
+    min_len: int = 1,
+) -> str:
+    """RLE + optional persistence (drop runs shorter than ``min_len``)
+    + gap-merge of ``src.flag`` into event table ``out`` over arbitrary
+    partition keys — mirrors operators.events raw_runs →
+    (length filter) → merge_runs."""
+    having = (
+        f"\n  HAVING max(rn) - min(rn) + 1 >= {min_len}" if min_len > 1 else ""
+    )
+    return f"""
+{out}_rle AS (
+  SELECT {keys}, run_id, min(rn) AS start_idx, max(rn) AS end_idx
+  FROM (
+    SELECT {keys}, rn, f,
+           sum(chg) OVER (PARTITION BY {keys} ORDER BY rn) AS run_id
+    FROM (
+      SELECT {keys}, rn, {flag} AS f,
+             CASE WHEN lag({flag}) OVER w IS NULL
+                   OR {flag} <> lag({flag}) OVER w THEN 1 ELSE 0 END AS chg
+      FROM {src}
+      WINDOW w AS (PARTITION BY {keys} ORDER BY rn)
+    ) t0
+  ) t WHERE f = 1
+  GROUP BY {keys}, run_id{having}
+),
+{out}_merged AS (
+  SELECT {keys}, min(start_idx) AS start_idx, max(end_idx) AS end_idx
+  FROM (
+    SELECT {keys}, start_idx, end_idx,
+           sum(brk) OVER (PARTITION BY {keys} ORDER BY start_idx) AS evt
+    FROM (
+      SELECT *, CASE WHEN lag(end_idx) OVER we IS NULL
+                      OR start_idx - lag(end_idx) OVER we > {gap} + 1
+                     THEN 1 ELSE 0 END AS brk
+      FROM {out}_rle
+      WINDOW we AS (PARTITION BY {keys} ORDER BY start_idx)
+    ) t0
+  ) t
+  GROUP BY {keys}, evt
+),
+{out} AS (
+  SELECT {keys},
+         row_number() OVER (PARTITION BY {keys} ORDER BY start_idx) AS event_id,
+         start_idx, end_idx
+  FROM {out}_merged
+)
+"""
+
+
 def _sql_events(src: str, out: str, flag: str, gap: int) -> str:
     """RLE + gap-merge of ``src.flag`` into event table ``out``
     (series_id, event_id, start_idx, end_idx) — mirrors
@@ -279,6 +330,36 @@ def q_benchmark_leaderboard(spark, sf_dir):
         _rnd("f1", R).alias("f1"),
         _rnd("precision", R).alias("precision"),
         _rnd("recall", R).alias("recall"),
+    )
+
+
+def q_walk_forward_cv_ar1(spark, sf_dir):
+    """The oracle-checkable CV variant: closed-form AR(1) per fold —
+    the fold/score/sweep/metrics plumbing under a hard DuckDB gate
+    (the rich-model variant stays rows-only)."""
+    from .pipelines import walk_forward_cv
+
+    out = walk_forward_cv(_series(spark, sf_dir), model="ar1")
+    return out.select(
+        "series_id", "n_folds",
+        _rnd("mean_f1", R).alias("mean_f1"),
+        _rnd("mean_precision", R).alias("mean_precision"),
+        _rnd("mean_recall", R).alias("mean_recall"),
+    )
+
+
+def q_benchmark_leaderboard_ar1(spark, sf_dir):
+    """Oracle-checkable leaderboard: one native-SQL-algebra model
+    through the full sweep → detect → event-metrics tail."""
+    from .pipelines import run_benchmark
+
+    out = run_benchmark(_series(spark, sf_dir), models=("ar1",))
+    return out.select(
+        "model", "series_id",
+        _rnd("f1", R).alias("f1"),
+        _rnd("precision", R).alias("precision"),
+        _rnd("recall", R).alias("recall"),
+        "n_true_events", "n_pred_events",
     )
 
 
@@ -1019,8 +1100,9 @@ SELECT series_id, n,
 FROM ag
 """
 
-ORACLES["acf"] = f"""
-WITH {SQL_S},
+# unrounded per-(series, lag) ACF from exact decimal sums — shared by
+# the acf oracle and the pacf Durbin–Levinson unroll
+SQL_ACF_U = """
 lags AS (SELECT unnest(generate_series(1, 10)) AS lag),
 shifted AS (
   SELECT s.series_id, l.lag, s.value,
@@ -1035,12 +1117,49 @@ am AS (
          CAST(sum(CAST(prev * prev AS DECIMAL(38,12))) AS DOUBLE) AS syy,
          CAST(sum(CAST(value * prev AS DECIMAL(38,12))) AS DOUBLE) AS sxy
   FROM shifted WHERE prev IS NOT NULL
-  GROUP BY 1, 2)
-SELECT series_id, lag,
-       round((n * sxy - sx * sy)
-             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), {R}) AS acf
-FROM am
+  GROUP BY 1, 2),
+acfu AS (
+  SELECT series_id, lag,
+         (n * sxy - sx * sy)
+         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS acf
+  FROM am)
 """
+
+ORACLES["acf"] = f"""
+WITH {SQL_S}, {SQL_ACF_U}
+SELECT series_id, lag, round(acf, {R}) AS acf FROM acfu
+"""
+
+
+def _pacf_oracle(max_lag: int = 10) -> str:
+    """DuckDB mirror of operators.acf.pacf: pivot acfu wide, chain the
+    SAME generated Durbin–Levinson select stages, unpivot phi_k_k."""
+    from ..operators.acf import durbin_levinson_steps
+
+    pivots = ",\n         ".join(
+        f"max(CASE WHEN lag = {k} THEN acf END) AS r{k}"
+        for k in range(1, max_lag + 1)
+    )
+    ctes = [f"wide AS (\n  SELECT series_id,\n         {pivots}\n  FROM acfu GROUP BY 1)"]
+    prev = "wide"
+    for i, step in enumerate(durbin_levinson_steps(max_lag)):
+        cols = ",\n         ".join(
+            f"{expr} AS {name}" for name, expr in step.items()
+        )
+        ctes.append(f"lvl{i} AS (\n  SELECT *,\n         {cols}\n  FROM {prev})")
+        prev = f"lvl{i}"
+    unpivot = "\nUNION ALL\n".join(
+        f"SELECT series_id, {k} AS lag, phi_{k}_{k} AS pacf FROM {prev}"
+        for k in range(1, max_lag + 1)
+    )
+    return (
+        f"WITH {SQL_S}, {SQL_ACF_U},\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT series_id, lag, round(pacf, {R}) AS pacf FROM ({unpivot})"
+    )
+
+
+ORACLES["pacf"] = _pacf_oracle(10)
 
 SQL_RESAMPLE = """
 rs AS (
@@ -1130,13 +1249,211 @@ FROM fused
 """
 
 
+# ---- walk_forward_cv_ar1: fold-fanned closed-form AR(1) + MAD score +
+#      horizon slice + fold-keyed event metrics + decimal fold means ----
+_WF_TRAIN = "rn >= 2 AND rn <= nt"
+
+ORACLES["walk_forward_cv_ar1"] = f"""
+WITH {SQL_S}, {SQL_TRUTH},
+nn AS (SELECT series_id, max(rn) AS n FROM s GROUP BY 1),
+fr AS (SELECT unnest([0.5, 0.625, 0.75]) AS frac),
+lagged AS (
+  SELECT series_id, rn, value,
+         lag(value) OVER (PARTITION BY series_id ORDER BY rn) AS prev
+  FROM s),
+fan AS (
+  SELECT l.series_id, l.rn, l.value, l.prev, f.frac, nn.n,
+         greatest(CAST(floor(nn.n * f.frac) AS BIGINT), 3) AS nt
+  FROM lagged l CROSS JOIN fr f JOIN nn USING (series_id)),
+wsum AS (
+  SELECT series_id, frac,
+         count(CASE WHEN {_WF_TRAIN} THEN 1 END) AS cnt,
+         CAST(sum(CAST(CASE WHEN {_WF_TRAIN} THEN prev END
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(CASE WHEN {_WF_TRAIN} THEN value END
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(CASE WHEN {_WF_TRAIN} THEN prev * prev END
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(CASE WHEN {_WF_TRAIN} THEN value * prev END
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+  FROM fan GROUP BY 1, 2),
+wfit0 AS (
+  SELECT series_id, frac, cnt, sx, sy,
+         (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx) AS slope
+  FROM wsum),
+wfit AS (
+  SELECT series_id, frac, slope, (sy - slope * sx) / cnt AS icept FROM wfit0),
+wpr AS (
+  SELECT fan.series_id, fan.frac, fan.rn, fan.n,
+         fan.value - (w.icept + w.slope * fan.prev) AS resid
+  FROM fan JOIN wfit w USING (series_id, frac)),
+wmd AS (SELECT series_id, frac, median(resid) AS med FROM wpr GROUP BY 1, 2),
+wmad AS (
+  SELECT p.series_id, p.frac, median(abs(p.resid - m.med)) AS mad
+  FROM wpr p JOIN wmd m USING (series_id, frac) GROUP BY 1, 2),
+wsc AS (
+  SELECT p.series_id, p.frac, p.rn, p.n,
+         abs(p.resid - m.med) / (1.4826 * d.mad + 1e-9) AS score
+  FROM wpr p JOIN wmd m USING (series_id, frac)
+       JOIN wmad d USING (series_id, frac)),
+evh AS (
+  SELECT w.series_id, w.frac, w.rn,
+         CASE WHEN w.score > 4.0 THEN 1 ELSE 0 END AS flag,
+         t.is_anomaly
+  FROM wsc w JOIN truth t USING (series_id, rn)
+  WHERE w.rn > floor(w.n * w.frac)
+    AND w.rn <= floor(w.n * (w.frac + 0.125))),
+{_sql_events_keyed("evh", "tevf", "is_anomaly", 3, "series_id, frac")},
+{_sql_events_keyed("evh", "pevf", "flag", 3, "series_id, frac", min_len=2)},
+fbase AS (SELECT DISTINCT series_id, frac FROM evh),
+fnt AS (SELECT series_id, frac, count(*) AS n_true FROM tevf GROUP BY 1, 2),
+fnp AS (SELECT series_id, frac, count(*) AS n_pred FROM pevf GROUP BY 1, 2),
+fph AS (SELECT p.series_id, p.frac, count(*) AS tp FROM pevf p
+        WHERE EXISTS (SELECT 1 FROM tevf t
+                      WHERE t.series_id = p.series_id AND t.frac = p.frac
+                        AND p.end_idx >= t.start_idx
+                        AND p.start_idx <= t.end_idx)
+        GROUP BY 1, 2),
+fth AS (SELECT t.series_id, t.frac, count(*) AS tp_recall FROM tevf t
+        WHERE EXISTS (SELECT 1 FROM pevf p
+                      WHERE p.series_id = t.series_id AND p.frac = t.frac
+                        AND p.end_idx >= t.start_idx
+                        AND p.start_idx <= t.end_idx)
+        GROUP BY 1, 2),
+fm AS (
+  SELECT b.series_id, b.frac,
+         coalesce(fnt.n_true, 0) AS n_true,
+         coalesce(fnp.n_pred, 0) AS n_pred,
+         coalesce(fph.tp, 0) AS tp, coalesce(fth.tp_recall, 0) AS tp_recall
+  FROM fbase b LEFT JOIN fnt USING (series_id, frac)
+       LEFT JOIN fnp USING (series_id, frac)
+       LEFT JOIN fph USING (series_id, frac)
+       LEFT JOIN fth USING (series_id, frac)),
+pf AS (
+  SELECT series_id, frac,
+         tp / (n_pred + 1e-9) AS precision,
+         tp_recall / (n_true + 1e-9) AS recall,
+         2 * (tp/(n_pred+1e-9)) * (tp_recall/(n_true+1e-9))
+         / ((tp/(n_pred+1e-9)) + (tp_recall/(n_true+1e-9)) + 1e-9) AS f1
+  FROM fm)
+SELECT series_id, count(*) AS n_folds,
+       round(CAST(sum(CAST(f1 AS DECIMAL(38,12))) AS DOUBLE) / count(*),
+             {R}) AS mean_f1,
+       round(CAST(sum(CAST(precision AS DECIMAL(38,12))) AS DOUBLE) / count(*),
+             {R}) AS mean_precision,
+       round(CAST(sum(CAST(recall AS DECIMAL(38,12))) AS DOUBLE) / count(*),
+             {R}) AS mean_recall
+FROM pf GROUP BY 1
+"""
+
+# ---- benchmark_leaderboard_ar1: full-series AR(1) + MAD score + split +
+#      validation sweep (rate guard) + best-k detection + event metrics ----
+ORACLES["benchmark_leaderboard_ar1"] = f"""
+WITH {SQL_S}, {SQL_TRUTH},
+lagged AS (
+  SELECT series_id, rn, value,
+         lag(value) OVER (PARTITION BY series_id ORDER BY rn) AS prev
+  FROM s),
+arsum AS (
+  SELECT series_id, count(*) AS n,
+         CAST(sum(CAST(prev AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(prev * prev AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(value * prev AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+  FROM lagged WHERE prev IS NOT NULL GROUP BY 1),
+fit0 AS (
+  SELECT series_id, n, sx, sy,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+  FROM arsum),
+fit AS (
+  SELECT series_id, slope, (sy - slope * sx) / n AS icept FROM fit0),
+rsd AS (
+  SELECT l.series_id, l.rn,
+         l.value - (f.icept + f.slope * l.prev) AS resid
+  FROM lagged l JOIN fit f USING (series_id)),
+bmd AS (SELECT series_id, median(resid) AS med FROM rsd GROUP BY 1),
+bmad AS (
+  SELECT r.series_id, median(abs(r.resid - m.med)) AS mad
+  FROM rsd r JOIN bmd m USING (series_id) GROUP BY 1),
+bsc AS (
+  SELECT r.series_id, r.rn,
+         abs(r.resid - m.med) / (1.4826 * d.mad + 1e-9) AS score
+  FROM rsd r JOIN bmd m USING (series_id) JOIN bmad d USING (series_id)),
+nn AS (SELECT series_id, max(rn) AS n FROM s GROUP BY 1),
+spl AS (
+  SELECT b.series_id, b.rn, b.score, t.is_anomaly,
+         CASE WHEN b.rn <= floor(nn.n * 0.5) THEN 'Train'
+              WHEN b.rn <= floor(nn.n * 0.75) THEN 'Validation'
+              ELSE 'Test' END AS split
+  FROM bsc b JOIN truth t USING (series_id, rn) JOIN nn USING (series_id)),
+grid AS (SELECT unnest([{_KS}]) AS k),
+vfl AS (
+  SELECT v.series_id, g.k, v.is_anomaly AS y,
+         CASE WHEN v.score > g.k THEN 1 ELSE 0 END AS p
+  FROM spl v CROSS JOIN grid g WHERE v.split = 'Validation'),
+perk AS (
+  SELECT series_id, k,
+         sum(CASE WHEN y=1 AND p=1 THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN y=0 AND p=1 THEN 1 ELSE 0 END) AS fp,
+         sum(CASE WHEN y=1 AND p=0 THEN 1 ELSE 0 END) AS fn,
+         avg(p) AS rate
+  FROM vfl GROUP BY 1, 2),
+sck AS (
+  SELECT *,
+         2*(tp/(tp+fp+1e-9))*(tp/(tp+fn+1e-9))
+         / ((tp/(tp+fp+1e-9)) + (tp/(tp+fn+1e-9)) + 1e-9) AS f1
+  FROM perk WHERE rate <= 0.10),
+rankk AS (
+  SELECT *, row_number() OVER (PARTITION BY series_id
+                               ORDER BY f1 DESC, k ASC) AS rk
+  FROM sck),
+best AS (SELECT series_id, k AS best_k FROM rankk WHERE rk = 1),
+fl AS (
+  SELECT b.series_id, b.rn,
+         CASE WHEN b.score > coalesce(bb.best_k, 3.0) THEN 1 ELSE 0 END AS flag,
+         t.is_anomaly
+  FROM bsc b JOIN truth t USING (series_id, rn)
+       LEFT JOIN best bb USING (series_id)),
+{_sql_events_keyed("fl", "tevb", "is_anomaly", 3)},
+{_sql_events_keyed("fl", "pevb", "flag", 3, min_len=2)},
+lbase AS (SELECT DISTINCT series_id FROM s),
+lnt AS (SELECT series_id, count(*) AS n_true_events FROM tevb GROUP BY 1),
+lnp AS (SELECT series_id, count(*) AS n_pred_events FROM pevb GROUP BY 1),
+lph AS (SELECT p.series_id, count(*) AS tp FROM pevb p
+        WHERE EXISTS (SELECT 1 FROM tevb t WHERE t.series_id = p.series_id
+                      AND p.end_idx >= t.start_idx AND p.start_idx <= t.end_idx)
+        GROUP BY 1),
+lth AS (SELECT t.series_id, count(*) AS tp_recall FROM tevb t
+        WHERE EXISTS (SELECT 1 FROM pevb p WHERE p.series_id = t.series_id
+                      AND p.end_idx >= t.start_idx AND p.start_idx <= t.end_idx)
+        GROUP BY 1),
+lm AS (
+  SELECT b.series_id,
+         coalesce(lnt.n_true_events, 0) AS n_true_events,
+         coalesce(lnp.n_pred_events, 0) AS n_pred_events,
+         coalesce(lph.tp, 0) AS tp, coalesce(lth.tp_recall, 0) AS tp_recall
+  FROM lbase b LEFT JOIN lnt USING (series_id) LEFT JOIN lnp USING (series_id)
+       LEFT JOIN lph USING (series_id) LEFT JOIN lth USING (series_id))
+SELECT 'ar1' AS model, series_id,
+       round(2 * (tp/(n_pred_events+1e-9)) * (tp_recall/(n_true_events+1e-9))
+             / ((tp/(n_pred_events+1e-9)) + (tp_recall/(n_true_events+1e-9))
+                + 1e-9), {R}) AS f1,
+       round(tp / (n_pred_events + 1e-9), {R}) AS precision,
+       round(tp_recall / (n_true_events + 1e-9), {R}) AS recall,
+       n_true_events, n_pred_events
+FROM lm
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from . import registry_datapipe
 
     out = {
         "sliding_windows": q_sliding_windows,
         "walk_forward_cv": q_walk_forward_cv,
+        "walk_forward_cv_ar1": q_walk_forward_cv_ar1,
         "benchmark_leaderboard": q_benchmark_leaderboard,
+        "benchmark_leaderboard_ar1": q_benchmark_leaderboard_ar1,
         "rolling_stats": q_rolling_stats,
         "adaptive_flags": q_adaptive_flags,
         "mad_scores": q_mad_scores,

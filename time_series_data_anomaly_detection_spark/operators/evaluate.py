@@ -69,6 +69,7 @@ def _event_pairs(
     gap: int,
     keys: tuple = KEYS,
     persist_p: int = 1,
+    carry_ts: bool = False,
 ) -> DataFrame:
     """ONE full-outer overlap join between the two event tables.
 
@@ -82,18 +83,21 @@ def _event_pairs(
     """
     from .events import merge_runs, raw_runs
 
-    t = flags_to_events(df, truth_col, gap=gap, keys=keys).select(
+    ts_cols_t = [F.col("start_ts").alias("t_start_ts")] if carry_ts else []
+    ts_cols_p = [F.col("start_ts").alias("p_start_ts")] if carry_ts else []
+    t = flags_to_events(df, truth_col, gap=gap, keys=keys, carry_ts=carry_ts).select(
         *[F.col(k).alias(f"t_{k}") for k in keys],
         F.col("event_id").alias("t_eid"),
         F.col("start_idx").alias("t_start"),
         F.col("end_idx").alias("t_end"),
+        *ts_cols_t,
     )
     # W6 persistence applied on the RUN table: zeroing 1-runs shorter
     # than p then re-sessionizing ≡ dropping short raw runs before the
     # gap-merge — a filter on a tiny frame instead of 3 more window
     # passes over the full points frame (persistence_filter remains for
     # callers that need the row-level flags, e.g. prediction sinks)
-    p_runs = raw_runs(df, pred_col, keys=keys)
+    p_runs = raw_runs(df, pred_col, keys=keys, carry_ts=carry_ts)
     if persist_p > 1:
         p_runs = p_runs.filter(
             F.col("end_idx") - F.col("start_idx") + 1 >= persist_p
@@ -103,6 +107,7 @@ def _event_pairs(
         F.col("event_id").alias("p_eid"),
         F.col("start_idx").alias("p_start"),
         F.col("end_idx").alias("p_end"),
+        *ts_cols_p,
     )
     overlap = (F.col("p_end") >= F.col("t_start")) & (
         F.col("p_start") <= F.col("t_end")
@@ -177,7 +182,9 @@ def business_metrics(
     median across hit true events (null when none — the reference
     emits NaN).
     """
-    pairs = _event_pairs(df, truth_col, pred_col, gap, persist_p=persist_p)
+    pairs = _event_pairs(
+        df, truth_col, pred_col, gap, persist_p=persist_p, carry_ts=True
+    )
     counts = _event_counts(pairs).select("series_id", "n_pred_events", "tp")
     # duration + distinct series in the SAME scan of the points frame
     base = df.groupBy("series_id").agg(
@@ -186,29 +193,21 @@ def business_metrics(
             / F.lit(86400.0)
         ).alias("duration_days")
     )
-    # earliest overlapping predicted event per hit true event
-    true_hits = (
-        pairs.filter(F.col("t_eid").isNotNull() & F.col("p_eid").isNotNull())
-        .groupBy("series_id", "t_eid", "t_start")
-        .agg(F.min("p_start").alias("first_pred_start"))
-    )
-    ts_by_rn = df.select("series_id", "rn", "timestamp")
+    # earliest overlapping predicted event per hit true event — the run
+    # tables carry their start timestamps (aggregated for free in
+    # raw_runs' single points pass), so latency is pure event-table
+    # algebra: no join back to the points frame (at 100x each join-back
+    # was a second full scan + shuffle of the fact table; this was the
+    # most expensive query in BENCH_r01 at 16.6s for that reason).
+    # min(p_start_ts) is the timestamp of min(p_start): both monotone.
     lat = (
-        true_hits.join(
-            ts_by_rn.withColumnRenamed("rn", "t_start").withColumnRenamed(
-                "timestamp", "true_ts"
-            ),
-            ["series_id", "t_start"],
-        )
-        .join(
-            ts_by_rn.withColumnRenamed("rn", "first_pred_start").withColumnRenamed(
-                "timestamp", "pred_ts"
-            ),
-            ["series_id", "first_pred_start"],
-        )
+        pairs.filter(F.col("t_eid").isNotNull() & F.col("p_eid").isNotNull())
+        .groupBy("series_id", "t_eid", "t_start_ts")
+        .agg(F.min("p_start_ts").alias("pred_ts"))
         .withColumn(
             "latency_min",
-            (F.unix_timestamp("pred_ts") - F.unix_timestamp("true_ts")) / F.lit(60.0),
+            (F.unix_timestamp("pred_ts") - F.unix_timestamp("t_start_ts"))
+            / F.lit(60.0),
         )
         .groupBy("series_id")
         .agg(F.percentile(F.col("latency_min"), F.lit(0.5)).alias("median_latency_minutes"))

@@ -46,16 +46,26 @@ def raw_runs(
     flag_col: str = "flag",
     idx_col: str = "rn",
     keys: tuple = KEYS,
+    carry_ts: bool = False,
 ) -> DataFrame:
     """Maximal runs of consecutive 1-flags as ``keys, start_idx,
     end_idx`` (inclusive).  The ONLY full-data pass in the event stack —
     everything downstream (persistence, gap-merge, overlap metrics)
-    operates on this frame, which is thousands of times smaller."""
+    operates on this frame, which is thousands of times smaller.
+
+    ``carry_ts`` also aggregates ``min(timestamp)`` per run (free — the
+    pass already scans the points), so latency-style consumers never
+    need to join back to the points frame for the event-start
+    timestamp (at scale that join-back is a second full scan+shuffle).
+    """
+    aggs = [F.min(idx_col).alias("start_idx"), F.max(idx_col).alias("end_idx")]
+    if carry_ts:
+        aggs.append(F.min("timestamp").alias("start_ts"))
     return (
         _run_ids(df, flag_col, keys)
         .filter(F.col(flag_col) == 1)
         .groupBy(*keys, "__run")
-        .agg(F.min(idx_col).alias("start_idx"), F.max(idx_col).alias("end_idx"))
+        .agg(*aggs)
     )
 
 
@@ -68,6 +78,7 @@ def merge_runs(runs: DataFrame, gap: int = 0, keys: tuple = KEYS) -> DataFrame:
     so the running ``sum`` of break markers assigns one group per
     merged chain.
     """
+    has_ts = "start_ts" in runs.columns
     we = Window.partitionBy(*keys).orderBy("start_idx")
     if gap > 0:
         brk = F.when(
@@ -75,10 +86,18 @@ def merge_runs(runs: DataFrame, gap: int = 0, keys: tuple = KEYS) -> DataFrame:
             | (F.col("start_idx") - F.lag("end_idx").over(we) > gap + 1),
             1,
         ).otherwise(0)
+        aggs = [
+            F.min("start_idx").alias("start_idx"),
+            F.max("end_idx").alias("end_idx"),
+        ]
+        if has_ts:
+            # timestamps are monotone in rn per series, so the merged
+            # event's start timestamp is the min over merged runs
+            aggs.append(F.min("start_ts").alias("start_ts"))
         runs = (
             runs.withColumn("__evt", F.sum(brk).over(we))
             .groupBy(*keys, "__evt")
-            .agg(F.min("start_idx").alias("start_idx"), F.max("end_idx").alias("end_idx"))
+            .agg(*aggs)
         )
     return runs.select(
         *keys,
@@ -87,6 +106,7 @@ def merge_runs(runs: DataFrame, gap: int = 0, keys: tuple = KEYS) -> DataFrame:
         .alias("event_id"),
         "start_idx",
         "end_idx",
+        *(["start_ts"] if has_ts else []),
     )
 
 
@@ -96,13 +116,15 @@ def flags_to_events(
     gap: int = 0,
     idx_col: str = "rn",
     keys: tuple = KEYS,
+    carry_ts: bool = False,
 ) -> DataFrame:
     """W5: RLE flags into an event table, then gap-merge.
 
     Returns ``series_id, event_id, start_idx, end_idx`` (inclusive,
-    1-based when idx_col='rn'), event_id numbered by start order.
+    1-based when idx_col='rn'), event_id numbered by start order;
+    plus ``start_ts`` when ``carry_ts``.
     """
-    return merge_runs(raw_runs(df, flag_col, idx_col, keys), gap, keys)
+    return merge_runs(raw_runs(df, flag_col, idx_col, keys, carry_ts), gap, keys)
 
 
 def persistence_filter(

@@ -105,26 +105,37 @@ s AS (
 )
 """
 
-# W1 rolling mean/std, min_periods=5, bfill — mirrors operators.rolling
-# (exact decimal windowed sums + the same double algebra: see _exact.py)
+# W1 rolling mean/std, min_periods=5, bfill — mirrors operators.rolling:
+# running cumulative DECIMAL sums + lag(·, 48) differencing (decimal is
+# exact, so the difference IS the trailing frame sum, bit-identical on
+# both engines and O(n) instead of O(n·w) — see _exact.py / rolling.py)
 SQL_ROLL = """
+cumr AS (
+  SELECT series_id, timestamp, rn, value,
+         sum(CAST(value AS DECIMAL(38,12))) OVER wr AS c1,
+         sum(CAST(value * value AS DECIMAL(38,12))) OVER wr AS c2,
+         count(value) OVER wr AS cn
+  FROM s
+  WINDOW wr AS (PARTITION BY series_id ORDER BY rn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+rollw AS (
+  SELECT series_id, timestamp, rn, value,
+         CAST(c1 - coalesce(lag(c1, 48) OVER wl, CAST(0 AS DECIMAL(38,12)))
+              AS DOUBLE) AS s1,
+         CAST(c2 - coalesce(lag(c2, 48) OVER wl, CAST(0 AS DECIMAL(38,12)))
+              AS DOUBLE) AS s2,
+         cn - coalesce(lag(cn, 48) OVER wl, 0) AS cnt
+  FROM cumr
+  WINDOW wl AS (PARTITION BY series_id ORDER BY rn)
+),
 roll_raw AS (
   SELECT series_id, timestamp, rn, value,
-    CASE WHEN count(value) OVER w >= 5 THEN
-      CAST(sum(CAST(value AS DECIMAL(38,12))) OVER w AS DOUBLE)
-      / count(value) OVER w
-    END AS m_raw,
-    CASE WHEN count(value) OVER w >= 5 AND count(value) OVER w >= 2 THEN
-      sqrt(greatest(
-        (CAST(sum(CAST(value * value AS DECIMAL(38,12))) OVER w AS DOUBLE)
-         - CAST(sum(CAST(value AS DECIMAL(38,12))) OVER w AS DOUBLE)
-           * CAST(sum(CAST(value AS DECIMAL(38,12))) OVER w AS DOUBLE)
-           / count(value) OVER w)
-        / (count(value) OVER w - 1), 0.0))
+    CASE WHEN cnt >= 5 THEN s1 / cnt END AS m_raw,
+    CASE WHEN cnt >= 5 AND cnt >= 2 THEN
+      sqrt(greatest((s2 - s1 * s1 / cnt) / (cnt - 1), 0.0))
     END AS s_raw
-  FROM s
-  WINDOW w AS (PARTITION BY series_id ORDER BY rn
-               ROWS BETWEEN 47 PRECEDING AND CURRENT ROW)
+  FROM rollw
 ),
 roll AS (
   SELECT series_id, timestamp, rn, value,

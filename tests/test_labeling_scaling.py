@@ -40,10 +40,12 @@ def test_off_grid_label_anchors_to_next_row(spark):
 
 
 def test_label_after_series_end_clamps(spark):
+    # reference semantics: searchsorted leaves idx one past the end, so
+    # the clipped window marks [n-w+1, n] (rows 5..6 here), not [n-w, n]
     df = series_df(spark, range(6))
     labels = _labels(spark, [("s1", pd.Timestamp("2024-02-01"))])
     got = _anoms(mark_anomaly_windows(df, labels, window_size=2))
-    assert got == [0, 0, 0, 1, 1, 1]
+    assert got == [0, 0, 0, 0, 1, 1]
 
 
 def test_label_before_start_clamps(spark):

@@ -80,7 +80,11 @@ def mark_anomaly_windows(
         .filter(F.col("__lbl") == 1)
         .select(
             "series_id",
-            F.coalesce("__anchor", "__n").alias("__anchor"),
+            # a label past the series end has no at-or-after row: anchor
+            # it one past the end (n+1) so the lo/hi clamp below marks
+            # [n-w+1, n] — exactly numpy searchsorted + window clamping
+            # in the reference (idx=n, window [idx-w, idx+w] clipped)
+            F.coalesce("__anchor", F.col("__n") + F.lit(1)).alias("__anchor"),
             "__n",
         )
         .select(

@@ -41,10 +41,12 @@ def threshold_sweep_pointwise(
     """Sweep ``flag = score > k`` over the grid; pick best-F1 k per series.
 
     Returns one row per series: ``best_k, f1, precision, recall, rate``.
-    Candidates with anomaly rate > max_rate are rejected (A4); if every
-    candidate is rejected the series falls back to the largest k (the
-    reference keeps k=None and flags nothing — we surface the guard
-    explicitly via rate).
+    Candidates with anomaly rate > max_rate are rejected (A4).  A series
+    whose every candidate is rejected is ABSENT from the result —
+    callers left-join and ``coalesce(best_k, 3.0)`` (see
+    ``plans.pipelines.detection_pipeline``), approximating the
+    reference's k=None flag-nothing behavior with a conservative
+    default threshold.
     """
     ks = ks or k_grid()
     kdf = F.explode(F.array(*[F.lit(float(k)) for k in ks])).alias("k")

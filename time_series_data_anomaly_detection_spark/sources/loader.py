@@ -102,7 +102,9 @@ def _as_timestamp(df: DataFrame, col: str):
     read as long nanoseconds (spark.sql.legacy.parquet.nanosAsLong) and
     converted back to microsecond timestamps here."""
     if dict(df.dtypes)[col] == "bigint":
-        return F.timestamp_micros((F.col(col) / 1000).cast("long"))
+        # integer division: (x / 1000).cast(long) routes through double,
+        # and epoch nanos (~1.7e18) exceed 2^53 — a ±1µs parity hazard
+        return F.timestamp_micros(F.expr(f"{col} div 1000"))
     return F.col(col)
 
 

@@ -56,6 +56,11 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    # the registry wrapper releases the previous query's caches at each
+    # query start; drop the final query's too so the session ends clean
+    from time_series_data_anomaly_detection_spark.session import release_caches
+
+    release_caches()
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

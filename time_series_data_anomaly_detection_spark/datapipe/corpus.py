@@ -43,13 +43,19 @@ def top_ngrams(
     df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text"
 ) -> DataFrame:
     """Top-k n-grams by count (ties broken lexicographically — full
-    determinism for the oracle)."""
+    determinism for the oracle).
+
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject —
+    per-partition partial top-k merged on the driver — so the full
+    vocabulary is never sorted in one partition (the previous global
+    rank Window single-partitioned the whole vocab; at corpus scale
+    that table is huge).  The rank window runs AFTER the limit, on k
+    rows."""
     counts = ngram_counts(df, n, text_col)
+    top = counts.orderBy(F.desc("count"), F.asc("ngram")).limit(k)
     w = Window.orderBy(F.desc("count"), F.asc("ngram"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("rank", "ngram", "count", "doc_freq")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "ngram", "count", "doc_freq"
     )
 
 

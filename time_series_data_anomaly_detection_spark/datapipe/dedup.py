@@ -293,18 +293,27 @@ def embedding_near_dup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bucket_bits: int = 0,
+    bucket_bits: int = 4,
+    allow_exact: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
-    ``bucket_bits=0``: exact all-pairs (O(n²) — small corpora only).
-    ``bucket_bits=k``: sign-LSH — docs are bucketed by the sign
+    Default ``bucket_bits=4``: sign-LSH — docs are bucketed by the sign
     pattern of their first k dimensions and only same-bucket pairs
     are compared, turning the cross join into an equi-join on the
     bucket key. Recall is traded for the s-curve of k axis-aligned
     hyperplanes; at 100 TB this (or a learned IVF) is the only viable
     shape.
+
+    The exact all-pairs mode (O(n²) crossJoin) requires EXPLICIT
+    opt-in: ``bucket_bits=0, allow_exact=True`` — the scale-unsafe
+    path must never be the silent default.
     """
+    if bucket_bits <= 0 and not allow_exact:
+        raise ValueError(
+            "bucket_bits=0 selects the O(n²) all-pairs crossJoin; pass "
+            "allow_exact=True to opt in explicitly (small corpora only)"
+        )
     v = df.select(
         F.col(id_col),
         F.col(vec_col).alias("v"),

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import tracked_cache
 from ..operators.decompose import resample
 from ..operators.events import persistence_filter
 from ..operators.evaluate import business_metrics, event_level_metrics
@@ -119,7 +120,7 @@ def detection_pipeline(
         labeled.select("series_id", "rn", "is_anomaly"), ["series_id", "rn"]
     )
     scored = fractional_split(scored)
-    scored.cache()  # consumed by sweep AND final detection
+    tracked_cache(scored)  # consumed by sweep AND final detection
 
     sweep = threshold_sweep_pointwise(
         scored.filter(F.col("split") == "Validation"), "score", "is_anomaly"
@@ -135,7 +136,7 @@ def detection_pipeline(
     # model UDF reruns once per consumer.  Persistence rides inside the
     # metrics as a run-length filter; row-level flags stay lazy for
     # prediction sinks.
-    with_k = with_k.cache()
+    with_k = tracked_cache(with_k)
     flagged = persistence_filter(with_k, "flag", p=persist_p)
     return {
         "scored": scored,
@@ -175,7 +176,7 @@ def hybrid_pipeline(
     # branch action is raced by its ~5 concurrent consumer stages, each
     # recomputing the scan + row_number (measured 4s of duplicate work
     # at sf0.1)
-    series = series.cache()
+    series = tracked_cache(series)
     series.count()
     labels = top_value_labels(series, 5)
     labeled = mark_anomaly_windows(series, labels, 3)
@@ -220,7 +221,7 @@ def hybrid_pipeline(
     # cache: downstream metrics would otherwise re-run all three model
     # branches once per consumer.  Persistence rides inside the metrics
     # as a run-length filter; row-level flags (for sinks) stay lazy.
-    fused = fused.cache()
+    fused = tracked_cache(fused)
     flagged = persistence_filter(fused, "flag", p=persist_p)
     return {
         "scored": fused,
@@ -268,7 +269,7 @@ def walk_forward_cv(
     # the base frame feeds the fold fan-out, the row counts, and the
     # label join — cache it once instead of re-running the scan +
     # row_number window per consumer (eager: see hybrid_pipeline)
-    series = series.cache()
+    series = tracked_cache(series)
     series.count()
     labels = top_value_labels(series, 5)
     labeled = mark_anomaly_windows(series, labels, 3).select(
@@ -341,7 +342,7 @@ def walk_forward_cv(
     )
     # cache: the metrics consume the frame ~3x and would re-fit every
     # fold's model each time
-    evalr = evalr.cache()
+    evalr = tracked_cache(evalr)
     per_fold = event_level_metrics(
         evalr, gap=gap, keys=keys, persist_p=persist_p
     )
@@ -375,7 +376,7 @@ def run_benchmark(
     cached input and the leaderboard is a union — no filesystem
     round-trip, and branches parallelize across the cluster.
     """
-    series = series.cache()
+    series = tracked_cache(series)
     series.count()  # eager: see hybrid_pipeline
     # one label pass shared by every model branch (the truth column is
     # model-independent; without this each branch re-runs the label
@@ -383,7 +384,8 @@ def run_benchmark(
     labels = top_value_labels(series, kw.get("label_top_n", 5))
     labeled = mark_anomaly_windows(
         series, labels, kw.get("label_window", 3)
-    ).select("series_id", "rn", "is_anomaly").cache()
+    ).select("series_id", "rn", "is_anomaly")
+    labeled = tracked_cache(labeled)
     # score per model (each family is its own UDF), then fuse: one
     # (series_id, model)-keyed frame through ONE sweep, ONE persistence
     # pass, ONE event-metrics DAG — stage count is independent of the
@@ -400,7 +402,7 @@ def run_benchmark(
         scored = scored.unionByName(s)
     keys = ("series_id", "model")
     scored = fractional_split(scored.join(labeled, ["series_id", "rn"]))
-    scored.cache()  # consumed by sweep AND final detection
+    tracked_cache(scored)  # consumed by sweep AND final detection
     sweep = threshold_sweep_pointwise(
         scored.filter(F.col("split") == "Validation"), "score", "is_anomaly",
         keys=keys,
@@ -412,7 +414,7 @@ def run_benchmark(
         "flag",
         (F.col("score") > F.coalesce(F.col("best_k"), F.lit(3.0))).cast("int"),
     )
-    with_k = with_k.cache()
+    with_k = tracked_cache(with_k)
     em = event_level_metrics(
         with_k, gap=kw.get("gap", 3), keys=keys,
         persist_p=kw.get("persist_p", 2),

@@ -436,7 +436,8 @@ def _truth_and_flags(spark, sf_dir):
     flagged = persistence_filter(adaptive_threshold_flags(lab, k=2.0), "flag", p=2)
     # consumed 3-5× downstream (truth events, pred events, base,
     # latency row lookups) — materialize the window pipeline once
-    return flagged.cache()
+    from ..session import tracked_cache
+    return tracked_cache(flagged)
 
 
 def q_pointwise_metrics(spark, sf_dir):
@@ -498,7 +499,8 @@ def _scored_with_truth(spark, sf_dir):
     # materialize the mad + label pipeline once
     s = _series(spark, sf_dir)
     labels = top_value_labels(s, 5)
-    return mark_anomaly_windows(mad_scores(s), labels, 3).cache()
+    from ..session import tracked_cache
+    return tracked_cache(mark_anomaly_windows(mad_scores(s), labels, 3))
 
 
 def q_pr_curve(spark, sf_dir):
@@ -1496,7 +1498,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stl_robust": q_stl_robust,
     }
     out.update(registry_datapipe.queries())
-    return out
+
+    # release the PREVIOUS query's tracked caches at each query
+    # boundary: a sequential multi-query session (driver gate, bench)
+    # then never holds more than one query's cached frames
+    def _scoped(fn):
+        def wrapped(spark, sf_dir):
+            from ..session import release_caches
+
+            release_caches()
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = getattr(fn, "__name__", "query")
+        return wrapped
+
+    return {name: _scoped(fn) for name, fn in out.items()}
 
 
 def oracle_sql() -> dict[str, str]:

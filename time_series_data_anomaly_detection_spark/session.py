@@ -1,10 +1,38 @@
-"""SparkSession factory with scale-oriented defaults."""
+"""SparkSession factory with scale-oriented defaults, plus a
+session-scoped cache ledger so pipeline caches never outlive the query
+that created them (a long-lived session otherwise accumulates every
+query's cached frames in executor storage)."""
 
 from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+_TRACKED_CACHES: list[DataFrame] = []
+
+
+def tracked_cache(df: DataFrame) -> DataFrame:
+    """``df.cache()`` + register in the session ledger.  Use for every
+    intra-query reuse cache (pipelines, registry helpers); the harness
+    releases the ledger at query boundaries via
+    :func:`release_caches`."""
+    df = df.cache()
+    _TRACKED_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every ledgered cache (non-blocking).  Called at query
+    boundaries (registry wraps each query; bench calls it per run) so a
+    multi-query session holds no stale cached frames."""
+    n = len(_TRACKED_CACHES)
+    while _TRACKED_CACHES:
+        try:
+            _TRACKED_CACHES.pop().unpersist()
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n
 
 
 def get_spark(

@@ -95,3 +95,67 @@ def test_bocpd_cp_prob_parity_nyc_taxi(spark):
     np.testing.assert_allclose(
         ours["cp_prob"].to_numpy(float), 0.01, atol=1e-9
     )
+
+
+GOLDEN_EBSTS = (
+    "/root/reference/results/enhanced_bsts/realKnownCause__nyc_taxi.csv/"
+    "predictions.csv"
+)
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(GOLDEN_STL) and os.path.exists(GOLDEN_EBSTS)),
+    reason="no reference",
+)
+def test_enhanced_bsts_multiseasonal_parity_nyc_taxi(spark):
+    """Multi-seasonal (trigonometric [48, 336]) BSTS vs the reference's
+    Enhanced BSTS golden (src/bsts_model.py:12-50, freq_seasonal with
+    the min(p/2, 10) harmonic cap; run config src/run_bsts.py:16,
+    train_frac=0.5).
+
+    The golden's own 5160-step dynamic mean DIVERGES (its tail MAE is
+    1.2e6 on ~2e4-valued data — statsmodels LLT multi-step slope
+    extrapolation), so point-level parity is meaningless; metric-level
+    agreement is asserted instead:
+    - detrended seasonal SHAPE of the two forecasts correlates (the
+      [48,336] harmonic structure matches),
+    - our first-week forecast error is no worse than the golden's
+      (matches-or-beats),
+    - the multi-seasonal variant beats our own dummy-daily variant on
+      the same horizon (the weekly component is real).
+    """
+    from time_series_data_anomaly_detection_spark.functions import bsts_forecast
+
+    stl = pd.read_csv(GOLDEN_STL)
+    gold = pd.read_csv(GOLDEN_EBSTS)
+    df = _series_frame(spark, stl)
+    ours = (
+        bsts_forecast(df, train_frac=0.5, seasonal_periods=[48, 336])
+        .orderBy("rn")
+        .toPandas()
+    )
+    n = len(stl)
+    n_train = int(n * 0.5)
+    y = stl["value"].to_numpy(float)[n_train:]
+    om = ours["pred_mean"].to_numpy()[n_train:]
+    gm = gold["bsts_mean"].to_numpy()
+    assert len(om) == len(gm)
+
+    t = np.arange(len(om), dtype=float)
+
+    def detrend(v):
+        return v - np.polyval(np.polyfit(t, v, 1), t)
+
+    shape_corr = np.corrcoef(detrend(om), detrend(gm))[0, 1]
+    assert shape_corr > 0.8  # measured 0.847
+
+    week = 336
+    our_mae = np.abs(y[:week] - om[:week]).mean()
+    gold_mae = np.abs(y[:week] - gm[:week]).mean()
+    assert our_mae <= gold_mae  # measured 7k vs 79k
+
+    dummy = (
+        bsts_forecast(df, period=48, train_frac=0.5).orderBy("rn").toPandas()
+    )
+    dm = dummy["pred_mean"].to_numpy()[n_train:]
+    assert our_mae < np.abs(y[:week] - dm[:week]).mean()

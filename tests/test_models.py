@@ -123,3 +123,58 @@ def test_lstm_gate_raises_without_torch(spark):
         pytest.skip("torch present")
     with pytest.raises(NotImplementedError):
         lstm_forecast(series_df(spark, [1.0, 2.0]))
+
+
+def test_bsts_multiseasonal_beats_single(spark):
+    """Trigonometric [24, 168] multi-seasonality (the reference's
+    freq_seasonal branch, src/bsts_model.py:26-35) captures a weekly
+    component a single daily seasonal cannot."""
+    rng = np.random.default_rng(21)
+    t = np.arange(24 * 7 * 6)  # six "weeks" of hourly data
+    y = (
+        100
+        + 8 * np.sin(2 * np.pi * t / 24)
+        + 12 * np.sin(2 * np.pi * t / 168)
+        + rng.normal(0, 1, len(t))
+    )
+    multi = (
+        bsts_forecast(series_df(spark, y), train_frac=0.7,
+                      seasonal_periods=[24, 168])
+        .orderBy("rn").toPandas()
+    )
+    single = (
+        bsts_forecast(series_df(spark, y), period=24, train_frac=0.7)
+        .orderBy("rn").toPandas()
+    )
+    cut = int(len(t) * 0.7) + 24
+    multi_err = np.abs(multi.resid[cut:]).mean()
+    single_err = np.abs(single.resid[cut:]).mean()
+    assert multi_err < single_err / 2  # weekly term is load-bearing
+    assert multi_err < 4.0
+
+
+def test_gp_weekly_kernel_component(spark):
+    """The second ExpSineSquared (weekly) term (src/run_gp.py:33-34)
+    lets the GP extrapolate a two-period signal; daily-only cannot."""
+    rng = np.random.default_rng(17)
+    t = np.arange(24 * 7 * 4)
+    y = (
+        4 * np.sin(2 * np.pi * t / 24)
+        + 6 * np.sin(2 * np.pi * t / 168)
+        + rng.normal(0, 0.3, len(t))
+    )
+    both = (
+        gp_forecast(series_df(spark, y), train_frac=0.75, period=24.0,
+                    period2=168.0, length_scale=500.0)
+        .orderBy("rn").toPandas()
+    )
+    daily = (
+        gp_forecast(series_df(spark, y), train_frac=0.75, period=24.0,
+                    length_scale=500.0)
+        .orderBy("rn").toPandas()
+    )
+    cut = int(len(t) * 0.75)
+    both_err = np.abs((both.value - both.pred_mean)[cut:]).mean()
+    daily_err = np.abs((daily.value - daily.pred_mean)[cut:]).mean()
+    assert both_err < daily_err  # weekly term improves extrapolation
+    assert both_err < 1.5

@@ -39,12 +39,18 @@ GP_SCHEMA = (
 
 
 def _kernel(xa: np.ndarray, xb: np.ndarray, amp2: float, ls: float,
-            period: float, pamp2: float, pls: float) -> np.ndarray:
-    """RBF + periodic kernel. The feature is the (integer) row index,
+            period: float, pamp2: float, pls: float,
+            period2: float | None = None, pamp2_2: float = 1.0,
+            pls2: float = 1.0) -> np.ndarray:
+    """RBF + periodic kernel(s). The feature is the (integer) row index,
     and the kernel is stationary, so k(x_i, x_j) = g(i−j) takes only
     |range(i−j)| ≤ n+m distinct values: evaluate g on the lag grid
     once and GATHER, instead of 2·n·m transcendental calls (the naive
-    20k×1000 build was ~4 s/series; the gather is ~0.2 s)."""
+    20k×1000 build was ~4 s/series; the gather is ~0.2 s).
+
+    ``period2`` adds the reference's second (weekly) ExpSineSquared
+    component (``src/run_gp.py:33-34``) — one more term on the SAME lag
+    grid, so the gather trick extends for free."""
     da = xa.astype(np.int64)
     db = xb.astype(np.int64)
     dmin = int(da.min()) - int(db.max())
@@ -53,6 +59,10 @@ def _kernel(xa: np.ndarray, xb: np.ndarray, amp2: float, ls: float,
     g = amp2 * np.exp(-(lags**2) / (2 * ls**2)) + pamp2 * np.exp(
         -2 * np.sin(np.pi * np.abs(lags) / period) ** 2 / pls**2
     )
+    if period2:
+        g = g + pamp2_2 * np.exp(
+            -2 * np.sin(np.pi * np.abs(lags) / period2) ** 2 / pls2**2
+        )
     idx = (da[:, None] - db[None, :]) - dmin
     return g[idx]
 
@@ -65,13 +75,16 @@ def gp_forecast(
     length_scale: float = 50.0,
     noise: float = 0.1,
     chunk: int = 2048,
+    period2: float | None = None,
 ) -> DataFrame:
     """M4: per-series GP regression on the row index.
 
     Fits on the last ``max_train`` rows of the train fraction (the
     reference's subsample trick — kept as explicit app logic since it
     changes results, SURVEY §4), predicts mean/std for ALL rows.
-    Output: ``pred_mean, pred_std`` columns.
+    Output: ``pred_mean, pred_std`` columns.  ``period2`` enables the
+    reference's weekly ExpSineSquared kernel component (daily 48 +
+    weekly 336 on half-hourly NAB data, ``src/run_gp.py:26-44``).
     """
     from pyspark.sql import Window
 
@@ -122,16 +135,21 @@ def gp_forecast(
         mu, sd = float(y_tr.mean()), float(y_tr.std()) or 1.0
         yn = (y_tr - mu) / sd
         amp2, pamp2, pls = 1.0, 1.0, 1.0
+        pamp2_2 = 1.0 if period2 else 0.0
         noise2 = noise**2
-        K = _kernel(x_tr, x_tr, amp2, length_scale, period, pamp2, pls)
+        K = _kernel(x_tr, x_tr, amp2, length_scale, period, pamp2, pls,
+                    period2)
         K[np.diag_indices_from(K)] += noise2
         x_star = pr["__pos"].to_numpy(float)
-        Ks = _kernel(x_star, x_tr, amp2, length_scale, period, pamp2, pls)
+        Ks = _kernel(x_star, x_tr, amp2, length_scale, period, pamp2, pls,
+                     period2)
         # one LU factorization serves both the mean (K⁻¹y) and the
         # variance (K⁻¹Ksᵀ) — ~2× fewer flops than inv() + dense GEMM
         sol = np.linalg.solve(K, np.column_stack([yn, Ks.T]))
         mean = Ks @ sol[:, 0]
-        var = (amp2 + pamp2 + noise2) - np.einsum("ij,ji->i", Ks, sol[:, 1:])
+        var = (amp2 + pamp2 + pamp2_2 + noise2) - np.einsum(
+            "ij,ji->i", Ks, sol[:, 1:]
+        )
         var = np.maximum(var, 1e-12)
         out = pr[["series_id", "timestamp", "value", "rn"]].copy()
         out["pred_mean"] = mean * sd + mu

@@ -156,14 +156,25 @@ def bsts_forecast(
     period: int = 24,
     train_frac: float = 0.5,
     alpha: float = 0.05,
+    seasonal_periods: list[int] | None = None,
 ) -> DataFrame:
-    """M3: local-linear-trend + dummy-seasonal state space, numpy Kalman.
+    """M3: local-linear-trend + seasonal state space, numpy Kalman.
 
-    State = [level, slope, s_1..s_{period-1}]; fixed variance ratios
-    (level 0.1, slope 0.01, seasonal 0.01 of obs var — deterministic in
-    lieu of MLE).  Fits on the train fraction, dynamic multi-step
-    forecast over the tail with growing variance, as the reference's
-    ``predict_bsts(dynamic=True)`` (``src/bsts_model.py:52-71``).
+    Two seasonal representations, matching the reference's
+    ``fit_bsts`` (``src/bsts_model.py:12-50``):
+
+    - ``seasonal_periods=None``: single DUMMY seasonal of ``period``
+      (state ``[level, slope, s_1..s_{period-1}]``) — the reference's
+      ``seasonal=seasonal_period`` branch.
+    - ``seasonal_periods=[48, 336]``: TRIGONOMETRIC multi-seasonality
+      (``freq_seasonal``) — per period p, ``min(p // 2, 10)`` harmonics
+      (the reference's harmonic cap, ``src/bsts_model.py:29``), each a
+      2-state rotation block with angle 2πj/p.
+
+    Fixed variance ratios (deterministic in lieu of MLE).  Fits on the
+    train fraction, dynamic multi-step forecast over the tail with
+    growing variance, as the reference's ``predict_bsts(dynamic=True)``
+    (``src/bsts_model.py:52-71``).
     """
     zq = _norm_ppf(1 - alpha / 2)
 
@@ -171,26 +182,50 @@ def bsts_forecast(
         pdf = pdf.sort_values("rn").reset_index(drop=True)
         y = pdf["value"].to_numpy(float)
         n = len(y)
-        n_train = max(int(n * train_frac), period + 2)
+        min_rows = (max(seasonal_periods) if seasonal_periods else period) + 2
+        n_train = max(int(n * train_frac), min_rows)
         n_train = min(n_train, n)
-        m = period - 1
-        dim = 2 + m
-        # transition
-        T = np.zeros((dim, dim))
-        T[0, 0] = T[0, 1] = T[1, 1] = 1.0
-        T[2, 2:] = -1.0
-        for i in range(m - 1):
-            T[3 + i, 2 + i] = 1.0
-        Z = np.zeros(dim)
-        Z[0] = Z[2] = 1.0
-        # fixed variance ratios in lieu of MLE; tuned on synthetic
-        # trend+daily-seasonal series (test-tail MAE ~= innovation sd)
         var_y = float(np.var(y[:n_train])) or 1.0
-        Q = np.zeros((dim, dim))
-        Q[0, 0] = 1e-3 * var_y
-        Q[1, 1] = 1e-5 * var_y
-        Q[2, 2] = 1e-4 * var_y
-        Rv = 0.3 * var_y
+        if seasonal_periods:
+            # trigonometric blocks: state pairs (γ_j, γ*_j) per harmonic
+            harmonics = [(p, min(int(p / 2), 10)) for p in seasonal_periods]
+            dim = 2 + 2 * sum(h for _, h in harmonics)
+            T = np.zeros((dim, dim))
+            T[0, 0] = T[0, 1] = T[1, 1] = 1.0
+            Z = np.zeros(dim)
+            Z[0] = 1.0
+            Q = np.zeros((dim, dim))
+            i = 2
+            for p, h in harmonics:
+                for j in range(1, h + 1):
+                    lam = 2.0 * np.pi * j / p
+                    c, s = np.cos(lam), np.sin(lam)
+                    T[i, i], T[i, i + 1] = c, s
+                    T[i + 1, i], T[i + 1, i + 1] = -s, c
+                    Z[i] = 1.0
+                    Q[i, i] = Q[i + 1, i + 1] = 1e-5 * var_y
+                    i += 2
+            Q[0, 0] = 1e-3 * var_y
+            Q[1, 1] = 1e-5 * var_y
+            Rv = 0.3 * var_y
+        else:
+            m = period - 1
+            dim = 2 + m
+            # transition
+            T = np.zeros((dim, dim))
+            T[0, 0] = T[0, 1] = T[1, 1] = 1.0
+            T[2, 2:] = -1.0
+            for i in range(m - 1):
+                T[3 + i, 2 + i] = 1.0
+            Z = np.zeros(dim)
+            Z[0] = Z[2] = 1.0
+            # fixed variance ratios in lieu of MLE; tuned on synthetic
+            # trend+daily-seasonal series (test-tail MAE ~= innovation sd)
+            Q = np.zeros((dim, dim))
+            Q[0, 0] = 1e-3 * var_y
+            Q[1, 1] = 1e-5 * var_y
+            Q[2, 2] = 1e-4 * var_y
+            Rv = 0.3 * var_y
         a = np.zeros(dim)
         a[0] = y[0]
         P = np.eye(dim) * var_y * 10

@@ -174,6 +174,7 @@ def business_metrics(
     pred_col: str = "flag",
     gap: int = 0,
     persist_p: int = 1,
+    keys: tuple = KEYS,
 ) -> DataFrame:
     """A3: FP events/day + median detection latency (minutes) per series.
 
@@ -181,13 +182,17 @@ def business_metrics(
     predicted event's start row minus timestamp at the true start row;
     median across hit true events (null when none — the reference
     emits NaN).
+
+    ``keys`` generalizes the grouping the same way as
+    ``event_level_metrics`` — a fused (series_id, model) frame yields
+    the whole leaderboard's business columns in one pass.
     """
     pairs = _event_pairs(
-        df, truth_col, pred_col, gap, persist_p=persist_p, carry_ts=True
+        df, truth_col, pred_col, gap, keys, persist_p=persist_p, carry_ts=True
     )
-    counts = _event_counts(pairs).select("series_id", "n_pred_events", "tp")
+    counts = _event_counts(pairs, keys).select(*keys, "n_pred_events", "tp")
     # duration + distinct series in the SAME scan of the points frame
-    base = df.groupBy("series_id").agg(
+    base = df.groupBy(*keys).agg(
         (
             (F.unix_timestamp(F.max("timestamp")) - F.unix_timestamp(F.min("timestamp")))
             / F.lit(86400.0)
@@ -202,19 +207,19 @@ def business_metrics(
     # min(p_start_ts) is the timestamp of min(p_start): both monotone.
     lat = (
         pairs.filter(F.col("t_eid").isNotNull() & F.col("p_eid").isNotNull())
-        .groupBy("series_id", "t_eid", "t_start_ts")
+        .groupBy(*keys, "t_eid", "t_start_ts")
         .agg(F.min("p_start_ts").alias("pred_ts"))
         .withColumn(
             "latency_min",
             (F.unix_timestamp("pred_ts") - F.unix_timestamp("t_start_ts"))
             / F.lit(60.0),
         )
-        .groupBy("series_id")
+        .groupBy(*keys)
         .agg(F.percentile(F.col("latency_min"), F.lit(0.5)).alias("median_latency_minutes"))
     )
     out = (
-        base.join(counts, "series_id", "left")
-        .join(lat, "series_id", "left")
+        base.join(counts, list(keys), "left")
+        .join(lat, list(keys), "left")
         .fillna(0, ["n_pred_events", "tp"])
         .withColumn("fp_count", F.col("n_pred_events") - F.col("tp"))
         .withColumn(
@@ -226,8 +231,79 @@ def business_metrics(
         )
     )
     return out.select(
-        "series_id", "fp_count", "duration_days", "fp_per_day", "median_latency_minutes"
+        *keys, "fp_count", "duration_days", "fp_per_day", "median_latency_minutes"
     )
+
+
+def leaderboard_metrics(
+    df: DataFrame,
+    truth_col: str = "is_anomaly",
+    pred_col: str = "flag",
+    gap: int = 0,
+    persist_p: int = 1,
+    keys: tuple = KEYS,
+) -> DataFrame:
+    """A2 + A3 fused: event P/R/F1 AND business columns (fp_per_day,
+    median_latency_minutes) from ONE event-pair frame.
+
+    The reference's leaderboard carries both metric families per
+    (model, dataset) cell (``src/aggregate_metrics.py:35-48``,
+    ``Event_F1/Precision/Recall`` + ``FP_per_Day/Latency_Min``); it
+    re-reads metrics.json files, we re-use the single overlap join —
+    calling ``event_level_metrics`` and ``business_metrics`` separately
+    would sessionize the full points frame twice for the same runs.
+    """
+    from ..session import tracked_cache
+
+    pairs = tracked_cache(
+        _event_pairs(df, truth_col, pred_col, gap, keys,
+                     persist_p=persist_p, carry_ts=True)
+    )
+    counts = _event_counts(pairs, keys)
+    base = df.groupBy(*keys).agg(
+        (
+            (F.unix_timestamp(F.max("timestamp")) - F.unix_timestamp(F.min("timestamp")))
+            / F.lit(86400.0)
+        ).alias("duration_days")
+    )
+    lat = (
+        pairs.filter(F.col("t_eid").isNotNull() & F.col("p_eid").isNotNull())
+        .groupBy(*keys, "t_eid", "t_start_ts")
+        .agg(F.min("p_start_ts").alias("pred_ts"))
+        .withColumn(
+            "latency_min",
+            (F.unix_timestamp("pred_ts") - F.unix_timestamp("t_start_ts"))
+            / F.lit(60.0),
+        )
+        .groupBy(*keys)
+        .agg(F.percentile(F.col("latency_min"), F.lit(0.5)).alias("median_latency_minutes"))
+    )
+    out = (
+        base.join(counts, list(keys), "left")
+        .join(lat, list(keys), "left")
+        .fillna(0, ["n_true_events", "n_pred_events", "tp", "tp_recall"])
+        .withColumn("fp", F.col("n_pred_events") - F.col("tp"))
+        .withColumn("fn", F.col("n_true_events") - F.col("tp_recall"))
+        .withColumn(
+            "precision", F.col("tp") / (F.col("n_pred_events") + F.lit(EPS))
+        )
+        .withColumn(
+            "recall", F.col("tp_recall") / (F.col("n_true_events") + F.lit(EPS))
+        )
+        .withColumn(
+            "f1",
+            2 * F.col("precision") * F.col("recall")
+            / (F.col("precision") + F.col("recall") + F.lit(EPS)),
+        )
+        .withColumn(
+            "fp_per_day",
+            F.when(
+                F.col("duration_days") > 0,
+                F.col("fp") / F.col("duration_days"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return out.drop("tp_recall", "duration_days")
 
 
 def pr_curve(

@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 from ..session import tracked_cache
 from ..operators.decompose import resample
 from ..operators.events import persistence_filter
-from ..operators.evaluate import business_metrics, event_level_metrics
+from ..operators.evaluate import (
+    business_metrics,
+    event_level_metrics,
+    leaderboard_metrics,
+)
 from ..operators.labeling import mark_anomaly_windows, top_value_labels
 from ..operators.rolling import rolling_stats
 from ..operators.scaling import mad_scores
@@ -393,8 +397,11 @@ def run_benchmark(
     scored_frames = []
     for m in models:
         model_kw = {"period": period} if m in ("stl", "ar") else {}
+        # timestamp rides along so the business columns (FP/day,
+        # latency) come from this same frame — re-joining timestamps
+        # later would be a second scan+shuffle of the points table
         s = score_model(series, m, **model_kw).select(
-            "series_id", "rn", "score"
+            "series_id", "rn", "timestamp", "score"
         ).withColumn("model", F.lit(m))
         scored_frames.append(s)
     scored = scored_frames[0]
@@ -415,13 +422,18 @@ def run_benchmark(
         (F.col("score") > F.coalesce(F.col("best_k"), F.lit(3.0))).cast("int"),
     )
     with_k = tracked_cache(with_k)
-    em = event_level_metrics(
+    # event P/R/F1 + business columns (FP/day, median latency) in ONE
+    # overlap-join pass — the reference's full leaderboard column set
+    # (src/aggregate_metrics.py:35-48: Event_F1/Precision/Recall +
+    # FP_per_Day/Latency_Min)
+    lm = leaderboard_metrics(
         with_k, gap=kw.get("gap", 3), keys=keys,
         persist_p=kw.get("persist_p", 2),
     )
-    return em.orderBy(F.desc("f1"), "series_id").select(
+    return lm.orderBy(F.desc("f1"), "series_id").select(
         "model", "series_id", "f1", "precision", "recall",
         "n_true_events", "n_pred_events",
+        "fp_per_day", "median_latency_minutes",
     )
 
 

@@ -341,6 +341,8 @@ def q_benchmark_leaderboard(spark, sf_dir):
         _rnd("f1", R).alias("f1"),
         _rnd("precision", R).alias("precision"),
         _rnd("recall", R).alias("recall"),
+        _rnd("fp_per_day", R).alias("fp_per_day"),
+        _rnd("median_latency_minutes", R).alias("median_latency_minutes"),
     )
 
 
@@ -371,6 +373,8 @@ def q_benchmark_leaderboard_ar1(spark, sf_dir):
         _rnd("precision", R).alias("precision"),
         _rnd("recall", R).alias("recall"),
         "n_true_events", "n_pred_events",
+        _rnd("fp_per_day", R).alias("fp_per_day"),
+        _rnd("median_latency_minutes", R).alias("median_latency_minutes"),
     )
 
 
@@ -1446,15 +1450,36 @@ lm AS (
          coalesce(lnp.n_pred_events, 0) AS n_pred_events,
          coalesce(lph.tp, 0) AS tp, coalesce(lth.tp_recall, 0) AS tp_recall
   FROM lbase b LEFT JOIN lnt USING (series_id) LEFT JOIN lnp USING (series_id)
-       LEFT JOIN lph USING (series_id) LEFT JOIN lth USING (series_id))
-SELECT 'ar1' AS model, series_id,
+       LEFT JOIN lph USING (series_id) LEFT JOIN lth USING (series_id)),
+ldur AS (SELECT series_id,
+                (floor(epoch(max(timestamp))) - floor(epoch(min(timestamp))))
+                / 86400.0 AS duration_days
+         FROM s GROUP BY 1),
+lthit AS (SELECT t.series_id, t.start_idx AS t_start,
+                 min(p.start_idx) AS first_pred_start
+          FROM tevb t JOIN pevb p ON p.series_id = t.series_id
+               AND p.end_idx >= t.start_idx AND p.start_idx <= t.end_idx
+          GROUP BY 1, 2),
+llat AS (SELECT th.series_id,
+                median((floor(epoch(sp.timestamp)) - floor(epoch(st.timestamp)))
+                       / 60.0) AS median_latency_minutes
+         FROM lthit th
+         JOIN s st ON st.series_id = th.series_id AND st.rn = th.t_start
+         JOIN s sp ON sp.series_id = th.series_id
+              AND sp.rn = th.first_pred_start
+         GROUP BY 1)
+SELECT 'ar1' AS model, lm.series_id,
        round(2 * (tp/(n_pred_events+1e-9)) * (tp_recall/(n_true_events+1e-9))
              / ((tp/(n_pred_events+1e-9)) + (tp_recall/(n_true_events+1e-9))
                 + 1e-9), {R}) AS f1,
        round(tp / (n_pred_events + 1e-9), {R}) AS precision,
        round(tp_recall / (n_true_events + 1e-9), {R}) AS recall,
-       n_true_events, n_pred_events
-FROM lm
+       n_true_events, n_pred_events,
+       round(CASE WHEN ldur.duration_days > 0
+                  THEN (n_pred_events - tp) / ldur.duration_days
+                  ELSE 0.0 END, {R}) AS fp_per_day,
+       round(llat.median_latency_minutes, {R}) AS median_latency_minutes
+FROM lm LEFT JOIN ldur USING (series_id) LEFT JOIN llat USING (series_id)
 """
 
 

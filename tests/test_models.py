@@ -37,6 +37,30 @@ def test_kalman_forecast_tail_is_static(spark):
     assert (np.diff(widths) > 0).all()  # growing uncertainty
 
 
+def test_kalman_non_dynamic_tail_tracks_observations(spark):
+    """dynamic=False = the reference's use_dynamic=False: one-step-ahead
+    filtering continues over the test rows with train-fit (q, r)
+    (src/kalman_model.py:19-43), so a level shift in the tail is
+    re-tracked; the frozen dynamic forecast cannot follow it."""
+    rng = np.random.default_rng(11)
+    y = np.concatenate([np.full(160, 10.0), np.full(40, 25.0)])
+    y = y + rng.normal(0, 0.5, 200)
+    filt = kalman_local_level(
+        series_df(spark, y), train_frac=0.8, dynamic=False
+    ).orderBy("rn").toPandas()
+    frozen = kalman_local_level(
+        series_df(spark, y), train_frac=0.8, dynamic=True
+    ).orderBy("rn").toPandas()
+    # identical in-sample predictions
+    np.testing.assert_allclose(
+        filt.pred_mean[:160], frozen.pred_mean[:160], rtol=1e-12
+    )
+    # filtering re-acquires the shifted level; the frozen tail stays at 10
+    assert abs(filt.pred_mean[170:].mean() - 25) < 1.0
+    assert abs(frozen.pred_mean[170:].mean() - 10) < 1.0
+    assert frozen.pred_mean[160:].nunique() == 1
+
+
 def test_bsts_captures_seasonality(spark):
     rng = np.random.default_rng(9)
     t = np.arange(480)

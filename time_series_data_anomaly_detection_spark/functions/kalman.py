@@ -72,16 +72,26 @@ KALMAN_SCHEMA = (
 
 
 def kalman_local_level(
-    df: DataFrame, train_frac: float = 1.0, alpha: float = 0.05
+    df: DataFrame,
+    train_frac: float = 1.0,
+    alpha: float = 0.05,
+    dynamic: bool = True,
 ) -> DataFrame:
     """M2: per-series local-level Kalman one-step-ahead prediction.
 
     Columns added: ``pred_mean, pred_lower, pred_upper`` (predictive
     interval at 1-alpha via the Gaussian quantile) and ``resid``.
-    With ``train_frac < 1`` the filter fits on the head fraction and
-    forecasts the tail statically (level frozen, variance growing),
-    mirroring the reference's fit-train / predict-test split
-    (``src/kalman_model.py:19-43``).
+    With ``train_frac < 1`` the filter fits (EM) on the head fraction;
+    the tail is forecast per ``dynamic``, mirroring the reference's
+    ``predict_with_intervals(..., use_dynamic=...)``
+    (``src/kalman_model.py:19-43``):
+
+    - ``dynamic=True``: multi-step forecast — level frozen at the train
+      end, variance growing (statsmodels ``get_prediction(dynamic=
+      True)``).
+    - ``dynamic=False``: one-step-ahead filtering continues through the
+      tail with the train-fit ``(q, r)`` — the state updates on each
+      observed test value but the hyperparameters never see test data.
     """
     zq = _norm_ppf(1 - alpha / 2)
 
@@ -92,12 +102,26 @@ def kalman_local_level(
         n_train = max(int(n * train_frac), 2)
         mu_pred, var_pred, q, r = _kalman_em_local_level(y[:n_train])
         if n_train < n:
-            h = np.arange(1, n - n_train + 1, dtype=float)
-            last_mu = mu_pred[-1] + (var_pred[-1] - r) / var_pred[-1] * (
-                y[n_train - 1] - mu_pred[-1]
-            )
-            fc_mean = np.full(n - n_train, last_mu)
-            fc_var = (var_pred[-1] - r) + h * q + r
+            # reconstruct the filtered state at the last train row from
+            # the one-step-predicted outputs (p_pred = var_pred - r)
+            ppp = var_pred[-1] - r
+            k_last = ppp / var_pred[-1]
+            last_mu = mu_pred[-1] + k_last * (y[n_train - 1] - mu_pred[-1])
+            if dynamic:
+                h = np.arange(1, n - n_train + 1, dtype=float)
+                fc_mean = np.full(n - n_train, last_mu)
+                fc_var = (1 - k_last) * ppp + h * q + r
+            else:
+                m, pp = last_mu, (1 - k_last) * ppp
+                fc_mean = np.empty(n - n_train)
+                fc_var = np.empty(n - n_train)
+                for t in range(n_train, n):
+                    pv = pp + q
+                    fc_mean[t - n_train] = m
+                    fc_var[t - n_train] = pv + r
+                    kg = pv / (pv + r)
+                    m = m + kg * (y[t] - m)
+                    pp = (1 - kg) * pv
             mu_pred = np.concatenate([mu_pred, fc_mean])
             var_pred = np.concatenate([var_pred, fc_var])
         sd = np.sqrt(var_pred)

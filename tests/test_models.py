@@ -37,6 +37,50 @@ def test_kalman_forecast_tail_is_static(spark):
     assert (np.diff(widths) > 0).all()  # growing uncertainty
 
 
+def test_gp_lml_selects_noise_level():
+    """Bounded-grid marginal-likelihood selection (the deterministic
+    analogue of the reference's in-bounds MLE, src/run_gp.py:28-37):
+    the evidence should pick the low-noise candidate on a clean signal
+    and reject it on a noisy one."""
+    from time_series_data_anomaly_detection_spark.functions.gp import (
+        _select_hyperparams,
+    )
+
+    rng = np.random.default_rng(3)
+    t = np.arange(24 * 20, dtype=float)
+    clean = 5 * np.sin(2 * np.pi * t / 24) + rng.normal(0, 0.05, len(t))
+    noisy = 5 * np.sin(2 * np.pi * t / 24) + rng.normal(0, 1.2, len(t))
+    for y, want_low in ((clean, True), (noisy, False)):
+        yn = (y - y.mean()) / y.std()
+        ls, n2 = _select_hyperparams(t, yn, 24.0, None, 50.0, 0.7)
+        assert (n2 == 0.01) is want_low
+
+
+def test_gp_optimize_is_deterministic_and_accurate(spark):
+    """optimize=True through the bucketed Spark plan: reproducible
+    outputs and a tight test-tail fit on a clean periodic signal
+    (fixed noise=0.7 would be mis-specified; LML recovers it)."""
+    rng = np.random.default_rng(3)
+    t = np.arange(24 * 20)
+    y = 5 * np.sin(2 * np.pi * t / 24) + rng.normal(0, 0.05, len(t))
+    opt = (
+        gp_forecast(series_df(spark, y), train_frac=0.7, period=24.0,
+                    noise=0.7, optimize=True)
+        .orderBy("rn").toPandas()
+    )
+    opt2 = (
+        gp_forecast(series_df(spark, y), train_frac=0.7, period=24.0,
+                    noise=0.7, optimize=True)
+        .orderBy("rn").toPandas()
+    )
+    cut = int(len(t) * 0.7)
+    opt_err = np.abs((opt.value - opt.pred_mean)[cut:]).mean()
+    assert opt_err < 0.2
+    np.testing.assert_array_equal(
+        opt.pred_mean.to_numpy(), opt2.pred_mean.to_numpy()
+    )
+
+
 def test_kalman_non_dynamic_tail_tracks_observations(spark):
     """dynamic=False = the reference's use_dynamic=False: one-step-ahead
     filtering continues over the test rows with train-fit (q, r)

@@ -67,6 +67,46 @@ def _kernel(xa: np.ndarray, xb: np.ndarray, amp2: float, ls: float,
     return g[idx]
 
 
+def _select_hyperparams(
+    x_tr: np.ndarray,
+    yn: np.ndarray,
+    period: float,
+    period2: float | None,
+    length_scale: float,
+    noise: float,
+    lml_rows: int = 256,
+) -> tuple[float, float]:
+    """Bounded hyperparameter selection by log marginal likelihood.
+
+    The reference MLE-fits kernel hyperparameters inside bounds
+    (``src/run_gp.py:28-37``: RBF length scale in (10, 200), noise in
+    (1e-5, 1e5)) with ``n_restarts_optimizer=1`` — a stochastic
+    L-BFGS.  Here: a deterministic candidate grid around the caller's
+    values, scored by exact LML on the last ``lml_rows`` train rows
+    (LML cost is O(m³) per candidate; 256 rows ≈ 10 ms each, so the
+    selection adds ~no wall-clock while replacing the fixed-params
+    guess).  Grid order breaks ties, so results are reproducible.
+    Returns ``(length_scale, noise²)``.
+    """
+    xs = x_tr[-lml_rows:]
+    ys = yn[-lml_rows:]
+    m = len(xs)
+    best, best_lml = (length_scale, noise**2), -np.inf
+    for ls_c in (0.5 * length_scale, length_scale, 2.0 * length_scale):
+        for n2_c in (0.01, noise**2, 0.5):
+            K = _kernel(xs, xs, 1.0, ls_c, period, 1.0, 1.0, period2)
+            K[np.diag_indices_from(K)] += n2_c
+            sign, logdet = np.linalg.slogdet(K)
+            if sign <= 0:
+                continue
+            lml = -0.5 * float(ys @ np.linalg.solve(K, ys)) - 0.5 * logdet - (
+                m / 2.0
+            ) * np.log(2.0 * np.pi)
+            if lml > best_lml + 1e-9:
+                best, best_lml = (ls_c, n2_c), lml
+    return best
+
+
 def gp_forecast(
     df: DataFrame,
     train_frac: float = 0.5,
@@ -76,6 +116,7 @@ def gp_forecast(
     noise: float = 0.1,
     chunk: int = 2048,
     period2: float | None = None,
+    optimize: bool = False,
 ) -> DataFrame:
     """M4: per-series GP regression on the row index.
 
@@ -84,7 +125,12 @@ def gp_forecast(
     changes results, SURVEY §4), predicts mean/std for ALL rows.
     Output: ``pred_mean, pred_std`` columns.  ``period2`` enables the
     reference's weekly ExpSineSquared kernel component (daily 48 +
-    weekly 336 on half-hourly NAB data, ``src/run_gp.py:26-44``).
+    weekly 336 on half-hourly NAB data, ``src/run_gp.py:26-44``);
+    ``optimize`` selects (length_scale, noise²) by marginal likelihood
+    over a bounded grid (the deterministic analogue of the reference's
+    in-bounds MLE restarts).  Selection sees only the train slice —
+    identical in every bucket, so outputs stay bit-identical across
+    bucketings.
     """
     from pyspark.sql import Window
 
@@ -136,12 +182,17 @@ def gp_forecast(
         yn = (y_tr - mu) / sd
         amp2, pamp2, pls = 1.0, 1.0, 1.0
         pamp2_2 = 1.0 if period2 else 0.0
-        noise2 = noise**2
-        K = _kernel(x_tr, x_tr, amp2, length_scale, period, pamp2, pls,
+        if optimize:
+            ls_fit, noise2 = _select_hyperparams(
+                x_tr, yn, period, period2, length_scale, noise
+            )
+        else:
+            ls_fit, noise2 = length_scale, noise**2
+        K = _kernel(x_tr, x_tr, amp2, ls_fit, period, pamp2, pls,
                     period2)
         K[np.diag_indices_from(K)] += noise2
         x_star = pr["__pos"].to_numpy(float)
-        Ks = _kernel(x_star, x_tr, amp2, length_scale, period, pamp2, pls,
+        Ks = _kernel(x_star, x_tr, amp2, ls_fit, period, pamp2, pls,
                      period2)
         # one LU factorization serves both the mean (K⁻¹y) and the
         # variance (K⁻¹Ksᵀ) — ~2× fewer flops than inv() + dense GEMM

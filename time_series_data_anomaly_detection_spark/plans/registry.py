@@ -683,7 +683,9 @@ def q_bsts_forecast(spark, sf_dir):
 
 def q_gp_forecast(spark, sf_dir):
     from ..functions import gp_forecast
-    out = gp_forecast(_series(spark, sf_dir), train_frac=0.5)
+    # optimize=True: bounded-grid LML hyperparameter selection — the
+    # deterministic analogue of the reference's in-bounds MLE restarts
+    out = gp_forecast(_series(spark, sf_dir), train_frac=0.5, optimize=True)
     return out.select(
         "series_id", "rn",
         _rnd("pred_mean", R).alias("pred_mean"),

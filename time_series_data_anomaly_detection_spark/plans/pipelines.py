@@ -155,24 +155,70 @@ def detection_pipeline(
     }
 
 
+def _score_branch(series: DataFrame, name: str, period: int) -> DataFrame:
+    """One ensemble branch: ``(series_id, rn, tag, z)`` with a
+    nonnegative anomaly score ``z``.  Families: the reference's three
+    hybrid members (stl / gp / ar, ``src/run_hybrid.py:23-202``) plus
+    three fully SQL-expressible scorers (ar1 / zscore / mad) that give
+    the fusion plumbing a hard DuckDB oracle."""
+    from ..functions import ar_forecast, gp_forecast, stl_decompose
+    from ..functions.ar import ar1_forecast_native
+    from ..operators.scaling import global_zscore
+
+    if name == "stl":
+        return stl_decompose(series, period=period, score_col="z_stl").select(
+            "series_id", "rn", F.lit("stl").alias("tag"),
+            F.col("z_stl").alias("z"),
+        )
+    if name == "gp":
+        return gp_forecast(series, train_frac=0.5).select(
+            "series_id", "rn", F.lit("gp").alias("tag"),
+            (F.abs(F.col("value") - F.col("pred_mean"))
+             / (F.col("pred_std") + F.lit(1e-9))).alias("z"),
+        )
+    if name == "ar":
+        return rolling_stats(
+            ar_forecast(series, p=period), value_col="resid", out_prefix="rs"
+        ).select(
+            "series_id", "rn", F.lit("ar").alias("tag"),
+            (F.abs(F.col("resid")) / (F.col("rs_std") + F.lit(1e-6))).alias("z"),
+        )
+    if name == "ar1":
+        return mad_scores(
+            ar1_forecast_native(series), value_col="resid", out_col="z"
+        ).select("series_id", "rn", F.lit("ar1").alias("tag"), "z")
+    if name == "zscore":
+        return global_zscore(series).select(
+            "series_id", "rn", F.lit("zscore").alias("tag"),
+            F.abs(F.col("z_global")).alias("z"),
+        )
+    if name == "mad":
+        return mad_scores(series).select(
+            "series_id", "rn", F.lit("mad").alias("tag"),
+            F.col("z_mad").alias("z"),
+        )
+    raise ValueError(f"unknown ensemble branch {name!r}")
+
+
 def hybrid_pipeline(
     series: DataFrame,
     period: int = 24,
-    weights: tuple[float, float, float] = (1 / 3, 1 / 3, 1 / 3),
+    weights: tuple[float, ...] = (1 / 3, 1 / 3, 1 / 3),
     k: float = 3.0,
     persist_p: int = 2,
     gap: int = 3,
+    models: tuple[str, ...] = ("stl", "gp", "ar"),
 ) -> dict[str, DataFrame]:
     """The reference's multi-model ensemble (``src/run_hybrid.py:23-202``):
     STL-resid MAD z + GP per-step z + AR(24) rolling z, fused by a
     weighted mean, one shared detection/eval tail.
 
-    One scan, three scoring branches over the SAME per-series partition,
+    One scan, N scoring branches over the SAME per-series partition,
     pure column fusion — the Spark DAG the survey calls the textbook
-    case (§3.3).
+    case (§3.3).  ``models`` picks the branch families (see
+    ``_score_branch``); null branch scores (warm-up rows) fuse as 0.
     """
-    from ..functions import ar_forecast, gp_forecast, stl_decompose
-
+    assert len(weights) == len(models)
     # the model UDFs project away everything but (series_id, timestamp,
     # value, rn) — feed them the bare cached series so the label join
     # stays OUT of the thrice-consumed branch lineage.  The cache is
@@ -185,41 +231,26 @@ def hybrid_pipeline(
     labels = top_value_labels(series, 5)
     labeled = mark_anomaly_windows(series, labels, 3)
 
-    stl = stl_decompose(series, period=period, score_col="z_stl").select(
-        "series_id", "rn", F.lit("stl").alias("tag"), F.col("z_stl").alias("z")
-    )
-    gp = gp_forecast(series, train_frac=0.5).select(
-        "series_id", "rn", F.lit("gp").alias("tag"),
-        (F.abs(F.col("value") - F.col("pred_mean"))
-         / (F.col("pred_std") + F.lit(1e-9))).alias("z"),
-    )
-    ar = rolling_stats(
-        ar_forecast(series, p=period), value_col="resid", out_prefix="rs"
-    ).select(
-        "series_id", "rn", F.lit("ar").alias("tag"),
-        (F.abs(F.col("resid")) / (F.col("rs_std") + F.lit(1e-6))).alias("z"),
-    )
+    branches = [_score_branch(series, m, period) for m in models]
     # branches are 1:1 by (series_id, rn): union + one conditional-agg
-    # shuffle pivots them back to columns — 1 exchange where three
+    # shuffle pivots them back to columns — 1 exchange where N
     # sort-merge joins cost an exchange + sort per side
-    zs = (
-        stl.unionByName(gp).unionByName(ar)
-        .groupBy("series_id", "rn")
-        .agg(
-            F.max(F.when(F.col("tag") == "stl", F.col("z"))).alias("z_stl"),
-            F.max(F.when(F.col("tag") == "gp", F.col("z"))).alias("z_gp"),
-            F.max(F.when(F.col("tag") == "ar", F.col("z"))).alias("z_ar"),
-        )
+    union = branches[0]
+    for b in branches[1:]:
+        union = union.unionByName(b)
+    zs = union.groupBy("series_id", "rn").agg(
+        *[
+            F.max(F.when(F.col("tag") == m, F.col("z"))).alias(f"z_{m}")
+            for m in models
+        ]
     )
-    w1, w2, w3 = weights
+    combined = None
+    for w, m in zip(weights, models):
+        term = F.lit(w) * F.coalesce(F.col(f"z_{m}"), F.lit(0.0))
+        combined = term if combined is None else combined + term
     fused = (
         labeled.join(zs, ["series_id", "rn"])
-        .withColumn(
-            "combined_score",
-            F.lit(w1) * F.col("z_stl")
-            + F.lit(w2) * F.col("z_gp")
-            + F.lit(w3) * F.coalesce(F.col("z_ar"), F.lit(0.0)),
-        )
+        .withColumn("combined_score", combined)
         .withColumn("flag", (F.col("combined_score") > F.lit(k)).cast("int"))
     )
     # cache: downstream metrics would otherwise re-run all three model

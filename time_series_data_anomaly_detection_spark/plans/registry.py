@@ -411,6 +411,35 @@ def q_global_zscore(spark, sf_dir):
     return out.select("series_id", "rn", _rnd("z_global", R).alias("z_global"))
 
 
+def q_median_center(spark, sf_dir):
+    """P8: per-series exact-median centering (src/run_bsts.py:54-55)."""
+    from ..operators.scaling import median_center
+
+    s = _series(spark, sf_dir)
+    out = median_center(s, "value", "centered")
+    return out.select("series_id", "rn", _rnd("centered", R).alias("centered"))
+
+
+def q_residual_sigma(spark, sf_dir):
+    """W2: rolling sigma on model residuals + the reference's residual
+    z-score (src/run_bsts.py:105-106) — AR(1) residuals so every step
+    is exact SQL algebra."""
+    from ..functions.ar import ar1_forecast_native
+    from ..operators.rolling import rolling_stats
+
+    s = _series(spark, sf_dir)
+    r = rolling_stats(
+        ar1_forecast_native(s), value_col="resid", out_prefix="rs"
+    )
+    score = F.abs(F.col("resid")) / (F.col("rs_std") + F.lit(1e-6))
+    return r.select(
+        "series_id", "rn",
+        _rnd("rs_mean", R).alias("rs_mean"),
+        _rnd("rs_std", R).alias("rs_std"),
+        _rnd(score, R).alias("score"),
+    )
+
+
 def q_fractional_split(spark, sf_dir):
     s = _series(spark, sf_dir)
     return fractional_split(s).select("series_id", "rn", "split")
@@ -593,6 +622,26 @@ def q_hybrid_detection(spark, sf_dir):
     from .pipelines import hybrid_pipeline
 
     res = hybrid_pipeline(_series(spark, sf_dir), period=24, k=4.0)
+    out = res["event_metrics"]
+    return out.select(
+        "model", "series_id", "tp", "fp", "fn",
+        _rnd("precision", R).alias("precision"),
+        _rnd("recall", R).alias("recall"),
+        _rnd("f1", R).alias("f1"),
+    )
+
+
+def q_hybrid_detection_sql(spark, sf_dir):
+    """The hybrid fusion plumbing (union + conditional-agg pivot +
+    weighted fuse + threshold + persistence + event metrics) under a
+    HARD oracle: every branch (ar1 / zscore / mad) is exact SQL
+    algebra, so the whole ensemble DAG gets a DuckDB mirror (the
+    stl/gp/ar variant stays rows-only — its branches are model UDFs)."""
+    from .pipelines import hybrid_pipeline
+
+    res = hybrid_pipeline(
+        _series(spark, sf_dir), models=("ar1", "zscore", "mad"), k=2.5
+    )
     out = res["event_metrics"]
     return out.select(
         "model", "series_id", "tp", "fp", "fn",
@@ -790,6 +839,80 @@ WITH {SQL_S}, {SQL_MO}
 SELECT s.series_id, s.rn,
        round((s.value - mo2.mu) / (mo2.sd + 1e-9), {R}) AS z_global
 FROM s JOIN mo2 USING (series_id)
+"""
+
+ORACLES["median_center"] = f"""
+WITH {SQL_S},
+cmed AS (SELECT series_id, median(value) AS med FROM s GROUP BY 1)
+SELECT s.series_id, s.rn, round(s.value - cmed.med, {R}) AS centered
+FROM s JOIN cmed USING (series_id)
+"""
+
+# W2: rolling mean/std of AR(1) residuals (the reference's residual
+# sigma, src/run_bsts.py:105-106).  Rolling CTEs mirror SQL_ROLL but run
+# over the resid column, which is NULL at the series head — the decimal
+# cumulative sums and counts skip NULLs identically on both engines, and
+# the lag(·, 48) row offset counts ALL rows (incl. the null one), exactly
+# like Spark's positional window frame.
+ORACLES["residual_sigma"] = f"""
+WITH {SQL_S},
+lagged AS (
+  SELECT series_id, rn, value,
+         lag(value) OVER (PARTITION BY series_id ORDER BY rn) AS prev
+  FROM s),
+arsum AS (
+  SELECT series_id, count(*) AS n,
+         CAST(sum(CAST(prev AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(prev * prev AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(value * prev AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+  FROM lagged WHERE prev IS NOT NULL GROUP BY 1),
+fit0 AS (
+  SELECT series_id, n, sx, sy,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+  FROM arsum),
+fit AS (
+  SELECT series_id, slope, (sy - slope * sx) / n AS icept FROM fit0),
+rsd AS (
+  SELECT l.series_id, l.rn,
+         l.value - (f.icept + f.slope * l.prev) AS resid
+  FROM lagged l JOIN fit f USING (series_id)),
+rcum AS (
+  SELECT series_id, rn, resid,
+         sum(CAST(resid AS DECIMAL(38,12))) OVER wr AS c1,
+         sum(CAST(resid * resid AS DECIMAL(38,12))) OVER wr AS c2,
+         count(resid) OVER wr AS cn
+  FROM rsd
+  WINDOW wr AS (PARTITION BY series_id ORDER BY rn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+rwin AS (
+  SELECT series_id, rn, resid,
+         CAST(c1 - coalesce(lag(c1, 48) OVER wl, CAST(0 AS DECIMAL(38,12)))
+              AS DOUBLE) AS s1,
+         CAST(c2 - coalesce(lag(c2, 48) OVER wl, CAST(0 AS DECIMAL(38,12)))
+              AS DOUBLE) AS s2,
+         cn - coalesce(lag(cn, 48) OVER wl, 0) AS cnt
+  FROM rcum
+  WINDOW wl AS (PARTITION BY series_id ORDER BY rn)),
+rraw AS (
+  SELECT series_id, rn, resid,
+    CASE WHEN cnt >= 5 THEN s1 / cnt END AS m_raw,
+    CASE WHEN cnt >= 5 AND cnt >= 2 THEN
+      sqrt(greatest((s2 - s1 * s1 / cnt) / (cnt - 1), 0.0))
+    END AS s_raw
+  FROM rwin),
+rfill AS (
+  SELECT series_id, rn, resid,
+    first_value(m_raw IGNORE NULLS) OVER wb AS rs_mean,
+    first_value(s_raw IGNORE NULLS) OVER wb AS rs_std
+  FROM rraw
+  WINDOW wb AS (PARTITION BY series_id ORDER BY rn
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT series_id, rn,
+       round(rs_mean, {R}) AS rs_mean,
+       round(rs_std, {R}) AS rs_std,
+       round(abs(resid) / (rs_std + 1e-6), {R}) AS score
+FROM rfill
 """
 
 ORACLES["fractional_split"] = f"""
@@ -1365,6 +1488,80 @@ SELECT series_id, count(*) AS n_folds,
 FROM pf GROUP BY 1
 """
 
+# ---- hybrid_detection_sql: ar1 + zscore + mad branches, weighted fuse,
+#      threshold, persistence, gap-merge, asymmetric event metrics ----
+ORACLES["hybrid_detection_sql"] = f"""
+WITH {SQL_S}, {SQL_TRUTH}, {SQL_MO}, {SQL_MAD},
+lagged AS (
+  SELECT series_id, rn, value,
+         lag(value) OVER (PARTITION BY series_id ORDER BY rn) AS prev
+  FROM s),
+arsum AS (
+  SELECT series_id, count(*) AS n,
+         CAST(sum(CAST(prev AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(prev * prev AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(value * prev AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+  FROM lagged WHERE prev IS NOT NULL GROUP BY 1),
+fit0 AS (
+  SELECT series_id, n, sx, sy,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+  FROM arsum),
+fit AS (
+  SELECT series_id, slope, (sy - slope * sx) / n AS icept FROM fit0),
+rsd AS (
+  SELECT l.series_id, l.rn,
+         l.value - (f.icept + f.slope * l.prev) AS resid
+  FROM lagged l JOIN fit f USING (series_id) WHERE l.prev IS NOT NULL),
+amed AS (SELECT series_id, median(resid) AS med FROM rsd GROUP BY 1),
+amad AS (
+  SELECT r.series_id, median(abs(r.resid - m.med)) AS mad
+  FROM rsd r JOIN amed m USING (series_id) GROUP BY 1),
+az AS (
+  SELECT r.series_id, r.rn,
+         abs(r.resid - m.med) / (1.4826 * d.mad + 1e-9) AS z
+  FROM rsd r JOIN amed m USING (series_id) JOIN amad d USING (series_id)),
+fz AS (
+  SELECT t.series_id, t.rn, t.is_anomaly,
+         CASE WHEN (1.0/3.0) * coalesce(az.z, 0.0)
+                   + (1.0/3.0) * abs((t.value - mo2.mu) / (mo2.sd + 1e-9))
+                   + (1.0/3.0) * md.z_mad > 2.5
+              THEN 1 ELSE 0 END AS flag
+  FROM truth t
+  JOIN mo2 ON mo2.series_id = t.series_id
+  JOIN mads md ON md.series_id = t.series_id AND md.rn = t.rn
+  LEFT JOIN az ON az.series_id = t.series_id AND az.rn = t.rn),
+{_sql_events_keyed("fz", "htev", "is_anomaly", 3)},
+{_sql_events_keyed("fz", "hpev", "flag", 3, min_len=2)},
+hbase AS (SELECT DISTINCT series_id FROM s),
+hnt AS (SELECT series_id, count(*) AS n_true_events FROM htev GROUP BY 1),
+hnp AS (SELECT series_id, count(*) AS n_pred_events FROM hpev GROUP BY 1),
+hph AS (SELECT p.series_id, count(*) AS tp FROM hpev p
+        WHERE EXISTS (SELECT 1 FROM htev t WHERE t.series_id = p.series_id
+                      AND p.end_idx >= t.start_idx AND p.start_idx <= t.end_idx)
+        GROUP BY 1),
+hth AS (SELECT t.series_id, count(*) AS tp_recall FROM htev t
+        WHERE EXISTS (SELECT 1 FROM hpev p WHERE p.series_id = t.series_id
+                      AND p.end_idx >= t.start_idx AND p.start_idx <= t.end_idx)
+        GROUP BY 1),
+hm AS (
+  SELECT b.series_id,
+         coalesce(hnt.n_true_events, 0) AS n_true_events,
+         coalesce(hnp.n_pred_events, 0) AS n_pred_events,
+         coalesce(hph.tp, 0) AS tp, coalesce(hth.tp_recall, 0) AS tp_recall
+  FROM hbase b LEFT JOIN hnt USING (series_id) LEFT JOIN hnp USING (series_id)
+       LEFT JOIN hph USING (series_id) LEFT JOIN hth USING (series_id))
+SELECT 'hybrid' AS model, series_id, tp,
+       n_pred_events - tp AS fp,
+       n_true_events - tp_recall AS fn,
+       round(tp / (n_pred_events + 1e-9), {R}) AS precision,
+       round(tp_recall / (n_true_events + 1e-9), {R}) AS recall,
+       round(2 * (tp/(n_pred_events+1e-9)) * (tp_recall/(n_true_events+1e-9))
+             / ((tp/(n_pred_events+1e-9)) + (tp_recall/(n_true_events+1e-9))
+                + 1e-9), {R}) AS f1
+FROM hm
+"""
+
 # ---- benchmark_leaderboard_ar1: full-series AR(1) + MAD score + split +
 #      validation sweep (rate guard) + best-k detection + event metrics ----
 ORACLES["benchmark_leaderboard_ar1"] = f"""
@@ -1494,10 +1691,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walk_forward_cv_ar1": q_walk_forward_cv_ar1,
         "benchmark_leaderboard": q_benchmark_leaderboard,
         "benchmark_leaderboard_ar1": q_benchmark_leaderboard_ar1,
+        "hybrid_detection_sql": q_hybrid_detection_sql,
         "rolling_stats": q_rolling_stats,
         "adaptive_flags": q_adaptive_flags,
         "mad_scores": q_mad_scores,
         "global_zscore": q_global_zscore,
+        "median_center": q_median_center,
+        "residual_sigma": q_residual_sigma,
         "fractional_split": q_fractional_split,
         "label_windows": q_label_windows,
         "detect_events": q_detect_events,

@@ -91,3 +91,25 @@ def test_split_boundary(spark, n, frac, train_n):
     got = [r.split for r in df.orderBy("rn").collect()]
     assert got.count("Train") == train_n
     assert got[:train_n] == ["Train"] * train_n
+
+
+def test_fused_top_value_marker_matches_composed_ops(spark):
+    """mark_top_value_windows == top_value_labels + mark_anomaly_windows
+    on every row (the fused form is the zero-join pipeline fast path)."""
+    from time_series_data_anomaly_detection_spark.operators.labeling import (
+        mark_top_value_windows,
+        top_value_labels,
+    )
+
+    rng = np.random.default_rng(7)
+    df = series_df(spark, rng.normal(size=200).cumsum())
+    labels = top_value_labels(df, 5)
+    composed = {
+        r.rn: r.is_anomaly
+        for r in mark_anomaly_windows(df, labels, 3).collect()
+    }
+    fused = {
+        r.rn: r.is_anomaly
+        for r in mark_top_value_windows(df, 5, 3).collect()
+    }
+    assert fused == composed

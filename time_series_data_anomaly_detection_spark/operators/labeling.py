@@ -41,6 +41,43 @@ def top_value_labels(df: DataFrame, n: int = 5) -> DataFrame:
     )
 
 
+def mark_top_value_windows(
+    df: DataFrame,
+    n: int = 5,
+    window_size: int = 3,
+    out_col: str = "is_anomaly",
+) -> DataFrame:
+    """Fused ``top_value_labels`` + ``mark_anomaly_windows`` for the
+    synthetic label set: ``is_anomaly = 1`` within ±window_size ROWS of
+    one of the n largest values per series.
+
+    Because a synthetic label IS a data row, its as-of anchor is its own
+    ``rn`` — so the whole P2/J1 pass collapses to two window ops on the
+    series exchange every pipeline already has: a value-rank indicator,
+    then a banded ``max`` over ±window_size rows.  Zero joins, zero
+    broadcast-build jobs (the general :func:`mark_anomaly_windows` runs
+    1 union pass + 3 broadcast builds per call — measurably slower when
+    a pipeline marks labels once per model branch).  Semantics are
+    identical to composing the two general operators on in-range labels.
+    """
+    order = [F.col("value").desc()] + [
+        F.col(c) for c in ("timestamp", "event_id") if c in df.columns
+    ]
+    w_rank = Window.partitionBy("series_id").orderBy(*order)
+    w_band = (
+        Window.partitionBy("series_id")
+        .orderBy("rn")
+        .rowsBetween(-window_size, window_size)
+    )
+    return (
+        df.withColumn(
+            "__is_lbl", (F.row_number().over(w_rank) <= n).cast("int")
+        )
+        .withColumn(out_col, F.max("__is_lbl").over(w_band))
+        .drop("__is_lbl")
+    )
+
+
 def mark_anomaly_windows(
     series: DataFrame,
     labels: DataFrame,
@@ -104,6 +141,10 @@ def mark_anomaly_windows(
         .select("series_id", "rn")
         .withColumn(out_col, F.lit(1))
     )
-    return series.join(marked, ["series_id", "rn"], "left").fillna(
+    # marked is at most labels x (2w+1) rows per series — broadcast the
+    # join-back, or Spark plans a sort-merge join that reshuffles the
+    # full points frame on (series_id, rn) (marked inherits the series
+    # frame's size estimate)
+    return series.join(F.broadcast(marked), ["series_id", "rn"], "left").fillna(
         {out_col: 0}
     )

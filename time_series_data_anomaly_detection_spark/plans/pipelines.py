@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..session import tracked_cache
+from ..session import eager_cache, tracked_cache
 from ..operators.decompose import resample
 from ..operators.events import persistence_filter
 from ..operators.evaluate import (
@@ -24,7 +24,7 @@ from ..operators.evaluate import (
     event_level_metrics,
     leaderboard_metrics,
 )
-from ..operators.labeling import mark_anomaly_windows, top_value_labels
+from ..operators.labeling import mark_top_value_windows
 from ..operators.rolling import rolling_stats
 from ..operators.scaling import mad_scores
 from ..operators.splits import fractional_split
@@ -116,15 +116,17 @@ def detection_pipeline(
 
         series = with_row_index(resample(series, resample_every))
     if labeled is None:
-        labels = top_value_labels(series, label_top_n)
-        labeled = mark_anomaly_windows(series, labels, label_window)
+        # fused zero-join marker (synthetic labels are data rows);
+        # external label sets go through mark_anomaly_windows upstream
+        # and arrive via the ``labeled`` parameter
+        labeled = mark_top_value_windows(series, label_top_n, label_window)
     # model UDFs emit a fixed schema (they drop extra columns);
     # re-attach the truth column by row identity after scoring
     scored = score_model(series, model, **model_kw).join(
         labeled.select("series_id", "rn", "is_anomaly"), ["series_id", "rn"]
     )
     scored = fractional_split(scored)
-    tracked_cache(scored)  # consumed by sweep AND final detection
+    scored = eager_cache(scored)  # consumed by sweep AND final detection
 
     sweep = threshold_sweep_pointwise(
         scored.filter(F.col("split") == "Validation"), "score", "is_anomaly"
@@ -140,7 +142,7 @@ def detection_pipeline(
     # model UDF reruns once per consumer.  Persistence rides inside the
     # metrics as a run-length filter; row-level flags stay lazy for
     # prediction sinks.
-    with_k = tracked_cache(with_k)
+    with_k = eager_cache(with_k)
     flagged = persistence_filter(with_k, "flag", p=persist_p)
     return {
         "scored": scored,
@@ -228,8 +230,7 @@ def hybrid_pipeline(
     # at sf0.1)
     series = tracked_cache(series)
     series.count()
-    labels = top_value_labels(series, 5)
-    labeled = mark_anomaly_windows(series, labels, 3)
+    labeled = mark_top_value_windows(series, 5, 3)
 
     branches = [_score_branch(series, m, period) for m in models]
     # branches are 1:1 by (series_id, rn): union + one conditional-agg
@@ -256,7 +257,7 @@ def hybrid_pipeline(
     # cache: downstream metrics would otherwise re-run all three model
     # branches once per consumer.  Persistence rides inside the metrics
     # as a run-length filter; row-level flags (for sinks) stay lazy.
-    fused = tracked_cache(fused)
+    fused = eager_cache(fused)
     flagged = persistence_filter(fused, "flag", p=persist_p)
     return {
         "scored": fused,
@@ -295,7 +296,7 @@ def walk_forward_cv(
 
     from .._exact import DEC
     from ..functions import ar_forecast
-    from ..operators.labeling import top_value_labels, mark_anomaly_windows
+    from ..operators.labeling import mark_top_value_windows
 
     if model not in ("ar", "ar1"):
         raise ValueError("fused walk-forward CV supports model='ar'|'ar1'")
@@ -306,8 +307,7 @@ def walk_forward_cv(
     # row_number window per consumer (eager: see hybrid_pipeline)
     series = tracked_cache(series)
     series.count()
-    labels = top_value_labels(series, 5)
-    labeled = mark_anomaly_windows(series, labels, 3).select(
+    labeled = mark_top_value_windows(series, 5, 3).select(
         "series_id", "rn", "is_anomaly"
     )
     # fan the series out by fold boundary, then ONE grouped-map fit
@@ -377,7 +377,7 @@ def walk_forward_cv(
     )
     # cache: the metrics consume the frame ~3x and would re-fit every
     # fold's model each time
-    evalr = tracked_cache(evalr)
+    evalr = eager_cache(evalr)
     per_fold = event_level_metrics(
         evalr, gap=gap, keys=keys, persist_p=persist_p
     )
@@ -413,14 +413,11 @@ def run_benchmark(
     """
     series = tracked_cache(series)
     series.count()  # eager: see hybrid_pipeline
-    # one label pass shared by every model branch (the truth column is
-    # model-independent; without this each branch re-runs the label
-    # as-of/range join over the full points frame)
-    labels = top_value_labels(series, kw.get("label_top_n", 5))
-    labeled = mark_anomaly_windows(
-        series, labels, kw.get("label_window", 3)
-    ).select("series_id", "rn", "is_anomaly")
-    labeled = tracked_cache(labeled)
+    # the truth column is marked PER BRANCH with the fused zero-join
+    # top-value marker — joining a separately-built (series_id, rn,
+    # is_anomaly) frame back onto the scored union costs a shuffle of
+    # BOTH fact-sized sides on (series_id, rn), while per-branch
+    # marking rides the series_id partitioning every branch already has
     # score per model (each family is its own UDF), then fuse: one
     # (series_id, model)-keyed frame through ONE sweep, ONE persistence
     # pass, ONE event-metrics DAG — stage count is independent of the
@@ -432,15 +429,18 @@ def run_benchmark(
         # latency) come from this same frame — re-joining timestamps
         # later would be a second scan+shuffle of the points table
         s = score_model(series, m, **model_kw).select(
-            "series_id", "rn", "timestamp", "score"
-        ).withColumn("model", F.lit(m))
+            "series_id", "rn", "timestamp", "value", "score"
+        )
+        s = mark_top_value_windows(
+            s, kw.get("label_top_n", 5), kw.get("label_window", 3)
+        ).drop("value")
+        s = fractional_split(s).withColumn("model", F.lit(m))
         scored_frames.append(s)
     scored = scored_frames[0]
     for s in scored_frames[1:]:
         scored = scored.unionByName(s)
     keys = ("series_id", "model")
-    scored = fractional_split(scored.join(labeled, ["series_id", "rn"]))
-    tracked_cache(scored)  # consumed by sweep AND final detection
+    scored = eager_cache(scored)  # consumed by sweep AND final detection
     sweep = threshold_sweep_pointwise(
         scored.filter(F.col("split") == "Validation"), "score", "is_anomaly",
         keys=keys,
@@ -452,7 +452,7 @@ def run_benchmark(
         "flag",
         (F.col("score") > F.coalesce(F.col("best_k"), F.lit(3.0))).cast("int"),
     )
-    with_k = tracked_cache(with_k)
+    with_k = eager_cache(with_k)
     # event P/R/F1 + business columns (FP/day, median latency) in ONE
     # overlap-join pass — the reference's full leaderboard column set
     # (src/aggregate_metrics.py:35-48: Event_F1/Precision/Recall +

@@ -28,7 +28,11 @@ from ..sources import events_as_series, with_row_index
 from ..operators.rolling import rolling_stats, adaptive_threshold_flags
 from ..operators.scaling import global_zscore, mad_scores
 from ..operators.events import flags_to_events, persistence_filter
-from ..operators.labeling import mark_anomaly_windows, top_value_labels
+from ..operators.labeling import (
+    mark_anomaly_windows,
+    mark_top_value_windows,
+    top_value_labels,
+)
 from ..operators.splits import fractional_split
 from ..operators.evaluate import (
     pointwise_metrics,
@@ -464,13 +468,15 @@ def _truth_and_flags(spark, sf_dir):
     # k=2.0: at k=3 + persistence the synthetic series yield zero
     # predicted events and every metric degenerates to 0
     s = _series(spark, sf_dir)
-    labels = top_value_labels(s, 5)
-    lab = mark_anomaly_windows(s, labels, 3)
+    # fused zero-join marker: same values as top_value_labels +
+    # mark_anomaly_windows, none of their broadcast-build jobs
+    lab = mark_top_value_windows(s, 5, 3)
     flagged = persistence_filter(adaptive_threshold_flags(lab, k=2.0), "flag", p=2)
     # consumed 3-5× downstream (truth events, pred events, base,
-    # latency row lookups) — materialize the window pipeline once
-    from ..session import tracked_cache
-    return tracked_cache(flagged)
+    # latency row lookups) — materialize the window pipeline once,
+    # EAGERLY (a lazy cache is raced by concurrent consumer stages)
+    from ..session import eager_cache
+    return eager_cache(flagged)
 
 
 def q_pointwise_metrics(spark, sf_dir):
@@ -531,9 +537,8 @@ def _scored_with_truth(spark, sf_dir):
     # consumed 2-3x by curve/AP windows and the sweeps' event tables —
     # materialize the mad + label pipeline once
     s = _series(spark, sf_dir)
-    labels = top_value_labels(s, 5)
-    from ..session import tracked_cache
-    return tracked_cache(mark_anomaly_windows(mad_scores(s), labels, 3))
+    from ..session import eager_cache
+    return eager_cache(mark_top_value_windows(mad_scores(s), 5, 3))
 
 
 def q_pr_curve(spark, sf_dir):

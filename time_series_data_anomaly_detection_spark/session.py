@@ -22,6 +22,20 @@ def tracked_cache(df: DataFrame) -> DataFrame:
     return df
 
 
+def eager_cache(df: DataFrame) -> DataFrame:
+    """:func:`tracked_cache` + immediate materialization.
+
+    A lazy cache consumed by several branches of ONE action is raced —
+    AQE launches the consuming stages concurrently and each recomputes
+    the full lineage before the cache is populated.  Materializing with
+    a cheap ``count()`` first makes every consumer a cache hit; use for
+    any cache with more than one consumer inside the same job.
+    """
+    df = tracked_cache(df)
+    df.count()
+    return df
+
+
 def release_caches() -> int:
     """Unpersist every ledgered cache (non-blocking).  Called at query
     boundaries (registry wraps each query; bench calls it per run) so a

@@ -27,22 +27,29 @@ def acf(df: DataFrame, max_lag: int = 10, value_col: str = "value") -> DataFrame
     dependent; the explicit form is order/engine-independent and
     mirrors the oracle bit for bit (see ``_exact.py``).
     """
-    lags = F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag")
-    tall = df.select("series_id", "rn", value_col, lags)
-    # lag() needs a literal offset; emulate variable shift with a self-join
-    shifted = tall.alias("a").join(
-        df.select(
-            "series_id", F.col("rn").alias("prn"), F.col(value_col).alias("prev")
-        ).alias("b"),
-        on=[
-            F.col("a.series_id") == F.col("b.series_id"),
-            F.col("a.rn") - F.col("a.lag") == F.col("b.prn"),
-        ],
-        how="inner",
+    # one window sort, max_lag literal lag() columns (they collapse into
+    # a single Window physical node), then stack to (lag, x, prev) pairs
+    # — the widened frame reaches the aggregate through a PROJECTION, so
+    # the only shuffle of fact-sized data is the series exchange the
+    # window already needs.  (A self-join on rn-lag=prn shuffles the
+    # max_lag-fold exploded frame: measured 5x slower at sf0.1.)
+    w = Window.partitionBy("series_id").orderBy("rn")
+    shifts = [
+        F.lag(value_col, k).over(w).alias(f"__p{k}")
+        for k in range(1, max_lag + 1)
+    ]
+    stack_args = ", ".join(f"{k}, __p{k}" for k in range(1, max_lag + 1))
+    shifted = (
+        df.select("series_id", F.col(value_col).alias("__x"), *shifts)
+        .selectExpr(
+            "series_id", "__x",
+            f"stack({max_lag}, {stack_args}) AS (lag, prev)",
+        )
+        .filter(F.col("prev").isNotNull())
     )
-    x = F.col(f"a.{value_col}")
+    x = F.col("__x")
     y = F.col("prev")
-    agg = shifted.groupBy(F.col("a.series_id").alias("series_id"), "lag").agg(
+    agg = shifted.groupBy("series_id", "lag").agg(
         F.count("*").alias("n"),
         F.sum(x.cast(DEC)).cast("double").alias("sx"),
         F.sum(y.cast(DEC)).cast("double").alias("sy"),

@@ -77,6 +77,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing is byte-based, but several operators multiply
+        # rows AFTER the exchange (stack/explode) or do O(rows·m) math
+        # per row — a small-in-BYTES shuffle can hide a compute-heavy
+        # stage (measured: acf's 10-lag decimal aggregation coalesced
+        # to 1 task).  A small floor keeps task parallelism on those
+        # stages; at real data volumes partitions are far above 1 MB
+        # and this floor never binds.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus)))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")

@@ -246,3 +246,31 @@ def test_gp_weekly_kernel_component(spark):
     daily_err = np.abs((daily.value - daily.pred_mean)[cut:]).mean()
     assert both_err < daily_err  # weekly term improves extrapolation
     assert both_err < 1.5
+
+
+def test_kalman_fixed_matches_scalar_recursion(spark):
+    """kalman_fixed is the closed-form fixed-(q,r) filter: verify the
+    Spark output against a direct Python evaluation of the same
+    recursion (the DuckDB oracle mirrors this expression tree)."""
+    from time_series_data_anomaly_detection_spark.functions.kalman import (
+        kalman_fixed,
+    )
+
+    rng = np.random.default_rng(11)
+    y = np.cumsum(rng.normal(0, 0.5, 150)) + 20.0
+    out = kalman_fixed(series_df(spark, y)).orderBy("rn").toPandas()
+    q, r, m, p = 0.1, 1.0, float(y[0]), 10.0
+    exp = []
+    for t in range(len(y)):
+        pp = p + q
+        exp.append((m, pp + r))
+        k = pp / (pp + r)
+        m = m + k * (y[t] - m)
+        p = (1.0 - k) * pp
+    exp_m = np.array([e[0] for e in exp])
+    np.testing.assert_allclose(out.pred_mean.to_numpy(), exp_m, rtol=0, atol=0)
+    np.testing.assert_allclose(
+        out.resid.to_numpy(), y - exp_m, rtol=0, atol=0
+    )
+    # steady-state gain tracks a random walk closely
+    assert np.abs(out.resid.to_numpy()[10:]).mean() < 1.0

@@ -100,3 +100,36 @@ def test_hybrid_and_leaderboard(spark, seasonal_series):
     assert lb and all(r.model == "hybrid" for r in lb)
     # hybrid must actually detect the bursts
     assert max(r.f1 for r in lb) > 0.5
+
+
+def test_release_caches_empties_storage(spark):
+    """Cache hygiene (round-2 verdict): every cache a registry query
+    creates — including the datapipe dedup caches — is ledgered, so
+    release_caches() leaves executor storage empty."""
+    from time_series_data_anomaly_detection_spark.datapipe.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from time_series_data_anomaly_detection_spark.session import release_caches
+    import pandas as pd
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(range(6)),
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",
+                    "the quick brown fox jumps over the lazy cat",
+                    "completely different text about spark engines",
+                    "another unrelated document body here",
+                    "the quick brown fox jumps over the lazy dog",
+                    "spark engines process distributed data frames",
+                ],
+            }
+        )
+    )
+    ngram_jaccard_pairs(docs, threshold=0.3).count()
+    minhash_lsh_pairs(docs, threshold=0.3).count()
+    release_caches()
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0

@@ -111,7 +111,12 @@ def ngram_jaccard_pairs(
             .filter(F.col("df_count") <= max_shingle_df)
             .drop("df_count")
         )
-    sh = sh.cache()  # consumed by both join sides + the size agg
+    # consumed by both join sides + the size agg; ledgered so
+    # release_caches() frees it at the query boundary (a bare .cache()
+    # leaks executor storage across a multi-query session)
+    from ..session import tracked_cache
+
+    sh = tracked_cache(sh)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -178,8 +183,11 @@ def minhash_lsh_pairs(
     """
     # shingles feed the signatures AND the verification joins — cache
     # instead of recomputing the tokenize+explode pipeline per branch
-    # (at cluster scale: persist/checkpoint the signature table)
-    sh = shingles(df, n, text_col, id_col).cache()
+    # (at cluster scale: persist/checkpoint the signature table);
+    # ledgered so the session frees it at the query boundary
+    from ..session import tracked_cache
+
+    sh = tracked_cache(shingles(df, n, text_col, id_col))
     sig = minhash_signatures_from(sh, id_col)
     # all bands in ONE pass: signature row -> array of (band, key)
     # structs -> explode (a 4-way union would re-derive the whole

@@ -169,6 +169,39 @@ def gp_forecast(
         .drop("__a")
     )
 
+    if optimize:
+        # hyperparameter selection depends ONLY on the train slice —
+        # hoisted to one tiny per-series grouped-map (≤ max_train rows
+        # per group) and broadcast into the bucketed fit, instead of
+        # re-running the 9-candidate LML grid in every (series, bucket)
+        # group (~15% of gp_forecast wall-clock at 10 buckets/series)
+        tr_only = pts.filter((pos >= lo) & (pos < n_train)).select(
+            "series_id",
+            (F.col("rn") - F.col("__rn0")).cast("long").alias("__pos"),
+            "value",
+        )
+
+        def select_hp(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("__pos")
+            y = pdf["value"].to_numpy(float)
+            x = pdf["__pos"].to_numpy(float)
+            mu, sd = float(y.mean()), float(y.std()) or 1.0
+            ls_fit, noise2 = _select_hyperparams(
+                x, (y - mu) / sd, period, period2, length_scale, noise
+            )
+            return pd.DataFrame(
+                {
+                    "series_id": [pdf["series_id"].iloc[0]],
+                    "__ls": [ls_fit],
+                    "__n2": [noise2],
+                }
+            )
+
+        hp = tr_only.groupBy("series_id").applyInPandas(
+            select_hp, "series_id string, __ls double, __n2 double"
+        )
+        both = both.join(F.broadcast(hp), "series_id")
+
     def fit_score(pdf: pd.DataFrame) -> pd.DataFrame:
         tr = pdf[pdf["__role"] == 1].sort_values("__pos")
         pr = pdf[pdf["__role"] == 0].sort_values("__pos").reset_index(drop=True)
@@ -183,9 +216,9 @@ def gp_forecast(
         amp2, pamp2, pls = 1.0, 1.0, 1.0
         pamp2_2 = 1.0 if period2 else 0.0
         if optimize:
-            ls_fit, noise2 = _select_hyperparams(
-                x_tr, yn, period, period2, length_scale, noise
-            )
+            # pre-selected per series (see select_hp above), constant
+            # within every bucket of the series
+            ls_fit, noise2 = float(pdf["__ls"].iloc[0]), float(pdf["__n2"].iloc[0])
         else:
             ls_fit, noise2 = length_scale, noise**2
         K = _kernel(x_tr, x_tr, amp2, ls_fit, period, pamp2, pls,

@@ -143,6 +143,72 @@ def kalman_local_level(
     )
 
 
+KALMAN_FIXED_SCHEMA = (
+    "series_id string, rn long, pred_mean double, pred_lower double, "
+    "pred_upper double, resid double"
+)
+
+
+def kalman_fixed(
+    df: DataFrame,
+    q: float = 0.1,
+    r: float = 1.0,
+    p0: float = 10.0,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """M2 (oracle-checkable variant): local-level Kalman filter with
+    FIXED (q, r) — the scalar recursion of the reference's filter
+    (``src/kalman_model.py:9-43``) without the MLE step, so the whole
+    model is a closed-form recurrence::
+
+        pv = p + q;  k = pv / (pv + r)
+        m' = m + k (y − m);  p' = (1 − k) pv
+
+    initialized at ``m = y_1, p = p0``.  Every step is plain double
+    arithmetic, which makes the model expressible as a DuckDB RECURSIVE
+    CTE — the hash-gated member of the state-space family (the EM/MLE
+    variants stay rows-only).  The expression tree below is kept
+    textually in lockstep with the oracle so outputs are bit-identical
+    (same IEEE ops on identical inputs).
+    """
+    zq = _norm_ppf(1 - alpha / 2)
+    qv, rv, pz = float(q), float(r), float(p0)
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rn").reset_index(drop=True)
+        y = pdf["value"].to_numpy(float)
+        n = len(y)
+        pm = np.empty(n)
+        pvp = np.empty(n)
+        m, p = float(y[0]), pz
+        for t in range(n):
+            pp = p + qv
+            pm[t] = m
+            pvp[t] = pp + rv
+            k = pp / (pp + rv)
+            m = m + k * (y[t] - m)
+            p = (1.0 - k) * pp
+        sd = np.sqrt(pvp)
+        return pd.DataFrame(
+            {
+                "series_id": pdf["series_id"],
+                "rn": pdf["rn"],
+                "pred_mean": pm,
+                "pred_lower": pm - zq * sd,
+                "pred_upper": pm + zq * sd,
+                "resid": y - pm,
+            }
+        )
+
+    from ._partition import udf_repartition
+
+    return (
+        udf_repartition(df.select("series_id", "value", "rn"), "series_id")
+        .groupBy("series_id")
+        .applyInPandas(fit, KALMAN_FIXED_SCHEMA)
+    )
+
+
 def _norm_ppf(p: float) -> float:
     """Acklam's rational approximation of the standard normal inverse
     CDF (|error| < 1.15e-9) — scipy is unavailable here."""

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..session import eager_cache, tracked_cache
+from ..session import eager_cache
 from ..operators.decompose import resample
 from ..operators.events import persistence_filter
 from ..operators.evaluate import (
@@ -223,13 +223,10 @@ def hybrid_pipeline(
     assert len(weights) == len(models)
     # the model UDFs project away everything but (series_id, timestamp,
     # value, rn) — feed them the bare cached series so the label join
-    # stays OUT of the thrice-consumed branch lineage.  The cache is
-    # materialized EAGERLY: a lazy cache populated inside one multi-
-    # branch action is raced by its ~5 concurrent consumer stages, each
-    # recomputing the scan + row_number (measured 4s of duplicate work
-    # at sf0.1)
-    series = tracked_cache(series)
-    series.count()
+    # stays OUT of the thrice-consumed branch lineage.  Materialized
+    # eagerly: a lazy cache populated inside one multi-branch action is
+    # raced by its ~5 concurrent consumer stages (see session.eager_cache)
+    series = eager_cache(series)
     labeled = mark_top_value_windows(series, 5, 3)
 
     branches = [_score_branch(series, m, period) for m in models]
@@ -304,9 +301,8 @@ def walk_forward_cv(
 
     # the base frame feeds the fold fan-out, the row counts, and the
     # label join — cache it once instead of re-running the scan +
-    # row_number window per consumer (eager: see hybrid_pipeline)
-    series = tracked_cache(series)
-    series.count()
+    # row_number window per consumer (eager: see session.eager_cache)
+    series = eager_cache(series)
     labeled = mark_top_value_windows(series, 5, 3).select(
         "series_id", "rn", "is_anomaly"
     )
@@ -321,44 +317,75 @@ def walk_forward_cv(
         # native closed-form AR(1) per (series, fold): train on the
         # first max(floor(n*frac), 3) rows, exact decimal sums for the
         # OLS moments (bit-matches the DuckDB oracle), MAD z residual
-        # score — no UDF anywhere in this variant
+        # score — no UDF anywhere in this variant.
+        #
+        # The fold train sums are PREFIX sums over rn, and decimal
+        # addition is exact ⇒ a per-series cumulative window evaluated
+        # at each fold boundary is bit-identical to the per-fold
+        # filtered aggregate the oracle computes — ONE O(n) pass over
+        # the un-fanned frame instead of 5 decimal aggregations over a
+        # 3x-fanned one (the round-2 bench's single worst stage).  The
+        # fact-frame fan-out below is then limited to rows the fold
+        # actually scores (rn <= floor(n*(frac+horizon))): rows past
+        # the horizon were previously scored, percentiled, discarded.
         w = Window.partitionBy("series_id").orderBy("rn")
+        wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         lagged = series.withColumn("__prev", F.lag("value").over(w))
-        fanned = (
-            lagged.withColumn("__frac", fold_arr)
-            .join(F.broadcast(n_rows), "series_id")
-            .withColumn(
-                "__nt",
-                F.greatest(
-                    F.floor(F.col("__n") * F.col("__frac")).cast("long"),
-                    F.lit(3),
-                ),
-            )
-        )
-        train = (F.col("rn") >= 2) & (F.col("rn") <= F.col("__nt"))
         pv, vv = F.col("__prev"), F.col("value")
-        sums = fanned.groupBy(*keys).agg(
-            F.count(F.when(train, F.lit(1))).alias("__cnt"),
-            F.sum(F.when(train, pv).cast(DEC)).cast("double").alias("__sx"),
-            F.sum(F.when(train, vv).cast(DEC)).cast("double").alias("__sy"),
-            F.sum(F.when(train, pv * pv).cast(DEC)).cast("double").alias("__sxx"),
-            F.sum(F.when(train, vv * pv).cast(DEC)).cast("double").alias("__sxy"),
+        cum = lagged.select(
+            "series_id",
+            "rn",
+            F.count("__prev").over(wc).alias("__cnt"),
+            F.sum(pv.cast(DEC)).over(wc).alias("__csx"),
+            F.sum(F.when(pv.isNotNull(), vv).cast(DEC)).over(wc).alias("__csy"),
+            F.sum((pv * pv).cast(DEC)).over(wc).alias("__csxx"),
+            F.sum((vv * pv).cast(DEC)).over(wc).alias("__csxy"),
+        )
+        bounds = n_rows.withColumn("__frac", fold_arr).withColumn(
+            "__nt",
+            F.greatest(
+                F.floor(F.col("__n") * F.col("__frac")).cast("long"), F.lit(3)
+            ),
+        )
+        sums = (
+            cum.join(
+                F.broadcast(bounds.select("series_id", "__frac", "__nt")),
+                on=[cum["series_id"] == bounds["series_id"],
+                    cum["rn"] == bounds["__nt"]],
+            )
+            .select(
+                cum["series_id"], "__frac",
+                F.col("__cnt"),
+                F.col("__csx").cast("double").alias("__sx"),
+                F.col("__csy").cast("double").alias("__sy"),
+                F.col("__csxx").cast("double").alias("__sxx"),
+                F.col("__csxy").cast("double").alias("__sxy"),
+            )
         )
         cnt, sx, sy = F.col("__cnt"), F.col("__sx"), F.col("__sy")
         fit = sums.withColumn(
             "__slope",
             (cnt * F.col("__sxy") - sx * sy) / (cnt * F.col("__sxx") - sx * sx),
         ).withColumn("__icept", (sy - F.col("__slope") * sx) / cnt)
+        fanned = (
+            lagged.join(F.broadcast(n_rows), "series_id")
+            .withColumn("__frac", fold_arr)
+            .filter(
+                F.col("rn")
+                <= F.floor(F.col("__n") * (F.col("__frac") + F.lit(horizon)))
+            )
+        )
         scored = (
             fanned.join(
-                F.broadcast(fit.select(*keys, "__slope", "__icept")), list(keys)
+                F.broadcast(fit.select("series_id", "__frac", "__slope", "__icept")),
+                list(keys),
             )
             .withColumn(
                 "resid",
                 F.col("value")
                 - (F.col("__icept") + F.col("__slope") * F.col("__prev")),
             )
-            .drop("__prev", "__slope", "__icept", "__n", "__nt")
+            .drop("__prev", "__slope", "__icept", "__n")
         )
         scored = mad_scores(
             scored, value_col="resid", out_col="score", keys=keys
@@ -411,8 +438,7 @@ def run_benchmark(
     cached input and the leaderboard is a union — no filesystem
     round-trip, and branches parallelize across the cluster.
     """
-    series = tracked_cache(series)
-    series.count()  # eager: see hybrid_pipeline
+    series = eager_cache(series)  # see session.eager_cache
     # the truth column is marked PER BRANCH with the fused zero-join
     # top-value marker — joining a separately-built (series_id, rn,
     # is_anomaly) frame back onto the scored union costs a shuffle of

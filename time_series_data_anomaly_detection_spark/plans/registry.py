@@ -735,6 +735,57 @@ def q_bsts_forecast(spark, sf_dir):
     )
 
 
+def q_bsts_forecast_multiseasonal(spark, sf_dir):
+    """M3, the reference's HEADLINE config (Enhanced BSTS): local linear
+    trend + trigonometric multi-seasonality [48, 336] with the
+    min(p/2, 10) harmonic cap — ``src/bsts_model.py:12-50`` (harmonics
+    ``:29``), the model behind the Event-F1≈1.0 leaderboard row
+    (``results/enhanced_bsts/realKnownCause__nyc_taxi.csv``)."""
+    from ..functions import bsts_forecast
+    out = bsts_forecast(
+        _series(spark, sf_dir), train_frac=0.5, seasonal_periods=[48, 336]
+    )
+    return out.select(
+        "series_id", "rn",
+        _rnd("pred_mean", R).alias("pred_mean"),
+        _rnd("pred_lower", R).alias("pred_lower"),
+        _rnd("pred_upper", R).alias("pred_upper"),
+    )
+
+
+def q_kalman_forecast_filtered(spark, sf_dir):
+    """M2 with ``dynamic=False``: one-step-ahead filtering continues
+    through the test tail with train-fit (q, r) — the reference's
+    ``predict_with_intervals(use_dynamic=False)`` path
+    (``src/kalman_model.py:19-43``)."""
+    from ..functions import kalman_local_level
+    out = kalman_local_level(
+        _series(spark, sf_dir), train_frac=0.75, dynamic=False
+    )
+    return out.select(
+        "series_id", "rn",
+        _rnd("pred_mean", R).alias("pred_mean"),
+        _rnd("pred_lower", R).alias("pred_lower"),
+        _rnd("pred_upper", R).alias("pred_upper"),
+    )
+
+
+def q_kalman_forecast_fixed(spark, sf_dir):
+    """M2, hash-gated: fixed-(q, r) local-level filter — the scalar
+    Kalman recursion (``src/kalman_model.py:9-43`` without the MLE) is
+    closed-form double arithmetic, so it carries a DuckDB RECURSIVE-CTE
+    oracle (the same move that hard-oracled A8/A9 via AR(1))."""
+    from ..functions.kalman import kalman_fixed
+    out = kalman_fixed(_series(spark, sf_dir))
+    return out.select(
+        "series_id", "rn",
+        _rnd("pred_mean", R).alias("pred_mean"),
+        _rnd("pred_lower", R).alias("pred_lower"),
+        _rnd("pred_upper", R).alias("pred_upper"),
+        _rnd("resid", R).alias("resid"),
+    )
+
+
 def q_gp_forecast(spark, sf_dir):
     from ..functions import gp_forecast
     # optimize=True: bounded-grid LML hyperparameter selection — the
@@ -960,9 +1011,9 @@ WITH {SQL_S}, {SQL_ROLL}, {SQL_TRUTH}, {SQL_FLAGS},
 j AS (SELECT t.series_id, t.is_anomaly AS y, f.flag AS p
       FROM truth t JOIN flags f USING (series_id, rn)),
 c AS (SELECT series_id,
-             sum(CASE WHEN y=1 AND p=1 THEN 1 ELSE 0 END) AS tp,
-             sum(CASE WHEN y=0 AND p=1 THEN 1 ELSE 0 END) AS fp,
-             sum(CASE WHEN y=1 AND p=0 THEN 1 ELSE 0 END) AS fn
+             CAST(sum(CASE WHEN y=1 AND p=1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN y=0 AND p=1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN y=1 AND p=0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
       FROM j GROUP BY 1)
 SELECT series_id, tp, fp, fn,
        round(tp / (tp + fp + 1e-9), {R}) AS precision,
@@ -1086,8 +1137,10 @@ prcum AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ),
 prt AS (
-  SELECT series_id, score, max(cum_tp) AS tp, max(cum_fp) AS fp,
-         max(n_pos) AS n_pos
+  SELECT series_id, score,
+         CAST(max(cum_tp) AS BIGINT) AS tp,
+         CAST(max(cum_fp) AS BIGINT) AS fp,
+         CAST(max(n_pos) AS BIGINT) AS n_pos
   FROM prcum GROUP BY 1, 2
 )
 """
@@ -1409,9 +1462,13 @@ lagged AS (
          lag(value) OVER (PARTITION BY series_id ORDER BY rn) AS prev
   FROM s),
 fan AS (
+  -- fold fan-out limited to rows the fold scores (train + horizon):
+  -- the MAD scale population is rn <= floor(n*(frac+horizon)), matching
+  -- the Spark plan (rows past the horizon are never scored)
   SELECT l.series_id, l.rn, l.value, l.prev, f.frac, nn.n,
          greatest(CAST(floor(nn.n * f.frac) AS BIGINT), 3) AS nt
-  FROM lagged l CROSS JOIN fr f JOIN nn USING (series_id)),
+  FROM lagged l CROSS JOIN fr f JOIN nn USING (series_id)
+  WHERE l.rn <= floor(nn.n * (f.frac + 0.125))),
 wsum AS (
   SELECT series_id, frac,
          count(CASE WHEN {_WF_TRAIN} THEN 1 END) AS cnt,
@@ -1491,6 +1548,43 @@ SELECT series_id, count(*) AS n_folds,
        round(CAST(sum(CAST(recall AS DECIMAL(38,12))) AS DOUBLE) / count(*),
              {R}) AS mean_recall
 FROM pf GROUP BY 1
+"""
+
+# ---- kalman_forecast_fixed: fixed-(q,r) local-level filter as a scalar
+#      recursion — DuckDB RECURSIVE CTE, one step per rn.  Constants and
+#      expression trees mirror functions.kalman.kalman_fixed textually
+#      (same IEEE double ops on identical inputs -> bit-identical). ----
+_KF_Q, _KF_R, _KF_P0 = "0.1", "1.0", "10.0"
+_KF_Z = "1.959963986120195"  # repr(_norm_ppf(0.975)), shared constant
+
+ORACLES["kalman_forecast_fixed"] = f"""
+WITH RECURSIVE {SQL_S},
+rec AS (
+  -- the anchor's types BIND the recursive columns (a DECIMAL literal
+  -- sum here silently quantizes every later pvp) -> CAST to DOUBLE
+  SELECT series_id, rn, value AS m,
+         CAST((1.0 - ({_KF_P0} + {_KF_Q})/({_KF_P0} + {_KF_Q} + {_KF_R}))
+           * ({_KF_P0} + {_KF_Q}) AS DOUBLE) AS p,
+         value AS pm,
+         CAST({_KF_P0} + {_KF_Q} + {_KF_R} AS DOUBLE) AS pvp,
+         value AS y
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.series_id, s.rn,
+         r.m + ((r.p + {_KF_Q})/(r.p + {_KF_Q} + {_KF_R}))
+             * (s.value - r.m) AS m,
+         (1.0 - (r.p + {_KF_Q})/(r.p + {_KF_Q} + {_KF_R}))
+             * (r.p + {_KF_Q}) AS p,
+         r.m AS pm,
+         r.p + {_KF_Q} + {_KF_R} AS pvp,
+         s.value AS y
+  FROM rec r JOIN s ON s.series_id = r.series_id AND s.rn = r.rn + 1
+)
+SELECT series_id, rn, round(pm, {R}) AS pred_mean,
+       round(pm - {_KF_Z} * sqrt(pvp), {R}) AS pred_lower,
+       round(pm + {_KF_Z} * sqrt(pvp), {R}) AS pred_upper,
+       round(y - pm, {R}) AS resid
+FROM rec
 """
 
 # ---- hybrid_detection_sql: ar1 + zscore + mad branches, weighted fuse,
@@ -1721,10 +1815,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_exceedance": q_interval_exceedance,
         "ensemble_fusion": q_ensemble_fusion,
         "ar1_forecast": q_ar1_forecast,
+        # fixed-(q,r) Kalman: scalar recursion, RECURSIVE-CTE oracled
+        "kalman_forecast_fixed": q_kalman_forecast_fixed,
         # sequential model fits: applyInPandas, no SQL equivalent ->
         # rows-only correctness checks (SURVEY §5 tolerance note)
         "kalman_forecast": q_kalman_forecast,
+        "kalman_forecast_filtered": q_kalman_forecast_filtered,
         "bsts_forecast": q_bsts_forecast,
+        "bsts_forecast_multiseasonal": q_bsts_forecast_multiseasonal,
         "gp_forecast": q_gp_forecast,
         "bocpd_changepoints": q_bocpd_changepoints,
         "stl_robust": q_stl_robust,

@@ -493,7 +493,8 @@ st AS (
   SELECT doc_id, source, len(t) AS n_tokens, {_QUALITY} AS quality
   FROM toks
 )
-SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(sum(n_tokens) / count(*), {R}) AS mean_tokens,
        round(CAST(sum(CAST(quality AS DECIMAL(38,12))) AS DOUBLE) / count(*),
              {R}) AS mean_quality,
@@ -510,7 +511,8 @@ WITH frames AS (
          unnest(generate_series(0, CAST(ceil(strlen(text) / 64.0) AS INT) - 1))
            AS frame_id,
          CAST(ceil(strlen(text) / 64.0) AS INT) AS n_frames,
-         list_sum(list_transform(regexp_extract_all(text, '.'), c -> ord(c)))
+         CAST(list_sum(list_transform(regexp_extract_all(text, '.'),
+                                      c -> ord(c))) AS BIGINT)
            AS byte_sum,
          text
   FROM documents

@@ -26,10 +26,13 @@ def eager_cache(df: DataFrame) -> DataFrame:
     """:func:`tracked_cache` + immediate materialization.
 
     A lazy cache consumed by several branches of ONE action is raced —
-    AQE launches the consuming stages concurrently and each recomputes
-    the full lineage before the cache is populated.  Materializing with
-    a cheap ``count()`` first makes every consumer a cache hit; use for
-    any cache with more than one consumer inside the same job.
+    the consuming stages launch concurrently and each recomputes the
+    full lineage before the cache is populated.  Materializing with a
+    cheap ``count()`` first makes every consumer a cache hit.  Measured
+    both ways cold at sf0.1/local[32] (round 3): lazy regressed
+    pointwise_metrics 1.8→5.1 s and benchmark_leaderboard_ar1 19→43 s
+    while helping only multi-UDF-branch DAGs slightly — eager wins
+    overall; use for any cache with 2+ consumers inside one job.
     """
     df = tracked_cache(df)
     df.count()
@@ -80,10 +83,11 @@ def get_spark(
         # AQE coalescing is byte-based, but several operators multiply
         # rows AFTER the exchange (stack/explode) or do O(rows·m) math
         # per row — a small-in-BYTES shuffle can hide a compute-heavy
-        # stage (measured: acf's 10-lag decimal aggregation coalesced
-        # to 1 task).  A small floor keeps task parallelism on those
-        # stages; at real data volumes partitions are far above 1 MB
-        # and this floor never binds.
+        # stage.  A small floor keeps task parallelism on those stages;
+        # measured A/B cold at sf0.1 (round 3): removing it regressed
+        # acf 2.1→4.2 s, doc_stats 1.5→5.9 s, stl_robust 0.5→3.9 s.
+        # At real data volumes partitions are far above 1 MB and the
+        # floor never binds.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus)))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -92,7 +96,11 @@ def get_spark(
         # the synthetic testdata parquet carries TIMESTAMP(NANOS); Spark
         # reads those as long nanos with this flag, loaders convert back
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] puts all executor threads in the driver JVM: 8g heap
+        # across 32 task slots left ~150 MB/task and made decimal-heavy
+        # stages GC-bound under the multi-query driver gate; 16g is
+        # still an eighth of the target box
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     return builder.getOrCreate()

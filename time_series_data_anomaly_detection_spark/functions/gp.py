@@ -107,6 +107,34 @@ def _select_hyperparams(
     return best
 
 
+def train_subsample(
+    df: DataFrame, train_frac: float = 0.5, max_train: int = 1000
+) -> DataFrame:
+    """P5 as a standalone operator: the tail-of-train window the GP
+    fits on — keep only the LAST ``max_train`` rows of the train
+    fraction (``src/run_gp.py:61-67``, ``src/run_hybrid.py:47-50``).
+    Pure column algebra (one window pass), so it carries a hard oracle;
+    ``gp_forecast`` fuses the same selection into its bucketing exprs.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("series_id")
+    pts = (
+        df.select("series_id", "rn", "value")
+        .withColumn("__n", F.count("*").over(w))
+        .withColumn("__rn0", F.min("rn").over(w))
+    )
+    pos = F.col("rn") - F.col("__rn0")
+    n_train = F.greatest(
+        F.floor(F.col("__n") * F.lit(float(train_frac))).cast("long"), F.lit(2)
+    )
+    lo = F.greatest(n_train - F.lit(int(max_train)), F.lit(0))
+    return (
+        pts.filter((pos >= lo) & (pos < n_train))
+        .drop("__n", "__rn0")
+    )
+
+
 def gp_forecast(
     df: DataFrame,
     train_frac: float = 0.5,

@@ -438,7 +438,11 @@ def run_benchmark(
     cached input and the leaderboard is a union — no filesystem
     round-trip, and branches parallelize across the cluster.
     """
-    series = eager_cache(series)  # see session.eager_cache
+    # cache only when >1 model branch will consume the frame — with a
+    # single branch the lineage runs once and the materialization job
+    # is pure overhead (measured ~1s on benchmark_leaderboard_ar1)
+    if len(models) > 1:
+        series = eager_cache(series)  # see session.eager_cache
     # the truth column is marked PER BRANCH with the fused zero-join
     # top-value marker — joining a separately-built (series_id, rn,
     # is_anomaly) frame back onto the scored union costs a shuffle of

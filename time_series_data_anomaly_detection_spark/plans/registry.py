@@ -786,6 +786,17 @@ def q_kalman_forecast_fixed(spark, sf_dir):
     )
 
 
+def q_gp_train_subsample(spark, sf_dir):
+    """P5, hash-gated: the GP's tail-of-train subsample window
+    (``src/run_gp.py:61-67``) — selection logic under a hard oracle
+    (the O(n³) fit it feeds stays rows-only via gp_forecast)."""
+    from ..functions.gp import train_subsample
+
+    out = train_subsample(_series(spark, sf_dir), train_frac=0.5,
+                          max_train=1000)
+    return out.select("series_id", "rn", _rnd("value", R).alias("value"))
+
+
 def q_gp_forecast(spark, sf_dir):
     from ..functions import gp_forecast
     # optimize=True: bounded-grid LML hyperparameter selection — the
@@ -1550,6 +1561,25 @@ SELECT series_id, count(*) AS n_folds,
 FROM pf GROUP BY 1
 """
 
+# ---- gp_train_subsample: P5 tail-of-train window (src/run_gp.py:61-67):
+#      pos is 0-based (rn - min rn); keep lo <= pos < n_train with
+#      n_train = max(floor(n*frac), 2), lo = max(n_train - 1000, 0) ----
+ORACLES["gp_train_subsample"] = f"""
+WITH {SQL_S},
+ext AS (
+  SELECT series_id, rn, value,
+         count(*) OVER (PARTITION BY series_id) AS n,
+         min(rn) OVER (PARTITION BY series_id) AS rn0
+  FROM s),
+sel AS (
+  SELECT series_id, rn, value, rn - rn0 AS pos,
+         greatest(CAST(floor(n * 0.5) AS BIGINT), 2) AS n_train
+  FROM ext)
+SELECT series_id, rn, round(value, {R}) AS value
+FROM sel
+WHERE pos >= greatest(n_train - 1000, 0) AND pos < n_train
+"""
+
 # ---- kalman_forecast_fixed: fixed-(q,r) local-level filter as a scalar
 #      recursion — DuckDB RECURSIVE CTE, one step per rn.  Constants and
 #      expression trees mirror functions.kalman.kalman_fixed textually
@@ -1817,6 +1847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ar1_forecast": q_ar1_forecast,
         # fixed-(q,r) Kalman: scalar recursion, RECURSIVE-CTE oracled
         "kalman_forecast_fixed": q_kalman_forecast_fixed,
+        # P5 tail-of-train subsample window, hash-gated
+        "gp_train_subsample": q_gp_train_subsample,
         # sequential model fits: applyInPandas, no SQL equivalent ->
         # rows-only correctness checks (SURVEY §5 tolerance note)
         "kalman_forecast": q_kalman_forecast,

@@ -161,3 +161,33 @@ def test_multimodal_features(spark, docs):
     assert row0.f_mean == pytest.approx(padded[:64].mean())
     assert row0.f_std == pytest.approx(padded[:64].std())
     assert row0.f_max == pytest.approx(padded[:64].max())
+
+
+def test_near_dup_clusters_transitive(spark):
+    """A~B and B~C must land in ONE cluster even when the A~C pair is
+    never emitted — the closure property that makes clustering the
+    dedup decision step rather than the pair list."""
+    import pandas as pd
+    from time_series_data_anomaly_detection_spark.datapipe.dedup import (
+        near_dup_clusters,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    base + " one",
+                    base + " two",          # ~ doc 1
+                    base + " two extra",    # ~ doc 2, farther from doc 1
+                    "completely different content with no shared phrases at all",
+                ],
+            }
+        )
+    )
+    out = near_dup_clusters(docs, threshold=0.4).toPandas().set_index("doc_id")
+    assert out.loc[1, "cluster_id"] == out.loc[2, "cluster_id"] == out.loc[3, "cluster_id"] == 1
+    assert out.loc[1, "cluster_size"] == 3
+    assert out.loc[4, "cluster_id"] == 4 and out.loc[4, "keep"] == 1
+    assert out["keep"].sum() == 2  # one canonical per cluster

@@ -353,3 +353,75 @@ def embedding_near_dup(
         )
     )
     return out.filter(F.col("cosine") >= threshold)
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pair graph:
+    the corpus-dedup DECISION step.  Every document gets
+    ``cluster_id`` = the smallest doc id reachable through near-dup
+    pairs, ``cluster_size``, and ``keep`` = 1 for the canonical
+    (min-id) member — transitive closure, so A~B, B~C dedups all three
+    even when A~C was never emitted as a pair.
+
+    Scale shape: iterative min-label propagation, but ONLY over the
+    pair graph — edges are near-dup pairs, orders of magnitude smaller
+    than the corpus; the full documents table is touched once, by the
+    final left join.  Each iteration is one equi-join + one min
+    aggregate; iterations are bounded by component diameter (near-dup
+    clusters are shallow in practice), with a monotone convergence
+    check (sum of labels strictly decreases until fixpoint).  At
+    cluster scale the per-iteration cache becomes a checkpoint and the
+    propagation upgrades to large-star/small-star; the dataflow is
+    identical.
+    """
+    from ..session import tracked_cache
+
+    pairs = minhash_lsh_pairs(df, n, threshold, text_col, id_col).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    edges = tracked_cache(
+        pairs.unionByName(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    labels = tracked_cache(
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    prev = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
+    for _ in range(max_iter):
+        nbr = edges.join(labels, edges["dst"] == labels["node"]).select(
+            F.col("src").alias("node"), F.col("label")
+        )
+        new_labels = tracked_cache(
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        cur = new_labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
+        labels.unpersist()
+        labels = new_labels
+        if cur == prev:  # fixpoint: label == min(own, neighbors) everywhere
+            break
+        prev = cur
+    out = (
+        df.select(id_col)
+        .join(labels.withColumnRenamed("node", id_col), id_col, "left")
+        .withColumn("cluster_id", F.coalesce("label", F.col(id_col)))
+        .drop("label")
+    )
+    w = Window.partitionBy("cluster_id")
+    return out.select(
+        id_col,
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col(id_col) == F.col("cluster_id")).cast("int").alias("keep"),
+    )

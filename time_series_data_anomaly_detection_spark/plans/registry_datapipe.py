@@ -104,6 +104,17 @@ def q_minhash_lsh(spark, sf_dir):
     return out.select("id_a", "id_b", _rnd("jaccard", R).alias("jaccard"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the MinHash-LSH pair graph — the
+    corpus dedup decision step (canonical doc per near-dup cluster).
+    Oracle: transitive closure by recursive CTE + min-reachable label,
+    which the Spark min-label-propagation fixpoint equals exactly."""
+    from ..datapipe.dedup import near_dup_clusters
+
+    out = near_dup_clusters(_docs(spark, sf_dir), n=3, threshold=JACCARD_T)
+    return out.select("doc_id", "cluster_id", "cluster_size", "keep")
+
+
 def q_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
 
@@ -333,6 +344,56 @@ SELECT id_a, id_b, round(jaccard, {R}) AS jaccard
 FROM jac WHERE jaccard >= {JACCARD_T}
 """
 
+# transitive closure of the (undirected) LSH pair graph, then the
+# component label = min reachable node — identically what Spark's
+# min-label propagation converges to
+ORACLES["dedup_clusters"] = f"""
+WITH RECURSIVE {SQL_TOKS}, {SQL_SHINGLES},
+sig AS (
+  SELECT doc_id,
+         {_MINHASH_COLS}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+{_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle_hash = a.shingle_hash
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b, inter * 1.0 / (na.n_sh + nb.n_sh - inter) AS jaccard
+  FROM inter JOIN szs na ON na.doc_id = id_a JOIN szs nb ON nb.doc_id = id_b
+),
+pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= {JACCARD_T}),
+e AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b
+),
+comp AS (SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a)
+SELECT d.doc_id,
+       coalesce(c.label, d.doc_id) AS cluster_id,
+       count(*) OVER (PARTITION BY coalesce(c.label, d.doc_id))
+         AS cluster_size,
+       CASE WHEN d.doc_id = coalesce(c.label, d.doc_id) THEN 1 ELSE 0 END
+         AS keep
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
 _BIT_SUMS = ",\n         ".join(
     f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
     for b in range(SIMHASH_BITS)
@@ -546,6 +607,7 @@ def queries():
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "embedding_near_dup": q_embedding_near_dup,
         "cosine_topk": q_cosine_topk,

@@ -191,3 +191,32 @@ def test_near_dup_clusters_transitive(spark):
     assert out.loc[1, "cluster_size"] == 3
     assert out.loc[4, "cluster_id"] == 4 and out.loc[4, "keep"] == 1
     assert out["keep"].sum() == 2  # one canonical per cluster
+
+
+def test_ivf_topk_bounded_candidates_and_recall(spark):
+    """IVF-flat: results must come only from probed cells (bounded
+    candidate set — the scale property) while still recalling most of
+    the exact top-k on clustered data."""
+    import pandas as pd
+    from time_series_data_anomaly_detection_spark.datapipe.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0, 1, (4, 16))
+    vecs = [
+        (centers[i % 4] + rng.normal(0, 0.05, 16)).tolist() for i in range(80)
+    ]
+    e = spark.createDataFrame(
+        pd.DataFrame({"vec_id": list(range(80)), "embedding": vecs})
+    )
+    q = e.filter("vec_id < 5")
+    exact = cosine_topk(e, q, k=3).toPandas()
+    approx = ivf_topk(e, q, k=3, n_cells=8, nprobe=2).toPandas()
+    hits = len(
+        set(map(tuple, exact[["query_id", "match_id"]].values))
+        & set(map(tuple, approx[["query_id", "match_id"]].values))
+    )
+    assert hits / len(exact) >= 0.6
+    assert (approx.groupby("query_id").size() <= 3).all()

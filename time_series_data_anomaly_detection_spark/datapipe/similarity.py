@@ -128,3 +128,87 @@ def ann_lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: the coarse-quantizer scale path.
+
+    Corpus vectors are assigned to the nearest of ``n_cells`` centroid
+    cells; each query probes its ``nprobe`` nearest cells and pays the
+    exact cosine only against those cells' members.  The candidate set
+    is bounded by nprobe/n_cells of the corpus — the property that
+    keeps query cost flat as the corpus grows (LSH bounds candidates by
+    collision probability instead; both shapes ship).
+
+    Centroids here are a deterministic seed (the ``n_cells`` smallest
+    ids) so the operator is oracle-checkable; at scale the seed is
+    replaced by k-means||-trained centroids — the assignment/probe/join
+    dataflow is identical, and that dataflow is what this operator
+    pins: one broadcast of the (tiny) centroid table, one argmax pass
+    per side, one equi-join on cell.
+    """
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("cent_v"),
+            _norm(F.col(vec_col)).alias("cent_n"),
+        )
+    )
+
+    def assign(side: DataFrame, out_id: str, n_keep: int) -> DataFrame:
+        s = side.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias("v"),
+            _norm(F.col(vec_col)).alias("nrm"),
+        )
+        cc = (
+            _dot(F.col("v"), F.col("cent_v"))
+            / (F.col("nrm") * F.col("cent_n") + F.lit(1e-12))
+        )
+        w = Window.partitionBy(out_id).orderBy(
+            F.desc("__cc"), F.asc("cent_id")
+        )
+        return (
+            s.join(F.broadcast(cents))
+            .withColumn("__cc", cc)
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= n_keep)
+            .select(out_id, "v", "nrm", F.col("cent_id").alias("cell"))
+        )
+
+    c = assign(corpus, "match_id", 1)
+    q = assign(queries, "query_id", nprobe).select(
+        "query_id",
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "cell",
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "match_id",
+            (
+                _dot(F.col("qv"), F.col("v"))
+                / (F.col("qn") * F.col("nrm") + F.lit(1e-12))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("match_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -53,6 +53,8 @@ NEARDUP_BITS = 4
 ANN_BITS = 6
 TOPK = 5
 N_QUERIES = 10  # vec_id < 10 are the query set
+IVF_CELLS = 16
+IVF_NPROBE = 2
 
 
 def _docs(spark, sf_dir):
@@ -138,6 +140,22 @@ def q_ann_topk(spark, sf_dir):
     e = _embs(spark, sf_dir)
     out = ann_lsh_topk(
         e, e.filter(F.col("vec_id") < N_QUERIES), k=TOPK, bucket_bits=ANN_BITS
+    )
+    return out.select(
+        "query_id", "match_id", "rank", _rnd("cosine", R).alias("cosine")
+    )
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN: deterministic seed centroids (16 cells), 2-probe
+    queries, exact cosine within probed cells — the coarse-quantizer
+    scale path next to the sign-LSH one (ann_topk)."""
+    from ..datapipe.similarity import ivf_topk
+
+    e = _embs(spark, sf_dir)
+    out = ivf_topk(
+        e, e.filter(F.col("vec_id") < N_QUERIES), k=TOPK,
+        n_cells=IVF_CELLS, nprobe=IVF_NPROBE,
     )
     return out.select(
         "query_id", "match_id", "rank", _rnd("cosine", R).alias("cosine")
@@ -480,6 +498,46 @@ SELECT query_id, match_id, rank, round(cosine, {R}) AS cosine
 FROM ranked WHERE rank <= {TOPK}
 """
 
+# IVF-flat: centroids = the IVF_CELLS smallest ids; corpus assigned to
+# argmax-cosine cell (tie -> smaller cent_id); queries probe IVF_NPROBE
+# cells; exact cosine within probed cells only
+ORACLES["ivf_topk"] = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cent_id, e AS ce, nrm AS cn
+  FROM v ORDER BY vec_id LIMIT {IVF_CELLS}
+),
+cass AS (
+  SELECT s.vec_id, s.e, s.nrm, c.cent_id,
+         row_number() OVER (
+           PARTITION BY s.vec_id
+           ORDER BY list_dot_product(s.e, c.ce) / (s.nrm * c.cn + 1e-12) DESC,
+                    c.cent_id ASC) AS rk
+  FROM v s CROSS JOIN cents c
+),
+corpus AS (SELECT vec_id AS match_id, e, nrm, cent_id AS cell
+           FROM cass WHERE rk = 1),
+probes AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, cent_id AS cell
+           FROM cass WHERE rk <= {IVF_NPROBE} AND vec_id < {N_QUERIES}),
+scored AS (
+  SELECT p.query_id, c.match_id,
+         list_dot_product(p.qe, c.e) / (p.qn * c.nrm + 1e-12) AS cosine
+  FROM corpus c JOIN probes p ON c.cell = p.cell
+  WHERE c.match_id <> p.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, match_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, match_id, rank, round(cosine, {R}) AS cosine
+FROM ranked WHERE rank <= {TOPK}
+"""
+
 ORACLES["top_ngrams"] = """
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{TOKRE}') AS t
@@ -612,6 +670,7 @@ def queries():
         "embedding_near_dup": q_embedding_near_dup,
         "cosine_topk": q_cosine_topk,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "multimodal_features": q_multimodal_features,
         "top_ngrams": q_top_ngrams,
         "corpus_filter": q_corpus_filter,

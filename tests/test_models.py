@@ -182,7 +182,10 @@ def test_stl_separates_components(spark):
     )
 
 
-def test_lstm_gate_raises_without_torch(spark):
+def test_lstm_torch_backend_gate(spark):
+    """Explicitly requesting the torch backend without torch installed
+    must raise; the default backend falls through to the numpy BPTT
+    implementation (tested below)."""
     from time_series_data_anomaly_detection_spark.functions.lstm import (
         HAS_TORCH,
         lstm_forecast,
@@ -190,7 +193,7 @@ def test_lstm_gate_raises_without_torch(spark):
     if HAS_TORCH:
         pytest.skip("torch present")
     with pytest.raises(NotImplementedError):
-        lstm_forecast(series_df(spark, [1.0, 2.0]))
+        lstm_forecast(series_df(spark, [1.0, 2.0]), backend="torch")
 
 
 def test_bsts_multiseasonal_beats_single(spark):
@@ -274,3 +277,55 @@ def test_kalman_fixed_matches_scalar_recursion(spark):
     )
     # steady-state gain tracks a random walk closely
     assert np.abs(out.resid.to_numpy()[10:]).mean() < 1.0
+
+
+def test_lstm_numpy_gradcheck():
+    """The numpy LSTM's analytic BPTT gradients match numerical
+    differentiation (the correctness core of the no-torch M5 backend)."""
+    from time_series_data_anomaly_detection_spark.functions._lstm_numpy import (
+        NumpyLSTM,
+    )
+
+    rng = np.random.default_rng(0)
+    m = NumpyLSTM(5, seed=3)
+    X = rng.normal(0, 1, (4, 6, 1))
+    y = rng.normal(0, 1, 4)
+    pred, h, cache = m._forward(X, True)
+    grads = m._backward(2.0 * (pred - y) / len(y), h, cache)
+    eps = 1e-6
+    for name, p in m.params.items():
+        it = np.nditer(p, flags=["multi_index"])
+        for _ in range(min(p.size, 6)):
+            ix = it.multi_index
+            old = p[ix]
+            p[ix] = old + eps
+            lp = np.mean((m._forward(X, False)[0] - y) ** 2)
+            p[ix] = old - eps
+            lm = np.mean((m._forward(X, False)[0] - y) ** 2)
+            p[ix] = old
+            num = (lp - lm) / (2 * eps)
+            ana = grads[name][ix]
+            assert abs(num - ana) / max(1e-8, abs(num) + abs(ana)) < 1e-4
+            next(it, None)
+
+
+def test_lstm_forecast_learns_seasonal_series(spark):
+    """End-to-end M5 through Spark: the LSTM must beat the persistence
+    baseline on a seasonal series, with the reference's NaN-padded
+    head (src/run_lstm.py:69-71)."""
+    from time_series_data_anomaly_detection_spark.functions.lstm import (
+        lstm_forecast,
+    )
+
+    rng = np.random.default_rng(2)
+    y = np.sin(np.arange(1200) / 8.0) * 3 + 10 + rng.normal(0, 0.1, 1200)
+    out = (
+        lstm_forecast(series_df(spark, y), seq_len=24, hidden=24, epochs=12)
+        .orderBy("rn")
+        .toPandas()
+    )
+    assert out.pred_mean[:24].isna().all()
+    assert out.pred_mean[24:].notna().all()
+    mae = np.abs(out.resid[24:]).mean()
+    persist = np.abs(np.diff(y)).mean()
+    assert mae < persist * 0.7

@@ -1,11 +1,19 @@
-"""LSTM forecaster (SURVEY §2.9 M5) — torch-gated.
+"""LSTM forecaster (SURVEY §2.9 M5).
 
 Reference: per-series 1→64-hidden ``nn.LSTM`` + Linear head trained on
-48-step sliding windows (``src/lstm_model.py:32-91``).  torch is NOT
-installed in this environment; the gate below activates the real
-implementation when it is, and otherwise raises with a pointer to the
-deterministic AR(p) stand-in (``functions.ar.ar_forecast``), which the
-pipelines use as the M5 slot.
+48-step sliding windows (``src/lstm_model.py:32-91``).  Two backends:
+
+- torch (when installed): mirrors the reference's stack directly.
+- numpy (this environment): from-scratch LSTM with full BPTT + Adam
+  (``functions/_lstm_numpy.py``) implementing the SAME architecture,
+  loss, optimizer, and window semantics — M5 is a real model here, not
+  a stand-in.
+
+Both are seeded per call; training is stochastic-by-seed, so parity is
+metric-level (SURVEY §5), and the query stays rows-only in the gate.
+``max_train_windows`` caps the training set at the tail of the train
+region (cost control in the spirit of the GP's P5 subsample — it
+changes results and is therefore an explicit, documented knob).
 """
 
 from __future__ import annotations
@@ -35,46 +43,61 @@ def lstm_forecast(
     epochs: int = 10,
     train_frac: float = 1.0,
     seed: int = 0,
+    max_train_windows: int | None = None,
+    backend: str = "auto",
+    batch: int = 64,
 ) -> DataFrame:
-    """Per-series LSTM one-step-ahead prediction (torch required).
+    """Per-series LSTM one-step-ahead prediction.
 
     Matches the reference's shapes: windows ``X[i] = y[i:i+seq_len]``,
     target ``y[i+seq_len]``; the first ``seq_len`` rows get null
-    predictions (NaN-padding, ``src/run_lstm.py:69-71``).  Training is
-    seeded per series for reproducibility-at-tolerance (SURVEY §5).
+    predictions (NaN-padding, ``src/run_lstm.py:69-71``); values are
+    z-normalized with train moments and predictions inverse-transformed
+    (``src/run_lstm.py:36-39,74``).  Training is seeded per series.
     """
-    if not HAS_TORCH:
-        raise NotImplementedError(
-            "torch is not installed; use functions.ar.ar_forecast as the "
-            "deterministic M5 stand-in"
-        )
+    use_torch = backend == "torch" or (backend == "auto" and HAS_TORCH)
+    if backend == "torch" and not HAS_TORCH:
+        raise NotImplementedError("torch backend requested but not installed")
 
-    def fit(pdf: pd.DataFrame) -> pd.DataFrame:  # pragma: no cover
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("rn").reset_index(drop=True)
-        y = pdf["value"].to_numpy(np.float32)
+        y = pdf["value"].to_numpy(np.float64)
         n = len(y)
         mu, sd = float(y.mean()), float(y.std()) or 1.0
         z = (y - mu) / sd
         n_train = max(int(n * train_frac), seq_len + 2)
-        torch.manual_seed(seed)
         X = np.lib.stride_tricks.sliding_window_view(z, seq_len)[:-1]
         t = z[seq_len:]
-        X_tr = torch.tensor(X[: n_train - seq_len, :, None])
-        y_tr = torch.tensor(t[: n_train - seq_len, None])
-        model = nn.Sequential()
-        lstm = nn.LSTM(1, hidden, batch_first=True)
-        head = nn.Linear(hidden, 1)
-        opt = torch.optim.Adam(list(lstm.parameters()) + list(head.parameters()), lr=1e-3)
-        loss_fn = nn.MSELoss()
-        for _ in range(epochs):
-            opt.zero_grad()
-            out, _ = lstm(X_tr)
-            loss = loss_fn(head(out[:, -1]), y_tr)
-            loss.backward()
-            opt.step()
-        with torch.no_grad():
-            out, _ = lstm(torch.tensor(X[:, :, None]))
-            preds = head(out[:, -1]).numpy().ravel()
+        lo = 0
+        hi = n_train - seq_len
+        if max_train_windows is not None:
+            lo = max(hi - max_train_windows, 0)
+        X_tr, y_tr = X[lo:hi, :, None], t[lo:hi]
+        if use_torch:  # pragma: no cover
+            torch.manual_seed(seed)
+            lstm = nn.LSTM(1, hidden, batch_first=True)
+            head = nn.Linear(hidden, 1)
+            opt = torch.optim.Adam(
+                list(lstm.parameters()) + list(head.parameters()), lr=1e-3
+            )
+            loss_fn = nn.MSELoss()
+            Xt = torch.tensor(X_tr, dtype=torch.float32)
+            yt = torch.tensor(y_tr[:, None], dtype=torch.float32)
+            for _ in range(epochs):
+                opt.zero_grad()
+                out, _ = lstm(Xt)
+                loss = loss_fn(head(out[:, -1]), yt)
+                loss.backward()
+                opt.step()
+            with torch.no_grad():
+                out, _ = lstm(torch.tensor(X[:, :, None], dtype=torch.float32))
+                preds = head(out[:, -1]).numpy().ravel().astype(np.float64)
+        else:
+            from ._lstm_numpy import NumpyLSTM
+
+            model = NumpyLSTM(hidden, seed=seed)
+            model.fit(X_tr, y_tr, epochs=epochs, batch=batch, seed=seed)
+            preds = model.predict(X[:, :, None])
         full = np.full(n, np.nan)
         full[seq_len:] = preds * sd + mu
         pdf["pred_mean"] = full

@@ -55,6 +55,10 @@ def score_model(df: DataFrame, model: str = "kalman", **kw) -> DataFrame:
             F.abs(F.col("value") - F.col("pred_mean"))
             / (F.col("pred_std") + F.lit(1e-9)),
         )
+    elif model == "lstm":
+        from ..functions.lstm import lstm_forecast
+
+        scored = lstm_forecast(df, **kw)
     elif model == "ar1":
         # fully native SQL-algebra family: closed-form AR(1) fit + MAD
         # z-score of residuals — zero Python, and every step has an

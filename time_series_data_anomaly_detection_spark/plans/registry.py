@@ -797,6 +797,26 @@ def q_gp_train_subsample(spark, sf_dir):
     return out.select("series_id", "rn", _rnd("value", R).alias("value"))
 
 
+def q_lstm_forecast(spark, sf_dir):
+    """M5: per-series LSTM one-step-ahead forecast — real model on both
+    backends (torch when present, from-scratch numpy BPTT otherwise;
+    ``src/lstm_model.py:32-91``).  Seeded-stochastic training ⇒
+    rows-only gate (SURVEY §5).  Config is cost-controlled: hidden 24,
+    6 epochs of batch 96, last 1500 train windows (an explicit knob, like the GP's
+    P5 subsample)."""
+    from ..functions.lstm import lstm_forecast
+
+    out = lstm_forecast(
+        _series(spark, sf_dir), seq_len=48, hidden=24, epochs=6, batch=96,
+        train_frac=0.5, max_train_windows=1500,
+    )
+    return out.select(
+        "series_id", "rn",
+        _rnd("pred_mean", R).alias("pred_mean"),
+        _rnd("resid", R).alias("resid"),
+    )
+
+
 def q_gp_forecast(spark, sf_dir):
     from ..functions import gp_forecast
     # optimize=True: bounded-grid LML hyperparameter selection — the
@@ -1856,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bsts_forecast": q_bsts_forecast,
         "bsts_forecast_multiseasonal": q_bsts_forecast_multiseasonal,
         "gp_forecast": q_gp_forecast,
+        "lstm_forecast": q_lstm_forecast,
         "bocpd_changepoints": q_bocpd_changepoints,
         "stl_robust": q_stl_robust,
     }

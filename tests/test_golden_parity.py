@@ -159,3 +159,29 @@ def test_enhanced_bsts_multiseasonal_parity_nyc_taxi(spark):
     )
     dm = dummy["pred_mean"].to_numpy()[n_train:]
     assert our_mae < np.abs(y[:week] - dm[:week]).mean()
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN_STL), reason="no reference")
+def test_lstm_numpy_backend_learns_nyc_taxi(spark):
+    """M5 on the reference's real input (src/lstm_model.py:32-91 trains
+    LSTM(1→64)+Linear on 48-step windows of nyc_taxi): the numpy BPTT
+    backend must produce a one-step forecast that beats the persistence
+    baseline on the same series — parity is behavioral, not row-level
+    (seeded-stochastic training, SURVEY §5)."""
+    from time_series_data_anomaly_detection_spark.functions.lstm import (
+        lstm_forecast,
+    )
+
+    golden = pd.read_csv(GOLDEN_STL)
+    ours = (
+        lstm_forecast(
+            _series_frame(spark, golden), seq_len=48, hidden=24, epochs=8,
+            batch=64, lr=3e-3,
+        )
+        .orderBy("rn")
+        .toPandas()
+    )
+    y = golden["value"].to_numpy(float)
+    mae = np.abs(ours["resid"].to_numpy()[48:]).mean()
+    persist = np.abs(np.diff(y)).mean()
+    assert mae < persist, (mae, persist)

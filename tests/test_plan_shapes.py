@@ -1,0 +1,114 @@
+"""Physical-plan regression guards: the scale properties the engine
+relies on (single shuffle per window chain, broadcast small sides,
+column pruning into the parquet scan) asserted on `.explain` output —
+a plan that silently gains an exchange or loses pushdown fails CI
+before it fails at 100x the data.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from conftest import series_df
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _count(plan: str, token: str) -> int:
+    return plan.count(token)
+
+
+def test_rolling_stats_single_shuffle(spark):
+    """The whole rolling chain (cumulative sums, lag-diff, bfill) must
+    ride ONE exchange on the series partition."""
+    from time_series_data_anomaly_detection_spark.operators.rolling import (
+        rolling_stats,
+    )
+
+    y = np.arange(200, dtype=float)
+    plan = _plan(rolling_stats(series_df(spark, y)))
+    assert _count(plan, ") Exchange") == 1
+    assert _count(plan, ") BroadcastExchange") == 0
+
+
+def test_mad_scores_broadcasts_tiny_aggregates(spark):
+    """Per-series median/MAD frames are one row per series — they must
+    come back as broadcast joins, never a sort-merge of the fact table
+    against itself."""
+    from time_series_data_anomaly_detection_spark.operators.scaling import (
+        mad_scores,
+    )
+
+    plan = _plan(mad_scores(series_df(spark, np.arange(100, dtype=float))))
+    assert _count(plan, ") BroadcastHashJoin") >= 2
+    assert _count(plan, ") SortMergeJoin") == 0
+
+
+def test_parquet_scan_prunes_columns(spark):
+    """A 3-column projection over the 4-column events table must reach
+    the parquet scan pruned (ReadSchema) — reading dead columns at
+    100 TB is the first scan-side scale bug."""
+    from time_series_data_anomaly_detection_spark.sources import (
+        events_as_series,
+    )
+
+    df = events_as_series(spark, "/root/testdata/sf0.001").select(
+        "series_id", "value"
+    )
+    plan = _plan(df)
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "value" in scan
+    assert "event_id" not in scan
+
+
+def test_event_metrics_overlap_join_is_keyed(spark):
+    """The interval-overlap theta join between the two event tables is
+    FULL OUTER (unmatched events must survive), which Spark cannot
+    broadcast — but it must still be KEYED on series_id with the
+    overlap as a residual condition, never a cartesian product.  (Both
+    sides are one row per run, so a keyed SMJ shuffles only tiny
+    frames.)"""
+    from time_series_data_anomaly_detection_spark.operators.evaluate import (
+        event_level_metrics,
+    )
+
+    rng = np.random.default_rng(1)
+    pdf = pd.DataFrame(
+        {
+            "series_id": "s1",
+            "rn": np.arange(1, 301),
+            "is_anomaly": (rng.random(300) < 0.05).astype(int),
+            "flag": (rng.random(300) < 0.05).astype(int),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    plan = _plan(event_level_metrics(df, gap=3))
+    assert _count(plan, ") CartesianProduct") == 0
+    assert _count(plan, ") BroadcastNestedLoopJoin") == 0
+    # the overlap predicate rides the keyed join as a residual condition
+    assert "Join condition: ((p_end" in plan
+
+
+def test_threshold_sweep_single_scan(spark):
+    """The 17-candidate grid must NOT re-scan the input per k: one
+    exploded projection, one aggregate."""
+    from time_series_data_anomaly_detection_spark.operators.sweep import (
+        threshold_sweep_pointwise,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "series_id": "s1",
+            "score": np.random.default_rng(2).random(500),
+            "is_anomaly": 0,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    plan = _plan(threshold_sweep_pointwise(df, "score", "is_anomaly"))
+    # one generator (the k-grid explode), one scan of the input
+    assert _count(plan, ") Generate") == 1
+    assert _count(plan, "Scan ExistingRDD") <= 1

@@ -46,6 +46,7 @@ def lstm_forecast(
     max_train_windows: int | None = None,
     backend: str = "auto",
     batch: int = 64,
+    lr: float = 1e-3,
 ) -> DataFrame:
     """Per-series LSTM one-step-ahead prediction.
 
@@ -78,7 +79,7 @@ def lstm_forecast(
             lstm = nn.LSTM(1, hidden, batch_first=True)
             head = nn.Linear(hidden, 1)
             opt = torch.optim.Adam(
-                list(lstm.parameters()) + list(head.parameters()), lr=1e-3
+                list(lstm.parameters()) + list(head.parameters()), lr=lr
             )
             loss_fn = nn.MSELoss()
             Xt = torch.tensor(X_tr, dtype=torch.float32)
@@ -96,7 +97,7 @@ def lstm_forecast(
             from ._lstm_numpy import NumpyLSTM
 
             model = NumpyLSTM(hidden, seed=seed)
-            model.fit(X_tr, y_tr, epochs=epochs, batch=batch, seed=seed)
+            model.fit(X_tr, y_tr, epochs=epochs, batch=batch, seed=seed, lr=lr)
             preds = model.predict(X[:, :, None])
         full = np.full(n, np.nan)
         full[seq_len:] = preds * sd + mu

@@ -189,6 +189,32 @@ def _score_branch(series: DataFrame, name: str, period: int) -> DataFrame:
             "series_id", "rn", F.lit("ar").alias("tag"),
             (F.abs(F.col("resid")) / (F.col("rs_std") + F.lit(1e-6))).alias("z"),
         )
+    if name == "bsts":
+        # notebook-hybrid member (nb 02 / results/hybrid weights
+        # {bsts: 0.5, lstm: 0.5}): rolling-sigma residual z, the
+        # reference's z_bsts column
+        from ..functions import bsts_forecast
+
+        return rolling_stats(
+            bsts_forecast(series, period=period, train_frac=0.5),
+            value_col="resid", out_prefix="rs",
+        ).select(
+            "series_id", "rn", F.lit("bsts").alias("tag"),
+            (F.abs(F.col("resid")) / (F.col("rs_std") + F.lit(1e-6))).alias("z"),
+        )
+    if name == "lstm":
+        from ..functions.lstm import lstm_forecast
+
+        return rolling_stats(
+            lstm_forecast(
+                series, seq_len=period, hidden=24, epochs=6, batch=96,
+                train_frac=0.5, max_train_windows=1500,
+            ),
+            value_col="resid", out_prefix="rs",
+        ).select(
+            "series_id", "rn", F.lit("lstm").alias("tag"),
+            (F.abs(F.col("resid")) / (F.col("rs_std") + F.lit(1e-6))).alias("z"),
+        )
     if name == "ar1":
         return mad_scores(
             ar1_forecast_native(series), value_col="resid", out_col="z"

@@ -656,6 +656,28 @@ def q_hybrid_detection_sql(spark, sf_dir):
     )
 
 
+def q_hybrid_detection_bsts_lstm(spark, sf_dir):
+    """The reference NOTEBOOK hybrid (results/hybrid metrics.json:
+    weights {bsts: 0.5, lstm: 0.5}; columns z_bsts, z_lstm,
+    hybrid_score): equal-weight fusion of the BSTS and LSTM residual
+    z-scores through the shared detection/eval tail.  Rows-only (both
+    branches are model UDFs; the fusion plumbing itself is hash-gated
+    by hybrid_detection_sql)."""
+    from .pipelines import hybrid_pipeline
+
+    res = hybrid_pipeline(
+        _series(spark, sf_dir), period=24, models=("bsts", "lstm"),
+        weights=(0.5, 0.5), k=4.0,
+    )
+    out = res["event_metrics"]
+    return out.select(
+        "model", "series_id", "tp", "fp", "fn",
+        _rnd("precision", R).alias("precision"),
+        _rnd("recall", R).alias("recall"),
+        _rnd("f1", R).alias("f1"),
+    )
+
+
 def q_resample_decompose(spark, sf_dir):
     s = _series(spark, sf_dir)
     rs = resample(s, "hour")
@@ -808,7 +830,7 @@ def q_lstm_forecast(spark, sf_dir):
 
     out = lstm_forecast(
         _series(spark, sf_dir), seq_len=48, hidden=24, epochs=6, batch=96,
-        train_frac=0.5, max_train_windows=1500,
+        train_frac=0.5, max_train_windows=1500, lr=3e-3,
     )
     return out.select(
         "series_id", "rn",
@@ -1861,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf": q_acf,
         "pacf": q_pacf,
         "hybrid_detection": q_hybrid_detection,
+        "hybrid_detection_bsts_lstm": q_hybrid_detection_bsts_lstm,
         "resample_decompose": q_resample_decompose,
         "interval_exceedance": q_interval_exceedance,
         "ensemble_fusion": q_ensemble_fusion,

@@ -113,3 +113,24 @@ def test_fused_top_value_marker_matches_composed_ops(spark):
         for r in mark_top_value_windows(df, 5, 3).collect()
     }
     assert fused == composed
+
+
+def test_mad_scores_approx_path_close_to_exact(spark):
+    """approx_accuracy switches the medians to a bounded-memory sketch
+    (the 100 TB path); on a well-behaved distribution the scores must
+    stay close to the exact ones."""
+    import numpy as np
+    from conftest import series_df
+    from time_series_data_anomaly_detection_spark.operators.scaling import (
+        mad_scores,
+    )
+
+    y = np.random.default_rng(4).normal(50, 5, 4000)
+    exact = mad_scores(series_df(spark, y)).orderBy("rn").toPandas()
+    approx = (
+        mad_scores(series_df(spark, y), approx_accuracy=10000)
+        .orderBy("rn")
+        .toPandas()
+    )
+    err = np.abs(exact.z_mad - approx.z_mad).max()
+    assert err < 0.05, err

@@ -54,22 +54,33 @@ def mad_scores(
     out_col: str = "z_mad",
     keep_internals: bool = False,
     keys: tuple = ("series_id",),
+    approx_accuracy: int | None = None,
 ) -> DataFrame:
     """P7/P10: robust z-score ``|x - median| / (1.4826*MAD + 1e-9)``.
 
     Reference ``mad_sigma`` (``src/utils.py:31-38``) + the z-score form
-    of ``src/run_hybrid.py:41-42``.  Medians are EXACT (``percentile``,
-    not approx) — MAD-derived thresholds are sensitive to median error
-    (SURVEY §7 hard-parts note).  Two grouped aggregates (median, then
-    MAD of centered values); both produce one row per series and are
-    broadcast back.
+    of ``src/run_hybrid.py:41-42``.  Medians are EXACT by default
+    (``percentile``, not approx) — MAD-derived thresholds are sensitive
+    to median error (SURVEY §7 hard-parts note), and exactness is what
+    the DuckDB oracle gate hashes.  Exact percentile buffers each
+    group's values in the aggregation: fine while a single series fits
+    an executor (NAB-scale), a memory hazard at billions of rows per
+    series.  ``approx_accuracy`` switches both medians to
+    ``approx_percentile`` (bounded-memory KLL-style sketch, error ≤
+    1/accuracy) — the documented 100 TB path; leave None where oracle
+    parity matters.  Two grouped aggregates (median, then MAD of
+    centered values); both produce one row per series and are broadcast
+    back.
     """
-    med = df.groupBy(*keys).agg(
-        F.percentile(F.col(value_col), F.lit(0.5)).alias("__med")
-    )
+    def _p50(col):
+        if approx_accuracy is not None:
+            return F.percentile_approx(col, F.lit(0.5), F.lit(int(approx_accuracy)))
+        return F.percentile(col, F.lit(0.5))
+
+    med = df.groupBy(*keys).agg(_p50(F.col(value_col)).alias("__med"))
     centered = df.join(F.broadcast(med), list(keys))
     mad = centered.groupBy(*keys).agg(
-        F.percentile(F.abs(F.col(value_col) - F.col("__med")), F.lit(0.5)).alias("__mad")
+        _p50(F.abs(F.col(value_col) - F.col("__med"))).alias("__mad")
     )
     out = (
         centered.join(F.broadcast(mad), list(keys))

@@ -220,3 +220,34 @@ def test_ivf_topk_bounded_candidates_and_recall(spark):
     )
     assert hits / len(exact) >= 0.6
     assert (approx.groupby("query_id").size() <= 3).all()
+
+
+def test_winnow_fingerprints_catch_shared_substrings(spark):
+    """The winnowing guarantee: any common substring longer than
+    window+k-1 chars must contribute at least one SHARED selected
+    fingerprint — the property a whole-doc digest lacks."""
+    import pandas as pd
+    from time_series_data_anomaly_detection_spark.datapipe.text import (
+        winnow_fingerprints,
+    )
+
+    shared = "this exact passage appears verbatim inside both documents here"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "intro words before. " + shared + " and a first tail.",
+                    "different opening text! " + shared + " other ending.",
+                    "nothing in common with the others at all, fully unique",
+                ],
+            }
+        )
+    )
+    fp = winnow_fingerprints(docs, k=8, window=16).toPandas()
+    s1 = set(fp[fp.doc_id == 1].fp_hash)
+    s2 = set(fp[fp.doc_id == 2].fp_hash)
+    s3 = set(fp[fp.doc_id == 3].fp_hash)
+    assert s1 & s2, "shared passage must share fingerprints"
+    assert not (s1 & s3) and not (s2 & s3)
+    assert (fp.first_pos >= 1).all()

@@ -136,3 +136,93 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         hash48(norm).alias("fingerprint_int"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 8,
+    window: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    hash every character k-gram, slide a ``window``-wide frame over the
+    hash sequence, keep each window's MINIMUM hash — the classic
+    rolling-hash fingerprint whose selected set is guaranteed to share
+    members for any sufficiently long common substring between
+    documents (unlike a whole-document digest, which only catches exact
+    duplicates).
+
+    Output: one row per distinct selected hash per doc —
+    ``(doc_id, fp_hash, first_pos)`` with the 1-based position of that
+    k-gram's first occurrence.  Deterministic (min over the frame;
+    first occurrence for position), hence oracle-checkable.
+
+    Scale shape: posexplode of k-gram hashes (rows = chars per doc), a
+    single ordered window per doc for the rolling min, then a
+    distinct + self-join on the 48-bit hash — all native, no UDF; the
+    per-doc window partitions by document, so parallelism is document
+    count, the natural axis for corpus work.
+    """
+    from pyspark.sql import Window
+
+    # repartition by doc BEFORE the gram explosion: the corpus arrives
+    # in a handful of parquet splits, and exploding ~chars-per-doc rows
+    # with an md5 each inside the scan stage would serialize the
+    # dominant cost on those few tasks (measured 10s -> 3s at sf0.1).
+    # Hash-partitioning on the doc id also pre-satisfies the rolling
+    # window's clustering, so no second exchange appears.
+    df = df.repartition(F.col(id_col))
+    # k-gram extraction via expr: transform positions -> substring
+    # (the lambda form can't close over the sibling text column)
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length({text_col}) - {k - 1},"
+                f" 0)), i -> substring({text_col}, i, {k}))"
+            )
+        ).alias("__i", "__g"),
+    ).select(
+        id_col,
+        (F.col("__i") + 1).alias("pos"),  # 1-based k-gram position
+        hash48(F.col("__g")).alias("gh"),
+    )
+    # grams feed the rolling-min pass AND the first-position lookup —
+    # cache so the k-gram md5 projection (the dominant per-row cost)
+    # runs once
+    from ..session import tracked_cache
+
+    grams = tracked_cache(grams)
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), 0)
+    )
+    wins = (
+        grams.withColumn("wmin", F.min("gh").over(w))
+        .filter(F.col("pos") >= window)  # full windows only
+        .select(id_col, F.col("wmin").alias("fp_hash"))
+        .distinct()
+    )
+    # first occurrence per SELECTED hash only: broadcast the (small)
+    # selected set into the gram stream and aggregate just the matching
+    # rows — a doc-global groupBy over all grams would aggregate ~one
+    # group per gram (near-unique keys), the most expensive possible
+    # shape for information we need on ~1/window of the hashes
+    g = grams.alias("g")
+    wv = wins.alias("wv")
+    sel = g.join(
+        F.broadcast(wv),
+        (F.col(f"g.{id_col}") == F.col(f"wv.{id_col}"))
+        & (F.col("g.gh") == F.col("wv.fp_hash")),
+    ).select(
+        F.col(f"g.{id_col}").alias(id_col),
+        F.col("g.gh").alias("gh"),
+        F.col("g.pos").alias("pos"),
+    )
+    return (
+        sel.groupBy(id_col, "gh")
+        .agg(F.min("pos").alias("first_pos"))
+        .select(id_col, F.col("gh").alias("fp_hash"), "first_pos")
+    )

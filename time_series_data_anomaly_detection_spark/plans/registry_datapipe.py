@@ -90,6 +90,16 @@ def q_fingerprint(spark, sf_dir):
     return out.select("doc_id", "fingerprint", "fingerprint_int")
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints (k=8 char-grams, window 16):
+    the substring-robust document fingerprint next to the whole-doc
+    digest (q_fingerprint)."""
+    from ..datapipe.text import winnow_fingerprints
+
+    out = winnow_fingerprints(_docs(spark, sf_dir), k=8, window=16)
+    return out.select("doc_id", "fp_hash", "first_pos")
+
+
 def q_exact_dedup(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir)).select(
         "doc_id", "dup_group", "group_size", "keep"
@@ -299,6 +309,32 @@ SELECT doc_id,
        CAST('0x' || substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 12)
             AS BIGINT) AS fingerprint_int
 FROM documents
+"""
+
+# winnowing: windowed min over char-8-gram hashes, distinct selected
+# hashes, first occurrence position — mirrors text.winnow_fingerprints
+ORACLES["winnow_fingerprints"] = """
+WITH grams AS (
+  SELECT doc_id, i AS pos,
+         CAST('0x' || substr(md5(substring(text, i, 8)), 1, 12) AS BIGINT)
+           AS gh
+  FROM documents,
+       unnest(generate_series(1, greatest(strlen(text) - 7, 0))) AS t(i)
+),
+wins AS (
+  SELECT DISTINCT doc_id, wmin
+  FROM (
+    SELECT doc_id, pos,
+           min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS wmin
+    FROM grams
+  ) WHERE pos >= 16
+),
+first AS (
+  SELECT doc_id, gh, min(pos) AS first_pos FROM grams GROUP BY 1, 2
+)
+SELECT w.doc_id, w.wmin AS fp_hash, f.first_pos
+FROM wins w JOIN first f ON f.doc_id = w.doc_id AND f.gh = w.wmin
 """
 
 ORACLES["exact_dedup"] = """
@@ -662,6 +698,7 @@ def queries():
         "doc_stats": q_doc_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,

@@ -26,7 +26,9 @@ def ngram_counts(
     df: DataFrame, n: int = 2, text_col: str = "text", min_count: int = 1
 ) -> DataFrame:
     """Corpus-wide n-gram frequency table: (ngram, count, doc_freq)."""
-    t = tokenize(df, text_col)
+    # repartition before the gram explode (see dedup.shingles): the
+    # few-split corpus scan would otherwise serialize the explosion
+    t = tokenize(df.repartition(F.col("doc_id")), text_col)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size("tokens") - (n - 1), F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice("tokens", i, n)),

@@ -76,7 +76,11 @@ def shingles(
     The shingle string never leaves the projection — downstream joins
     and signatures see only the 48-bit hash.
     """
-    t = tokenize(df, text_col)
+    # repartition by doc BEFORE the shingle explosion: the corpus
+    # parquet arrives in a few splits, and the explode + per-shingle
+    # md5 (the dominant cost) would otherwise serialize on those few
+    # scan tasks (see text.winnow_fingerprints for the measurement)
+    t = tokenize(df.repartition(F.col(id_col)), text_col)
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size("tokens") - (n - 1), F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice("tokens", i, n)),
@@ -260,7 +264,9 @@ def simhash(
     no bit-explode, so the shuffle is one row per (doc, token) and the
     combine happens map-side.
     """
-    t = tokenize(df, text_col)
+    # repartition before the token explode+md5 (see shingles): the
+    # few-split corpus scan would otherwise serialize the hashing
+    t = tokenize(df.repartition(F.col(id_col)), text_col)
     tok = (
         t.select(F.col(id_col), F.explode(F.array_distinct("tokens")).alias("tok"))
         .select(id_col, hash48(F.col("tok")).alias("h"))

@@ -17,6 +17,7 @@ from .text import (  # noqa: F401
     doc_stats,
     lang_id,
     fingerprint,
+    winnow_fingerprints,
 )
 from .dedup import (  # noqa: F401
     exact_dedup,
@@ -26,6 +27,7 @@ from .dedup import (  # noqa: F401
     minhash_lsh_pairs,
     simhash,
     embedding_near_dup,
+    near_dup_clusters,
 )
 from .corpus import (  # noqa: F401
     ngram_counts,
@@ -37,6 +39,7 @@ from .similarity import (  # noqa: F401
     with_norm,
     cosine_topk,
     ann_lsh_topk,
+    ivf_topk,
 )
 from .multimodal import (  # noqa: F401
     as_binary_payload,

@@ -156,3 +156,71 @@ def test_label_windows_match_reference(spark, n, anchors, w):
     for a in anchors:
         exp[max(a - w, 0) : min(a + w, n - 1) + 1] = 1
     assert list(got) == list(exp)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=3,
+        max_size=60,
+    ),
+    st.floats(min_value=0.01, max_value=5.0),
+    st.floats(min_value=0.1, max_value=10.0),
+)
+def test_kalman_fixed_matches_reference_recursion(spark, ys, q, r):
+    """Property: the Spark fixed-(q,r) filter equals a direct Python
+    evaluation of the recursion for arbitrary data and (q, r)."""
+    from time_series_data_anomaly_detection_spark.functions.kalman import (
+        kalman_fixed,
+    )
+
+    out = (
+        kalman_fixed(series_df(spark, ys), q=q, r=r)
+        .orderBy("rn")
+        .toPandas()
+    )
+    m, p = float(ys[0]), 10.0
+    exp = []
+    for t in range(len(ys)):
+        pp = p + q
+        exp.append(m)
+        k = pp / (pp + r)
+        m = m + k * (ys[t] - m)
+        p = (1.0 - k) * pp
+    np.testing.assert_allclose(
+        out.pred_mean.to_numpy(), np.array(exp), rtol=0, atol=0
+    )
+
+
+@SETTINGS
+@given(st.integers(min_value=0, max_value=2**31))
+def test_winnowing_guarantee_random_docs(spark, seed):
+    """Property (Schleimer et al.): two docs sharing a substring longer
+    than window + k - 1 chars always share >= 1 selected fingerprint."""
+    from time_series_data_anomaly_detection_spark.datapipe.text import (
+        winnow_fingerprints,
+    )
+
+    rng = np.random.default_rng(seed)
+    alpha = np.array(list("abcdefgh "))
+    def rand_text(n):
+        return "".join(rng.choice(alpha, n))
+
+    k, w = 5, 8
+    shared = rand_text(k + w + 10)  # longer than w + k - 1
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    rand_text(30) + shared + rand_text(30),
+                    rand_text(25) + shared + rand_text(35),
+                ],
+            }
+        )
+    )
+    fp = winnow_fingerprints(docs, k=k, window=w).toPandas()
+    s1 = set(fp[fp.doc_id == 1].fp_hash)
+    s2 = set(fp[fp.doc_id == 2].fp_hash)
+    assert s1 & s2

@@ -251,3 +251,28 @@ def test_winnow_fingerprints_catch_shared_substrings(spark):
     assert s1 & s2, "shared passage must share fingerprints"
     assert not (s1 & s3) and not (s2 & s3)
     assert (fp.first_pos >= 1).all()
+
+
+def test_near_dup_clusters_no_pairs(spark):
+    """Empty pair graph: every doc is its own singleton cluster and the
+    iteration loop terminates immediately."""
+    import pandas as pd
+    from time_series_data_anomaly_detection_spark.datapipe.dedup import (
+        near_dup_clusters,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "entirely unique first document content here",
+                    "completely different second text with other words",
+                ],
+            }
+        )
+    )
+    out = near_dup_clusters(docs, threshold=0.5).toPandas()
+    assert (out.cluster_id == out.doc_id).all()
+    assert (out.cluster_size == 1).all()
+    assert (out.keep == 1).all()

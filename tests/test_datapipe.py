@@ -276,3 +276,66 @@ def test_near_dup_clusters_no_pairs(spark):
     assert (out.cluster_id == out.doc_id).all()
     assert (out.cluster_size == 1).all()
     assert (out.keep == 1).all()
+
+
+def test_user_sessions_gap_semantics(spark):
+    """Events within the gap share a session; a gap strictly greater
+    than gap_seconds starts a new one."""
+    import pandas as pd
+    from time_series_data_anomaly_detection_spark.datapipe.events import (
+        user_sessions,
+    )
+
+    ev = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4, 5],
+                "user_id": [7, 7, 7, 7, 9],
+                "ts_s": [0, 100, 1900, 4000, 50],
+                "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+            }
+        )
+    )
+    out = user_sessions(ev, gap_seconds=1800).toPandas()
+    u7 = out[out.user_id == 7].sort_values("session_id")
+    # 0,100,1900 in one session (gaps 100, 1800 <= 1800); 4000 alone
+    assert list(u7.n_events) == [3, 1]
+    assert list(u7.start_s) == [0, 4000]
+    assert u7.iloc[0].total_value == 6.0
+    assert len(out[out.user_id == 9]) == 1
+
+
+def test_knn_label_agreement_clustered_embeddings(spark):
+    """Clustered embeddings with cluster-aligned labels must score near
+    1.0 agreement; shuffled labels near chance."""
+    import pandas as pd
+    from time_series_data_anomaly_detection_spark.datapipe.similarity import (
+        knn_label_agreement,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(0, 1, (4, 16)) * 4
+    n = 80
+    labels = [i % 4 for i in range(n)]
+    vecs = [
+        (centers[labels[i]] + rng.normal(0, 0.1, 16)).tolist()
+        for i in range(n)
+    ]
+    e = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": list(range(n)), "embedding": vecs, "label": labels}
+        )
+    )
+    out = knn_label_agreement(e, e.filter("vec_id < 8"), k=5).toPandas()
+    assert out.agreement.mean() > 0.9
+    rand = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": list(range(n)),
+                "embedding": vecs,
+                "label": list(rng.permutation(labels)),
+            }
+        )
+    )
+    out2 = knn_label_agreement(rand, rand.filter("vec_id < 8"), k=5).toPandas()
+    assert out2.agreement.mean() < 0.7

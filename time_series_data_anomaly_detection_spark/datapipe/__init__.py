@@ -40,6 +40,12 @@ from .similarity import (  # noqa: F401
     cosine_topk,
     ann_lsh_topk,
     ivf_topk,
+    knn_label_agreement,
+)
+from .events import (  # noqa: F401
+    load_events,
+    user_sessions,
+    props_field_stats,
 )
 from .multimodal import (  # noqa: F401
     as_binary_payload,

@@ -1,0 +1,82 @@
+"""Event-stream operators over the raw ``events`` table: time-gap
+sessionization and semi-structured (JSON props) extraction.
+
+These exercise the two events-table columns the series adapter drops
+(``user_id``, ``props``) with the same engine conventions: native
+column algebra only, exact decimal sums for order-independence, and
+timestamps reduced to epoch SECONDS (long) so the TIMESTAMP(NANOS)
+parquet cannot leak ns-vs-µs drift into the oracle hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .._exact import DEC
+from ..sources.loader import _as_timestamp
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw events scan with the ts column normalized and reduced to
+    epoch seconds (``ts_s``)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp(_as_timestamp(raw, "ts")).alias("ts_s"),
+        F.col("value").cast("double").alias("value"),
+        "props",
+    )
+
+
+def user_sessions(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Time-gap sessionization of per-user event streams: a new session
+    starts when the gap to the previous event exceeds ``gap_seconds``.
+
+    Output: one row per (user_id, session_id) with start/end epoch
+    seconds, event count, exact-decimal value total, and duration in
+    minutes.  The batch mirror of Structured Streaming's session
+    window; at scale this is ONE window pass + one aggregate, both
+    partitioned by user — the canonical event-analytics shape.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    brk = F.when(
+        F.col("ts_s") - F.lag("ts_s").over(w) > F.lit(int(gap_seconds)), 1
+    ).otherwise(0)
+    marked = events.withColumn(
+        "__brk", F.when(F.lag("ts_s").over(w).isNull(), 1).otherwise(brk)
+    ).withColumn("session_id", F.sum("__brk").over(w))
+    return marked.groupBy("user_id", "session_id").agg(
+        F.min("ts_s").alias("start_s"),
+        F.max("ts_s").alias("end_s"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        ((F.max("ts_s") - F.min("ts_s")) / F.lit(60.0)).alias("duration_min"),
+    )
+
+
+def props_field_stats(
+    events: DataFrame, field: str = "k", group_col: str = "event_type"
+) -> DataFrame:
+    """Semi-structured extraction: pull an integer field out of the
+    JSON ``props`` column and aggregate it per group — the JSON-path
+    projection every telemetry pipeline needs (Spark
+    ``get_json_object`` ↔ DuckDB ``json_extract``); stays inside
+    codegen, no UDF.
+    """
+    v = F.get_json_object(F.col("props"), f"$.{field}").cast("long")
+    d = events.select(F.col(group_col), v.alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    return d.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum("__v").alias("total"),
+        (F.sum(F.col("__v").cast(DEC)).cast("double") / F.count("*")).alias(
+            "mean"
+        ),
+        F.min("__v").alias("vmin"),
+        F.max("__v").alias("vmax"),
+    )

@@ -212,3 +212,45 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def knn_label_agreement(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-space quality probe: for each query vector, the
+    fraction of its exact top-k cosine neighbors sharing its label.
+
+    The standard label-coherence check run before trusting an embedding
+    column for curation (near-duplicate mining, stratified sampling,
+    classifier distillation): agreement ~ 1/n_labels means the space
+    carries no label signal.  Built on the deterministic cosine_topk,
+    so it is oracle-checkable end to end; labels ride a broadcast join
+    (one row per corpus vector).
+    """
+    top = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    labels = corpus.select(
+        F.col(id_col).alias("__lid"), F.col(label_col).alias("__lab")
+    )
+    q_lab = labels.select(
+        F.col("__lid").alias("query_id"), F.col("__lab").alias("query_label")
+    )
+    n_lab = labels.select(
+        F.col("__lid").alias("match_id"), F.col("__lab").alias("match_label")
+    )
+    joined = top.join(F.broadcast(q_lab), "query_id").join(
+        F.broadcast(n_lab), "match_id"
+    )
+    return joined.groupBy("query_id", "query_label").agg(
+        F.count("*").alias("n_neighbors"),
+        (
+            F.sum(
+                (F.col("match_label") == F.col("query_label")).cast("int")
+            )
+            / F.count("*")
+        ).alias("agreement"),
+    )

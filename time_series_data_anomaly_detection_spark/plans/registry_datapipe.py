@@ -172,6 +172,47 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+def q_user_sessions(spark, sf_dir):
+    """Time-gap sessionization of per-user event streams (30-min gap):
+    the batch mirror of Structured Streaming's session window."""
+    from ..datapipe.events import load_events, user_sessions
+
+    out = user_sessions(load_events(spark, sf_dir), gap_seconds=1800)
+    return out.select(
+        "user_id", "session_id", "start_s", "end_s", "n_events",
+        _rnd("total_value", R).alias("total_value"),
+        _rnd("duration_min", R).alias("duration_min"),
+    )
+
+
+def q_props_stats(spark, sf_dir):
+    """Semi-structured extraction: integer field k out of the JSON
+    props column, aggregated per event_type."""
+    from ..datapipe.events import load_events, props_field_stats
+
+    out = props_field_stats(load_events(spark, sf_dir))
+    return out.select(
+        "event_type", "n", "total",
+        _rnd("mean", R).alias("mean"),
+        "vmin", "vmax",
+    )
+
+
+def q_knn_label_agreement(spark, sf_dir):
+    """Embedding-space label coherence: fraction of each query's exact
+    top-5 cosine neighbors sharing its label."""
+    from ..datapipe.similarity import knn_label_agreement
+
+    e = _embs(spark, sf_dir)
+    out = knn_label_agreement(
+        e, e.filter(F.col("vec_id") < N_QUERIES), k=TOPK
+    )
+    return out.select(
+        "query_id", "query_label", "n_neighbors",
+        _rnd("agreement", R).alias("agreement"),
+    )
+
+
 def q_top_ngrams(spark, sf_dir):
     out = top_ngrams(_docs(spark, sf_dir), n=2, k=20)
     return out.select("rank", "ngram", "count", "doc_freq")
@@ -574,6 +615,76 @@ SELECT query_id, match_id, rank, round(cosine, {R}) AS cosine
 FROM ranked WHERE rank <= {TOPK}
 """
 
+# time-gap sessionization — mirrors datapipe.events.user_sessions
+# (epoch SECONDS as long on both sides; the windowed session counter is
+# CAST to BIGINT: DuckDB windowed sum(int) is HUGEINT -> pandas float64)
+ORACLES["user_sessions"] = f"""
+WITH ev AS (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value
+  FROM events
+),
+m AS (
+  SELECT *, CASE WHEN lag(ts_s) OVER w IS NULL
+                  OR ts_s - lag(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+),
+sess AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)
+                 AS BIGINT) AS session_id
+  FROM m
+)
+SELECT user_id, session_id,
+       min(ts_s) AS start_s, max(ts_s) AS end_s,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE), {R})
+         AS total_value,
+       round((max(ts_s) - min(ts_s)) / 60.0, {R}) AS duration_min
+FROM sess GROUP BY 1, 2
+"""
+
+# JSON props extraction — mirrors datapipe.events.props_field_stats
+ORACLES["props_stats"] = f"""
+WITH x AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS v
+  FROM events
+)
+SELECT event_type, count(*) AS n,
+       CAST(sum(v) AS BIGINT) AS total,
+       round(CAST(sum(CAST(v AS DECIMAL(38,12))) AS DOUBLE) / count(*), {R})
+         AS mean,
+       min(v) AS vmin, max(v) AS vmax
+FROM x WHERE v IS NOT NULL GROUP BY 1
+"""
+
+# kNN label agreement — cosine_topk + label joins + per-query fraction
+ORACLES["knn_label_agreement"] = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         list_dot_product(q.e, c.e) / (q.nrm * c.nrm + 1e-12) AS cosine
+  FROM v q JOIN v c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, match_id ASC) AS rank
+  FROM scored
+),
+top AS (SELECT query_id, match_id FROM ranked WHERE rank <= {TOPK})
+SELECT t.query_id, ql.label AS query_label,
+       count(*) AS n_neighbors,
+       round(sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) * 1.0
+             / count(*), {R}) AS agreement
+FROM top t
+JOIN embeddings ql ON ql.vec_id = t.query_id
+JOIN embeddings nl ON nl.vec_id = t.match_id
+GROUP BY 1, 2
+"""
+
 ORACLES["top_ngrams"] = """
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{TOKRE}') AS t
@@ -708,6 +819,9 @@ def queries():
         "cosine_topk": q_cosine_topk,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
+        "knn_label_agreement": q_knn_label_agreement,
+        "user_sessions": q_user_sessions,
+        "props_stats": q_props_stats,
         "multimodal_features": q_multimodal_features,
         "top_ngrams": q_top_ngrams,
         "corpus_filter": q_corpus_filter,

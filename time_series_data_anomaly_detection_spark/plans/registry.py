@@ -678,6 +678,64 @@ def q_hybrid_detection_bsts_lstm(spark, sf_dir):
     )
 
 
+def q_revenue_anomaly(spark, sf_dir):
+    """Star-schema → time-series composition: daily revenue per region
+    from the warehouse tables (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
+    region), then the engine's native AR(1)+MAD anomaly scoring on the
+    derived series — the end-to-end shape of a production metrics
+    pipeline.
+
+    Join strategy: nation/region are broadcast (tiny dims); customer
+    rides AQE's broadcast decision (a dimension at test scale, a
+    shuffle join at 100 TB); lineitem ⋈ orders is the fact-fact equi
+    join on orderkey — co-partition/bucket both on orderkey at scale
+    and this query's only big shuffle disappears.  The daily aggregate
+    reduces the fact volume ~1000x before any window work.
+    """
+    from ..functions.ar import ar1_forecast_native
+    from ..sources.loader import _as_timestamp, with_row_index
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select(
+            F.col("r_name").alias("series_id"),
+            F.date_trunc("day", _as_timestamp(orders, "o_orderdate")).alias(
+                "timestamp"
+            ),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__amt"),
+        )
+        .groupBy("series_id", "timestamp")
+        .agg(F.sum(F.col("__amt").cast(DEC_T)).cast("double").alias("value"))
+    )
+    # the derived series feeds the AR fit, the residual join, and the
+    # two MAD aggregates — cache it or each consumer re-runs the whole
+    # 5-table join + daily aggregate (observed: 6 copies of the star
+    # join in the uncached plan)
+    from ..session import eager_cache
+
+    s = eager_cache(with_row_index(rev))
+    scored = mad_scores(
+        ar1_forecast_native(s), value_col="resid", out_col="score"
+    )
+    return scored.select(
+        "series_id",
+        "rn",
+        F.date_format("timestamp", "yyyy-MM-dd").alias("day"),
+        _rnd("value", R).alias("revenue"),
+        _rnd("score", R).alias("score"),
+        F.when(F.col("score") > 3.0, 1).otherwise(0).alias("flag"),
+    )
+
+
 def q_resample_decompose(spark, sf_dir):
     s = _series(spark, sf_dir)
     rs = resample(s, "hour")
@@ -1603,6 +1661,56 @@ SELECT series_id, count(*) AS n_folds,
 FROM pf GROUP BY 1
 """
 
+# ---- revenue_anomaly: star-schema joins -> daily revenue series ->
+#      AR(1)+MAD scoring (mirrors q_revenue_anomaly) ----
+ORACLES["revenue_anomaly"] = f"""
+WITH rev AS (
+  SELECT r.r_name AS series_id, date_trunc('day', o.o_orderdate) AS d,
+         CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS value
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  GROUP BY 1, 2),
+sr AS (
+  SELECT series_id, d, value,
+         row_number() OVER (PARTITION BY series_id ORDER BY d) AS rn
+  FROM rev),
+lagged AS (
+  SELECT series_id, rn, d, value,
+         lag(value) OVER (PARTITION BY series_id ORDER BY rn) AS prev
+  FROM sr),
+arsum AS (
+  SELECT series_id, count(*) AS n,
+         CAST(sum(CAST(prev AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(prev * prev AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(value * prev AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+  FROM lagged WHERE prev IS NOT NULL GROUP BY 1),
+fit0 AS (
+  SELECT series_id, n, sx, sy,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+  FROM arsum),
+fit AS (
+  SELECT series_id, slope, (sy - slope * sx) / n AS icept FROM fit0),
+rsd AS (
+  SELECT l.series_id, l.rn, l.d, l.value,
+         l.value - (f.icept + f.slope * l.prev) AS resid
+  FROM lagged l JOIN fit f USING (series_id)),
+rmed AS (SELECT series_id, median(resid) AS med FROM rsd GROUP BY 1),
+rmad AS (
+  SELECT r.series_id, median(abs(r.resid - m.med)) AS mad
+  FROM rsd r JOIN rmed m USING (series_id) GROUP BY 1)
+SELECT r.series_id, r.rn, strftime(r.d, '%Y-%m-%d') AS day,
+       round(r.value, {R}) AS revenue,
+       round(abs(r.resid - m.med) / (1.4826 * d2.mad + 1e-9), {R}) AS score,
+       CASE WHEN abs(r.resid - m.med) / (1.4826 * d2.mad + 1e-9) > 3.0
+            THEN 1 ELSE 0 END AS flag
+FROM rsd r JOIN rmed m USING (series_id) JOIN rmad d2 USING (series_id)
+"""
+
 # ---- gp_train_subsample: P5 tail-of-train window (src/run_gp.py:61-67):
 #      pos is 0-based (rn - min rn); keep lo <= pos < n_train with
 #      n_train = max(floor(n*frac), 2), lo = max(n_train - 1000, 0) ----
@@ -1884,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pacf": q_pacf,
         "hybrid_detection": q_hybrid_detection,
         "hybrid_detection_bsts_lstm": q_hybrid_detection_bsts_lstm,
+        "revenue_anomaly": q_revenue_anomaly,
         "resample_decompose": q_resample_decompose,
         "interval_exceedance": q_interval_exceedance,
         "ensemble_fusion": q_ensemble_fusion,

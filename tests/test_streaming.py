@@ -151,3 +151,61 @@ def test_streaming_bocpd_matches_batch(spark, stream_data):
     # the burst collapses the run-length posterior
     srt = m.sort_values("timestamp").reset_index(drop=True)
     assert srt.loc[200:202, "cp_score_s"].max() > 0.5
+
+
+def test_streaming_user_sessions_matches_batch(spark, tmp_path_factory):
+    """Native session_window streaming sessions == the batch time-gap
+    sessionization on the same events (watermark far past the data so
+    every session finalizes under availableNow)."""
+    from time_series_data_anomaly_detection_spark.datapipe.events import (
+        user_sessions,
+    )
+    from time_series_data_anomaly_detection_spark.streaming import (
+        streaming_user_sessions,
+    )
+
+    root = tmp_path_factory.mktemp("sess_src")
+    rng = np.random.default_rng(7)
+    rows = []
+    eid = 0
+    base = pd.Timestamp("2024-03-01")
+    for uid in (1, 2, 3):
+        t = base
+        for s in range(3):  # 3 sessions per user
+            for _ in range(int(rng.integers(2, 6))):
+                rows.append((eid, uid, t, float(rng.normal(10, 2))))
+                eid += 1
+                t += pd.Timedelta(minutes=int(rng.integers(1, 20)))
+            t += pd.Timedelta(minutes=45)  # > 30-min gap -> new session
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    kw = dict(index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    pdf.to_parquet(root / "events1.parquet", **kw)
+    # append-mode session windows emit only once the watermark passes
+    # their END: a sentinel event far in the future (second file ->
+    # second micro-batch) finalizes every real session
+    sentinel = pd.DataFrame(
+        [(99999, 99, base + pd.Timedelta(days=2), 0.0)],
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    sentinel.to_parquet(root / "events2.parquet", **kw)
+
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    stream = spark.readStream.schema(schema).parquet(str(root))
+    got = _run_stream(
+        spark,
+        streaming_user_sessions(stream, gap="30 minutes", watermark="0 seconds"),
+        "sessions_out",
+    ).toPandas()
+    got = got[got.user_id != 99]
+
+    batch_in = spark.createDataFrame(pdf).select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").alias("ts_s"), "value",
+    )
+    exp = user_sessions(batch_in, gap_seconds=1800).toPandas()
+    assert len(got) == len(exp) == 9
+    g = got.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    e = exp.sort_values(["user_id", "start_s"]).reset_index(drop=True)
+    assert list(g.n_events) == list(e.n_events)
+    np.testing.assert_allclose(g.total_value, e.total_value, rtol=1e-9)
+    assert (g.session_start.astype("int64") // 10**9 == e.start_s).all()

@@ -2,4 +2,5 @@ from .detectors import (  # noqa: F401
     streaming_window_stats,
     streaming_rolling_flags,
     streaming_bocpd,
+    streaming_user_sessions,
 )

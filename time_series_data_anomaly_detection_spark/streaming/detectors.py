@@ -246,3 +246,42 @@ def streaming_bocpd(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_user_sessions(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Session-window aggregation of per-user event streams — the
+    streaming twin of ``datapipe.events.user_sessions`` built on
+    Spark's NATIVE ``session_window`` (dynamic gap-close windows with
+    watermark-driven state eviction): a session closes once no event
+    arrives within ``gap``, exactly the batch operator's time-gap rule.
+
+    State is bounded by the watermark (sessions older than it are
+    finalized and evicted), so an unbounded user population streams in
+    O(open sessions) memory — the semantics the batch operator computes
+    over a static table, with late-data handling for free.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sw"),
+            F.col(user_col),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col(value_col)).alias("total_value"),
+        )
+        .select(
+            user_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -329,3 +329,27 @@ def test_lstm_forecast_learns_seasonal_series(spark):
     mae = np.abs(out.resid[24:]).mean()
     persist = np.abs(np.diff(y)).mean()
     assert mae < persist * 0.7
+
+
+def test_acf_statsmodels_estimator_convention(spark):
+    """The statsmodels-convention ACF (global mean, constant
+    denominator) must match a direct numpy evaluation of that exact
+    estimator — distinct from the per-lag Pearson variant."""
+    from time_series_data_anomaly_detection_spark.operators.acf import (
+        acf_statsmodels,
+    )
+    from conftest import series_df
+
+    rng = np.random.default_rng(8)
+    y = np.sin(np.arange(200) / 6.0) * 2 + rng.normal(0, 0.3, 200)
+    out = (
+        acf_statsmodels(series_df(spark, y), max_lag=5)
+        .orderBy("lag")
+        .toPandas()
+    )
+    mu = y.mean()
+    den = ((y - mu) ** 2).sum()
+    for k in range(1, 6):
+        exp = ((y[:-k] - mu) * (y[k:] - mu)).sum() / den
+        got = float(out[out.lag == k].acf.iloc[0])
+        assert abs(got - exp) < 1e-9, (k, got, exp)

@@ -127,3 +127,59 @@ def pacf(df: DataFrame, max_lag: int = 10, value_col: str = "value") -> DataFram
     return cur.selectExpr(
         "series_id", f"stack({max_lag}, {stack}) AS (lag, pacf)"
     )
+
+
+def acf_statsmodels(
+    df: DataFrame, max_lag: int = 10, value_col: str = "value"
+) -> DataFrame:
+    """W8 in the reference's EXACT convention: statsmodels ``acf`` (the
+    estimator behind ``plot_acf``, nb 01 cell 7) computes the
+    autocovariance with the GLOBAL series mean and a constant
+    denominator::
+
+        r_k = sum_{t<=n-k} (x_t - mu)(x_{t+k} - mu) / sum_t (x_t - mu)^2
+
+    — a biased-but-positive-definite estimator, slightly different from
+    the per-lag Pearson of :func:`acf` (which demeans each lag pair
+    separately).  Same stack-then-aggregate shape; the global moments
+    ride a broadcast join; all sums are exact decimal (order- and
+    engine-independent, see ``_exact.py``).
+    """
+    v = F.col(value_col)
+    mo = df.groupBy("series_id").agg(
+        F.count(value_col).alias("__n"),
+        F.sum(v.cast(DEC)).cast("double").alias("__s1"),
+    )
+    mu = (F.col("__s1") / F.col("__n")).alias("__mu")
+    base = df.join(F.broadcast(mo.select("series_id", mu)), "series_id")
+    w = Window.partitionBy("series_id").orderBy("rn")
+    shifts = [
+        F.lag(value_col, k).over(w).alias(f"__p{k}")
+        for k in range(1, max_lag + 1)
+    ]
+    stack_args = ", ".join(f"{k}, __p{k}" for k in range(1, max_lag + 1))
+    shifted = (
+        base.select(
+            "series_id", F.col(value_col).alias("__x"), F.col("__mu"), *shifts
+        )
+        .selectExpr(
+            "series_id", "__x", "__mu",
+            f"stack({max_lag}, {stack_args}) AS (lag, prev)",
+        )
+        .filter(F.col("prev").isNotNull())
+    )
+    num = shifted.groupBy("series_id", "lag").agg(
+        F.sum(
+            ((F.col("__x") - F.col("__mu")) * (F.col("prev") - F.col("__mu"))).cast(DEC)
+        )
+        .cast("double")
+        .alias("__num")
+    )
+    den = base.groupBy("series_id").agg(
+        F.sum(((v - F.col("__mu")) * (v - F.col("__mu"))).cast(DEC))
+        .cast("double")
+        .alias("__den")
+    )
+    return num.join(F.broadcast(den), "series_id").select(
+        "series_id", "lag", (F.col("__num") / F.col("__den")).alias("acf")
+    )

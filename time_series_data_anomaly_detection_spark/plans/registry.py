@@ -615,6 +615,16 @@ def q_acf(spark, sf_dir):
     return out.select("series_id", "lag", _rnd("acf", R).alias("acf"))
 
 
+def q_acf_statsmodels(spark, sf_dir):
+    """W8 in the reference's exact estimator convention (statsmodels
+    ``acf``: global mean, constant denominator)."""
+    from ..operators.acf import acf_statsmodels
+
+    s = _series(spark, sf_dir)
+    out = acf_statsmodels(s, max_lag=10)
+    return out.select("series_id", "lag", _rnd("acf", R).alias("acf"))
+
+
 def q_pacf(spark, sf_dir):
     from ..operators.acf import pacf
 
@@ -1441,6 +1451,35 @@ WITH {SQL_S}, {SQL_ACF_U}
 SELECT series_id, lag, round(acf, {R}) AS acf FROM acfu
 """
 
+# W8, statsmodels estimator: global mean, constant denominator —
+# mirrors operators.acf.acf_statsmodels
+ORACLES["acf_statsmodels"] = f"""
+WITH {SQL_S},
+smo AS (
+  SELECT series_id, count(value) AS n,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS s1
+  FROM s GROUP BY 1),
+smu AS (SELECT series_id, s1 / n AS mu FROM smo),
+sden AS (
+  SELECT s.series_id,
+         CAST(sum(CAST((s.value - smu.mu) * (s.value - smu.mu)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS den
+  FROM s JOIN smu USING (series_id) GROUP BY 1),
+slags AS (SELECT unnest(generate_series(1, 10)) AS lag),
+sshift AS (
+  SELECT s.series_id, l.lag, s.value, smu.mu,
+         lag(s.value, l.lag) OVER (PARTITION BY s.series_id, l.lag
+                                   ORDER BY s.rn) AS prev
+  FROM s CROSS JOIN slags l JOIN smu USING (series_id)),
+snum AS (
+  SELECT series_id, lag,
+         CAST(sum(CAST((value - mu) * (prev - mu) AS DECIMAL(38,12)))
+              AS DOUBLE) AS num
+  FROM sshift WHERE prev IS NOT NULL GROUP BY 1, 2)
+SELECT n.series_id, n.lag, round(n.num / d.den, {R}) AS acf
+FROM snum n JOIN sden d USING (series_id)
+"""
+
 
 def _pacf_oracle(max_lag: int = 10) -> str:
     """DuckDB mirror of operators.acf.pacf: pivot acfu wide, chain the
@@ -1989,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "average_precision": q_average_precision,
         "global_moments": q_global_moments,
         "acf": q_acf,
+        "acf_statsmodels": q_acf_statsmodels,
         "pacf": q_pacf,
         "hybrid_detection": q_hybrid_detection,
         "hybrid_detection_bsts_lstm": q_hybrid_detection_bsts_lstm,

@@ -84,3 +84,28 @@ def test_no_pred_events_nan_latency(spark):
     row = business_metrics(_frame(spark, y, p), gap=0).collect()[0]
     assert row.fp_count == 0
     assert row.median_latency_minutes is None or pd.isna(row.median_latency_minutes)
+
+
+def test_forecast_accuracy_known_errors(spark):
+    """MAE/RMSE/MAPE/sMAPE computed from hand-checkable residuals."""
+    import pandas as pd
+    import numpy as np
+    from time_series_data_anomaly_detection_spark.operators.evaluate import (
+        forecast_accuracy,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "series_id": "s1",
+            "value": [10.0, 20.0, 30.0, 40.0],
+            "pred_mean": [12.0, 18.0, 33.0, 40.0],
+        }
+    )
+    out = forecast_accuracy(spark.createDataFrame(pdf)).toPandas().iloc[0]
+    assert out.n == 4
+    assert abs(out.mae - (2 + 2 + 3 + 0) / 4) < 1e-9
+    assert abs(out.rmse - np.sqrt((4 + 4 + 9 + 0) / 4)) < 1e-9
+    exp_mape = np.mean([2 / 10, 2 / 20, 3 / 30, 0.0])
+    assert abs(out.mape - exp_mape) < 1e-6
+    exp_smape = np.mean([2 * 2 / 22, 2 * 2 / 38, 2 * 3 / 63, 0.0])
+    assert abs(out.smape - exp_smape) < 1e-6

@@ -306,6 +306,46 @@ def leaderboard_metrics(
     return out.drop("tp_recall", "duration_days")
 
 
+def forecast_accuracy(
+    df: DataFrame,
+    actual_col: str = "value",
+    pred_col: str = "pred_mean",
+    keys: tuple = KEYS,
+) -> DataFrame:
+    """Forecast backtest metrics per series: MAE, RMSE, MAPE, sMAPE
+    over rows where a prediction exists — the accuracy table every
+    forecasting pipeline reports next to the detection metrics.
+
+    All means ride exact decimal sums (order/engine-independent,
+    ``_exact.py``); one aggregation pass, no shuffle beyond the
+    groupBy's own.
+    """
+    from .._exact import DEC
+
+    a, p = F.col(actual_col), F.col(pred_col)
+    err = a - p
+    ae = F.abs(err)
+    d = df.filter(p.isNotNull() & ~F.isnan(p))
+    agg = d.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.sum(ae.cast(DEC)).cast("double").alias("__sae"),
+        F.sum((err * err).cast(DEC)).cast("double").alias("__sse"),
+        F.sum((ae / (F.abs(a) + F.lit(EPS))).cast(DEC)).cast("double").alias("__sape"),
+        F.sum(
+            (2 * ae / (F.abs(a) + F.abs(p) + F.lit(EPS))).cast(DEC)
+        ).cast("double").alias("__ssm"),
+    )
+    n = F.col("n")
+    return agg.select(
+        *keys,
+        "n",
+        (F.col("__sae") / n).alias("mae"),
+        F.sqrt(F.col("__sse") / n).alias("rmse"),
+        (F.col("__sape") / n).alias("mape"),
+        (F.col("__ssm") / n).alias("smape"),
+    )
+
+
 def pr_curve(
     df: DataFrame, score_col: str = "score", truth_col: str = "is_anomaly"
 ) -> DataFrame:

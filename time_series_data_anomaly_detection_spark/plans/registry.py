@@ -688,6 +688,25 @@ def q_hybrid_detection_bsts_lstm(spark, sf_dir):
     )
 
 
+def q_forecast_accuracy(spark, sf_dir):
+    """Forecast backtest table: AR(1) one-step predictions scored with
+    MAE/RMSE/MAPE/sMAPE on the Test split — the accuracy columns a
+    leaderboard carries next to the detection metrics."""
+    from ..functions.ar import ar1_forecast_native
+    from ..operators.evaluate import forecast_accuracy
+
+    s = _series(spark, sf_dir)
+    fc = fractional_split(ar1_forecast_native(s))
+    out = forecast_accuracy(fc.filter(F.col("split") == "Test"))
+    return out.select(
+        "series_id", "n",
+        _rnd("mae", R).alias("mae"),
+        _rnd("rmse", R).alias("rmse"),
+        _rnd("mape", R).alias("mape"),
+        _rnd("smape", R).alias("smape"),
+    )
+
+
 def q_revenue_anomaly(spark, sf_dir):
     """Star-schema → time-series composition: daily revenue per region
     from the warehouse tables (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
@@ -1700,6 +1719,49 @@ SELECT series_id, count(*) AS n_folds,
 FROM pf GROUP BY 1
 """
 
+# ---- forecast_accuracy: AR(1) test-split backtest metrics ----
+ORACLES["forecast_accuracy"] = f"""
+WITH {SQL_S},
+lagged AS (
+  SELECT series_id, rn, value,
+         lag(value) OVER (PARTITION BY series_id ORDER BY rn) AS prev
+  FROM s),
+arsum AS (
+  SELECT series_id, count(*) AS n,
+         CAST(sum(CAST(prev AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(prev * prev AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(value * prev AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+  FROM lagged WHERE prev IS NOT NULL GROUP BY 1),
+fit0 AS (
+  SELECT series_id, n, sx, sy,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+  FROM arsum),
+fit AS (
+  SELECT series_id, slope, (sy - slope * sx) / n AS icept FROM fit0),
+nn AS (SELECT series_id, max(rn) AS n FROM s GROUP BY 1),
+fa AS (
+  SELECT l.series_id, l.value AS a,
+         f.icept + f.slope * l.prev AS p
+  FROM lagged l JOIN fit f USING (series_id) JOIN nn USING (series_id)
+  WHERE l.prev IS NOT NULL AND l.rn > floor(nn.n * 0.75)),
+ag AS (
+  SELECT series_id, count(*) AS n,
+         CAST(sum(CAST(abs(a - p) AS DECIMAL(38,12))) AS DOUBLE) AS sae,
+         CAST(sum(CAST((a - p) * (a - p) AS DECIMAL(38,12))) AS DOUBLE) AS sse,
+         CAST(sum(CAST(abs(a - p) / (abs(a) + 1e-9) AS DECIMAL(38,12)))
+              AS DOUBLE) AS sape,
+         CAST(sum(CAST(2 * abs(a - p) / (abs(a) + abs(p) + 1e-9)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS ssm
+  FROM fa GROUP BY 1)
+SELECT series_id, n,
+       round(sae / n, {R}) AS mae,
+       round(sqrt(sse / n), {R}) AS rmse,
+       round(sape / n, {R}) AS mape,
+       round(ssm / n, {R}) AS smape
+FROM ag
+"""
+
 # ---- revenue_anomaly: star-schema joins -> daily revenue series ->
 #      AR(1)+MAD scoring (mirrors q_revenue_anomaly) ----
 ORACLES["revenue_anomaly"] = f"""
@@ -2033,6 +2095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_detection": q_hybrid_detection,
         "hybrid_detection_bsts_lstm": q_hybrid_detection_bsts_lstm,
         "revenue_anomaly": q_revenue_anomaly,
+        "forecast_accuracy": q_forecast_accuracy,
         "resample_decompose": q_resample_decompose,
         "interval_exceedance": q_interval_exceedance,
         "ensemble_fusion": q_ensemble_fusion,

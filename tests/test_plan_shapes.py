@@ -112,3 +112,20 @@ def test_threshold_sweep_single_scan(spark):
     # one generator (the k-grid explode), one scan of the input
     assert _count(plan, ") Generate") == 1
     assert _count(plan, "Scan ExistingRDD") <= 1
+
+
+def test_series_filter_pushes_to_parquet_scan(spark):
+    """A predicate on the aliased series column must reach the parquet
+    scan as a pushed filter on the underlying physical column — a scan
+    that filters 100 TB post-read is the other scan-side scale bug."""
+    from time_series_data_anomaly_detection_spark.sources import (
+        events_as_series,
+    )
+    from pyspark.sql import functions as F
+
+    df = events_as_series(spark, "/root/testdata/sf0.001").filter(
+        F.col("series_id") == "click"
+    )
+    plan = _plan(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "EqualTo(event_type,click)" in pushed[0]

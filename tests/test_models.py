@@ -353,3 +353,25 @@ def test_acf_statsmodels_estimator_convention(spark):
         exp = ((y[:-k] - mu) * (y[k:] - mu)).sum() / den
         got = float(out[out.lag == k].acf.iloc[0])
         assert abs(got - exp) < 1e-9, (k, got, exp)
+
+
+def test_lstm_seeded_determinism(spark):
+    """Same seed => bit-identical outputs across runs (the engine's
+    reproducibility contract for stochastic training, SURVEY §5)."""
+    from time_series_data_anomaly_detection_spark.functions.lstm import (
+        lstm_forecast,
+    )
+
+    rng = np.random.default_rng(17)
+    y = np.sin(np.arange(400) / 7.0) + rng.normal(0, 0.1, 400)
+    a = (
+        lstm_forecast(series_df(spark, y), seq_len=24, hidden=12, epochs=2)
+        .orderBy("rn").toPandas()
+    )
+    b = (
+        lstm_forecast(series_df(spark, y), seq_len=24, hidden=12, epochs=2)
+        .orderBy("rn").toPandas()
+    )
+    np.testing.assert_array_equal(
+        a.pred_mean.to_numpy(), b.pred_mean.to_numpy()
+    )

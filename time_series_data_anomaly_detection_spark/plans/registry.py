@@ -2117,6 +2117,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     out.update(registry_datapipe.queries())
 
+    # Gate-priority ordering: the driver's correctness run processes
+    # queries in dict order and may cap how many it checks per round
+    # (r03 stopped at 50 of 64).  Front-load the queries with the
+    # weakest verification history — never driver-checked, or whose
+    # last driver check failed — so a capped run verifies them first.
+    # Long-stable rows-only queries (weakest signal, green twice) sink
+    # to the back where a cap costs the least information.
+    gate_first = [
+        # never appeared in any driver correctness run (new in r03/r04)
+        "dedup_clusters",
+        "ivf_topk",
+        "knn_label_agreement",
+        "props_stats",
+        "user_sessions",
+        "bsts_forecast_fixed",
+        "qq_plot",
+        "histogram_fit",
+        # last driver verdict was r02 hash-FAIL (fixed, never re-checked)
+        "multimodal_features",
+        "source_stats",
+        # hash-green in r02 but dropped from the r03 check window
+        "minhash_lsh",
+        "simhash",
+        "embedding_near_dup",
+        "cosine_topk",
+        "ann_topk",
+        "top_ngrams",
+        "corpus_filter",
+    ]
+    gate_last = [  # rows-only (no_oracle) and stable: weakest signal
+        "walk_forward_cv",
+        "benchmark_leaderboard",
+        "hybrid_detection_bsts_lstm",
+        "kalman_forecast",
+        "kalman_forecast_filtered",
+        "bsts_forecast",
+        "bsts_forecast_multiseasonal",
+        "gp_forecast",
+        "lstm_forecast",
+        "bocpd_changepoints",
+        "stl_robust",
+        "hybrid_detection",
+    ]
+    ordered = {k: out[k] for k in gate_first if k in out}
+    ordered.update(
+        (k, v)
+        for k, v in out.items()
+        if k not in ordered and k not in gate_last
+    )
+    ordered.update((k, out[k]) for k in gate_last if k in out)
+    assert set(ordered) == set(out)
+    out = ordered
+
     # release the PREVIOUS query's tracked caches at each query
     # boundary: a sequential multi-query session (driver gate, bench)
     # then never holds more than one query's cached frames

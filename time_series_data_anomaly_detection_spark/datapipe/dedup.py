@@ -376,17 +376,25 @@ def near_dup_clusters(
     (min-id) member — transitive closure, so A~B, B~C dedups all three
     even when A~C was never emitted as a pair.
 
-    Scale shape: iterative min-label propagation, but ONLY over the
-    pair graph — edges are near-dup pairs, orders of magnitude smaller
-    than the corpus; the full documents table is touched once, by the
-    final left join.  Each iteration is one equi-join + one min
-    aggregate; iterations are bounded by component diameter (near-dup
-    clusters are shallow in practice), with a monotone convergence
-    check (sum of labels strictly decreases until fixpoint).  At
-    cluster scale the per-iteration cache becomes a checkpoint and the
-    propagation upgrades to large-star/small-star; the dataflow is
-    identical.
+    Scale shape: iterative min-label propagation with pointer jumping,
+    but ONLY over the pair graph — edges are near-dup pairs, orders of
+    magnitude smaller than the corpus; the full documents table is
+    touched once, by the final left join.  Each iteration does a 1-hop
+    neighbor min AND a pointer jump (label := label(label)), so the
+    propagation reach doubles per round and convergence is
+    O(log diameter) instead of O(diameter).  Iteration hygiene:
+
+    - exactly ONE driver action per iteration — the new label frame is
+      marked with a lazy ``localCheckpoint`` and the monotone
+      convergence aggregate (sum of labels, strictly decreasing until
+      fixpoint) is the action that materializes it;
+    - ``localCheckpoint`` truncates lineage every round, so plan size
+      and scheduler overhead stay constant regardless of iteration
+      count (blocks are freed by the ContextCleaner when the previous
+      round's frame goes out of scope).
     """
+    import warnings
+
     from ..session import tracked_cache
 
     pairs = minhash_lsh_pairs(df, n, threshold, text_col, id_col).select(
@@ -397,27 +405,54 @@ def near_dup_clusters(
             pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     )
-    labels = tracked_cache(
+    labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
     )
     prev = labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
+    converged = False
     for _ in range(max_iter):
         nbr = edges.join(labels, edges["dst"] == labels["node"]).select(
             F.col("src").alias("node"), F.col("label")
         )
-        new_labels = tracked_cache(
+        one_hop = (
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
         )
+        # pointer jump: follow each node's label to THAT node's label,
+        # doubling the propagation distance covered per iteration
+        jump = one_hop.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        new_labels = (
+            one_hop.join(jump, one_hop["label"] == jump["p_node"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("p_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        # single action: materializes the lazy checkpoint AND reads the
+        # convergence aggregate in the same job
         cur = new_labels.agg(F.sum("label").alias("s")).collect()[0]["s"]
-        labels.unpersist()
         labels = new_labels
         if cur == prev:  # fixpoint: label == min(own, neighbors) everywhere
+            converged = True
             break
         prev = cur
+    if not converged:
+        warnings.warn(
+            f"near_dup_clusters: max_iter={max_iter} exhausted before the "
+            "label fixpoint; clusters wider than the reached propagation "
+            "radius may be split (raise max_iter)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     out = (
         df.select(id_col)
         .join(labels.withColumnRenamed("node", id_col), id_col, "left")

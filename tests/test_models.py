@@ -331,6 +331,30 @@ def test_lstm_forecast_learns_seasonal_series(spark):
     assert mae < persist * 0.7
 
 
+def test_lstm_forecast_short_series_nan_padded(spark):
+    """A series shorter than one window must come back all-NaN (the
+    reference's padding rule) instead of blowing up the whole query
+    inside sliding_window_view — and must not poison longer series in
+    the same frame."""
+    from time_series_data_anomaly_detection_spark.functions.lstm import (
+        lstm_forecast,
+    )
+
+    rng = np.random.default_rng(3)
+    long = series_df(spark, np.sin(np.arange(200) / 8.0) + rng.normal(0, 0.1, 200))
+    short = series_df(spark, [1.0, 2.0, 3.0], series_id="tiny")
+    out = (
+        lstm_forecast(long.unionByName(short), seq_len=24, hidden=8, epochs=2)
+        .orderBy("series_id", "rn")
+        .toPandas()
+    )
+    tiny = out[out.series_id == "tiny"]
+    assert len(tiny) == 3
+    assert tiny.pred_mean.isna().all() and tiny.resid.isna().all()
+    rest = out[out.series_id != "tiny"]
+    assert rest.pred_mean[24:].notna().all()
+
+
 def test_acf_statsmodels_estimator_convention(spark):
     """The statsmodels-convention ACF (global mean, constant
     denominator) must match a direct numpy evaluation of that exact

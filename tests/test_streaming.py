@@ -209,3 +209,58 @@ def test_streaming_user_sessions_matches_batch(spark, tmp_path_factory):
     assert list(g.n_events) == list(e.n_events)
     np.testing.assert_allclose(g.total_value, e.total_value, rtol=1e-9)
     assert (g.session_start.astype("int64") // 10**9 == e.start_s).all()
+
+
+def test_streaming_session_exact_gap_boundary(spark, tmp_path_factory):
+    """Exact-gap boundary parity: an event arriving EXACTLY gap seconds
+    after the previous one stays in the session on BOTH sides — batch
+    by the strict > break rule, streaming because session_window merges
+    candidate sessions that touch at the boundary (start <= other.end),
+    despite the nominal half-open [t, t+gap) window."""
+    from time_series_data_anomaly_detection_spark.datapipe.events import (
+        user_sessions,
+    )
+    from time_series_data_anomaly_detection_spark.streaming import (
+        streaming_user_sessions,
+    )
+
+    root = tmp_path_factory.mktemp("sess_edge")
+    base = pd.Timestamp("2024-03-01")
+    # three events exactly 30 minutes apart, then one > gap later
+    pdf = pd.DataFrame(
+        [
+            (0, 1, base, 1.0),
+            (1, 1, base + pd.Timedelta(minutes=30), 1.0),
+            (2, 1, base + pd.Timedelta(minutes=60), 1.0),
+            (3, 1, base + pd.Timedelta(minutes=120), 1.0),
+        ],
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    kw = dict(index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    pdf.to_parquet(root / "events1.parquet", **kw)
+    sentinel = pd.DataFrame(
+        [(9, 99, base + pd.Timedelta(days=2), 0.0)],
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    sentinel.to_parquet(root / "events2.parquet", **kw)
+
+    batch_in = spark.createDataFrame(pdf).select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ts_s"), "value"
+    )
+    exp = user_sessions(batch_in, gap_seconds=1800).toPandas()
+    # batch: exact-gap events stay in session -> 2 sessions (3 + 1)
+    assert sorted(exp.n_events) == [1, 3]
+
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    stream = spark.readStream.schema(schema).parquet(str(root))
+    got = _run_stream(
+        spark,
+        streaming_user_sessions(stream, gap="30 minutes", watermark="0 seconds"),
+        "sessions_edge_out",
+    ).toPandas()
+    got = got[got.user_id != 99]
+    # streaming merges boundary-touching sessions too -> same 2 sessions
+    assert sorted(got.n_events) == [1, 3]
+    g = got.sort_values("n_events").reset_index(drop=True)
+    e = exp.sort_values("n_events").reset_index(drop=True)
+    assert (g.session_start.astype("int64") // 10**9 == e.start_s).all()

@@ -64,6 +64,15 @@ def lstm_forecast(
         pdf = pdf.sort_values("rn").reset_index(drop=True)
         y = pdf["value"].to_numpy(np.float64)
         n = len(y)
+        if n <= seq_len:
+            # shorter than one window: the reference NaN-pads the whole
+            # series; without this guard sliding_window_view raises and
+            # kills every series in the query
+            pdf["pred_mean"] = np.nan
+            pdf["resid"] = np.nan
+            return pdf[
+                ["series_id", "timestamp", "value", "rn", "pred_mean", "resid"]
+            ]
         mu, sd = float(y.mean()), float(y.std()) or 1.0
         z = (y - mu) / sd
         n_train = max(int(n * train_frac), seq_len + 2)

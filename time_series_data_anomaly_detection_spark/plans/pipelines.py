@@ -354,10 +354,16 @@ def walk_forward_cv(
         # at each fold boundary is bit-identical to the per-fold
         # filtered aggregate the oracle computes — ONE O(n) pass over
         # the un-fanned frame instead of 5 decimal aggregations over a
-        # 3x-fanned one (the round-2 bench's single worst stage).  The
-        # fact-frame fan-out below is then limited to rows the fold
-        # actually scores (rn <= floor(n*(frac+horizon))): rows past
-        # the horizon were previously scored, percentiled, discarded.
+        # 3x-fanned one (the round-2 bench's single worst stage).
+        #
+        # The fact-frame fan-out stays UNFILTERED: the MAD scale
+        # (median / MAD of residuals) is defined over the residuals of
+        # the WHOLE series under each fold's fit — the reference
+        # contract is fit-on-train, score-everything, evaluate-horizon.
+        # Filtering to rn <= floor(n*(frac+horizon)) before mad_scores
+        # would shrink the percentile population and silently change
+        # every fold's z-scores (round-3 advice); the horizon slice
+        # happens only in the evaluation join below.
         w = Window.partitionBy("series_id").orderBy("rn")
         wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         lagged = series.withColumn("__prev", F.lag("value").over(w))
@@ -397,13 +403,8 @@ def walk_forward_cv(
             "__slope",
             (cnt * F.col("__sxy") - sx * sy) / (cnt * F.col("__sxx") - sx * sx),
         ).withColumn("__icept", (sy - F.col("__slope") * sx) / cnt)
-        fanned = (
-            lagged.join(F.broadcast(n_rows), "series_id")
-            .withColumn("__frac", fold_arr)
-            .filter(
-                F.col("rn")
-                <= F.floor(F.col("__n") * (F.col("__frac") + F.lit(horizon)))
-            )
+        fanned = lagged.join(F.broadcast(n_rows), "series_id").withColumn(
+            "__frac", fold_arr
         )
         scored = (
             fanned.join(

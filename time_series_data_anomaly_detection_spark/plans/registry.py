@@ -1631,13 +1631,13 @@ lagged AS (
          lag(value) OVER (PARTITION BY series_id ORDER BY rn) AS prev
   FROM s),
 fan AS (
-  -- fold fan-out limited to rows the fold scores (train + horizon):
-  -- the MAD scale population is rn <= floor(n*(frac+horizon)), matching
-  -- the Spark plan (rows past the horizon are never scored)
+  -- UNFILTERED fold fan-out: the MAD scale population is the residual
+  -- of EVERY row under the fold's fit (fit-on-train, score-everything,
+  -- evaluate-horizon — the reference contract); the horizon slice
+  -- happens only in evh below
   SELECT l.series_id, l.rn, l.value, l.prev, f.frac, nn.n,
          greatest(CAST(floor(nn.n * f.frac) AS BIGINT), 3) AS nt
-  FROM lagged l CROSS JOIN fr f JOIN nn USING (series_id)
-  WHERE l.rn <= floor(nn.n * (f.frac + 0.125))),
+  FROM lagged l CROSS JOIN fr f JOIN nn USING (series_id)),
 wsum AS (
   SELECT series_id, frac,
          count(CASE WHEN {_WF_TRAIN} THEN 1 END) AS cnt,

@@ -260,7 +260,16 @@ def streaming_user_sessions(
     streaming twin of ``datapipe.events.user_sessions`` built on
     Spark's NATIVE ``session_window`` (dynamic gap-close windows with
     watermark-driven state eviction): a session closes once no event
-    arrives within ``gap``, exactly the batch operator's time-gap rule.
+    arrives within ``gap``.
+
+    Exact-gap boundary: the batch operator breaks a session only when
+    the gap is STRICTLY GREATER than ``gap_seconds`` — an event arriving
+    exactly ``gap`` later stays in the session.  ``session_window``
+    windows are nominally half-open ``[t, t+gap)``, but Spark MERGES
+    candidate sessions that touch at the boundary (merge condition is
+    ``start <= other.end``), so an exact-gap arrival also stays in the
+    session here — both sides agree, pinned by
+    ``test_streaming_session_exact_gap_boundary``.
 
     State is bounded by the watermark (sessions older than it are
     finalized and evicted), so an unbounded user population streams in

@@ -185,3 +185,169 @@ def test_lstm_numpy_backend_learns_nyc_taxi(spark):
     mae = np.abs(ours["resid"].to_numpy()[48:]).mean()
     persist = np.abs(np.diff(y)).mean()
     assert mae < persist, (mae, persist)
+
+
+GOLDEN_KALMAN_PRED = (
+    "/root/reference/notebooks/results/kalman/realKnownCause__nyc_taxi.csv/"
+    "predictions.csv"
+)
+GOLDEN_KALMAN_METRICS = (
+    "/root/reference/notebooks/results/kalman/realKnownCause__nyc_taxi.csv/"
+    "metrics.json"
+)
+GOLDEN_HYBRID_PRED = (
+    "/root/reference/notebooks/results/hybrid/realKnownCause__nyc_taxi.csv/"
+    "predictions.csv"
+)
+GOLDEN_HYBRID_METRICS = (
+    "/root/reference/notebooks/results/hybrid/realKnownCause__nyc_taxi.csv/"
+    "metrics.json"
+)
+GOLDEN_GP_METRICS = (
+    "/root/reference/results/gp/realKnownCause__nyc_taxi.csv/metrics.json"
+)
+
+
+def _flag_frame(spark, pred_csv: str, flag_col: str):
+    g = pd.read_csv(pred_csv)
+    pdf = pd.DataFrame(
+        {
+            "series_id": "nyc_taxi",
+            "rn": np.arange(len(g), dtype="int64"),
+            "is_anomaly": g["is_anomaly"].astype("int32"),
+            "flag": g[flag_col].astype("int32"),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(GOLDEN_KALMAN_PRED), reason="no reference"
+)
+def test_event_metrics_reproduce_kalman_artifact(spark):
+    """A2 quality parity for the Kalman leaderboard row: our event
+    metrics over the reference's own (is_anomaly, detected) columns must
+    reproduce notebooks/results/kalman/.../metrics.json event_level
+    EXACTLY (tp=5, n_pred=200, F1=0.048780...; flags pre-persistence-
+    filtered in the artifact, event grouping at gap=0)."""
+    import json
+
+    from time_series_data_anomaly_detection_spark.operators.evaluate import (
+        event_level_metrics,
+    )
+
+    want = json.load(open(GOLDEN_KALMAN_METRICS))["event_level"]
+    m = event_level_metrics(
+        _flag_frame(spark, GOLDEN_KALMAN_PRED, "detected"),
+        gap=0,
+        persist_p=1,
+    ).collect()[0]
+    assert m["tp"] == want["tp"] == 5
+    assert m["n_pred_events"] == want["n_pred_events"] == 200
+    assert m["n_true_events"] == want["n_true_events"] == 5
+    np.testing.assert_allclose(m["f1"], want["f1"], atol=1e-12)
+    np.testing.assert_allclose(m["precision"], want["precision"], atol=1e-12)
+    np.testing.assert_allclose(m["recall"], want["recall"], atol=1e-12)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(GOLDEN_HYBRID_PRED), reason="no reference"
+)
+def test_event_metrics_reproduce_hybrid_artifact(spark):
+    """A2/P15 quality parity for the 3-branch hybrid (README.md:16 row):
+    our event metrics over the artifact's detected_hybrid flags must
+    reproduce notebooks/results/hybrid/.../metrics.json event_level
+    EXACTLY (tp=2, fp=3, F1=0.571428...; run_hybrid evaluates at
+    gap=3, src/run_hybrid.py:155)."""
+    import json
+
+    from time_series_data_anomaly_detection_spark.operators.evaluate import (
+        event_level_metrics,
+    )
+
+    want = json.load(open(GOLDEN_HYBRID_METRICS))["event_level"]
+    m = event_level_metrics(
+        _flag_frame(spark, GOLDEN_HYBRID_PRED, "detected_hybrid"),
+        gap=3,
+        persist_p=1,
+    ).collect()[0]
+    assert m["tp"] == want["tp"] == 2
+    assert m["n_pred_events"] == want["n_pred_events"] == 5
+    np.testing.assert_allclose(m["f1"], want["f1"], atol=1e-12)
+    np.testing.assert_allclose(m["precision"], want["precision"], atol=1e-12)
+    np.testing.assert_allclose(m["recall"], want["recall"], atol=1e-12)
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(GOLDEN_STL) and os.path.exists(GOLDEN_GP_METRICS)),
+    reason="no reference",
+)
+def test_gp_pipeline_reproduces_reference_f1_nyc_taxi(spark):
+    """M4 END-TO-END quality parity on the real NAB taxi series: our GP
+    (composite daily+weekly kernel, last-1000 train subsample) + rolling
+    sigma z-score + event-F1 threshold sweep must land on the
+    reference's published operating point (results/gp/.../metrics.json:
+    best_k=3.5, Event-F1=0.3333 — precision 1.0, recall 0.2).  The whole
+    detection tail is exact algebra, so the assertion is exact; the GP
+    fit itself is a reimplementation, hence parity at the selected
+    operating point rather than per-point forecasts."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from time_series_data_anomaly_detection_spark.functions.gp import (
+        gp_forecast,
+    )
+    from time_series_data_anomaly_detection_spark.operators.rolling import (
+        rolling_stats,
+    )
+    from time_series_data_anomaly_detection_spark.operators.sweep import (
+        threshold_sweep_event,
+    )
+
+    golden = pd.read_csv(GOLDEN_STL)
+    df = _series_frame(spark, golden)
+    labels = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "series_id": "nyc_taxi",
+                "rn": np.arange(1, len(golden) + 1, dtype="int64"),
+                "is_anomaly": golden["is_anomaly"].astype("int32"),
+            }
+        )
+    )
+    fc = gp_forecast(
+        df.select("series_id", "timestamp", "value", "rn"),
+        train_frac=0.5,
+        max_train=1000,
+        period=48.0,
+        period2=336.0,
+    ).withColumn("resid", F.col("value") - F.col("pred_mean"))
+    train_end = len(golden) // 2
+    test = fc.filter(F.col("rn") > train_end)  # rn is 1-based
+    rs = rolling_stats(test, "resid", 48, 5)
+    z = rs.withColumn(
+        "z",
+        F.abs(F.col("resid") - F.col("roll_mean"))
+        / (F.col("roll_std") + F.lit(1e-6)),
+    ).join(labels, ["series_id", "rn"])
+    best = threshold_sweep_event(
+        z,
+        score_col="z",
+        truth_col="is_anomaly",
+        ks=list(np.linspace(2.0, 10.0, 17)),
+        gap=3,
+        persist_p=2,
+        max_rate=0.10,
+    ).collect()[0]
+    want = json.load(open(GOLDEN_GP_METRICS))
+    assert best["best_k"] == want["best_k"] == 3.5
+    np.testing.assert_allclose(
+        best["f1"], want["event_level"]["f1"], atol=1e-9
+    )
+    np.testing.assert_allclose(
+        best["precision"], want["event_level"]["precision"], atol=1e-9
+    )
+    np.testing.assert_allclose(
+        best["recall"], want["event_level"]["recall"], atol=1e-9
+    )

@@ -102,6 +102,42 @@ def test_hybrid_and_leaderboard(spark, seasonal_series):
     assert max(r.f1 for r in lb) > 0.5
 
 
+def test_run_benchmark_isolates_model_failure(spark, seasonal_series, monkeypatch):
+    """Per-model failure isolation (src/run_final_benchmark.py:52-76):
+    with on_error='skip', a model whose UDF raises AT RUNTIME costs only
+    its own rows — the leaderboard still materializes for the rest."""
+    from time_series_data_anomaly_detection_spark.plans import pipelines
+
+    real_score_model = pipelines.score_model
+
+    def exploding_score_model(df, model="kalman", **kw):
+        if model != "boom":
+            return real_score_model(df, model, **kw)
+
+        def blow_up(pdf):
+            raise ValueError("injected model failure")
+
+        return df.groupBy("series_id").applyInPandas(
+            blow_up,
+            "series_id string, rn long, timestamp timestamp, "
+            "value double, score double",
+        )
+
+    monkeypatch.setattr(pipelines, "score_model", exploding_score_model)
+    with pytest.warns(RuntimeWarning, match="model 'boom' failed"):
+        lb = pipelines.run_benchmark(
+            seasonal_series, models=("ar1", "boom"), on_error="skip"
+        ).collect()
+    assert lb and {r.model for r in lb} == {"ar1"}
+    assert {r.series_id for r in lb} == {"alpha", "beta"}
+
+    # default on_error='raise' propagates (fused-DAG path unchanged)
+    with pytest.raises(Exception):
+        pipelines.run_benchmark(
+            seasonal_series, models=("ar1", "boom")
+        ).collect()
+
+
 def test_release_caches_empties_storage(spark):
     """Cache hygiene (round-2 verdict): every cache a registry query
     creates — including the datapipe dedup caches — is ledgered, so

@@ -458,6 +458,7 @@ def run_benchmark(
     series: DataFrame,
     models: tuple[str, ...] = ("stl", "ar", "kalman"),
     period: int = 24,
+    on_error: str = "raise",
     **kw,
 ) -> DataFrame:
     """§3.1 ``run_final_benchmark``: every model over the same
@@ -468,7 +469,19 @@ def run_benchmark(
     stages; here each model is a branch of one DAG over the shared
     cached input and the leaderboard is a union — no filesystem
     round-trip, and branches parallelize across the cluster.
+
+    ``on_error="skip"`` reproduces the reference's per-model failure
+    isolation (``src/run_final_benchmark.py:52-76``: every model runs
+    in try/except and a failure only costs that model's rows): each
+    model branch is materialized eagerly (``localCheckpoint``) so a
+    model whose UDF raises is caught HERE and dropped with a warning
+    instead of poisoning the fused leaderboard DAG at action time.
+    The isolation costs one materialization barrier per model — the
+    same sequencing the reference pays — so the fused lazy plan stays
+    the default (``on_error="raise"``).
     """
+    if on_error not in ("raise", "skip"):
+        raise ValueError("on_error must be 'raise' or 'skip'")
     # cache only when >1 model branch will consume the frame — with a
     # single branch the lineage runs once and the materialization job
     # is pure overhead (measured ~1s on benchmark_leaderboard_ar1)
@@ -484,19 +497,42 @@ def run_benchmark(
     # pass, ONE event-metrics DAG — stage count is independent of the
     # model count (the per-model loop ran a ~10-stage tail per model)
     scored_frames = []
+    skipped = []
     for m in models:
         model_kw = {"period": period} if m in ("stl", "ar") else {}
-        # timestamp rides along so the business columns (FP/day,
-        # latency) come from this same frame — re-joining timestamps
-        # later would be a second scan+shuffle of the points table
-        s = score_model(series, m, **model_kw).select(
-            "series_id", "rn", "timestamp", "value", "score"
+        try:
+            # timestamp rides along so the business columns (FP/day,
+            # latency) come from this same frame — re-joining timestamps
+            # later would be a second scan+shuffle of the points table
+            s = score_model(series, m, **model_kw).select(
+                "series_id", "rn", "timestamp", "value", "score"
+            )
+            s = mark_top_value_windows(
+                s, kw.get("label_top_n", 5), kw.get("label_window", 3)
+            ).drop("value")
+            s = fractional_split(s).withColumn("model", F.lit(m))
+            if on_error == "skip":
+                # force the branch's UDFs to run NOW, inside this
+                # try/except — a lazy branch would defer the failure to
+                # the fused action and take every model down with it
+                s = s.localCheckpoint(eager=True)
+            scored_frames.append(s)
+        except Exception as e:
+            if on_error == "raise":
+                raise
+            import warnings
+
+            skipped.append(m)
+            warnings.warn(
+                f"run_benchmark: model '{m}' failed and was skipped "
+                f"({type(e).__name__}: {e})",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+    if not scored_frames:
+        raise RuntimeError(
+            f"run_benchmark: every model failed (skipped={skipped})"
         )
-        s = mark_top_value_windows(
-            s, kw.get("label_top_n", 5), kw.get("label_window", 3)
-        ).drop("value")
-        s = fractional_split(s).withColumn("model", F.lit(m))
-        scored_frames.append(s)
     scored = scored_frames[0]
     for s in scored_frames[1:]:
         scored = scored.unionByName(s)

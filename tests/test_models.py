@@ -399,3 +399,44 @@ def test_lstm_seeded_determinism(spark):
     np.testing.assert_array_equal(
         a.pred_mean.to_numpy(), b.pred_mean.to_numpy()
     )
+
+
+def test_bsts_fixed_matches_scalar_recursion_and_tracks_trend(spark):
+    """bsts_fixed is the closed-form fixed-variance local-linear-trend
+    filter: verify the Spark output bit-exactly against a direct Python
+    evaluation of the seven-scalar recursion (the DuckDB RECURSIVE-CTE
+    oracle mirrors this expression tree), and that the slope state lets
+    the one-step prediction track a linear ramp with near-zero bias
+    (a pure local-level filter lags a ramp by slope*k steps)."""
+    from time_series_data_anomaly_detection_spark.functions.kalman import (
+        bsts_fixed,
+    )
+
+    rng = np.random.default_rng(13)
+    y = 0.5 * np.arange(200, dtype=float) + 10.0 + rng.normal(0, 0.3, 200)
+    out = bsts_fixed(series_df(spark, y)).orderBy("rn").toPandas()
+    QL, QB, RV, PZ = 0.125, 0.015625, 1.0, 16.0
+    l, b = float(y[0]), 0.0
+    p11, p12, p22 = PZ, 0.0, PZ
+    exp_m = np.empty(len(y))
+    exp_f = np.empty(len(y))
+    for t in range(len(y)):
+        lp = l + b
+        bp = b
+        p11p = p11 + 2.0 * p12 + p22 + QL
+        p12p = p12 + p22
+        p22p = p22 + QB
+        f = p11p + RV
+        exp_m[t], exp_f[t] = lp, f
+        k1 = p11p / f
+        k2 = p12p / f
+        v = y[t] - lp
+        l = lp + k1 * v
+        b = bp + k2 * v
+        p11 = p11p - k1 * p11p
+        p12 = p12p - k1 * p12p
+        p22 = p22p - k2 * p12p
+    np.testing.assert_allclose(out.pred_mean.to_numpy(), exp_m, rtol=0, atol=0)
+    np.testing.assert_allclose(out.resid.to_numpy(), y - exp_m, rtol=0, atol=0)
+    # the slope state removes ramp lag: residuals on the ramp are unbiased
+    assert abs(out.resid.to_numpy()[50:].mean()) < 0.05

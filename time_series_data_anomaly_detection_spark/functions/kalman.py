@@ -209,6 +209,89 @@ def kalman_fixed(
     )
 
 
+def bsts_fixed(
+    df: DataFrame,
+    ql: float = 0.125,
+    qb: float = 0.015625,
+    r: float = 1.0,
+    p0: float = 16.0,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """M3 (oracle-checkable variant): the local-linear-trend core of the
+    reference's BSTS (``src/bsts_model.py:12-50``, ``level='local linear
+    trend'``) with FIXED state variances instead of MLE — state
+    ``[level, slope]``, transition ``[[1,1],[0,1]]``.  The 2-dim filter
+    unrolls into seven scalar recurrences (2 means + 3 covariance
+    entries + predicted mean/variance)::
+
+        lp = l + b;  bp = b
+        p11' = p11 + 2 p12 + p22 + ql;  p12' = p12 + p22;  p22' = p22 + qb
+        f = p11' + r;  k1 = p11'/f;  k2 = p12'/f;  v = y - lp
+        l = lp + k1 v;  b = bp + k2 v
+        p11 = p11' - k1 p11';  p12 = p12' - k1 p12';  p22 = p22' - k2 p12'
+
+    so the whole model carries a DuckDB RECURSIVE-CTE oracle, upgrading
+    the BSTS family from rows-only to hash-gated (the seasonal blocks
+    stay rows-only in :func:`bsts_forecast` — a period-``p`` dummy
+    seasonal would need O(p²) recursive covariance columns).
+
+    The default variances are DYADIC RATIONALS (0.125, 0.015625, 1.0,
+    16.0): every anchor-step constant is then exact in both IEEE-754
+    binary AND decimal arithmetic, so the engines' different literal
+    handling cannot introduce even a 1-ulp seed difference — the
+    recursion is bit-identical end to end (verified in
+    ``tests/test_model_queries.py``).  The expression trees below are
+    textually in lockstep with the oracle.
+    """
+    zq = _norm_ppf(1 - alpha / 2)
+    QL, QB, RV, PZ = float(ql), float(qb), float(r), float(p0)
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rn").reset_index(drop=True)
+        y = pdf["value"].to_numpy(float)
+        n = len(y)
+        pm = np.empty(n)
+        pvp = np.empty(n)
+        l, b = float(y[0]), 0.0
+        p11, p12, p22 = PZ, 0.0, PZ
+        for t in range(n):
+            lp = l + b
+            bp = b
+            p11p = p11 + 2.0 * p12 + p22 + QL
+            p12p = p12 + p22
+            p22p = p22 + QB
+            f = p11p + RV
+            pm[t] = lp
+            pvp[t] = f
+            k1 = p11p / f
+            k2 = p12p / f
+            v = y[t] - lp
+            l = lp + k1 * v
+            b = bp + k2 * v
+            p11 = p11p - k1 * p11p
+            p12 = p12p - k1 * p12p
+            p22 = p22p - k2 * p12p
+        sd = np.sqrt(pvp)
+        return pd.DataFrame(
+            {
+                "series_id": pdf["series_id"],
+                "rn": pdf["rn"],
+                "pred_mean": pm,
+                "pred_lower": pm - zq * sd,
+                "pred_upper": pm + zq * sd,
+                "resid": y - pm,
+            }
+        )
+
+    from ._partition import udf_repartition
+
+    return (
+        udf_repartition(df.select("series_id", "value", "rn"), "series_id")
+        .groupBy("series_id")
+        .applyInPandas(fit, KALMAN_FIXED_SCHEMA)
+    )
+
+
 def _norm_ppf(p: float) -> float:
     """Acklam's rational approximation of the standard normal inverse
     CDF (|error| < 1.15e-9) — scipy is unavailable here."""

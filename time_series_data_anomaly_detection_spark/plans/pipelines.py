@@ -473,7 +473,7 @@ def run_benchmark(
     ``on_error="skip"`` reproduces the reference's per-model failure
     isolation (``src/run_final_benchmark.py:52-76``: every model runs
     in try/except and a failure only costs that model's rows): each
-    model branch is materialized eagerly (``localCheckpoint``) so a
+    model branch is materialized eagerly (ledger-tracked cache) so a
     model whose UDF raises is caught HERE and dropped with a warning
     instead of poisoning the fused leaderboard DAG at action time.
     The isolation costs one materialization barrier per model — the
@@ -514,8 +514,12 @@ def run_benchmark(
             if on_error == "skip":
                 # force the branch's UDFs to run NOW, inside this
                 # try/except — a lazy branch would defer the failure to
-                # the fused action and take every model down with it
-                s = s.localCheckpoint(eager=True)
+                # the fused action and take every model down with it.
+                # eager_cache (not localCheckpoint): the materialized
+                # branch lands in the session cache ledger, so
+                # release_caches() frees it at the query boundary —
+                # checkpoint RDDs would outlive the ledger
+                s = eager_cache(s)
             scored_frames.append(s)
         except Exception as e:
             if on_error == "raise":

@@ -895,6 +895,24 @@ def q_kalman_forecast_fixed(spark, sf_dir):
     )
 
 
+def q_bsts_forecast_fixed(spark, sf_dir):
+    """M3, hash-gated: fixed-variance local-linear-trend filter — the
+    trend core of the reference's BSTS (``src/bsts_model.py:12-50``)
+    unrolled into seven scalar recurrences, so it carries a DuckDB
+    RECURSIVE-CTE oracle (the same move as kalman_forecast_fixed).
+    Dyadic-rational variances make the recursion bit-identical across
+    engines; the seasonal blocks stay rows-only in bsts_forecast."""
+    from ..functions.kalman import bsts_fixed
+    out = bsts_fixed(_series(spark, sf_dir))
+    return out.select(
+        "series_id", "rn",
+        _rnd("pred_mean", R).alias("pred_mean"),
+        _rnd("pred_lower", R).alias("pred_lower"),
+        _rnd("pred_upper", R).alias("pred_upper"),
+        _rnd("resid", R).alias("resid"),
+    )
+
+
 def q_gp_train_subsample(spark, sf_dir):
     """P5, hash-gated: the GP's tail-of-train subsample window
     (``src/run_gp.py:61-67``) — selection logic under a hard oracle
@@ -1868,6 +1886,54 @@ SELECT series_id, rn, round(pm, {R}) AS pred_mean,
 FROM rec
 """
 
+# ---- bsts_forecast_fixed: fixed-variance local-linear-trend filter as
+#      seven scalar recurrences — mirrors functions.kalman.bsts_fixed
+#      textually.  Dyadic-rational constants (ql=0.125, qb=0.015625,
+#      r=1.0, p0=16.0) are exact in BOTH binary and decimal arithmetic,
+#      so the anchor constants below (computed once by hand from the
+#      t=1 step, where the innovation v = y - y = 0 leaves the means
+#      untouched) seed a bit-identical recursion:
+#        p11p0 = p0 + 2*0 + p0 + ql = 32.125   f0 = p11p0 + r = 33.125
+#        p12p0 = 0 + p0 = 16.0                 p22p0 = p0 + qb = 16.015625
+#        p11_1 = p11p0 - (p11p0/f0)*p11p0,  p12_1 = p12p0 - (p11p0/f0)*p12p0
+#        p22_1 = p22p0 - (p12p0/f0)*p12p0 ----
+_BF_QL, _BF_QB, _BF_R = "0.125", "0.015625", "1.0"
+
+ORACLES["bsts_forecast_fixed"] = f"""
+WITH RECURSIVE {SQL_S},
+rec AS (
+  SELECT series_id, rn, value AS l, CAST(0.0 AS DOUBLE) AS b,
+         CAST(32.125 - (32.125/33.125)*32.125 AS DOUBLE) AS p11,
+         CAST(16.0 - (32.125/33.125)*16.0 AS DOUBLE) AS p12,
+         CAST(16.015625 - (16.0/33.125)*16.0 AS DOUBLE) AS p22,
+         value AS pm, CAST(33.125 AS DOUBLE) AS pvp, value AS y
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT series_id, rn,
+         lp + (p11p / f) * (y - lp) AS l,
+         bp + (p12p / f) * (y - lp) AS b,
+         p11p - (p11p / f) * p11p AS p11,
+         p12p - (p11p / f) * p12p AS p12,
+         p22p - (p12p / f) * p12p AS p22,
+         lp AS pm, f AS pvp, y
+  FROM (
+    SELECT q.*, p11p + {_BF_R} AS f FROM (
+      SELECT s.series_id, s.rn, s.value AS y,
+             r.l + r.b AS lp, r.b AS bp,
+             r.p11 + 2.0 * r.p12 + r.p22 + {_BF_QL} AS p11p,
+             r.p12 + r.p22 AS p12p,
+             r.p22 + {_BF_QB} AS p22p
+      FROM rec r JOIN s ON s.series_id = r.series_id AND s.rn = r.rn + 1
+    ) q
+  )
+)
+SELECT series_id, rn, round(pm, {R}) AS pred_mean,
+       round(pm - {_KF_Z} * sqrt(pvp), {R}) AS pred_lower,
+       round(pm + {_KF_Z} * sqrt(pvp), {R}) AS pred_upper,
+       round(y - pm, {R}) AS resid
+FROM rec
+"""
+
 # ---- hybrid_detection_sql: ar1 + zscore + mad branches, weighted fuse,
 #      threshold, persistence, gap-merge, asymmetric event metrics ----
 ORACLES["hybrid_detection_sql"] = f"""
@@ -2102,6 +2168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ar1_forecast": q_ar1_forecast,
         # fixed-(q,r) Kalman: scalar recursion, RECURSIVE-CTE oracled
         "kalman_forecast_fixed": q_kalman_forecast_fixed,
+        # fixed-variance local-linear-trend BSTS core, same treatment
+        "bsts_forecast_fixed": q_bsts_forecast_fixed,
         # P5 tail-of-train subsample window, hash-gated
         "gp_train_subsample": q_gp_train_subsample,
         # sequential model fits: applyInPandas, no SQL equivalent ->

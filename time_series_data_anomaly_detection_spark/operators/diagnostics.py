@@ -1,0 +1,227 @@
+"""S7 residual-diagnostic FRAMES — the data behind the reference's
+plot panels (``src/plotting.py:8-50``), minus the pixels:
+
+- :func:`qq_frame` — the (theoretical, sample) quantile pairs of
+  ``scipy.stats.probplot(residuals, dist="norm")``: sorted residuals
+  against the normal PPF of Filliben's order-statistic medians.
+- :func:`histogram_fit_frame` — ``plt.hist(residuals, bins=50,
+  density=True)`` bin counts/densities plus the ``stats.norm.fit``
+  (MLE: mean, population std) overlay evaluated at bin centers, and
+  the Fisher kurtosis from the panel title.
+
+Both are pure column algebra, so each is hash-gated against a DuckDB
+oracle.  The cross-engine contract: every float formula here is
+emitted as SHARED SQL TEXT, evaluated via ``F.expr`` on the Spark side
+and spliced verbatim into the oracle — identical expression trees over
+bit-identical inputs give bit-identical doubles (see ``_exact.py``).
+Two text conventions make that hold:
+
+- float literals are written in e-notation (``5e-1``, not ``0.5``):
+  BOTH engines parse e-notation as DOUBLE, while plain decimal
+  literals become DECIMAL and silently change the algebra;
+- integer columns are explicitly ``CAST(... AS DOUBLE)`` before mixed
+  arithmetic (DuckDB would otherwise promote through DECIMAL).
+
+The normal PPF is Acklam's rational approximation (|err| < 1.15e-9;
+the same algebra as ``functions.kalman._norm_ppf``) — scipy is not
+available in either engine, and a closed form keeps the whole query
+inside whole-stage codegen instead of a Python UDF.
+
+At scale: one window pass per series for ranking (QQ), two grouped
+aggregates + one 50-row-per-series explode (histogram); all joins on
+series_id ride broadcast (the per-series stats frame is tiny).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .._exact import DEC
+
+# Acklam PPF coefficients — e-notation strings shared by both engines.
+_PPF_A = [
+    "-3.969683028665376e+01", "2.209460984245205e+02",
+    "-2.759285104469687e+02", "1.383577518672690e+02",
+    "-3.066479806614716e+01", "2.506628277459239e+00",
+]
+_PPF_B = [
+    "-5.447609879822406e+01", "1.615858368580409e+02",
+    "-1.556989798598866e+02", "6.680131188771972e+01",
+    "-1.328068155288572e+01",
+]
+_PPF_C = [
+    "-7.784894002430293e-03", "-3.223964580411365e-01",
+    "-2.400758277161838e+00", "-2.549732539343734e+00",
+    "4.374664141464968e+00", "2.938163982698783e+00",
+]
+_PPF_D = [
+    "7.784695709041462e-03", "3.224671290700398e-01",
+    "2.445134137142996e+00", "3.754408661907416e+00",
+]
+
+SQRT_2PI = "2.5066282746310002e0"  # repr(math.sqrt(2*math.pi))
+
+
+def _horner(coeffs: list[str], var: str) -> str:
+    expr = coeffs[0]
+    for c in coeffs[1:]:
+        expr = f"({expr} * {var} + {c})"
+    return expr
+
+
+def _ppf_tail(var: str) -> str:
+    """The C/D rational evaluated at a tail argument sqrt(-2 ln p)."""
+    return (
+        f"({_horner(_PPF_C, var)} / "
+        f"({_horner(_PPF_D, var)} * {var} + 1e0))"
+    )
+
+
+def norm_ppf_sql(p: str) -> str:
+    """Acklam inverse normal CDF of column/expression ``p`` as shared
+    SQL text (valid and bit-identical in Spark SQL and DuckDB)."""
+    lo = f"sqrt(-2e0 * ln({p}))"
+    hi = f"sqrt(-2e0 * ln(1e0 - {p}))"
+    q = f"({p} - 5e-1)"
+    r = f"({q} * {q})"
+    central = (
+        f"({_horner(_PPF_A, r)} * {q} / "
+        f"({_horner(_PPF_B, r)} * {r} + 1e0))"
+    )
+    return (
+        f"(CASE WHEN {p} < 2.425e-2 THEN {_ppf_tail(lo)} "
+        f"WHEN {p} <= 9.7575e-1 THEN {central} "
+        f"ELSE -{_ppf_tail(hi)} END)"
+    )
+
+
+def filliben_sql(i: str, n: str) -> str:
+    """Filliben's order-statistic medians (scipy probplot's positions):
+    m_n = 0.5^(1/n), m_1 = 1 - m_n, else (i - 0.3175)/(n + 0.365)."""
+    pn = f"power(5e-1, 1e0 / CAST({n} AS DOUBLE))"
+    return (
+        f"(CASE WHEN {i} = {n} THEN {pn} "
+        f"WHEN {i} = 1 THEN 1e0 - {pn} "
+        f"ELSE (CAST({i} AS DOUBLE) - 3.175e-1) "
+        f"/ (CAST({n} AS DOUBLE) + 3.65e-1) END)"
+    )
+
+
+def hist_center_sql(rmin: str, bin_: str, width: str) -> str:
+    return f"({rmin} + (CAST({bin_} AS DOUBLE) + 5e-1) * {width})"
+
+
+def normal_pdf_sql(x: str, mu: str, sigma: str) -> str:
+    z = f"(({x} - {mu}) / {sigma})"
+    return f"(exp(-{z} * {z} / 2e0) / ({sigma} * {SQRT_2PI}))"
+
+
+def qq_frame(df: DataFrame, col: str = "resid") -> DataFrame:
+    """Normal QQ pairs per series (``stats.probplot``,
+    ``src/plotting.py:17-23``): rank the residuals, map ranks to
+    Filliben medians, medians through the normal PPF.
+
+    Output: (series_id, qq_i, theoretical_q, sample_q) — unrounded;
+    callers quantize.  Ties in ``col`` may permute ranks between runs,
+    but the (rank, value) multiset is invariant, so the frame is
+    deterministic as a set.
+    """
+    ranked = (
+        df.select("series_id", F.col(col).alias("sample_q"))
+        .withColumn(
+            "qq_i",
+            F.row_number()
+            .over(Window.partitionBy("series_id").orderBy("sample_q"))
+            .cast("long"),
+        )
+        .withColumn(
+            "qq_n", F.count("*").over(Window.partitionBy("series_id"))
+        )
+    )
+    pos = ranked.withColumn("qq_m", F.expr(filliben_sql("qq_i", "qq_n")))
+    return pos.select(
+        "series_id",
+        "qq_i",
+        F.expr(norm_ppf_sql("qq_m")).alias("theoretical_q"),
+        "sample_q",
+    )
+
+
+def histogram_fit_frame(
+    df: DataFrame, col: str = "resid", bins: int = 50
+) -> DataFrame:
+    """Density histogram + normal-fit overlay per series
+    (``src/plotting.py:25-40``): ``bins`` equal-width bins over
+    [min, max] (top edge closed, as ``np.histogram``), density =
+    count/(n·width); ``norm.fit`` MLE (mean, POPULATION std) and its
+    pdf at each bin center; Fisher kurtosis (``stats.kurtosis``:
+    m4/m2² − 3, biased) from the panel title.
+
+    Empty bins are emitted with n_bin = 0 (the plot draws them), via a
+    per-series 0..bins-1 explode — no cross join.  Output unrounded.
+    """
+    rcol = F.col(col)
+    top = bins - 1
+    h0 = df.groupBy("series_id").agg(
+        F.count("*").alias("n"),
+        F.sum(rcol.cast(DEC)).cast("double").alias("s1"),
+        F.min(rcol).alias("rmin"),
+        F.max(rcol).alias("rmax"),
+    )
+    h1 = h0.selectExpr(
+        "series_id", "n", "s1 / n AS mu", "rmin", "rmax",
+        f"(rmax - rmin) / {bins}e0 AS width",
+    )
+    j = df.select("series_id", rcol.alias("resid")).join(
+        F.broadcast(h1), "series_id"
+    )
+    hm = j.groupBy("series_id").agg(
+        F.sum(F.expr("(resid - mu) * (resid - mu)").cast(DEC))
+        .cast("double")
+        .alias("m2s"),
+        F.sum(
+            F.expr(
+                "((resid - mu) * (resid - mu))"
+                " * ((resid - mu) * (resid - mu))"
+            ).cast(DEC)
+        )
+        .cast("double")
+        .alias("m4s"),
+    )
+    cnts = (
+        j.selectExpr(
+            "series_id",
+            f"CAST(least(floor((resid - rmin) / width), {top}) AS BIGINT)"
+            " AS bin",
+        )
+        .groupBy("series_id", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    grid = (
+        h1.join(hm, "series_id")
+        .withColumn("bin", F.explode(F.sequence(F.lit(0), F.lit(top))))
+        .withColumn("bin", F.col("bin").cast("long"))
+    )
+    pre = grid.join(F.broadcast(cnts), ["series_id", "bin"], "left").selectExpr(
+        "series_id",
+        "bin",
+        f"{hist_center_sql('rmin', 'bin', 'width')} AS bin_center",
+        "coalesce(cnt, 0) AS cnt",
+        "n",
+        "width",
+        "mu",
+        "sqrt(m2s / n) AS sigma",
+        "(m4s / n) / ((m2s / n) * (m2s / n)) - 3e0 AS kurtosis",
+    )
+    return pre.selectExpr(
+        "series_id",
+        "bin",
+        "bin_center",
+        "CAST(cnt AS BIGINT) AS n_bin",
+        "CAST(cnt AS DOUBLE) / (CAST(n AS DOUBLE) * width) AS density",
+        "mu",
+        "sigma",
+        "kurtosis",
+        f"{normal_pdf_sql('bin_center', 'mu', 'sigma')} AS normal_pdf",
+    )

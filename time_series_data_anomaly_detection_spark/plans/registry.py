@@ -913,6 +913,48 @@ def q_bsts_forecast_fixed(spark, sf_dir):
     )
 
 
+def q_qq_plot(spark, sf_dir):
+    """S7 frame 1: normal QQ pairs of the AR(1) residuals — the data
+    behind ``stats.probplot`` in ``src/plotting.py:17-23``.  Filliben
+    positions + Acklam PPF as shared-text SQL, so the query is fully
+    hash-gated (the pixels are the only thing not reproduced)."""
+    from ..functions.ar import ar1_forecast_native
+    from ..operators.diagnostics import qq_frame
+
+    rs = ar1_forecast_native(_series(spark, sf_dir)).filter(
+        F.col("resid").isNotNull()
+    )
+    out = qq_frame(rs, col="resid")
+    return out.select(
+        "series_id", "qq_i",
+        _rnd("theoretical_q", R).alias("theoretical_q"),
+        _rnd("sample_q", R).alias("sample_q"),
+    )
+
+
+def q_histogram_fit(spark, sf_dir):
+    """S7 frame 2: 50-bin density histogram of the AR(1) residuals with
+    the ``norm.fit`` overlay at bin centers and the Fisher kurtosis —
+    the data behind ``src/plotting.py:25-40``."""
+    from ..functions.ar import ar1_forecast_native
+    from ..operators.diagnostics import histogram_fit_frame
+
+    rs = ar1_forecast_native(_series(spark, sf_dir)).filter(
+        F.col("resid").isNotNull()
+    )
+    out = histogram_fit_frame(rs, col="resid", bins=50)
+    return out.select(
+        "series_id", "bin",
+        _rnd("bin_center", R).alias("bin_center"),
+        "n_bin",
+        _rnd("density", R).alias("density"),
+        _rnd("mu", R).alias("mu"),
+        _rnd("sigma", R).alias("sigma"),
+        _rnd("kurtosis", R).alias("kurtosis"),
+        _rnd("normal_pdf", R).alias("normal_pdf"),
+    )
+
+
 def q_gp_train_subsample(spark, sf_dir):
     """P5, hash-gated: the GP's tail-of-train subsample window
     (``src/run_gp.py:61-67``) — selection logic under a hard oracle
@@ -1886,6 +1928,115 @@ SELECT series_id, rn, round(pm, {R}) AS pred_mean,
 FROM rec
 """
 
+# ---- qq_plot / histogram_fit: the S7 diagnostic frames.  AR(1)
+#      residual CTEs are the ar1_forecast oracle's, verbatim; the
+#      Filliben/PPF/pdf formulas come from operators.diagnostics as
+#      SHARED TEXT, so Spark (F.expr) and DuckDB evaluate identical
+#      expression trees. ----
+_SQL_AR1_RSD = """
+lagged AS (
+  SELECT series_id, rn, value,
+         lag(value) OVER (PARTITION BY series_id ORDER BY rn) AS prev
+  FROM s),
+arsum AS (
+  SELECT series_id, count(*) AS n,
+         CAST(sum(CAST(prev AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(prev * prev AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(value * prev AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+  FROM lagged WHERE prev IS NOT NULL GROUP BY 1),
+fit0 AS (
+  SELECT series_id, n, sx, sy,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+  FROM arsum),
+fit AS (
+  SELECT series_id, slope, (sy - slope * sx) / n AS icept FROM fit0),
+rsd AS (
+  SELECT l.series_id, l.value - (f.icept + f.slope * l.prev) AS resid
+  FROM lagged l JOIN fit f USING (series_id) WHERE l.prev IS NOT NULL)
+"""
+
+
+def _qq_oracle() -> str:
+    from ..operators.diagnostics import filliben_sql, norm_ppf_sql
+
+    return f"""
+WITH {SQL_S}, {_SQL_AR1_RSD},
+ranked AS (
+  SELECT series_id, resid AS sample_q,
+         row_number() OVER (PARTITION BY series_id ORDER BY resid)
+           AS qq_i,
+         count(*) OVER (PARTITION BY series_id) AS qq_n
+  FROM rsd),
+pos AS (
+  SELECT series_id, qq_i, sample_q,
+         {filliben_sql("qq_i", "qq_n")} AS qq_m
+  FROM ranked)
+SELECT series_id, CAST(qq_i AS BIGINT) AS qq_i,
+       round({norm_ppf_sql("qq_m")}, {R}) AS theoretical_q,
+       round(sample_q, {R}) AS sample_q
+FROM pos
+"""
+
+
+def _histogram_oracle() -> str:
+    from ..operators.diagnostics import hist_center_sql, normal_pdf_sql
+
+    return f"""
+WITH {SQL_S}, {_SQL_AR1_RSD},
+h0 AS (
+  SELECT series_id, count(*) AS n,
+         CAST(sum(CAST(resid AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         min(resid) AS rmin, max(resid) AS rmax
+  FROM rsd GROUP BY 1),
+h1 AS (
+  SELECT series_id, n, s1 / n AS mu, rmin, rmax,
+         (rmax - rmin) / 50e0 AS width
+  FROM h0),
+hm AS (
+  SELECT r.series_id,
+         CAST(sum(CAST((r.resid - h.mu) * (r.resid - h.mu)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS m2s,
+         CAST(sum(CAST(((r.resid - h.mu) * (r.resid - h.mu))
+                       * ((r.resid - h.mu) * (r.resid - h.mu))
+                       AS DECIMAL(38,12))) AS DOUBLE) AS m4s
+  FROM rsd r JOIN h1 h USING (series_id) GROUP BY 1),
+cnts AS (
+  SELECT r.series_id,
+         CAST(least(floor((r.resid - h.rmin) / h.width), 49) AS BIGINT)
+           AS bin,
+         count(*) AS cnt
+  FROM rsd r JOIN h1 h USING (series_id) GROUP BY 1, 2),
+grid AS (
+  SELECT series_id, CAST(unnest(generate_series(0, 49)) AS BIGINT)
+           AS bin
+  FROM h1),
+pre AS (
+  SELECT g.series_id, g.bin,
+         {hist_center_sql("h.rmin", "g.bin", "h.width")} AS bin_center,
+         coalesce(c.cnt, 0) AS cnt, h.n, h.width, h.mu,
+         sqrt(m.m2s / h.n) AS sigma,
+         (m.m4s / h.n) / ((m.m2s / h.n) * (m.m2s / h.n)) - 3e0
+           AS kurtosis
+  FROM grid g JOIN h1 h USING (series_id) JOIN hm m USING (series_id)
+  LEFT JOIN cnts c ON c.series_id = g.series_id AND c.bin = g.bin)
+SELECT series_id, bin,
+       round(bin_center, {R}) AS bin_center,
+       CAST(cnt AS BIGINT) AS n_bin,
+       round(CAST(cnt AS DOUBLE) / (CAST(n AS DOUBLE) * width), {R})
+         AS density,
+       round(mu, {R}) AS mu,
+       round(sigma, {R}) AS sigma,
+       round(kurtosis, {R}) AS kurtosis,
+       round({normal_pdf_sql("bin_center", "mu", "sigma")}, {R})
+         AS normal_pdf
+FROM pre
+"""
+
+
+ORACLES["qq_plot"] = _qq_oracle()
+ORACLES["histogram_fit"] = _histogram_oracle()
+
 # ---- bsts_forecast_fixed: fixed-variance local-linear-trend filter as
 #      seven scalar recurrences — mirrors functions.kalman.bsts_fixed
 #      textually.  Dyadic-rational constants (ql=0.125, qb=0.015625,
@@ -2170,6 +2321,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kalman_forecast_fixed": q_kalman_forecast_fixed,
         # fixed-variance local-linear-trend BSTS core, same treatment
         "bsts_forecast_fixed": q_bsts_forecast_fixed,
+        # S7 diagnostic frames (the plots minus the pixels)
+        "qq_plot": q_qq_plot,
+        "histogram_fit": q_histogram_fit,
         # P5 tail-of-train subsample window, hash-gated
         "gp_train_subsample": q_gp_train_subsample,
         # sequential model fits: applyInPandas, no SQL equivalent ->

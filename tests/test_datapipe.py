@@ -339,3 +339,80 @@ def test_knn_label_agreement_clustered_embeddings(spark):
     )
     out2 = knn_label_agreement(rand, rand.filter("vec_id < 8"), k=5).toPandas()
     assert out2.agreement.mean() < 0.7
+
+
+def test_salted_self_join_bounds_hot_buckets(spark):
+    """Skew guard (_skew.py): a hot bucket is decomposed into salt
+    cells — the pair OUTPUT is identical to the naive self-join, and no
+    join task sees more than ~2·cap rows of any one group."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from time_series_data_anomaly_detection_spark.datapipe._skew import (
+        salted_self_join_pairs,
+    )
+
+    # one hot key (k=500), two normal keys
+    rows = (
+        [("hot", i) for i in range(500)]
+        + [("warm", i) for i in range(1000, 1017)]
+        + [("cold", 2000), ("cold", 2001)]
+    )
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "doc_id"]))
+    cap = 64
+    got = {
+        (r.k, r.a.doc_id, r.b.doc_id)
+        for r in salted_self_join_pairs(df, ["k"], "doc_id", cap=cap).collect()
+    }
+    expect = set()
+    for key, ids in (
+        ("hot", range(500)),
+        ("warm", range(1000, 1017)),
+        ("cold", (2000, 2001)),
+    ):
+        ids = list(ids)
+        for x in ids:
+            for y in ids:
+                if x < y:
+                    expect.add((key, x, y))
+    assert got == expect  # exact same pairs, no dups, none lost
+
+    # bound: replicate the helper's salting and check cell occupancy
+    ns = 500 // cap + 1  # ceil(500/64) = 8
+    cells = (
+        df.filter(F.col("k") == "hot")
+        .select(F.pmod(F.xxhash64("doc_id"), F.lit(ns)).alias("cell"))
+        .groupBy("cell")
+        .count()
+        .collect()
+    )
+    assert len(cells) == ns
+    assert max(r["count"] for r in cells) <= 2 * cap  # hash-balanced
+
+
+def test_lsh_pair_generators_unchanged_by_bucket_cap(spark):
+    """Forcing the salted decomposition (tiny cap) on a corpus with a
+    mass-duplicated boilerplate doc leaves every generator's output
+    exactly as with the effectively-unsalted default cap."""
+    import pandas as pd
+
+    from time_series_data_anomaly_detection_spark.datapipe.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    texts = ["the quick brown fox jumps over the lazy dog number %d" % (i % 4)
+             for i in range(60)]
+    texts += ["a completely unrelated document about spark %d" % i
+              for i in range(10)]
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+
+    def pairset(frame):
+        return {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in frame.collect()}
+
+    for fn in (ngram_jaccard_pairs, minhash_lsh_pairs):
+        salted = pairset(fn(docs, n=3, threshold=0.3, bucket_cap=8))
+        plain = pairset(fn(docs, n=3, threshold=0.3, bucket_cap=10**6))
+        assert salted == plain and len(salted) > 100

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._skew import DEFAULT_BUCKET_CAP, salted_self_join_pairs
 from .text import hash48, tokenize
 
 # ---------------------------------------------------------------------------
@@ -99,13 +100,16 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_shingle_df: int | None = None,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every doc pair sharing at
     least one shingle; emits pairs with ``jaccard >= threshold``.
 
     ``max_shingle_df`` prunes shingles present in more than that many
     docs before the self-join (stopword-gram posting lists are the
-    O(df²) skew bomb at scale).
+    O(df²) skew bomb at scale); what survives is still skew-bounded by
+    the salted cell decomposition (``bucket_cap``, see ``_skew.py``) —
+    identical output, per-task input capped.
     """
     sh = shingles(df, n, text_col, id_col)
     if max_shingle_df is not None:
@@ -122,13 +126,11 @@ def ngram_jaccard_pairs(
 
     sh = tracked_cache(sh)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
     inter = (
-        a.join(b, "shingle_hash")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        salted_self_join_pairs(sh, ["shingle_hash"], id_col, cap=bucket_cap)
         .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
         )
         .agg(F.count("*").alias("inter"))
     )
@@ -176,6 +178,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
 
@@ -183,7 +186,11 @@ def minhash_lsh_pairs(
     equi-join on (band, key) for candidates → exact Jaccard on the
     candidate set only → filter. The full O(n²) never materializes;
     candidate volume is governed by the band collision probability
-    (s-curve around ~0.55 for 4 bands × 4 rows).
+    (s-curve around ~0.55 for 4 bands × 4 rows).  A hot band bucket
+    (mass-duplicated boilerplate) is the one remaining skew hazard:
+    the candidate join runs through the salted cell decomposition
+    (``bucket_cap``, see ``_skew.py``) — same pairs out, per-task
+    input bounded.
     """
     # shingles feed the signatures AND the verification joins — cache
     # instead of recomputing the tokenize+explode pipeline per branch
@@ -216,13 +223,13 @@ def minhash_lsh_pairs(
     banded = sig.select(
         F.col(id_col), F.explode(band_structs).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
-    a = banded.alias("a")
-    b = banded.alias("b")
     cand = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        salted_self_join_pairs(
+            banded, ["band", "band_key"], id_col, cap=bucket_cap
+        )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
         )
         .distinct()
     )
@@ -309,6 +316,7 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     bucket_bits: int = 4,
     allow_exact: bool = False,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
@@ -341,15 +349,11 @@ def embedding_near_dup(
             ).otherwise(F.lit(0))
             sig = term if sig is None else sig + term
         v = v.withColumn("bucket", sig.cast("long"))
-        join_keys = ["bucket"]
-        a, b = v.alias("a"), v.alias("b")
-        joined = a.join(b, join_keys)
-    else:
-        a, b = v.alias("a"), v.alias("b")
-        joined = a.crossJoin(b)
-    out = (
-        joined.filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
+        # a hot sign bucket (near-identical embedding clusters) is
+        # skew-bounded by the salted cell decomposition (_skew.py)
+        out = salted_self_join_pairs(
+            v, ["bucket"], id_col, cap=bucket_cap
+        ).select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             (
@@ -357,7 +361,20 @@ def embedding_near_dup(
                 / (F.col("a.nrm") * F.col("b.nrm") + F.lit(1e-12))
             ).alias("cosine"),
         )
-    )
+    else:
+        a, b = v.alias("a"), v.alias("b")
+        out = (
+            a.crossJoin(b)
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                (
+                    _dot(F.col("a.v"), F.col("b.v"))
+                    / (F.col("a.nrm") * F.col("b.nrm") + F.lit(1e-12))
+                ).alias("cosine"),
+            )
+        )
     return out.filter(F.col("cosine") >= threshold)
 
 

@@ -129,3 +129,54 @@ def test_series_filter_pushes_to_parquet_scan(spark):
     plan = _plan(df)
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert pushed and "EqualTo(event_type,click)" in pushed[0]
+
+
+def test_qq_frame_single_shuffle(spark):
+    """Ranking + partition count must share ONE exchange on series_id;
+    the PPF mapping is pure projection (whole-stage codegen, no UDF)."""
+    from time_series_data_anomaly_detection_spark.operators.diagnostics import (
+        qq_frame,
+    )
+
+    df = series_df(spark, np.arange(300, dtype=float)).withColumnRenamed(
+        "value", "resid"
+    )
+    plan = _plan(qq_frame(df, col="resid"))
+    assert _count(plan, ") Exchange") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_histogram_fit_broadcasts_stats(spark):
+    """Every per-series stats frame (a handful of rows) must ride a
+    broadcast join back onto the residuals — no sort-merge of the fact
+    table against itself, no cartesian anywhere."""
+    from time_series_data_anomaly_detection_spark.operators.diagnostics import (
+        histogram_fit_frame,
+    )
+
+    df = series_df(spark, np.arange(500, dtype=float)).withColumnRenamed(
+        "value", "resid"
+    )
+    plan = _plan(histogram_fit_frame(df, col="resid"))
+    assert _count(plan, ") BroadcastHashJoin") >= 2
+    assert _count(plan, ") CartesianProduct") == 0
+    assert _count(plan, ") BroadcastNestedLoopJoin") == 0
+
+
+def test_salted_pair_join_stays_equi(spark):
+    """The skew-guard decomposition must remain a hash-partitioned
+    equi-join on (keys, cell) — the whole point is bounded tasks, so a
+    cartesian or nested-loop fallback would defeat it."""
+    from time_series_data_anomaly_detection_spark.datapipe._skew import (
+        salted_self_join_pairs,
+    )
+
+    rows = [("k%d" % (i % 3), i) for i in range(300)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "doc_id"]))
+    plan = _plan(salted_self_join_pairs(df, ["k"], "doc_id", cap=16))
+    assert _count(plan, ") CartesianProduct") == 0
+    assert _count(plan, ") BroadcastNestedLoopJoin") == 0
+    assert (
+        _count(plan, ") SortMergeJoin") + _count(plan, ") ShuffledHashJoin")
+        + _count(plan, ") BroadcastHashJoin")
+    ) >= 1

@@ -416,3 +416,47 @@ def test_lsh_pair_generators_unchanged_by_bucket_cap(spark):
         salted = pairset(fn(docs, n=3, threshold=0.3, bucket_cap=8))
         plain = pairset(fn(docs, n=3, threshold=0.3, bucket_cap=10**6))
         assert salted == plain and len(salted) > 100
+
+
+def test_corpus_prep_verdict_ladder(spark):
+    """corpus_prep: exact dups say 'duplicate', transitive near-dups
+    'near_duplicate' (only the canonical survives), quality/length
+    gates fire in ladder order, and clean docs say 'keep'."""
+    import pandas as pd
+
+    from time_series_data_anomaly_detection_spark.datapipe import corpus_prep
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "in spain falls mainly on the plain and the cat sat on the mat "
+        "with a hat and a bat near the flat"
+    )
+    texts = {
+        0: base,                           # canonical of the near-dup cluster
+        1: base,                           # exact duplicate of 0
+        2: base + " extra tail words here yes", # near-dup of 0
+        3: "tiny doc",                     # too_short
+        4: "le chat est sur la table et il y a des choses que nous ne "
+           "savons pas encore dans la vie quotidienne de tous les jours "
+           "avec les gens qui sont dans la maison",  # wrong_lang (fr)
+        5: "the history of distributed systems is a story about the "
+           "trade offs between consistency and availability that the "
+           "engineers of every generation have had to learn again",  # keep
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": list(texts), "text": [texts[k] for k in texts]}
+        )
+    )
+    out = {
+        r.doc_id: r
+        for r in corpus_prep(docs, jaccard_threshold=0.4).collect()
+    }
+    assert out[1].verdict == "duplicate"          # exact dup of 0
+    assert out[2].verdict == "near_duplicate"     # LSH cluster member
+    assert out[0].verdict == "keep"               # cluster canonical
+    assert out[0].cluster_id == out[1].cluster_id == out[2].cluster_id == 0
+    assert out[0].cluster_size == 3
+    assert out[3].verdict == "too_short"
+    assert out[4].verdict == "wrong_lang"
+    assert out[5].verdict == "keep"

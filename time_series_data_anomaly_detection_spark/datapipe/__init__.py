@@ -33,6 +33,7 @@ from .corpus import (  # noqa: F401
     ngram_counts,
     top_ngrams,
     corpus_filter,
+    corpus_prep,
     source_stats,
 )
 from .similarity import (  # noqa: F401

@@ -29,10 +29,15 @@ def ngram_counts(
     # repartition before the gram explode (see dedup.shingles): the
     # few-split corpus scan would otherwise serialize the explosion
     t = tokenize(df.repartition(F.col("doc_id")), text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("tokens") - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice("tokens", i, n)),
-    )
+    # short-doc guard: see dedup.shingles — sequence(1, 0) descends in
+    # Spark and crashes slice(); sub-n-token docs yield zero grams
+    grams = F.when(
+        F.size("tokens") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tokens") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("tokens", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     tall = t.select(F.explode(grams).alias("ngram"), F.col("doc_id"))
     out = tall.groupBy("ngram").agg(
         F.count("*").alias("count"),
@@ -113,4 +118,64 @@ def source_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("mean_quality"),
         F.min("n_tokens").alias("min_tokens"),
         F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+def corpus_prep(
+    df: DataFrame,
+    min_quality: float = 0.5,
+    min_tokens: int = 20,
+    langs: tuple[str, ...] = ("en",),
+    jaccard_threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The FULL pretraining prep funnel — :func:`corpus_filter`'s gates
+    plus the transitive NEAR-dup cluster stage — in one audit frame.
+    This is the composite a corpus team actually runs: one query, one
+    verdict per document, ladder ordered by severity::
+
+        duplicate       exact content digest, non-canonical member
+        near_duplicate  MinHash-LSH cluster (transitive), non-canonical
+        too_short / wrong_lang / low_quality
+        keep
+
+    Every gate is evaluated over the full corpus (audit semantics —
+    the frame shows which stage would kill each doc), with the verdict
+    naming the FIRST failure.  Scale shape: four independent branches
+    over the corpus scan (token stats, language, exact digest, LSH
+    clusters — each individually hash-gated as its own query), joined
+    on the doc id; the only iterative piece is the near-dup label
+    propagation, already lineage-bounded and skew-guarded.
+    """
+    from .dedup import near_dup_clusters
+
+    stats = doc_stats(df, text_col)
+    lid = lang_id(df, text_col).select(id_col, "lang_pred")
+    dup = exact_dedup(df, text_col, id_col).select(id_col, "keep")
+    nd = near_dup_clusters(
+        df, n=n, threshold=jaccard_threshold, text_col=text_col,
+        id_col=id_col,
+    ).select(
+        id_col, "cluster_id", "cluster_size",
+        F.col("keep").alias("nd_keep"),
+    )
+    joined = (
+        stats.join(lid, id_col)
+        .join(dup, id_col)
+        .join(nd, id_col)
+        .withColumn(
+            "verdict",
+            F.when(F.col("keep") == 0, F.lit("duplicate"))
+            .when(F.col("nd_keep") == 0, F.lit("near_duplicate"))
+            .when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+            .when(~F.col("lang_pred").isin(*langs), F.lit("wrong_lang"))
+            .when(F.col("quality_score") < min_quality, F.lit("low_quality"))
+            .otherwise(F.lit("keep")),
+        )
+    )
+    return joined.select(
+        id_col, "n_tokens", "quality_score", "lang_pred",
+        "cluster_id", "cluster_size", "verdict",
     )

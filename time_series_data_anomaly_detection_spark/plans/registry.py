@@ -2356,6 +2356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bsts_forecast_fixed",
         "qq_plot",
         "histogram_fit",
+        "corpus_prep",
         # last driver verdict was r02 hash-FAIL (fixed, never re-checked)
         "multimodal_features",
         "source_stats",

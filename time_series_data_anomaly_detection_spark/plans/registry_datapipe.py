@@ -227,6 +227,21 @@ def q_corpus_filter(spark, sf_dir):
     )
 
 
+def q_corpus_prep(spark, sf_dir):
+    """The composite prep funnel: corpus_filter's gates + the
+    transitive MinHash-LSH near-dup stage, one verdict per doc.
+    Oracle: the corpus_filter CTEs composed with the dedup_clusters
+    recursive transitive closure."""
+    from ..datapipe import corpus_prep
+
+    out = corpus_prep(_docs(spark, sf_dir), jaccard_threshold=JACCARD_T)
+    return out.select(
+        "doc_id", "n_tokens",
+        _rnd("quality_score", R).alias("quality_score"),
+        "lang_pred", "cluster_id", "cluster_size", "verdict",
+    )
+
+
 def q_source_stats(spark, sf_dir):
     out = source_stats(_docs(spark, sf_dir))
     return out.select(
@@ -750,6 +765,92 @@ SELECT st.doc_id, st.n_tokens,
 FROM st JOIN lid USING (doc_id) JOIN dup USING (doc_id)
 """
 
+# the full prep funnel: corpus_filter's gate CTEs + dedup_clusters'
+# recursive transitive closure, verdict ladder with the near-dup stage
+ORACLES["corpus_prep"] = f"""
+WITH RECURSIVE {SQL_TOKS}, {SQL_SHINGLES},
+sig AS (
+  SELECT doc_id,
+         {_MINHASH_COLS}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+{_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle_hash = a.shingle_hash
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b, inter * 1.0 / (na.n_sh + nb.n_sh - inter) AS jaccard
+  FROM inter JOIN szs na ON na.doc_id = id_a JOIN szs nb ON nb.doc_id = id_b
+),
+pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= {JACCARD_T}),
+e AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON e.a = r.b
+),
+comp AS (SELECT a AS node, least(a, min(b)) AS label FROM reach GROUP BY a),
+nd AS (
+  SELECT d.doc_id,
+         coalesce(c.label, d.doc_id) AS cluster_id,
+         count(*) OVER (PARTITION BY coalesce(c.label, d.doc_id))
+           AS cluster_size,
+         CASE WHEN d.doc_id = coalesce(c.label, d.doc_id) THEN 1 ELSE 0 END
+           AS nd_keep
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+st AS (
+  SELECT doc_id, len(t) AS n_tokens, {_QUALITY} AS quality
+  FROM toks
+),
+sc AS (
+  SELECT doc_id,
+         {_MARKER_SCORES}
+  FROM toks
+),
+lid AS (
+  SELECT doc_id,
+         CASE WHEN {_BEST} = 0 THEN 'und'
+              {" ".join(f"WHEN s_{lang} = {_BEST} THEN '{lang}'" for lang in _LANGS_ASC)}
+         END AS lang_pred
+  FROM sc
+),
+dup AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = min(doc_id) OVER (
+                PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')))
+              THEN 1 ELSE 0 END AS keep
+  FROM documents
+)
+SELECT st.doc_id, st.n_tokens,
+       round(st.quality, {R}) AS quality_score,
+       lid.lang_pred,
+       nd.cluster_id, nd.cluster_size,
+       CASE WHEN dup.keep = 0 THEN 'duplicate'
+            WHEN nd.nd_keep = 0 THEN 'near_duplicate'
+            WHEN st.n_tokens < 20 THEN 'too_short'
+            WHEN lid.lang_pred <> 'en' THEN 'wrong_lang'
+            WHEN st.quality < 0.5 THEN 'low_quality'
+            ELSE 'keep' END AS verdict
+FROM st JOIN lid USING (doc_id) JOIN dup USING (doc_id)
+JOIN nd USING (doc_id)
+"""
+
 ORACLES["source_stats"] = f"""
 WITH toks AS (
   SELECT doc_id, source, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
@@ -825,6 +926,7 @@ def queries():
         "multimodal_features": q_multimodal_features,
         "top_ngrams": q_top_ngrams,
         "corpus_filter": q_corpus_filter,
+        "corpus_prep": q_corpus_prep,
         "source_stats": q_source_stats,
     }
 

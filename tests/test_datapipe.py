@@ -460,3 +460,35 @@ def test_corpus_prep_verdict_ladder(spark):
     assert out[3].verdict == "too_short"
     assert out[4].verdict == "wrong_lang"
     assert out[5].verdict == "keep"
+
+
+def test_resize_frames_average_pools(spark):
+    """resize_frames: each FRAME_BYTES frame average-pools to out_width
+    bins, matching a direct numpy computation; fixed-width arrays out,
+    map-side only."""
+    import pandas as pd
+
+    from time_series_data_anomaly_detection_spark.datapipe import (
+        as_binary_payload,
+    )
+    from time_series_data_anomaly_detection_spark.datapipe.multimodal import (
+        FRAME_BYTES,
+        resize_frames,
+    )
+
+    texts = ["x" * 100, "hello world " * 20, "a"]
+    docs = as_binary_payload(
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+    )
+    out = resize_frames(docs, out_width=16).collect()
+    rows = {(r.doc_id, r.frame_id): np.array(r.frame) for r in out}
+    for i, t in enumerate(texts):
+        b = np.frombuffer(t.encode(), dtype=np.uint8).astype(float)
+        n_frames = max(1, int(np.ceil(len(b) / FRAME_BYTES)))
+        padded = np.pad(b, (0, n_frames * FRAME_BYTES - len(b)))
+        exp = padded.reshape(n_frames, 16, FRAME_BYTES // 16).mean(axis=2)
+        for f in range(n_frames):
+            np.testing.assert_allclose(rows[(i, f)], exp[f], atol=0)
+    assert all(len(r.frame) == 16 for r in out)

@@ -51,4 +51,5 @@ from .events import (  # noqa: F401
 from .multimodal import (  # noqa: F401
     as_binary_payload,
     extract_features,
+    resize_frames,
 )

@@ -118,3 +118,53 @@ def extract_features(
             )
 
     return df.select(id_col, "payload").mapInPandas(gen, schema)
+
+
+def resize_frames(
+    df: DataFrame, id_col: str = "doc_id", out_width: int = 16
+) -> DataFrame:
+    """Stand-in "resize": average-pool each decoded FRAME_BYTES-wide
+    frame down to ``out_width`` bins — the byte-domain analogue of
+    image downsampling (PIL ``Image.resize`` / ffmpeg ``scale`` swap
+    into the same ``mapInPandas`` slot; the Spark-side contract —
+    binary in, fixed-width ``array<double>`` out, map-side only, no
+    shuffle — is the real plumbing).
+
+    Emits one row per frame: (id, frame_id, frame array<double> of
+    ``out_width``).  ``FRAME_BYTES`` must be divisible by
+    ``out_width``.
+    """
+    if FRAME_BYTES % out_width:
+        raise ValueError(
+            f"out_width must divide FRAME_BYTES={FRAME_BYTES}, got {out_width}"
+        )
+    pool = FRAME_BYTES // out_width
+    schema = f"{id_col} long, frame_id int, frame array<double>"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            payloads = [bytes(p) for p in pdf["payload"]]
+            lens = np.array([len(p) for p in payloads], dtype=np.int64)
+            nf = np.maximum(1, -(-lens // FRAME_BYTES))
+            offs = np.zeros(len(payloads) + 1, dtype=np.int64)
+            np.cumsum(nf, out=offs[1:])
+            flat = np.zeros(int(offs[-1]) * FRAME_BYTES, dtype=np.float64)
+            for i, p in enumerate(payloads):
+                start = offs[i] * FRAME_BYTES
+                flat[start : start + lens[i]] = np.frombuffer(p, dtype=np.uint8)
+            pooled = flat.reshape(-1, out_width, pool).mean(axis=2)
+            frame_ids = np.arange(int(offs[-1]), dtype=np.int64) - np.repeat(
+                offs[:-1], nf
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, nf),
+                    "frame_id": frame_ids.astype(np.int32),
+                    "frame": list(pooled),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(gen, schema)

@@ -492,3 +492,57 @@ def test_resize_frames_average_pools(spark):
         for f in range(n_frames):
             np.testing.assert_allclose(rows[(i, f)], exp[f], atol=0)
     assert all(len(r.frame) == 16 for r in out)
+
+
+def test_topk_recall_counts_hits(spark):
+    """topk_recall: per-query |approx ∩ exact| / |exact|, missing
+    queries on the approx side count as zero hits."""
+    import pandas as pd
+
+    from time_series_data_anomaly_detection_spark.datapipe.similarity import (
+        topk_recall,
+    )
+
+    exact = spark.createDataFrame(
+        pd.DataFrame(
+            {"query_id": [1, 1, 1, 2, 2], "match_id": [10, 11, 12, 20, 21]}
+        )
+    )
+    approx = spark.createDataFrame(
+        pd.DataFrame({"query_id": [1, 1, 1], "match_id": [10, 12, 99]})
+    )
+    out = {r.query_id: r for r in topk_recall(exact, approx).collect()}
+    assert out[1].n_exact == 3 and out[1].n_hit == 2
+    assert abs(out[1].recall - 2 / 3) < 1e-12
+    assert out[2].n_exact == 2 and out[2].n_hit == 0 and out[2].recall == 0.0
+
+
+def test_event_rollup_levels(spark):
+    """event_rollup: leaf cells, per-type subtotals, and the grand
+    total come out of one grouping-sets pass with consistent gids."""
+    import pandas as pd
+
+    from time_series_data_anomaly_detection_spark.datapipe.events import (
+        event_rollup,
+    )
+
+    day0 = 1_700_000_000 - (1_700_000_000 % 86400)
+    rows = pd.DataFrame(
+        {
+            "event_id": range(6),
+            "user_id": [1, 1, 2, 2, 3, 3],
+            "event_type": ["a", "a", "a", "b", "b", "b"],
+            "ts_s": [day0, day0 + 10, day0 + 86400, day0, day0, day0 + 86400],
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+        }
+    )
+    out = event_rollup(spark.createDataFrame(rows)).collect()
+    by_key = {(r.event_type, r.day): r for r in out}
+    leaf = by_key[("a", pd.Timestamp(day0, unit="s").strftime("%Y-%m-%d"))]
+    assert leaf.gid == 0 and leaf.n_events == 2 and leaf.n_users == 1
+    assert abs(leaf.total_value - 3.0) < 1e-9
+    sub_a = by_key[("a", None)]
+    assert sub_a.gid == 1 and sub_a.n_events == 3 and sub_a.n_users == 2
+    total = by_key[(None, None)]
+    assert total.gid == 3 and total.n_events == 6 and total.n_users == 3
+    assert abs(total.total_value - 21.0) < 1e-9

@@ -214,6 +214,31 @@ def ivf_topk(
     )
 
 
+def topk_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query recall@k of an approximate top-k result against the
+    exact one: |approx ∩ exact| / |exact|.
+
+    The quality gate every ANN deployment runs before trusting the
+    index (FAISS/ScaNN report the same metric).  Both inputs are
+    (query_id, match_id, ...) frames from the operators above; the
+    exact side is the expensive one, so at scale this probe runs over a
+    sampled query set — the recall estimate needs only enough queries
+    for a stable mean, not the full workload.  The join is equi on
+    (query_id, match_id) between two k·|queries| frames — trivially
+    broadcastable.
+    """
+    e = exact.select("query_id", "match_id")
+    a = approx.select("query_id", "match_id").withColumn("__hit", F.lit(1))
+    j = e.join(F.broadcast(a), ["query_id", "match_id"], "left")
+    return j.groupBy("query_id").agg(
+        F.count("*").alias("n_exact"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias("n_hit"),
+        (
+            F.coalesce(F.sum("__hit"), F.lit(0)) / F.count("*")
+        ).alias("recall"),
+    )
+
+
 def knn_label_agreement(
     corpus: DataFrame,
     queries: DataFrame,

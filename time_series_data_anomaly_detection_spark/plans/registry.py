@@ -2348,6 +2348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # to the back where a cap costs the least information.
     gate_first = [
         # never appeared in any driver correctness run (new in r03/r04)
+        "ann_recall",
+        "event_rollup",
         "dedup_clusters",
         "ivf_topk",
         "knn_label_agreement",

@@ -198,6 +198,19 @@ def q_props_stats(spark, sf_dir):
     )
 
 
+def q_event_rollup(spark, sf_dir):
+    """Multi-level OLAP rollup: (event_type, day) / (event_type) /
+    grand total in one grouping-sets shuffle, with exact-distinct user
+    counts and exact-decimal value totals."""
+    from ..datapipe.events import event_rollup, load_events
+
+    out = event_rollup(load_events(spark, sf_dir))
+    return out.select(
+        "event_type", "day", "gid", "n_events", "n_users",
+        _rnd("total_value", R).alias("total_value"),
+    )
+
+
 def q_knn_label_agreement(spark, sf_dir):
     """Embedding-space label coherence: fraction of each query's exact
     top-5 cosine neighbors sharing its label."""
@@ -211,6 +224,34 @@ def q_knn_label_agreement(spark, sf_dir):
         "query_id", "query_label", "n_neighbors",
         _rnd("agreement", R).alias("agreement"),
     )
+
+
+def q_ann_recall(spark, sf_dir):
+    """ANN quality probe: per-query recall@k of BOTH approximate
+    indexes (IVF-flat and sign-LSH) against the exact brute-force
+    top-k — the acceptance gate run before trusting an ANN index for
+    curation.  One exact pass, shared by both comparisons."""
+    from ..datapipe.similarity import (
+        ann_lsh_topk, cosine_topk, ivf_topk, topk_recall,
+    )
+    from ..session import eager_cache
+
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    exact = eager_cache(cosine_topk(e, q, k=TOPK))
+    ivf = ivf_topk(e, q, k=TOPK, n_cells=IVF_CELLS, nprobe=IVF_NPROBE)
+    lsh = ann_lsh_topk(e, q, k=TOPK, bucket_bits=ANN_BITS)
+    ri = topk_recall(exact, ivf).select(
+        "query_id", "n_exact",
+        F.col("n_hit").alias("ivf_hits"),
+        _rnd("recall", R).alias("ivf_recall"),
+    )
+    rl = topk_recall(exact, lsh).select(
+        "query_id",
+        F.col("n_hit").alias("lsh_hits"),
+        _rnd("recall", R).alias("lsh_recall"),
+    )
+    return ri.join(rl, "query_id")
 
 
 def q_top_ngrams(spark, sf_dir):
@@ -658,6 +699,25 @@ SELECT user_id, session_id,
 FROM sess GROUP BY 1, 2
 """
 
+# multi-level rollup — mirrors datapipe.events.event_rollup
+# (GROUP BY ROLLUP is one grouping-sets aggregate on both engines; the
+# day string comes from the same UTC epoch-seconds reduction)
+ORACLES["event_rollup"] = f"""
+WITH ev AS (
+  SELECT event_type,
+         strftime(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)),
+                  '%Y-%m-%d') AS day,
+         user_id, CAST(value AS DECIMAL(38,12)) AS val
+  FROM events
+)
+SELECT event_type, day,
+       CAST(grouping(event_type) * 2 + grouping(day) AS INTEGER) AS gid,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(CAST(sum(val) AS DOUBLE), {R}) AS total_value
+FROM ev GROUP BY ROLLUP(event_type, day)
+"""
+
 # JSON props extraction — mirrors datapipe.events.props_field_stats
 ORACLES["props_stats"] = f"""
 WITH x AS (
@@ -670,6 +730,94 @@ SELECT event_type, count(*) AS n,
          AS mean,
        min(v) AS vmin, max(v) AS vmax
 FROM x WHERE v IS NOT NULL GROUP BY 1
+"""
+
+# ANN recall probe — exact top-k vs IVF top-k vs sign-LSH top-k,
+# per-query hit fraction (composes the three oracles above)
+ORACLES["ann_recall"] = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm,
+         {_sign_bucket_sql("(embedding::DOUBLE[])", ANN_BITS)} AS bucket
+  FROM embeddings
+),
+xscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         list_dot_product(q.e, c.e) / (q.nrm * c.nrm + 1e-12) AS cosine
+  FROM v q JOIN v c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+),
+xtop AS (
+  SELECT query_id, match_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, match_id ASC) AS rank
+    FROM xscored
+  ) WHERE rank <= {TOPK}
+),
+cents AS (
+  SELECT vec_id AS cent_id, e AS ce, nrm AS cn
+  FROM v ORDER BY vec_id LIMIT {IVF_CELLS}
+),
+cass AS (
+  SELECT s.vec_id, s.e, s.nrm, c.cent_id,
+         row_number() OVER (
+           PARTITION BY s.vec_id
+           ORDER BY list_dot_product(s.e, c.ce) / (s.nrm * c.cn + 1e-12) DESC,
+                    c.cent_id ASC) AS rk
+  FROM v s CROSS JOIN cents c
+),
+icorpus AS (SELECT vec_id AS match_id, e, nrm, cent_id AS cell
+            FROM cass WHERE rk = 1),
+iprobes AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, cent_id AS cell
+            FROM cass WHERE rk <= {IVF_NPROBE} AND vec_id < {N_QUERIES}),
+iscored AS (
+  SELECT p.query_id, c.match_id,
+         list_dot_product(p.qe, c.e) / (p.qn * c.nrm + 1e-12) AS cosine
+  FROM icorpus c JOIN iprobes p ON c.cell = p.cell
+  WHERE c.match_id <> p.query_id
+),
+itop AS (
+  SELECT query_id, match_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, match_id ASC) AS rank
+    FROM iscored
+  ) WHERE rank <= {TOPK}
+),
+lscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         list_dot_product(q.e, c.e) / (q.nrm * c.nrm + 1e-12) AS cosine
+  FROM v q JOIN v c ON q.bucket = c.bucket
+  WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+),
+ltop AS (
+  SELECT query_id, match_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, match_id ASC) AS rank
+    FROM lscored
+  ) WHERE rank <= {TOPK}
+),
+ri AS (
+  SELECT x.query_id, count(*) AS n_exact,
+         CAST(sum(CASE WHEN t.match_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS ivf_hits,
+         round(sum(CASE WHEN t.match_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+               / count(*), {R}) AS ivf_recall
+  FROM xtop x LEFT JOIN itop t
+    ON x.query_id = t.query_id AND x.match_id = t.match_id
+  GROUP BY 1
+),
+rl AS (
+  SELECT x.query_id,
+         CAST(sum(CASE WHEN t.match_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS lsh_hits,
+         round(sum(CASE WHEN t.match_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+               / count(*), {R}) AS lsh_recall
+  FROM xtop x LEFT JOIN ltop t
+    ON x.query_id = t.query_id AND x.match_id = t.match_id
+  GROUP BY 1
+)
+SELECT ri.query_id, ri.n_exact, ri.ivf_hits, ri.ivf_recall,
+       rl.lsh_hits, rl.lsh_recall
+FROM ri JOIN rl ON ri.query_id = rl.query_id
 """
 
 # kNN label agreement — cosine_topk + label joins + per-query fraction
@@ -921,6 +1069,8 @@ def queries():
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
         "knn_label_agreement": q_knn_label_agreement,
+        "ann_recall": q_ann_recall,
+        "event_rollup": q_event_rollup,
         "user_sessions": q_user_sessions,
         "props_stats": q_props_stats,
         "multimodal_features": q_multimodal_features,

@@ -180,3 +180,60 @@ def test_salted_pair_join_stays_equi(spark):
         _count(plan, ") SortMergeJoin") + _count(plan, ") ShuffledHashJoin")
         + _count(plan, ") BroadcastHashJoin")
     ) >= 1
+
+
+def test_bucketed_join_and_agg_skip_exchange(spark, tmp_path):
+    """Tables bucketed by the join key must sort-merge-join AND
+    aggregate with ZERO Exchange nodes — the write amortized the
+    shuffle, the plan must actually cash that in. Also pins bucket
+    pruning: an equality filter on the bucket key selects 1 bucket."""
+    import pandas as pd
+
+    from time_series_data_anomaly_detection_spark.sources.bucketing import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    n = 400
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "series_id": [f"s{i % 7}" for i in range(n)],
+                "rn": list(range(n)),
+                "value": np.arange(n, dtype=float),
+            }
+        )
+    )
+    write_bucketed(
+        df, "bk_left", str(tmp_path / "l"), keys=("series_id",), n_buckets=4
+    )
+    write_bucketed(
+        df.groupBy("series_id").count(),
+        "bk_right",
+        str(tmp_path / "r"),
+        keys=("series_id",),
+        n_buckets=4,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = read_bucketed(spark, "bk_left")
+        right = read_bucketed(spark, "bk_right")
+        jplan = _plan(left.join(right, "series_id"))
+        assert _count(jplan, ") Exchange") == 0
+        assert _count(jplan, ") SortMergeJoin") == 1
+        aplan = _plan(left.groupBy("series_id").agg({"value": "sum"}))
+        assert _count(aplan, ") Exchange") == 0
+        # a filter-only scan needs autoBucketedScan off to stay
+        # bucketed (no downstream op wants the distribution); pruning
+        # itself is the point here
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        pplan = _plan(left.filter(left.series_id == "s3"))
+        assert "SelectedBucketsCount: 1 out of 4" in pplan
+    finally:
+        spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")

@@ -1,3 +1,7 @@
+from .bucketing import (  # noqa: F401
+    read_bucketed,
+    write_bucketed,
+)
 from .loader import (  # noqa: F401
     events_as_series,
     load_labels_json,

@@ -264,3 +264,51 @@ def test_streaming_session_exact_gap_boundary(spark, tmp_path_factory):
     g = got.sort_values("n_events").reset_index(drop=True)
     e = exp.sort_values("n_events").reset_index(drop=True)
     assert (g.session_start.astype("int64") // 10**9 == e.start_s).all()
+
+
+def test_streaming_exact_dedup_matches_batch_groups(spark, tmp_path_factory):
+    """Stream dedup must keep exactly one survivor per batch dup_group
+    (survivor membership checked, not identity — stream keeps first
+    seen, batch keeps smallest id), across multiple input files."""
+    from time_series_data_anomaly_detection_spark.datapipe import exact_dedup
+    from time_series_data_anomaly_detection_spark.streaming import (
+        streaming_exact_dedup,
+    )
+
+    root = tmp_path_factory.mktemp("dedup_src")
+    texts = [
+        "the quick brown fox",
+        "The  quick brown FOX",      # dup of 0 modulo case/space
+        "a completely different doc",
+        "the quick brown fox",       # dup of 0, later file
+        "yet another document here",
+        "a completely  DIFFERENT doc",  # dup of 2, later file
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "ts": pd.date_range("2024-01-01", periods=len(texts), freq="1min"),
+            "text": texts,
+        }
+    )
+    kw = dict(
+        index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+    pdf.iloc[:3].to_parquet(root / "p1.parquet", **kw)
+    pdf.iloc[3:].to_parquet(root / "p2.parquet", **kw)
+
+    stream = spark.readStream.schema(
+        "doc_id long, ts timestamp, text string"
+    ).parquet(str(root))
+    out = _run_stream(
+        spark, streaming_exact_dedup(stream, watermark="1 hour"), "dedup_out"
+    ).toPandas()
+
+    batch = exact_dedup(
+        spark.createDataFrame(pdf[["doc_id", "text"]])
+    ).toPandas()
+    groups = batch.groupby("dup_group")["doc_id"].apply(set)
+    # one survivor per group, and each survivor is a member of its group
+    assert sorted(out["dup_group"]) == sorted(groups.index)
+    for _, r in out.iterrows():
+        assert r["doc_id"] in groups[r["dup_group"]]

@@ -186,11 +186,20 @@ def test_near_dup_clusters_transitive(spark):
             }
         )
     )
-    out = near_dup_clusters(docs, threshold=0.4).toPandas().set_index("doc_id")
-    assert out.loc[1, "cluster_id"] == out.loc[2, "cluster_id"] == out.loc[3, "cluster_id"] == 1
-    assert out.loc[1, "cluster_size"] == 3
-    assert out.loc[4, "cluster_id"] == 4 and out.loc[4, "keep"] == 1
-    assert out["keep"].sum() == 2  # one canonical per cluster
+    # both strategies (single-task union-find / distributed pointer
+    # jumping) must produce identical labels
+    for small_edges in (10_000_000, 0):
+        out = (
+            near_dup_clusters(
+                docs, threshold=0.4, small_graph_edges=small_edges
+            )
+            .toPandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[1, "cluster_id"] == out.loc[2, "cluster_id"] == out.loc[3, "cluster_id"] == 1
+        assert out.loc[1, "cluster_size"] == 3
+        assert out.loc[4, "cluster_id"] == 4 and out.loc[4, "keep"] == 1
+        assert out["keep"].sum() == 2  # one canonical per cluster
 
 
 def test_ivf_topk_bounded_candidates_and_recall(spark):

@@ -28,6 +28,7 @@ datapipe.text.hash48).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -385,6 +386,47 @@ def embedding_near_dup(
     return out.filter(F.col("cosine") >= threshold)
 
 
+def _components_single_task(pairs: DataFrame) -> DataFrame:
+    """Connected components of a SMALL pair graph in one executor task:
+    path-compressed union-find with union-by-min, so each root is the
+    smallest id in its component — identical labels to the distributed
+    fixpoint, without its ~10 scheduled stages per iteration.
+
+    "Small" is relative to the corpus, not the cluster: 10M edges is
+    two int64 columns ≈ 160 MB — one healthy task — while the corpus
+    that produced them can be billions of docs.  The work stays on an
+    executor (grouped-map, not a driver collect); the driver never
+    sees an edge.
+    """
+
+    def uf(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = pd.unique(pdf[["src", "dst"]].to_numpy().ravel())
+        return pd.DataFrame(
+            {"node": nodes, "label": [find(int(x)) for x in nodes]}
+        )
+
+    return (
+        pairs.select("src", "dst")
+        .withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(uf, "node long, label long")
+    )
+
+
 def near_dup_clusters(
     df: DataFrame,
     n: int = 3,
@@ -392,6 +434,7 @@ def near_dup_clusters(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_iter: int = 20,
+    small_graph_edges: int = 10_000_000,
 ) -> DataFrame:
     """Connected components over the MinHash-LSH near-dup pair graph:
     the corpus-dedup DECISION step.  Every document gets
@@ -400,30 +443,39 @@ def near_dup_clusters(
     (min-id) member — transitive closure, so A~B, B~C dedups all three
     even when A~C was never emitted as a pair.
 
-    Scale shape: iterative min-label propagation with pointer jumping,
-    but ONLY over the pair graph — edges are near-dup pairs, orders of
-    magnitude smaller than the corpus; the full documents table is
-    touched once, by the final left join.  Each iteration does a 1-hop
-    neighbor min AND a pointer jump (label := label(label)), so the
-    propagation reach doubles per round and convergence is
-    O(log diameter) instead of O(diameter).  Iteration hygiene:
+    Scale shape: all clustering work happens ONLY over the pair graph
+    — edges are near-dup pairs, orders of magnitude smaller than the
+    corpus; the full documents table is touched once, by the final
+    left join.  Strategy is size-adaptive, the same move as
+    broadcast-vs-sort-merge join selection:
 
-    - exactly ONE driver action per iteration — the new label frame is
-      marked with a lazy ``localCheckpoint`` and the monotone
-      convergence aggregate (sum of labels, strictly decreasing until
-      fixpoint) is the action that materializes it;
-    - ``localCheckpoint`` truncates lineage every round, so plan size
-      and scheduler overhead stay constant regardless of iteration
-      count (blocks are freed by the ContextCleaner when the previous
-      round's frame goes out of scope).
+    - pair graphs at or below ``small_graph_edges`` (10M edges ≈
+      160 MB of int64 pairs — one healthy task, yet produced by
+      corpora of any size) run path-compressed union-find in a single
+      executor task (:func:`_components_single_task`): exact same
+      labels, none of the per-iteration stage scheduling.
+    - larger graphs run iterative min-label propagation with pointer
+      jumping: each iteration does a 1-hop neighbor min AND a pointer
+      jump (label := label(label)), so the propagation reach doubles
+      per round and convergence is O(log diameter).  Iteration
+      hygiene: exactly ONE driver action per iteration (the monotone
+      label-sum convergence aggregate materializes the lazily
+      ``localCheckpoint``-ed label frame), and the checkpoint
+      truncates lineage every round so plan size stays constant.
     """
     import warnings
 
     from ..session import tracked_cache
 
-    pairs = minhash_lsh_pairs(df, n, threshold, text_col, id_col).select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    pairs = tracked_cache(
+        minhash_lsh_pairs(df, n, threshold, text_col, id_col).select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
     )
+    if pairs.count() <= small_graph_edges:
+        labels = _components_single_task(pairs)
+        return _attach_clusters(df, labels, id_col)
+
     edges = tracked_cache(
         pairs.unionByName(
             pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -477,6 +529,12 @@ def near_dup_clusters(
             RuntimeWarning,
             stacklevel=2,
         )
+    return _attach_clusters(df, labels, id_col)
+
+
+def _attach_clusters(df: DataFrame, labels: DataFrame, id_col: str) -> DataFrame:
+    """One corpus-wide left join against the (small) label frame:
+    isolated docs become their own singleton cluster."""
     out = (
         df.select(id_col)
         .join(labels.withColumnRenamed("node", id_col), id_col, "left")

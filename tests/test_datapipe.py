@@ -555,3 +555,68 @@ def test_event_rollup_levels(spark):
     total = by_key[(None, None)]
     assert total.gid == 3 and total.n_events == 6 and total.n_users == 3
     assert abs(total.total_value - 21.0) < 1e-9
+
+
+def test_stratified_sample_deterministic_and_salted(spark):
+    """Same salt → identical membership across calls; different salt →
+    an independent draw; per-stratum fractions honored approximately."""
+    import pandas as pd
+
+    from time_series_data_anomaly_detection_spark.datapipe.sampling import (
+        stratified_sample,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(2000),
+            "source": ["a" if i % 2 else "b" for i in range(2000)],
+            "text": "x",
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    s1 = set(
+        r.doc_id
+        for r in stratified_sample(df, {"a": 0.5, "b": 0.0}).collect()
+    )
+    s2 = set(
+        r.doc_id
+        for r in stratified_sample(df, {"a": 0.5, "b": 0.0}).collect()
+    )
+    assert s1 == s2                      # reproducible
+    assert all(i % 2 == 1 for i in s1)   # stratum b fully excluded
+    assert 0.4 < len(s1) / 1000 < 0.6    # ~half of stratum a
+    s3 = set(
+        r.doc_id
+        for r in stratified_sample(
+            df, {"a": 0.5, "b": 0.0}, salt="split1"
+        ).collect()
+    )
+    assert s3 != s1                      # independent draw per salt
+
+
+def test_source_mix_caps_fraction(spark):
+    """A source with fewer available tokens than its target must get
+    sample_fraction exactly 1.0, never above."""
+    import pandas as pd
+
+    from time_series_data_anomaly_detection_spark.datapipe.sampling import (
+        source_mix,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "source": ["tiny", "tiny", "big", "big"],
+            "text": ["one two", "three", "lots " * 500, "of words " * 500],
+        }
+    )
+    out = {
+        r.source: r
+        for r in source_mix(
+            spark.createDataFrame(pdf), 1000, {"tiny": 0.5, "big": 0.5}
+        ).collect()
+    }
+    assert out["tiny"].avail_tokens == 3
+    assert out["tiny"].target_tokens == 500
+    assert out["tiny"].sample_fraction == 1.0
+    assert out["big"].sample_fraction < 1.0

@@ -1,0 +1,132 @@
+"""Corpus sampling / mixing operators — the curation steps between
+"filtered corpus" and "training mix".
+
+All sampling here is DETERMINISTIC (content-hash Bernoulli), not
+``df.sample``:
+
+- reproducible: the same (salt, id) always lands on the same side, so
+  a re-run, a backfill, and the DuckDB oracle agree row-for-row;
+- stable under repartitioning: membership depends only on the row,
+  never on partition layout or a seed stream — the property that
+  makes the sample re-computable at 100 TB without materializing it;
+- disjoint splits for free: different salts give independent draws
+  (train/holdout = two salts).
+
+The hash is the engine-wide portable 48-bit md5 prefix
+(``datapipe.text.hash48``); a fraction f keeps rows with
+``hash48(salt || id) < floor(f · 2^48)`` — integer threshold, no float
+comparison drift between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .._exact import DEC
+from .text import TOKEN_RE, doc_stats, hash48
+
+HASH_SPACE = 1 << 48
+
+
+def _keep(id_col: str, fraction_col, salt: str):
+    thr = F.floor(fraction_col * F.lit(float(HASH_SPACE))).cast("long")
+    h = hash48(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string")))
+    return h < thr
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "split0",
+) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sample.
+
+    ``fractions`` maps stratum value → keep fraction; strata not listed
+    fall back to ``default_fraction``.  The per-stratum fraction rides a
+    broadcast literal map — one scan, no shuffle, no state.
+    """
+    pairs: list = []
+    for k, v in sorted(fractions.items()):
+        pairs += [F.lit(k), F.lit(float(v))]
+    frac = (
+        F.coalesce(
+            F.create_map(*pairs)[F.col(strata_col)],
+            F.lit(float(default_fraction)),
+        )
+        if pairs
+        else F.lit(float(default_fraction))
+    )
+    return df.filter(_keep(id_col, frac, salt))
+
+
+def quality_deciles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decile-bin the corpus by quality score (curriculum / ablation
+    building block: "train on the top-3 deciles").
+
+    ``ntile`` needs a total order to be deterministic — ties broken by
+    id.  At 100 TB a single global sort is the wrong plan; swap the
+    exact ntile for ``approx_percentile`` bin edges + a broadcast
+    range lookup (same output contract, no global sort); the exact
+    version ships because it is oracle-checkable.
+    """
+    stats = doc_stats(df, text_col).select(
+        id_col, F.round("quality_score", 6).alias("quality_score")
+    )
+    # order on the ROUNDED score: cross-engine double drift below 1e-6
+    # must not be able to flip the ordering (and thus the bin)
+    w = Window.orderBy("quality_score", id_col)
+    return stats.withColumn("decile", F.ntile(10).over(w))
+
+
+def source_mix(
+    df: DataFrame,
+    budget_tokens: int,
+    weights: dict[str, float],
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-mix plan: given a total token budget and per-source mix
+    weights, compute each source's available tokens, its target, and
+    the deterministic sampling fraction that hits the target
+    (capped at 1 — a source cannot contribute more than it has).
+
+    One aggregate over the corpus + a broadcast literal weight map;
+    the output (a handful of rows) feeds straight into
+    :func:`stratified_sample` to materialize the mix.
+    """
+    pairs: list = []
+    for k, v in sorted(weights.items()):
+        pairs += [F.lit(k), F.lit(float(v))]
+    wcol = F.coalesce(F.create_map(*pairs)[F.col(strata_col)], F.lit(0.0))
+    toks = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    )
+    agg = (
+        df.select(F.col(strata_col), toks.alias("__t"))
+        .groupBy(strata_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("__t").cast(DEC)).cast("long").alias("avail_tokens"),
+        )
+    )
+    target = F.floor(wcol * F.lit(float(budget_tokens))).cast("long")
+    return agg.select(
+        strata_col,
+        "n_docs",
+        "avail_tokens",
+        F.round(wcol, 6).alias("weight"),
+        target.alias("target_tokens"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                target / (F.col("avail_tokens") + F.lit(1e-9)),
+            ),
+            6,
+        ).alias("sample_fraction"),
+    )

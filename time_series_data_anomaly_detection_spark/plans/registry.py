@@ -2350,6 +2350,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never appeared in any driver correctness run (new in r03/r04)
         "ann_recall",
         "event_rollup",
+        "stratified_sample",
+        "quality_deciles",
+        "source_mix",
         "dedup_clusters",
         "ivf_topk",
         "knn_label_agreement",

@@ -254,6 +254,49 @@ def q_ann_recall(spark, sf_dir):
     return ri.join(rl, "query_id")
 
 
+SAMPLE_FRACS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+SAMPLE_DEFAULT = 0.1
+SAMPLE_SALT = "split0"
+MIX_BUDGET = 50_000
+MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-source Bernoulli sample (content-hash
+    threshold, no seed stream) — reproducible curation sampling."""
+    from ..datapipe.sampling import stratified_sample
+
+    out = stratified_sample(
+        _docs(spark, sf_dir),
+        SAMPLE_FRACS,
+        default_fraction=SAMPLE_DEFAULT,
+        salt=SAMPLE_SALT,
+    )
+    return out.select("doc_id", "source")
+
+
+def q_quality_deciles(spark, sf_dir):
+    """Decile binning by quality score (curriculum/ablation prep);
+    exact ntile with id tie-break so the bin is deterministic."""
+    from ..datapipe.sampling import quality_deciles
+
+    return quality_deciles(_docs(spark, sf_dir)).select(
+        "doc_id", "quality_score", "decile"
+    )
+
+
+def q_source_mix(spark, sf_dir):
+    """Training-mix plan: per-source available tokens vs weighted
+    target under a 50k-token budget, with the sampling fraction that
+    hits it."""
+    from ..datapipe.sampling import source_mix
+
+    return source_mix(_docs(spark, sf_dir), MIX_BUDGET, MIX_WEIGHTS).select(
+        "source", "n_docs", "avail_tokens", "weight", "target_tokens",
+        "sample_fraction",
+    )
+
+
 def q_top_ngrams(spark, sf_dir):
     out = top_ngrams(_docs(spark, sf_dir), n=2, k=20)
     return out.select("rank", "ngram", "count", "doc_freq")
@@ -848,6 +891,69 @@ JOIN embeddings nl ON nl.vec_id = t.match_id
 GROUP BY 1, 2
 """
 
+# deterministic stratified sample — mirrors datapipe.sampling
+# (hash48(salt|id) < floor(f * 2^48); integer threshold, no float cmp)
+_FRAC_CASE = "CASE source " + " ".join(
+    f"WHEN '{k}' THEN {v!r}" for k, v in sorted(SAMPLE_FRACS.items())
+) + f" ELSE {SAMPLE_DEFAULT!r} END"
+
+ORACLES["stratified_sample"] = f"""
+SELECT doc_id, source
+FROM documents
+WHERE CAST('0x' || substr(
+        md5('{SAMPLE_SALT}' || '|' || CAST(doc_id AS VARCHAR)), 1, 12)
+      AS BIGINT)
+      < CAST(floor(({_FRAC_CASE}) * 281474976710656.0) AS BIGINT)
+"""
+
+# quality deciles — doc_stats quality CTE + ntile over (rounded score, id)
+ORACLES["quality_deciles"] = f"""
+WITH {{SQL_TOKS}},
+st AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         len(list_filter(t, x -> x IN ({_STOP}))) / (len(t) + 1e-9)
+           AS stopword_ratio,
+         len(list_distinct(t)) / (len(t) + 1e-9) AS unique_ratio
+  FROM toks
+),
+q AS (
+  SELECT doc_id,
+         round(least(n_tokens / 50.0, 1.0) * 0.4
+               + least(stopword_ratio * 5.0, 1.0) * 0.3
+               + unique_ratio * 0.3, {R}) AS quality_score
+  FROM st
+)
+SELECT doc_id, quality_score,
+       ntile(10) OVER (ORDER BY quality_score, doc_id) AS decile
+FROM q
+""".replace("{SQL_TOKS}", SQL_TOKS)
+
+# source mix plan — per-source token supply vs weighted budget target
+_W_CASE = "CASE source " + " ".join(
+    f"WHEN '{k}' THEN {v!r}" for k, v in sorted(MIX_WEIGHTS.items())
+) + " ELSE 0.0 END"
+
+ORACLES["source_mix"] = f"""
+WITH d AS (
+  SELECT source,
+         len(regexp_extract_all(lower(text), '{{TOKRE}}')) AS n_tok
+  FROM documents
+),
+agg AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS avail_tokens
+  FROM d GROUP BY 1
+)
+SELECT source, n_docs, avail_tokens,
+       round({_W_CASE}, {R}) AS weight,
+       CAST(floor(({_W_CASE}) * {MIX_BUDGET}.0) AS BIGINT) AS target_tokens,
+       round(least(1.0,
+             CAST(floor(({_W_CASE}) * {MIX_BUDGET}.0) AS BIGINT)
+             / (avail_tokens + 1e-9)), {R}) AS sample_fraction
+FROM agg
+""".replace("{TOKRE}", TOKEN_RE)
+
 ORACLES["top_ngrams"] = """
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{TOKRE}') AS t
@@ -1071,6 +1177,9 @@ def queries():
         "knn_label_agreement": q_knn_label_agreement,
         "ann_recall": q_ann_recall,
         "event_rollup": q_event_rollup,
+        "stratified_sample": q_stratified_sample,
+        "quality_deciles": q_quality_deciles,
+        "source_mix": q_source_mix,
         "user_sessions": q_user_sessions,
         "props_stats": q_props_stats,
         "multimodal_features": q_multimodal_features,

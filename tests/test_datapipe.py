@@ -620,3 +620,39 @@ def test_source_mix_caps_fraction(spark):
     assert out["tiny"].target_tokens == 500
     assert out["tiny"].sample_fraction == 1.0
     assert out["big"].sample_fraction < 1.0
+
+
+def test_pack_documents_concat_and_chunk(spark):
+    """Packing invariants: per-doc chunk contributions sum to its
+    token count, a straddling doc appears in both chunks, and every
+    chunk except the shard tail is exactly full."""
+    from time_series_data_anomaly_detection_spark.datapipe.packing import (
+        pack_documents,
+        pack_stats,
+    )
+
+    # token counts: 6, 5, 4 with ctx=8 -> doc B straddles chunks 0/1
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "source": "s",
+            "text": [
+                "a b c d e f",
+                "g h i j k",
+                "l m n o",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    packed = pack_documents(df, ctx=8).toPandas()
+    per_doc = packed.groupby("doc_id")["tok_in_chunk"].sum().to_dict()
+    assert per_doc == {1: 6, 2: 5, 3: 4}
+    b_chunks = sorted(packed[packed.doc_id == 2]["chunk_id"])
+    assert b_chunks == [0, 1]  # straddles the first boundary
+
+    stats = (
+        pack_stats(df, ctx=8).toPandas().sort_values("chunk_id")
+    )
+    assert stats["n_tokens"].tolist() == [8, 7]  # full + tail
+    assert stats["fill_ratio"].iloc[0] == 1.0
+    assert stats.iloc[0]["first_doc"] == 1 and stats.iloc[0]["last_doc"] == 2

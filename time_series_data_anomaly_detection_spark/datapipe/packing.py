@@ -1,0 +1,94 @@
+"""Sequence packing: concat-and-chunk documents into fixed-size
+context windows — the step between "curated corpus" and "training
+batches".
+
+The packing rule is the one production pretraining pipelines use:
+documents are laid end-to-end in a deterministic order and the token
+stream is cut every ``ctx`` tokens, so every chunk is exactly full
+(the last one per shard may be partial) and a document can straddle a
+chunk boundary.  This is pure column algebra:
+
+- one window pass per shard gives each doc its running start offset;
+- the chunks a doc touches are ``floor(start/ctx) ..
+  floor((end-1)/ctx)`` — a ``sequence`` + ``explode`` whose length is
+  ``ceil(doc_tokens/ctx)``, i.e. output rows ≈ docs + chunk
+  crossings, NOT docs × chunks;
+- per-chunk token contribution is an overlap min/max — no UDF.
+
+Scale shape: the window partitions by ``shard_col`` (e.g. source, or
+a hash-bucket column), so packing is embarrassingly parallel across
+shards and no global sort exists.  Chunk ids are per-shard;
+(shard, chunk_id) is the global key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import TOKEN_RE
+
+
+def pack_documents(
+    df: DataFrame,
+    ctx: int = 512,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign every document its (shard, chunk) spans under
+    concat-and-chunk packing with per-shard doc-id order.
+
+    Output: one row per (shard, chunk_id, doc) the doc touches, with
+    ``tok_in_chunk`` (the doc's token count inside that chunk) and the
+    doc's global [start, end) token offsets within its shard.
+    """
+    n_tok = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    )
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = (
+        df.select(F.col(shard_col), F.col(id_col), n_tok.alias("n_tok"))
+        .filter(F.col("n_tok") > 0)
+        .withColumn("end_off", F.sum("n_tok").over(w))
+        .withColumn("start_off", F.col("end_off") - F.col("n_tok"))
+    )
+    chunk = F.explode(
+        F.sequence(
+            F.floor(F.col("start_off") / ctx),
+            F.floor((F.col("end_off") - 1) / ctx),
+        )
+    ).alias("chunk_id")
+    e = d.select(shard_col, id_col, "n_tok", "start_off", "end_off", chunk)
+    tok_in = F.least(
+        F.col("end_off"), (F.col("chunk_id") + 1) * ctx
+    ) - F.greatest(F.col("start_off"), F.col("chunk_id") * ctx)
+    return e.withColumn("tok_in_chunk", tok_in.cast("long"))
+
+
+def pack_stats(
+    df: DataFrame,
+    ctx: int = 512,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-chunk packing summary: docs touching the chunk, tokens
+    filled, fill ratio, and the first/last doc ids — the frame a
+    training-data loader needs to materialize batches, and the QA
+    check that packing wastes no budget (every chunk but the shard
+    tail has fill_ratio 1)."""
+    packed = pack_documents(df, ctx, shard_col, id_col, text_col)
+    return packed.groupBy(shard_col, "chunk_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tok_in_chunk").alias("n_tokens"),
+        F.round(F.sum("tok_in_chunk") / F.lit(float(ctx)), 6).alias(
+            "fill_ratio"
+        ),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )

@@ -2353,6 +2353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample",
         "quality_deciles",
         "source_mix",
+        "pack_chunks",
         "dedup_clusters",
         "ivf_topk",
         "knn_label_agreement",

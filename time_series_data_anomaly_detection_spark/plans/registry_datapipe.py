@@ -297,6 +297,21 @@ def q_source_mix(spark, sf_dir):
     )
 
 
+PACK_CTX = 512
+
+
+def q_pack_chunks(spark, sf_dir):
+    """Sequence packing (concat-and-chunk at 512 tokens, sharded by
+    source): per-chunk docs/tokens/fill — the training-batch
+    materialization plan."""
+    from ..datapipe.packing import pack_stats
+
+    return pack_stats(_docs(spark, sf_dir), ctx=PACK_CTX).select(
+        "source", "chunk_id", "n_docs", "n_tokens", "fill_ratio",
+        "first_doc", "last_doc",
+    )
+
+
 def q_top_ngrams(spark, sf_dir):
     out = top_ngrams(_docs(spark, sf_dir), n=2, k=20)
     return out.select("rank", "ngram", "count", "doc_freq")
@@ -954,6 +969,41 @@ SELECT source, n_docs, avail_tokens,
 FROM agg
 """.replace("{TOKRE}", TOKEN_RE)
 
+# sequence packing — mirrors datapipe.packing (concat-and-chunk;
+# chunks spanned = generate_series(start//ctx, (end-1)//ctx))
+ORACLES["pack_chunks"] = f"""
+WITH d AS (
+  SELECT source, doc_id,
+         len(regexp_extract_all(lower(text), '{{TOKRE}}')) AS n_tok
+  FROM documents
+),
+o AS (
+  SELECT *, CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS end_off
+  FROM d WHERE n_tok > 0
+),
+s AS (SELECT *, end_off - n_tok AS start_off FROM o),
+e AS (
+  SELECT source, doc_id, start_off, end_off,
+         unnest(generate_series(start_off // {PACK_CTX},
+                                (end_off - 1) // {PACK_CTX})) AS chunk_id
+  FROM s
+),
+t AS (
+  SELECT source, chunk_id, doc_id,
+         least(end_off, (chunk_id + 1) * {PACK_CTX})
+           - greatest(start_off, chunk_id * {PACK_CTX}) AS tok_in_chunk
+  FROM e
+)
+SELECT source, chunk_id,
+       count(*) AS n_docs,
+       CAST(sum(tok_in_chunk) AS BIGINT) AS n_tokens,
+       round(sum(tok_in_chunk) / {PACK_CTX}.0, {R}) AS fill_ratio,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM t GROUP BY 1, 2
+""".replace("{TOKRE}", TOKEN_RE)
+
 ORACLES["top_ngrams"] = """
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{TOKRE}') AS t
@@ -1180,6 +1230,7 @@ def queries():
         "stratified_sample": q_stratified_sample,
         "quality_deciles": q_quality_deciles,
         "source_mix": q_source_mix,
+        "pack_chunks": q_pack_chunks,
         "user_sessions": q_user_sessions,
         "props_stats": q_props_stats,
         "multimodal_features": q_multimodal_features,

@@ -1,0 +1,79 @@
+"""Measure how headline queries scale with data volume: run each at
+sf0.001 / 0.01 / 0.1 (100x spread) and report wall-clock plus the
+0.01→0.1 growth factor.  A near-constant-time query is overhead-bound
+(fine); a ~10x query is data-bound linear (the target shape); anything
+super-linear is a plan that will not survive 100 TB.
+
+Usage: python scripts/scaling_curve.py [query ...]   (default: headline set)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+HEADLINE = [
+    "rolling_stats",
+    "adaptive_flags",
+    "mad_scores",
+    "detect_events",
+    "event_metrics",
+    "threshold_sweep",
+    "pr_curve",
+    "label_windows",
+    "walk_forward_cv_ar1",
+    "revenue_anomaly",
+    "doc_stats",
+    "exact_dedup",
+    "minhash_lsh",
+    "dedup_clusters",
+    "corpus_prep",
+    "cosine_topk",
+    "ivf_topk",
+    "pack_chunks",
+    "stratified_sample",
+    "event_rollup",
+    "user_sessions",
+]
+
+SFS = ["0.001", "0.01", "0.1"]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from time_series_data_anomaly_detection_spark import get_spark
+
+    spark = get_spark(app_name="scaling-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    names = sys.argv[1:] or [n for n in HEADLINE if n in qs]
+
+    # warm once so sf0.001 numbers aren't all JVM startup
+    qs[names[0]](spark, "/root/testdata/sf0.01").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    rows = {}
+    for name in names:
+        t = {}
+        for sf in SFS:
+            t0 = time.perf_counter()
+            qs[name](spark, f"/root/testdata/sf{sf}").write.format(
+                "noop"
+            ).mode("overwrite").save()
+            t[sf] = round(time.perf_counter() - t0, 3)
+        growth = round(t["0.1"] / max(t["0.01"], 1e-9), 2)
+        rows[name] = {**t, "x_001_to_01": growth}
+        print(
+            f"# {name:28s} {t['0.001']:7.2f} {t['0.01']:7.2f} "
+            f"{t['0.1']:7.2f}  growth(0.01->0.1)={growth}x",
+            file=sys.stderr,
+        )
+    print(json.dumps(rows))
+
+
+if __name__ == "__main__":
+    main()

@@ -41,11 +41,22 @@ from .similarity import (  # noqa: F401
     cosine_topk,
     ann_lsh_topk,
     ivf_topk,
+    topk_recall,
     knn_label_agreement,
+)
+from .sampling import (  # noqa: F401
+    stratified_sample,
+    quality_deciles,
+    source_mix,
+)
+from .packing import (  # noqa: F401
+    pack_documents,
+    pack_stats,
 )
 from .events import (  # noqa: F401
     load_events,
     user_sessions,
+    event_rollup,
     props_field_stats,
 )
 from .multimodal import (  # noqa: F401

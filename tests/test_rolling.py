@@ -56,3 +56,34 @@ def test_short_series_all_null_then_bfill_empty(spark):
     # fewer rows than min_periods: everything stays null (nothing to bfill)
     df = rolling_stats(series_df(spark, [1.0, 2.0, 3.0]), window=48, min_periods=5)
     assert all(r.roll_std is None for r in df.collect())
+
+
+def test_fill_gaps_interpolates_missing_buckets(spark):
+    """fill_gaps: absent buckets materialize with is_gap=1 and linear
+    interpolation between the nearest known values; observed rows pass
+    through untouched."""
+    import pandas as pd
+
+    from time_series_data_anomaly_detection_spark.operators.decompose import (
+        fill_gaps,
+    )
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    pdf = pd.DataFrame(
+        {
+            "series_id": "a",
+            # hourly grid with buckets 1, 2 and 4 missing
+            "timestamp": [base, base + pd.Timedelta(hours=3),
+                          base + pd.Timedelta(hours=5)],
+            "value": [0.0, 9.0, 5.0],
+        }
+    )
+    out = (
+        fill_gaps(spark.createDataFrame(pdf), 3600)
+        .toPandas()
+        .sort_values("ts_s")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 6
+    assert out["is_gap"].tolist() == [0, 1, 1, 0, 1, 0]
+    assert out["value"].tolist() == [0.0, 3.0, 6.0, 9.0, 7.0, 5.0]

@@ -56,6 +56,87 @@ def resample(
     )
 
 
+def fill_gaps(
+    df: DataFrame,
+    step_seconds: int = 3600,
+    value_col: str = "value",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Complete a per-series resampled grid: materialize every missing
+    bucket between each series' first and last observation and
+    linearly interpolate its value between the nearest known
+    neighbors (endpoint fallback: nearest known value).
+
+    ``resample`` leaves empty buckets ABSENT; positional operators
+    tolerate that, but phase-based ones (seasonal decomposition,
+    calendar joins) and any fixed-step model need the explicit grid.
+    Input is expected on the bucket grid (i.e. ``resample`` output).
+
+    Scale shape: per-series bounds are one tiny aggregate (broadcast
+    back); the grid explode produces exactly the output rows; the
+    value lookup is an equi-join on (series_id, ts_s); the
+    prev/next neighbor scan is two ``last(ignorenulls)`` running
+    windows over ONE series exchange — never a
+    ``currentRow → unboundedFollowing`` frame, which Spark evaluates
+    O(n²) (the backward pass is a running window over descending
+    order instead).
+
+    Output: ``series_id, ts_s`` (epoch seconds), ``is_gap`` (1 for
+    materialized rows), ``value`` (observed or interpolated).
+    """
+    d = df.select(
+        "series_id",
+        F.unix_timestamp(ts_col).alias("ts_s"),
+        F.col(value_col).alias("__v"),
+    )
+    bounds = d.groupBy("series_id").agg(
+        F.min("ts_s").alias("__lo"), F.max("ts_s").alias("__hi")
+    )
+    grid = bounds.select(
+        "series_id",
+        F.explode(
+            F.sequence("__lo", "__hi", F.lit(int(step_seconds)))
+        ).alias("ts_s"),
+    )
+    j = grid.join(d, ["series_id", "ts_s"], "left")
+    asc = (
+        Window.partitionBy("series_id")
+        .orderBy("ts_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    desc = (
+        Window.partitionBy("series_id")
+        .orderBy(F.desc("ts_s"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    known_ts = F.when(F.col("__v").isNotNull(), F.col("ts_s"))
+    j = (
+        j.withColumn("__pv", F.last("__v", ignorenulls=True).over(asc))
+        .withColumn("__pt", F.last(known_ts, ignorenulls=True).over(asc))
+        .withColumn("__nv", F.last("__v", ignorenulls=True).over(desc))
+        .withColumn("__nt", F.last(known_ts, ignorenulls=True).over(desc))
+    )
+    interp = (
+        F.when(F.col("__v").isNotNull(), F.col("__v"))
+        .when(
+            F.col("__pv").isNotNull() & F.col("__nv").isNotNull(),
+            F.col("__pv")
+            + (F.col("__nv") - F.col("__pv"))
+            * (
+                (F.col("ts_s") - F.col("__pt"))
+                / (F.col("__nt") - F.col("__pt"))
+            ),
+        )
+        .otherwise(F.coalesce("__pv", "__nv"))
+    )
+    return j.select(
+        "series_id",
+        "ts_s",
+        F.col("__v").isNull().cast("int").alias("is_gap"),
+        interp.alias(value_col),
+    )
+
+
 def classical_decompose(
     df: DataFrame,
     period: int = 24,

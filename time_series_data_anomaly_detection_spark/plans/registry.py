@@ -779,6 +779,20 @@ def q_resample_decompose(spark, sf_dir):
     )
 
 
+def q_resample_fill(spark, sf_dir):
+    """Grid completion: hourly resample → every missing bucket
+    materialized (is_gap=1) with linear interpolation between known
+    neighbors — the bridge from 'absent rows' to the explicit fixed
+    grid phase-based operators need."""
+    from ..operators.decompose import fill_gaps
+
+    s = _series(spark, sf_dir)
+    out = fill_gaps(resample(s, "hour"), 3600)
+    return out.select(
+        "series_id", "ts_s", "is_gap", _rnd("value", R).alias("value")
+    )
+
+
 def q_interval_exceedance(spark, sf_dir):
     s = _series(spark, sf_dir)
     out = rolling_stats(s)
@@ -1654,6 +1668,50 @@ SELECT series_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
 FROM dc
 """
 
+# grid completion + linear interpolation — mirrors
+# operators.decompose.fill_gaps (grid = generate_series over per-series
+# bounds; neighbors via last_value IGNORE NULLS over asc/desc order)
+ORACLES["resample_fill"] = f"""
+WITH {{SQL_S}}, {{SQL_RESAMPLE}},
+bb AS (
+  SELECT series_id, CAST(floor(epoch(bucket)) AS BIGINT) AS ts_s, value
+  FROM rs
+),
+bounds AS (
+  SELECT series_id, min(ts_s) AS lo, max(ts_s) AS hi FROM bb GROUP BY 1
+),
+grid AS (
+  SELECT series_id, unnest(generate_series(lo, hi, 3600)) AS ts_s
+  FROM bounds
+),
+j AS (
+  SELECT g.series_id, g.ts_s, bb.value AS v
+  FROM grid g LEFT JOIN bb ON bb.series_id = g.series_id
+                          AND bb.ts_s = g.ts_s
+),
+n AS (
+  SELECT series_id, ts_s, v,
+         last_value(v IGNORE NULLS) OVER wa AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN ts_s END IGNORE NULLS)
+           OVER wa AS pt,
+         last_value(v IGNORE NULLS) OVER wd AS nv,
+         last_value(CASE WHEN v IS NOT NULL THEN ts_s END IGNORE NULLS)
+           OVER wd AS nt
+  FROM j
+  WINDOW wa AS (PARTITION BY series_id ORDER BY ts_s
+                ROWS UNBOUNDED PRECEDING),
+         wd AS (PARTITION BY series_id ORDER BY ts_s DESC
+                ROWS UNBOUNDED PRECEDING)
+)
+SELECT series_id, ts_s,
+       CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_gap,
+       round(CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL
+                    THEN pv + (nv - pv) * ((ts_s - pt) * 1.0 / (nt - pt))
+                  ELSE coalesce(pv, nv) END, {R}) AS value
+FROM n
+""".replace("{SQL_S}", SQL_S).replace("{SQL_RESAMPLE}", SQL_RESAMPLE)
+
 ORACLES["interval_exceedance"] = f"""
 WITH {SQL_S}, {SQL_ROLL}
 SELECT series_id, rn,
@@ -2314,6 +2372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_anomaly": q_revenue_anomaly,
         "forecast_accuracy": q_forecast_accuracy,
         "resample_decompose": q_resample_decompose,
+        "resample_fill": q_resample_fill,
         "interval_exceedance": q_interval_exceedance,
         "ensemble_fusion": q_ensemble_fusion,
         "ar1_forecast": q_ar1_forecast,
@@ -2354,6 +2413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_deciles",
         "source_mix",
         "pack_chunks",
+        "resample_fill",
         "dedup_clusters",
         "ivf_topk",
         "knn_label_agreement",

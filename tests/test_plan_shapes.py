@@ -237,3 +237,53 @@ def test_bucketed_join_and_agg_skip_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_fill_gaps_single_series_exchange(spark):
+    """The prev/next neighbor scans must share ONE series exchange
+    (two sorts, no second shuffle), and the grid/value lookup must be
+    an equi join."""
+    import pandas as pd
+
+    from time_series_data_anomaly_detection_spark.operators.decompose import (
+        fill_gaps,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "series_id": "a",
+            "timestamp": pd.date_range("2024-01-01", periods=50, freq="1h"),
+            "value": np.arange(50, dtype=float),
+        }
+    )
+    plan = _plan(fill_gaps(spark.createDataFrame(pdf), 3600))
+    # exchanges: one for the bounds aggregate (tiny), one hash exchange
+    # feeding the join, one series exchange shared by both window sorts
+    assert _count(plan, ") SortMergeJoin") + _count(plan, ") BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+    assert _count(plan, ") Window") == 2
+    # the two Window ops must NOT each carry their own exchange
+    assert _count(plan, ") Exchange") <= 3
+
+
+def test_pack_documents_no_global_sort(spark):
+    """Packing must partition by shard — a global (non-partitioned)
+    sort would serialize the corpus through one task at scale."""
+    import pandas as pd
+
+    from time_series_data_anomaly_detection_spark.datapipe.packing import (
+        pack_stats,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "source": [f"s{i % 4}" for i in range(40)],
+            "text": "some text here",
+        }
+    )
+    plan = _plan(pack_stats(spark.createDataFrame(pdf), ctx=64))
+    # a global sort shows as Sort with a SinglePartition exchange; the
+    # packing window must hash-partition on source instead
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(source" in plan

@@ -110,11 +110,15 @@ def fill_gaps(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     known_ts = F.when(F.col("__v").isNotNull(), F.col("ts_s"))
-    j = (
-        j.withColumn("__pv", F.last("__v", ignorenulls=True).over(asc))
-        .withColumn("__pt", F.last(known_ts, ignorenulls=True).over(asc))
-        .withColumn("__nv", F.last("__v", ignorenulls=True).over(desc))
-        .withColumn("__nt", F.last(known_ts, ignorenulls=True).over(desc))
+    # ONE select: the two same-spec window columns collapse into a
+    # single Window node per direction (a withColumn chain interposes
+    # Projects that block CollapseWindow → 4 nodes instead of 2)
+    j = j.select(
+        "*",
+        F.last("__v", ignorenulls=True).over(asc).alias("__pv"),
+        F.last(known_ts, ignorenulls=True).over(asc).alias("__pt"),
+        F.last("__v", ignorenulls=True).over(desc).alias("__nv"),
+        F.last(known_ts, ignorenulls=True).over(desc).alias("__nt"),
     )
     interp = (
         F.when(F.col("__v").isNotNull(), F.col("__v"))

@@ -656,3 +656,35 @@ def test_pack_documents_concat_and_chunk(spark):
     assert stats["n_tokens"].tolist() == [8, 7]  # full + tail
     assert stats["fill_ratio"].iloc[0] == 1.0
     assert stats.iloc[0]["first_doc"] == 1 and stats.iloc[0]["last_doc"] == 2
+
+
+def test_ivf_kmeans_centroids_recall(spark):
+    """centroid_mode='kmeans' trains real k-means|| centroids; on
+    clustered data the probed-cell recall must be high and the
+    candidate bound must still hold."""
+    from time_series_data_anomaly_detection_spark.datapipe.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 1, (4, 16))
+    vecs = [
+        (centers[i % 4] + rng.normal(0, 0.05, 16)).tolist() for i in range(80)
+    ]
+    e = spark.createDataFrame(
+        pd.DataFrame({"vec_id": list(range(80)), "embedding": vecs})
+    )
+    q = e.filter("vec_id < 5")
+    exact = cosine_topk(e, q, k=3).toPandas()
+    approx = ivf_topk(
+        e, q, k=3, n_cells=4, nprobe=1, centroid_mode="kmeans"
+    ).toPandas()
+    hits = len(
+        set(map(tuple, exact[["query_id", "match_id"]].values))
+        & set(map(tuple, approx[["query_id", "match_id"]].values))
+    )
+    # with k-means centroids matching the generative clusters, 1-probe
+    # recall on well-separated data should be essentially perfect
+    assert hits / len(exact) >= 0.8
+    assert (approx.groupby("query_id").size() <= 3).all()

@@ -130,6 +130,40 @@ def ann_lsh_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    max_iter: int = 5,
+    seed: int = 7,
+) -> DataFrame:
+    """Train IVF centroids with Spark ML's k-means|| — the scale-path
+    coarse quantizer (parallel init + Lloyd iterations, all
+    distributed).  Returns the same (cent_id, cent_v, cent_n) frame
+    shape the seed variant uses; the centroid table is O(n_cells)
+    rows and lives comfortably on the driver/broadcast."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__fv")
+    )
+    model = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter, featuresCol="__fv"
+    ).fit(feats)
+    spark = corpus.sparkSession
+    rows = [
+        (i, [float(x) for x in c])
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    cents = spark.createDataFrame(
+        rows, "cent_id int, cent_v array<double>"
+    )
+    return cents.select(
+        "cent_id", "cent_v", _norm(F.col("cent_v")).alias("cent_n")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -138,6 +172,7 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_mode: str = "seed",
 ) -> DataFrame:
     """IVF-flat approximate top-k: the coarse-quantizer scale path.
 
@@ -148,22 +183,26 @@ def ivf_topk(
     keeps query cost flat as the corpus grows (LSH bounds candidates by
     collision probability instead; both shapes ship).
 
-    Centroids here are a deterministic seed (the ``n_cells`` smallest
-    ids) so the operator is oracle-checkable; at scale the seed is
-    replaced by k-means||-trained centroids — the assignment/probe/join
-    dataflow is identical, and that dataflow is what this operator
+    ``centroid_mode="seed"`` uses a deterministic seed (the
+    ``n_cells`` smallest ids) so the operator is oracle-checkable;
+    ``"kmeans"`` trains real centroids with k-means||
+    (:func:`kmeans_centroids`) — the assignment/probe/join dataflow is
+    identical either way, and that dataflow is what this operator
     pins: one broadcast of the (tiny) centroid table, one argmax pass
     per side, one equi-join on cell.
     """
-    cents = (
-        corpus.orderBy(id_col)
-        .limit(n_cells)
-        .select(
-            F.col(id_col).alias("cent_id"),
-            F.col(vec_col).alias("cent_v"),
-            _norm(F.col(vec_col)).alias("cent_n"),
+    if centroid_mode == "kmeans":
+        cents = kmeans_centroids(corpus, n_cells, vec_col)
+    else:
+        cents = (
+            corpus.orderBy(id_col)
+            .limit(n_cells)
+            .select(
+                F.col(id_col).alias("cent_id"),
+                F.col(vec_col).alias("cent_v"),
+                _norm(F.col(vec_col)).alias("cent_n"),
+            )
         )
-    )
 
     def assign(side: DataFrame, out_id: str, n_keep: int) -> DataFrame:
         s = side.select(

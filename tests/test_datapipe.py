@@ -688,3 +688,44 @@ def test_ivf_kmeans_centroids_recall(spark):
     # recall on well-separated data should be essentially perfect
     assert hits / len(exact) >= 0.8
     assert (approx.groupby("query_id").size() <= 3).all()
+
+
+def test_incremental_dedup_verdict_ladder(spark):
+    """All five verdicts from one handcrafted corpus/batch pair, and
+    the ladder picks the FIRST failure (exact beats near)."""
+    from time_series_data_anomaly_detection_spark.datapipe.dedup import (
+        incremental_dedup,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": [base + " lake", "unrelated corpus text about engines"],
+            }
+        )
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12, 13, 14],
+                "text": [
+                    base + "  LAKE",          # exact dup of corpus 0 (norm)
+                    base + " pond",           # near-dup of corpus 0
+                    "fresh batch doc with totally novel content one",
+                    "fresh batch doc with totally novel content one",  # exact dup of 12
+                    "fresh batch doc with totally novel content two",  # near-dup of 12
+                ],
+            }
+        )
+    )
+    out = {
+        r.doc_id: r.verdict
+        for r in incremental_dedup(corpus, batch, threshold=0.4).collect()
+    }
+    assert out[10] == "duplicate_of_corpus"
+    assert out[11] == "near_dup_of_corpus"
+    assert out[12] == "new"
+    assert out[13] == "duplicate_in_batch"
+    assert out[14] == "near_dup_in_batch"

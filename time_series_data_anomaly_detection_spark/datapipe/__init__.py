@@ -28,6 +28,7 @@ from .dedup import (  # noqa: F401
     simhash,
     embedding_near_dup,
     near_dup_clusters,
+    incremental_dedup,
 )
 from .corpus import (  # noqa: F401
     ngram_counts,

@@ -180,6 +180,36 @@ def minhash_signatures(
     return minhash_signatures_from(shingles(df, n, text_col, id_col), id_col)
 
 
+def _banded(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Signature rows → (id, band, band_key): all bands in ONE pass
+    (signature row -> array of (band, key) structs -> explode; a 4-way
+    union would re-derive the whole signature pipeline per band)."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"m{band * BAND_ROWS + r}")
+                            for r in range(BAND_ROWS)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for band in range(NUM_PERM // BAND_ROWS)
+        ]
+    )
+    return sig.select(
+        F.col(id_col), F.explode(band_structs).alias("bk")
+    ).select(
+        id_col,
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     n: int = 3,
@@ -208,29 +238,7 @@ def minhash_lsh_pairs(
 
     sh = tracked_cache(shingles(df, n, text_col, id_col))
     sig = minhash_signatures_from(sh, id_col)
-    # all bands in ONE pass: signature row -> array of (band, key)
-    # structs -> explode (a 4-way union would re-derive the whole
-    # signature pipeline per band)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "_",
-                        *[
-                            F.col(f"m{band * BAND_ROWS + r}")
-                            for r in range(BAND_ROWS)
-                        ],
-                    )
-                ).alias("band_key"),
-            )
-            for band in range(NUM_PERM // BAND_ROWS)
-        ]
-    )
-    banded = sig.select(
-        F.col(id_col), F.explode(band_structs).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    banded = _banded(sig, id_col)
     cand = (
         salted_self_join_pairs(
             banded, ["band", "band_key"], id_col, cap=bucket_cap
@@ -548,3 +556,161 @@ def _attach_clusters(df: DataFrame, labels: DataFrame, id_col: str) -> DataFrame
         F.count("*").over(w).alias("cluster_size"),
         (F.col(id_col) == F.col("cluster_id")).cast("int").alias("keep"),
     )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Dedup an ingest BATCH against an existing corpus — the daily
+    workflow: never re-dedup the lake, only test the new documents
+    against it (and against each other).
+
+    Verdict ladder per batch doc (first failure wins):
+
+        duplicate_of_corpus   exact content digest already in the corpus
+        duplicate_in_batch    exact digest of an earlier (smaller-id) batch doc
+        near_dup_of_corpus    LSH-verified Jaccard ≥ t with any corpus doc
+        near_dup_in_batch     LSH-verified Jaccard ≥ t with a smaller-id batch doc
+        new                   none of the above — admit
+
+    Scale shape — everything is batch-side-driven, the corpus is
+    never self-joined:
+
+    - exact layer: one equi-join on the 16-byte digest between the
+      batch and the DISTINCT corpus digest set (at scale: the
+      precomputed digest index of the lake);
+    - near layer: the batch's band keys (4 rows/doc) join the corpus
+      band table — with batch ≪ corpus the batch side broadcasts, so
+      the corpus scan never shuffles; batch-internal pairs run the
+      salted self-join.  Only candidates pay exact-Jaccard
+      verification, each side against its own shingle table.
+    """
+    from ..session import tracked_cache
+
+    def _norm(df):
+        return F.regexp_replace(
+            F.trim(F.lower(F.col(text_col))), r"\s+", " "
+        )
+
+    # ---- exact layer ----
+    c_digests = (
+        corpus.select(F.md5(_norm(corpus)).alias("dup_group"))
+        .distinct()
+        .withColumn("__in_c", F.lit(1))
+    )
+    b = batch.select(F.col(id_col), F.md5(_norm(batch)).alias("dup_group"))
+    wg = Window.partitionBy("dup_group")
+    b = b.withColumn("__min_b", F.min(id_col).over(wg)).join(
+        c_digests, "dup_group", "left"
+    )
+
+    # ---- near layer ----
+    sh_b = tracked_cache(shingles(batch, n, text_col, id_col))
+    sh_c = tracked_cache(shingles(corpus, n, text_col, id_col))
+    banded_b = _banded(minhash_signatures_from(sh_b, id_col), id_col)
+    banded_c = _banded(minhash_signatures_from(sh_c, id_col), id_col)
+
+    sz_b = sh_b.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sz_c = sh_c.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+
+    # batch × corpus: broadcast the (small) batch band keys
+    bc_cand = (
+        banded_c.join(
+            F.broadcast(
+                banded_b.select(
+                    F.col(id_col).alias("id_b"), "band", "band_key"
+                )
+            ),
+            ["band", "band_key"],
+        )
+        .select(F.col(id_col).alias("id_c"), "id_b")
+        .distinct()
+    )
+    bc_inter = (
+        bc_cand.join(
+            sh_b.select(F.col(id_col).alias("id_b"), "shingle_hash"), "id_b"
+        )
+        .join(
+            sh_c.select(F.col(id_col).alias("id_c"), "shingle_hash"),
+            ["id_c", "shingle_hash"],
+        )
+        .groupBy("id_c", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    bc_near = (
+        bc_inter.join(
+            sz_c.select(F.col(id_col).alias("id_c"), F.col("n_sh").alias("n_c")),
+            "id_c",
+        )
+        .join(
+            sz_b.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .filter(
+            F.col("inter")
+            / (F.col("n_c") + F.col("n_b") - F.col("inter"))
+            >= threshold
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__near_c", F.lit(1))
+    )
+
+    # batch × batch (smaller-id wins): the standard salted self-join
+    bb_cand = (
+        salted_self_join_pairs(banded_b, ["band", "band_key"], id_col, cap=bucket_cap)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    bb_inter = (
+        bb_cand.join(
+            sh_b.select(F.col(id_col).alias("id_a"), "shingle_hash"), "id_a"
+        )
+        .join(
+            sh_b.select(F.col(id_col).alias("id_b"), "shingle_hash"),
+            ["id_b", "shingle_hash"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    bb_near = (
+        bb_inter.join(
+            sz_b.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sz_b.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .filter(
+            F.col("inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            >= threshold
+        )
+        .select(F.col("id_b").alias(id_col))  # the LARGER id of each pair
+        .distinct()
+        .withColumn("__near_b", F.lit(1))
+    )
+
+    out = (
+        b.join(F.broadcast(bc_near), id_col, "left")
+        .join(F.broadcast(bb_near), id_col, "left")
+        .withColumn(
+            "verdict",
+            F.when(F.col("__in_c") == 1, F.lit("duplicate_of_corpus"))
+            .when(F.col("__min_b") < F.col(id_col), F.lit("duplicate_in_batch"))
+            .when(F.col("__near_c") == 1, F.lit("near_dup_of_corpus"))
+            .when(F.col("__near_b") == 1, F.lit("near_dup_in_batch"))
+            .otherwise(F.lit("new")),
+        )
+    )
+    return out.select(id_col, "verdict")

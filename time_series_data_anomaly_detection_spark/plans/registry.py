@@ -2414,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix",
         "pack_chunks",
         "resample_fill",
+        "incremental_dedup",
         "dedup_clusters",
         "ivf_topk",
         "knn_label_agreement",

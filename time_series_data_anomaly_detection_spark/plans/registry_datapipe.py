@@ -298,6 +298,20 @@ def q_source_mix(spark, sf_dir):
 
 
 PACK_CTX = 512
+INCR_SPLIT = 400  # doc_id < 400 = existing corpus, >= 400 = ingest batch
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Ingest-batch dedup against an existing corpus (exact digest +
+    LSH near-dup, batch-side-driven joins): one verdict per new doc."""
+    from ..datapipe.dedup import incremental_dedup
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") < INCR_SPLIT)
+    batch = docs.filter(F.col("doc_id") >= INCR_SPLIT)
+    return incremental_dedup(
+        corpus, batch, n=3, threshold=JACCARD_T
+    ).select("doc_id", "verdict")
 
 
 def q_pack_chunks(spark, sf_dir):
@@ -551,6 +565,71 @@ jac AS (
 )
 SELECT id_a, id_b, round(jaccard, {R}) AS jaccard
 FROM jac WHERE jaccard >= {JACCARD_T}
+"""
+
+# incremental (batch-vs-corpus) dedup — the same digest + banded-LSH
+# layers as exact_dedup/minhash_lsh, with the pair set restricted to
+# pairs touching the batch and the ladder picking the first failure
+ORACLES["incremental_dedup"] = f"""
+WITH {SQL_TOKS}, {SQL_SHINGLES},
+sig AS (
+  SELECT doc_id,
+         {_MINHASH_COLS}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+{_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle_hash = a.shingle_hash
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b
+  FROM inter JOIN szs na ON na.doc_id = id_a JOIN szs nb ON nb.doc_id = id_b
+  WHERE inter * 1.0 / (na.n_sh + nb.n_sh - inter) >= {JACCARD_T}
+),
+h AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS dup_group
+  FROM documents
+),
+bx AS (
+  SELECT doc_id, dup_group,
+         min(doc_id) FILTER (WHERE doc_id >= {INCR_SPLIT})
+           OVER (PARTITION BY dup_group) AS min_b,
+         bool_or(doc_id < {INCR_SPLIT}) OVER (PARTITION BY dup_group)
+           AS in_c
+  FROM h
+),
+near_c AS (
+  SELECT DISTINCT CASE WHEN id_a >= {INCR_SPLIT} THEN id_a ELSE id_b END
+           AS doc_id
+  FROM jac
+  WHERE (id_a >= {INCR_SPLIT}) <> (id_b >= {INCR_SPLIT})
+),
+near_b AS (
+  SELECT DISTINCT id_b AS doc_id
+  FROM jac WHERE id_a >= {INCR_SPLIT} AND id_b >= {INCR_SPLIT}
+)
+SELECT b.doc_id,
+       CASE WHEN b.in_c THEN 'duplicate_of_corpus'
+            WHEN b.min_b < b.doc_id THEN 'duplicate_in_batch'
+            WHEN nc.doc_id IS NOT NULL THEN 'near_dup_of_corpus'
+            WHEN nb.doc_id IS NOT NULL THEN 'near_dup_in_batch'
+            ELSE 'new' END AS verdict
+FROM bx b
+LEFT JOIN near_c nc ON nc.doc_id = b.doc_id
+LEFT JOIN near_b nb ON nb.doc_id = b.doc_id
+WHERE b.doc_id >= {INCR_SPLIT}
 """
 
 # transitive closure of the (undirected) LSH pair graph, then the
@@ -1231,6 +1310,7 @@ def queries():
         "quality_deciles": q_quality_deciles,
         "source_mix": q_source_mix,
         "pack_chunks": q_pack_chunks,
+        "incremental_dedup": q_incremental_dedup,
         "user_sessions": q_user_sessions,
         "props_stats": q_props_stats,
         "multimodal_features": q_multimodal_features,

@@ -224,3 +224,61 @@ def test_winnowing_guarantee_random_docs(spark, seed):
     s1 = set(fp[fp.doc_id == 1].fp_hash)
     s2 = set(fp[fp.doc_id == 2].fp_hash)
     assert s1 & s2
+
+
+@given(
+    toks=st.lists(st.integers(1, 40), min_size=1, max_size=30),
+    ctx=st.integers(4, 64),
+)
+@SETTINGS
+def test_packing_conserves_tokens(spark, toks, ctx):
+    """Packing invariants on random doc lengths: per-doc contributions
+    sum to the doc's token count, chunk fills never exceed ctx, and
+    total chunk tokens equal total corpus tokens (nothing dropped,
+    nothing double-counted)."""
+    from time_series_data_anomaly_detection_spark.datapipe.packing import (
+        pack_documents,
+        pack_stats,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(toks)),
+            "source": "s",
+            "text": [" ".join(["w"] * t) for t in toks],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    packed = pack_documents(df, ctx=ctx).toPandas()
+    per_doc = packed.groupby("doc_id")["tok_in_chunk"].sum()
+    assert per_doc.to_dict() == {i: t for i, t in enumerate(toks)}
+    stats = pack_stats(df, ctx=ctx).toPandas()
+    assert (stats["n_tokens"] <= ctx).all()
+    assert stats["n_tokens"].sum() == sum(toks)
+    # every chunk except the single shard tail is exactly full
+    assert (stats["n_tokens"] == ctx).sum() >= len(stats) - 1
+
+
+@given(frac=st.floats(0.0, 1.0), n=st.integers(50, 300))
+@SETTINGS
+def test_stratified_sample_fraction_and_determinism(spark, frac, n):
+    """Deterministic Bernoulli: repeated runs agree exactly, and the
+    kept fraction lands near the target (binomial tolerance)."""
+    from time_series_data_anomaly_detection_spark.datapipe.sampling import (
+        stratified_sample,
+    )
+
+    pdf = pd.DataFrame({"doc_id": range(n), "source": "a", "text": "x"})
+    df = spark.createDataFrame(pdf)
+    k1 = sorted(
+        r.doc_id for r in stratified_sample(df, {"a": frac}).collect()
+    )
+    k2 = sorted(
+        r.doc_id for r in stratified_sample(df, {"a": frac}).collect()
+    )
+    assert k1 == k2
+    # 5-sigma binomial bound: |kept - n*frac| <= 5*sqrt(n*frac*(1-frac)) + 1
+    import math
+
+    bound = 5 * math.sqrt(n * frac * (1 - frac)) + 1
+    assert abs(len(k1) - n * frac) <= bound

@@ -729,3 +729,67 @@ def test_incremental_dedup_verdict_ladder(spark):
     assert out[12] == "new"
     assert out[13] == "duplicate_in_batch"
     assert out[14] == "near_dup_in_batch"
+
+
+def test_dedup_index_roundtrip(spark, tmp_path_factory):
+    """Index-based incremental dedup must match the direct
+    corpus-vs-batch computation verdict-for-verdict, and extending the
+    index with admitted docs must catch their future duplicates."""
+    from time_series_data_anomaly_detection_spark.datapipe.dedup import (
+        incremental_dedup,
+    )
+    from time_series_data_anomaly_detection_spark.datapipe.index import (
+        build_dedup_index,
+        extend_dedup_index,
+        incremental_dedup_against_index,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": [base + " lake", "unrelated corpus text about engines"],
+            }
+        )
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12],
+                "text": [
+                    base + "  LAKE",
+                    base + " pond",
+                    "fresh batch doc with totally novel content",
+                ],
+            }
+        )
+    )
+    path = str(tmp_path_factory.mktemp("dedup_idx"))
+    build_dedup_index(corpus, path)
+    via_index = {
+        r.doc_id: r.verdict
+        for r in incremental_dedup_against_index(
+            spark, path, batch, threshold=0.4
+        ).collect()
+    }
+    direct = {
+        r.doc_id: r.verdict
+        for r in incremental_dedup(corpus, batch, threshold=0.4).collect()
+    }
+    assert via_index == direct
+
+    # admit the 'new' doc, extend, and verify a re-post is now caught
+    extend_dedup_index(batch.filter("doc_id = 12"), path)
+    repost = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [20], "text": ["fresh batch doc with totally novel content"]}
+        )
+    )
+    again = {
+        r.doc_id: r.verdict
+        for r in incremental_dedup_against_index(
+            spark, path, repost, threshold=0.4
+        ).collect()
+    }
+    assert again[20] == "duplicate_of_corpus"

@@ -30,6 +30,11 @@ from .dedup import (  # noqa: F401
     near_dup_clusters,
     incremental_dedup,
 )
+from .index import (  # noqa: F401
+    build_dedup_index,
+    extend_dedup_index,
+    incremental_dedup_against_index,
+)
 from .corpus import (  # noqa: F401
     ngram_counts,
     top_ngrams,

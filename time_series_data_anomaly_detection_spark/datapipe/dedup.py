@@ -591,20 +591,51 @@ def incremental_dedup(
       salted self-join.  Only candidates pay exact-Jaccard
       verification, each side against its own shingle table.
     """
+    idx = corpus_index_frames(corpus, n, text_col, id_col)
+    return _incremental_core(
+        idx, batch, n, threshold, text_col, id_col, bucket_cap
+    )
+
+
+def corpus_index_frames(
+    corpus: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """The four corpus-side frames incremental dedup joins against:
+    distinct content digests, band keys, shingle hashes, shingle
+    counts.  Derived on the fly here; ``datapipe.index`` persists the
+    same four frames so the lake is indexed ONCE and every ingest
+    batch reads the index instead of re-scanning the corpus."""
     from ..session import tracked_cache
 
-    def _norm(df):
-        return F.regexp_replace(
-            F.trim(F.lower(F.col(text_col))), r"\s+", " "
-        )
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    digests = corpus.select(F.md5(norm).alias("dup_group")).distinct()
+    sh_c = tracked_cache(shingles(corpus, n, text_col, id_col))
+    return {
+        "digests": digests,
+        "bands": _banded(minhash_signatures_from(sh_c, id_col), id_col),
+        "shingles": sh_c,
+        "sizes": sh_c.groupBy(id_col).agg(F.count("*").alias("n_sh")),
+    }
+
+
+def _incremental_core(
+    idx: dict,
+    batch: DataFrame,
+    n: int,
+    threshold: float,
+    text_col: str,
+    id_col: str,
+    bucket_cap: int,
+) -> DataFrame:
+    from ..session import tracked_cache
 
     # ---- exact layer ----
-    c_digests = (
-        corpus.select(F.md5(_norm(corpus)).alias("dup_group"))
-        .distinct()
-        .withColumn("__in_c", F.lit(1))
-    )
-    b = batch.select(F.col(id_col), F.md5(_norm(batch)).alias("dup_group"))
+    c_digests = idx["digests"].withColumn("__in_c", F.lit(1))
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    b = batch.select(F.col(id_col), F.md5(norm).alias("dup_group"))
     wg = Window.partitionBy("dup_group")
     b = b.withColumn("__min_b", F.min(id_col).over(wg)).join(
         c_digests, "dup_group", "left"
@@ -612,12 +643,12 @@ def incremental_dedup(
 
     # ---- near layer ----
     sh_b = tracked_cache(shingles(batch, n, text_col, id_col))
-    sh_c = tracked_cache(shingles(corpus, n, text_col, id_col))
+    sh_c = idx["shingles"]
     banded_b = _banded(minhash_signatures_from(sh_b, id_col), id_col)
-    banded_c = _banded(minhash_signatures_from(sh_c, id_col), id_col)
+    banded_c = idx["bands"]
 
     sz_b = sh_b.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    sz_c = sh_c.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sz_c = idx["sizes"]
 
     # batch × corpus: broadcast the (small) batch band keys
     bc_cand = (

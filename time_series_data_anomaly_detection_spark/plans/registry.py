@@ -2415,6 +2415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks",
         "resample_fill",
         "incremental_dedup",
+        "multimodal_sampled",
         "dedup_clusters",
         "ivf_topk",
         "knn_label_agreement",

@@ -1288,6 +1288,27 @@ FROM st
 """
 
 
+# frame-sampled variant: every 2nd frame (stride applied inside the
+# decode UDF, so skipped frames are never feature-extracted)
+ORACLES["multimodal_sampled"] = f"""
+SELECT * FROM ({ORACLES["multimodal_features"]}) WHERE frame_id % 2 = 0
+"""
+
+
+def q_multimodal_sampled(spark, sf_dir):
+    """Frame sampling: decode + extract every 2nd frame only — the
+    stride knob every video/audio pipeline uses to trade coverage for
+    decode cost; skipped frames never reach the feature extractor."""
+    payload = as_binary_payload(_docs(spark, sf_dir))
+    out = extract_features(payload, frame_stride=2)
+    return out.select(
+        "doc_id", "frame_id", "n_frames", "byte_sum",
+        _rnd("f_mean", R).alias("f_mean"),
+        _rnd("f_std", R).alias("f_std"),
+        _rnd("f_max", R).alias("f_max"),
+    )
+
+
 def queries():
     return {
         "doc_stats": q_doc_stats,
@@ -1314,6 +1335,7 @@ def queries():
         "user_sessions": q_user_sessions,
         "props_stats": q_props_stats,
         "multimodal_features": q_multimodal_features,
+        "multimodal_sampled": q_multimodal_sampled,
         "top_ngrams": q_top_ngrams,
         "corpus_filter": q_corpus_filter,
         "corpus_prep": q_corpus_prep,

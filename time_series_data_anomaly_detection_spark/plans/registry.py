@@ -2416,6 +2416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_fill",
         "incremental_dedup",
         "multimodal_sampled",
+        "corpus_to_batches",
         "dedup_clusters",
         "ivf_topk",
         "knn_label_agreement",

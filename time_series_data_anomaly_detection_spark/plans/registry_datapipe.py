@@ -1309,6 +1309,65 @@ def q_multimodal_sampled(spark, sf_dir):
     )
 
 
+def q_corpus_to_batches(spark, sf_dir):
+    """The END-TO-END training-data story in one query: prep funnel
+    (quality/length/lang/exact-dup/transitive near-dup) → keep set →
+    sequence packing into 512-token context windows.  What a corpus
+    team runs to turn a raw lake into training batches."""
+    from ..datapipe import corpus_prep
+    from ..datapipe.packing import pack_stats
+
+    docs = _docs(spark, sf_dir)
+    kept = (
+        corpus_prep(docs, jaccard_threshold=JACCARD_T)
+        .filter(F.col("verdict") == "keep")
+        .select("doc_id")
+    )
+    out = pack_stats(docs.join(kept, "doc_id"), ctx=PACK_CTX)
+    return out.select(
+        "source", "chunk_id", "n_docs", "n_tokens", "fill_ratio",
+        "first_doc", "last_doc",
+    )
+
+
+# prep funnel composed with packing: kept docs only, same pack CTEs
+ORACLES["corpus_to_batches"] = f"""
+WITH kept AS (
+  SELECT doc_id FROM ({ORACLES["corpus_prep"]}) WHERE verdict = 'keep'
+),
+d AS (
+  SELECT dd.source, dd.doc_id,
+         len(regexp_extract_all(lower(dd.text), '{{TOKRE}}')) AS n_tok
+  FROM documents dd JOIN kept USING (doc_id)
+),
+o AS (
+  SELECT *, CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS end_off
+  FROM d WHERE n_tok > 0
+),
+s AS (SELECT *, end_off - n_tok AS start_off FROM o),
+e AS (
+  SELECT source, doc_id, start_off, end_off,
+         unnest(generate_series(start_off // {PACK_CTX},
+                                (end_off - 1) // {PACK_CTX})) AS chunk_id
+  FROM s
+),
+t AS (
+  SELECT source, chunk_id, doc_id,
+         least(end_off, (chunk_id + 1) * {PACK_CTX})
+           - greatest(start_off, chunk_id * {PACK_CTX}) AS tok_in_chunk
+  FROM e
+)
+SELECT source, chunk_id,
+       count(*) AS n_docs,
+       CAST(sum(tok_in_chunk) AS BIGINT) AS n_tokens,
+       round(sum(tok_in_chunk) / {PACK_CTX}.0, {R}) AS fill_ratio,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM t GROUP BY 1, 2
+""".replace("{TOKRE}", TOKEN_RE)
+
+
 def queries():
     return {
         "doc_stats": q_doc_stats,
@@ -1332,6 +1391,7 @@ def queries():
         "source_mix": q_source_mix,
         "pack_chunks": q_pack_chunks,
         "incremental_dedup": q_incremental_dedup,
+        "corpus_to_batches": q_corpus_to_batches,
         "user_sessions": q_user_sessions,
         "props_stats": q_props_stats,
         "multimodal_features": q_multimodal_features,

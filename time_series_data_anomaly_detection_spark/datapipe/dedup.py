@@ -579,6 +579,9 @@ def incremental_dedup(
         near_dup_in_batch     LSH-verified Jaccard ≥ t with a smaller-id batch doc
         new                   none of the above — admit
 
+    ``id_col`` spaces of corpus and batch are assumed disjoint (ingest
+    assigns fresh ids); a shared id would be nonsensical input.
+
     Scale shape — everything is batch-side-driven, the corpus is
     never self-joined:
 

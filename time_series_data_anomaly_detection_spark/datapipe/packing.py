@@ -42,6 +42,8 @@ def pack_documents(
     Output: one row per (shard, chunk_id, doc) the doc touches, with
     ``tok_in_chunk`` (the doc's token count inside that chunk) and the
     doc's global [start, end) token offsets within its shard.
+    Zero-token documents contribute nothing to any chunk and are
+    dropped (they would otherwise occupy a zero-width span).
     """
     n_tok = F.size(
         F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)

@@ -793,3 +793,36 @@ def test_dedup_index_roundtrip(spark, tmp_path_factory):
         ).collect()
     }
     assert again[20] == "duplicate_of_corpus"
+
+
+def test_near_dup_clusters_max_quality_policy(spark):
+    """keep_policy='max_quality': the survivor is the richest member
+    of the cluster, not the smallest id; cluster_id stays the min-id
+    label."""
+    from time_series_data_anomaly_detection_spark.datapipe.dedup import (
+        near_dup_clusters,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # doc 3 shares the base prefix (high Jaccard) but carries more
+    # distinct tokens -> higher length/diversity quality than 1 and 2
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    base + " one",
+                    base + " two",
+                    base + " one lambda",
+                ],
+            }
+        )
+    )
+    out = (
+        near_dup_clusters(docs, threshold=0.4, keep_policy="max_quality")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert (out["cluster_id"] == 1).all()       # min-id label unchanged
+    assert out.loc[3, "keep"] == 1              # best member survives
+    assert out.loc[1, "keep"] == 0 and out.loc[2, "keep"] == 0

@@ -443,13 +443,21 @@ def near_dup_clusters(
     id_col: str = "doc_id",
     max_iter: int = 20,
     small_graph_edges: int = 10_000_000,
+    keep_policy: str = "min_id",
 ) -> DataFrame:
     """Connected components over the MinHash-LSH near-dup pair graph:
     the corpus-dedup DECISION step.  Every document gets
     ``cluster_id`` = the smallest doc id reachable through near-dup
     pairs, ``cluster_size``, and ``keep`` = 1 for the canonical
-    (min-id) member — transitive closure, so A~B, B~C dedups all three
+    member — transitive closure, so A~B, B~C dedups all three
     even when A~C was never emitted as a pair.
+
+    ``keep_policy`` selects the survivor per cluster: ``"min_id"``
+    (deterministic default) or ``"max_quality"`` — keep the member
+    with the highest ``doc_stats`` quality score (tie: smaller id),
+    the retention rule production dedup actually wants (near-dups
+    DIFFER, so keep the best copy, not the first).  ``cluster_id``
+    stays the min-id label either way (a stable cluster key).
 
     Scale shape: all clustering work happens ONLY over the pair graph
     — edges are near-dup pairs, orders of magnitude smaller than the
@@ -482,7 +490,10 @@ def near_dup_clusters(
     )
     if pairs.count() <= small_graph_edges:
         labels = _components_single_task(pairs)
-        return _attach_clusters(df, labels, id_col)
+        return _apply_keep_policy(
+            _attach_clusters(df, labels, id_col),
+            df, keep_policy, text_col, id_col,
+        )
 
     edges = tracked_cache(
         pairs.unionByName(
@@ -537,7 +548,42 @@ def near_dup_clusters(
             RuntimeWarning,
             stacklevel=2,
         )
-    return _attach_clusters(df, labels, id_col)
+    return _apply_keep_policy(
+        _attach_clusters(df, labels, id_col), df, keep_policy, text_col, id_col
+    )
+
+
+def _apply_keep_policy(
+    clustered: DataFrame,
+    df: DataFrame,
+    keep_policy: str,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Rewrite ``keep`` per ``keep_policy``; min_id is the identity
+    (already what _attach_clusters computed)."""
+    if keep_policy == "min_id":
+        return clustered
+    if keep_policy != "max_quality":
+        raise ValueError(f"unknown keep_policy: {keep_policy!r}")
+    from .text import doc_stats
+
+    # rounded score so the survivor choice cannot flip on sub-1e-6
+    # cross-engine double drift (same move as sampling.quality_deciles)
+    q = doc_stats(df, text_col).select(
+        id_col, F.round("quality_score", 6).alias("__q")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("__q"), F.asc(id_col)
+    )
+    return (
+        clustered.join(q, id_col)
+        .withColumn(
+            "keep", (F.row_number().over(w) == 1).cast("int")
+        )
+        .drop("__q")
+        .select(id_col, "cluster_id", "cluster_size", "keep")
+    )
 
 
 def _attach_clusters(df: DataFrame, labels: DataFrame, id_col: str) -> DataFrame:

@@ -2417,6 +2417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup",
         "multimodal_sampled",
         "corpus_to_batches",
+        "dedup_clusters_best",
         "dedup_clusters",
         "ivf_topk",
         "knn_label_agreement",

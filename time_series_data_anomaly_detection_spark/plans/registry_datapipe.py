@@ -127,6 +127,19 @@ def q_dedup_clusters(spark, sf_dir):
     return out.select("doc_id", "cluster_id", "cluster_size", "keep")
 
 
+def q_dedup_clusters_best(spark, sf_dir):
+    """dedup_clusters with the production retention rule: keep the
+    HIGHEST-QUALITY member of each near-dup cluster (tie: smaller id)
+    instead of the smallest id — near-dups differ, keep the best copy."""
+    from ..datapipe.dedup import near_dup_clusters
+
+    out = near_dup_clusters(
+        _docs(spark, sf_dir), n=3, threshold=JACCARD_T,
+        keep_policy="max_quality",
+    )
+    return out.select("doc_id", "cluster_id", "cluster_size", "keep")
+
+
 def q_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir)).select("doc_id", "simhash")
 
@@ -566,6 +579,38 @@ jac AS (
 SELECT id_a, id_b, round(jaccard, {R}) AS jaccard
 FROM jac WHERE jaccard >= {JACCARD_T}
 """
+
+# dedup_clusters with max-quality retention: the cluster assignment
+# oracle composed with the doc_stats quality CTE; survivor =
+# row_number over (quality desc, id asc) per cluster
+ORACLES["dedup_clusters_best"] = f"""
+WITH base AS (
+  SELECT * FROM ({{DEDUP_CLUSTERS}})
+),
+q AS (
+  SELECT doc_id, round({{QUALITY}}, {R}) AS qual
+  FROM (
+    SELECT doc_id, regexp_extract_all(lower(text), '{{TOKRE}}') AS t
+    FROM documents
+  )
+)
+SELECT b.doc_id, b.cluster_id, b.cluster_size,
+       CASE WHEN row_number() OVER (
+              PARTITION BY b.cluster_id
+              ORDER BY q.qual DESC, b.doc_id ASC) = 1
+            THEN 1 ELSE 0 END AS keep
+FROM base b JOIN q ON q.doc_id = b.doc_id
+"""
+
+
+def _finalize_dedup_best() -> None:
+    ORACLES["dedup_clusters_best"] = (
+        ORACLES["dedup_clusters_best"]
+        .replace("{DEDUP_CLUSTERS}", ORACLES["dedup_clusters"])
+        .replace("{QUALITY}", _QUALITY)
+        .replace("{TOKRE}", TOKEN_RE)
+    )
+
 
 # incremental (batch-vs-corpus) dedup — the same digest + banded-LSH
 # layers as exact_dedup/minhash_lsh, with the pair set restricted to
@@ -1368,6 +1413,10 @@ FROM t GROUP BY 1, 2
 """.replace("{TOKRE}", TOKEN_RE)
 
 
+# resolve the placeholders now that dedup_clusters + _QUALITY exist
+_finalize_dedup_best()
+
+
 def queries():
     return {
         "doc_stats": q_doc_stats,
@@ -1378,6 +1427,7 @@ def queries():
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_best": q_dedup_clusters_best,
         "simhash": q_simhash,
         "embedding_near_dup": q_embedding_near_dup,
         "cosine_topk": q_cosine_topk,

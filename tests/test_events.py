@@ -67,3 +67,34 @@ def test_multi_series_isolation(spark):
     ev = flags_to_events(a.unionByName(b), "flag", gap=0)
     got = {(r.series_id, r.start_idx, r.end_idx) for r in ev.collect()}
     assert got == {("a", 1, 2), ("b", 2, 3)}
+
+
+def test_session_funnel_order_matters(spark):
+    """The funnel requires chronological order: a purchase BEFORE the
+    click in the same session must not count as step 3."""
+    import pandas as pd
+
+    from time_series_data_anomaly_detection_spark.datapipe.events import (
+        session_funnel,
+    )
+
+    rows = []
+    # user 1, one session: view -> click -> purchase (full conversion)
+    for i, (t, ty) in enumerate([(0, "view"), (60, "click"), (120, "purchase")]):
+        rows.append((i, 1, ty, 1_700_000_000 + t, 1.0, "{}"))
+    # user 2, one session: purchase -> view -> click (purchase too early)
+    for i, (t, ty) in enumerate([(0, "purchase"), (60, "view"), (120, "click")]):
+        rows.append((10 + i, 2, ty, 1_700_000_000 + t, 1.0, "{}"))
+    # user 3: view only
+    rows.append((20, 3, "view", 1_700_000_000, 1.0, "{}"))
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=["event_id", "user_id", "event_type", "ts_s", "value", "props"],
+        )
+    )
+    out = {r.step: r for r in session_funnel(df).collect()}
+    assert out["view"].n_sessions == 3
+    assert out["click"].n_sessions == 2     # users 1 and 2 (click after view)
+    assert out["purchase"].n_sessions == 1  # only user 1 in order
+    assert out["purchase"].conversion == pytest.approx(1 / 3, abs=1e-6)

@@ -58,6 +58,60 @@ def user_sessions(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     )
 
 
+def session_funnel(
+    events: DataFrame,
+    steps: tuple = ("view", "click", "purchase"),
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Ordered conversion funnel over sessionized event streams: for
+    each funnel step k, how many sessions contain steps 1..k in
+    chronological order (first occurrence of each step must be no
+    earlier than the previous step's first occurrence).
+
+    One sessionization window pass + one pivot aggregate per session
+    (min event time per step as conditional aggregates — no
+    re-scan per step) + one tiny funnel count.  Output: (step_idx,
+    step, n_sessions, conversion) with conversion = n_k / n_1.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    brk = F.when(
+        F.col("ts_s") - F.lag("ts_s").over(w) > F.lit(int(gap_seconds)), 1
+    ).otherwise(0)
+    sess = events.withColumn(
+        "__brk", F.when(F.lag("ts_s").over(w).isNull(), 1).otherwise(brk)
+    ).withColumn("session_id", F.sum("__brk").over(w))
+    firsts = sess.groupBy("user_id", "session_id").agg(
+        *[
+            F.min(
+                F.when(F.col("event_type") == s, F.col("ts_s"))
+            ).alias(f"__t{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    # reached_k: every prefix step present, in chronological order
+    reach_cols = []
+    cond = None
+    for i in range(len(steps)):
+        this = F.col(f"__t{i}").isNotNull()
+        if i > 0:
+            this = this & (F.col(f"__t{i}") >= F.col(f"__t{i-1}"))
+        cond = this if cond is None else (cond & this)
+        reach_cols.append(F.sum(cond.cast("long")).alias(f"__r{i}"))
+    counts = firsts.agg(*reach_cols)
+    rows = None
+    for i, s in enumerate(steps):
+        row = counts.select(
+            F.lit(i + 1).alias("step_idx"),
+            F.lit(s).alias("step"),
+            F.col(f"__r{i}").alias("n_sessions"),
+            F.round(
+                F.col(f"__r{i}") / (F.col("__r0") + F.lit(1e-9)), 6
+            ).alias("conversion"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows
+
+
 def event_rollup(events: DataFrame) -> DataFrame:
     """Multi-level OLAP rollup of the event stream: (event_type, day)
     → (event_type) → grand total, computed as ONE grouping-sets

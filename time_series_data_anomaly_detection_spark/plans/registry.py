@@ -2418,6 +2418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_sampled",
         "corpus_to_batches",
         "dedup_clusters_best",
+        "session_funnel",
         "dedup_clusters",
         "ivf_topk",
         "knn_label_agreement",

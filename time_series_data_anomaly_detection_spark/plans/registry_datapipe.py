@@ -211,6 +211,19 @@ def q_props_stats(spark, sf_dir):
     )
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_session_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase) over
+    30-min sessions: sessions reaching each step, in order."""
+    from ..datapipe.events import load_events, session_funnel
+
+    return session_funnel(
+        load_events(spark, sf_dir), steps=FUNNEL_STEPS, gap_seconds=1800
+    ).select("step_idx", "step", "n_sessions", "conversion")
+
+
 def q_event_rollup(spark, sf_dir):
     """Multi-level OLAP rollup: (event_type, day) / (event_type) /
     grand total in one grouping-sets shuffle, with exact-distinct user
@@ -881,6 +894,50 @@ SELECT user_id, session_id,
 FROM sess GROUP BY 1, 2
 """
 
+# ordered conversion funnel — same sessionization CTEs as
+# user_sessions, then per-session first-occurrence pivot + ordered
+# prefix conditions
+ORACLES["session_funnel"] = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+),
+m AS (
+  SELECT *, CASE WHEN lag(ts_s) OVER w IS NULL
+                  OR ts_s - lag(ts_s) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+),
+sess AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)
+                 AS BIGINT) AS session_id
+  FROM m
+),
+firsts AS (
+  SELECT user_id, session_id,
+         min(CASE WHEN event_type = '{FUNNEL_STEPS[0]}' THEN ts_s END) AS t0,
+         min(CASE WHEN event_type = '{FUNNEL_STEPS[1]}' THEN ts_s END) AS t1,
+         min(CASE WHEN event_type = '{FUNNEL_STEPS[2]}' THEN ts_s END) AS t2
+  FROM sess GROUP BY 1, 2
+),
+c AS (
+  SELECT
+    CAST(sum(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS r0,
+    CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+    CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+                   AND t2 IS NOT NULL AND t2 >= t1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS r2
+  FROM firsts
+)
+SELECT 1 AS step_idx, '{FUNNEL_STEPS[0]}' AS step, r0 AS n_sessions,
+       round(r0 / (r0 + 1e-9), {R}) AS conversion FROM c
+UNION ALL
+SELECT 2, '{FUNNEL_STEPS[1]}', r1, round(r1 / (r0 + 1e-9), {R}) FROM c
+UNION ALL
+SELECT 3, '{FUNNEL_STEPS[2]}', r2, round(r2 / (r0 + 1e-9), {R}) FROM c
+"""
+
 # multi-level rollup — mirrors datapipe.events.event_rollup
 # (GROUP BY ROLLUP is one grouping-sets aggregate on both engines; the
 # day string comes from the same UTC epoch-seconds reduction)
@@ -1436,6 +1493,7 @@ def queries():
         "knn_label_agreement": q_knn_label_agreement,
         "ann_recall": q_ann_recall,
         "event_rollup": q_event_rollup,
+        "session_funnel": q_session_funnel,
         "stratified_sample": q_stratified_sample,
         "quality_deciles": q_quality_deciles,
         "source_mix": q_source_mix,

@@ -826,3 +826,35 @@ def test_near_dup_clusters_max_quality_policy(spark):
     assert (out["cluster_id"] == 1).all()       # min-id label unchanged
     assert out.loc[3, "keep"] == 1              # best member survives
     assert out.loc[1, "keep"] == 0 and out.loc[2, "keep"] == 0
+
+
+def test_tf_embed_cosine_ranks_similar_docs(spark):
+    """Hashed-TF sparse cosine: near-identical docs score near 1 and
+    rank first; disjoint-vocabulary docs score near 0; weights are
+    unit-normalized."""
+    from time_series_data_anomaly_detection_spark.datapipe.embed import (
+        doc_cosine_topk,
+        tf_embed_sparse,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "alpha beta gamma delta epsilon",
+                    "alpha beta gamma delta zeta",      # 4/5 shared
+                    "uno dos tres cuatro cinco",        # disjoint
+                ],
+            }
+        )
+    )
+    emb = tf_embed_sparse(docs).toPandas()
+    norms = emb.groupby("doc_id")["weight"].apply(lambda w: (w**2).sum())
+    assert np.allclose(norms, 1.0)
+
+    out = doc_cosine_topk(docs, n_queries=1, k=2).toPandas()
+    ranked = out.sort_values("rank")
+    assert ranked.iloc[0]["match_id"] == 1
+    assert ranked.iloc[0]["cosine"] > 0.7
+    assert ranked.iloc[1]["cosine"] < 0.3  # disjoint vocab ~ 0 (mod collisions)

@@ -30,6 +30,10 @@ from .dedup import (  # noqa: F401
     near_dup_clusters,
     incremental_dedup,
 )
+from .embed import (  # noqa: F401
+    tf_embed_sparse,
+    doc_cosine_topk,
+)
 from .index import (  # noqa: F401
     build_dedup_index,
     extend_dedup_index,

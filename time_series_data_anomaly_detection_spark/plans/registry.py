@@ -2419,6 +2419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_to_batches",
         "dedup_clusters_best",
         "session_funnel",
+        "doc_embed_topk",
         "dedup_clusters",
         "ivf_topk",
         "knn_label_agreement",

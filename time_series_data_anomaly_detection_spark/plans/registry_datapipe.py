@@ -151,6 +151,24 @@ def q_embedding_near_dup(spark, sf_dir):
     return out.select("id_a", "id_b", _rnd("cosine", R).alias("cosine"))
 
 
+EMBED_DIM = 64
+
+
+def q_doc_embed_topk(spark, sf_dir):
+    """Hashing-trick TF embeddings derived from the TEXT itself, then
+    sparse cosine top-5 of the first 10 docs vs the corpus — document
+    similarity without a dense embedding table; exact integer dot
+    products so the value is engine-independent."""
+    from ..datapipe.embed import doc_cosine_topk
+
+    out = doc_cosine_topk(
+        _docs(spark, sf_dir), n_queries=N_QUERIES, k=TOPK, dim=EMBED_DIM
+    )
+    return out.select(
+        "query_id", "match_id", "rank", _rnd("cosine", R).alias("cosine")
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     e = _embs(spark, sf_dir)
     out = cosine_topk(e, e.filter(F.col("vec_id") < N_QUERIES), k=TOPK)
@@ -782,6 +800,44 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm + 1e-12), {R}) AS cosine
 FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm + 1e-12) >= {NEARDUP_T}
+"""
+
+# hashed-TF sparse cosine — mirrors datapipe.embed (integer dots)
+ORACLES["doc_embed_topk"] = f"""
+WITH {SQL_TOKS},
+cnts AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) % {EMBED_DIM}
+           AS dim_idx,
+         count(*) AS cnt
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  GROUP BY 1, 2
+),
+sq AS (
+  SELECT doc_id, CAST(sum(cnt * cnt) AS BIGINT) AS sqsum
+  FROM cnts GROUP BY 1
+),
+dots AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS match_id,
+         CAST(sum(q.cnt * c.cnt) AS BIGINT) AS dot
+  FROM cnts q JOIN cnts c ON q.dim_idx = c.dim_idx
+  WHERE q.doc_id < {N_QUERIES} AND c.doc_id <> q.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.query_id, d.match_id,
+         d.dot / (sqrt(a.sqsum) * sqrt(b.sqsum)) AS cosine
+  FROM dots d
+  JOIN sq a ON a.doc_id = d.query_id
+  JOIN sq b ON b.doc_id = d.match_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, match_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, match_id, rank, round(cosine, {R}) AS cosine
+FROM ranked WHERE rank <= {TOPK}
 """
 
 ORACLES["cosine_topk"] = f"""
@@ -1488,6 +1544,7 @@ def queries():
         "simhash": q_simhash,
         "embedding_near_dup": q_embedding_near_dup,
         "cosine_topk": q_cosine_topk,
+        "doc_embed_topk": q_doc_embed_topk,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
         "knn_label_agreement": q_knn_label_agreement,

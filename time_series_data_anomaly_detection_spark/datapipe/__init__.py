@@ -51,6 +51,7 @@ from .similarity import (  # noqa: F401
     cosine_topk,
     ann_lsh_topk,
     ivf_topk,
+    kmeans_centroids,
     topk_recall,
     knn_label_agreement,
 )
@@ -67,6 +68,7 @@ from .events import (  # noqa: F401
     load_events,
     user_sessions,
     event_rollup,
+    session_funnel,
     props_field_stats,
 )
 from .multimodal import (  # noqa: F401

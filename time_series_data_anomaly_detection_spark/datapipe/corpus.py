@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import exact_dedup
-from .text import doc_stats, lang_id, tokenize
+from .text import doc_stats, grams, lang_id, tokenize
 
 
 def ngram_counts(
@@ -29,16 +29,7 @@ def ngram_counts(
     # repartition before the gram explode (see dedup.shingles): the
     # few-split corpus scan would otherwise serialize the explosion
     t = tokenize(df.repartition(F.col("doc_id")), text_col)
-    # short-doc guard: see dedup.shingles — sequence(1, 0) descends in
-    # Spark and crashes slice(); sub-n-token docs yield zero grams
-    grams = F.when(
-        F.size("tokens") >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size("tokens") - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice("tokens", i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    tall = t.select(F.explode(grams).alias("ngram"), F.col("doc_id"))
+    tall = t.select(F.explode(grams(n)).alias("ngram"), F.col("doc_id"))
     out = tall.groupBy("ngram").agg(
         F.count("*").alias("count"),
         F.countDistinct("doc_id").alias("doc_freq"),

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ._skew import DEFAULT_BUCKET_CAP, salted_self_join_pairs
-from .text import hash48, tokenize
+from .text import grams, hash48, tokenize
 
 # ---------------------------------------------------------------------------
 # MinHash parameters: 16 permutations in 4 bands of 4 rows.
@@ -83,17 +83,7 @@ def shingles(
     # md5 (the dominant cost) would otherwise serialize on those few
     # scan tasks (see text.winnow_fingerprints for the measurement)
     t = tokenize(df.repartition(F.col(id_col)), text_col)
-    # guard docs shorter than n tokens: Spark's sequence(1, 0) counts
-    # DOWN ([1, 0] — unlike DuckDB's empty generate_series) and the 0
-    # then crashes slice(); short docs must yield ZERO shingles on both
-    # engines
-    sh = F.when(
-        F.size("tokens") >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size("tokens") - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice("tokens", i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    sh = grams(n)  # short-doc guard lives in text.grams
     return (
         t.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
         .select(id_col, hash48(F.col("shingle")).alias("shingle_hash"))

@@ -73,7 +73,11 @@ def doc_cosine_topk(
     anyway) — sparse semantics keep the candidate set bounded by
     dimension co-occurrence.
     """
-    emb = tf_embed_sparse(df, dim, text_col, id_col)
+    from ..session import tracked_cache
+
+    # three consumers (norm aggregate, broadcast query side, main dots
+    # scan) — cache so the tokenize+explode+groupBy lineage runs once
+    emb = tracked_cache(tf_embed_sparse(df, dim, text_col, id_col))
     sq = emb.groupBy(id_col).agg(
         F.sum(F.col("cnt") * F.col("cnt")).alias("__sq")
     )

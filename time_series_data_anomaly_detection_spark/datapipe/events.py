@@ -125,8 +125,15 @@ def event_rollup(events: DataFrame) -> DataFrame:
     expansion; the rollup dataflow is unchanged.  Value totals use the
     exact-decimal sum so the result is partition-order independent.
     """
+    # day via pure DATE arithmetic on the epoch-second column —
+    # from_unixtime/strftime would format in the SESSION/HOST timezone
+    # and silently shift near-midnight events on a non-UTC machine
     d = events.withColumn(
-        "day", F.substring(F.from_unixtime("ts_s"), 1, 10)
+        "day",
+        F.date_add(
+            F.to_date(F.lit("1970-01-01")),
+            F.floor(F.col("ts_s") / 86400).cast("int"),
+        ).cast("string"),
     )
     return d.rollup("event_type", "day").agg(
         (F.grouping("event_type") * 2 + F.grouping("day"))

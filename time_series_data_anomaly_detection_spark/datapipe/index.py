@@ -27,12 +27,15 @@ from .dedup import _incremental_core, corpus_index_frames
 from ._skew import DEFAULT_BUCKET_CAP
 
 _PARTS = ("digests", "bands", "shingles", "sizes")
-_KEYS = {
-    "digests": ["dup_group"],
-    "bands": ["band", "band_key"],
-    "shingles": ["doc_id"],
-    "sizes": ["doc_id"],
-}
+
+
+def _keys(id_col: str) -> dict:
+    return {
+        "digests": ["dup_group"],
+        "bands": ["band", "band_key"],
+        "shingles": [id_col],
+        "sizes": [id_col],
+    }
 
 
 def build_dedup_index(
@@ -45,9 +48,10 @@ def build_dedup_index(
     """One corpus scan → the four index tables, repartitioned on
     their downstream join keys."""
     frames = corpus_index_frames(corpus, n, text_col, id_col)
+    keys = _keys(id_col)
     for name in _PARTS:
         df = frames[name]
-        df.repartition(*_KEYS[name]).write.mode("overwrite").parquet(
+        df.repartition(*keys[name]).write.mode("overwrite").parquet(
             f"{path}/{name}"
         )
 
@@ -64,8 +68,9 @@ def extend_dedup_index(
     digest distinctness is restored lazily at read (a duplicate
     digest row changes no verdict)."""
     frames = corpus_index_frames(admitted, n, text_col, id_col)
+    keys = _keys(id_col)
     for name in _PARTS:
-        frames[name].repartition(*_KEYS[name]).write.mode("append").parquet(
+        frames[name].repartition(*keys[name]).write.mode("append").parquet(
             f"{path}/{name}"
         )
 

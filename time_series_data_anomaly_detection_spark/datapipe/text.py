@@ -36,6 +36,25 @@ def hash48(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
 
 
+def grams(n: int, tokens_col: str = "tokens") -> Column:
+    """Word n-gram array over a ``tokens`` array column.
+
+    Guards docs shorter than n tokens: Spark's ``sequence(1, 0)``
+    counts DOWN ([1, 0] — unlike DuckDB's empty generate_series) and
+    the 0 then crashes ``slice()``; short docs must yield ZERO grams
+    on both engines.  The single definition keeps every gram producer
+    (shingles, ngram_counts) on identical semantics.
+    """
+    col = F.col(tokens_col)
+    return F.when(
+        F.size(col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(col) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(col, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Lowercase + regex pre-tokenization into a ``tokens`` array column."""
     return df.withColumn(

@@ -113,8 +113,14 @@ def hist_center_sql(rmin: str, bin_: str, width: str) -> str:
 
 
 def normal_pdf_sql(x: str, mu: str, sigma: str) -> str:
-    z = f"(({x} - {mu}) / {sigma})"
-    return f"(exp(-{z} * {z} / 2e0) / ({sigma} * {SQRT_2PI}))"
+    # sigma floor: a constant-residual series has sigma = 0, and the
+    # 0/0 path diverges between engines (Spark NaN, DuckDB NULL); the
+    # floor is 6 orders below the rounding quantum, so non-degenerate
+    # values are untouched.  Shared text -> both engines get the same
+    # formula by construction.
+    s = f"greatest({sigma}, 1e-12)"
+    z = f"(({x} - {mu}) / {s})"
+    return f"(exp(-{z} * {z} / 2e0) / ({s} * {SQRT_2PI}))"
 
 
 def qq_frame(df: DataFrame, col: str = "resid") -> DataFrame:
@@ -169,8 +175,15 @@ def histogram_fit_frame(
         F.min(rcol).alias("rmin"),
         F.max(rcol).alias("rmax"),
     )
+    # np.histogram widens a degenerate range (all values equal) to
+    # [x-0.5, x+0.5]; without this the width is 0 and the bin index
+    # becomes 0/0 — which Spark (NaN) and DuckDB (NULL) then disagree on
     h1 = h0.selectExpr(
-        "series_id", "n", "s1 / n AS mu", "rmin", "rmax",
+        "series_id", "n", "s1 / n AS mu",
+        "CASE WHEN rmax = rmin THEN rmin - 0.5e0 ELSE rmin END AS rmin",
+        "CASE WHEN rmax = rmin THEN rmax + 0.5e0 ELSE rmax END AS rmax",
+    ).selectExpr(
+        "series_id", "n", "mu", "rmin", "rmax",
         f"(rmax - rmin) / {bins}e0 AS width",
     )
     j = df.select("series_id", rcol.alias("resid")).join(

@@ -2048,9 +2048,14 @@ h0 AS (
          min(resid) AS rmin, max(resid) AS rmax
   FROM rsd GROUP BY 1),
 h1 AS (
-  SELECT series_id, n, s1 / n AS mu, rmin, rmax,
+  -- np.histogram widens a degenerate (all-equal) range to [x-0.5, x+0.5]
+  SELECT series_id, n, mu, rmin, rmax,
          (rmax - rmin) / 50e0 AS width
-  FROM h0),
+  FROM (
+    SELECT series_id, n, s1 / n AS mu,
+           CASE WHEN rmax = rmin THEN rmin - 0.5e0 ELSE rmin END AS rmin,
+           CASE WHEN rmax = rmin THEN rmax + 0.5e0 ELSE rmax END AS rmax
+    FROM h0)),
 hm AS (
   SELECT r.series_id,
          CAST(sum(CAST((r.resid - h.mu) * (r.resid - h.mu)

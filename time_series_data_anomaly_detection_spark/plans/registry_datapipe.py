@@ -1000,8 +1000,9 @@ SELECT 3, '{FUNNEL_STEPS[2]}', r2, round(r2 / (r0 + 1e-9), {R}) FROM c
 ORACLES["event_rollup"] = f"""
 WITH ev AS (
   SELECT event_type,
-         strftime(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)),
-                  '%Y-%m-%d') AS day,
+         CAST(DATE '1970-01-01'
+              + CAST(CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS INTEGER)
+              AS VARCHAR) AS day,
          user_id, CAST(value AS DECIMAL(38,12)) AS val
   FROM events
 )

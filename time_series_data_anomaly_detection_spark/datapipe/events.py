@@ -21,6 +21,11 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw events scan with the ts column normalized and reduced to
     epoch seconds (``ts_s``)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # tz-sensitive operators (date_trunc buckets, from_unixtime)
+    # must agree with the naive-timestamp DuckDB oracle: pin UTC
+    # even under a vanilla (driver-owned) session whose default is
+    # the HOST timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     return raw.select(
         "event_id",

@@ -88,6 +88,11 @@ def events_as_series(
     # the driver may hand us a session without the nanos flag; it is a
     # runtime-settable SQL conf, needed before schema inference
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # tz-sensitive operators (date_trunc buckets, from_unixtime)
+    # must agree with the naive-timestamp DuckDB oracle: pin UTC
+    # even under a vanilla (driver-owned) session whose default is
+    # the HOST timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     return raw.select(
         F.col(series_col).alias("series_id"),

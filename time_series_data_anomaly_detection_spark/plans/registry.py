@@ -2411,21 +2411,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Long-stable rows-only queries (weakest signal, green twice) sink
     # to the back where a cap costs the least information.
     gate_first = [
-        # never appeared in any driver correctness run (new in r03/r04)
-        "ann_recall",
-        "event_rollup",
+        # never appeared in any driver correctness run (new in r03/r04);
+        # within the block, cheap queries first so each family's
+        # first-execution JIT cost lands on a small query, not a
+        # composite (bench order follows this dict)
         "stratified_sample",
-        "quality_deciles",
         "source_mix",
+        "quality_deciles",
         "pack_chunks",
-        "resample_fill",
-        "incremental_dedup",
-        "multimodal_sampled",
-        "corpus_to_batches",
-        "dedup_clusters_best",
         "session_funnel",
+        "event_rollup",
+        "resample_fill",
         "doc_embed_topk",
+        "multimodal_sampled",
+        "ann_recall",
         "dedup_clusters",
+        "dedup_clusters_best",
+        "corpus_to_batches",
+        "incremental_dedup",
         "ivf_topk",
         "knn_label_agreement",
         "props_stats",

@@ -282,3 +282,43 @@ def test_stratified_sample_fraction_and_determinism(spark, frac, n):
 
     bound = 5 * math.sqrt(n * frac * (1 - frac)) + 1
     assert abs(len(k1) - n * frac) <= bound
+
+
+@given(
+    present=st.lists(st.booleans(), min_size=2, max_size=40),
+    step=st.sampled_from([60, 3600]),
+)
+@SETTINGS
+def test_fill_gaps_matches_pandas_interpolation(spark, present, step):
+    """fill_gaps vs pandas reindex+interpolate on random gap patterns:
+    the grid is complete, observed rows pass through, and interpolated
+    values match pandas' linear time interpolation."""
+    from time_series_data_anomaly_detection_spark.operators.decompose import (
+        fill_gaps,
+    )
+
+    present[0] = present[-1] = True  # endpoints anchor the grid
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        (base + pd.Timedelta(seconds=i * step), float(i * i % 17))
+        for i, p in enumerate(present)
+        if p
+    ]
+    pdf = pd.DataFrame(rows, columns=["timestamp", "value"])
+    pdf.insert(0, "series_id", "a")
+    out = (
+        fill_gaps(spark.createDataFrame(pdf), step)
+        .toPandas()
+        .sort_values("ts_s")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(present)
+    ref = (
+        pdf.set_index("timestamp")["value"]
+        .reindex(
+            pd.date_range(base, periods=len(present), freq=f"{step}s")
+        )
+        .interpolate(method="index")
+    )
+    np.testing.assert_allclose(out["value"].to_numpy(), ref.to_numpy(), atol=1e-9)
+    assert (out["is_gap"].to_numpy() == (~np.array(present)).astype(int)).all()

@@ -312,3 +312,67 @@ def test_streaming_exact_dedup_matches_batch_groups(spark, tmp_path_factory):
     assert sorted(out["dup_group"]) == sorted(groups.index)
     for _, r in out.iterrows():
         assert r["doc_id"] in groups[r["dup_group"]]
+
+
+def test_streaming_ingest_with_index(spark, tmp_path_factory):
+    """foreachBatch ingest loop: batch 1's admitted docs extend the
+    index, so batch 2's re-post of a batch-1 doc is rejected; corpus
+    duplicates and near-dups never land in the output."""
+    from time_series_data_anomaly_detection_spark.datapipe.index import (
+        build_dedup_index,
+    )
+    from time_series_data_anomaly_detection_spark.streaming import (
+        streaming_ingest_with_index,
+    )
+
+    root = tmp_path_factory.mktemp("ingest")
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [0], "text": [base + " lake"]}
+        )
+    )
+    idx = str(root / "index")
+    build_dedup_index(corpus, idx)
+
+    (root / "in").mkdir()
+    kw = dict(index=False)
+    # batch file 1: a corpus dup, a near-dup, and a fresh doc
+    pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12],
+            "text": [
+                base + "  LAKE",                     # exact dup of corpus
+                base + " pond",                      # near-dup of corpus
+                "a genuinely new document body one",  # admit
+            ],
+        }
+    ).to_parquet(root / "in" / "b1.parquet", **kw)
+    # batch file 2: re-post of the admitted doc + another fresh one
+    pd.DataFrame(
+        {
+            "doc_id": [20, 21],
+            "text": [
+                "a genuinely new document body one",  # dup of doc 12 (cross-batch)
+                "a second brand new document body",   # admit
+            ],
+        }
+    ).to_parquet(root / "in" / "b2.parquet", **kw)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(root / "in"))
+    )
+    q = streaming_ingest_with_index(
+        stream,
+        idx,
+        str(root / "out"),
+        str(root / "ckpt"),
+        threshold=0.4,
+    )
+    q.awaitTermination(180)
+    admitted = sorted(
+        r.doc_id for r in spark.read.parquet(str(root / "out")).collect()
+    )
+    assert admitted == [12, 21]

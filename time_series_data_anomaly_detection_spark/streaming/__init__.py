@@ -1,4 +1,7 @@
-from .dedup import streaming_exact_dedup  # noqa: F401
+from .dedup import (  # noqa: F401
+    streaming_exact_dedup,
+    streaming_ingest_with_index,
+)
 from .detectors import (  # noqa: F401
     streaming_window_stats,
     streaming_rolling_flags,

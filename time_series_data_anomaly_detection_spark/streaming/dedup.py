@@ -41,3 +41,64 @@ def streaming_exact_dedup(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["dup_group"])
     )
+
+
+def streaming_ingest_with_index(
+    stream,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """The production ingest loop: every micro-batch is deduped against
+    the PERSISTED index (exact digest + LSH near-dup, the full
+    five-verdict ladder of ``incremental_dedup``), admitted docs are
+    appended to ``out_path``, and the index is extended with them — so
+    a duplicate arriving in a LATER micro-batch is caught by the index,
+    with no in-memory state at all (contrast
+    :func:`streaming_exact_dedup`, whose digest state is
+    watermark-bounded and exact-only).
+
+    ``foreachBatch`` batches run sequentially, so extend-then-next-batch
+    is race-free; the checkpoint makes the loop restartable (a replayed
+    batch re-tests against an index that already contains its docs and
+    re-admits nothing — idempotent by the dedup itself).
+
+    Returns the started ``StreamingQuery``.
+    """
+    from ..datapipe.index import (
+        extend_dedup_index,
+        incremental_dedup_against_index,
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        verdicts = incremental_dedup_against_index(
+            spark, index_path, batch_df, n=n, threshold=threshold,
+            text_col=text_col, id_col=id_col,
+        )
+        admitted = batch_df.join(
+            verdicts.filter(F.col("verdict") == "new").select(id_col),
+            id_col,
+        ).persist()
+        try:
+            if not admitted.isEmpty():
+                admitted.write.mode("append").parquet(out_path)
+                extend_dedup_index(
+                    admitted, index_path, n=n,
+                    text_col=text_col, id_col=id_col,
+                )
+        finally:
+            admitted.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

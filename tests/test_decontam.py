@@ -1,0 +1,129 @@
+"""Unit tests for corpus-hygiene operators (decontamination, repetition
+signals, PII scan/redact, semantic dedup, training order) on tiny
+corpora with known answers."""
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_data_anomaly_detection_spark.datapipe import (
+    decontaminate,
+    pii_scan,
+    repetition_stats,
+    semantic_dedup,
+    training_order,
+)
+from time_series_data_anomaly_detection_spark.datapipe.decontam import (
+    eval_member,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    txt = (
+        "mail me at alice@example.com or bob.smith@corp.co.uk, "
+        "server 10.0.0.1 and 192.168.1.254, ssn 123-45-6789 end"
+    )
+    out = pii_scan(_docs(spark, [(0, txt), (1, "no pii here")])).collect()
+    by = {r["doc_id"]: r for r in out}
+    assert by[0]["n_emails"] == 2
+    assert by[0]["n_ips"] == 2
+    assert by[0]["n_ids"] == 1
+    assert by[0]["pii_total"] == 5
+    expected = (
+        "mail me at <EMAIL> or <EMAIL>, "
+        "server <IP> and <IP>, ssn <ID> end"
+    )
+    assert by[0]["redacted_len"] == len(expected)
+    assert by[0]["redacted_md5"] == hashlib.md5(expected.encode()).hexdigest()
+    assert by[1]["pii_total"] == 0
+    assert by[1]["redacted_md5"] == hashlib.md5(b"no pii here").hexdigest()
+
+
+def test_repetition_stats_exact_fractions(spark):
+    # "a b a b a b": 2-grams = [ab, ba, ab, ba, ab] -> all 5 duplicated,
+    # top gram "a b" occurs 3x; 3-grams = [aba, bab, aba, bab] -> all dup
+    rep = "a b a b a b"
+    uniq = "one two three four five"
+    lines = "x\ny\nx\n\nz"  # duplicate line 'x' (2 of 4 non-empty lines)
+    out = repetition_stats(
+        _docs(spark, [(0, rep), (1, uniq), (2, lines)])
+    ).collect()
+    by = {r["doc_id"]: r for r in out}
+    assert by[0]["n_2grams"] == 5
+    assert by[0]["dup_2gram_frac"] == pytest.approx(1.0, abs=1e-6)
+    assert by[0]["top_2gram_frac"] == pytest.approx(3 / 5, abs=1e-6)
+    assert by[0]["dup_3gram_frac"] == pytest.approx(1.0, abs=1e-6)
+    assert by[1]["dup_2gram_frac"] == 0.0
+    assert by[1]["top_2gram_frac"] == pytest.approx(1 / 4, abs=1e-6)
+    assert by[2]["n_lines"] == 4
+    assert by[2]["dup_line_frac"] == pytest.approx(2 / 4, abs=1e-6)
+
+
+def test_decontaminate_flags_eval_overlap(spark):
+    # discover which small ids the hash carves into the eval split
+    ids = spark.range(0, 50).select(F.col("id").alias("doc_id"))
+    ev = ids.filter(eval_member(F.col("doc_id"), 0.2)).collect()
+    assert ev, "expected at least one eval id in 0..49 at frac 0.2"
+    eval_id = ev[0]["doc_id"]
+    non_eval = [
+        r["doc_id"]
+        for r in ids.filter(~eval_member(F.col("doc_id"), 0.2)).collect()
+    ]
+    leak_id, clean_id = non_eval[0], non_eval[1]
+    shared = "alpha beta gamma delta epsilon"  # one 5-gram
+    rows = [
+        (eval_id, f"prefix words {shared} suffix words"),
+        (leak_id, f"unrelated opening {shared} closing remark"),
+        (clean_id, "totally disjoint content with no overlap at all here"),
+    ]
+    out = decontaminate(_docs(spark, rows), eval_frac=0.2, n=5).collect()
+    by = {r["doc_id"]: r for r in out}
+    assert eval_id not in by  # eval docs are not scored
+    assert by[leak_id]["contaminated"] == 1
+    assert by[leak_id]["n_hit"] >= 1
+    assert by[clean_id]["contaminated"] == 0
+    assert by[clean_id]["n_hit"] == 0
+
+
+def test_semantic_dedup_drops_near_duplicate_in_cell(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [1.0, 0.01]),  # same cell as 0, cosine ~1 -> dropped
+        (3, [0.7, 0.7]),  # ties to cell 0, cosine ~0.71 to mates -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, threshold=0.95, n_cells=2).collect()
+    by = {r["vec_id"]: r for r in out}
+    assert by[2]["keep"] == 0 and by[2]["max_lower_cos"] > 0.99
+    assert by[0]["keep"] == 1 and by[0]["max_lower_cos"] == -1.0
+    assert by[1]["keep"] == 1
+    assert by[3]["keep"] == 1 and by[3]["cell"] == 0
+
+
+def test_training_order_is_deterministic_partition_of_docs(spark):
+    docs = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    out = training_order(docs, n_epochs=2, n_shards=4).toPandas()
+    # every doc appears exactly once per epoch
+    assert len(out) == 400
+    assert out.groupby("epoch")["doc_id"].nunique().tolist() == [200, 200]
+    # positions are contiguous 1..k within each (epoch, shard)
+    for (_, _), g in out.groupby(["epoch", "shard"]):
+        assert sorted(g["pos"]) == list(range(1, len(g) + 1))
+    # epochs shuffle differently
+    e0 = out[out.epoch == 0].sort_values(["shard", "pos"])["doc_id"].tolist()
+    e1 = out[out.epoch == 1].sort_values(["shard", "pos"])["doc_id"].tolist()
+    assert e0 != e1
+    # repartition-stable: same assignment regardless of input layout
+    out2 = training_order(
+        docs.repartition(7), n_epochs=2, n_shards=4
+    ).toPandas()
+    a = out.sort_values(["epoch", "doc_id"]).reset_index(drop=True)
+    b = out2.sort_values(["epoch", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -287,3 +287,56 @@ def test_pack_documents_no_global_sort(spark):
     # packing window must hash-partition on source instead
     assert "SinglePartition" not in plan
     assert "hashpartitioning(source" in plan
+
+
+def test_corpus_hygiene_ops_are_map_only(spark):
+    """repetition_stats and pii_scan must be pure per-row projections:
+    zero Exchange nodes — the shape that scans 100 TB exactly once."""
+    from time_series_data_anomaly_detection_spark.datapipe import (
+        pii_scan,
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["a b a", "x\ny"]})
+    )
+    for op in (repetition_stats, pii_scan):
+        plan = _plan(op(docs))
+        assert _count(plan, ") Exchange") == 0, op.__name__
+        assert _count(plan, ") BroadcastExchange") == 0, op.__name__
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The corpus-side gram stream must meet the eval gram set through a
+    broadcast join (eval sets are tiny next to the corpus), never a
+    sort-merge exchange of the exploded corpus grams."""
+    from time_series_data_anomaly_detection_spark.datapipe import decontaminate
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(20),
+                "text": [f"alpha beta gamma delta epsilon doc {i}" for i in range(20)],
+            }
+        )
+    )
+    plan = _plan(decontaminate(docs, eval_frac=0.2, n=5))
+    assert _count(plan, ") BroadcastHashJoin") >= 1
+    assert _count(plan, "SortMergeJoin") == 0
+
+
+def test_semantic_dedup_assignment_is_map_side(spark):
+    """Nearest-centroid assignment must NOT exchange the corpus (the
+    centroid table rides in as a literal): no Window node anywhere, and
+    the only exchanges belong to the pair join + final aggregates."""
+    from time_series_data_anomaly_detection_spark.datapipe import semantic_dedup
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(semantic_dedup(vecs, threshold=0.9, n_cells=4))
+    # no per-vector window (the old join+row_number assignment shape);
+    # the only Window nodes are the skew guard's per-cell group counts
+    assert "windowspecdefinition(vec_id" not in plan
+    assert _count(plan, ") Window") <= 2

@@ -54,11 +54,18 @@ from .similarity import (  # noqa: F401
     kmeans_centroids,
     topk_recall,
     knn_label_agreement,
+    semantic_dedup,
 )
 from .sampling import (  # noqa: F401
     stratified_sample,
     quality_deciles,
     source_mix,
+    training_order,
+)
+from .decontam import (  # noqa: F401
+    decontaminate,
+    repetition_stats,
+    pii_scan,
 )
 from .packing import (  # noqa: F401
     pack_documents,

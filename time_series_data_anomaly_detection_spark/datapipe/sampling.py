@@ -130,3 +130,51 @@ def source_mix(
             6,
         ).alias("sample_fraction"),
     )
+
+
+def training_order(
+    df: DataFrame,
+    n_epochs: int = 2,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    salt: str = "ord",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: assign every doc,
+    for every epoch, a shard and an in-shard position from the portable
+    content hash — the "shuffled dataset" a training job reads, WITHOUT
+    ever materializing a random permutation.
+
+    - reshuffled per epoch (the hash mixes the epoch number), the
+      property data loaders want so epoch boundaries don't repeat
+      ordering;
+    - reproducible and repartition-stable: position depends only on
+      (salt, epoch, doc_id), so a backfilled shard is byte-identical;
+    - shard-parallel: the only ordered step is a per-(epoch, shard)
+      rank — shards are the write/read unit, so parallelism is
+      n_shards × n_epochs and no global sort exists. Scale n_shards
+      with the cluster (one shard ≈ one output file).
+
+    Output: (doc_id, epoch, shard, pos) with pos = 1-based rank of the
+    doc's hash inside its (epoch, shard).
+    """
+    h = hash48(
+        F.concat(
+            F.lit(salt),
+            F.lit("|"),
+            F.col("epoch").cast("string"),
+            F.lit("|"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    d = (
+        df.select(id_col)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.lit(int(n_epochs) - 1)))
+        )
+        .withColumn("__h", h)
+        .withColumn("shard", F.pmod(F.col("__h"), F.lit(int(n_shards))).cast("int"))
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("__h", id_col)
+    return d.select(
+        id_col, "epoch", "shard", F.row_number().over(w).alias("pos")
+    )

@@ -318,3 +318,108 @@ def knn_label_agreement(
             / F.count("*")
         ).alias("agreement"),
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mode: str = "seed",
+    bucket_cap: int = 4096,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the embedding space into ``n_cells`` centroid cells, then
+    inside each cell drop every vector whose cosine to a LOWER-ID
+    cell-mate reaches ``threshold`` (the lowest id of each semantic
+    clump survives — deterministic, single pass, no fixpoint).
+
+    Output: one row per corpus vector — ``(vec_id, cell,
+    max_lower_cos, keep)`` with ``max_lower_cos`` = the max cosine to
+    any lower-id member of the same cell (-1.0 when none exists).
+
+    Scale shape: the all-pairs comparison is confined to cells (the
+    SemDeDup trick — cells shrink the quadratic term by ~n_cells²),
+    the within-cell self-join rides the salted skew guard
+    (:func:`datapipe._skew.salted_self_join_pairs`) so one hot cell
+    cannot become a straggler task.  Cell ASSIGNMENT is zero-shuffle:
+    the centroid table is O(n_cells) rows by construction, so it rides
+    into the corpus scan as a LITERAL array and the nearest-cell argmax
+    is a per-row ``transform`` + ``sort_array`` head — the corpus is
+    never exchanged just to pick a cell (the ivf_topk join+window shape
+    would move n_cells copies of every row).  Grow ``n_cells`` ~
+    O(sqrt(N)) with the corpus to keep per-cell membership flat;
+    ``centroid_mode="kmeans"`` trains real k-means|| centroids (seed
+    mode is the deterministic, oracle-checkable fixture).
+    """
+    from ._skew import salted_self_join_pairs
+    from .dedup import _dot, _norm
+
+    if centroid_mode == "kmeans":
+        cents = kmeans_centroids(corpus, n_cells, vec_col)
+    else:
+        cents = (
+            corpus.orderBy(id_col)
+            .limit(n_cells)
+            .select(
+                F.col(id_col).alias("cent_id"),
+                F.col(vec_col).alias("cent_v"),
+                _norm(F.col(vec_col)).alias("cent_n"),
+            )
+        )
+    # centroids -> driver literal (tiny by construction): assignment is
+    # then a map-side expression, no join/window exchange of the corpus
+    cent_rows = sorted(cents.collect(), key=lambda r: r["cent_id"])
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cent_id"])).cast("long").alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r["cent_v"]]).alias("cv"),
+                F.lit(float(r["cent_n"])).alias("cn"),
+            )
+            for r in cent_rows
+        ]
+    )
+    s = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("v"), _norm(F.col(vec_col)).alias("nrm")
+    )
+    # argmax cosine with cent_id-asc tie-break == min over (-cos, cid)
+    scored = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            (
+                -(
+                    _dot(F.col("v"), c["cv"])
+                    / (F.col("nrm") * c["cn"] + F.lit(1e-12))
+                )
+            ).alias("neg"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    assigned = s.select(
+        id_col, "v", "nrm", F.sort_array(scored)[0]["cid"].alias("cell")
+    )
+    pairs = salted_self_join_pairs(
+        assigned, keys=["cell"], id_col=id_col, cap=bucket_cap
+    )
+    cos = _dot(F.col(f"a.v"), F.col(f"b.v")) / (
+        F.col("a.nrm") * F.col("b.nrm") + F.lit(1e-12)
+    )
+    # a[id] < b[id] by construction: the higher id accumulates the max
+    # cosine to its lower-id cell-mates
+    lower_max = (
+        pairs.select(F.col(f"b.{id_col}").alias(id_col), cos.alias("__cos"))
+        .groupBy(id_col)
+        .agg(F.max("__cos").alias("__max_lower"))
+    )
+    out = assigned.select(id_col, "cell").join(lower_max, id_col, "left")
+    mx = F.coalesce(F.col("__max_lower"), F.lit(-1.0))
+    # max_lower_cos emitted RAW (gate queries quantize with _rnd); keep
+    # compares the raw value so rounding can't flip the decision
+    return out.select(
+        id_col,
+        "cell",
+        mx.alias("max_lower_cos"),
+        (mx < F.lit(float(threshold))).cast("int").alias("keep"),
+    )

@@ -2411,10 +2411,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Long-stable rows-only queries (weakest signal, green twice) sink
     # to the back where a cap costs the least information.
     gate_first = [
-        # never appeared in any driver correctness run (new in r03/r04);
+        # never appeared in any driver correctness run (new in r05);
         # within the block, cheap queries first so each family's
         # first-execution JIT cost lands on a small query, not a
         # composite (bench order follows this dict)
+        "pii_scan",
+        "training_order",
+        "repetition_stats",
+        "decontaminate",
+        "semantic_dedup",
+        # hash-green in r03 but outside the r04 ~50-query check window —
+        # rotate them forward so every oracled query has a recent row
+        "gp_train_subsample",
+        "doc_stats",
+        "lang_id",
+        "fingerprint",
+        "exact_dedup",
+        "interval_exceedance",
+        "ar1_forecast",
+        "global_moments",
+        "average_precision",
+        "forecast_accuracy",
+        "ensemble_fusion",
+        "acf",
+        "acf_statsmodels",
+        "pacf",
+        "resample_decompose",
+        "kalman_forecast_fixed",
+        "winnow_fingerprints",
+        "ngram_jaccard",
+        "revenue_anomaly",
+        # r04-green composites/datapipe, next priority after the above
         "stratified_sample",
         "source_mix",
         "quality_deciles",
@@ -2437,10 +2464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qq_plot",
         "histogram_fit",
         "corpus_prep",
-        # last driver verdict was r02 hash-FAIL (fixed, never re-checked)
         "multimodal_features",
         "source_stats",
-        # hash-green in r02 but dropped from the r03 check window
         "minhash_lsh",
         "simhash",
         "embedding_near_dup",

@@ -420,6 +420,84 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+DECON_EVAL_FRAC = 0.05
+DECON_N = 5
+DECON_THR = int(DECON_EVAL_FRAC * (1 << 48))
+SEMDEDUP_T = 0.4
+TRAIN_EPOCHS = 2
+TRAIN_SHARDS = 8
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any word
+    5-gram with the (hash-carved) eval split — the test-set-leak guard
+    every pretraining corpus runs before training."""
+    from ..datapipe.decontam import decontaminate
+
+    out = decontaminate(
+        _docs(spark, sf_dir), eval_frac=DECON_EVAL_FRAC, n=DECON_N
+    )
+    return out.select(
+        "doc_id", "n_grams", "n_hit",
+        _rnd("overlap_frac", R).alias("overlap_frac"),
+        "contaminated",
+    )
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-doc repetition signals (dup-line/-gram and
+    top-gram fractions) — zero-shuffle sort+fold per row."""
+    from ..datapipe.decontam import repetition_stats
+
+    out = repetition_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_2grams",
+        _rnd("dup_2gram_frac", R).alias("dup_2gram_frac"),
+        _rnd("top_2gram_frac", R).alias("top_2gram_frac"),
+        _rnd("dup_3gram_frac", R).alias("dup_3gram_frac"),
+        "n_lines",
+        _rnd("dup_line_frac", R).alias("dup_line_frac"),
+    )
+
+
+def q_pii_scan(spark, sf_dir):
+    """PII detection + redaction (e-mail / IPv4 / SSN-shaped): per-doc
+    counts plus the redacted text's length and digest."""
+    from ..datapipe.decontam import pii_scan
+
+    out = pii_scan(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_emails", "n_ips", "n_ids", "pii_total",
+        "redacted_len", "redacted_md5",
+    )
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup: centroid-cell-confined pairwise cosine; drop vectors
+    within 0.4 of a lower-id cell-mate (lowest id survives)."""
+    from ..datapipe.similarity import semantic_dedup
+
+    out = semantic_dedup(
+        _embs(spark, sf_dir), threshold=SEMDEDUP_T, n_cells=IVF_CELLS
+    )
+    return out.select(
+        "vec_id", "cell",
+        _rnd("max_lower_cos", R).alias("max_lower_cos"),
+        "keep",
+    )
+
+
+def q_training_order(spark, sf_dir):
+    """Deterministic per-epoch training shuffle: content-hash shard +
+    in-shard position for every (doc, epoch)."""
+    from ..datapipe.sampling import training_order
+
+    out = training_order(
+        _docs(spark, sf_dir), n_epochs=TRAIN_EPOCHS, n_shards=TRAIN_SHARDS
+    )
+    return out.select("doc_id", "epoch", "shard", "pos")
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -1531,6 +1609,183 @@ FROM t GROUP BY 1, 2
 _finalize_dedup_best()
 
 
+from ..datapipe.decontam import EMAIL_RE, IPV4_RE, SSN_RE  # noqa: E402
+
+# decontamination — mirrors datapipe.decontam.decontaminate (5-gram
+# overlap of non-eval docs against the hash-carved eval split)
+ORACLES["decontaminate"] = f"""
+WITH {SQL_TOKS},
+ev AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('eval|' || CAST(doc_id AS VARCHAR)), 1, 12)
+              AS BIGINT) < {DECON_THR} AS is_eval
+  FROM documents
+),
+dg AS (
+  SELECT toks.doc_id, ev.is_eval,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - {DECON_N - 1}, 0)),
+           i -> array_to_string(t[i:i+{DECON_N - 1}], ' '))) AS gs
+  FROM toks JOIN ev ON ev.doc_id = toks.doc_id
+),
+gh AS (
+  SELECT doc_id, is_eval,
+         CAST('0x' || substr(md5(unnest(gs)), 1, 12) AS BIGINT) AS gh
+  FROM dg
+),
+eg AS (SELECT DISTINCT gh FROM gh WHERE is_eval),
+corpus AS (SELECT doc_id, len(gs) AS n_grams FROM dg WHERE NOT is_eval),
+hits AS (
+  SELECT g.doc_id, count(*) AS n_hit
+  FROM gh g JOIN eg ON eg.gh = g.gh
+  WHERE NOT g.is_eval
+  GROUP BY 1
+)
+SELECT c.doc_id,
+       CAST(c.n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       round(coalesce(h.n_hit, 0) / (c.n_grams + 1e-9), {R}) AS overlap_frac,
+       CASE WHEN coalesce(h.n_hit, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+FROM corpus c LEFT JOIN hits h ON h.doc_id = c.doc_id
+"""
+
+# within-doc repetition signals — mirrors datapipe.decontam.
+# repetition_stats (fractions over gram/line counts; dup = members of
+# any value occurring >= twice)
+ORACLES["repetition_stats"] = f"""
+WITH {SQL_TOKS},
+g2 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                               i -> array_to_string(t[i:i+1], ' '))) AS g
+  FROM toks
+),
+g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+g2s AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, CAST(max(c) AS BIGINT) AS best,
+         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup
+  FROM g2c GROUP BY 1
+),
+g3 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                               i -> array_to_string(t[i:i+2], ' '))) AS g
+  FROM toks
+),
+g3c AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+g3s AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup
+  FROM g3c GROUP BY 1
+),
+ln AS (
+  SELECT doc_id,
+         unnest(list_filter(list_transform(string_split(text, chr(10)),
+                                           x -> trim(x)),
+                            x -> x <> '')) AS l
+  FROM documents
+),
+lnc AS (SELECT doc_id, l, count(*) AS c FROM ln GROUP BY 1, 2),
+lns AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup
+  FROM lnc GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_2grams,
+       round(coalesce(a.dup, 0) / (coalesce(a.n, 0) + 1e-9), {R})
+         AS dup_2gram_frac,
+       round(coalesce(a.best, 0) / (coalesce(a.n, 0) + 1e-9), {R})
+         AS top_2gram_frac,
+       round(coalesce(b.dup, 0) / (coalesce(b.n, 0) + 1e-9), {R})
+         AS dup_3gram_frac,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_lines,
+       round(coalesce(c.dup, 0) / (coalesce(c.n, 0) + 1e-9), {R})
+         AS dup_line_frac
+FROM documents d
+LEFT JOIN g2s a ON a.doc_id = d.doc_id
+LEFT JOIN g3s b ON b.doc_id = d.doc_id
+LEFT JOIN lns c ON c.doc_id = d.doc_id
+"""
+
+# PII scan/redact — mirrors datapipe.decontam.pii_scan (same patterns,
+# same fixed redaction order; DuckDB needs the 'g' flag Spark implies)
+ORACLES["pii_scan"] = f"""
+WITH red AS (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '{EMAIL_RE}', '<EMAIL>', 'g'),
+           '{IPV4_RE}', '<IP>', 'g'),
+           '{SSN_RE}', '<ID>', 'g') AS r
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{SSN_RE}')) AS BIGINT) AS n_ids,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}'))
+            + len(regexp_extract_all(text, '{IPV4_RE}'))
+            + len(regexp_extract_all(text, '{SSN_RE}')) AS BIGINT) AS pii_total,
+       CAST(length(r) AS BIGINT) AS redacted_len,
+       md5(r) AS redacted_md5
+FROM red
+"""
+
+# SemDeDup — seed centroids + nearest-cell assignment exactly as the
+# ivf_topk oracle, then the within-cell lower-id max-cosine rule
+ORACLES["semantic_dedup"] = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cent_id, e AS ce, nrm AS cn
+  FROM v ORDER BY vec_id LIMIT {IVF_CELLS}
+),
+cass AS (
+  SELECT s.vec_id, s.e, s.nrm, c.cent_id,
+         row_number() OVER (
+           PARTITION BY s.vec_id
+           ORDER BY list_dot_product(s.e, c.ce) / (s.nrm * c.cn + 1e-12) DESC,
+                    c.cent_id ASC) AS rk
+  FROM v s CROSS JOIN cents c
+),
+mem AS (SELECT vec_id, e, nrm, cent_id AS cell FROM cass WHERE rk = 1),
+pr AS (
+  SELECT b.vec_id,
+         max(list_dot_product(a.e, b.e) / (a.nrm * b.nrm + 1e-12)) AS mx
+  FROM mem a JOIN mem b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  GROUP BY 1
+)
+SELECT m.vec_id, m.cell,
+       round(coalesce(p.mx, -1.0), {R}) AS max_lower_cos,
+       CASE WHEN coalesce(p.mx, -1.0) < {SEMDEDUP_T} THEN 1 ELSE 0 END AS keep
+FROM mem m LEFT JOIN pr p ON p.vec_id = m.vec_id
+"""
+
+# deterministic training order — mirrors datapipe.sampling.training_order
+ORACLES["training_order"] = f"""
+WITH d AS (
+  SELECT doc_id, CAST(e.epoch AS INTEGER) AS epoch
+  FROM documents,
+       (SELECT unnest(generate_series(0, {TRAIN_EPOCHS - 1})) AS epoch) e
+),
+h AS (
+  SELECT doc_id, epoch,
+         CAST('0x' || substr(md5('ord|' || CAST(epoch AS VARCHAR) || '|'
+                                 || CAST(doc_id AS VARCHAR)), 1, 12)
+              AS BIGINT) AS hh
+  FROM d
+)
+SELECT doc_id, epoch,
+       CAST(hh % {TRAIN_SHARDS} AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY epoch, hh % {TRAIN_SHARDS}
+                               ORDER BY hh, doc_id) AS INTEGER) AS pos
+FROM h
+"""
+
+
 def queries():
     return {
         "doc_stats": q_doc_stats,
@@ -1566,6 +1821,11 @@ def queries():
         "corpus_filter": q_corpus_filter,
         "corpus_prep": q_corpus_prep,
         "source_stats": q_source_stats,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "pii_scan": q_pii_scan,
+        "semantic_dedup": q_semantic_dedup,
+        "training_order": q_training_order,
     }
 
 

@@ -127,3 +127,48 @@ def test_training_order_is_deterministic_partition_of_docs(spark):
     a = out.sort_values(["epoch", "doc_id"]).reset_index(drop=True)
     b = out2.sort_values(["epoch", "doc_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_curation_pipeline_verdict_ladder(spark):
+    from time_series_data_anomaly_detection_spark.datapipe.decontam import (
+        curation_pipeline,
+    )
+
+    ids = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+    ev = [r["doc_id"] for r in ids.filter(eval_member(F.col("doc_id"), 0.2)).collect()]
+    ne = [r["doc_id"] for r in ids.filter(~eval_member(F.col("doc_id"), 0.2)).collect()]
+    eval_id = ev[0]
+    contam, piiheavy, repet, short, lowq, keep = ne[:6]
+    shared = "omega theta sigma lambda kappa"
+    keep_txt = (
+        "the quick brown fox jumps over a lazy dog and the river is "
+        "wide and the sun is warm and it shines over the green field "
+        "where a small bird sings of the morning and the wind moves "
+        "softly through the tall grass near the old stone bridge today"
+    )
+    rows = [
+        (eval_id, f"benchmark question {shared} answer text"),
+        (contam, f"training doc leaking {shared} verbatim here"),
+        (
+            piiheavy,
+            "contact a@x.com b@y.org c@z.net d@w.io for the offer details",
+        ),
+        (repet, "spam " * 40),
+        (short, "just a few short words"),
+        (lowq, " ".join(f"tok{i}" for i in range(25))),
+        (keep, keep_txt),
+    ]
+    out = curation_pipeline(
+        _docs(spark, rows), eval_frac=0.2, n=5
+    ).collect()
+    by = {r["doc_id"]: r["verdict"] for r in out}
+    assert by[eval_id] == "eval_holdout"
+    assert by[contam] == "contaminated"
+    assert by[piiheavy] == "pii_heavy"
+    assert by[repet] == "repetitive"
+    assert by[short] == "too_short"
+    assert by[lowq] == "low_quality"
+    assert by[keep] == "keep"
+    # the kept doc's digest matches its (unchanged) text
+    md5s = {r["doc_id"]: r["redacted_md5"] for r in out}
+    assert md5s[keep] == hashlib.md5(keep_txt.encode()).hexdigest()

@@ -219,3 +219,78 @@ def pii_scan(
         F.length(red).cast("long").alias("redacted_len"),
         F.md5(red).alias("redacted_md5"),
     )
+
+
+def curation_pipeline(
+    df: DataFrame,
+    eval_frac: float = 0.05,
+    n: int = 5,
+    min_quality: float = 0.5,
+    min_tokens: int = 20,
+    max_rep: float = 0.3,
+    max_pii: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The hygiene funnel end-to-end — the round-5 operators composed
+    the way a corpus team runs them (one query, one verdict per doc,
+    ladder ordered by severity)::
+
+        eval_holdout    hash-carved eval split (never trained on)
+        contaminated    shares a word n-gram with the eval split
+        pii_heavy       more than ``max_pii`` PII spans
+        repetitive      dup-2gram or dup-line fraction >= ``max_rep``
+        too_short / low_quality
+        keep
+
+    Kept docs carry ``redacted_md5`` — the digest of the PII-redacted
+    payload that actually ships to training.
+
+    Scale shape: four independent branches over the corpus scan (all
+    individually hash-gated as their own queries — doc_stats,
+    repetition_stats, pii_scan, decontaminate), joined on the doc id;
+    three of the four are zero-shuffle projections, so the funnel costs
+    one corpus scan per branch plus the broadcast eval-gram join.
+    """
+    from .text import doc_stats
+
+    stats = doc_stats(df, text_col).select(
+        id_col, "n_tokens", "quality_score"
+    )
+    rep = repetition_stats(df, text_col, id_col).select(
+        id_col, "dup_2gram_frac", "dup_line_frac"
+    )
+    pii = pii_scan(df, text_col, id_col).select(
+        id_col, "pii_total", "redacted_md5"
+    )
+    dec = decontaminate(
+        df, eval_frac=eval_frac, n=n, text_col=text_col, id_col=id_col
+    ).select(id_col, "n_hit", "overlap_frac")
+    joined = (
+        stats.join(rep, id_col)
+        .join(pii, id_col)
+        .join(dec, id_col, "left")  # eval docs carry no overlap row
+    )
+    verdict = (
+        F.when(F.col("n_hit").isNull(), F.lit("eval_holdout"))
+        .when(F.col("n_hit") > 0, F.lit("contaminated"))
+        .when(F.col("pii_total") > max_pii, F.lit("pii_heavy"))
+        .when(
+            (F.col("dup_2gram_frac") >= max_rep)
+            | (F.col("dup_line_frac") >= max_rep),
+            F.lit("repetitive"),
+        )
+        .when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("quality_score") < min_quality, F.lit("low_quality"))
+        .otherwise(F.lit("keep"))
+    )
+    return joined.select(
+        id_col,
+        "n_tokens",
+        "quality_score",
+        "pii_total",
+        "dup_2gram_frac",
+        F.coalesce(F.col("n_hit"), F.lit(-1)).cast("long").alias("n_hit"),
+        verdict.alias("verdict"),
+        "redacted_md5",
+    )

@@ -487,6 +487,36 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+CUR_MIN_QUALITY = 0.5
+CUR_MIN_TOKENS = 20
+CUR_MAX_REP = 0.3
+CUR_MAX_PII = 3
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end hygiene funnel: decontamination + PII + repetition +
+    quality verdict ladder, with the redacted payload digest carried
+    for the kept docs."""
+    from ..datapipe.decontam import curation_pipeline
+
+    out = curation_pipeline(
+        _docs(spark, sf_dir),
+        eval_frac=DECON_EVAL_FRAC,
+        n=DECON_N,
+        min_quality=CUR_MIN_QUALITY,
+        min_tokens=CUR_MIN_TOKENS,
+        max_rep=CUR_MAX_REP,
+        max_pii=CUR_MAX_PII,
+    )
+    return out.select(
+        "doc_id", "n_tokens",
+        _rnd("quality_score", R).alias("quality_score"),
+        "pii_total",
+        _rnd("dup_2gram_frac", R).alias("dup_2gram_frac"),
+        "n_hit", "verdict", "redacted_md5",
+    )
+
+
 def q_training_order(spark, sf_dir):
     """Deterministic per-epoch training shuffle: content-hash shard +
     in-shard position for every (doc, epoch)."""
@@ -1764,6 +1794,118 @@ SELECT m.vec_id, m.cell,
 FROM mem m LEFT JOIN pr p ON p.vec_id = m.vec_id
 """
 
+# hygiene funnel composite — the decontaminate / pii_scan /
+# repetition_stats / doc_stats fragments joined on doc_id with the
+# first-failure verdict ladder (mirrors datapipe.decontam.
+# curation_pipeline; gates compare RAW doubles so rounding can't flip
+# a verdict)
+ORACLES["curation_pipeline"] = f"""
+WITH {SQL_TOKS},
+st AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         len(list_filter(t, x -> x IN ({{STOP}}))) / (len(t) + 1e-9)
+           AS stopword_ratio,
+         len(list_distinct(t)) / (len(t) + 1e-9) AS unique_ratio
+  FROM toks
+),
+q AS (
+  SELECT doc_id, n_tokens,
+         least(n_tokens / 50.0, 1.0) * 0.4
+         + least(stopword_ratio * 5.0, 1.0) * 0.3
+         + unique_ratio * 0.3 AS quality_score
+  FROM st
+),
+g2 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                               i -> array_to_string(t[i:i+1], ' '))) AS g
+  FROM toks
+),
+g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+g2s AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup
+  FROM g2c GROUP BY 1
+),
+ln AS (
+  SELECT doc_id,
+         unnest(list_filter(list_transform(string_split(text, chr(10)),
+                                           x -> trim(x)),
+                            x -> x <> '')) AS l
+  FROM documents
+),
+lnc AS (SELECT doc_id, l, count(*) AS c FROM ln GROUP BY 1, 2),
+lns AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup
+  FROM lnc GROUP BY 1
+),
+pii AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{EMAIL_RE}'))
+              + len(regexp_extract_all(text, '{IPV4_RE}'))
+              + len(regexp_extract_all(text, '{SSN_RE}')) AS BIGINT)
+           AS pii_total,
+         md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '{EMAIL_RE}', '<EMAIL>', 'g'),
+           '{IPV4_RE}', '<IP>', 'g'),
+           '{SSN_RE}', '<ID>', 'g')) AS redacted_md5
+  FROM documents
+),
+ev AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('eval|' || CAST(doc_id AS VARCHAR)), 1, 12)
+              AS BIGINT) < {DECON_THR} AS is_eval
+  FROM documents
+),
+dg AS (
+  SELECT toks.doc_id, ev.is_eval,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - {DECON_N - 1}, 0)),
+           i -> array_to_string(t[i:i+{DECON_N - 1}], ' '))) AS gs
+  FROM toks JOIN ev ON ev.doc_id = toks.doc_id
+),
+gh AS (
+  SELECT doc_id, is_eval,
+         CAST('0x' || substr(md5(unnest(gs)), 1, 12) AS BIGINT) AS gh
+  FROM dg
+),
+eg AS (SELECT DISTINCT gh FROM gh WHERE is_eval),
+hits AS (
+  SELECT g.doc_id, count(*) AS n_hit
+  FROM gh g JOIN eg ON eg.gh = g.gh
+  WHERE NOT g.is_eval
+  GROUP BY 1
+)
+SELECT q.doc_id,
+       q.n_tokens,
+       round(q.quality_score, {R}) AS quality_score,
+       pii.pii_total,
+       round(coalesce(a.dup, 0) / (coalesce(a.n, 0) + 1e-9), {R})
+         AS dup_2gram_frac,
+       CAST(CASE WHEN ev.is_eval THEN -1
+                 ELSE coalesce(h.n_hit, 0) END AS BIGINT) AS n_hit,
+       CASE
+         WHEN ev.is_eval THEN 'eval_holdout'
+         WHEN coalesce(h.n_hit, 0) > 0 THEN 'contaminated'
+         WHEN pii.pii_total > {CUR_MAX_PII} THEN 'pii_heavy'
+         WHEN coalesce(a.dup, 0) / (coalesce(a.n, 0) + 1e-9) >= {CUR_MAX_REP}
+              OR coalesce(c.dup, 0) / (coalesce(c.n, 0) + 1e-9)
+                 >= {CUR_MAX_REP} THEN 'repetitive'
+         WHEN q.n_tokens < {CUR_MIN_TOKENS} THEN 'too_short'
+         WHEN q.quality_score < {CUR_MIN_QUALITY} THEN 'low_quality'
+         ELSE 'keep'
+       END AS verdict,
+       pii.redacted_md5
+FROM q
+JOIN pii ON pii.doc_id = q.doc_id
+JOIN ev ON ev.doc_id = q.doc_id
+LEFT JOIN g2s a ON a.doc_id = q.doc_id
+LEFT JOIN lns c ON c.doc_id = q.doc_id
+LEFT JOIN hits h ON h.doc_id = q.doc_id
+""".replace("{STOP}", _STOP)
+
 # deterministic training order — mirrors datapipe.sampling.training_order
 ORACLES["training_order"] = f"""
 WITH d AS (
@@ -1826,6 +1968,7 @@ def queries():
         "pii_scan": q_pii_scan,
         "semantic_dedup": q_semantic_dedup,
         "training_order": q_training_order,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 

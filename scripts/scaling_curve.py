@@ -37,6 +37,13 @@ HEADLINE = [
     "stratified_sample",
     "event_rollup",
     "user_sessions",
+    # round-5 hygiene family
+    "pii_scan",
+    "repetition_stats",
+    "decontaminate",
+    "semantic_dedup",
+    "training_order",
+    "curation_pipeline",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]

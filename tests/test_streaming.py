@@ -376,3 +376,49 @@ def test_streaming_ingest_with_index(spark, tmp_path_factory):
         r.doc_id for r in spark.read.parquet(str(root / "out")).collect()
     )
     assert admitted == [12, 21]
+
+
+def test_streaming_ingest_hygiene_gate(spark, tmp_path_factory):
+    """hygiene=True: pii-heavy and repetitive docs never reach the
+    index; admitted docs land with their text REDACTED."""
+    from time_series_data_anomaly_detection_spark.datapipe.index import (
+        build_dedup_index,
+    )
+    from time_series_data_anomaly_detection_spark.streaming import (
+        streaming_ingest_with_index,
+    )
+
+    root = tmp_path_factory.mktemp("ingest_hyg")
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["the seed corpus document is here"]})
+    )
+    idx = str(root / "index")
+    build_dedup_index(corpus, idx)
+
+    (root / "in").mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12],
+            "text": [
+                "a@x.com b@y.org c@z.net d@w.io spam addresses",  # pii-heavy
+                "spam spam spam spam spam spam spam spam",  # repetitive
+                "a clean new document reaching me at alice@example.com today",
+            ],
+        }
+    ).to_parquet(root / "in" / "b1.parquet", index=False)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(root / "in"))
+    )
+    q = streaming_ingest_with_index(
+        stream,
+        idx,
+        str(root / "out"),
+        str(root / "ckpt"),
+        threshold=0.4,
+        hygiene=True,
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(str(root / "out")).collect()
+    assert [r.doc_id for r in out] == [12]
+    assert "<EMAIL>" in out[0].text and "alice@example.com" not in out[0].text

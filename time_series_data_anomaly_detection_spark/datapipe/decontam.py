@@ -294,3 +294,59 @@ def curation_pipeline(
         verdict.alias("verdict"),
         "redacted_md5",
     )
+
+
+def ingest_gate(
+    df: DataFrame,
+    min_quality: float = 0.3,
+    min_tokens: int = 5,
+    max_rep: float = 0.5,
+    max_pii: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Admission filter for INGEST-time hygiene: drop pii-heavy /
+    repetitive / too-short / low-quality docs and REDACT the surviving
+    text — the per-batch gate that runs ahead of index dedup in the
+    streaming ingest loop (``streaming.streaming_ingest_with_index``).
+
+    Single zero-shuffle projection (quality, repetition and PII are all
+    in-row expressions), so it adds no state and no exchange to a
+    micro-batch.  Decontamination is deliberately NOT part of this
+    gate: the eval-gram join belongs in the batch curation pass
+    (:func:`curation_pipeline`), not on the ingest hot path.
+
+    Returns the admitted rows with ``df``'s exact schema, text already
+    redacted — the index and the corpus then only ever see sanitized
+    content.
+    """
+    from .text import doc_stats
+
+    s = tokenize(doc_stats(df, text_col), text_col)
+    g2 = _runlength_stats(grams(2))
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    gl = _runlength_stats(lines)
+    txt = F.col(text_col)
+
+    def n_matches(pat):
+        return F.size(F.regexp_extract_all(txt, F.lit(pat), 0))
+
+    pii_n = n_matches(EMAIL_RE) + n_matches(IPV4_RE) + n_matches(SSN_RE)
+    dup2 = g2["dup"] / (g2["n"] + F.lit(1e-9))
+    dupl = gl["dup"] / (gl["n"] + F.lit(1e-9))
+    keep = (
+        (F.col("quality_score") >= min_quality)
+        & (F.col("n_tokens") >= min_tokens)
+        & (dup2 < max_rep)
+        & (dupl < max_rep)
+        & (pii_n <= max_pii)
+    )
+    red = F.regexp_replace(txt, EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, IPV4_RE, "<IP>")
+    red = F.regexp_replace(red, SSN_RE, "<ID>")
+    return (
+        s.filter(keep).select(*df.columns).withColumn(text_col, red)
+    )

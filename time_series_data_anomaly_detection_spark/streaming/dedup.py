@@ -52,6 +52,8 @@ def streaming_ingest_with_index(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hygiene: bool = False,
+    gate_kwargs: dict | None = None,
 ):
     """The production ingest loop: every micro-batch is deduped against
     the PERSISTED index (exact digest + LSH near-dup, the full
@@ -67,8 +69,15 @@ def streaming_ingest_with_index(
     batch re-tests against an index that already contains its docs and
     re-admits nothing — idempotent by the dedup itself).
 
+    ``hygiene=True`` runs :func:`datapipe.decontam.ingest_gate` on each
+    micro-batch BEFORE the index dedup: pii-heavy / repetitive /
+    low-quality docs are dropped and surviving text is redacted, so
+    the index and the corpus only ever see sanitized content (a later
+    unredacted re-post still collides via the LSH near-dup layer).
+
     Returns the started ``StreamingQuery``.
     """
+    from ..datapipe.decontam import ingest_gate
     from ..datapipe.index import (
         extend_dedup_index,
         incremental_dedup_against_index,
@@ -77,6 +86,13 @@ def streaming_ingest_with_index(
     def process(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if hygiene:
+            batch_df = ingest_gate(
+                batch_df, text_col=text_col, id_col=id_col,
+                **(gate_kwargs or {}),
+            )
+            if batch_df.isEmpty():
+                return
         spark = batch_df.sparkSession
         verdicts = incremental_dedup_against_index(
             spark, index_path, batch_df, n=n, threshold=threshold,

@@ -172,3 +172,30 @@ def test_curation_pipeline_verdict_ladder(spark):
     # the kept doc's digest matches its (unchanged) text
     md5s = {r["doc_id"]: r["redacted_md5"] for r in out}
     assert md5s[keep] == hashlib.md5(keep_txt.encode()).hexdigest()
+
+
+def test_semantic_dedup_kmeans_mode(spark):
+    """centroid_mode='kmeans': clustered near-identical vectors land in
+    the same trained cell and the lowest id of each clump survives."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(0, 1, (3, 8))
+    rows = []
+    for i in range(60):
+        c = centers[i % 3]
+        # every third vector is a near-copy of vector i-3 (same clump)
+        rows.append((i, (c + rng.normal(0, 0.01, 8)).tolist()))
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]})
+    )
+    out = semantic_dedup(
+        df, threshold=0.999, n_cells=3, centroid_mode="kmeans"
+    ).toPandas()
+    # per generative clump (vec_id % 3) exactly the smallest id is kept
+    out["clump"] = out.vec_id % 3
+    kept = out[out.keep == 1]
+    assert len(kept) == 3
+    assert sorted(kept.vec_id.tolist()) == [0, 1, 2]
+    # cells follow the clumps: each clump maps to a single cell
+    assert (out.groupby("clump")["cell"].nunique() == 1).all()

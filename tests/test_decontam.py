@@ -199,3 +199,36 @@ def test_semantic_dedup_kmeans_mode(spark):
     assert sorted(kept.vec_id.tolist()) == [0, 1, 2]
     # cells follow the clumps: each clump maps to a single cell
     assert (out.groupby("clump")["cell"].nunique() == 1).all()
+
+
+def test_write_training_shards_layout(spark, tmp_path_factory):
+    """One file per (epoch, shard) directory; in-file row order == pos
+    order; every doc present exactly once per epoch."""
+    import glob
+    import os
+
+    from time_series_data_anomaly_detection_spark.datapipe.packing import (
+        write_training_shards,
+    )
+
+    docs = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc body "), F.col("id")).alias("text"),
+    )
+    path = str(tmp_path_factory.mktemp("shards") / "train")
+    write_training_shards(docs, path, n_epochs=2, n_shards=4)
+
+    dirs = sorted(glob.glob(os.path.join(path, "epoch=*", "shard=*")))
+    assert len(dirs) == 8
+    total = 0
+    for d in dirs:
+        files = [f for f in glob.glob(os.path.join(d, "*.parquet"))]
+        assert len(files) == 1, d  # one task -> one file per shard
+        pdf = pd.read_parquet(files[0])
+        total += len(pdf)
+        # file order IS the training order
+        assert pdf["pos"].tolist() == sorted(pdf["pos"].tolist())
+        assert pdf["pos"].tolist() == list(range(1, len(pdf) + 1))
+    assert total == 200
+    back = spark.read.parquet(path)
+    assert back.groupBy("epoch").count().orderBy("epoch").collect()[0]["count"] == 100

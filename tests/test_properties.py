@@ -322,3 +322,44 @@ def test_fill_gaps_matches_pandas_interpolation(spark, present, step):
     )
     np.testing.assert_allclose(out["value"].to_numpy(), ref.to_numpy(), atol=1e-9)
     assert (out["is_gap"].to_numpy() == (~np.array(present)).astype(int)).all()
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd", "e f"]),
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+def test_runlength_stats_matches_counter_reference(spark, docs):
+    """The zero-shuffle sort+fold multiplicity scan must agree with a
+    plain Counter over every random token bag: total, max multiplicity,
+    and members-of-duplicated-values count."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from time_series_data_anomaly_detection_spark.datapipe.decontam import (
+        _runlength_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, toks) for i, toks in enumerate(docs)],
+        "doc_id long, toks array<string>",
+    )
+    out = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", _runlength_stats(F.col("toks")).alias("s")
+        ).collect()
+    }
+    for i, toks in enumerate(docs):
+        c = Counter(toks)
+        assert out[i]["n"] == len(toks)
+        assert out[i]["best"] == (max(c.values()) if c else 0)
+        assert out[i]["dup"] == sum(v for v in c.values() if v >= 2)

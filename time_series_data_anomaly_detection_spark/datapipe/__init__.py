@@ -70,6 +70,7 @@ from .decontam import (  # noqa: F401
 from .packing import (  # noqa: F401
     pack_documents,
     pack_stats,
+    write_training_shards,
 )
 from .events import (  # noqa: F401
     load_events,

@@ -94,3 +94,40 @@ def pack_stats(
         F.min(id_col).alias("first_doc"),
         F.max(id_col).alias("last_doc"),
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_epochs: int = 1,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    salt: str = "ord",
+) -> None:
+    """Materialize the deterministic training order
+    (:func:`datapipe.sampling.training_order`) as the SHARDED PARQUET
+    LAYOUT a data loader actually reads: one directory per
+    (epoch, shard), rows inside each file sorted by ``pos``.
+
+    Write shape: ``repartition(epoch, shard)`` makes each output shard
+    the work of exactly one task (so each directory holds one file),
+    and ``sortWithinPartitions`` makes FILE order the READ order — a
+    loader streams shard files sequentially with zero further
+    shuffling, and a re-run (or a backfill of one shard) is
+    byte-identical because order comes from the content hash, not from
+    task scheduling.  Scale ``n_shards`` with the cluster: one shard ≈
+    one loader stream ≈ one write task.
+    """
+    from .sampling import training_order
+
+    order = training_order(
+        df, n_epochs=n_epochs, n_shards=n_shards, id_col=id_col, salt=salt
+    )
+    (
+        df.join(order, id_col)
+        .repartition(F.col("epoch"), F.col("shard"))
+        .sortWithinPartitions("epoch", "shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("epoch", "shard")
+        .parquet(path)
+    )

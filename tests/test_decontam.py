@@ -232,3 +232,32 @@ def test_write_training_shards_layout(spark, tmp_path_factory):
     assert total == 200
     back = spark.read.parquet(path)
     assert back.groupBy("epoch").count().orderBy("epoch").collect()[0]["count"] == 100
+
+
+def test_corpus_drift_shares_and_tvd(spark):
+    from time_series_data_anomaly_detection_spark.datapipe import corpus_drift
+
+    def mk(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+        )
+
+    base = mk(
+        [(i, "web" if i < 6 else "books", f"document body number {i}") for i in range(10)]
+    )
+    # snapshot: books vanished, a new source appeared, web doubled share
+    snap = mk(
+        [(100 + i, "web", f"fresh crawl text {i}") for i in range(4)]
+        + [(200, "forums", "a brand new source appears")]
+    )
+    out = {r["source"]: r for r in corpus_drift(base, snap).collect()}
+    assert set(out) == {"web", "books", "forums"}
+    assert out["web"]["docs_base"] == 6 and out["web"]["docs_snap"] == 4
+    assert out["books"]["docs_snap"] == 0
+    assert out["books"]["doc_share_snap"] == 0.0
+    assert out["forums"]["docs_base"] == 0
+    assert out["web"]["doc_share_base"] == pytest.approx(0.6)
+    assert out["web"]["doc_share_snap"] == pytest.approx(0.8)
+    # TVD of the mix: (|0.8-0.6| + |0-0.4| + |0.2-0|) / 2 = 0.4
+    tvd = sum(r["tv_term"] for r in out.values())
+    assert tvd == pytest.approx(0.4, abs=1e-9)

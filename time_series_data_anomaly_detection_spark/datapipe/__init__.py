@@ -45,6 +45,7 @@ from .corpus import (  # noqa: F401
     corpus_filter,
     corpus_prep,
     source_stats,
+    corpus_drift,
 )
 from .similarity import (  # noqa: F401
     with_norm,

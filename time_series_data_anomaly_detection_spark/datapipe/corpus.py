@@ -170,3 +170,76 @@ def corpus_prep(
         id_col, "n_tokens", "quality_score", "lang_pred",
         "cluster_id", "cluster_size", "verdict",
     )
+
+
+def corpus_drift(
+    baseline: DataFrame,
+    snapshot: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distribution-shift report between two corpus snapshots — the
+    monitoring query a lake team runs after every ingest wave: did the
+    source mix, token mix, or per-source quality move?
+
+    Per stratum (full outer over both sides):
+
+    - doc/token counts and SHARES on each side;
+    - ``share_ratio`` — snapshot doc share over baseline doc share;
+    - ``quality_delta`` — mean-quality movement;
+    - ``tv_term`` — |share_snap − share_base| / 2; summing the column
+      gives the total-variation distance of the source mix, a bounded
+      [0, 1] drift score.
+
+    All algebra is exact (integer counts, decimal quality sums, double
+    division) — deliberately NO transcendental functions (KL's ln
+    differs in the last ulp between engines), so the report is
+    bit-stable and oracle-checkable.  Scale: one aggregate per side
+    into O(strata) rows; the share windows and the join run on those
+    tiny frames, never on the corpus.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()  # O(strata) rows — safe single partition
+
+    def side(df, suffix):
+        s = source_stats(df, text_col).select(
+            F.col(strata_col).alias("stratum"),
+            F.col("n_docs").alias(f"docs_{suffix}"),
+            F.col("total_tokens").alias(f"tokens_{suffix}"),
+            F.col("mean_quality").alias(f"quality_{suffix}"),
+        )
+        return s.select(
+            "*",
+            (
+                F.col(f"docs_{suffix}")
+                / F.sum(f"docs_{suffix}").over(w)
+            ).alias(f"doc_share_{suffix}"),
+            (
+                F.col(f"tokens_{suffix}")
+                / F.sum(f"tokens_{suffix}").over(w)
+            ).alias(f"tok_share_{suffix}"),
+        )
+
+    b, s = side(baseline, "base"), side(snapshot, "snap")
+    j = b.join(s, "stratum", "full_outer")
+
+    def z(c):  # absent stratum -> zero share/count
+        return F.coalesce(F.col(c), F.lit(0.0))
+
+    return j.select(
+        F.col("stratum").alias(strata_col),
+        F.coalesce("docs_base", F.lit(0)).cast("long").alias("docs_base"),
+        F.coalesce("docs_snap", F.lit(0)).cast("long").alias("docs_snap"),
+        z("doc_share_base").alias("doc_share_base"),
+        z("doc_share_snap").alias("doc_share_snap"),
+        z("tok_share_base").alias("tok_share_base"),
+        z("tok_share_snap").alias("tok_share_snap"),
+        (z("doc_share_snap") / (z("doc_share_base") + F.lit(1e-12))).alias(
+            "share_ratio"
+        ),
+        (z("quality_snap") - z("quality_base")).alias("quality_delta"),
+        (F.abs(z("doc_share_snap") - z("doc_share_base")) / F.lit(2.0)).alias(
+            "tv_term"
+        ),
+    )

@@ -517,6 +517,33 @@ def q_curation_pipeline(spark, sf_dir):
     )
 
 
+SNAP_THR = 1 << 47  # hash-carved "new crawl" = deterministic half
+
+
+def q_corpus_drift(spark, sf_dir):
+    """Source-mix drift report between the corpus and a hash-carved
+    snapshot half: shares, ratio, quality delta, TVD terms."""
+    from ..datapipe.corpus import corpus_drift
+    from ..datapipe.text import hash48
+
+    docs = _docs(spark, sf_dir)
+    snap = docs.filter(
+        hash48(F.concat(F.lit("snap|"), F.col("doc_id").cast("string")))
+        < SNAP_THR
+    )
+    out = corpus_drift(docs, snap)
+    return out.select(
+        "source", "docs_base", "docs_snap",
+        _rnd("doc_share_base", R).alias("doc_share_base"),
+        _rnd("doc_share_snap", R).alias("doc_share_snap"),
+        _rnd("tok_share_base", R).alias("tok_share_base"),
+        _rnd("tok_share_snap", R).alias("tok_share_snap"),
+        _rnd("share_ratio", R).alias("share_ratio"),
+        _rnd("quality_delta", R).alias("quality_delta"),
+        _rnd("tv_term", R).alias("tv_term"),
+    )
+
+
 def q_training_order(spark, sf_dir):
     """Deterministic per-epoch training shuffle: content-hash shard +
     in-shard position for every (doc, epoch)."""
@@ -1906,6 +1933,56 @@ LEFT JOIN lns c ON c.doc_id = q.doc_id
 LEFT JOIN hits h ON h.doc_id = q.doc_id
 """.replace("{STOP}", _STOP)
 
+# corpus drift — two source_stats stacks (baseline / hash-carved
+# snapshot) joined full-outer with share windows; mirrors
+# datapipe.corpus.corpus_drift (TVD terms, no transcendentals)
+ORACLES["corpus_drift"] = f"""
+WITH tb AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+  FROM documents
+),
+sb AS (SELECT doc_id, source, len(t) AS n_tokens, {_QUALITY} AS q FROM tb),
+gb AS (
+  SELECT source, count(*) AS docs, CAST(sum(n_tokens) AS BIGINT) AS toks,
+         CAST(sum(CAST(q AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mq
+  FROM sb GROUP BY 1
+),
+bb AS (
+  SELECT source, docs, mq,
+         docs / CAST(sum(docs) OVER () AS BIGINT) AS dsh,
+         toks / CAST(sum(toks) OVER () AS BIGINT) AS tsh
+  FROM gb
+),
+gs AS (
+  SELECT source, count(*) AS docs, CAST(sum(n_tokens) AS BIGINT) AS toks,
+         CAST(sum(CAST(q AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mq
+  FROM sb
+  WHERE CAST('0x' || substr(md5('snap|' || CAST(doc_id AS VARCHAR)), 1, 12)
+             AS BIGINT) < {SNAP_THR}
+  GROUP BY 1
+),
+ss AS (
+  SELECT source, docs, mq,
+         docs / CAST(sum(docs) OVER () AS BIGINT) AS dsh,
+         toks / CAST(sum(toks) OVER () AS BIGINT) AS tsh
+  FROM gs
+)
+SELECT coalesce(b.source, s.source) AS source,
+       CAST(coalesce(b.docs, 0) AS BIGINT) AS docs_base,
+       CAST(coalesce(s.docs, 0) AS BIGINT) AS docs_snap,
+       round(coalesce(b.dsh, 0.0), {R}) AS doc_share_base,
+       round(coalesce(s.dsh, 0.0), {R}) AS doc_share_snap,
+       round(coalesce(b.tsh, 0.0), {R}) AS tok_share_base,
+       round(coalesce(s.tsh, 0.0), {R}) AS tok_share_snap,
+       round(coalesce(s.dsh, 0.0) / (coalesce(b.dsh, 0.0) + 1e-12), {R})
+         AS share_ratio,
+       round(coalesce(s.mq, 0.0) - coalesce(b.mq, 0.0), {R})
+         AS quality_delta,
+       round(abs(coalesce(s.dsh, 0.0) - coalesce(b.dsh, 0.0)) / 2.0, {R})
+         AS tv_term
+FROM bb b FULL OUTER JOIN ss s ON s.source = b.source
+"""
+
 # deterministic training order — mirrors datapipe.sampling.training_order
 ORACLES["training_order"] = f"""
 WITH d AS (
@@ -1969,6 +2046,7 @@ def queries():
         "semantic_dedup": q_semantic_dedup,
         "training_order": q_training_order,
         "curation_pipeline": q_curation_pipeline,
+        "corpus_drift": q_corpus_drift,
     }
 
 

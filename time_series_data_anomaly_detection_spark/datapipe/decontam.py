@@ -79,9 +79,21 @@ def decontaminate(
     overlap_frac, contaminated)`` where ``n_hit`` counts the doc's
     distinct grams that appear anywhere in the eval set.
     """
+    # repartition by doc BEFORE the gram construction (few parquet
+    # splits would serialize it — same move as shingles/winnowing),
+    # and CACHE the gram arrays: three branches read them (eval gram
+    # set, per-doc totals, the hit explode) and tokenization + 5-gram
+    # construction is the dominant per-row cost
+    from ..session import tracked_cache
+
+    df = df.repartition(F.col(id_col))
     is_eval = eval_member(F.col(id_col), eval_frac, salt)
-    t = tokenize(df, text_col).select(
-        id_col, F.array_distinct(grams(n)).alias("__g"), is_eval.alias("__e")
+    t = tracked_cache(
+        tokenize(df, text_col).select(
+            id_col,
+            F.array_distinct(grams(n)).alias("__g"),
+            is_eval.alias("__e"),
+        )
     )
     # eval gram set: distinct 48-bit gram hashes over all eval docs —
     # small by construction, broadcast below

@@ -261,3 +261,36 @@ def test_corpus_drift_shares_and_tvd(spark):
     # TVD of the mix: (|0.8-0.6| + |0-0.4| + |0.2-0|) / 2 = 0.4
     tvd = sum(r["tv_term"] for r in out.values())
     assert tvd == pytest.approx(0.4, abs=1e-9)
+
+
+def test_pq_topk_recall_on_clustered_vectors(spark):
+    """PQ/ADC top-k on well-clustered data must recover most exact
+    neighbors even at 16-bit codes, and emit at most k per query."""
+    import numpy as np
+
+    from time_series_data_anomaly_detection_spark.datapipe import (
+        cosine_topk,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(0, 1, (8, 64))
+    vecs = [
+        (centers[i % 8] + rng.normal(0, 0.02, 64)).tolist() for i in range(96)
+    ]
+    e = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(96), "embedding": vecs})
+    )
+    q = e.filter("vec_id < 6")
+    exact = cosine_topk(e, q, k=3).toPandas()
+    approx = pq_topk(e, q, k=3, m=4, n_codes=16).toPandas()
+    assert (approx.groupby("query_id").size() <= 3).all()
+    # quantization collapses a clump onto its codeword, so PQ cannot
+    # rank WITHIN a clump — the correct property is that every
+    # retrieved neighbor comes from the query's clump (codes match),
+    # exactly like the exact top-k does on well-separated clusters
+    assert ((exact.match_id % 8) == (exact.query_id % 8)).all()
+    assert ((approx.match_id % 8) == (approx.query_id % 8)).all()
+    # and the reconstructed distance of a same-clump neighbor is tiny
+    # next to the inter-cluster scale (centers are N(0,1) in 64-d)
+    assert approx["adist"].max() < 1.0

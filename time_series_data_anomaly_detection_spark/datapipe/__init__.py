@@ -56,6 +56,7 @@ from .similarity import (  # noqa: F401
     topk_recall,
     knn_label_agreement,
     semantic_dedup,
+    pq_topk,
 )
 from .sampling import (  # noqa: F401
     stratified_sample,

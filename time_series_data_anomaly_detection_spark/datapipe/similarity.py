@@ -423,3 +423,110 @@ def semantic_dedup(
         mx.alias("max_lower_cos"),
         (mx < F.lit(float(threshold))).cast("int").alias("keep"),
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., TPAMI 2011) — the
+    memory-compression scale path next to sign-LSH (collision-bounded)
+    and IVF (cell-bounded): each vector is stored as ``m`` sub-space
+    code ids (here m·log2(n_codes) = 16 BITS per 64-d vector instead
+    of 256 bytes), and queries score against the RECONSTRUCTED
+    codewords (asymmetric distance, ADC) — the full corpus never needs
+    its float vectors in memory at query time.
+
+    Deterministic-by-construction (codebooks = the sub-vectors of the
+    ``n_codes`` smallest-id vectors, the same seed convention as
+    ivf_topk), hence oracle-checkable; production swaps per-subspace
+    k-means codebooks into the identical dataflow.
+
+    Scale shape: codebooks are m·n_codes tiny arrays riding into the
+    scan as LITERALS (encoding is zero-shuffle, one map pass — same
+    move as semantic_dedup's assignment); the query side broadcasts;
+    distances accumulate in a FIXED expression order (d0+d1+...) so
+    the result is bit-stable cross-engine.
+
+    Output: (query_id, match_id, rank, adist) — approximate squared
+    L2, rank 1..k ascending, ties by match_id.
+    """
+    rows = sorted(
+        corpus.orderBy(id_col).limit(n_codes).collect(),
+        key=lambda r: r[id_col],
+    )
+    dim = len(rows[0][vec_col])
+    assert dim % m == 0, "embedding dim must divide into m sub-spaces"
+    sub = dim // m
+    # codebooks[j] = literal array of structs (cid, 16-d codeword)
+    cb = [
+        F.array(
+            *[
+                F.struct(
+                    F.lit(ci).alias("cid"),
+                    F.array(
+                        *[
+                            F.lit(float(x))
+                            for x in r[vec_col][j * sub : (j + 1) * sub]
+                        ]
+                    ).alias("cv"),
+                )
+                for ci, r in enumerate(rows)
+            ]
+        )
+        for j in range(m)
+    ]
+
+    def sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double"))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def subv(col, j):
+        return F.slice(col, j * sub + 1, sub)
+
+    # encode: per sub-space argmin (dist asc, cid asc) via sorted structs
+    enc_cols = [
+        F.sort_array(
+            F.transform(
+                cb[j],
+                lambda c: F.struct(
+                    sqdist(subv(F.col("v"), j), c["cv"]).alias("d"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )[0]["cid"].alias(f"c{j}")
+        for j in range(m)
+    ]
+    enc = corpus.select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("v")
+    ).select("match_id", *enc_cols)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    # ADC: reconstruct each sub-space codeword by code id (element_at
+    # into the literal codebook), fixed-order distance accumulation
+    joined = enc.join(F.broadcast(q), F.col("match_id") != F.col("query_id"))
+    adist = None
+    for j in range(m):
+        d = sqdist(
+            subv(F.col("qv"), j),
+            F.element_at(cb[j], F.col(f"c{j}") + 1)["cv"],
+        )
+        adist = d if adist is None else adist + d
+    scored = joined.select("query_id", "match_id", adist.alias("adist"))
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

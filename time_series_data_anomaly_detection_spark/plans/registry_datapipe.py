@@ -517,6 +517,26 @@ def q_curation_pipeline(spark, sf_dir):
     )
 
 
+PQ_M = 4
+PQ_CODES = 16
+
+
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (asymmetric distance): 4 sub-spaces x
+    16 seed codewords -> 16-bit codes; queries score reconstructed
+    codewords. The memory-compression path beside sign-LSH and IVF."""
+    from ..datapipe.similarity import pq_topk
+
+    e = _embs(spark, sf_dir)
+    out = pq_topk(
+        e, e.filter(F.col("vec_id") < N_QUERIES), k=TOPK,
+        m=PQ_M, n_codes=PQ_CODES,
+    )
+    return out.select(
+        "query_id", "match_id", "rank", _rnd("adist", R).alias("adist")
+    )
+
+
 SNAP_THR = 1 << 47  # hash-carved "new crawl" = deterministic half
 
 
@@ -1933,6 +1953,67 @@ LEFT JOIN lns c ON c.doc_id = q.doc_id
 LEFT JOIN hits h ON h.doc_id = q.doc_id
 """.replace("{STOP}", _STOP)
 
+# product-quantization ANN — per-subspace argmin codes from the seed
+# codebook, pivoted to columns so the ADC sum is a FIXED-order
+# expression (bit-identical to the Spark d0+d1+d2+d3 accumulation)
+_PQ_SUB = 64 // PQ_M
+_PQ_DJ = " + ".join(
+    f"""list_sum(list_transform(generate_series(1, {_PQ_SUB}),
+       i -> (q.qe[{j} * {_PQ_SUB} + i] - s{j}.e[{j} * {_PQ_SUB} + i])
+          * (q.qe[{j} * {_PQ_SUB} + i] - s{j}.e[{j} * {_PQ_SUB} + i])))"""
+    for j in range(PQ_M)
+)
+_PQ_PIVOT = ",\n         ".join(
+    f"max(CASE WHEN j = {j} THEN cid END) AS c{j}" for j in range(PQ_M)
+)
+_PQ_SEED_JOINS = "\n".join(
+    f"JOIN seeds s{j} ON s{j}.cid = m.c{j}" for j in range(PQ_M)
+)
+
+ORACLES["pq_topk"] = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e
+  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {PQ_CODES})
+),
+sp AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j),
+dists AS (
+  SELECT s.vec_id, sp.j, c.cid,
+         list_sum(list_transform(generate_series(1, {_PQ_SUB}),
+           i -> (s.e[sp.j * {_PQ_SUB} + i] - c.e[sp.j * {_PQ_SUB} + i])
+              * (s.e[sp.j * {_PQ_SUB} + i] - c.e[sp.j * {_PQ_SUB} + i])))
+           AS d
+  FROM v s CROSS JOIN sp CROSS JOIN seeds c
+),
+enc AS (
+  SELECT vec_id, j, cid
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                     ORDER BY d ASC, cid ASC) AS rk
+        FROM dists)
+  WHERE rk = 1
+),
+encp AS (
+  SELECT vec_id AS match_id,
+         {_PQ_PIVOT}
+  FROM enc GROUP BY 1
+),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, m.match_id,
+         {_PQ_DJ} AS adist
+  FROM encp m CROSS JOIN q
+  {_PQ_SEED_JOINS}
+  WHERE m.match_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adist ASC, match_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, match_id, rank, round(adist, {R}) AS adist
+FROM ranked WHERE rank <= {TOPK}
+"""
+
 # corpus drift — two source_stats stacks (baseline / hash-carved
 # snapshot) joined full-outer with share windows; mirrors
 # datapipe.corpus.corpus_drift (TVD terms, no transcendentals)
@@ -2047,6 +2128,7 @@ def queries():
         "training_order": q_training_order,
         "curation_pipeline": q_curation_pipeline,
         "corpus_drift": q_corpus_drift,
+        "pq_topk": q_pq_topk,
     }
 
 

@@ -294,3 +294,60 @@ def test_pq_topk_recall_on_clustered_vectors(spark):
     # and the reconstructed distance of a same-clump neighbor is tiny
     # next to the inter-cluster scale (centers are N(0,1) in 64-d)
     assert approx["adist"].max() < 1.0
+
+
+def test_pack_bins_ffd_matches_python_reference(spark):
+    """FFD no-split packing: agrees bin-for-bin with a pure-Python
+    first-fit-decreasing; no bin over ctx except flagged oversize
+    singletons; repartition-stable."""
+    import numpy as np
+
+    from time_series_data_anomaly_detection_spark.datapipe.packing import (
+        pack_bins_ffd,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(60):
+        n = int(rng.integers(1, 40)) if i != 13 else 70  # one oversize
+        rows.append((i, "s%d" % (i % 2), "tok " * n))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    )
+    out = pack_bins_ffd(df, ctx=50).toPandas()
+
+    # python reference per shard
+    def ref(items, ctx=50):
+        items = sorted(items, key=lambda t: (-t[1], t[0]))
+        fills, assign = [], {}
+        for did, n in items:
+            if n > ctx:
+                fills.append(n)
+                assign[did] = (len(fills) - 1, 1)
+                continue
+            for b, used in enumerate(fills):
+                if used + n <= ctx:
+                    fills[b] = used + n
+                    assign[did] = (b, 0)
+                    break
+            else:
+                fills.append(n)
+                assign[did] = (len(fills) - 1, 0)
+        return assign
+
+    for shard, g in out.groupby("shard"):
+        items = list(zip(g["doc_id"], g["n_tok"]))
+        expect = ref(items)
+        for _, r in g.iterrows():
+            assert expect[r["doc_id"]] == (r["bin_id"], r["oversize"]), r
+        # capacity invariant
+        agg = g.groupby("bin_id").agg(tok=("n_tok", "sum"), ov=("oversize", "max"))
+        assert ((agg["tok"] <= 50) | (agg["ov"] == 1)).all()
+    # oversize doc got its own bin
+    ov = out[out.oversize == 1]
+    assert len(ov) == 1 and ov.iloc[0]["doc_id"] == 13
+    # repartition-stable
+    out2 = pack_bins_ffd(df.repartition(5), ctx=50).toPandas()
+    a = out.sort_values(["shard", "doc_id"]).reset_index(drop=True)
+    b = out2.sort_values(["shard", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -72,6 +72,7 @@ from .decontam import (  # noqa: F401
 from .packing import (  # noqa: F401
     pack_documents,
     pack_stats,
+    pack_bins_ffd,
     write_training_shards,
 )
 from .events import (  # noqa: F401

@@ -131,3 +131,72 @@ def write_training_shards(
         .partitionBy("epoch", "shard")
         .parquet(path)
     )
+
+
+def pack_bins_ffd(
+    df: DataFrame,
+    ctx: int = 512,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """NO-SPLIT bin packing: first-fit-decreasing within each shard —
+    the packing mode for objectives that cannot tolerate a document
+    straddling a context boundary (contrast :func:`pack_documents`,
+    which concat-and-chunks and splits freely).
+
+    Deterministic: docs are processed by (token count DESC, id ASC);
+    each goes into the FIRST bin (by creation order) with room, else
+    opens a new bin.  Docs longer than ``ctx`` get a single oversized
+    bin of their own, flagged ``oversize = 1`` (truncate-or-split is
+    the caller's policy decision).  FFD is inherently sequential —
+    this is one of the few operators where a grouped-map
+    (``applyInPandas``) is the honest implementation; the grouping
+    axis is the shard, so parallelism is shard count (at 100 TB shard
+    by hash-bucket, thousands of groups), and per-group state is the
+    bin fill table, O(bins).
+
+    Output: (shard, doc_id, n_tok, bin_id, oversize) with bin_id
+    numbered per shard in creation order.
+    """
+    import pandas as pd
+
+    toks = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    )
+    slim = df.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col),
+        toks.alias("n_tok"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tok", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []  # bin_id -> tokens used (oversize: > ctx)
+        bin_ids: list[int] = []
+        oversize: list[int] = []
+        for n in pdf["n_tok"]:
+            n = int(n)
+            if n > ctx:  # own flagged bin; never receives other docs
+                fills.append(n)
+                bin_ids.append(len(fills) - 1)
+                oversize.append(1)
+                continue
+            for b, used in enumerate(fills):
+                if used + n <= ctx:  # oversize bins auto-fail this test
+                    fills[b] = used + n
+                    bin_ids.append(b)
+                    break
+            else:
+                fills.append(n)
+                bin_ids.append(len(fills) - 1)
+            oversize.append(0)
+        pdf["bin_id"] = bin_ids
+        pdf["oversize"] = oversize
+        return pdf
+
+    out_schema = "shard string, " + f"{id_col} long, n_tok int, " \
+        "bin_id long, oversize int"
+    return slim.groupBy("shard").applyInPandas(pack, out_schema)

@@ -422,3 +422,56 @@ def test_streaming_ingest_hygiene_gate(spark, tmp_path_factory):
     out = spark.read.parquet(str(root / "out")).collect()
     assert [r.doc_id for r in out] == [12]
     assert "<EMAIL>" in out[0].text and "alice@example.com" not in out[0].text
+
+
+def test_streaming_source_quality_matches_batch(spark, tmp_path_factory):
+    """Windowed per-source quality over a doc stream equals the same
+    aggregation computed in batch on the closed windows."""
+    from time_series_data_anomaly_detection_spark.streaming import (
+        streaming_source_quality,
+    )
+
+    root = tmp_path_factory.mktemp("docq")
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(120):
+        rows.append(
+            {
+                "doc_id": i,
+                "ts": base + pd.Timedelta(minutes=i),
+                "source": "s%d" % (i % 2),
+                "text": ("the quick brown fox %d " % i) * (1 + i % 4)
+                + ("reach me at u%d@example.com" % i if i % 10 == 0 else ""),
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    kw = dict(index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    pdf[pdf.doc_id < 60].to_parquet(root / "p1.parquet", **kw)
+    pdf[pdf.doc_id >= 60].to_parquet(root / "p2.parquet", **kw)
+
+    schema = "doc_id long, ts timestamp, source string, text string"
+    stream = spark.readStream.schema(schema).parquet(str(root))
+    out = (
+        streaming_source_quality(stream, "30 minutes", "10 minutes")
+        .writeStream.format("memory")
+        .queryName("srcq")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination(120)
+    got = spark.table("srcq").toPandas()
+    assert len(got) > 0
+    # batch mirror on the same closed windows
+    from time_series_data_anomaly_detection_spark.datapipe import doc_stats
+
+    batch = doc_stats(spark.createDataFrame(pdf)).toPandas()
+    batch["window_start"] = batch_ws = pd.to_datetime(pdf["ts"]).dt.floor("30min")
+    for _, r in got.iterrows():
+        sel = batch[
+            (batch.source == r.source) & (batch.window_start == r.window_start)
+        ]
+        assert r.n_docs == len(sel)
+        assert r.mean_quality == pytest.approx(sel.quality_score.mean(), abs=1e-9)
+        has_pii = sel.doc_id % 10 == 0
+        assert r.pii_rate == pytest.approx(has_pii.mean(), abs=1e-9)

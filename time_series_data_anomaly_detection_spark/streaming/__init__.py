@@ -8,3 +8,6 @@ from .detectors import (  # noqa: F401
     streaming_bocpd,
     streaming_user_sessions,
 )
+from .quality import (  # noqa: F401
+    streaming_source_quality,
+)

@@ -340,3 +340,24 @@ def test_semantic_dedup_assignment_is_map_side(spark):
     # the only Window nodes are the skew guard's per-cell group counts
     assert "windowspecdefinition(vec_id" not in plan
     assert _count(plan, ") Window") <= 2
+
+
+def test_pq_encoding_is_map_side(spark):
+    """PQ code assignment must be a pure projection over the literal
+    codebooks — no per-vector Window/exchange before the scoring join
+    (same property as semantic_dedup's cell assignment)."""
+    from time_series_data_anomaly_detection_spark.datapipe import pq_topk
+
+    vecs = spark.createDataFrame(
+        [(i, [float((i * j) % 5) for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    q = vecs.filter("vec_id < 3")
+    plan = _plan(pq_topk(vecs, q, k=3, m=2, n_codes=4))
+    assert "windowspecdefinition(match_id" not in plan
+    # the only true Window ranks per query after the broadcast join;
+    # WindowGroupLimit nodes are the rank-pushdown partial top-k
+    # (map-side k-limiting BEFORE the exchange — keep them)
+    assert _count(plan, ") Window\n") + _count(plan, ") Window ") == 1
+    assert _count(plan, "WindowGroupLimit") >= 1
+    assert _count(plan, ") BroadcastExchange") >= 1

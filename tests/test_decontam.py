@@ -351,3 +351,49 @@ def test_pack_bins_ffd_matches_python_reference(spark):
     a = out.sort_values(["shard", "doc_id"]).reset_index(drop=True)
     b = out2.sort_values(["shard", "doc_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_incremental_semantic_dedup_ladder(spark):
+    from time_series_data_anomaly_detection_spark.datapipe.similarity import (
+        incremental_semantic_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, [1.0, 0.05]),    # ~ corpus 0 -> near_dup_of_corpus
+            (101, [-0.6, 0.8]),    # cell 1, far from corpus
+            (102, [-0.59, 0.81]),  # ~ batch 101 -> near_dup_in_batch
+            (103, [0.1, -1.0]),    # far from everything -> new
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in incremental_semantic_dedup(
+            corpus, batch, threshold=0.95, n_cells=2
+        ).collect()
+    }
+    assert set(out) == {100, 101, 102, 103}
+    assert out[100]["verdict"] == "near_dup_of_corpus"
+    assert out[100]["max_corpus_cos"] > 0.95
+    assert out[101]["verdict"] == "new"
+    assert out[102]["verdict"] == "near_dup_in_batch"
+    assert out[102]["max_batch_cos"] > 0.99
+    assert out[103]["verdict"] == "new"
+    # ladder priority: corpus beats batch when both fire
+    batch2 = spark.createDataFrame(
+        [(200, [1.0, 0.01]), (201, [1.0, 0.02])],
+        "vec_id long, embedding array<double>",
+    )
+    out2 = {
+        r["vec_id"]: r["verdict"]
+        for r in incremental_semantic_dedup(
+            corpus, batch2, threshold=0.95, n_cells=2
+        ).collect()
+    }
+    assert out2[200] == "near_dup_of_corpus"
+    assert out2[201] == "near_dup_of_corpus"  # corpus rung wins over batch

@@ -57,6 +57,7 @@ from .similarity import (  # noqa: F401
     knn_label_agreement,
     semantic_dedup,
     pq_topk,
+    incremental_semantic_dedup,
 )
 from .sampling import (  # noqa: F401
     stratified_sample,

@@ -530,3 +530,139 @@ def pq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def incremental_semantic_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mode: str = "seed",
+) -> DataFrame:
+    """Dedup an ingest BATCH of vectors against an existing corpus —
+    the embedding-side twin of ``dedup.incremental_dedup``: never
+    re-compare the lake against itself, only test the new vectors
+    (against the corpus, and against each other).
+
+    Verdict ladder per batch vector (first failure wins)::
+
+        near_dup_of_corpus   cosine >= t to any corpus vector in its cell
+        near_dup_in_batch    cosine >= t to a smaller-id batch vector
+        new                  admit
+
+    Id spaces of corpus and batch are assumed disjoint (ingest assigns
+    fresh ids).  Scale shape — everything batch-side-driven: centroids
+    seed from the CORPUS and ride in as literals (both assignments are
+    map-side, zero shuffle); the batch side is broadcast into the
+    corpus cell scan, so the corpus is scanned once and never
+    self-joined; the batch-internal pairs are batch-sized.  At steady
+    state the corpus cell assignment is the persisted index (write
+    ``(vec_id, cell)`` once, reuse every batch — same pattern as
+    ``datapipe.index``).
+    """
+    from .dedup import _dot, _norm
+
+    if centroid_mode == "kmeans":
+        cents_df = kmeans_centroids(corpus, n_cells, vec_col)
+        cent_rows = sorted(cents_df.collect(), key=lambda r: r["cent_id"])
+        cent_pairs = [
+            (int(r["cent_id"]), [float(x) for x in r["cent_v"]])
+            for r in cent_rows
+        ]
+    else:
+        rows = sorted(
+            corpus.orderBy(id_col).limit(n_cells).collect(),
+            key=lambda r: r[id_col],
+        )
+        cent_pairs = [
+            (int(r[id_col]), [float(x) for x in r[vec_col]]) for r in rows
+        ]
+    import math
+
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(cid).cast("long").alias("cid"),
+                F.array(*[F.lit(x) for x in cv]).alias("cv"),
+                F.lit(math.sqrt(sum(x * x for x in cv))).alias("cn"),
+            )
+            for cid, cv in cent_pairs
+        ]
+    )
+
+    def assign(df):
+        s = df.select(
+            F.col(id_col),
+            F.col(vec_col).alias("v"),
+            _norm(F.col(vec_col)).alias("nrm"),
+        )
+        scored = F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                (
+                    -(
+                        _dot(F.col("v"), c["cv"])
+                        / (F.col("nrm") * c["cn"] + F.lit(1e-12))
+                    )
+                ).alias("neg"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        return s.select(
+            id_col, "v", "nrm", F.sort_array(scored)[0]["cid"].alias("cell")
+        )
+
+    c, b = assign(corpus), assign(batch)
+    bb = F.broadcast(
+        b.select(
+            F.col(id_col).alias("id_b"),
+            F.col("v").alias("bv"),
+            F.col("nrm").alias("bn"),
+            "cell",
+        )
+    )
+    cos_cb = _dot(F.col("v"), F.col("bv")) / (
+        F.col("nrm") * F.col("bn") + F.lit(1e-12)
+    )
+    vs_corpus = (
+        c.join(bb, "cell")
+        .select(F.col("id_b").alias(id_col), cos_cb.alias("__cos"))
+        .groupBy(id_col)
+        .agg(F.max("__cos").alias("__max_c"))
+    )
+    b2 = b.select(
+        F.col(id_col).alias("id_lo"),
+        F.col("v").alias("lv"),
+        F.col("nrm").alias("ln"),
+        "cell",
+    )
+    cos_bb = _dot(F.col("lv"), F.col("bv")) / (
+        F.col("ln") * F.col("bn") + F.lit(1e-12)
+    )
+    vs_batch = (
+        b2.join(bb, "cell")
+        .filter(F.col("id_lo") < F.col("id_b"))
+        .select(F.col("id_b").alias(id_col), cos_bb.alias("__cos"))
+        .groupBy(id_col)
+        .agg(F.max("__cos").alias("__max_b"))
+    )
+    out = (
+        b.select(id_col, "cell")
+        .join(vs_corpus, id_col, "left")
+        .join(vs_batch, id_col, "left")
+    )
+    mc = F.coalesce(F.col("__max_c"), F.lit(-1.0))
+    mb = F.coalesce(F.col("__max_b"), F.lit(-1.0))
+    t = F.lit(float(threshold))
+    return out.select(
+        id_col,
+        "cell",
+        mc.alias("max_corpus_cos"),
+        mb.alias("max_batch_cos"),
+        F.when(mc >= t, F.lit("near_dup_of_corpus"))
+        .when(mb >= t, F.lit("near_dup_in_batch"))
+        .otherwise(F.lit("new"))
+        .alias("verdict"),
+    )

@@ -537,6 +537,26 @@ def q_pq_topk(spark, sf_dir):
     )
 
 
+def q_incremental_semantic_dedup(spark, sf_dir):
+    """Batch-vs-corpus semantic dedup: embeddings with vec_id%10==3
+    arrive as the ingest batch, the rest are the lake; centroid cells
+    confine every comparison and the ladder names the first failure."""
+    from ..datapipe.similarity import incremental_semantic_dedup
+
+    e = _embs(spark, sf_dir)
+    batch = e.filter(F.col("vec_id") % 10 == 3)
+    corpus = e.filter(F.col("vec_id") % 10 != 3)
+    out = incremental_semantic_dedup(
+        corpus, batch, threshold=NEARDUP_T, n_cells=IVF_CELLS
+    )
+    return out.select(
+        "vec_id", "cell",
+        _rnd("max_corpus_cos", R).alias("max_corpus_cos"),
+        _rnd("max_batch_cos", R).alias("max_batch_cos"),
+        "verdict",
+    )
+
+
 SNAP_THR = 1 << 47  # hash-carved "new crawl" = deterministic half
 
 
@@ -2014,6 +2034,55 @@ SELECT query_id, match_id, rank, round(adist, {R}) AS adist
 FROM ranked WHERE rank <= {TOPK}
 """
 
+# incremental semantic dedup — corpus-seeded centroid cells, both
+# sides assigned, batch-driven max-cosine ladders (mirrors
+# datapipe.similarity.incremental_semantic_dedup)
+ORACLES["incremental_semantic_dedup"] = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cent_id, e AS ce, nrm AS cn
+  FROM v WHERE vec_id % 10 <> 3 ORDER BY vec_id LIMIT {IVF_CELLS}
+),
+cass AS (
+  SELECT s.vec_id, s.e, s.nrm, cc.cent_id,
+         row_number() OVER (
+           PARTITION BY s.vec_id
+           ORDER BY list_dot_product(s.e, cc.ce) / (s.nrm * cc.cn + 1e-12)
+                      DESC,
+                    cc.cent_id ASC) AS rk
+  FROM v s CROSS JOIN cents cc
+),
+mem AS (SELECT vec_id, e, nrm, cent_id AS cell FROM cass WHERE rk = 1),
+cm AS (SELECT * FROM mem WHERE vec_id % 10 <> 3),
+bm AS (SELECT * FROM mem WHERE vec_id % 10 = 3),
+vc AS (
+  SELECT b.vec_id,
+         max(list_dot_product(c.e, b.e) / (c.nrm * b.nrm + 1e-12)) AS mc
+  FROM cm c JOIN bm b ON c.cell = b.cell GROUP BY 1
+),
+vb AS (
+  SELECT b.vec_id,
+         max(list_dot_product(a.e, b.e) / (a.nrm * b.nrm + 1e-12)) AS mb
+  FROM bm a JOIN bm b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  GROUP BY 1
+)
+SELECT m.vec_id, m.cell,
+       round(coalesce(vc.mc, -1.0), {R}) AS max_corpus_cos,
+       round(coalesce(vb.mb, -1.0), {R}) AS max_batch_cos,
+       CASE WHEN coalesce(vc.mc, -1.0) >= {NEARDUP_T}
+              THEN 'near_dup_of_corpus'
+            WHEN coalesce(vb.mb, -1.0) >= {NEARDUP_T}
+              THEN 'near_dup_in_batch'
+            ELSE 'new' END AS verdict
+FROM bm m
+LEFT JOIN vc ON vc.vec_id = m.vec_id
+LEFT JOIN vb ON vb.vec_id = m.vec_id
+"""
+
 # corpus drift — two source_stats stacks (baseline / hash-carved
 # snapshot) joined full-outer with share windows; mirrors
 # datapipe.corpus.corpus_drift (TVD terms, no transcendentals)
@@ -2129,6 +2198,7 @@ def queries():
         "curation_pipeline": q_curation_pipeline,
         "corpus_drift": q_corpus_drift,
         "pq_topk": q_pq_topk,
+        "incremental_semantic_dedup": q_incremental_semantic_dedup,
     }
 
 

@@ -2423,6 +2423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline",
         "corpus_drift",
         "pq_topk",
+        "pq_recall",
         "incremental_semantic_dedup",
         # hash-green in r03 but outside the r04 ~50-query check window —
         # rotate them forward so every oracled query has a recent row

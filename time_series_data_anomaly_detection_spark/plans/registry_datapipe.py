@@ -537,6 +537,23 @@ def q_pq_topk(spark, sf_dir):
     )
 
 
+def q_pq_recall(spark, sf_dir):
+    """Recall@k acceptance probe for the PQ index: how much of the
+    exact cosine top-k the 16-bit-code ADC search recovers — the gate
+    run before trusting PQ compression for curation."""
+    from ..datapipe.similarity import cosine_topk, pq_topk, topk_recall
+
+    e = _embs(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    exact = cosine_topk(e, q, k=TOPK)
+    pq = pq_topk(e, q, k=TOPK, m=PQ_M, n_codes=PQ_CODES)
+    return topk_recall(exact, pq).select(
+        "query_id", "n_exact",
+        F.col("n_hit").alias("pq_hits"),
+        _rnd("recall", R).alias("pq_recall"),
+    )
+
+
 def q_incremental_semantic_dedup(spark, sf_dir):
     """Batch-vs-corpus semantic dedup: embeddings with vec_id%10==3
     arrive as the ingest batch, the rest are the lake; centroid cells
@@ -2034,6 +2051,76 @@ SELECT query_id, match_id, rank, round(adist, {R}) AS adist
 FROM ranked WHERE rank <= {TOPK}
 """
 
+# PQ recall probe — exact top-k stack + the pq_topk stack + the
+# per-query hit count (mirrors q_pq_recall's topk_recall composition)
+ORACLES["pq_recall"] = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+xscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         list_dot_product(q.e, c.e) / (q.nrm * c.nrm + 1e-12) AS cosine
+  FROM v q JOIN v c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+),
+xtop AS (
+  SELECT query_id, match_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, match_id ASC) AS rank
+    FROM xscored
+  ) WHERE rank <= {TOPK}
+),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e
+  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {PQ_CODES})
+),
+sp AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j),
+dists AS (
+  SELECT s.vec_id, sp.j, c.cid,
+         list_sum(list_transform(generate_series(1, {_PQ_SUB}),
+           i -> (s.e[sp.j * {_PQ_SUB} + i] - c.e[sp.j * {_PQ_SUB} + i])
+              * (s.e[sp.j * {_PQ_SUB} + i] - c.e[sp.j * {_PQ_SUB} + i])))
+           AS d
+  FROM v s CROSS JOIN sp CROSS JOIN seeds c
+),
+enc AS (
+  SELECT vec_id, j, cid
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                     ORDER BY d ASC, cid ASC) AS rk
+        FROM dists)
+  WHERE rk = 1
+),
+encp AS (
+  SELECT vec_id AS match_id,
+         {_PQ_PIVOT}
+  FROM enc GROUP BY 1
+),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {N_QUERIES}),
+pscored AS (
+  SELECT q.query_id, m.match_id,
+         {_PQ_DJ} AS adist
+  FROM encp m CROSS JOIN q
+  {_PQ_SEED_JOINS}
+  WHERE m.match_id <> q.query_id
+),
+ptop AS (
+  SELECT query_id, match_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adist ASC, match_id ASC) AS rank
+    FROM pscored
+  ) WHERE rank <= {TOPK}
+)
+SELECT x.query_id, count(*) AS n_exact,
+       CAST(sum(CASE WHEN t.match_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS pq_hits,
+       round(sum(CASE WHEN t.match_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), {R}) AS pq_recall
+FROM xtop x LEFT JOIN ptop t
+  ON x.query_id = t.query_id AND x.match_id = t.match_id
+GROUP BY 1
+"""
+
 # incremental semantic dedup — corpus-seeded centroid cells, both
 # sides assigned, batch-driven max-cosine ladders (mirrors
 # datapipe.similarity.incremental_semantic_dedup)
@@ -2198,6 +2285,7 @@ def queries():
         "curation_pipeline": q_curation_pipeline,
         "corpus_drift": q_corpus_drift,
         "pq_topk": q_pq_topk,
+        "pq_recall": q_pq_recall,
         "incremental_semantic_dedup": q_incremental_semantic_dedup,
     }
 

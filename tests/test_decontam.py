@@ -397,3 +397,32 @@ def test_incremental_semantic_dedup_ladder(spark):
     }
     assert out2[200] == "near_dup_of_corpus"
     assert out2[201] == "near_dup_of_corpus"  # corpus rung wins over batch
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    from time_series_data_anomaly_detection_spark.datapipe.packing import (
+        chunk_documents,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (0, " ".join(f"t{i}" for i in range(100))),  # 100 tokens
+            (1, "short doc only"),                        # 3 tokens
+            (2, " ".join(f"w{i}" for i in range(112))),  # exact 2 chunks
+        ],
+    )
+    out = chunk_documents(docs, ctx=64, overlap=16).toPandas()
+    g0 = out[out.doc_id == 0].sort_values("chunk_id")
+    assert g0["start_tok"].tolist() == [1, 49]
+    assert g0["end_tok"].tolist() == [64, 100]
+    # consecutive chunks overlap by exactly 16 tokens
+    assert g0["end_tok"].iloc[0] - g0["start_tok"].iloc[1] + 1 == 16
+    # full coverage: last chunk reaches the last token
+    assert g0["end_tok"].iloc[-1] == 100
+    g1 = out[out.doc_id == 1]
+    assert len(g1) == 1 and g1.iloc[0]["n_tok_in_chunk"] == 3
+    g2 = out[out.doc_id == 2]
+    assert g2["end_tok"].tolist() == [64, 112]
+    # distinct spans hash distinctly; same span would hash equal
+    assert out["chunk_hash"].nunique() == len(out)

@@ -74,6 +74,7 @@ from .packing import (  # noqa: F401
     pack_documents,
     pack_stats,
     pack_bins_ffd,
+    chunk_documents,
     write_training_shards,
 )
 from .events import (  # noqa: F401

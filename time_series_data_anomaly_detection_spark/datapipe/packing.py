@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import TOKEN_RE
+from .text import TOKEN_RE, hash48, tokenize
 
 
 def pack_documents(
@@ -200,3 +200,53 @@ def pack_bins_ffd(
     out_schema = "shard string, " + f"{id_col} long, n_tok int, " \
         "bin_id long, oversize int"
     return slim.groupBy("shard").applyInPandas(pack, out_schema)
+
+
+def chunk_documents(
+    df: DataFrame,
+    ctx: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document sliding-window chunking with overlap — the
+    long-document path next to :func:`pack_documents` (which packs
+    SHORT docs together): a doc longer than ``ctx`` tokens becomes
+    ceil((n - overlap) / (ctx - overlap)) chunks, consecutive chunks
+    sharing ``overlap`` tokens so no span is ever cut without context
+    (the standard RAG / long-doc pretraining shape).
+
+    Output: (doc_id, chunk_id, start_tok, end_tok, n_tok_in_chunk,
+    chunk_hash) — 1-based inclusive token offsets; ``chunk_hash`` is
+    the portable 48-bit hash of the chunk's reassembled token span, so
+    the exact chunk CONTENT is gate-checkable without shipping it.
+
+    Pure column algebra: tokenize → sequence+explode of chunk indices
+    (output rows = chunks, not tokens) → slice for the span — a single
+    map-side pass after the doc-repartition, no window, no UDF.
+    """
+    stride = ctx - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than ctx")
+    t = tokenize(df.repartition(F.col(id_col)), text_col)
+    n = F.size("tokens")
+    n_chunks = F.when(n <= ctx, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")
+    )
+    d = t.select(
+        id_col,
+        "tokens",
+        n.alias("__n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = (F.col("chunk_id") * stride + 1).cast("long")
+    end = F.least(start + ctx - 1, F.col("__n").cast("long"))
+    span = F.slice("tokens", start, (end - start + 1).cast("int"))
+    return d.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.alias("start_tok"),
+        end.alias("end_tok"),
+        (end - start + 1).alias("n_tok_in_chunk"),
+        hash48(F.concat_ws(" ", span)).alias("chunk_hash"),
+    )

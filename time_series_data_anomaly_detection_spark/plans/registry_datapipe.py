@@ -537,6 +537,25 @@ def q_pq_topk(spark, sf_dir):
     )
 
 
+CHUNK_CTX = 64
+CHUNK_OVERLAP = 16
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Per-doc sliding-window chunking with overlap (the long-document
+    path next to concat-and-chunk packing); chunk content pinned by
+    its 48-bit hash."""
+    from ..datapipe.packing import chunk_documents
+
+    out = chunk_documents(
+        _docs(spark, sf_dir), ctx=CHUNK_CTX, overlap=CHUNK_OVERLAP
+    )
+    return out.select(
+        "doc_id", "chunk_id", "start_tok", "end_tok",
+        "n_tok_in_chunk", "chunk_hash",
+    )
+
+
 def q_pq_recall(spark, sf_dir):
     """Recall@k acceptance probe for the PQ index: how much of the
     exact cosine top-k the 16-bit-code ADC search recovers — the gate
@@ -2051,6 +2070,36 @@ SELECT query_id, match_id, rank, round(adist, {R}) AS adist
 FROM ranked WHERE rank <= {TOPK}
 """
 
+# sliding-window doc chunking — mirrors datapipe.packing.chunk_documents
+_CHUNK_STRIDE = CHUNK_CTX - CHUNK_OVERLAP
+_CHUNK_END = f"least(chunk_id * {_CHUNK_STRIDE} + {CHUNK_CTX}, n)"
+
+ORACLES["chunk_documents"] = f"""
+WITH {SQL_TOKS},
+d AS (
+  SELECT doc_id, t, len(t) AS n,
+         CASE WHEN len(t) <= {CHUNK_CTX} THEN 1
+              ELSE CAST(ceil((len(t) - {CHUNK_OVERLAP}) * 1.0
+                             / {_CHUNK_STRIDE}) AS INT) END AS nc
+  FROM toks
+),
+c AS (
+  SELECT doc_id, t, n,
+         unnest(generate_series(0, nc - 1)) AS chunk_id
+  FROM d
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * {_CHUNK_STRIDE} + 1 AS BIGINT) AS start_tok,
+       CAST({_CHUNK_END} AS BIGINT) AS end_tok,
+       CAST({_CHUNK_END} - (chunk_id * {_CHUNK_STRIDE} + 1) + 1 AS BIGINT)
+         AS n_tok_in_chunk,
+       CAST('0x' || substr(md5(array_to_string(
+              t[chunk_id * {_CHUNK_STRIDE} + 1 : {_CHUNK_END}], ' ')), 1, 12)
+            AS BIGINT) AS chunk_hash
+FROM c
+"""
+
 # PQ recall probe — exact top-k stack + the pq_topk stack + the
 # per-query hit count (mirrors q_pq_recall's topk_recall composition)
 ORACLES["pq_recall"] = f"""
@@ -2287,6 +2336,7 @@ def queries():
         "pq_topk": q_pq_topk,
         "pq_recall": q_pq_recall,
         "incremental_semantic_dedup": q_incremental_semantic_dedup,
+        "chunk_documents": q_chunk_documents,
     }
 
 

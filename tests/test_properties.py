@@ -363,3 +363,44 @@ def test_runlength_stats_matches_counter_reference(spark, docs):
         assert out[i]["n"] == len(toks)
         assert out[i]["best"] == (max(c.values()) if c else 0)
         assert out[i]["dup"] == sum(v for v in c.values() if v >= 2)
+
+
+@given(
+    n=st.integers(min_value=0, max_value=300),
+    ctx=st.integers(min_value=8, max_value=64),
+    overlap=st.integers(min_value=0, max_value=7),
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+def test_chunk_documents_invariants(spark, n, ctx, overlap):
+    """For any (doc length, ctx, overlap): chunks tile the doc with the
+    exact stride, cover every token, and end at the last token."""
+    from time_series_data_anomaly_detection_spark.datapipe.packing import (
+        chunk_documents,
+    )
+
+    text = " ".join(f"t{i}" for i in range(n))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": [text]})
+    )
+    out = (
+        chunk_documents(df, ctx=ctx, overlap=overlap)
+        .toPandas()
+        .sort_values("chunk_id")
+        .reset_index(drop=True)
+    )
+    stride = ctx - overlap
+    assert out["start_tok"].tolist() == [
+        i * stride + 1 for i in range(len(out))
+    ]
+    if n == 0:
+        assert len(out) == 1 and out.iloc[0]["n_tok_in_chunk"] == 0
+        return
+    assert out["end_tok"].iloc[-1] == n
+    # coverage: every token index in some [start, end]
+    covered = set()
+    for _, r in out.iterrows():
+        covered.update(range(int(r["start_tok"]), int(r["end_tok"]) + 1))
+    assert covered == set(range(1, n + 1))
+    # every chunk is at most ctx tokens
+    assert (out["n_tok_in_chunk"] <= ctx).all()
+    assert (out["n_tok_in_chunk"] >= 1).all()

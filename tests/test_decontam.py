@@ -426,3 +426,32 @@ def test_chunk_documents_overlap_and_coverage(spark):
     assert g2["end_tok"].tolist() == [64, 112]
     # distinct spans hash distinctly; same span would hash equal
     assert out["chunk_hash"].nunique() == len(out)
+
+
+def test_retention_cohorts_matrix(spark):
+    from time_series_data_anomaly_detection_spark.datapipe.events import (
+        retention_cohorts,
+    )
+
+    # user 1: periods 0,1,3; user 2: periods 0,2; user 3: period 1 only
+    rows = [
+        (1, 10), (1, 110), (1, 310), (1, 15),
+        (2, 20), (2, 220),
+        (3, 130),
+    ]
+    df = spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(rows)],
+        "event_id long, user_id long, ts_s long",
+    )
+    out = {
+        (r["cohort"], r["offset"]): r
+        for r in retention_cohorts(df, period_seconds=100).collect()
+    }
+    # cohort 0 = users 1,2 (size 2); cohort 1 = user 3 (size 1)
+    assert out[(0, 0)]["cohort_size"] == 2 and out[(0, 0)]["n_active"] == 2
+    assert out[(0, 1)]["n_active"] == 1  # only user 1 active period 1
+    assert out[(0, 2)]["n_active"] == 1  # only user 2
+    assert out[(0, 3)]["n_active"] == 1  # only user 1
+    assert out[(0, 1)]["retention"] == 0.5
+    assert out[(1, 0)]["cohort_size"] == 1 and out[(1, 0)]["retention"] == 1.0
+    assert set(out) == {(0, 0), (0, 1), (0, 2), (0, 3), (1, 0)}

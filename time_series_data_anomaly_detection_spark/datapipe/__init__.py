@@ -83,6 +83,7 @@ from .events import (  # noqa: F401
     event_rollup,
     session_funnel,
     props_field_stats,
+    retention_cohorts,
 )
 from .multimodal import (  # noqa: F401
     as_binary_payload,

@@ -172,3 +172,51 @@ def props_field_stats(
         F.min("__v").alias("vmin"),
         F.max("__v").alias("vmax"),
     )
+
+
+def retention_cohorts(
+    events: DataFrame, period_seconds: int = 604800
+) -> DataFrame:
+    """Cohort retention matrix over the event stream: users are
+    cohorted by the period (default: week) of their FIRST event, and
+    each (cohort, period-offset) cell reports how many of them were
+    active that many periods later — the standard growth-analytics
+    rollup next to sessionization, funnels, and the OLAP rollup.
+
+    All period math is integer epoch-seconds (no calendar/tz
+    functions), so the matrix hashes identically cross-engine.
+
+    Scale shape: one per-user window pass pins the cohort (the same
+    exchange sessionization uses), a distinct collapses events to
+    (user, cohort, offset) activity — cardinality users × active
+    periods, tiny next to events — and the final aggregate + the
+    broadcast cohort-size join run on that collapsed frame.
+
+    Output: (cohort, offset, n_active, cohort_size, retention),
+    retention = n_active / cohort_size; offset 0 rows have
+    retention 1 by construction.
+    """
+    p = int(period_seconds)
+    w = Window.partitionBy("user_id")
+    e = events.select(
+        "user_id", F.floor(F.col("ts_s") / F.lit(p)).cast("long").alias("b")
+    )
+    e = e.withColumn("cohort", F.min("b").over(w))
+    act = e.select(
+        "user_id", "cohort", (F.col("b") - F.col("cohort")).alias("offset")
+    ).distinct()
+    sizes = (
+        act.filter(F.col("offset") == 0)
+        .groupBy("cohort")
+        .agg(F.count("*").alias("cohort_size"))
+    )
+    ret = act.groupBy("cohort", "offset").agg(
+        F.count("*").alias("n_active")
+    )
+    return ret.join(F.broadcast(sizes), "cohort").select(
+        "cohort",
+        "offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active") / F.col("cohort_size")).alias("retention"),
+    )

@@ -2426,6 +2426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall",
         "incremental_semantic_dedup",
         "chunk_documents",
+        "retention_cohorts",
         # hash-green in r03 but outside the r04 ~50-query check window —
         # rotate them forward so every oracled query has a recent row
         "gp_train_subsample",

@@ -537,6 +537,23 @@ def q_pq_topk(spark, sf_dir):
     )
 
 
+RETENTION_PERIOD_S = 86400  # daily cohorts (30-day span -> dense matrix)
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Daily cohort retention matrix over the events table (integer
+    epoch-period math — no calendar functions)."""
+    from ..datapipe.events import load_events, retention_cohorts
+
+    out = retention_cohorts(
+        load_events(spark, sf_dir), period_seconds=RETENTION_PERIOD_S
+    )
+    return out.select(
+        "cohort", "offset", "n_active", "cohort_size",
+        _rnd("retention", R).alias("retention"),
+    )
+
+
 CHUNK_CTX = 64
 CHUNK_OVERLAP = 16
 
@@ -2070,6 +2087,36 @@ SELECT query_id, match_id, rank, round(adist, {R}) AS adist
 FROM ranked WHERE rank <= {TOPK}
 """
 
+# daily retention cohorts — integer epoch-period math, mirrors
+# datapipe.events.retention_cohorts
+ORACLES["retention_cohorts"] = f"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events
+),
+b AS (
+  SELECT user_id,
+         CAST(floor(ts_s / {RETENTION_PERIOD_S}) AS BIGINT) AS b
+  FROM ev
+),
+c AS (
+  SELECT user_id, b, min(b) OVER (PARTITION BY user_id) AS cohort FROM b
+),
+act AS (SELECT DISTINCT user_id, cohort, b - cohort AS "offset" FROM c),
+sizes AS (
+  SELECT cohort, count(*) AS cohort_size
+  FROM act WHERE "offset" = 0 GROUP BY 1
+),
+ret AS (
+  SELECT cohort, "offset", count(*) AS n_active
+  FROM act GROUP BY 1, 2
+)
+SELECT r.cohort, r."offset" AS "offset",
+       CAST(r.n_active AS BIGINT) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       round(r.n_active * 1.0 / s.cohort_size, {R}) AS retention
+FROM ret r JOIN sizes s ON s.cohort = r.cohort
+"""
+
 # sliding-window doc chunking — mirrors datapipe.packing.chunk_documents
 _CHUNK_STRIDE = CHUNK_CTX - CHUNK_OVERLAP
 _CHUNK_END = f"least(chunk_id * {_CHUNK_STRIDE} + {CHUNK_CTX}, n)"
@@ -2337,6 +2384,7 @@ def queries():
         "pq_recall": q_pq_recall,
         "incremental_semantic_dedup": q_incremental_semantic_dedup,
         "chunk_documents": q_chunk_documents,
+        "retention_cohorts": q_retention_cohorts,
     }
 
 

@@ -455,3 +455,29 @@ def test_retention_cohorts_matrix(spark):
     assert out[(0, 1)]["retention"] == 0.5
     assert out[(1, 0)]["cohort_size"] == 1 and out[(1, 0)]["retention"] == 1.0
     assert set(out) == {(0, 0), (0, 1), (0, 2), (0, 3), (1, 0)}
+
+
+def test_embedding_density_ranks_dense_regions(spark):
+    """A clustered clump scores higher density than an isolated
+    vector; a vector alone in its bucket reports -1."""
+    import numpy as np
+
+    from time_series_data_anomaly_detection_spark.datapipe.similarity import (
+        embedding_density,
+    )
+
+    rng = np.random.default_rng(9)
+    rows = []
+    # dense clump: 10 near-copies in the all-positive orthant
+    base = np.abs(rng.normal(1, 0.1, 8))
+    for i in range(10):
+        rows.append((i, (base + rng.normal(0, 0.01, 8)).tolist()))
+    # sparse singleton in the all-negative orthant (own bucket)
+    rows.append((99, (-np.abs(rng.normal(1, 0.1, 8))).tolist()))
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]})
+    )
+    out = {r["vec_id"]: r for r in embedding_density(df, k=3, bucket_bits=4).collect()}
+    for i in range(10):
+        assert out[i]["density"] > 0.99 and out[i]["n_neighbors"] == 3
+    assert out[99]["n_neighbors"] == 0 and out[99]["density"] == -1.0

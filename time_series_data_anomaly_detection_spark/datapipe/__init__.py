@@ -58,6 +58,7 @@ from .similarity import (  # noqa: F401
     semantic_dedup,
     pq_topk,
     incremental_semantic_dedup,
+    embedding_density,
 )
 from .sampling import (  # noqa: F401
     stratified_sample,

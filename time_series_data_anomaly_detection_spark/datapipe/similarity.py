@@ -666,3 +666,77 @@ def incremental_semantic_dedup(
         .otherwise(F.lit("new"))
         .alias("verdict"),
     )
+
+
+def embedding_density(
+    corpus: DataFrame,
+    k: int = 5,
+    bucket_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_cap: int = 4096,
+) -> DataFrame:
+    """Per-vector neighborhood DENSITY: the mean cosine to the vector's
+    top-``k`` neighbors inside its sign-LSH bucket — the signal
+    dataset-pruning methods rank on (dense region = prototypical /
+    redundant; sparse = distinctive or noise), computed without any
+    all-pairs pass.
+
+    Output: (vec_id, bucket, n_neighbors, density); vectors alone in
+    their bucket report n_neighbors 0, density -1.  The mean rides an
+    exact DECIMAL sum so it is order- and engine-independent.
+
+    Scale shape: candidate pairs are confined to buckets (grow
+    ``bucket_bits`` with the corpus), generated once per unordered
+    pair through the salted skew guard and emitted in both directions
+    for the per-vector rank; the final aggregate touches ≤ k rows per
+    vector.
+    """
+    from .._exact import DEC
+    from ._skew import salted_self_join_pairs
+    from .dedup import _dot, _norm
+
+    s = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        sign_bucket(F.col(vec_col), bucket_bits).alias("bucket"),
+    )
+    pairs = salted_self_join_pairs(
+        s, keys=["bucket"], id_col=id_col, cap=bucket_cap
+    )
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        F.col("a.nrm") * F.col("b.nrm") + F.lit(1e-12)
+    )
+    both = pairs.select(
+        "bucket",
+        F.col(f"a.{id_col}").alias("src"),
+        F.col(f"b.{id_col}").alias("dst"),
+        cos.alias("cos"),
+    ).unionByName(
+        pairs.select(
+            "bucket",
+            F.col(f"b.{id_col}").alias("src"),
+            F.col(f"a.{id_col}").alias("dst"),
+            cos.alias("cos"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    top = both.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= k
+    )
+    agg = top.groupBy("src").agg(
+        F.count("*").alias("n_neighbors"),
+        (
+            F.sum(F.col("cos").cast(DEC)).cast("double") / F.count("*")
+        ).alias("__density"),
+    )
+    out = s.select(id_col, "bucket").join(
+        agg.withColumnRenamed("src", id_col), id_col, "left"
+    )
+    return out.select(
+        id_col,
+        "bucket",
+        F.coalesce("n_neighbors", F.lit(0)).cast("long").alias("n_neighbors"),
+        F.coalesce("__density", F.lit(-1.0)).alias("density"),
+    )

@@ -2427,6 +2427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_semantic_dedup",
         "chunk_documents",
         "retention_cohorts",
+        "embedding_density",
         # hash-green in r03 but outside the r04 ~50-query check window —
         # rotate them forward so every oracled query has a recent row
         "gp_train_subsample",

@@ -537,6 +537,23 @@ def q_pq_topk(spark, sf_dir):
     )
 
 
+DENSITY_K = 5
+
+
+def q_embedding_density(spark, sf_dir):
+    """Neighborhood density (mean top-5 in-bucket cosine) per vector —
+    the dataset-pruning ranking signal, bucket-confined."""
+    from ..datapipe.similarity import embedding_density
+
+    out = embedding_density(
+        _embs(spark, sf_dir), k=DENSITY_K, bucket_bits=NEARDUP_BITS
+    )
+    return out.select(
+        "vec_id", "bucket", "n_neighbors",
+        _rnd("density", R).alias("density"),
+    )
+
+
 RETENTION_PERIOD_S = 86400  # daily cohorts (30-day span -> dense matrix)
 
 
@@ -2087,6 +2104,38 @@ SELECT query_id, match_id, rank, round(adist, {R}) AS adist
 FROM ranked WHERE rank <= {TOPK}
 """
 
+# per-vector neighborhood density — in-bucket top-k mean cosine with
+# an exact DECIMAL mean (mirrors datapipe.similarity.embedding_density)
+ORACLES["embedding_density"] = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm,
+         {_sign_bucket_sql("(embedding::DOUBLE[])", NEARDUP_BITS)} AS bucket
+  FROM embeddings
+),
+pr AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         list_dot_product(a.e, b.e) / (a.nrm * b.nrm + 1e-12) AS cos
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+top AS (
+  SELECT src, cos FROM (
+    SELECT *, row_number() OVER (PARTITION BY src
+                                 ORDER BY cos DESC, dst ASC) AS rk
+    FROM pr
+  ) WHERE rk <= {DENSITY_K}
+),
+agg AS (
+  SELECT src, count(*) AS n_neighbors,
+         CAST(sum(CAST(cos AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS d
+  FROM top GROUP BY 1
+)
+SELECT v.vec_id, v.bucket,
+       CAST(coalesce(a.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+       round(coalesce(a.d, -1.0), {R}) AS density
+FROM v LEFT JOIN agg a ON a.src = v.vec_id
+"""
+
 # daily retention cohorts — integer epoch-period math, mirrors
 # datapipe.events.retention_cohorts
 ORACLES["retention_cohorts"] = f"""
@@ -2385,6 +2434,7 @@ def queries():
         "incremental_semantic_dedup": q_incremental_semantic_dedup,
         "chunk_documents": q_chunk_documents,
         "retention_cohorts": q_retention_cohorts,
+        "embedding_density": q_embedding_density,
     }
 
 

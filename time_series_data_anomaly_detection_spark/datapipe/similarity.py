@@ -403,7 +403,7 @@ def semantic_dedup(
     pairs = salted_self_join_pairs(
         assigned, keys=["cell"], id_col=id_col, cap=bucket_cap
     )
-    cos = _dot(F.col(f"a.v"), F.col(f"b.v")) / (
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
         F.col("a.nrm") * F.col("b.nrm") + F.lit(1e-12)
     )
     # a[id] < b[id] by construction: the higher id accumulates the max

@@ -1,0 +1,131 @@
+"""Unit tests for the control-chart detectors (EWMA/CUSUM), the Hampel
+filter, and the seasonal-strength diagnostic."""
+
+import math
+
+import numpy as np
+import pytest
+
+from conftest import series_df
+
+from time_series_data_anomaly_detection_spark.functions.control import (
+    cusum_chart,
+    ewma_chart,
+)
+from time_series_data_anomaly_detection_spark.operators.robust import (
+    hampel_flags,
+)
+from time_series_data_anomaly_detection_spark.operators.diagnostics import (
+    seasonal_strength_frame,
+)
+
+
+def test_ewma_matches_hand_recursion(spark):
+    vals = [1.0, 2.0, 4.0, 0.0, 3.0, 5.0, 2.0, 2.0]
+    out = (
+        ewma_chart(series_df(spark, vals))
+        .orderBy("rn")
+        .toPandas()
+    )
+    mu = float(np.mean(vals))
+    sd = float(np.std(vals, ddof=1))
+    z, w = mu, 1.0
+    for t, y in enumerate(vals):
+        z = z + 0.25 * (y - z)
+        w = w * 0.5625
+        hw = 3.0 * sd * math.sqrt(0.25 / 1.75 * (1.0 - w))
+        assert out["ewma"].iloc[t] == pytest.approx(z, abs=1e-9)
+        assert out["ucl"].iloc[t] == pytest.approx(mu + hw, abs=1e-9)
+        assert out["lcl"].iloc[t] == pytest.approx(mu - hw, abs=1e-9)
+    assert (out["flag"] == 0).all()  # nothing wild in this series
+
+
+def test_ewma_flags_sustained_shift(spark):
+    vals = [0.0, 0.1, -0.1, 0.05, -0.05, 0.0, 0.1, -0.1] * 6 + [4.0] * 12
+    out = (
+        ewma_chart(series_df(spark, vals))
+        .orderBy("rn")
+        .toPandas()
+    )
+    # the EWMA crosses its limit somewhere inside the shifted tail
+    assert out["flag"].iloc[-12:].sum() > 0
+    assert (out["flag"].iloc[:40] == 0).all()
+
+
+def test_cusum_detects_level_shift_and_is_one_sided(spark):
+    vals = [0.0, 0.2, -0.2, 0.1, -0.1] * 8 + [2.5] * 15
+    out = (
+        cusum_chart(series_df(spark, vals))
+        .orderBy("rn")
+        .toPandas()
+    )
+    assert out["flag"].iloc[-10:].sum() > 0          # alarm after shift
+    assert (out["flag"].iloc[:30] == 0).all()        # quiet before
+    # upward shift drives the positive sum, not the negative one
+    tail = out.iloc[-5:]
+    assert (tail["cusum_pos"] > tail["cusum_neg"]).all()
+
+
+def test_cusum_matches_hand_recursion(spark):
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    out = (
+        cusum_chart(series_df(spark, vals))
+        .orderBy("rn")
+        .toPandas()
+    )
+    mu = float(np.mean(vals))
+    sd = float(np.std(vals, ddof=1))
+    sp = sn = 0.0
+    for t, y in enumerate(vals):
+        z = (y - mu) / (sd + 1e-9)
+        sp = max(0.0, sp + (z - 0.5))
+        sn = max(0.0, sn + (-z - 0.5))
+        assert out["cusum_pos"].iloc[t] == pytest.approx(sp, abs=1e-9)
+        assert out["cusum_neg"].iloc[t] == pytest.approx(sn, abs=1e-9)
+
+
+def test_hampel_flags_spike_but_not_seasonal_swing(spark):
+    # a clean sine survives; a single 10-sigma spike is caught even
+    # though a rolling MEAN/STD chart would have its sigma inflated
+    base = [math.sin(2 * math.pi * t / 12) for t in range(60)]
+    base[30] = 8.0
+    out = (
+        hampel_flags(series_df(spark, base), half=6, nsig=3.0)
+        .orderBy("rn")
+        .toPandas()
+    )
+    assert out["hampel_flag"].iloc[30] == 1
+    assert out["hampel_flag"].sum() == 1
+
+
+def test_hampel_median_is_exact_on_window(spark):
+    vals = [5.0, 1.0, 9.0, 3.0, 7.0]
+    out = (
+        hampel_flags(series_df(spark, vals), half=2)
+        .orderBy("rn")
+        .toPandas()
+    )
+    # centered full window at rn=3: median of all five values
+    assert out["roll_med"].iloc[2] == 5.0
+    # edge row rn=1 sees [5,1,9] -> median 5
+    assert out["roll_med"].iloc[0] == 5.0
+    # MAD at rn=3: |dev| = [0,4,4,2,2] -> median 2
+    assert out["roll_mad"].iloc[2] == 2.0
+
+
+def test_seasonal_strength_separates_seasonal_from_noise(spark):
+    rng = np.random.RandomState(7)
+    per = [10.0 * math.sin(2 * math.pi * t / 48) for t in range(480)]
+    seasonal = [p + float(rng.randn()) * 0.1 for p in per]
+    noise = [float(rng.randn()) for _ in range(480)]
+    df = series_df(spark, seasonal, series_id="seasonal").unionByName(
+        series_df(spark, noise, series_id="noise")
+    )
+    out = (
+        seasonal_strength_frame(df, period=48)
+        .toPandas()
+        .set_index("series_id")
+    )
+    assert out.loc["seasonal", "seasonal_strength"] > 0.95
+    assert out.loc["noise", "seasonal_strength"] < 0.35
+    assert (out["var_total"] > 0).all()

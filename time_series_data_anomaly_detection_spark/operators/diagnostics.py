@@ -238,3 +238,66 @@ def histogram_fit_frame(
         "kurtosis",
         f"{normal_pdf_sql('bin_center', 'mu', 'sigma')} AS normal_pdf",
     )
+
+
+def seasonal_strength_frame(
+    df: DataFrame, period: int = 48, value_col: str = "value"
+) -> DataFrame:
+    """Seasonal-strength diagnostic: period-position variance
+    decomposition, ``F_s = max(0, 1 - Var(resid)/Var(x))`` where
+    ``resid = x - mean(x | rn mod period)``.
+
+    The number the reference reads off its STL panels by eye
+    (``src/utils.py:5-29`` trend/seasonal/resid plots; period 48 is its
+    NAB daily cycle) as one hash-gated row per series: F_s near 1 says
+    fit a seasonal model (M3/M4's seasonal blocks), near 0 says the
+    level-only models (M2) suffice.
+
+    Purely native: two aggregates over the series partition (one keyed
+    by period position, one per series), a broadcast join of the tiny
+    position-mean table, exact DECIMAL sums throughout so the oracle's
+    identical algebra matches bit for bit.  Grows as a scan + two
+    small aggregates at 100 TB.
+    """
+    from .._exact import DEC
+
+    v = F.col(value_col)
+    pos = ((F.col("rn") - F.lit(1)) % F.lit(int(period))).alias("__pos")
+    base = df.select("series_id", "rn", v.alias("__v"), pos)
+    pos_means = base.groupBy("series_id", "__pos").agg(
+        (
+            F.sum(F.col("__v").cast(DEC)).cast("double")
+            / F.count("__v")
+        ).alias("__pm")
+    )
+    resid = (
+        base.join(F.broadcast(pos_means), ["series_id", "__pos"])
+        .withColumn("__r", F.col("__v") - F.col("__pm"))
+    )
+    agg = resid.groupBy("series_id").agg(
+        F.count("__v").alias("n"),
+        F.sum(F.col("__v").cast(DEC)).cast("double").alias("__s1"),
+        F.sum((F.col("__v") * F.col("__v")).cast(DEC))
+        .cast("double")
+        .alias("__s2"),
+        F.sum(F.col("__r").cast(DEC)).cast("double").alias("__r1"),
+        F.sum((F.col("__r") * F.col("__r")).cast(DEC))
+        .cast("double")
+        .alias("__r2"),
+    )
+    n = F.col("n")
+    var_tot = (F.col("__s2") - F.col("__s1") * F.col("__s1") / n) / (
+        n - F.lit(1)
+    )
+    var_res = (F.col("__r2") - F.col("__r1") * F.col("__r1") / n) / (
+        n - F.lit(1)
+    )
+    return agg.select(
+        "series_id",
+        n.alias("n"),
+        var_tot.alias("var_total"),
+        var_res.alias("var_resid"),
+        F.greatest(
+            F.lit(0.0), F.lit(1.0) - var_res / var_tot
+        ).alias("seasonal_strength"),
+    )

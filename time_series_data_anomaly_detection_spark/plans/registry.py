@@ -927,6 +927,71 @@ def q_bsts_forecast_fixed(spark, sf_dir):
     )
 
 
+def q_ewma_flags(spark, sf_dir):
+    """W7-adjacent, hash-gated: EWMA control chart — the classical
+    drift detector beside BOCPD (``src/bocpd_model.py:50-104``), whose
+    scalar recursion (unlike BOCPD's O(T²) posterior) carries a DuckDB
+    RECURSIVE-CTE oracle.  Dyadic λ=1/4, exact-decimal seed moments."""
+    from ..functions.control import ewma_chart
+
+    out = ewma_chart(_series(spark, sf_dir))
+    return out.select(
+        "series_id", "rn",
+        _rnd("ewma", R).alias("ewma"),
+        _rnd("ucl", R).alias("ucl"),
+        _rnd("lcl", R).alias("lcl"),
+        "flag",
+    )
+
+
+def q_cusum_changepoints(spark, sf_dir):
+    """W7-adjacent, hash-gated: two-sided tabular CUSUM on the
+    standardized series — the level-shift/changepoint chart that
+    complements BOCPD with a fully oracle-checkable recursion
+    (k=0.5, h=5.0, exact-decimal μ/σ)."""
+    from ..functions.control import cusum_chart
+
+    out = cusum_chart(_series(spark, sf_dir))
+    return out.select(
+        "series_id", "rn",
+        _rnd("cusum_pos", R).alias("cusum_pos"),
+        _rnd("cusum_neg", R).alias("cusum_neg"),
+        "flag",
+    )
+
+
+def q_hampel_flags(spark, sf_dir):
+    """W1's robust sibling, hash-gated: Hampel identifier — centered
+    rolling median ± 3·1.4826·rolling-MAD (the reference's MAD scoring
+    of ``src/utils.py:31-38`` localized to the W1 window).  Fully
+    native: sorted in-frame arrays, no UDF, one exchange."""
+    from ..operators.robust import hampel_flags
+
+    out = hampel_flags(_series(spark, sf_dir), half=12)
+    return out.select(
+        "series_id", "rn",
+        _rnd("roll_med", R).alias("roll_med"),
+        _rnd("roll_mad", R).alias("roll_mad"),
+        F.col("hampel_flag").alias("flag"),
+    )
+
+
+def q_seasonal_strength(spark, sf_dir):
+    """Model-selection diagnostic, hash-gated: period-position variance
+    decomposition F_s = max(0, 1 - Var(resid)/Var(x)) at the
+    reference's period 48 — the number its STL panels communicate
+    visually (``src/utils.py:5-29``), as one row per series."""
+    from ..operators.diagnostics import seasonal_strength_frame
+
+    out = seasonal_strength_frame(_series(spark, sf_dir), period=48)
+    return out.select(
+        "series_id", "n",
+        _rnd("var_total", R).alias("var_total"),
+        _rnd("var_resid", R).alias("var_resid"),
+        _rnd("seasonal_strength", R).alias("seasonal_strength"),
+    )
+
+
 def q_qq_plot(spark, sf_dir):
     """S7 frame 1: normal QQ pairs of the AR(1) residuals — the data
     behind ``stats.probplot`` in ``src/plotting.py:17-23``.  Filliben
@@ -1986,6 +2051,124 @@ SELECT series_id, rn, round(pm, {R}) AS pred_mean,
 FROM rec
 """
 
+# ---- ewma_flags / cusum_changepoints: scalar control-chart
+#      recursions — RECURSIVE CTEs over the exact-decimal moment CTE
+#      (SQL_MO), expression trees textually in lockstep with
+#      functions/control.py (dyadic constants throughout). ----
+ORACLES["ewma_flags"] = f"""
+WITH RECURSIVE {SQL_S}, {SQL_MO},
+rec AS (
+  SELECT s.series_id, s.rn,
+         CAST(m.mu + 0.25 * (s.value - m.mu) AS DOUBLE) AS z,
+         CAST(0.5625 AS DOUBLE) AS w,
+         m.mu AS mu, m.sd AS sd
+  FROM s JOIN mo2 m ON m.series_id = s.series_id WHERE s.rn = 1
+  UNION ALL
+  SELECT s.series_id, s.rn,
+         r.z + 0.25 * (s.value - r.z) AS z,
+         r.w * 0.5625 AS w,
+         r.mu, r.sd
+  FROM rec r JOIN s ON s.series_id = r.series_id AND s.rn = r.rn + 1
+),
+lim AS (
+  SELECT series_id, rn, z,
+         mu + 3.0 * sd * sqrt((0.25 / (2.0 - 0.25)) * (1.0 - w)) AS ucl,
+         mu - 3.0 * sd * sqrt((0.25 / (2.0 - 0.25)) * (1.0 - w)) AS lcl
+  FROM rec
+)
+SELECT series_id, rn, round(z, {R}) AS ewma,
+       round(ucl, {R}) AS ucl, round(lcl, {R}) AS lcl,
+       CAST(CASE WHEN z > ucl OR z < lcl THEN 1 ELSE 0 END AS INT) AS flag
+FROM lim
+"""
+
+ORACLES["cusum_changepoints"] = f"""
+WITH RECURSIVE {SQL_S}, {SQL_MO},
+sz AS (
+  SELECT s.series_id, s.rn,
+         (s.value - m.mu) / (m.sd + 1e-9) AS z
+  FROM s JOIN mo2 m ON m.series_id = s.series_id
+),
+rec AS (
+  SELECT series_id, rn,
+         CAST(greatest(0.0, 0.0 + (z - 0.5)) AS DOUBLE) AS sp,
+         CAST(greatest(0.0, 0.0 + (-z - 0.5)) AS DOUBLE) AS sn
+  FROM sz WHERE rn = 1
+  UNION ALL
+  SELECT z.series_id, z.rn,
+         greatest(0.0, r.sp + (z.z - 0.5)) AS sp,
+         greatest(0.0, r.sn + (-z.z - 0.5)) AS sn
+  FROM rec r JOIN sz z ON z.series_id = r.series_id AND z.rn = r.rn + 1
+)
+SELECT series_id, rn, round(sp, {R}) AS cusum_pos,
+       round(sn, {R}) AS cusum_neg,
+       CAST(CASE WHEN sp > 5.0 OR sn > 5.0 THEN 1 ELSE 0 END AS INT)
+         AS flag
+FROM rec
+"""
+
+# ---- hampel_flags: centered rolling median/MAD via sorted in-frame
+#      lists — the floor((n+1)/2.0) indexing is load-bearing (Spark's
+#      double->int cast truncates, DuckDB's rounds). ----
+ORACLES["hampel_flags"] = f"""
+WITH {SQL_S},
+win AS (
+  SELECT series_id, rn, value,
+         list_sort(list(value) OVER (
+           PARTITION BY series_id ORDER BY rn
+           ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)) AS a
+  FROM s),
+med AS (
+  SELECT series_id, rn, value, a,
+         (a[CAST(floor((len(a) + 1) / 2.0) AS INT)] +
+          a[CAST(floor(len(a) / 2.0) + 1 AS INT)]) / 2.0 AS roll_med
+  FROM win),
+madx AS (
+  SELECT series_id, rn, value, roll_med,
+         list_sort(list_transform(a, x -> abs(x - roll_med))) AS d
+  FROM med),
+madf AS (
+  SELECT series_id, rn, value, roll_med,
+         (d[CAST(floor((len(d) + 1) / 2.0) AS INT)] +
+          d[CAST(floor(len(d) / 2.0) + 1 AS INT)]) / 2.0 AS roll_mad
+  FROM madx)
+SELECT series_id, rn, round(roll_med, {R}) AS roll_med,
+       round(roll_mad, {R}) AS roll_mad,
+       CAST(CASE WHEN abs(value - roll_med)
+                      > 3.0 * (1.4826 * roll_mad + 1e-9)
+            THEN 1 ELSE 0 END AS INT) AS flag
+FROM madf
+"""
+
+# ---- seasonal_strength: period-position variance decomposition,
+#      exact-decimal sums end to end. ----
+ORACLES["seasonal_strength"] = f"""
+WITH {SQL_S},
+pm AS (
+  SELECT series_id, (rn - 1) % 48 AS pos,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+           / count(value) AS pmean
+  FROM s GROUP BY 1, 2),
+rs AS (
+  SELECT s.series_id, s.value, s.value - pm.pmean AS r
+  FROM s JOIN pm ON pm.series_id = s.series_id
+                AND pm.pos = (s.rn - 1) % 48),
+ag AS (
+  SELECT series_id, count(value) AS n,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+         CAST(sum(CAST(r AS DECIMAL(38,12))) AS DOUBLE) AS r1,
+         CAST(sum(CAST(r * r AS DECIMAL(38,12))) AS DOUBLE) AS r2
+  FROM rs GROUP BY 1)
+SELECT series_id, n,
+       round((s2 - s1 * s1 / n) / (n - 1), {R}) AS var_total,
+       round((r2 - r1 * r1 / n) / (n - 1), {R}) AS var_resid,
+       round(greatest(0.0, 1.0 - ((r2 - r1 * r1 / n) / (n - 1))
+                             / ((s2 - s1 * s1 / n) / (n - 1))), {R})
+         AS seasonal_strength
+FROM ag
+"""
+
 # ---- qq_plot / histogram_fit: the S7 diagnostic frames.  AR(1)
 #      residual CTEs are the ar1_forecast oracle's, verbatim; the
 #      Filliben/PPF/pdf formulas come from operators.diagnostics as
@@ -2385,6 +2568,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kalman_forecast_fixed": q_kalman_forecast_fixed,
         # fixed-variance local-linear-trend BSTS core, same treatment
         "bsts_forecast_fixed": q_bsts_forecast_fixed,
+        # control-chart detectors (scalar recursions, hash-gated)
+        "ewma_flags": q_ewma_flags,
+        "cusum_changepoints": q_cusum_changepoints,
+        # robust rolling median/MAD outlier filter (native)
+        "hampel_flags": q_hampel_flags,
+        # period-position variance decomposition diagnostic
+        "seasonal_strength": q_seasonal_strength,
         # S7 diagnostic frames (the plots minus the pixels)
         "qq_plot": q_qq_plot,
         "histogram_fit": q_histogram_fit,
@@ -2411,6 +2601,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Long-stable rows-only queries (weakest signal, green twice) sink
     # to the back where a cap costs the least information.
     gate_first = [
+        # never appeared in any driver correctness run (newest first)
+        "seasonal_strength",
+        "ewma_flags",
+        "cusum_changepoints",
+        "hampel_flags",
         # never appeared in any driver correctness run (new in r05);
         # within the block, cheap queries first so each family's
         # first-execution JIT cost lands on a small query, not a

@@ -858,3 +858,68 @@ def test_tf_embed_cosine_ranks_similar_docs(spark):
     assert ranked.iloc[0]["match_id"] == 1
     assert ranked.iloc[0]["cosine"] > 0.7
     assert ranked.iloc[1]["cosine"] < 0.3  # disjoint vocab ~ 0 (mod collisions)
+
+
+def test_lsh_recall_stats_counts_consistent(spark, docs):
+    from time_series_data_anomaly_detection_spark.datapipe.dedup import (
+        lsh_recall_stats,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    row = lsh_recall_stats(docs, n=3, threshold=0.5).collect()[0]
+    n_true = ngram_jaccard_pairs(docs, n=3, threshold=0.5).count()
+    assert row["n_true_pairs"] == n_true
+    assert row["n_hits"] <= row["n_true_pairs"]
+    assert row["n_hits"] <= row["n_candidates"]
+    # the near-identical docs (0,1,2) must be caught by the banding:
+    # LSH-verified pairs == hits, so recall here is 1.0
+    n_lsh = minhash_lsh_pairs(docs, n=3, threshold=0.5).count()
+    assert row["n_hits"] == n_lsh
+    assert row["recall"] == pytest.approx(1.0)
+
+
+def test_quality_classifier_orders_fluent_above_junk(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and then the "
+            "fox runs into the forest where it finds a quiet place by "
+            "the river and rests for a while under an old oak tree"),
+        (1, "zzz qqq zzz qqq zzz qqq zzz qqq"),
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    from time_series_data_anomaly_detection_spark.datapipe.corpus import (
+        quality_classifier,
+    )
+
+    out = (
+        quality_classifier(docs).toPandas().set_index("doc_id")
+    )
+    assert out.loc[0, "margin"] > out.loc[1, "margin"]
+    assert out.loc[0, "keep"] == 1
+    assert out.loc[1, "keep"] == 0
+
+
+def test_length_buckets_assignment_and_waste(spark):
+    rows = [
+        (0, "a b c"),                       # 3 tokens  -> bucket 16
+        (1, " ".join(["tok"] * 16)),        # 16 tokens -> bucket 16
+        (2, " ".join(["tok"] * 17)),        # 17 tokens -> bucket 32
+        (3, " ".join(["tok"] * 5000)),      # beyond max -> -1 overflow
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    from time_series_data_anomaly_detection_spark.datapipe.packing import (
+        length_buckets,
+    )
+
+    out = length_buckets(docs).toPandas().set_index("bucket")
+    assert out.loc[16, "n_docs"] == 2
+    assert out.loc[16, "sum_tokens"] == 19
+    assert out.loc[16, "padded_tokens"] == 32
+    assert out.loc[16, "waste_ratio"] == pytest.approx(1 - 19 / 32)
+    assert out.loc[32, "n_docs"] == 1
+    assert out.loc[-1, "n_docs"] == 1
+    assert pd.isna(out.loc[-1, "padded_tokens"])

@@ -243,3 +243,42 @@ def corpus_drift(
             "tv_term"
         ),
     )
+
+
+def quality_classifier(
+    df: DataFrame,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frozen-weight linear quality classifier — the model-based
+    quality filter as it actually runs at 100 TB: a classifier trained
+    OFFLINE (weights frozen as literals) applied map-side to every
+    doc, zero shuffle, no model server.
+
+    Features are the ``doc_stats`` signals (length saturation,
+    stopword density, lexical diversity, token shape); the margin is a
+    fixed-order dot product with dyadic-rational weights so both
+    engines evaluate the identical double tree.  The decision
+    ``margin > threshold`` is equivalent to thresholding the logistic
+    probability (sigmoid is monotone), so no transcendental enters
+    the gate.
+
+    Returns ``doc_id, margin, keep``.
+    """
+    stats = doc_stats(df, text_col)
+    margin = (
+        F.lit(-1.5)
+        + F.lit(2.0)
+        * F.least(F.col("n_tokens") / F.lit(256.0), F.lit(1.0))
+        + F.lit(1.5)
+        * F.least(F.col("stopword_ratio") * F.lit(4.0), F.lit(1.0))
+        + F.lit(1.25) * F.col("unique_ratio")
+        + F.lit(0.25)
+        * F.least(F.col("mean_token_len") / F.lit(8.0), F.lit(1.0))
+    )
+    return stats.select(
+        id_col,
+        margin.alias("margin"),
+        (margin > F.lit(float(threshold))).cast("int").alias("keep"),
+    )

@@ -784,3 +784,93 @@ def _incremental_core(
         )
     )
     return out.select(id_col, "verdict")
+
+
+def lsh_recall_stats(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Acceptance probe for the MinHash-LSH banding config: recall of
+    the banded candidate set against the EXACT n-gram-Jaccard pair set
+    at ``threshold``, plus candidate precision (verified hits /
+    candidates emitted).
+
+    Completes the acceptance-probe family (``ann_recall`` for
+    IVF/sign-LSH ANN, ``pq_recall`` for product quantization): before
+    trusting a band layout at 100 TB you measure, on a bounded corpus
+    slice, how much of the exact-duplicate mass the s-curve keeps and
+    how much candidate volume it costs.  The exact side is the O(df²)
+    co-shingle join — affordable precisely because this runs on a
+    sample/gate-scale slice, which is the point of a probe.
+
+    One row: ``n_true_pairs, n_candidates, n_hits, recall,
+    candidate_precision``.
+    """
+    from ..session import tracked_cache
+
+    sh = tracked_cache(shingles(df, n, text_col, id_col))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+
+    inter = (
+        salted_self_join_pairs(sh, ["shingle_hash"], id_col, cap=bucket_cap)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    truth = (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b")
+    )
+    truth = tracked_cache(truth)
+
+    sig = minhash_signatures_from(sh, id_col)
+    cand = (
+        salted_self_join_pairs(
+            _banded(sig, id_col), ["band", "band_key"], id_col,
+            cap=bucket_cap,
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    cand = tracked_cache(cand)
+
+    tc = truth.agg(F.count("*").alias("n_true_pairs"))
+    cc = cand.agg(F.count("*").alias("n_candidates"))
+    hc = truth.join(cand, ["id_a", "id_b"]).agg(
+        F.count("*").alias("n_hits")
+    )
+    nt, nc, nh = F.col("n_true_pairs"), F.col("n_candidates"), F.col("n_hits")
+    return (
+        tc.crossJoin(cc)
+        .crossJoin(hc)
+        .select(
+            nt,
+            nc,
+            nh,
+            F.when(nt > 0, nh * F.lit(1.0) / nt).alias("recall"),
+            F.when(nc > 0, nh * F.lit(1.0) / nc).alias(
+                "candidate_precision"
+            ),
+        )
+    )

@@ -250,3 +250,51 @@ def chunk_documents(
         (end - start + 1).alias("n_tok_in_chunk"),
         hash48(F.concat_ws(" ", span)).alias("chunk_hash"),
     )
+
+
+LENGTH_BUCKET_CAPS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def length_buckets(
+    df: DataFrame,
+    caps: tuple[int, ...] = LENGTH_BUCKET_CAPS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed batching plan: assign each doc the smallest
+    bucket cap that holds its token count, then report per-bucket
+    volume and PADDING WASTE (1 - real/padded tokens) — the number
+    that decides whether fixed-shape batches are affordable or the
+    packer (``pack_chunks``/``pack_bins_ffd``) has to run.
+
+    Docs longer than the largest cap land in bucket -1 (route to
+    chunking).  Pure projection + one small aggregate: the bucket
+    CASE ladder is integer comparisons against literals, so the scan
+    stays map-side and the shuffle carries |caps|+1 rows per
+    partition.  Waste ratios divide exact integer sums — bit-stable
+    by construction.
+    """
+    n = F.size("tokens")
+    bucket = F.lit(-1)
+    for cap in reversed(caps):
+        bucket = F.when(n <= F.lit(cap), F.lit(cap)).otherwise(bucket)
+    t = tokenize(df, text_col).select(
+        F.col(id_col), n.alias("n_tokens"), bucket.alias("bucket")
+    )
+    agg = t.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+    padded = F.when(
+        F.col("bucket") > 0, F.col("n_docs") * F.col("bucket")
+    ).cast("long")
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "sum_tokens",
+        padded.alias("padded_tokens"),
+        F.when(
+            F.col("bucket") > 0,
+            F.lit(1.0) - F.col("sum_tokens") / (F.col("n_docs") * F.col("bucket")),
+        ).alias("waste_ratio"),
+    )

@@ -2603,9 +2603,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     gate_first = [
         # never appeared in any driver correctness run (newest first)
         "seasonal_strength",
+        "quality_classifier",
+        "length_buckets",
         "ewma_flags",
         "cusum_changepoints",
         "hampel_flags",
+        "minhash_recall",
         # never appeared in any driver correctness run (new in r05);
         # within the block, cheap queries first so each family's
         # first-execution JIT cost lands on a small query, not a

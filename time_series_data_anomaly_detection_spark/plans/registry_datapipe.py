@@ -2387,6 +2387,132 @@ FROM h
 """
 
 
+def q_minhash_recall(spark, sf_dir):
+    """LSH acceptance probe: recall of the banded MinHash candidate
+    set vs the exact n-gram-Jaccard pair set at the dedup threshold,
+    plus candidate precision — completes the probe family
+    (ann_recall, pq_recall) for the near-dup path."""
+    from ..datapipe.dedup import lsh_recall_stats
+
+    out = lsh_recall_stats(_docs(spark, sf_dir), n=3, threshold=JACCARD_T)
+    return out.select(
+        "n_true_pairs",
+        "n_candidates",
+        "n_hits",
+        _rnd("recall", R).alias("recall"),
+        _rnd("candidate_precision", R).alias("candidate_precision"),
+    )
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Frozen-weight linear quality classifier margin over the
+    doc_stats features — the model-based quality filter applied
+    map-side (dyadic weights, fixed-order dot product)."""
+    from ..datapipe.corpus import quality_classifier
+
+    out = quality_classifier(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", _rnd("margin", R).alias("margin"), "keep"
+    )
+
+
+def q_length_buckets(spark, sf_dir):
+    """Length-bucketed batching plan: per-bucket doc/token volume and
+    padding-waste ratio — the fixed-shape-batch efficiency report."""
+    from ..datapipe.packing import length_buckets
+
+    out = length_buckets(_docs(spark, sf_dir))
+    return out.select(
+        "bucket",
+        "n_docs",
+        "sum_tokens",
+        "padded_tokens",
+        _rnd("waste_ratio", R).alias("waste_ratio"),
+    )
+
+
+ORACLES["minhash_recall"] = f"""
+WITH {SQL_TOKS}, {SQL_SHINGLES}, {SQL_JACCARD_PAIRS},
+sig AS (
+  SELECT doc_id,
+         {_MINHASH_COLS}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+{_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+truth AS (SELECT id_a, id_b FROM jac WHERE jaccard >= {JACCARD_T}),
+tc AS (SELECT count(*) AS n_true_pairs FROM truth),
+cc AS (SELECT count(*) AS n_candidates FROM cand),
+hc AS (SELECT count(*) AS n_hits
+       FROM truth t JOIN cand c USING (id_a, id_b))
+SELECT CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       round(CASE WHEN n_true_pairs > 0
+                  THEN n_hits * 1.0 / n_true_pairs END, {R}) AS recall,
+       round(CASE WHEN n_candidates > 0
+                  THEN n_hits * 1.0 / n_candidates END, {R})
+         AS candidate_precision
+FROM tc, cc, hc
+"""
+
+ORACLES["quality_classifier"] = f"""
+WITH {SQL_TOKS},
+st AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         len(list_filter(t, x -> x IN ({_STOP}))) / (len(t) + 1e-9)
+           AS stopword_ratio,
+         len(list_distinct(t)) / (len(t) + 1e-9) AS unique_ratio,
+         list_sum(list_transform(t, x -> strlen(x))) / (len(t) + 1e-9)
+           AS mean_token_len
+  FROM toks),
+mg AS (
+  SELECT doc_id,
+         -1.5 + 2.0 * least(n_tokens / 256.0, 1.0)
+              + 1.5 * least(stopword_ratio * 4.0, 1.0)
+              + 1.25 * unique_ratio
+              + 0.25 * least(coalesce(mean_token_len, 0.0) / 8.0, 1.0)
+           AS margin
+  FROM st)
+SELECT doc_id, round(margin, {R}) AS margin,
+       CAST(CASE WHEN margin > 0.0 THEN 1 ELSE 0 END AS INT) AS keep
+FROM mg
+"""
+
+from ..datapipe.packing import LENGTH_BUCKET_CAPS
+
+_BUCKET_CASE = " ".join(
+    f"WHEN n_tokens <= {cap} THEN {cap}" for cap in LENGTH_BUCKET_CAPS
+)
+
+ORACLES["length_buckets"] = f"""
+WITH {SQL_TOKS},
+nt AS (SELECT doc_id, len(t) AS n_tokens FROM toks),
+bk AS (
+  SELECT doc_id, n_tokens,
+         CASE {_BUCKET_CASE} ELSE -1 END AS bucket
+  FROM nt),
+ag AS (
+  SELECT bucket, count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+  FROM bk GROUP BY 1)
+SELECT bucket, n_docs, sum_tokens,
+       CAST(CASE WHEN bucket > 0 THEN n_docs * bucket END AS BIGINT)
+         AS padded_tokens,
+       round(CASE WHEN bucket > 0
+                  THEN 1.0 - sum_tokens / (n_docs * bucket) END, {R})
+         AS waste_ratio
+FROM ag
+"""
+
+
 def queries():
     return {
         "doc_stats": q_doc_stats,
@@ -2435,6 +2561,9 @@ def queries():
         "chunk_documents": q_chunk_documents,
         "retention_cohorts": q_retention_cohorts,
         "embedding_density": q_embedding_density,
+        "minhash_recall": q_minhash_recall,
+        "quality_classifier": q_quality_classifier,
+        "length_buckets": q_length_buckets,
     }
 
 

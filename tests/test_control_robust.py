@@ -129,3 +129,60 @@ def test_seasonal_strength_separates_seasonal_from_noise(spark):
     assert out.loc["seasonal", "seasonal_strength"] > 0.95
     assert out.loc["noise", "seasonal_strength"] < 0.35
     assert (out["var_total"] > 0).all()
+
+
+def test_holt_winters_matches_hand_recursion(spark):
+    from time_series_data_anomaly_detection_spark.functions.holt_winters import (
+        holt_winters_fixed,
+    )
+
+    vals = [1.0, 2.0, 3.0, 1.5, 2.5, 3.5, 0.5, 2.0, 4.0]
+    p, a, b_, g = 3, 0.25, 0.0625, 0.25
+    out = (
+        holt_winters_fixed(series_df(spark, vals), period=p)
+        .orderBy("rn")
+        .toPandas()
+    )
+    l = sum(vals[:p]) / p
+    sl = [v - l for v in vals[:p]]
+    b = 0.0
+    preds = []
+    for t in range(p, len(vals)):
+        sprev = sl[0]
+        preds.append((l + b) + sprev)
+        ln = a * (vals[t] - sprev) + (1 - a) * (l + b)
+        bn = b_ * (ln - l) + (1 - b_) * b
+        sn = g * (vals[t] - ln) + (1 - g) * sprev
+        sl = sl[1:] + [sn]
+        l, b = ln, bn
+    assert list(out["rn"]) == list(range(p + 1, len(vals) + 1))
+    for i, pr in enumerate(preds):
+        assert out["pred"].iloc[i] == pytest.approx(pr, abs=1e-9)
+        assert out["resid"].iloc[i] == pytest.approx(
+            vals[p + i] - pr, abs=1e-9
+        )
+
+
+def test_holt_winters_tracks_seasonal_signal(spark):
+    from time_series_data_anomaly_detection_spark.functions.holt_winters import (
+        holt_winters_fixed,
+    )
+
+    vals = [
+        10.0 + 5.0 * math.sin(2 * math.pi * t / 48) + 0.01 * t
+        for t in range(480)
+    ]
+    out = holt_winters_fixed(series_df(spark, vals), period=48).toPandas()
+    assert len(out) == 480 - 48
+    # after a couple of seasonal cycles the forecast locks on
+    tail = out.sort_values("rn").iloc[96:]
+    assert tail["resid"].abs().mean() < 0.2
+
+
+def test_holt_winters_short_series_emits_nothing(spark):
+    from time_series_data_anomaly_detection_spark.functions.holt_winters import (
+        holt_winters_fixed,
+    )
+
+    out = holt_winters_fixed(series_df(spark, [1.0] * 30), period=48)
+    assert out.count() == 0

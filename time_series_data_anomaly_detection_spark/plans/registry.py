@@ -927,6 +927,21 @@ def q_bsts_forecast_fixed(spark, sf_dir):
     )
 
 
+def q_holt_winters_fixed(spark, sf_dir):
+    """M3-adjacent, hash-gated: additive Holt-Winters with fixed
+    dyadic (α, β, γ) — the level+trend+seasonal forecaster as a pure
+    recursion, so unlike the statsmodels MLE fits it carries a DuckDB
+    RECURSIVE-CTE oracle (the seasonal state rides as a list column)."""
+    from ..functions.holt_winters import holt_winters_fixed
+
+    out = holt_winters_fixed(_series(spark, sf_dir), period=48)
+    return out.select(
+        "series_id", "rn",
+        _rnd("pred", R).alias("pred"),
+        _rnd("resid", R).alias("resid"),
+    )
+
+
 def q_ewma_flags(spark, sf_dir):
     """W7-adjacent, hash-gated: EWMA control chart — the classical
     drift detector beside BOCPD (``src/bocpd_model.py:50-104``), whose
@@ -2051,6 +2066,47 @@ SELECT series_id, rn, round(pm, {R}) AS pred_mean,
 FROM rec
 """
 
+# ---- holt_winters_fixed: additive triple exponential smoothing with
+#      fixed dyadic (α,β,γ) — the seasonal state is a DOUBLE[] column
+#      rotated by list_append(sl[2:], s_new); l_new's tree appears
+#      three times (identical IEEE trees give identical values).
+#      Textually in lockstep with functions/holt_winters.py. ----
+ORACLES["holt_winters_fixed"] = f"""
+WITH RECURSIVE {SQL_S},
+il AS (
+  SELECT series_id,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / 48 AS l0
+  FROM s WHERE rn <= 48 GROUP BY 1 HAVING count(value) = 48
+),
+init AS (
+  SELECT s.series_id, CAST(48 AS BIGINT) AS rn, i.l0 AS l,
+         CAST(0.0 AS DOUBLE) AS b,
+         list(s.value - i.l0 ORDER BY s.rn) AS sl,
+         CAST(NULL AS DOUBLE) AS pred, CAST(NULL AS DOUBLE) AS yv
+  FROM s JOIN il i ON i.series_id = s.series_id
+  WHERE s.rn <= 48
+  GROUP BY s.series_id, i.l0
+),
+rec AS (
+  SELECT * FROM init
+  UNION ALL
+  SELECT s.series_id, s.rn,
+         0.25 * (s.value - r.sl[1]) + 0.75 * (r.l + r.b) AS l,
+         0.0625 * ((0.25 * (s.value - r.sl[1]) + 0.75 * (r.l + r.b))
+                   - r.l) + 0.9375 * r.b AS b,
+         list_append(r.sl[2:],
+           0.25 * (s.value
+                   - (0.25 * (s.value - r.sl[1]) + 0.75 * (r.l + r.b)))
+             + 0.75 * r.sl[1]) AS sl,
+         (r.l + r.b) + r.sl[1] AS pred,
+         s.value AS yv
+  FROM rec r JOIN s ON s.series_id = r.series_id AND s.rn = r.rn + 1
+)
+SELECT series_id, rn, round(pred, {R}) AS pred,
+       round(yv - pred, {R}) AS resid
+FROM rec WHERE rn > 48
+"""
+
 # ---- ewma_flags / cusum_changepoints: scalar control-chart
 #      recursions — RECURSIVE CTEs over the exact-decimal moment CTE
 #      (SQL_MO), expression trees textually in lockstep with
@@ -2568,6 +2624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kalman_forecast_fixed": q_kalman_forecast_fixed,
         # fixed-variance local-linear-trend BSTS core, same treatment
         "bsts_forecast_fixed": q_bsts_forecast_fixed,
+        # fixed-parameter Holt-Winters (list-state recursion, oracled)
+        "holt_winters_fixed": q_holt_winters_fixed,
         # control-chart detectors (scalar recursions, hash-gated)
         "ewma_flags": q_ewma_flags,
         "cusum_changepoints": q_cusum_changepoints,
@@ -2603,6 +2661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     gate_first = [
         # never appeared in any driver correctness run (newest first)
         "seasonal_strength",
+        "holt_winters_fixed",
         "quality_classifier",
         "length_buckets",
         "ewma_flags",

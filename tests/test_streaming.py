@@ -475,3 +475,53 @@ def test_streaming_source_quality_matches_batch(spark, tmp_path_factory):
         assert r.mean_quality == pytest.approx(sel.quality_score.mean(), abs=1e-9)
         has_pii = sel.doc_id % 10 == 0
         assert r.pii_rate == pytest.approx(has_pii.mean(), abs=1e-9)
+
+
+def test_streaming_control_flags_matches_batch(spark, stream_data):
+    from time_series_data_anomaly_detection_spark.functions.control import (
+        cusum_chart,
+        ewma_chart,
+    )
+    from time_series_data_anomaly_detection_spark.streaming.detectors import (
+        streaming_control_flags,
+    )
+
+    root, pdf = stream_data
+    stream = spark.readStream.schema(SCHEMA).parquet(root)
+    # batch charts use global series moments; hand the stream series
+    # a's moments (same convention as streaming_bocpd)
+    g = pdf[pdf.series_id == "a"]
+    mu, sd = g["value"].mean(), g["value"].std(ddof=1)
+    out = _run_stream(
+        spark,
+        streaming_control_flags(
+            stream.filter(F.col("series_id") == "a"),
+            norm_mu=mu,
+            norm_sd=sd,
+        ),
+        "ctrlstream",
+    ).toPandas()
+
+    batch_in = with_row_index(
+        spark.createDataFrame(pdf[pdf.series_id == "a"])
+    )
+    be = ewma_chart(batch_in).toPandas().sort_values("rn")
+    bc = cusum_chart(batch_in).toPandas().sort_values("rn")
+    out = out.sort_values("timestamp").reset_index(drop=True)
+    assert len(out) == len(be)
+    np.testing.assert_allclose(out["ewma"], be["ewma"], atol=1e-8)
+    np.testing.assert_allclose(out["ucl"], be["ucl"], atol=1e-8)
+    np.testing.assert_allclose(
+        out["cusum_pos"], bc["cusum_pos"], atol=1e-8
+    )
+    np.testing.assert_allclose(
+        out["cusum_neg"], bc["cusum_neg"], atol=1e-8
+    )
+    assert (
+        out["ewma_flag"].to_numpy() == be["flag"].to_numpy()
+    ).all()
+    assert (
+        out["cusum_flag"].to_numpy() == bc["flag"].to_numpy()
+    ).all()
+    # the injected burst trips the CUSUM chart in-stream
+    assert out["cusum_flag"].iloc[200:].sum() > 0

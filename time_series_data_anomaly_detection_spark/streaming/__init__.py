@@ -7,6 +7,7 @@ from .detectors import (  # noqa: F401
     streaming_rolling_flags,
     streaming_bocpd,
     streaming_user_sessions,
+    streaming_control_flags,
 )
 from .quality import (  # noqa: F401
     streaming_source_quality,

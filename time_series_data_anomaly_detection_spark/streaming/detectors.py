@@ -294,3 +294,114 @@ def streaming_user_sessions(
             "total_value",
         )
     )
+
+
+_CTRL_OUT = StructType(
+    [
+        StructField("series_id", StringType()),
+        StructField("timestamp", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("ewma", DoubleType()),
+        StructField("ucl", DoubleType()),
+        StructField("lcl", DoubleType()),
+        StructField("ewma_flag", IntegerType()),
+        StructField("cusum_pos", DoubleType()),
+        StructField("cusum_neg", DoubleType()),
+        StructField("cusum_flag", IntegerType()),
+    ]
+)
+_CTRL_STATE = StructType(
+    [
+        StructField("z", DoubleType()),
+        StructField("w", DoubleType()),
+        StructField("sp", DoubleType()),
+        StructField("sn", DoubleType()),
+        StructField("started", IntegerType()),
+    ]
+)
+
+
+def streaming_control_flags(
+    stream: DataFrame,
+    norm_mu: float = 0.0,
+    norm_sd: float = 1.0,
+    lam: float = 0.25,
+    nsig: float = 3.0,
+    k: float = 0.5,
+    h: float = 5.0,
+) -> DataFrame:
+    """EWMA + CUSUM control charts as ONE stateful stream — the
+    streaming twin of ``functions.control.ewma_chart`` /
+    ``cusum_chart`` with O(1) state per series (four doubles), sharing
+    a single state store and shuffle.
+
+    The batch charts derive (μ, σ) from the full series; a stream has
+    no global moments, so the caller supplies train-time
+    ``(norm_mu, norm_sd)`` — same convention as ``streaming_bocpd``.
+    Given identical moments the recursions match the batch operators
+    row-for-row on any prefix (asserted by the batch-parity test).
+    """
+    lam = float(lam)
+    w2 = (1.0 - lam) * (1.0 - lam)
+    ratio = lam / (2.0 - lam)
+    nsig, k, h = float(nsig), float(k), float(h)
+    mu, sd = float(norm_mu), float(norm_sd)
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (series_id,) = key
+        if state.exists:
+            z, w, sp, sn, _ = state.get
+        else:
+            z, w, sp, sn = mu, 1.0, 0.0, 0.0
+        for pdf in pdfs:
+            pdf = pdf.sort_values("timestamp").reset_index(drop=True)
+            y = pdf["value"].to_numpy(float)
+            n = len(y)
+            ew = np.empty(n)
+            ucl = np.empty(n)
+            lcl = np.empty(n)
+            cp = np.empty(n)
+            cn = np.empty(n)
+            for i in range(n):
+                z = z + lam * (y[i] - z)
+                w = w * w2
+                hw = nsig * sd * np.sqrt(ratio * (1.0 - w))
+                ew[i] = z
+                ucl[i] = mu + hw
+                lcl[i] = mu - hw
+                zs = (y[i] - mu) / (sd + 1e-9)
+                sp = max(0.0, sp + (zs - k))
+                sn = max(0.0, sn + (-zs - k))
+                cp[i] = sp
+                cn[i] = sn
+            yield pd.DataFrame(
+                {
+                    "series_id": series_id,
+                    "timestamp": pdf["timestamp"],
+                    "value": y,
+                    "ewma": ew,
+                    "ucl": ucl,
+                    "lcl": lcl,
+                    "ewma_flag": ((ew > ucl) | (ew < lcl)).astype(
+                        "int32"
+                    ),
+                    "cusum_pos": cp,
+                    "cusum_neg": cn,
+                    "cusum_flag": ((cp > h) | (cn > h)).astype("int32"),
+                }
+            )
+        state.update(
+            (float(z), float(w), float(sp), float(sn), 1)
+        )
+
+    return stream.groupBy("series_id").applyInPandasWithState(
+        update,
+        _CTRL_OUT,
+        _CTRL_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

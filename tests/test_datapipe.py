@@ -923,3 +923,30 @@ def test_length_buckets_assignment_and_waste(spark):
     assert out.loc[32, "n_docs"] == 1
     assert out.loc[-1, "n_docs"] == 1
     assert pd.isna(out.loc[-1, "padded_tokens"])
+
+
+def test_dup_source_matrix_counts_and_rates(spark):
+    from time_series_data_anomaly_detection_spark.datapipe.dedup import (
+        dup_source_matrix,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river", "web"),
+        (1, "the quick brown fox jumps over the lazy dog near the rivers", "web"),
+        (2, "the quick brown fox jumps over the lazy dog near the river", "wiki"),
+        (3, "completely unrelated text about distributed query planning", "wiki"),
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    )
+    out = (
+        dup_source_matrix(docs, n=3, threshold=0.5)
+        .toPandas()
+        .set_index(["source_a", "source_b"])
+    )
+    # pair (0,2) crosses web-wiki; (0,1) and (1,2) give one within-web
+    # and one more cross pair
+    assert out.loc[("web", "wiki"), "n_pairs"] == 2
+    assert out.loc[("web", "web"), "n_pairs"] == 1
+    assert out.loc[("web", "web"), "pair_rate"] == pytest.approx(1.0)
+    assert out.loc[("web", "wiki"), "pair_rate"] == pytest.approx(2 / 4)

@@ -874,3 +874,74 @@ def lsh_recall_stats(
             ),
         )
     )
+
+
+def dup_source_matrix(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Cross-source duplication matrix: for every (source, source)
+    pair, how many verified near-dup pairs (MinHash-LSH at
+    ``threshold``) cross it, and what fraction of the possible
+    cross-pairs that is — the leakage/overlap report a curated lake
+    publishes per ingest (e.g. how much of source B is already in A).
+
+    The expensive part is the LSH pair generation the dedup path runs
+    anyway; the matrix itself is two broadcast joins of a tiny
+    (doc→source) projection onto the pair set plus one |sources|²-row
+    aggregate.  ``pair_rate`` divides by the exact pair-universe size
+    (n_a·n_b cross, n·(n-1)/2 within), so sources of different size
+    are comparable.
+    """
+    pairs = minhash_lsh_pairs(
+        df, n=n, threshold=threshold, text_col=text_col, id_col=id_col,
+        bucket_cap=bucket_cap,
+    )
+    src = df.select(F.col(id_col), F.col(source_col))
+    sa = src.select(
+        F.col(id_col).alias("id_a"), F.col(source_col).alias("__sa")
+    )
+    sb = src.select(
+        F.col(id_col).alias("id_b"), F.col(source_col).alias("__sb")
+    )
+    labeled = (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+    )
+    mat = labeled.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("n_pairs")
+    )
+    counts = df.groupBy(source_col).agg(F.count("*").alias("n_docs"))
+    ca = counts.select(
+        F.col(source_col).alias("source_a"), F.col("n_docs").alias("n_docs_a")
+    )
+    cb = counts.select(
+        F.col(source_col).alias("source_b"), F.col("n_docs").alias("n_docs_b")
+    )
+    out = mat.join(F.broadcast(ca), "source_a").join(
+        F.broadcast(cb), "source_b"
+    )
+    denom = F.when(
+        F.col("source_a") == F.col("source_b"),
+        (F.col("n_docs_a") * (F.col("n_docs_a") - F.lit(1)))
+        .cast("double") / F.lit(2.0),
+    ).otherwise(
+        (F.col("n_docs_a") * F.col("n_docs_b")).cast("double")
+    )
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_pairs",
+        "n_docs_a",
+        "n_docs_b",
+        (F.col("n_pairs") / denom).alias("pair_rate"),
+    )

@@ -2668,6 +2668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoints",
         "hampel_flags",
         "minhash_recall",
+        "dup_source_matrix",
         # never appeared in any driver correctness run (new in r05);
         # within the block, cheap queries first so each family's
         # first-execution JIT cost lands on a small query, not a

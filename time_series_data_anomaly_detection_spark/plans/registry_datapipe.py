@@ -2387,6 +2387,23 @@ FROM h
 """
 
 
+def q_dup_source_matrix(spark, sf_dir):
+    """Cross-source duplication matrix over the verified MinHash-LSH
+    pair set: pair counts and exact-universe pair rates per (source,
+    source) — the leakage/overlap report between lake sources."""
+    from ..datapipe.dedup import dup_source_matrix
+
+    out = dup_source_matrix(_docs(spark, sf_dir), n=3, threshold=JACCARD_T)
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_pairs",
+        "n_docs_a",
+        "n_docs_b",
+        _rnd("pair_rate", R).alias("pair_rate"),
+    )
+
+
 def q_minhash_recall(spark, sf_dir):
     """LSH acceptance probe: recall of the banded MinHash candidate
     set vs the exact n-gram-Jaccard pair set at the dedup threshold,
@@ -2460,6 +2477,53 @@ SELECT CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
                   THEN n_hits * 1.0 / n_candidates END, {R})
          AS candidate_precision
 FROM tc, cc, hc
+"""
+
+ORACLES["dup_source_matrix"] = f"""
+WITH {SQL_TOKS}, {SQL_SHINGLES},
+sig AS (
+  SELECT doc_id,
+         {_MINHASH_COLS}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+{_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle_hash = a.shingle_hash
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b, inter * 1.0 / (na.n_sh + nb.n_sh - inter) AS jaccard
+  FROM inter JOIN szs na ON na.doc_id = id_a JOIN szs nb ON nb.doc_id = id_b
+),
+pr AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM jac j JOIN documents da ON da.doc_id = j.id_a
+             JOIN documents db ON db.doc_id = j.id_b
+  WHERE j.jaccard >= {JACCARD_T}
+),
+mat AS (
+  SELECT source_a, source_b, count(*) AS n_pairs FROM pr GROUP BY 1, 2
+),
+cnt AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+SELECT m.source_a, m.source_b, m.n_pairs,
+       ca.n_docs AS n_docs_a, cb.n_docs AS n_docs_b,
+       round(m.n_pairs / (CASE WHEN m.source_a = m.source_b
+                  THEN CAST(ca.n_docs * (ca.n_docs - 1) AS DOUBLE) / 2.0
+                  ELSE CAST(ca.n_docs * cb.n_docs AS DOUBLE) END), {R})
+         AS pair_rate
+FROM mat m JOIN cnt ca ON ca.source = m.source_a
+           JOIN cnt cb ON cb.source = m.source_b
 """
 
 ORACLES["quality_classifier"] = f"""
@@ -2562,6 +2626,7 @@ def queries():
         "retention_cohorts": q_retention_cohorts,
         "embedding_density": q_embedding_density,
         "minhash_recall": q_minhash_recall,
+        "dup_source_matrix": q_dup_source_matrix,
         "quality_classifier": q_quality_classifier,
         "length_buckets": q_length_buckets,
     }

@@ -3,6 +3,8 @@ filter, and the seasonal-strength diagnostic."""
 
 import math
 
+import pandas as pd
+
 import numpy as np
 import pytest
 
@@ -186,3 +188,39 @@ def test_holt_winters_short_series_emits_nothing(spark):
 
     out = holt_winters_fixed(series_df(spark, [1.0] * 30), period=48)
     assert out.count() == 0
+
+
+def test_quantile_band_flags_rate_and_edges(spark):
+    from time_series_data_anomaly_detection_spark.operators.robust import (
+        quantile_band_flags,
+    )
+
+    vals = [float(v) for v in range(1, 101)]  # 1..100
+    out = (
+        quantile_band_flags(series_df(spark, vals), q_lo=0.1, q_hi=0.9)
+        .orderBy("rn")
+        .toPandas()
+    )
+    # exact linear-interp percentiles of 1..100 at 0.1/0.9
+    assert out["band_lo"].iloc[0] == pytest.approx(10.9)
+    assert out["band_hi"].iloc[0] == pytest.approx(90.1)
+    assert out["band_flag"].sum() == 20  # 1..10 and 91..100
+
+
+def test_diff_zscore_flags_jump_not_trend(spark):
+    from time_series_data_anomaly_detection_spark.operators.robust import (
+        diff_zscore_flags,
+    )
+
+    # smooth ramp with one jump: only the jump's diff is extreme
+    vals = [0.1 * t for t in range(100)]
+    vals[60:] = [v + 25.0 for v in vals[60:]]
+    out = (
+        diff_zscore_flags(series_df(spark, vals), nsig=4.0)
+        .orderBy("rn")
+        .toPandas()
+    )
+    assert out["diff_flag"].iloc[60] == 1
+    assert out["diff_flag"].sum() == 1
+    assert out["diff_flag"].iloc[0] == 0  # null diff -> no flag
+    assert pd.isna(out["diff"].iloc[0])

@@ -76,3 +76,77 @@ def hampel_flags(
             "int"
         ),
     )
+
+
+def quantile_band_flags(
+    df: DataFrame,
+    value_col: str = "value",
+    q_lo: float = 0.02,
+    q_hi: float = 0.98,
+) -> DataFrame:
+    """Quantile-band (ECDF) outlier flags: mark rows outside the
+    per-series exact [q_lo, q_hi] percentile band — the
+    distribution-free cousin of the z-score charts (no normality
+    assumption, insensitive to heavy tails).
+
+    Exact percentiles (not approx — same policy as the MAD operators:
+    band edges flip flags).  One tiny per-series aggregate broadcast
+    back; the scan stays one pass.
+
+    Adds ``band_lo``, ``band_hi``, ``band_flag``.
+    """
+    v = F.col(value_col)
+    bands = df.groupBy("series_id").agg(
+        F.expr(f"percentile({value_col}, {q_lo})").alias("band_lo"),
+        F.expr(f"percentile({value_col}, {q_hi})").alias("band_hi"),
+    )
+    return df.join(F.broadcast(bands), "series_id").withColumn(
+        "band_flag",
+        ((v < F.col("band_lo")) | (v > F.col("band_hi"))).cast("int"),
+    )
+
+
+def diff_zscore_flags(
+    df: DataFrame,
+    value_col: str = "value",
+    nsig: float = 4.0,
+) -> DataFrame:
+    """Rate-of-change (first-difference) spike detector: z-score the
+    per-series first differences against their own exact-decimal
+    moments and flag ``|z| > nsig`` — catches jump discontinuities
+    that level-based charts smear across the window.
+
+    The first row of each series has no difference (null diff, flag
+    0).  Adds ``diff``, ``diff_z``, ``diff_flag``.
+    """
+    from .._exact import DEC
+
+    order = [c for c in ("timestamp", "event_id") if c in df.columns]
+    w = Window.partitionBy("series_id").orderBy(*(order or ["rn"]))
+    v = F.col(value_col)
+    base = df.withColumn("diff", v - F.lag(v).over(w))
+    dd = F.col("diff")
+    moments = base.filter(dd.isNotNull()).groupBy("series_id").agg(
+        F.count("diff").alias("__n"),
+        F.sum(dd.cast(DEC)).cast("double").alias("__s1"),
+        F.sum((dd * dd).cast(DEC)).cast("double").alias("__s2"),
+    )
+    mu = F.col("__s1") / F.col("__n")
+    sd = F.sqrt(
+        F.greatest(
+            (F.col("__s2") - F.col("__s1") * F.col("__s1") / F.col("__n"))
+            / (F.col("__n") - 1),
+            F.lit(0.0),
+        )
+    )
+    out = (
+        base.join(F.broadcast(moments), "series_id")
+        .withColumn("diff_z", (dd - mu) / (sd + F.lit(1e-9)))
+        .drop("__n", "__s1", "__s2")
+    )
+    return out.withColumn(
+        "diff_flag",
+        F.when(dd.isNull(), F.lit(0)).otherwise(
+            (F.abs(F.col("diff_z")) > F.lit(float(nsig))).cast("int")
+        ),
+    )

@@ -991,6 +991,36 @@ def q_hampel_flags(spark, sf_dir):
     )
 
 
+def q_quantile_flags(spark, sf_dir):
+    """Distribution-free band detector, hash-gated: flag rows outside
+    the per-series exact [2%, 98%] percentile band — the ECDF cousin
+    of the z-score charts (P10/P12), no normality assumption."""
+    from ..operators.robust import quantile_band_flags
+
+    out = quantile_band_flags(_series(spark, sf_dir))
+    return out.select(
+        "series_id", "rn",
+        _rnd("band_lo", R).alias("band_lo"),
+        _rnd("band_hi", R).alias("band_hi"),
+        F.col("band_flag").alias("flag"),
+    )
+
+
+def q_diff_zscore(spark, sf_dir):
+    """Rate-of-change spike detector, hash-gated: z-score of the first
+    differences against their own exact-decimal moments — catches the
+    jump discontinuities level charts smear (P9/P10 on Δy)."""
+    from ..operators.robust import diff_zscore_flags
+
+    out = diff_zscore_flags(_series(spark, sf_dir))
+    return out.select(
+        "series_id", "rn",
+        _rnd("diff", R).alias("diff"),
+        _rnd("diff_z", R).alias("diff_z"),
+        F.col("diff_flag").alias("flag"),
+    )
+
+
 def q_seasonal_strength(spark, sf_dir):
     """Model-selection diagnostic, hash-gated: period-position variance
     decomposition F_s = max(0, 1 - Var(resid)/Var(x)) at the
@@ -2196,6 +2226,49 @@ SELECT series_id, rn, round(roll_med, {R}) AS roll_med,
 FROM madf
 """
 
+# ---- quantile_flags: exact-percentile band (DuckDB quantile_cont ≡
+#      Spark percentile: linear interpolation at (n-1)·q). ----
+ORACLES["quantile_flags"] = f"""
+WITH {SQL_S},
+bands AS (
+  SELECT series_id, quantile_cont(value, 0.02) AS band_lo,
+         quantile_cont(value, 0.98) AS band_hi
+  FROM s GROUP BY 1)
+SELECT s.series_id, s.rn,
+       round(band_lo, {R}) AS band_lo,
+       round(band_hi, {R}) AS band_hi,
+       CAST(CASE WHEN s.value < band_lo OR s.value > band_hi
+            THEN 1 ELSE 0 END AS INT) AS flag
+FROM s JOIN bands USING (series_id)
+"""
+
+# ---- diff_zscore: first differences z-scored against their own
+#      exact-decimal moments (the SQL_MO algebra over Δy). ----
+ORACLES["diff_zscore"] = f"""
+WITH {SQL_S},
+dif AS (
+  SELECT series_id, rn,
+         value - lag(value) OVER (PARTITION BY series_id ORDER BY rn)
+           AS diff
+  FROM s),
+dmo AS (
+  SELECT series_id, count(diff) AS n,
+         CAST(sum(CAST(diff AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(diff * diff AS DECIMAL(38,12))) AS DOUBLE) AS s2
+  FROM dif WHERE diff IS NOT NULL GROUP BY 1),
+dmo2 AS (
+  SELECT series_id, s1 / n AS mu,
+         sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) AS sd
+  FROM dmo)
+SELECT d.series_id, d.rn,
+       round(d.diff, {R}) AS diff,
+       round((d.diff - m.mu) / (m.sd + 1e-9), {R}) AS diff_z,
+       CAST(CASE WHEN d.diff IS NULL THEN 0
+                 WHEN abs((d.diff - m.mu) / (m.sd + 1e-9)) > 4.0
+                 THEN 1 ELSE 0 END AS INT) AS flag
+FROM dif d JOIN dmo2 m USING (series_id)
+"""
+
 # ---- seasonal_strength: period-position variance decomposition,
 #      exact-decimal sums end to end. ----
 ORACLES["seasonal_strength"] = f"""
@@ -2631,6 +2704,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoints": q_cusum_changepoints,
         # robust rolling median/MAD outlier filter (native)
         "hampel_flags": q_hampel_flags,
+        # ECDF band + first-difference spike detectors (native)
+        "quantile_flags": q_quantile_flags,
+        "diff_zscore": q_diff_zscore,
         # period-position variance decomposition diagnostic
         "seasonal_strength": q_seasonal_strength,
         # S7 diagnostic frames (the plots minus the pixels)
@@ -2667,6 +2743,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_flags",
         "cusum_changepoints",
         "hampel_flags",
+        "quantile_flags",
+        "diff_zscore",
         "minhash_recall",
         "dup_source_matrix",
         # never appeared in any driver correctness run (new in r05);

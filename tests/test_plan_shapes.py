@@ -361,3 +361,46 @@ def test_pq_encoding_is_map_side(spark):
     assert _count(plan, ") Window\n") + _count(plan, ") Window ") == 1
     assert _count(plan, "WindowGroupLimit") >= 1
     assert _count(plan, ") BroadcastExchange") >= 1
+
+
+def test_hampel_native_single_exchange(spark):
+    """The Hampel chain (sorted in-frame arrays, median/MAD indexing,
+    flag) must be pure JVM — one series exchange, zero Python eval
+    nodes in the plan."""
+    from time_series_data_anomaly_detection_spark.operators.robust import (
+        hampel_flags,
+    )
+
+    y = np.arange(200, dtype=float)
+    plan = _plan(hampel_flags(series_df(spark, y)))
+    assert _count(plan, ") Exchange") == 1
+    assert "EvalPython" not in plan
+
+
+def test_quantile_band_broadcasts_band_table(spark):
+    """The per-series percentile band is one row per series — it must
+    ride a broadcast join back onto the fact scan."""
+    from time_series_data_anomaly_detection_spark.operators.robust import (
+        quantile_band_flags,
+    )
+
+    y = np.arange(200, dtype=float)
+    plan = _plan(quantile_band_flags(series_df(spark, y)))
+    assert _count(plan, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_control_charts_broadcast_moments(spark):
+    """EWMA/CUSUM seed moments are a one-row-per-series aggregate —
+    broadcast back, never a sort-merge; exactly one grouped-map
+    Python stage (the recursion)."""
+    from time_series_data_anomaly_detection_spark.functions.control import (
+        cusum_chart,
+    )
+
+    y = np.arange(200, dtype=float)
+    plan = _plan(cusum_chart(series_df(spark, y)))
+    assert _count(plan, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    assert _count(plan, ") FlatMapGroupsInPandas") == 1

@@ -224,3 +224,44 @@ def test_diff_zscore_flags_jump_not_trend(spark):
     assert out["diff_flag"].sum() == 1
     assert out["diff_flag"].iloc[0] == 0  # null diff -> no flag
     assert pd.isna(out["diff"].iloc[0])
+
+
+def test_detector_consensus_votes_on_obvious_spike(spark, tmp_path):
+    """Route the composite through a parquet events table shaped like
+    the gate's, with one huge spike: the spike row must win >=2 votes
+    (consensus), and a clean stretch must stay consensus-free."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        q_detector_consensus,
+    )
+
+    n = 400
+    rng = np.random.RandomState(11)
+    vals = (100 + rng.randn(n)).tolist()
+    vals[250] = 160.0  # unmistakable point anomaly
+    ts = pd.date_range("2024-01-01", periods=n, freq="30min")
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_type": pa.array(["a"] * n),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = (
+        q_detector_consensus(spark, str(tmp_path))
+        .orderBy("rn")
+        .toPandas()
+    )
+    spike = out.iloc[250]
+    assert spike["votes"] >= 3  # several independent detectors agree
+    assert spike["consensus"] == 1
+    # the clean stretch may see a stray 2-vote coincidence (the 2%/98%
+    # band flags ~4% of rows by construction) but no broad agreement
+    clean = out.iloc[20:240]
+    assert clean["consensus"].sum() <= 2
+    assert (clean["votes"] < 3).all()

@@ -1021,6 +1021,60 @@ def q_diff_zscore(spark, sf_dir):
     )
 
 
+def q_detector_consensus(spark, sf_dir):
+    """Flagship detector ensemble, FULLY hash-gated: the six
+    oracle-checkable detectors (W1 adaptive+persistence, Hampel,
+    quantile band, diff z-score, EWMA, CUSUM) voting per row, with a
+    ≥2-vote consensus flag — the P15 fusion idea
+    (``src/run_hybrid.py:106-116``) restated over detectors whose
+    every vote the gate can verify.
+
+    Plan shape: the four native detectors CHAIN on one frame (same
+    series partitioning — windows reuse the exchange, band/moment
+    joins broadcast); only the two control-chart recursions join in
+    from grouped-map stages.  Integer votes, so the fusion itself is
+    exact."""
+    from ..functions.control import cusum_chart, ewma_chart
+    from ..operators.robust import (
+        diff_zscore_flags,
+        hampel_flags,
+        quantile_band_flags,
+    )
+
+    s = _series(spark, sf_dir)
+    base = adaptive_threshold_flags(s, k=2.0)
+    base = persistence_filter(base, "flag", p=2)
+    base = hampel_flags(base, half=12)
+    base = quantile_band_flags(base)
+    base = diff_zscore_flags(base)
+    e = ewma_chart(s).select(
+        "series_id", "rn", F.col("flag").alias("ewma_flag")
+    )
+    c = cusum_chart(s).select(
+        "series_id", "rn", F.col("flag").alias("cusum_flag")
+    )
+    out = (
+        base.select(
+            "series_id", "rn",
+            F.col("flag").alias("w1_flag"),
+            "hampel_flag", "band_flag", "diff_flag",
+        )
+        .join(e, ["series_id", "rn"])
+        .join(c, ["series_id", "rn"])
+    )
+    votes = (
+        F.col("w1_flag") + F.col("hampel_flag") + F.col("band_flag")
+        + F.col("diff_flag") + F.col("ewma_flag") + F.col("cusum_flag")
+    )
+    return out.select(
+        "series_id", "rn",
+        "w1_flag", "hampel_flag", "band_flag", "diff_flag",
+        "ewma_flag", "cusum_flag",
+        votes.alias("votes"),
+        (votes >= F.lit(2)).cast("int").alias("consensus"),
+    )
+
+
 def q_seasonal_strength(spark, sf_dir):
     """Model-selection diagnostic, hash-gated: period-position variance
     decomposition F_s = max(0, 1 - Var(resid)/Var(x)) at the
@@ -2298,6 +2352,129 @@ SELECT series_id, n,
 FROM ag
 """
 
+# ---- detector_consensus: the six hash-gated detectors voting per
+#      row.  Every branch CTE is the corresponding standalone oracle's
+#      text (W1+persistence = SQL_ROLL/SQL_FLAGS; hampel/quantile/diff
+#      inlined; EWMA/CUSUM recursions renamed rec_e/rec_c — same
+#      expression trees, so same values).  Integer votes join on
+#      (series_id, rn). ----
+ORACLES["detector_consensus"] = f"""
+WITH RECURSIVE {SQL_S}, {SQL_ROLL}, {SQL_FLAGS}, {SQL_MO},
+hwin AS (
+  SELECT series_id, rn, value,
+         list_sort(list(value) OVER (
+           PARTITION BY series_id ORDER BY rn
+           ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)) AS a
+  FROM s),
+hmed AS (
+  SELECT series_id, rn, value, a,
+         (a[CAST(floor((len(a) + 1) / 2.0) AS INT)] +
+          a[CAST(floor(len(a) / 2.0) + 1 AS INT)]) / 2.0 AS roll_med
+  FROM hwin),
+hmadx AS (
+  SELECT series_id, rn, value, roll_med,
+         list_sort(list_transform(a, x -> abs(x - roll_med))) AS d
+  FROM hmed),
+hamp AS (
+  SELECT series_id, rn,
+         CASE WHEN abs(value - roll_med)
+                   > 3.0 * (1.4826 *
+                     ((d[CAST(floor((len(d) + 1) / 2.0) AS INT)] +
+                       d[CAST(floor(len(d) / 2.0) + 1 AS INT)]) / 2.0)
+                     + 1e-9)
+              THEN 1 ELSE 0 END AS hampel_flag
+  FROM hmadx),
+qb AS (
+  SELECT series_id, quantile_cont(value, 0.02) AS band_lo,
+         quantile_cont(value, 0.98) AS band_hi
+  FROM s GROUP BY 1),
+qflag AS (
+  SELECT s.series_id, s.rn,
+         CASE WHEN s.value < band_lo OR s.value > band_hi
+              THEN 1 ELSE 0 END AS band_flag
+  FROM s JOIN qb USING (series_id)),
+dif AS (
+  SELECT series_id, rn,
+         value - lag(value) OVER (PARTITION BY series_id ORDER BY rn)
+           AS diff
+  FROM s),
+dmo AS (
+  SELECT series_id, count(diff) AS n,
+         CAST(sum(CAST(diff AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(diff * diff AS DECIMAL(38,12))) AS DOUBLE) AS s2
+  FROM dif WHERE diff IS NOT NULL GROUP BY 1),
+dmo2 AS (
+  SELECT series_id, s1 / n AS mu,
+         sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) AS sd
+  FROM dmo),
+dflag AS (
+  SELECT d.series_id, d.rn,
+         CASE WHEN d.diff IS NULL THEN 0
+              WHEN abs((d.diff - m.mu) / (m.sd + 1e-9)) > 4.0
+              THEN 1 ELSE 0 END AS diff_flag
+  FROM dif d JOIN dmo2 m USING (series_id)),
+rec_e AS (
+  SELECT s.series_id, s.rn,
+         CAST(m.mu + 0.25 * (s.value - m.mu) AS DOUBLE) AS z,
+         CAST(0.5625 AS DOUBLE) AS w,
+         m.mu AS mu, m.sd AS sd
+  FROM s JOIN mo2 m ON m.series_id = s.series_id WHERE s.rn = 1
+  UNION ALL
+  SELECT s.series_id, s.rn,
+         r.z + 0.25 * (s.value - r.z) AS z,
+         r.w * 0.5625 AS w,
+         r.mu, r.sd
+  FROM rec_e r JOIN s ON s.series_id = r.series_id AND s.rn = r.rn + 1
+),
+eflag AS (
+  SELECT series_id, rn,
+         CASE WHEN z > mu + 3.0 * sd
+                        * sqrt((0.25 / (2.0 - 0.25)) * (1.0 - w))
+                OR z < mu - 3.0 * sd
+                        * sqrt((0.25 / (2.0 - 0.25)) * (1.0 - w))
+              THEN 1 ELSE 0 END AS ewma_flag
+  FROM rec_e),
+sz AS (
+  SELECT s.series_id, s.rn,
+         (s.value - m.mu) / (m.sd + 1e-9) AS z
+  FROM s JOIN mo2 m ON m.series_id = s.series_id
+),
+rec_c AS (
+  SELECT series_id, rn,
+         CAST(greatest(0.0, 0.0 + (z - 0.5)) AS DOUBLE) AS sp,
+         CAST(greatest(0.0, 0.0 + (-z - 0.5)) AS DOUBLE) AS sn
+  FROM sz WHERE rn = 1
+  UNION ALL
+  SELECT z.series_id, z.rn,
+         greatest(0.0, r.sp + (z.z - 0.5)) AS sp,
+         greatest(0.0, r.sn + (-z.z - 0.5)) AS sn
+  FROM rec_c r JOIN sz z ON z.series_id = r.series_id
+                        AND z.rn = r.rn + 1
+),
+cflag AS (
+  SELECT series_id, rn,
+         CASE WHEN sp > 5.0 OR sn > 5.0 THEN 1 ELSE 0 END AS cusum_flag
+  FROM rec_c)
+SELECT f.series_id, f.rn,
+       CAST(f.flag AS INT) AS w1_flag,
+       CAST(h.hampel_flag AS INT) AS hampel_flag,
+       CAST(q.band_flag AS INT) AS band_flag,
+       CAST(d.diff_flag AS INT) AS diff_flag,
+       CAST(e.ewma_flag AS INT) AS ewma_flag,
+       CAST(c.cusum_flag AS INT) AS cusum_flag,
+       CAST(f.flag + h.hampel_flag + q.band_flag + d.diff_flag
+            + e.ewma_flag + c.cusum_flag AS INT) AS votes,
+       CAST(CASE WHEN f.flag + h.hampel_flag + q.band_flag + d.diff_flag
+                      + e.ewma_flag + c.cusum_flag >= 2
+            THEN 1 ELSE 0 END AS INT) AS consensus
+FROM flags f
+JOIN hamp h ON h.series_id = f.series_id AND h.rn = f.rn
+JOIN qflag q ON q.series_id = f.series_id AND q.rn = f.rn
+JOIN dflag d ON d.series_id = f.series_id AND d.rn = f.rn
+JOIN eflag e ON e.series_id = f.series_id AND e.rn = f.rn
+JOIN cflag c ON c.series_id = f.series_id AND c.rn = f.rn
+"""
+
 # ---- qq_plot / histogram_fit: the S7 diagnostic frames.  AR(1)
 #      residual CTEs are the ar1_forecast oracle's, verbatim; the
 #      Filliben/PPF/pdf formulas come from operators.diagnostics as
@@ -2707,6 +2884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ECDF band + first-difference spike detectors (native)
         "quantile_flags": q_quantile_flags,
         "diff_zscore": q_diff_zscore,
+        # six-detector voting ensemble (fully hash-gated fusion)
+        "detector_consensus": q_detector_consensus,
         # period-position variance decomposition diagnostic
         "seasonal_strength": q_seasonal_strength,
         # S7 diagnostic frames (the plots minus the pixels)
@@ -2745,6 +2924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hampel_flags",
         "quantile_flags",
         "diff_zscore",
+        "detector_consensus",
         "minhash_recall",
         "dup_source_matrix",
         # never appeared in any driver correctness run (new in r05);

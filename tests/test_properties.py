@@ -404,3 +404,70 @@ def test_chunk_documents_invariants(spark, n, ctx, overlap):
     # every chunk is at most ctx tokens
     assert (out["n_tok_in_chunk"] <= ctx).all()
     assert (out["n_tok_in_chunk"] >= 1).all()
+
+
+@given(
+    values=st.lists(
+        st.floats(-50, 50, allow_nan=False, width=32),
+        min_size=3,
+        max_size=60,
+    ),
+    half=st.integers(1, 6),
+)
+@SETTINGS
+def test_hampel_matches_pandas_rolling_median_mad(spark, values, half):
+    """Hampel's in-frame sorted-array median/MAD must equal pandas'
+    centered rolling median (min_periods=1) and the MAD of the same
+    window, on arbitrary inputs and window sizes."""
+    from time_series_data_anomaly_detection_spark.operators.robust import (
+        hampel_flags,
+    )
+
+    values = [float(v) for v in values]
+    out = (
+        hampel_flags(series_df(spark, values), half=half)
+        .orderBy("rn")
+        .toPandas()
+    )
+    s = pd.Series(values)
+    win = 2 * half + 1
+    ref_med = s.rolling(win, center=True, min_periods=1).median()
+    np.testing.assert_allclose(out["roll_med"], ref_med, atol=1e-9)
+    n = len(values)
+    for i in range(n):
+        lo, hi = max(0, i - half), min(n, i + half + 1)
+        w = s.iloc[lo:hi]
+        ref_mad = (w - out["roll_med"].iloc[i]).abs().median()
+        assert out["roll_mad"].iloc[i] == pytest.approx(ref_mad, abs=1e-9)
+
+
+@given(
+    values=st.lists(
+        st.floats(-100, 100, allow_nan=False, width=32),
+        min_size=2,
+        max_size=80,
+    ),
+)
+@SETTINGS
+def test_ewma_matches_pandas_ewm(spark, values):
+    """The EWMA recursion seeded at the series mean must match pandas'
+    ewm(alpha=0.25, adjust=False) applied to [mean] + values."""
+    from time_series_data_anomaly_detection_spark.functions.control import (
+        ewma_chart,
+    )
+
+    values = [float(v) for v in values]
+    out = (
+        ewma_chart(series_df(spark, values))
+        .orderBy("rn")
+        .toPandas()
+    )
+    mu = np.mean(values)
+    ref = (
+        pd.Series([mu] + values)
+        .ewm(alpha=0.25, adjust=False)
+        .mean()
+        .iloc[1:]
+        .to_numpy()
+    )
+    np.testing.assert_allclose(out["ewma"], ref, atol=1e-8)

@@ -525,3 +525,40 @@ def test_streaming_control_flags_matches_batch(spark, stream_data):
     ).all()
     # the injected burst trips the CUSUM chart in-stream
     assert out["cusum_flag"].iloc[200:].sum() > 0
+
+
+def test_streaming_holt_winters_matches_batch(spark, stream_data):
+    from time_series_data_anomaly_detection_spark.functions.holt_winters import (
+        holt_winters_fixed,
+    )
+    from time_series_data_anomaly_detection_spark.streaming.detectors import (
+        streaming_holt_winters,
+    )
+
+    root, pdf = stream_data
+    stream = spark.readStream.schema(SCHEMA).parquet(root)
+    out = _run_stream(
+        spark,
+        streaming_holt_winters(
+            stream.filter(F.col("series_id") == "a"), period=48
+        ),
+        "hwstream",
+    ).toPandas()
+
+    batch_in = with_row_index(
+        spark.createDataFrame(pdf[pdf.series_id == "a"])
+    )
+    batch = (
+        holt_winters_fixed(batch_in, period=48)
+        .toPandas()
+        .sort_values("rn")
+        .reset_index(drop=True)
+    )
+    out = out.sort_values("timestamp").reset_index(drop=True)
+    # warm-up rows stream as null pred; batch emits nothing for them
+    settled = out[out["pred"].notna()].reset_index(drop=True)
+    assert len(settled) == len(batch) == 300 - 48
+    np.testing.assert_allclose(settled["pred"], batch["pred"], atol=1e-8)
+    np.testing.assert_allclose(
+        settled["resid"], batch["resid"], atol=1e-8
+    )

@@ -8,6 +8,7 @@ from .detectors import (  # noqa: F401
     streaming_bocpd,
     streaming_user_sessions,
     streaming_control_flags,
+    streaming_holt_winters,
 )
 from .quality import (  # noqa: F401
     streaming_source_quality,

@@ -405,3 +405,102 @@ def streaming_control_flags(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+_HW_OUT = StructType(
+    [
+        StructField("series_id", StringType()),
+        StructField("timestamp", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("pred", DoubleType()),
+        StructField("resid", DoubleType()),
+    ]
+)
+_HW_STATE = StructType(
+    [
+        StructField("buf", ArrayType(DoubleType())),
+        StructField("sl", ArrayType(DoubleType())),
+        StructField("l", DoubleType()),
+        StructField("b", DoubleType()),
+        StructField("started", IntegerType()),
+    ]
+)
+
+
+def streaming_holt_winters(
+    stream: DataFrame,
+    period: int = 48,
+    alpha: float = 0.25,
+    beta: float = 0.0625,
+    gamma: float = 0.25,
+) -> DataFrame:
+    """Fixed-parameter additive Holt-Winters as a stateful stream —
+    the streaming twin of ``functions.holt_winters.holt_winters_fixed``.
+
+    The first ``period`` rows per series are the warm-up (emitted with
+    null ``pred``, matching the batch operator which emits nothing for
+    them); the level seeds at their mean and the seasonal vector at
+    their deviations, then the recursion matches batch row-for-row.
+    State is O(period) doubles per series.
+    """
+    p = int(period)
+    a, bq, g = float(alpha), float(beta), float(gamma)
+    ca, cb, cg = 1.0 - a, 1.0 - bq, 1.0 - g
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (series_id,) = key
+        if state.exists:
+            buf, sl, l, b, started = state.get
+            buf, sl = list(buf), list(sl)
+        else:
+            buf, sl, l, b, started = [], [], 0.0, 0.0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values("timestamp").reset_index(drop=True)
+            y = pdf["value"].to_numpy(float)
+            preds = np.full(len(y), np.nan)
+            for i in range(len(y)):
+                if not started:
+                    buf.append(float(y[i]))
+                    if len(buf) == p:
+                        l = float(np.mean(buf))
+                        sl = [v - l for v in buf]
+                        b = 0.0
+                        started = 1
+                    continue
+                sprev = sl[0]
+                preds[i] = (l + b) + sprev
+                l_new = a * (y[i] - sprev) + ca * (l + b)
+                b_new = bq * (l_new - l) + cb * b
+                s_new = g * (y[i] - l_new) + cg * sprev
+                sl = sl[1:] + [s_new]
+                l, b = l_new, b_new
+            yield pd.DataFrame(
+                {
+                    "series_id": series_id,
+                    "timestamp": pdf["timestamp"],
+                    "value": y,
+                    "pred": preds,
+                    "resid": y - preds,
+                }
+            )
+        state.update(
+            (
+                [float(x) for x in buf],
+                [float(x) for x in sl],
+                float(l),
+                float(b),
+                int(started),
+            )
+        )
+
+    return stream.groupBy("series_id").applyInPandasWithState(
+        update,
+        _HW_OUT,
+        _HW_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -950,3 +950,85 @@ def test_dup_source_matrix_counts_and_rates(spark):
     assert out.loc[("web", "web"), "n_pairs"] == 1
     assert out.loc[("web", "web"), "pair_rate"] == pytest.approx(1.0)
     assert out.loc[("web", "wiki"), "pair_rate"] == pytest.approx(2 / 4)
+
+
+def test_containment_catches_quote_absorption(spark):
+    from time_series_data_anomaly_detection_spark.datapipe.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "the quick brown fox jumps over the lazy dog"
+    long = (
+        "intro sentence here first. " + short + " and then a very long "
+        "discussion continues with many additional sentences about "
+        "completely different topics entirely unrelated to the quote "
+        "covering planning scheduling execution and storage layers"
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, short), (1, long), (2, "nothing in common at all here")],
+            columns=["doc_id", "text"],
+        )
+    )
+    out = containment_pairs(docs, n=3, threshold=0.8).toPandas()
+    # doc 0 is contained in doc 1 (every shingle of 0 appears in 1)
+    row = out[(out.id_contained == 0) & (out.id_container == 1)]
+    assert len(row) == 1
+    assert row["containment"].iloc[0] == pytest.approx(1.0)
+    # but symmetric Jaccard misses it at the same bar
+    jac = ngram_jaccard_pairs(docs, n=3, threshold=0.5).toPandas()
+    assert len(jac[(jac.id_a == 0) & (jac.id_b == 1)]) == 0
+
+
+def test_vocab_coverage_on_known_frequencies(spark):
+    from time_series_data_anomaly_detection_spark.datapipe.corpus import (
+        vocab_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "a a a a b b c"), (1, "a b c d")],
+            columns=["doc_id", "text"],
+        )
+    )
+    out = (
+        vocab_coverage(docs, ks=(1, 2, 100))
+        .toPandas()
+        .set_index("k")
+    )
+    # freqs: a=5, b=3, c=2, d=1 -> total 11, vocab 4
+    assert (out["total_tokens"] == 11).all()
+    assert (out["n_vocab"] == 4).all()
+    assert out.loc[1, "covered_tokens"] == 5
+    assert out.loc[2, "covered_tokens"] == 8
+    assert out.loc[100, "covered_tokens"] == 11
+    assert out.loc[2, "coverage"] == pytest.approx(8 / 11)
+
+
+def test_pq_rerank_orders_shortlist_by_exact_cosine(spark, vectors):
+    from time_series_data_anomaly_detection_spark.datapipe.similarity import (
+        cosine_topk,
+        pq_rerank_topk,
+        pq_topk,
+    )
+
+    q = vectors.filter(F.col("vec_id") < 3)
+    rer = pq_rerank_topk(
+        vectors, q, k=3, shortlist=8, m=4, n_codes=8
+    ).toPandas()
+    short = pq_topk(vectors, q, k=8, m=4, n_codes=8).toPandas()
+    exact = cosine_topk(vectors, q, k=50).toPandas()
+    for qid, grp in rer.groupby("query_id"):
+        cand = set(
+            short[short.query_id == qid]["match_id"]
+        )
+        # rerank output is drawn from the shortlist...
+        assert set(grp["match_id"]) <= cand
+        # ...and ordered exactly as the exact cosine of those cands
+        ex = exact[
+            (exact.query_id == qid) & (exact.match_id.isin(cand))
+        ].sort_values("rank")
+        expect = list(ex["match_id"].iloc[: len(grp)])
+        got = list(grp.sort_values("rank")["match_id"])
+        assert got == expect

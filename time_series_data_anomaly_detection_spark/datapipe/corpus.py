@@ -282,3 +282,62 @@ def quality_classifier(
         margin.alias("margin"),
         (margin > F.lit(float(threshold))).cast("int").alias("keep"),
     )
+
+
+VOCAB_KS = (100, 1000, 10000)
+
+
+def vocab_coverage(
+    df: DataFrame,
+    ks: tuple[int, ...] = VOCAB_KS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-coverage curve: for each candidate vocab size K,
+    the fraction of all corpus token OCCURRENCES covered by the K most
+    frequent token types — the number that sizes a tokenizer vocab
+    (coverage at 10k says how much of the stream falls back to
+    unk/bytes).
+
+    One explode + one groupBy gives the type-frequency table, which is
+    DIMENSION-sized (≤ vocab, not corpus): the global rank over it is
+    a sort of ~1M rows at web scale, trivially done after the corpus
+    was reduced.  Ranking ties break by token text; coverage divides
+    exact integer sums.
+
+    Output per K: ``k, n_vocab, total_tokens, covered_tokens,
+    coverage``.
+    """
+    toks = tokenize(df, text_col).select(
+        F.explode("tokens").alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    ranked = freq.select(
+        "freq", F.row_number().over(w).alias("rk")
+    )
+    totals = ranked.agg(
+        F.count("*").alias("n_vocab"),
+        F.sum("freq").alias("total_tokens"),
+    )
+    per_k = [
+        ranked.filter(F.col("rk") <= F.lit(int(k))).agg(
+            F.lit(int(k)).alias("k"),
+            F.sum("freq").alias("covered_tokens"),
+        )
+        for k in ks
+    ]
+    cov = per_k[0]
+    for p in per_k[1:]:
+        cov = cov.unionByName(p)
+    return cov.crossJoin(F.broadcast(totals)).select(
+        "k",
+        "n_vocab",
+        "total_tokens",
+        F.coalesce(F.col("covered_tokens"), F.lit(0)).alias(
+            "covered_tokens"
+        ),
+        (
+            F.coalesce(F.col("covered_tokens"), F.lit(0))
+            * F.lit(1.0) / F.col("total_tokens")
+        ).alias("coverage"),
+    )

@@ -945,3 +945,61 @@ def dup_source_matrix(
         "n_docs_b",
         (F.col("n_pairs") / denom).alias("pair_rate"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Asymmetric shingle containment ``C(A→B) = |A∩B| / |A|`` for
+    doc pairs sharing a shingle; emits directed rows where the
+    CONTAINED side's overlap ratio meets ``threshold``.
+
+    The one-sided cousin of n-gram Jaccard: a short doc quoted inside
+    a long one scores near-zero Jaccard (the union is huge) but
+    containment ≈ 1 — the signal for quote/subset/boilerplate
+    absorption that symmetric dedup misses.
+
+    Same scale shape as ``ngram_jaccard_pairs`` (shingle-bucketed,
+    skew-guarded equi join); the only delta is the denominator and the
+    directed output ``(id_contained, id_container, containment)``.
+    """
+    sh = shingles(df, n, text_col, id_col)
+    if max_shingle_df is not None:
+        freq = sh.groupBy("shingle_hash").agg(F.count("*").alias("df_count"))
+        sh = (
+            sh.join(freq, "shingle_hash")
+            .filter(F.col("df_count") <= max_shingle_df)
+            .drop("df_count")
+        )
+    from ..session import tracked_cache
+
+    sh = tracked_cache(sh)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    inter = (
+        salted_self_join_pairs(sh, ["shingle_hash"], id_col, cap=bucket_cap)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    both = inter.join(na, "id_a").join(nb, "id_b")
+    ab = both.select(
+        F.col("id_a").alias("id_contained"),
+        F.col("id_b").alias("id_container"),
+        (F.col("inter") * F.lit(1.0) / F.col("n_a")).alias("containment"),
+    )
+    ba = both.select(
+        F.col("id_b").alias("id_contained"),
+        F.col("id_a").alias("id_container"),
+        (F.col("inter") * F.lit(1.0) / F.col("n_b")).alias("containment"),
+    )
+    return ab.unionByName(ba).filter(F.col("containment") >= threshold)

@@ -740,3 +740,65 @@ def embedding_density(
         F.coalesce("n_neighbors", F.lit(0)).cast("long").alias("n_neighbors"),
         F.coalesce("__density", F.lit(-1.0)).alias("density"),
     )
+
+
+def pq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieval: PQ ADC shortlist → exact cosine re-rank —
+    the standard production ANN shape (compressed codes prune the
+    corpus; float vectors are touched only for the ``shortlist``
+    survivors per query).
+
+    Completes the PQ path the way ``ann_recall`` completes LSH/IVF:
+    ``pq_topk`` alone trades recall for memory, the re-rank buys the
+    ordering back.  Scale shape: stage 1 is the zero-shuffle ADC scan;
+    stage 2 joins only |queries|·shortlist rows against the corpus
+    vectors (id-keyed equi join) — the full corpus is never scored
+    exactly.
+
+    Output: (query_id, match_id, rank, cosine), rank 1..k by exact
+    cosine descending, ties by match_id.
+    """
+    from .dedup import _dot, _norm
+
+    short = pq_topk(
+        corpus, queries, k=shortlist, m=m, n_codes=n_codes,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "match_id")
+    c = corpus.select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    scored = (
+        short.join(c, "match_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "match_id",
+            (
+                _dot(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn") + F.lit(1e-12))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("match_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

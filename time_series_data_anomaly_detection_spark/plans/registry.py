@@ -2927,6 +2927,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detector_consensus",
         "minhash_recall",
         "dup_source_matrix",
+        "pq_rerank",
+        "containment_pairs",
+        "vocab_coverage",
         # never appeared in any driver correctness run (new in r05);
         # within the block, cheap queries first so each family's
         # first-execution JIT cost lands on a small query, not a

@@ -2387,6 +2387,56 @@ FROM h
 """
 
 
+PQ_RERANK_C = 20
+CONTAIN_T = 0.8
+
+
+def q_pq_rerank(spark, sf_dir):
+    """Two-stage ANN: PQ ADC shortlist (top-20 by compressed codes)
+    exact-cosine re-ranked to top-k — the standard production
+    retrieval shape; float vectors touched only for survivors."""
+    from ..datapipe.similarity import pq_rerank_topk
+
+    e = _embs(spark, sf_dir)
+    out = pq_rerank_topk(
+        e, e.filter(F.col("vec_id") < N_QUERIES), k=TOPK,
+        shortlist=PQ_RERANK_C, m=PQ_M, n_codes=PQ_CODES,
+    )
+    return out.select(
+        "query_id", "match_id", "rank",
+        _rnd("cosine", R).alias("cosine"),
+    )
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric shingle containment |A∩B|/|A| ≥ 0.8 — catches
+    quote/subset absorption that symmetric Jaccard misses."""
+    from ..datapipe.dedup import containment_pairs
+
+    out = containment_pairs(_docs(spark, sf_dir), n=3, threshold=CONTAIN_T)
+    return out.select(
+        "id_contained",
+        "id_container",
+        _rnd("containment", R).alias("containment"),
+    )
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary-coverage curve: token-occurrence coverage of the
+    top-K token types for K in (100, 1k, 10k) — the tokenizer
+    vocab-sizing report."""
+    from ..datapipe.corpus import vocab_coverage
+
+    out = vocab_coverage(_docs(spark, sf_dir))
+    return out.select(
+        "k",
+        "n_vocab",
+        "total_tokens",
+        "covered_tokens",
+        _rnd("coverage", R).alias("coverage"),
+    )
+
+
 def q_dup_source_matrix(spark, sf_dir):
     """Cross-source duplication matrix over the verified MinHash-LSH
     pair set: pair counts and exact-universe pair rates per (source,
@@ -2477,6 +2527,116 @@ SELECT CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
                   THEN n_hits * 1.0 / n_candidates END, {R})
          AS candidate_precision
 FROM tc, cc, hc
+"""
+
+ORACLES["containment_pairs"] = f"""
+WITH {SQL_TOKS}, {SQL_SHINGLES},
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle_hash = b.shingle_hash
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairsz AS (
+  SELECT id_a, id_b, inter, na.n_sh AS n_a, nb.n_sh AS n_b
+  FROM inter JOIN szs na ON na.doc_id = id_a
+             JOIN szs nb ON nb.doc_id = id_b
+),
+dir AS (
+  SELECT id_a AS id_contained, id_b AS id_container,
+         inter * 1.0 / n_a AS containment FROM pairsz
+  UNION ALL
+  SELECT id_b AS id_contained, id_a AS id_container,
+         inter * 1.0 / n_b AS containment FROM pairsz
+)
+SELECT id_contained, id_container, round(containment, {R}) AS containment
+FROM dir WHERE containment >= {CONTAIN_T}
+"""
+
+from ..datapipe.corpus import VOCAB_KS
+
+_VOCAB_KS_SQL = ", ".join(str(k) for k in VOCAB_KS)
+
+ORACLES["vocab_coverage"] = f"""
+WITH {SQL_TOKS},
+tk AS (SELECT unnest(t) AS tok FROM toks),
+freq AS (SELECT tok, count(*) AS freq FROM tk GROUP BY 1),
+ranked AS (
+  SELECT freq, row_number() OVER (ORDER BY freq DESC, tok ASC) AS rk
+  FROM freq),
+totals AS (
+  SELECT count(*) AS n_vocab, CAST(sum(freq) AS BIGINT) AS total_tokens
+  FROM ranked),
+ks AS (SELECT unnest([{_VOCAB_KS_SQL}]) AS k),
+cov AS (
+  SELECT ks.k, CAST(sum(r.freq) AS BIGINT) AS covered_tokens
+  FROM ks LEFT JOIN ranked r ON r.rk <= ks.k
+  GROUP BY 1)
+SELECT c.k, t.n_vocab, t.total_tokens,
+       coalesce(c.covered_tokens, 0) AS covered_tokens,
+       round(coalesce(c.covered_tokens, 0) * 1.0 / t.total_tokens, {R})
+         AS coverage
+FROM cov c, totals t
+"""
+
+ORACLES["pq_rerank"] = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e
+  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {PQ_CODES})
+),
+sp AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j),
+dists AS (
+  SELECT s.vec_id, sp.j, c.cid,
+         list_sum(list_transform(generate_series(1, {_PQ_SUB}),
+           i -> (s.e[sp.j * {_PQ_SUB} + i] - c.e[sp.j * {_PQ_SUB} + i])
+              * (s.e[sp.j * {_PQ_SUB} + i] - c.e[sp.j * {_PQ_SUB} + i])))
+           AS d
+  FROM v s CROSS JOIN sp CROSS JOIN seeds c
+),
+enc AS (
+  SELECT vec_id, j, cid
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                     ORDER BY d ASC, cid ASC) AS rk
+        FROM dists)
+  WHERE rk = 1
+),
+encp AS (
+  SELECT vec_id AS match_id,
+         {_PQ_PIVOT}
+  FROM enc GROUP BY 1
+),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, m.match_id,
+         {_PQ_DJ} AS adist
+  FROM encp m CROSS JOIN q
+  {_PQ_SEED_JOINS}
+  WHERE m.match_id <> q.query_id
+),
+short AS (
+  SELECT query_id, match_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adist ASC, match_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {PQ_RERANK_C}
+),
+vv AS (
+  SELECT vec_id, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM v),
+rr AS (
+  SELECT s.query_id, s.match_id,
+         list_dot_product(qq.e, c.e) / (qq.nrm * c.nrm + 1e-12) AS cosine
+  FROM short s JOIN vv c ON c.vec_id = s.match_id
+               JOIN vv qq ON qq.vec_id = s.query_id
+),
+rr2 AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, match_id ASC) AS rank
+  FROM rr)
+SELECT query_id, match_id, rank, round(cosine, {R}) AS cosine
+FROM rr2 WHERE rank <= {TOPK}
 """
 
 ORACLES["dup_source_matrix"] = f"""
@@ -2627,6 +2787,9 @@ def queries():
         "embedding_density": q_embedding_density,
         "minhash_recall": q_minhash_recall,
         "dup_source_matrix": q_dup_source_matrix,
+        "pq_rerank": q_pq_rerank,
+        "containment_pairs": q_containment_pairs,
+        "vocab_coverage": q_vocab_coverage,
         "quality_classifier": q_quality_classifier,
         "length_buckets": q_length_buckets,
     }

@@ -265,3 +265,26 @@ def test_detector_consensus_votes_on_obvious_spike(spark, tmp_path):
     clean = out.iloc[20:240]
     assert clean["consensus"].sum() <= 2
     assert (clean["votes"] < 3).all()
+
+
+def test_seasonal_profile_flags_are_position_aware(spark):
+    from time_series_data_anomaly_detection_spark.operators.robust import (
+        seasonal_profile_flags,
+    )
+
+    # strong period-4 pattern: [0, 10, 0, -10] repeated; one anomaly is
+    # a 10 placed where 0 belongs — globally unremarkable (10 is a
+    # normal value!), positionally extreme
+    vals = [0.0, 10.0, 0.0, -10.0] * 20
+    rng = np.random.RandomState(5)
+    vals = [v + 0.1 * float(rng.randn()) for v in vals]
+    vals[40] = 10.0  # position 0 should be ~0
+    out = (
+        seasonal_profile_flags(series_df(spark, vals), period=4)
+        .orderBy("rn")
+        .toPandas()
+    )
+    assert out["profile_flag"].iloc[40] == 1
+    # the regular 10s at position 1 are NOT flagged
+    pos1 = out[out["pos"] == 1]
+    assert pos1["profile_flag"].sum() == 0

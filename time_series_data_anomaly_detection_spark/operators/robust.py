@@ -150,3 +150,54 @@ def diff_zscore_flags(
             (F.abs(F.col("diff_z")) > F.lit(float(nsig))).cast("int")
         ),
     )
+
+
+def seasonal_profile_flags(
+    df: DataFrame,
+    value_col: str = "value",
+    period: int = 48,
+    nsig: float = 3.0,
+) -> DataFrame:
+    """Seasonal-profile (time-of-day) anomaly flags: score each row
+    against the mean/std of ITS OWN period position (``rn mod
+    period``) — "is this 3 pm unusual *for a 3 pm*?".  The detector a
+    global z-score cannot be for strongly seasonal series: the daily
+    peak is normal at peak hour and anomalous at 3 am.
+
+    Moments per (series, position) come from exact decimal sums
+    (ddof=1), broadcast back onto the scan — |series|·period rows, two
+    orders below the fact table at any scale.
+
+    Adds ``pos``, ``pos_mean``, ``pos_z``, ``profile_flag``.
+    """
+    from .._exact import DEC
+
+    v = F.col(value_col)
+    pos = ((F.col("rn") - F.lit(1)) % F.lit(int(period))).alias("pos")
+    base = df.withColumn("pos", pos)
+    mo = base.groupBy("series_id", "pos").agg(
+        F.count(value_col).alias("__n"),
+        F.sum(v.cast(DEC)).cast("double").alias("__s1"),
+        F.sum((v * v).cast(DEC)).cast("double").alias("__s2"),
+    )
+    mu = F.col("__s1") / F.col("__n")
+    sd = F.sqrt(
+        F.greatest(
+            (F.col("__s2") - F.col("__s1") * F.col("__s1") / F.col("__n"))
+            / (F.col("__n") - 1),
+            F.lit(0.0),
+        )
+    )
+    prof = mo.select(
+        "series_id", "pos", mu.alias("pos_mean"), sd.alias("__sd")
+    )
+    out = base.join(F.broadcast(prof), ["series_id", "pos"])
+    z = (v - F.col("pos_mean")) / (F.col("__sd") + F.lit(1e-9))
+    return (
+        out.withColumn("pos_z", z)
+        .withColumn(
+            "profile_flag",
+            (F.abs(F.col("pos_z")) > F.lit(float(nsig))).cast("int"),
+        )
+        .drop("__sd")
+    )

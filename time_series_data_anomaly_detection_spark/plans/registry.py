@@ -1021,6 +1021,22 @@ def q_diff_zscore(spark, sf_dir):
     )
 
 
+def q_seasonal_profile_flags(spark, sf_dir):
+    """Time-of-day profile detector, hash-gated: each row scored
+    against its own period position's mean/std — the seasonal-aware
+    flag a global z-score cannot produce (P6/P10/P12 conditioned on
+    rn mod 48)."""
+    from ..operators.robust import seasonal_profile_flags
+
+    out = seasonal_profile_flags(_series(spark, sf_dir), period=48)
+    return out.select(
+        "series_id", "rn", "pos",
+        _rnd("pos_mean", R).alias("pos_mean"),
+        _rnd("pos_z", R).alias("pos_z"),
+        F.col("profile_flag").alias("flag"),
+    )
+
+
 def q_detector_consensus(spark, sf_dir):
     """Flagship detector ensemble, FULLY hash-gated: the six
     oracle-checkable detectors (W1 adaptive+persistence, Hampel,
@@ -2323,6 +2339,28 @@ SELECT d.series_id, d.rn,
 FROM dif d JOIN dmo2 m USING (series_id)
 """
 
+# ---- seasonal_profile_flags: per-(series, rn mod 48) exact-decimal
+#      moments, rows scored against their own position profile. ----
+ORACLES["seasonal_profile_flags"] = f"""
+WITH {SQL_S},
+pm AS (
+  SELECT series_id, (rn - 1) % 48 AS pos, count(value) AS n,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS s2
+  FROM s GROUP BY 1, 2),
+pm2 AS (
+  SELECT series_id, pos, s1 / n AS pos_mean,
+         sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) AS sd
+  FROM pm)
+SELECT s.series_id, s.rn, p.pos,
+       round(p.pos_mean, {R}) AS pos_mean,
+       round((s.value - p.pos_mean) / (p.sd + 1e-9), {R}) AS pos_z,
+       CAST(CASE WHEN abs((s.value - p.pos_mean) / (p.sd + 1e-9)) > 3.0
+            THEN 1 ELSE 0 END AS INT) AS flag
+FROM s JOIN pm2 p ON p.series_id = s.series_id
+                 AND p.pos = (s.rn - 1) % 48
+"""
+
 # ---- seasonal_strength: period-position variance decomposition,
 #      exact-decimal sums end to end. ----
 ORACLES["seasonal_strength"] = f"""
@@ -2884,6 +2922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ECDF band + first-difference spike detectors (native)
         "quantile_flags": q_quantile_flags,
         "diff_zscore": q_diff_zscore,
+        # time-of-day profile detector (seasonal-aware z-score)
+        "seasonal_profile_flags": q_seasonal_profile_flags,
         # six-detector voting ensemble (fully hash-gated fusion)
         "detector_consensus": q_detector_consensus,
         # period-position variance decomposition diagnostic
@@ -2925,6 +2965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_flags",
         "diff_zscore",
         "detector_consensus",
+        "seasonal_profile_flags",
         "minhash_recall",
         "dup_source_matrix",
         "pq_rerank",

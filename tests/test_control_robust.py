@@ -288,3 +288,32 @@ def test_seasonal_profile_flags_are_position_aware(spark):
     # the regular 10s at position 1 are NOT flagged
     pos1 = out[out["pos"] == 1]
     assert pos1["profile_flag"].sum() == 0
+
+
+def test_cusum_alarms_localize_and_reset(spark):
+    from time_series_data_anomaly_detection_spark.functions.control import (
+        cusum_alarms,
+    )
+
+    # quiet -> +shift -> back to quiet-ish -> -shift: one 'up' alarm
+    # near the first change, later a 'down' alarm (reset makes the
+    # second detectable)
+    vals = (
+        [0.0, 0.1, -0.1, 0.05, -0.05] * 8
+        + [3.0] * 10
+        + [0.0, 0.1, -0.1, 0.05, -0.05] * 8
+        + [-3.0] * 10
+    )
+    out = (
+        cusum_alarms(series_df(spark, vals))
+        .orderBy("rn")
+        .toPandas()
+    )
+    ups = out[out.direction == "up"]
+    downs = out[out.direction == "down"]
+    assert len(ups) >= 1 and len(downs) >= 1
+    # first up alarm lands within the first shifted block (rows 41-50)
+    assert 41 <= ups["rn"].iloc[0] <= 50
+    # the down alarm comes only in the final block (rows 91-100)
+    assert 91 <= downs["rn"].iloc[0] <= 100
+    assert (out["stat"] > 5.0).all()

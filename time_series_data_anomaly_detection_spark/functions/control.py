@@ -182,3 +182,63 @@ def cusum_chart(
         .groupBy("series_id")
         .applyInPandas(run, CUSUM_SCHEMA)
     )
+
+
+CUSUM_ALARM_SCHEMA = (
+    "series_id string, rn long, direction string, stat double"
+)
+
+
+def cusum_alarms(
+    df: DataFrame,
+    value_col: str = "value",
+    k: float = 0.5,
+    h: float = 5.0,
+) -> DataFrame:
+    """CUSUM changepoint LOCALIZATION: the two-sided chart with
+    reset-on-alarm — each crossing empties its side's sum, so the
+    output is the changepoint list itself (one row per alarm, the
+    thing ``detect_changepoints`` consumers actually read off BOCPD's
+    ``cp_prob`` column in ``src/changepoint.py:85-107``), not a dense
+    flag column.
+
+    Emits ``(series_id, rn, direction ∈ {'up','down'}, stat)`` at each
+    crossing; the alarm count is O(changepoints), so the result table
+    is tiny at any scale.  Same bit-exactness recipe as
+    :func:`cusum_chart`; the reset is ``CASE alarm THEN 0`` spelled
+    identically in the oracle recursion.
+    """
+    k = float(k)
+    h = float(h)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rn").reset_index(drop=True)
+        y = pdf["value"].to_numpy(float)
+        mu = float(pdf["__mu"].iloc[0])
+        sd = float(pdf["__sd"].iloc[0])
+        rows = []
+        spc = snc = 0.0
+        for t in range(len(y)):
+            z = (y[t] - mu) / (sd + EPS_SD)
+            spc = max(0.0, spc + (z - k))
+            snc = max(0.0, snc + (-z - k))
+            if spc > h:
+                rows.append((pdf["series_id"].iloc[t],
+                             int(pdf["rn"].iloc[t]), "up", spc))
+                spc = 0.0
+            if snc > h:
+                rows.append((pdf["series_id"].iloc[t],
+                             int(pdf["rn"].iloc[t]), "down", snc))
+                snc = 0.0
+        return pd.DataFrame(
+            rows, columns=["series_id", "rn", "direction", "stat"]
+        )
+
+    src = _with_moments(
+        df.select("series_id", "rn", value_col), value_col
+    )
+    return (
+        udf_repartition(src, "series_id")
+        .groupBy("series_id")
+        .applyInPandas(run, CUSUM_ALARM_SCHEMA)
+    )

@@ -975,6 +975,20 @@ def q_cusum_changepoints(spark, sf_dir):
     )
 
 
+def q_cusum_alarms(spark, sf_dir):
+    """Changepoint LOCALIZATION, hash-gated: reset-on-alarm CUSUM —
+    the output is the changepoint list itself (one row per crossing,
+    like the peaks consumers read off BOCPD's cp_prob in
+    ``src/changepoint.py:85-107``), not a dense flag column."""
+    from ..functions.control import cusum_alarms
+
+    out = cusum_alarms(_series(spark, sf_dir))
+    return out.select(
+        "series_id", "rn", "direction",
+        _rnd("stat", R).alias("stat"),
+    )
+
+
 def q_hampel_flags(spark, sf_dir):
     """W1's robust sibling, hash-gated: Hampel identifier — centered
     rolling median ± 3·1.4826·rolling-MAD (the reference's MAD scoring
@@ -2263,6 +2277,44 @@ SELECT series_id, rn, round(sp, {R}) AS cusum_pos,
 FROM rec
 """
 
+# ---- cusum_alarms: the CUSUM recursion with reset-on-alarm carried
+#      through the CTE (raw statistic emitted, carry zeroed on
+#      crossing — mirrors functions.control.cusum_alarms). ----
+ORACLES["cusum_alarms"] = f"""
+WITH RECURSIVE {SQL_S}, {SQL_MO},
+sz AS (
+  SELECT s.series_id, s.rn,
+         (s.value - m.mu) / (m.sd + 1e-9) AS z
+  FROM s JOIN mo2 m ON m.series_id = s.series_id
+),
+rec AS (
+  SELECT series_id, rn,
+         CAST(greatest(0.0, 0.0 + (z - 0.5)) AS DOUBLE) AS sp_raw,
+         CAST(greatest(0.0, 0.0 + (-z - 0.5)) AS DOUBLE) AS sn_raw,
+         CAST(CASE WHEN greatest(0.0, 0.0 + (z - 0.5)) > 5.0
+              THEN 0.0 ELSE greatest(0.0, 0.0 + (z - 0.5)) END
+              AS DOUBLE) AS sp,
+         CAST(CASE WHEN greatest(0.0, 0.0 + (-z - 0.5)) > 5.0
+              THEN 0.0 ELSE greatest(0.0, 0.0 + (-z - 0.5)) END
+              AS DOUBLE) AS sn
+  FROM sz WHERE rn = 1
+  UNION ALL
+  SELECT z.series_id, z.rn,
+         greatest(0.0, r.sp + (z.z - 0.5)) AS sp_raw,
+         greatest(0.0, r.sn + (-z.z - 0.5)) AS sn_raw,
+         CASE WHEN greatest(0.0, r.sp + (z.z - 0.5)) > 5.0
+              THEN 0.0 ELSE greatest(0.0, r.sp + (z.z - 0.5)) END AS sp,
+         CASE WHEN greatest(0.0, r.sn + (-z.z - 0.5)) > 5.0
+              THEN 0.0 ELSE greatest(0.0, r.sn + (-z.z - 0.5)) END AS sn
+  FROM rec r JOIN sz z ON z.series_id = r.series_id AND z.rn = r.rn + 1
+)
+SELECT series_id, rn, 'up' AS direction, round(sp_raw, {R}) AS stat
+FROM rec WHERE sp_raw > 5.0
+UNION ALL
+SELECT series_id, rn, 'down' AS direction, round(sn_raw, {R}) AS stat
+FROM rec WHERE sn_raw > 5.0
+"""
+
 # ---- hampel_flags: centered rolling median/MAD via sorted in-frame
 #      lists — the floor((n+1)/2.0) indexing is load-bearing (Spark's
 #      double->int cast truncates, DuckDB's rounds). ----
@@ -2917,6 +2969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # control-chart detectors (scalar recursions, hash-gated)
         "ewma_flags": q_ewma_flags,
         "cusum_changepoints": q_cusum_changepoints,
+        # reset-on-alarm changepoint localization (tiny alarm table)
+        "cusum_alarms": q_cusum_alarms,
         # robust rolling median/MAD outlier filter (native)
         "hampel_flags": q_hampel_flags,
         # ECDF band + first-difference spike detectors (native)
@@ -2961,6 +3015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets",
         "ewma_flags",
         "cusum_changepoints",
+        "cusum_alarms",
         "hampel_flags",
         "quantile_flags",
         "diff_zscore",

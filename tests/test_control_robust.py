@@ -317,3 +317,49 @@ def test_cusum_alarms_localize_and_reset(spark):
     # the down alarm comes only in the final block (rows 91-100)
     assert 91 <= downs["rn"].iloc[0] <= 100
     assert (out["stat"] > 5.0).all()
+
+
+def test_detect_period_finds_planted_cycle(spark):
+    from time_series_data_anomaly_detection_spark.operators.diagnostics import (
+        detect_period_frame,
+    )
+
+    rng = np.random.RandomState(3)
+    vals = [
+        5.0 * math.sin(2 * math.pi * t / 24) + 0.2 * float(rng.randn())
+        for t in range(480)
+    ]
+    out = detect_period_frame(
+        series_df(spark, vals), max_lag=60
+    ).toPandas()
+    assert out["period"].iloc[0] == 24
+    assert out["peak_acf"].iloc[0] > 0.9
+
+
+def test_gap_stats_counts_missing_rows(spark):
+    import pandas as _pd
+    from time_series_data_anomaly_detection_spark.operators.diagnostics import (
+        gap_stats_frame,
+    )
+    from time_series_data_anomaly_detection_spark.sources import (
+        with_row_index,
+    )
+
+    # 30-min grid with rows 10-12 and 40 removed: two gaps, 4 missing
+    ts = _pd.date_range("2024-01-01", periods=60, freq="30min")
+    keep = [i for i in range(60) if i not in (10, 11, 12, 40)]
+    pdf = _pd.DataFrame(
+        {
+            "series_id": "s1",
+            "timestamp": ts[keep],
+            "value": 1.0,
+            "event_id": range(len(keep)),
+        }
+    )
+    df = with_row_index(spark.createDataFrame(pdf))
+    out = gap_stats_frame(df).toPandas()
+    assert out["n_rows"].iloc[0] == 56
+    assert out["step_s"].iloc[0] == 1800
+    assert out["n_gaps"].iloc[0] == 2
+    assert out["max_gap_s"].iloc[0] == 4 * 1800
+    assert out["missing_rows_est"].iloc[0] == 4

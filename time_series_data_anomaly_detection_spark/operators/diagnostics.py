@@ -301,3 +301,92 @@ def seasonal_strength_frame(
             F.lit(0.0), F.lit(1.0) - var_res / var_tot
         ).alias("seasonal_strength"),
     )
+
+
+def detect_period_frame(
+    df: DataFrame, max_lag: int = 60, min_lag: int = 2,
+    value_col: str = "value",
+) -> DataFrame:
+    """Dominant-period auto-detection: argmax of the per-lag ACF over
+    ``[min_lag, max_lag]`` — the knob the reference hard-codes
+    (``seasonal_periods=[48, 336]`` at ``src/run_final_benchmark.py``)
+    read off the data instead, feeding STL/BSTS/Holt-Winters configs.
+
+    Rides the exact-decimal ACF machinery (one window pass, stacked
+    lags, single exchange); the argmax is a one-row-per-series rank.
+    Ties break toward the smaller lag.
+    """
+    from .acf import acf as _acf
+    from pyspark.sql import Window
+
+    a = _acf(df, max_lag=max_lag, value_col=value_col).filter(
+        F.col("lag") >= int(min_lag)
+    )
+    w = Window.partitionBy("series_id").orderBy(
+        F.desc("acf"), F.asc("lag")
+    )
+    return (
+        a.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "series_id",
+            F.col("lag").alias("period"),
+            F.col("acf").alias("peak_acf"),
+        )
+    )
+
+
+def gap_stats_frame(df: DataFrame) -> DataFrame:
+    """Time-grid gap report: per series, the modal sampling step (in
+    seconds), how many inter-row deltas exceed it, the largest
+    gap, and the estimated count of missing rows — the data-quality
+    report that decides whether ``fill_gaps`` must run before the
+    windowed detectors (whose row frames assume a complete grid).
+
+    Integer second arithmetic end to end (exact sums, no float
+    summation); the modal step is a (count desc, step asc) rank over
+    the per-series delta histogram — dimension-sized.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("series_id").orderBy("rn")
+    t = df.select(
+        "series_id",
+        "rn",
+        # NTZ -> TS -> long: with the session tz pinned UTC (loader)
+        # this is floor-epoch-seconds, matching the oracle's
+        # CAST(floor(epoch(ts)) AS BIGINT) on naive timestamps
+        F.col("timestamp").cast("timestamp").cast("long").alias("__ts"),
+    )
+    d = t.withColumn(
+        "__d", F.col("__ts") - F.lag("__ts").over(w)
+    ).filter(F.col("__d").isNotNull())
+    freq = d.groupBy("series_id", "__d").agg(F.count("*").alias("__c"))
+    wr = Window.partitionBy("series_id").orderBy(
+        F.desc("__c"), F.asc("__d")
+    )
+    step = (
+        freq.withColumn("__rk", F.row_number().over(wr))
+        .filter(F.col("__rk") == 1)
+        .select("series_id", F.col("__d").alias("__step"))
+    )
+    j = d.join(F.broadcast(step), "series_id")
+    gap = F.col("__d") > F.col("__step")
+    return j.groupBy("series_id").agg(
+        (F.count("*") + F.lit(1)).alias("n_rows"),
+        F.max("__step").alias("step_s"),
+        F.sum(gap.cast("int")).cast("long").alias("n_gaps"),
+        F.max("__d").alias("max_gap_s"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    gap,
+                    F.floor(
+                        F.col("__d") * F.lit(1.0) / F.col("__step")
+                    ).cast("long")
+                    - F.lit(1),
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("missing_rows_est"),
+    )

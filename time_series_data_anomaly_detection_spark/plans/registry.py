@@ -1035,6 +1035,32 @@ def q_diff_zscore(spark, sf_dir):
     )
 
 
+def q_detect_period(spark, sf_dir):
+    """Dominant-period auto-detection, hash-gated: argmax ACF over
+    lags 2..60 — the data-driven read of the seasonal_periods knob the
+    reference hard-codes (``src/run_final_benchmark.py:24-40``)."""
+    from ..operators.diagnostics import detect_period_frame
+
+    out = detect_period_frame(_series(spark, sf_dir), max_lag=60)
+    return out.select(
+        "series_id", "period", _rnd("peak_acf", R).alias("peak_acf")
+    )
+
+
+def q_gap_stats(spark, sf_dir):
+    """Time-grid gap report, hash-gated: modal sampling step, gap
+    count, largest gap, estimated missing rows — the data-quality
+    check ahead of the row-frame windowed detectors (P13's diagnosis
+    side; ``resample_fill`` is the repair side)."""
+    from ..operators.diagnostics import gap_stats_frame
+
+    out = gap_stats_frame(_series(spark, sf_dir))
+    return out.select(
+        "series_id", "n_rows", "step_s", "n_gaps", "max_gap_s",
+        "missing_rows_est",
+    )
+
+
 def q_seasonal_profile_flags(spark, sf_dir):
     """Time-of-day profile detector, hash-gated: each row scored
     against its own period position's mean/std — the seasonal-aware
@@ -2391,6 +2417,70 @@ SELECT d.series_id, d.rn,
 FROM dif d JOIN dmo2 m USING (series_id)
 """
 
+# ---- detect_period: the acf machinery over lags 2..60 + per-series
+#      argmax (acf desc, lag asc). ----
+ORACLES["detect_period"] = f"""
+WITH {SQL_S},
+lags AS (SELECT unnest(generate_series(2, 60)) AS lag),
+shifted AS (
+  SELECT s.series_id, l.lag, s.value,
+         lag(s.value, l.lag) OVER (PARTITION BY s.series_id, l.lag
+                                   ORDER BY s.rn) AS prev
+  FROM s CROSS JOIN lags l),
+am AS (
+  SELECT series_id, lag, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(prev AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(prev * prev AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(value * prev AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+  FROM shifted WHERE prev IS NOT NULL
+  GROUP BY 1, 2),
+acfu AS (
+  SELECT series_id, lag,
+         (n * sxy - sx * sy)
+         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS acf
+  FROM am),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY series_id
+                               ORDER BY acf DESC, lag ASC) AS rk
+  FROM acfu)
+SELECT series_id, lag AS period, round(acf, {R}) AS peak_acf
+FROM rk WHERE rk = 1
+"""
+
+# ---- gap_stats: modal-step grid report in integer epoch seconds. ----
+ORACLES["gap_stats"] = f"""
+WITH {SQL_S},
+tt AS (
+  SELECT series_id, rn,
+         CAST(floor(epoch(timestamp)) AS BIGINT) AS ts_s
+  FROM s),
+dd AS (
+  SELECT series_id,
+         ts_s - lag(ts_s) OVER (PARTITION BY series_id ORDER BY rn) AS d
+  FROM tt),
+d2 AS (SELECT series_id, d FROM dd WHERE d IS NOT NULL),
+fr AS (SELECT series_id, d, count(*) AS c FROM d2 GROUP BY 1, 2),
+st AS (
+  SELECT series_id, d AS step FROM (
+    SELECT *, row_number() OVER (PARTITION BY series_id
+                                 ORDER BY c DESC, d ASC) AS rk
+    FROM fr) WHERE rk = 1),
+j AS (SELECT d2.series_id, d2.d, st.step
+      FROM d2 JOIN st USING (series_id))
+SELECT series_id,
+       count(*) + 1 AS n_rows,
+       max(step) AS step_s,
+       CAST(sum(CASE WHEN d > step THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gaps,
+       max(d) AS max_gap_s,
+       CAST(coalesce(sum(CASE WHEN d > step
+              THEN CAST(floor(d * 1.0 / step) AS BIGINT) - 1 END), 0)
+            AS BIGINT) AS missing_rows_est
+FROM j GROUP BY 1
+"""
+
 # ---- seasonal_profile_flags: per-(series, rn mod 48) exact-decimal
 #      moments, rows scored against their own position profile. ----
 ORACLES["seasonal_profile_flags"] = f"""
@@ -2978,6 +3068,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_zscore": q_diff_zscore,
         # time-of-day profile detector (seasonal-aware z-score)
         "seasonal_profile_flags": q_seasonal_profile_flags,
+        # period auto-detection + time-grid gap report
+        "detect_period": q_detect_period,
+        "gap_stats": q_gap_stats,
         # six-detector voting ensemble (fully hash-gated fusion)
         "detector_consensus": q_detector_consensus,
         # period-position variance decomposition diagnostic
@@ -3021,6 +3114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_zscore",
         "detector_consensus",
         "seasonal_profile_flags",
+        "detect_period",
+        "gap_stats",
         "minhash_recall",
         "dup_source_matrix",
         "pq_rerank",

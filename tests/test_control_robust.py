@@ -363,3 +363,22 @@ def test_gap_stats_counts_missing_rows(spark):
     assert out["n_gaps"].iloc[0] == 2
     assert out["max_gap_s"].iloc[0] == 4 * 1800
     assert out["missing_rows_est"].iloc[0] == 4
+
+
+def test_split_drift_detects_distribution_shift(spark):
+    from time_series_data_anomaly_detection_spark.operators.diagnostics import (
+        split_drift_frame,
+    )
+
+    rng = np.random.RandomState(9)
+    stable = list(rng.randn(200))
+    shifted = list(rng.randn(100)) + list(rng.randn(100) + 5.0)
+    df = series_df(spark, stable, series_id="stable").unionByName(
+        series_df(spark, shifted, series_id="shifted")
+    )
+    out = split_drift_frame(df).toPandas().set_index("series_id")
+    assert out.loc["stable", "tvd"] < 0.2
+    assert out.loc["shifted", "tvd"] > 0.8   # test mass left the deciles
+    assert (out["n_train"] == 100).all()
+    assert (out["n_test"] == 100).all()
+    assert (out["max_bin_dev"] <= out["tvd"] * 2 + 1e-9).all()

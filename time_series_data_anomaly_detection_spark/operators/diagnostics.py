@@ -390,3 +390,70 @@ def gap_stats_frame(df: DataFrame) -> DataFrame:
             F.lit(0),
         ).cast("long").alias("missing_rows_est"),
     )
+
+
+def split_drift_frame(
+    df: DataFrame, train_frac: float = 0.5, value_col: str = "value"
+) -> DataFrame:
+    """Train/test distribution drift: bin the test half by the TRAIN
+    half's exact deciles and report total-variation distance — the
+    retrain trigger ("has the value distribution moved since the model
+    was fit?"), P3's split composed with a drift score.
+
+    Deliberately transcendental-free (a PSI needs log; TVD doesn't):
+    per-bin deviations are computed on INTEGER cross-products
+    ``|c_train_i·n_test − c_test_i·n_train|`` (decimal-exact sums), so
+    the score is bit-stable cross-engine.  One decile aggregate per
+    series broadcast back, one binning scan, one small aggregate.
+
+    Output per series: ``n_train, n_test, tvd, max_bin_dev``.
+    """
+    from .splits import fractional_split
+
+    DEC0 = "decimal(38,0)"
+    s = fractional_split(df, train_frac=train_frac, val_frac=None)
+    v = F.col(value_col)
+    edges = (
+        s.filter(F.col("split") == "Train")
+        .groupBy("series_id")
+        .agg(
+            F.expr(
+                f"percentile({value_col}, array(0.1, 0.2, 0.3, 0.4, "
+                "0.5, 0.6, 0.7, 0.8, 0.9))"
+            ).alias("__edges")
+        )
+    )
+    binned = s.join(F.broadcast(edges), "series_id").withColumn(
+        "__bin", F.size(F.filter(F.col("__edges"), lambda e: v > e))
+    )
+    cnt = binned.groupBy("series_id", "__bin").agg(
+        F.sum((F.col("split") == "Train").cast("int")).alias("__ct"),
+        F.sum((F.col("split") == "Test").cast("int")).alias("__cq"),
+    )
+    tot = binned.groupBy("series_id").agg(
+        F.sum((F.col("split") == "Train").cast("int")).alias("n_train"),
+        F.sum((F.col("split") == "Test").cast("int")).alias("n_test"),
+    )
+    j = cnt.join(F.broadcast(tot), "series_id")
+    dev = F.abs(
+        F.col("__ct").cast(DEC0) * F.col("n_test")
+        - F.col("__cq").cast(DEC0) * F.col("n_train")
+    )
+    agg = j.groupBy("series_id").agg(
+        F.max("n_train").alias("n_train"),
+        F.max("n_test").alias("n_test"),
+        F.sum(dev).alias("__sdev"),
+        F.max(dev).alias("__mdev"),
+    )
+    denom = (
+        F.col("n_train").cast("double") * F.col("n_test").cast("double")
+    )
+    return agg.select(
+        "series_id",
+        "n_train",
+        "n_test",
+        (
+            F.lit(0.5) * F.col("__sdev").cast("double") / denom
+        ).alias("tvd"),
+        (F.col("__mdev").cast("double") / denom).alias("max_bin_dev"),
+    )

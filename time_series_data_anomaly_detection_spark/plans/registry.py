@@ -1061,6 +1061,21 @@ def q_gap_stats(spark, sf_dir):
     )
 
 
+def q_split_drift(spark, sf_dir):
+    """Train/test distribution drift, hash-gated: test half binned by
+    the train half's exact deciles, scored by total-variation distance
+    on integer cross-products — the transcendental-free retrain
+    trigger (P3 composed with a drift score)."""
+    from ..operators.diagnostics import split_drift_frame
+
+    out = split_drift_frame(_series(spark, sf_dir))
+    return out.select(
+        "series_id", "n_train", "n_test",
+        _rnd("tvd", R).alias("tvd"),
+        _rnd("max_bin_dev", R).alias("max_bin_dev"),
+    )
+
+
 def q_seasonal_profile_flags(spark, sf_dir):
     """Time-of-day profile detector, hash-gated: each row scored
     against its own period position's mean/std — the seasonal-aware
@@ -2417,6 +2432,58 @@ SELECT d.series_id, d.rn,
 FROM dif d JOIN dmo2 m USING (series_id)
 """
 
+# ---- split_drift: test half binned by train deciles, TVD on integer
+#      cross-products (decimal-exact) — no transcendentals. ----
+ORACLES["split_drift"] = f"""
+WITH {SQL_S},
+nn AS (SELECT series_id, max(rn) AS n FROM s GROUP BY 1),
+sp AS (
+  SELECT s.series_id, s.rn, s.value,
+         CASE WHEN s.rn <= floor(nn.n * 0.5) THEN 'Train'
+              ELSE 'Test' END AS split
+  FROM s JOIN nn USING (series_id)),
+ed AS (
+  SELECT series_id,
+         quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                               0.6, 0.7, 0.8, 0.9]) AS edges
+  FROM sp WHERE split = 'Train' GROUP BY 1),
+bn AS (
+  SELECT sp.series_id, sp.split,
+         len(list_filter(ed.edges, e -> sp.value > e)) AS bin
+  FROM sp JOIN ed USING (series_id)),
+cnt AS (
+  SELECT series_id, bin,
+         CAST(sum(CASE WHEN split = 'Train' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ct,
+         CAST(sum(CASE WHEN split = 'Test' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cq
+  FROM bn GROUP BY 1, 2),
+tot AS (
+  SELECT series_id,
+         CAST(sum(CASE WHEN split = 'Train' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_train,
+         CAST(sum(CASE WHEN split = 'Test' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_test
+  FROM bn GROUP BY 1),
+dv AS (
+  SELECT c.series_id, t.n_train, t.n_test,
+         abs(CAST(c.ct AS DECIMAL(38,0)) * t.n_test
+             - CAST(c.cq AS DECIMAL(38,0)) * t.n_train) AS dev
+  FROM cnt c JOIN tot t USING (series_id)),
+ag AS (
+  SELECT series_id, max(n_train) AS n_train, max(n_test) AS n_test,
+         sum(dev) AS sdev, max(dev) AS mdev
+  FROM dv GROUP BY 1)
+SELECT series_id, n_train, n_test,
+       round(0.5 * CAST(sdev AS DOUBLE)
+             / (CAST(n_train AS DOUBLE) * CAST(n_test AS DOUBLE)),
+             {R}) AS tvd,
+       round(CAST(mdev AS DOUBLE)
+             / (CAST(n_train AS DOUBLE) * CAST(n_test AS DOUBLE)),
+             {R}) AS max_bin_dev
+FROM ag
+"""
+
 # ---- detect_period: the acf machinery over lags 2..60 + per-series
 #      argmax (acf desc, lag asc). ----
 ORACLES["detect_period"] = f"""
@@ -3071,6 +3138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # period auto-detection + time-grid gap report
         "detect_period": q_detect_period,
         "gap_stats": q_gap_stats,
+        # train/test distribution drift (decile TVD retrain trigger)
+        "split_drift": q_split_drift,
         # six-detector voting ensemble (fully hash-gated fusion)
         "detector_consensus": q_detector_consensus,
         # period-position variance decomposition diagnostic
@@ -3116,6 +3185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_profile_flags",
         "detect_period",
         "gap_stats",
+        "split_drift",
         "minhash_recall",
         "dup_source_matrix",
         "pq_rerank",

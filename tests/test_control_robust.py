@@ -382,3 +382,25 @@ def test_split_drift_detects_distribution_shift(spark):
     assert (out["n_train"] == 100).all()
     assert (out["n_test"] == 100).all()
     assert (out["max_bin_dev"] <= out["tvd"] * 2 + 1e-9).all()
+
+
+def test_cross_correlation_finds_lead_lag(spark):
+    from time_series_data_anomaly_detection_spark.operators.acf import (
+        cross_correlation,
+    )
+
+    rng = np.random.RandomState(21)
+    base = list(rng.randn(300))
+    lagged = [0.0] * 5 + base[:-5]  # b follows a by 5 steps
+    df = series_df(spark, base, series_id="a").unionByName(
+        series_df(spark, lagged, series_id="b")
+    )
+    out = cross_correlation(df, max_lag=8).toPandas()
+    best = out.sort_values("xcorr", ascending=False).iloc[0]
+    assert best["series_a"] == "a" and best["series_b"] == "b"
+    # a LEADS b by 5 -> per the sign convention, peak at lag = -5
+    assert best["lag"] == -5
+    assert best["xcorr"] > 0.95
+    # and the correlation at the wrong sign of lag is weak
+    wrong = out[(out.lag == 5)]["xcorr"].iloc[0]
+    assert abs(wrong) < 0.3

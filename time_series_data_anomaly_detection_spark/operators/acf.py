@@ -183,3 +183,80 @@ def acf_statsmodels(
     return num.join(F.broadcast(den), "series_id").select(
         "series_id", "lag", (F.col("__num") / F.col("__den")).alias("acf")
     )
+
+
+def cross_correlation(
+    df: DataFrame,
+    max_lag: int = 12,
+    value_col: str = "value",
+) -> DataFrame:
+    """Lagged cross-correlation between series PAIRS: Pearson r of
+    ``(a_t, b_{t-lag})`` for every ordered pair ``a < b`` and lag in
+    ``[-max_lag, max_lag]`` — the multivariate diagnostic (which
+    series lead which) the per-series ACF cannot see.
+
+    Alignment is positional (``rn``), mirroring the reference's
+    index-aligned arrays (SURVEY §2.5 J3).  The pair frame is built by
+    a self-equi-join on ``rn`` — fact-sized × |series| rows, so at
+    scale you run it on a row-sampled or windowed slice and/or a
+    chosen series subset; the per-(pair, lag) moments are
+    decimal-exact, one aggregate.
+
+    Output: (series_a, series_b, lag, xcorr); negative lag means ``a``
+    leads ``b``.
+    """
+    from pyspark.sql import Window
+    from .._exact import DEC
+
+    w = Window.partitionBy("series_id").orderBy("rn")
+    shifts = [
+        F.lag(value_col, k).over(w).alias(f"__p{k}")
+        for k in range(1, max_lag + 1)
+    ]
+    leads = [
+        F.lead(value_col, k).over(w).alias(f"__f{k}")
+        for k in range(1, max_lag + 1)
+    ]
+    stack_args = ", ".join(
+        [f"0, {value_col}"]
+        + [f"{k}, __p{k}" for k in range(1, max_lag + 1)]
+        + [f"-{k}, __f{k}" for k in range(1, max_lag + 1)]
+    )
+    n_branch = 2 * max_lag + 1
+    wide = (
+        df.select("series_id", "rn", F.col(value_col), *shifts, *leads)
+        .selectExpr(
+            "series_id", "rn",
+            f"stack({n_branch}, {stack_args}) AS (lag, shifted)",
+        )
+        .filter(F.col("shifted").isNotNull())
+    )
+    a = df.select(
+        F.col("series_id").alias("series_a"),
+        "rn",
+        F.col(value_col).alias("__x"),
+    )
+    b = wide.select(
+        F.col("series_id").alias("series_b"),
+        "rn",
+        "lag",
+        F.col("shifted").alias("__y"),
+    )
+    pairs = a.join(b, "rn").filter(F.col("series_a") < F.col("series_b"))
+    x, y = F.col("__x"), F.col("__y")
+    agg = pairs.groupBy("series_a", "series_b", "lag").agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast(DEC)).cast("double").alias("sx"),
+        F.sum(y.cast(DEC)).cast("double").alias("sy"),
+        F.sum((x * x).cast(DEC)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(DEC)).cast("double").alias("syy"),
+        F.sum((x * y).cast(DEC)).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = n * F.col("sxy") - sx * sy
+    den = F.sqrt(
+        (n * F.col("sxx") - sx * sx) * (n * F.col("syy") - sy * sy)
+    )
+    return agg.select(
+        "series_a", "series_b", "lag", (num / den).alias("xcorr")
+    )

@@ -1061,6 +1061,22 @@ def q_gap_stats(spark, sf_dir):
     )
 
 
+def q_cross_correlation(spark, sf_dir):
+    """Multivariate diagnostic, hash-gated: lagged cross-correlation
+    between series pairs (positional alignment, J3) — which series
+    lead which, the view the per-series ACF (W8) cannot see."""
+    from ..operators.acf import cross_correlation
+
+    out = cross_correlation(_series(spark, sf_dir), max_lag=12)
+    return out.select(
+        "series_a", "series_b",
+        # stack() literals land int32; the oracle's generate_series is
+        # BIGINT — align for the dtype-sensitive value hash
+        F.col("lag").cast("long").alias("lag"),
+        _rnd("xcorr", R).alias("xcorr"),
+    )
+
+
 def q_split_drift(spark, sf_dir):
     """Train/test distribution drift, hash-gated: test half binned by
     the train half's exact deciles, scored by total-variation distance
@@ -2432,6 +2448,41 @@ SELECT d.series_id, d.rn,
 FROM dif d JOIN dmo2 m USING (series_id)
 """
 
+# ---- cross_correlation: per-(pair, lag) Pearson on positionally
+#      aligned series, decimal-exact moments (the acf algebra over
+#      pairs; negative lag = lead). ----
+ORACLES["cross_correlation"] = f"""
+WITH {SQL_S},
+lags AS (SELECT unnest(generate_series(-12, 12)) AS lag),
+wide AS (
+  SELECT series_id, rn, l.lag,
+         CASE WHEN l.lag >= 0
+              THEN lag(value, CAST(l.lag AS INT)) OVER
+                   (PARTITION BY series_id, l.lag ORDER BY rn)
+              ELSE lead(value, CAST(-l.lag AS INT)) OVER
+                   (PARTITION BY series_id, l.lag ORDER BY rn)
+         END AS shifted
+  FROM s CROSS JOIN lags l),
+pr AS (
+  SELECT a.series_id AS series_a, w.series_id AS series_b, w.lag,
+         a.value AS x, w.shifted AS y
+  FROM s a JOIN wide w ON w.rn = a.rn
+  WHERE a.series_id < w.series_id AND w.shifted IS NOT NULL),
+am AS (
+  SELECT series_a, series_b, lag, count(*) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+  FROM pr GROUP BY 1, 2, 3)
+SELECT series_a, series_b, lag,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+             {R}) AS xcorr
+FROM am
+"""
+
 # ---- split_drift: test half binned by train deciles, TVD on integer
 #      cross-products (decimal-exact) — no transcendentals. ----
 ORACLES["split_drift"] = f"""
@@ -3140,6 +3191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_stats": q_gap_stats,
         # train/test distribution drift (decile TVD retrain trigger)
         "split_drift": q_split_drift,
+        # lagged cross-correlation between series pairs (multivariate)
+        "cross_correlation": q_cross_correlation,
         # six-detector voting ensemble (fully hash-gated fusion)
         "detector_consensus": q_detector_consensus,
         # period-position variance decomposition diagnostic
@@ -3186,6 +3239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_period",
         "gap_stats",
         "split_drift",
+        "cross_correlation",
         "minhash_recall",
         "dup_source_matrix",
         "pq_rerank",

@@ -62,15 +62,50 @@ def main() -> None:
 
     release_caches()
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
+
+    # Full per-query detail goes to a file; the stdout line must stay
+    # SHORT. The driver keeps only the last ~2000 chars of stdout, and
+    # the r04 line (81 queries) overflowed that window, so the driver
+    # recorded "parsed": null and the round had no bench numbers. Emit
+    # the heaviest queries first and stop before the line can overflow.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+        "w",
+    ) as f:
+        json.dump(
             {
                 "metric": "total_query_seconds",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-            }
+            },
+            f,
+            indent=1,
+        )
+
+    budget = 1500  # chars available for the "queries" dict on stdout
+    shown: dict[str, float] = {}
+    used = 0
+    for name in sorted(timings, key=timings.get, reverse=True):
+        cost = len(name) + len(f"{timings[name]:.2f}") + 6
+        if used + cost > budget:
+            break
+        shown[name] = round(timings[name], 2)
+        used += cost
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "queries": shown,
+                "queries_shown": len(shown),
+                "detail": "BENCH_DETAIL.json",
+                "sf": sf,
+            },
+            separators=(",", ":"),
         )
     )
 

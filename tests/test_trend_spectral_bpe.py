@@ -1,0 +1,159 @@
+"""Round-5 continuation operators: Mann-Kendall/Theil-Sen, empirical
+p-value calibration, spectral-residual saliency, BPE tokenizer
+induction, temperature mixture schedule."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import series_df
+
+
+def _naive_mk(x):
+    """O(n²) literal-formula reference for S, tau, Theil-Sen."""
+    n = len(x)
+    s = 0
+    slopes = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = x[j] - x[i]
+            s += int(d > 0) - int(d < 0)
+            slopes.append(d / (j - i))
+    slopes.sort()
+    m = len(slopes)
+    k1, k2 = (m + 1) // 2, (m + 2) // 2
+    sen = slopes[k1 - 1] if k1 == k2 else (slopes[k1 - 1] + slopes[k2 - 1]) / 2.0
+    tau = s / (0.5 * n * (n - 1))
+    return s, tau, sen
+
+
+def test_mann_kendall_matches_naive(spark):
+    rng = np.random.default_rng(7)
+    x = np.cumsum(rng.normal(0.1, 1.0, 80))  # drifting walk
+    from time_series_data_anomaly_detection_spark.operators.trend import (
+        mann_kendall_frame,
+    )
+
+    row = mann_kendall_frame(series_df(spark, x)).collect()[0]
+    s, tau, sen = _naive_mk(list(x))
+    assert row["s_stat"] == s
+    assert row["tau"] == pytest.approx(tau, abs=1e-12)
+    assert row["sen_slope"] == pytest.approx(sen, abs=1e-12)
+    assert row["n"] == 80
+
+
+def test_mann_kendall_monotone_and_flat(spark):
+    from time_series_data_anomaly_detection_spark.operators.trend import (
+        mann_kendall_frame,
+    )
+
+    up = series_df(spark, [float(i) * 2.0 for i in range(50)], "up")
+    flat = series_df(spark, [5.0] * 50, "flat")
+    out = {
+        r["series_id"]: r
+        for r in mann_kendall_frame(up.unionByName(flat)).collect()
+    }
+    assert out["up"]["trend"] == "increasing"
+    assert out["up"]["sen_slope"] == pytest.approx(2.0)
+    assert out["up"]["tau"] == pytest.approx(1.0)
+    # all-tied series: S = 0, var collapses by the tie correction
+    assert out["flat"]["s_stat"] == 0
+    assert out["flat"]["trend"] == "no trend"
+
+
+def test_empirical_pvalues_match_pandas(spark):
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 1, 120)
+    from time_series_data_anomaly_detection_spark.operators.scaling import (
+        empirical_pvalues,
+        mad_scores,
+    )
+
+    out = (
+        empirical_pvalues(mad_scores(series_df(spark, x)))
+        .select("rn", "z_mad", "p_emp")
+        .toPandas()
+        .sort_values("rn")
+    )
+    # pandas reference: ties-inclusive ECDF complement
+    z = out["z_mad"].to_numpy()
+    expect = np.array([(z >= zi).sum() for zi in z]) / len(z)
+    assert np.allclose(out["p_emp"].to_numpy(), expect)
+    # the max score gets the smallest possible p = 1/n
+    assert out["p_emp"].min() == pytest.approx(1 / len(z))
+
+
+def test_spectral_residual_finds_spike(spark):
+    t = np.arange(256)
+    x = np.sin(2 * np.pi * t / 24) * 5.0
+    x[170] += 25.0  # planted point anomaly
+    from time_series_data_anomaly_detection_spark.functions.spectral import (
+        spectral_residual_scores,
+    )
+
+    out = (
+        spectral_residual_scores(series_df(spark, x))
+        .select("rn", "sr_score", "flag")
+        .toPandas()
+        .sort_values("sr_score", ascending=False)
+    )
+    assert int(out.iloc[0]["rn"]) == 171  # rn is 1-based
+    assert out.iloc[0]["flag"] == 1
+
+
+def test_bpe_merge_loop_known_corpus(spark):
+    # classic Sennrich toy: "low lower lowest" repeated — early merges
+    # build the shared stem
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest low low") for i in range(10)],
+        "doc_id long, text string",
+    )
+    from time_series_data_anomaly_detection_spark.datapipe.tokenize_bpe import (
+        bpe_learn_merges,
+        bpe_pair_counts,
+    )
+
+    pairs = {r["pair"]: r["cnt"] for r in bpe_pair_counts(docs).collect()}
+    # 'lo' and 'ow' appear in every word occurrence: 5 words x 10 docs
+    assert pairs["lo"] == 50
+    assert pairs["ow"] == 50
+    merges = bpe_learn_merges(docs, spark, n_merges=4).collect()
+    seq = [(r["left"], r["right"]) for r in merges]
+    # deterministic tie-break: ('l','o') before ('o','w') lexicographically,
+    # then the merged 'lo'+'w' dominates
+    assert seq[0] == ("l", "o")
+    assert seq[1] == ("lo", "w")
+    assert merges[1]["merged"] == "low"
+
+
+def test_bpe_pair_counts_deterministic_topn(spark):
+    docs = spark.createDataFrame(
+        [(1, "aa ab aa ba"), (2, "ab aa")], "doc_id long, text string"
+    )
+    from time_series_data_anomaly_detection_spark.datapipe.tokenize_bpe import (
+        bpe_pair_counts,
+    )
+
+    rows = bpe_pair_counts(docs, top_n=2).collect()
+    got = {(r["pair"], r["cnt"]) for r in rows}
+    assert got == {("aa", 3), ("ab", 2)}
+
+
+def test_mixture_schedule_invariants(spark):
+    docs = spark.createDataFrame(
+        [(i, "small" if i < 10 else "big", 100 if i < 10 else 1000)
+         for i in range(110)],
+        "doc_id long, source string, n_chars long",
+    )
+    from time_series_data_anomaly_detection_spark.datapipe.sampling import (
+        mixture_schedule,
+    )
+
+    out = {r["source"]: r for r in mixture_schedule(docs).collect()}
+    assert sum(r["mix_share"] for r in out.values()) == pytest.approx(1.0, abs=1e-5)
+    for r in out.values():
+        assert 0 < r["epochs"] <= 4.0
+    # α-smoothing upweights the small source beyond its proportional share
+    prop_small = out["small"]["size"] / (out["small"]["size"] + out["big"]["size"])
+    assert out["small"]["p_alpha"] > prop_small
+    assert out["small"]["epochs"] > out["big"]["epochs"]

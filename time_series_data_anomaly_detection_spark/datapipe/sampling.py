@@ -178,3 +178,65 @@ def training_order(
     return d.select(
         id_col, "epoch", "shard", F.row_number().over(w).alias("pos")
     )
+
+
+def mixture_schedule(
+    df: DataFrame,
+    alpha: float = 0.5,
+    budget_factor: float = 2.0,
+    max_epochs: float = 4.0,
+    strata_col: str = "source",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Temperature-based mixture/epoch schedule per source — the
+    "how many epochs of each source at this token budget" planner
+    (the public UnifiedQA/Pile/PaLM α-smoothed sampling recipe:
+    p_s ∝ size_s^α with α < 1 upweights small high-quality sources).
+
+    With α = 0.5 the weight is an exact ``sqrt`` (IEEE-correctly
+    rounded on both engines — no transcendental drift, so the whole
+    plan is hash-gated).  Epochs are capped at ``max_epochs``; the
+    effective mix share re-normalizes over the capped effective sizes.
+
+    Shapes: one grouped aggregate over the corpus (map-side combined),
+    then all remaining algebra on the per-source frame (tiny).  The
+    cross-engine sum of the irrational weights is made order-independent
+    by rounding each weight to 6 decimals BEFORE the decimal-exact sum.
+    """
+    per = df.groupBy(strata_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col(size_col).cast(DEC)).cast("long").alias("size"),
+    )
+    per = per.withColumn(
+        "weight_raw", F.round(F.sqrt(F.col("size").cast("double")), 6)
+    )
+    tot = per.agg(
+        F.sum(F.col("weight_raw").cast(DEC)).cast("double").alias("__wsum"),
+        F.sum(F.col("size").cast(DEC)).cast("long").alias("__tsize"),
+    )
+    out = per.crossJoin(F.broadcast(tot))
+    p = F.col("weight_raw") / F.col("__wsum")
+    budget = F.lit(float(budget_factor)) * F.col("__tsize").cast("double")
+    epochs = F.least(
+        F.lit(float(max_epochs)), budget * p / F.col("size").cast("double")
+    )
+    out = out.withColumn("p_alpha", p).withColumn("epochs", epochs).withColumn(
+        "effective_size", F.round(epochs * F.col("size").cast("double"), 6)
+    )
+    eff_tot = out.agg(
+        F.sum(F.col("effective_size").cast(DEC)).cast("double").alias("__esum")
+    )
+    return (
+        out.crossJoin(F.broadcast(eff_tot))
+        .select(
+            strata_col,
+            "n_docs",
+            "size",
+            F.round("p_alpha", 6).alias("p_alpha"),
+            F.round("epochs", 6).alias("epochs"),
+            "effective_size",
+            F.round(F.col("effective_size") / F.col("__esum"), 6).alias(
+                "mix_share"
+            ),
+        )
+    )

@@ -1,0 +1,142 @@
+"""BPE tokenizer induction over a document corpus (Sennrich et al.
+2016, public algorithm) — the "train the tokenizer" step of an LLM
+data pipeline, expressed Spark-first.
+
+Every production BPE trainer (HuggingFace tokenizers, SentencePiece)
+has the same two-phase shape, and so does this one:
+
+1. **Distributed**: one scan of the corpus produces the word-frequency
+   table (``word -> count``).  This is the only phase that touches the
+   100 TB; it is a tokenize + groupBy, fully shuffled on the word key
+   with map-side partial aggregation, and its output is vocabulary-
+   sized (≤ a few million rows), not corpus-sized.
+2. **Local**: the merge loop runs on the (tiny, capped) word table —
+   each iteration merges the most frequent adjacent symbol pair.
+   Iterating over a corpus-sized frame per merge would be thousands of
+   shuffles; iterating over the capped word table is how the public
+   trainers do it and is exactly equivalent for the merges that matter
+   (cap by frequency ⇒ the dropped tail cannot change early merges).
+
+``bpe_pair_counts`` exposes the first merge round (adjacent CHARACTER
+pairs weighted by word frequency) as pure column algebra — hash-gated
+against a DuckDB oracle.  ``bpe_learn_merges`` runs the full loop.
+
+Words here are ``[a-z0-9]+`` runs of the lowercased text (the word
+boundary convention of the engine's TOKEN_RE, minus punctuation — BPE
+learns within words).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WORD_RE = r"[a-z0-9]+"
+
+
+def word_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distributed phase: ``word -> count`` in one scan + one shuffle."""
+    return (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_n: int = 200
+) -> DataFrame:
+    """First BPE round: adjacent character-pair counts, frequency-
+    weighted, top ``top_n`` by ``(count desc, pair asc)``.
+
+    All native column algebra over the word table (explode of 2-char
+    substrings), so it stays in whole-stage codegen; the explode
+    multiplies the WORD table (vocab-sized), never the corpus.
+    """
+    wf = word_freq_table(df, text_col)
+    pairs = (
+        wf.where(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.substring(F.col("word"), i, 2),
+                )
+            ).alias("pair"),
+            "freq",
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    # deterministic top-N set: total order (cnt desc, pair asc)
+    return (
+        pairs.orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(top_n)
+        .select("pair", F.col("cnt").cast("long").alias("cnt"))
+    )
+
+
+def _merge_loop(
+    words: list[tuple[list[str], int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Local phase: greedy highest-count merge, ties broken by the
+    lexicographic pair — deterministic.  Returns
+    ``(rank, left, right, count_at_merge)``."""
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in words:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if cnt < 2:
+            break
+        merges.append((rank, left, right, cnt))
+        merged = left + right
+        for k, (syms, freq) in enumerate(words):
+            j = 0
+            out = []
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == left and syms[j + 1] == right:
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[k] = (out, freq)
+    return merges
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    spark: SparkSession,
+    n_merges: int = 50,
+    max_words: int = 30000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Full BPE training: distributed word count, local merge loop.
+
+    ``max_words`` caps the driver-side table at the most frequent words
+    (ties broken by word text) — the standard trainer memory bound.
+    Output: ``(merge_rank, left, right, merged, pair_count)``.
+    """
+    wf_rows = (
+        word_freq_table(df, text_col)
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(max_words)
+        .collect()
+    )
+    words = [(list(r["word"]), int(r["freq"])) for r in wf_rows]
+    merges = _merge_loop(words, n_merges)
+    return spark.createDataFrame(
+        [(r, l, rt, l + rt, c) for (r, l, rt, c) in merges],
+        "merge_rank int, left string, right string, merged string, pair_count long",
+    )

@@ -9,7 +9,7 @@ already has.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .._exact import DEC
@@ -109,4 +109,41 @@ def median_center(
         df.join(F.broadcast(med), "series_id")
         .withColumn(out_col, F.col(value_col) - F.col("__med"))
         .drop("__med")
+    )
+
+
+def empirical_pvalues(
+    df: DataFrame,
+    score_col: str = "z_mad",
+    out_col: str = "p_emp",
+    keys: tuple = ("series_id",),
+) -> DataFrame:
+    """Score calibration: per-series empirical tail p-value of a
+    nonnegative anomaly score.
+
+    ``p_emp = #{score_j >= score_i} / n`` — the ECDF complement with
+    ties included, so a hard per-score flag threshold becomes a
+    FALSE-POSITIVE-RATE contract instead of an uncalibrated magnitude
+    (the reference hand-tunes ``z > 3`` per model; a p-value cutoff
+    transfers across detectors and series).
+
+    Implementation: one RANGE window per series ordered by descending
+    score counts ties-inclusive peers (no self-join, no sort beyond the
+    window's), plus the per-series count — a broadcast join of a
+    one-row-per-series aggregate.  Integer counts divide at the end, so
+    the DuckDB oracle's identical frame matches exactly.  At scale:
+    single shuffle on the series key, same shape as every other
+    per-series window here.
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(score_col).desc())
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = df.groupBy(*keys).agg(F.count(score_col).alias("__n"))
+    return (
+        df.withColumn("__ge", F.count(score_col).over(w))
+        .join(F.broadcast(n), list(keys))
+        .withColumn(out_col, F.col("__ge") / F.col("__n"))
+        .drop("__ge", "__n")
     )

@@ -3129,6 +3129,128 @@ FROM lm LEFT JOIN ldur USING (series_id) LEFT JOIN llat USING (series_id)
 """
 
 
+def q_trend_test(spark, sf_dir):
+    """Mann-Kendall trend test + Theil-Sen slope per series — the
+    nonparametric trend decision behind the reference's decomposition
+    panels (formal version of 'is there a trend in the STL trend').
+    Exact pairwise statistics; the oracle materializes the pair set."""
+    from ..operators.trend import mann_kendall_frame
+
+    out = mann_kendall_frame(_series(spark, sf_dir))
+    return out.select(
+        "series_id", "n", "s_stat",
+        _rnd("tau", R).alias("tau"),
+        _rnd("var_s", R).alias("var_s"),
+        _rnd("z", R).alias("z"),
+        _rnd("sen_slope", R).alias("sen_slope"),
+        "trend",
+    )
+
+
+def q_score_calibration(spark, sf_dir):
+    """Empirical-p-value calibration of MAD z-scores: per-series ECDF
+    tail probability with ties, flag at a 2% false-positive contract.
+    Composes P7 (mad_scores, already hash-green) with one RANGE window."""
+    from ..operators.scaling import empirical_pvalues, mad_scores
+
+    s = _series(spark, sf_dir)
+    out = empirical_pvalues(mad_scores(s), "z_mad", "p_emp")
+    return out.select(
+        "series_id", "rn",
+        _rnd("z_mad", R).alias("z_mad"),
+        _rnd("p_emp", R).alias("p_emp"),
+        (F.col("p_emp") <= 0.02).cast("int").alias("flag"),
+    )
+
+
+def q_spectral_residual(spark, sf_dir):
+    """Spectral Residual saliency (Ren et al. KDD'19): FFT-based
+    model-free point-anomaly detector.  Sequential FFT per series —
+    non-SQL, rows-only gate; the unit test plants a spike and asserts
+    SR ranks it first."""
+    from ..functions.spectral import spectral_residual_scores
+
+    out = spectral_residual_scores(_series(spark, sf_dir))
+    return out.select(
+        "series_id", "rn",
+        _rnd("saliency", R).alias("saliency"),
+        _rnd("sr_score", R).alias("sr_score"),
+        "flag",
+    )
+
+
+# ---- trend_test: exact Mann-Kendall + Theil-Sen via the materialized
+#      pair set (gate SF only; the engine side accumulates lag-wise) ----
+ORACLES["trend_test"] = f"""
+WITH {SQL_S},
+pr AS (
+  SELECT a.series_id,
+         b.value - a.value AS dv,
+         CAST(b.rn - a.rn AS DOUBLE) AS dr
+  FROM s a JOIN s b
+    ON a.series_id = b.series_id AND b.rn > a.rn),
+mk AS (
+  SELECT series_id, count(*) AS m,
+         CAST(sum(CASE WHEN dv > 0 THEN 1
+                       WHEN dv < 0 THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+  FROM pr GROUP BY 1),
+nn AS (SELECT series_id, count(*) AS n FROM s GROUP BY 1),
+tg AS (SELECT series_id, value, count(*) AS t
+       FROM s GROUP BY 1, 2 HAVING count(*) > 1),
+tc AS (SELECT series_id,
+              CAST(coalesce(sum(t*(t-1)*(2*t+5)), 0) AS BIGINT) AS tie_term
+       FROM nn LEFT JOIN tg USING (series_id) GROUP BY 1),
+vs AS (
+  SELECT nn.series_id, nn.n, mk.m, mk.s_stat, tc.tie_term,
+         CAST(nn.n*(nn.n-1)*(2*nn.n+5) - tc.tie_term AS DOUBLE) / 1.8e1 AS var_s
+  FROM nn JOIN mk USING (series_id) JOIN tc USING (series_id)),
+sl AS (
+  SELECT series_id, dv / dr AS slope FROM pr),
+rk AS (
+  SELECT series_id, slope,
+         row_number() OVER (PARTITION BY series_id ORDER BY slope) AS r,
+         count(*) OVER (PARTITION BY series_id) AS m
+  FROM sl),
+med AS (
+  SELECT series_id, sum(slope) / count(*) AS sen_slope
+  FROM rk WHERE r = (m+1)//2 OR r = (m+2)//2 GROUP BY 1)
+SELECT vs.series_id, vs.n, vs.s_stat,
+       round(CAST(vs.s_stat AS DOUBLE) / (5e-1 * vs.n * (vs.n-1)), {R}) AS tau,
+       round(vs.var_s, {R}) AS var_s,
+       round(CASE WHEN vs.s_stat > 0 AND vs.var_s > 0
+                  THEN (vs.s_stat - 1) / sqrt(vs.var_s)
+                  WHEN vs.s_stat < 0 AND vs.var_s > 0
+                  THEN (vs.s_stat + 1) / sqrt(vs.var_s)
+                  ELSE 0e0 END, {R}) AS z,
+       round(med.sen_slope, {R}) AS sen_slope,
+       CASE WHEN vs.var_s > 0 AND vs.s_stat > 0
+                 AND (vs.s_stat - 1) / sqrt(vs.var_s) > 1.96e0
+            THEN 'increasing'
+            WHEN vs.var_s > 0 AND vs.s_stat < 0
+                 AND (vs.s_stat + 1) / sqrt(vs.var_s) < -1.96e0
+            THEN 'decreasing'
+            ELSE 'no trend' END AS trend
+FROM vs JOIN med USING (series_id)
+"""
+
+# ---- score_calibration: ECDF tail p-values over MAD z-scores ----
+ORACLES["score_calibration"] = f"""
+WITH {SQL_S}, {SQL_MAD},
+cal AS (
+  SELECT series_id, rn, z_mad,
+         count(*) OVER (PARTITION BY series_id ORDER BY z_mad DESC
+                        RANGE BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS ge,
+         count(*) OVER (PARTITION BY series_id) AS n
+  FROM mads)
+SELECT series_id, rn, round(z_mad, {R}) AS z_mad,
+       round(CAST(ge AS DOUBLE) / CAST(n AS DOUBLE), {R}) AS p_emp,
+       CASE WHEN CAST(ge AS DOUBLE) / CAST(n AS DOUBLE) <= 2e-2
+            THEN 1 ELSE 0 END AS flag
+FROM cal
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from . import registry_datapipe
 
@@ -3186,6 +3308,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_zscore": q_diff_zscore,
         # time-of-day profile detector (seasonal-aware z-score)
         "seasonal_profile_flags": q_seasonal_profile_flags,
+        # Mann-Kendall + Theil-Sen, ECDF score calibration, SR saliency
+        "trend_test": q_trend_test,
+        "score_calibration": q_score_calibration,
+        "spectral_residual": q_spectral_residual,
         # period auto-detection + time-grid gap report
         "detect_period": q_detect_period,
         "gap_stats": q_gap_stats,
@@ -3224,6 +3350,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # to the back where a cap costs the least information.
     gate_first = [
         # never appeared in any driver correctness run (newest first)
+        "trend_test",
+        "score_calibration",
+        "spectral_residual",
+        "bpe_pair_counts",
+        "bpe_merges",
+        "mixture_schedule",
         "seasonal_strength",
         "holt_winters_fixed",
         "quality_classifier",

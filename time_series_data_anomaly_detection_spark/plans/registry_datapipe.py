@@ -2737,8 +2737,88 @@ FROM ag
 """
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    """First BPE merge round: adjacent character-pair counts over the
+    word-frequency table (the distributed phase of tokenizer training).
+    Top 200 by (count desc, pair asc) — a deterministic set."""
+    from ..datapipe.tokenize_bpe import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir), top_n=200)
+
+
+def q_bpe_merges(spark, sf_dir):
+    """Full BPE training (50 merges): distributed word count + local
+    greedy merge loop on the capped word table — the standard trainer
+    architecture (HF tokenizers / SentencePiece).  The loop is
+    iterative and non-SQL → rows-only gate; unit tests pin the merge
+    sequence on a fixed corpus."""
+    from ..datapipe.tokenize_bpe import bpe_learn_merges
+
+    return bpe_learn_merges(_docs(spark, sf_dir), spark, n_merges=50)
+
+
+def q_mixture_schedule(spark, sf_dir):
+    """Temperature-based (α=0.5) source mixing + epoch schedule at a
+    2× token budget with a 4-epoch cap — the training-mix planner."""
+    from ..datapipe.sampling import mixture_schedule
+
+    return mixture_schedule(_docs(spark, sf_dir))
+
+
+ORACLES["bpe_pair_counts"] = """
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents),
+wf AS (SELECT word, count(*) AS freq FROM tok GROUP BY 1),
+pr AS (
+  SELECT substr(word, CAST(t.i AS INT), 2) AS pair, freq
+  FROM wf, unnest(generate_series(1, len(word)-1)) AS t(i)
+  WHERE len(word) >= 2),
+ag AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM pr GROUP BY 1),
+rk AS (SELECT pair, cnt,
+              row_number() OVER (ORDER BY cnt DESC, pair) AS r
+       FROM ag)
+SELECT pair, cnt FROM rk WHERE r <= 200
+"""
+
+ORACLES["mixture_schedule"] = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS size
+  FROM documents GROUP BY 1),
+w AS (SELECT source, n_docs, size,
+             round(sqrt(CAST(size AS DOUBLE)), 6) AS weight_raw
+      FROM per),
+tot AS (SELECT CAST(sum(CAST(weight_raw AS DECIMAL(38,12))) AS DOUBLE)
+                 AS wsum,
+               CAST(sum(size) AS BIGINT) AS tsize
+        FROM w),
+e AS (SELECT w.source, w.n_docs, w.size,
+             w.weight_raw / tot.wsum AS p_alpha,
+             least(4e0, (2e0 * CAST(tot.tsize AS DOUBLE))
+                        * (w.weight_raw / tot.wsum)
+                        / CAST(w.size AS DOUBLE)) AS epochs
+      FROM w, tot),
+e2 AS (SELECT *, round(epochs * CAST(size AS DOUBLE), 6)
+                   AS effective_size
+       FROM e),
+et AS (SELECT CAST(sum(CAST(effective_size AS DECIMAL(38,12))) AS DOUBLE)
+                AS esum
+       FROM e2)
+SELECT source, n_docs, size,
+       round(p_alpha, {R}) AS p_alpha,
+       round(epochs, {R}) AS epochs,
+       effective_size,
+       round(effective_size / et.esum, {R}) AS mix_share
+FROM e2, et
+"""
+
+
 def queries():
     return {
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_merges": q_bpe_merges,
+        "mixture_schedule": q_mixture_schedule,
         "doc_stats": q_doc_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,

@@ -1,0 +1,132 @@
+"""Matrix-profile and S-H-ESD detectors: naive-reference cross-checks
+plus planted-anomaly discovery."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import series_df
+
+
+def _naive_mp(x, m):
+    """O(n² m) literal z-norm nearest-neighbor distances."""
+    n = len(x)
+    k = n - m + 1
+    excl = max(1, m // 2)
+    wins = np.stack([x[i : i + m] for i in range(k)])
+    mu = wins.mean(axis=1, keepdims=True)
+    sd = wins.std(axis=1, keepdims=True)
+    sd = np.where(sd < 1e-12, 1e-12, sd)
+    z = (wins - mu) / sd
+    mp = np.full(k, np.inf)
+    nn = np.zeros(k, dtype=int)
+    for i in range(k):
+        d = np.sqrt(((z[i] - z) ** 2).sum(axis=1))
+        d[max(0, i - excl) : i + excl + 1] = np.inf
+        nn[i] = int(np.argmin(d))
+        mp[i] = d[nn[i]]
+    return mp, nn
+
+
+def test_matrix_profile_matches_naive():
+    rng = np.random.default_rng(5)
+    t = np.arange(200)
+    x = np.sin(2 * np.pi * t / 20) + 0.1 * rng.normal(size=200)
+    from time_series_data_anomaly_detection_spark.functions.matrix_profile import (
+        matrix_profile_one,
+    )
+
+    m = 20
+    mp, nn = matrix_profile_one(x, m)
+    ref_mp, _ = _naive_mp(x, m)
+    assert np.allclose(mp, ref_mp, atol=1e-6)
+
+
+def test_matrix_profile_finds_planted_discord(spark):
+    t = np.arange(480)
+    x = np.sin(2 * np.pi * t / 24) * 10.0
+    # corrupt one full cycle's SHAPE without extreme values
+    x[240:264] = 10.0 * np.sin(2 * np.pi * np.arange(24) / 6)
+    from time_series_data_anomaly_detection_spark.functions.matrix_profile import (
+        matrix_profile_scores,
+    )
+
+    out = (
+        matrix_profile_scores(series_df(spark, x), m=24)
+        .where("is_discord = 1")
+        .select("rn")
+        .toPandas()
+    )
+    # a discord window must overlap the corrupted cycle (rn 241..264)
+    assert any(217 <= rn <= 264 for rn in out["rn"])
+
+
+def _naive_esd(resid, max_anoms, alpha=0.05):
+    from time_series_data_anomaly_detection_spark.functions.shesd import t_ppf
+
+    vals = list(resid)
+    idx = list(range(len(resid)))
+    out = []
+    last = 0
+    n = len(resid)
+    for i in range(1, max_anoms + 1):
+        med = np.median(vals)
+        mad = 1.4826 * np.median(np.abs(np.array(vals) - med))
+        if mad < 1e-12 or len(vals) < 3:
+            break
+        scores = np.abs(np.array(vals) - med) / mad
+        j = int(np.argmax(scores))
+        stat = scores[j]
+        out.append(idx[j])
+        del vals[j], idx[j]
+        m = n - i + 1
+        p = 1 - alpha / (2 * m)
+        tq = t_ppf(p, m - 2)
+        lam = (m - 1) * tq / np.sqrt((m - 2 + tq * tq) * m)
+        if stat > lam:
+            last = i
+    return sorted(out[:last])
+
+
+def test_esd_core_matches_naive():
+    rng = np.random.default_rng(11)
+    resid = rng.normal(0, 1, 300)
+    resid[[30, 99, 200]] = [9.0, -8.0, 11.0]
+    from time_series_data_anomaly_detection_spark.functions.shesd import esd_test
+
+    got = sorted(esd_test(resid, max_anoms=10))
+    assert got == _naive_esd(resid, 10)
+    assert set(got) == {30, 99, 200}
+
+
+def test_esd_clean_gaussian_mostly_silent():
+    rng = np.random.default_rng(2)
+    resid = rng.normal(0, 1, 400)
+    from time_series_data_anomaly_detection_spark.functions.shesd import esd_test
+
+    assert len(esd_test(resid, max_anoms=8)) <= 1  # alpha=5% false-positive rate
+
+
+def test_shesd_finds_seasonal_anomaly(spark):
+    t = np.arange(480)
+    x = 10.0 * np.sin(2 * np.pi * t / 24) + 50.0
+    x[300] = 55.0  # within global range but off-profile for its phase?
+    x[301] = 90.0  # clear spike
+    from time_series_data_anomaly_detection_spark.functions.shesd import shesd_flags
+
+    out = (
+        shesd_flags(series_df(spark, x), period=24)
+        .where("anomaly = 1")
+        .select("rn")
+        .toPandas()
+    )
+    assert 302 in set(out["rn"])  # rn is 1-based
+    assert len(out) <= 9  # capped at 2% of 480
+
+
+def test_t_ppf_sane():
+    from time_series_data_anomaly_detection_spark.functions.shesd import t_ppf
+
+    # spot values vs published tables (scipy.stats.t.ppf reference)
+    assert t_ppf(0.975, 10) == pytest.approx(2.2281, abs=2e-3)
+    assert t_ppf(0.95, 30) == pytest.approx(1.6973, abs=2e-3)
+    assert t_ppf(0.99, 100) == pytest.approx(2.3642, abs=2e-3)

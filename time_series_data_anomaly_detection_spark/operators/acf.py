@@ -190,23 +190,45 @@ def cross_correlation(
     max_lag: int = 12,
     value_col: str = "value",
 ) -> DataFrame:
-    """Lagged cross-correlation between series PAIRS: Pearson r of
-    ``(a_t, b_{t-lag})`` for every ordered pair ``a < b`` and lag in
-    ``[-max_lag, max_lag]`` — the multivariate diagnostic (which
-    series lead which) the per-series ACF cannot see.
+    """Lagged cross-correlation between series PAIRS in the
+    statsmodels-``ccf`` convention: each series is demeaned by its
+    GLOBAL mean and the denominator is the constant
+    ``n_overlap · sd_a · sd_b`` (population stds of the full series) —
+    ``xcorr(a, b, k) = Σ_t (a_t - ā)(b_{t-k} - b̄) / (n·sd_a·sd_b)``
+    for every ordered pair ``a < b`` and lag in ``[-max_lag, max_lag]``
+    — the multivariate diagnostic (which series lead which) the
+    per-series ACF cannot see.
 
     Alignment is positional (``rn``), mirroring the reference's
     index-aligned arrays (SURVEY §2.5 J3).  The pair frame is built by
     a self-equi-join on ``rn`` — fact-sized × |series| rows, so at
     scale you run it on a row-sampled or windowed slice and/or a
-    chosen series subset; the per-(pair, lag) moments are
-    decimal-exact, one aggregate.
+    chosen series subset.  The constant-denominator convention needs
+    ONE decimal sum per joined row (the cross product) instead of five
+    per-(pair, lag) Pearson moments — the per-series moments ride a
+    broadcast join, same trick as ``acf_statsmodels``.
 
     Output: (series_a, series_b, lag, xcorr); negative lag means ``a``
     leads ``b``.
     """
     from pyspark.sql import Window
     from .._exact import DEC
+
+    v = F.col(value_col)
+    mo = df.groupBy("series_id").agg(
+        F.count(value_col).alias("__n"),
+        F.sum(v.cast(DEC)).cast("double").alias("__s1"),
+        F.sum((v * v).cast(DEC)).cast("double").alias("__s2"),
+    )
+    mo = mo.select(
+        "series_id",
+        (F.col("__s1") / F.col("__n")).alias("__mu"),
+        F.sqrt(
+            (F.col("__s2") - F.col("__s1") * F.col("__s1") / F.col("__n"))
+            / F.col("__n")
+        ).alias("__sd"),
+    )
+    base = df.join(F.broadcast(mo), "series_id")
 
     w = Window.partitionBy("series_id").orderBy("rn")
     shifts = [
@@ -224,39 +246,42 @@ def cross_correlation(
     )
     n_branch = 2 * max_lag + 1
     wide = (
-        df.select("series_id", "rn", F.col(value_col), *shifts, *leads)
+        base.select(
+            "series_id", "rn", F.col(value_col), F.col("__mu"), F.col("__sd"),
+            *shifts, *leads,
+        )
         .selectExpr(
-            "series_id", "rn",
+            "series_id", "rn", "__mu", "__sd",
             f"stack({n_branch}, {stack_args}) AS (lag, shifted)",
         )
         .filter(F.col("shifted").isNotNull())
     )
-    a = df.select(
+    a = base.select(
         F.col("series_id").alias("series_a"),
         "rn",
-        F.col(value_col).alias("__x"),
+        (F.col(value_col) - F.col("__mu")).alias("__xc"),
+        F.col("__sd").alias("__sd_a"),
     )
     b = wide.select(
         F.col("series_id").alias("series_b"),
         "rn",
         "lag",
-        F.col("shifted").alias("__y"),
+        (F.col("shifted") - F.col("__mu")).alias("__yc"),
+        F.col("__sd").alias("__sd_b"),
     )
     pairs = a.join(b, "rn").filter(F.col("series_a") < F.col("series_b"))
-    x, y = F.col("__x"), F.col("__y")
     agg = pairs.groupBy("series_a", "series_b", "lag").agg(
         F.count("*").alias("n"),
-        F.sum(x.cast(DEC)).cast("double").alias("sx"),
-        F.sum(y.cast(DEC)).cast("double").alias("sy"),
-        F.sum((x * x).cast(DEC)).cast("double").alias("sxx"),
-        F.sum((y * y).cast(DEC)).cast("double").alias("syy"),
-        F.sum((x * y).cast(DEC)).cast("double").alias("sxy"),
-    )
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    num = n * F.col("sxy") - sx * sy
-    den = F.sqrt(
-        (n * F.col("sxx") - sx * sx) * (n * F.col("syy") - sy * sy)
+        F.sum((F.col("__xc") * F.col("__yc")).cast(DEC))
+        .cast("double")
+        .alias("num"),
+        F.max("__sd_a").alias("sd_a"),
+        F.max("__sd_b").alias("sd_b"),
     )
     return agg.select(
-        "series_a", "series_b", "lag", (num / den).alias("xcorr")
+        "series_a", "series_b", "lag",
+        (
+            F.col("num")
+            / (F.col("n").cast("double") * F.col("sd_a") * F.col("sd_b"))
+        ).alias("xcorr"),
     )

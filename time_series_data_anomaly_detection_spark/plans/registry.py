@@ -2453,6 +2453,14 @@ FROM dif d JOIN dmo2 m USING (series_id)
 #      pairs; negative lag = lead). ----
 ORACLES["cross_correlation"] = f"""
 WITH {SQL_S},
+mo AS (
+  SELECT series_id, count(value) AS n,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS s2
+  FROM s GROUP BY 1),
+mm AS (SELECT series_id, s1 / n AS mu,
+              sqrt((s2 - s1 * s1 / n) / n) AS sd
+       FROM mo),
 lags AS (SELECT unnest(generate_series(-12, 12)) AS lag),
 wide AS (
   SELECT series_id, rn, l.lag,
@@ -2465,21 +2473,19 @@ wide AS (
   FROM s CROSS JOIN lags l),
 pr AS (
   SELECT a.series_id AS series_a, w.series_id AS series_b, w.lag,
-         a.value AS x, w.shifted AS y
+         (a.value - ma.mu) * (w.shifted - mb.mu) AS xy,
+         ma.sd AS sd_a, mb.sd AS sd_b
   FROM s a JOIN wide w ON w.rn = a.rn
+  JOIN mm ma ON ma.series_id = a.series_id
+  JOIN mm mb ON mb.series_id = w.series_id
   WHERE a.series_id < w.series_id AND w.shifted IS NOT NULL),
 am AS (
   SELECT series_a, series_b, lag, count(*) AS n,
-         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
-         CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
-         CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
-         CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy,
-         CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+         CAST(sum(CAST(xy AS DECIMAL(38,12))) AS DOUBLE) AS num,
+         max(sd_a) AS sd_a, max(sd_b) AS sd_b
   FROM pr GROUP BY 1, 2, 3)
 SELECT series_a, series_b, lag,
-       round((n * sxy - sx * sy)
-             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
-             {R}) AS xcorr
+       round(num / (CAST(n AS DOUBLE) * sd_a * sd_b), {R}) AS xcorr
 FROM am
 """
 

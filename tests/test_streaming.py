@@ -562,3 +562,27 @@ def test_streaming_holt_winters_matches_batch(spark, stream_data):
     np.testing.assert_allclose(
         settled["resid"], batch["resid"], atol=1e-8
     )
+
+
+def test_streaming_spectral_residual_flags_burst(spark, stream_data):
+    from time_series_data_anomaly_detection_spark.streaming.detectors import (
+        streaming_spectral_residual,
+    )
+
+    root, pdf = stream_data
+    stream = spark.readStream.schema(SCHEMA).parquet(root)
+    out = _run_stream(
+        spark,
+        streaming_spectral_residual(stream, history=128, min_history=32),
+        "sr_stream",
+    ).toPandas()
+    assert len(out) == len(pdf)
+    # warm-up rows (< min_history) carry null scores
+    a = out[out["series_id"] == "a"].sort_values("timestamp").reset_index(drop=True)
+    assert a["sr_score"].isna().sum() == 31
+    # the injected burst at rows 200..202 must be flagged
+    hits = set(a.index[a["flag"] == 1])
+    assert hits & {200, 201, 202}
+    # and the clean warm region stays mostly silent (< 5% flag rate)
+    clean = a.iloc[40:190]
+    assert (clean["flag"] == 1).mean() < 0.05

@@ -157,3 +157,44 @@ def test_mixture_schedule_invariants(spark):
     prop_small = out["small"]["size"] / (out["small"]["size"] + out["big"]["size"])
     assert out["small"]["p_alpha"] > prop_small
     assert out["small"]["epochs"] > out["big"]["epochs"]
+
+
+def test_bpe_encode_known_merges(spark):
+    docs = spark.createDataFrame(
+        [(1, "low lowest slow"), (2, "low low")], "doc_id long, text string"
+    )
+    from time_series_data_anomaly_detection_spark.datapipe.tokenize_bpe import (
+        _encode_word,
+        bpe_encode_stats,
+    )
+
+    # pinned merges: l+o, lo+w, e+s, es+t
+    merges = [("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t")]
+    assert _encode_word("lowest", dict(zip(merges, range(4)))) == ["low", "est"]
+    out = {r["doc_id"]: r for r in bpe_encode_stats(docs, merges).collect()}
+    # doc 1: low->1, lowest->2, slow->2 (s + low) = 5 tokens, 13 chars
+    assert out[1]["n_bpe_tokens"] == 5
+    assert out[1]["n_words"] == 3
+    assert out[1]["chars_per_token"] == pytest.approx(13 / 5)
+    # doc 2: two words, one token each
+    assert out[2]["n_bpe_tokens"] == 2
+
+
+def test_bpe_roundtrip_learn_then_encode(spark):
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat " * 3) for i in range(5)],
+        "doc_id long, text string",
+    )
+    from time_series_data_anomaly_detection_spark.datapipe.tokenize_bpe import (
+        bpe_encode_stats,
+        bpe_learn_merges,
+    )
+
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_learn_merges(docs, spark, n_merges=20).collect()
+    ]
+    out = bpe_encode_stats(docs, merges).collect()
+    # after 20 merges on a 6-word vocab every word is one token
+    for r in out:
+        assert r["n_bpe_tokens"] == r["n_words"]

@@ -140,3 +140,87 @@ def bpe_learn_merges(
         [(r, l, rt, l + rt, c) for (r, l, rt, c) in merges],
         "merge_rank int, left string, right string, merged string, pair_count long",
     )
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Standard greedy BPE apply: repeatedly merge the present pair
+    with the LOWEST merge rank until none applies."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        best_idx = -1
+        for j in range(len(syms) - 1):
+            r = ranks.get((syms[j], syms[j + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_idx = r, j
+        if best_rank is None:
+            break
+        left, right = syms[best_idx], syms[best_idx + 1]
+        merged = left + right
+        out = []
+        j = 0
+        while j < len(syms):
+            if j + 1 < len(syms) and syms[j] == left and syms[j + 1] == right:
+                out.append(merged)
+                j += 2
+            else:
+                out.append(syms[j])
+                j += 1
+        syms = out
+    return syms
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge list to every document: per-doc BPE token
+    count, word count, and chars-per-token compression — the
+    distributed APPLY side of tokenizer training (the merge table is
+    broadcast; encoding runs in Arrow batches via ``mapInPandas``;
+    per-batch word memoization collapses the Zipf head so each unique
+    word is encoded once per batch).
+    """
+    import re
+
+    import pandas as pd
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    word_re = re.compile(WORD_RE)
+
+    def encode_batches(it):
+        memo: dict[str, int] = {}
+        for pdf in it:
+            n_tok = []
+            n_words = []
+            n_chars = []
+            for text in pdf[text_col].astype(str):
+                words = word_re.findall(text.lower())
+                total = 0
+                chars = 0
+                for w in words:
+                    cnt = memo.get(w)
+                    if cnt is None:
+                        cnt = len(_encode_word(w, ranks))
+                        memo[w] = cnt
+                    total += cnt
+                    chars += len(w)
+                n_tok.append(total)
+                n_words.append(len(words))
+                n_chars.append(chars)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bpe_tokens": pd.array(n_tok, dtype="int64"),
+                    "n_words": pd.array(n_words, dtype="int64"),
+                    "chars_per_token": [
+                        (c / t) if t else 0.0 for c, t in zip(n_chars, n_tok)
+                    ],
+                }
+            )
+
+    return df.select("doc_id", text_col).mapInPandas(
+        encode_batches,
+        "doc_id long, n_bpe_tokens long, n_words long, chars_per_token double",
+    )

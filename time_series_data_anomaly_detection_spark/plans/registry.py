@@ -3511,6 +3511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shesd_flags",
         "bpe_pair_counts",
         "bpe_merges",
+        "bpe_encode",
         "mixture_schedule",
         "seasonal_strength",
         "holt_winters_fixed",

@@ -2757,6 +2757,26 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_learn_merges(_docs(spark, sf_dir), spark, n_merges=50)
 
 
+def q_bpe_encode(spark, sf_dir):
+    """The APPLY side of tokenizer training: learn 50 merges, then
+    encode every document with them (broadcast merge table, Arrow
+    batches, per-batch word memoization) — per-doc BPE token count and
+    chars-per-token compression.  Python merge loop → rows-only gate;
+    the greedy-apply core is unit-tested on pinned merges."""
+    from ..datapipe.tokenize_bpe import bpe_encode_stats, bpe_learn_merges
+
+    docs = _docs(spark, sf_dir)
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_learn_merges(docs, spark, n_merges=50).collect()
+    ]
+    out = bpe_encode_stats(docs, merges)
+    return out.select(
+        "doc_id", "n_bpe_tokens", "n_words",
+        _rnd("chars_per_token", R).alias("chars_per_token"),
+    )
+
+
 def q_mixture_schedule(spark, sf_dir):
     """Temperature-based (α=0.5) source mixing + epoch schedule at a
     2× token budget with a 4-epoch cap — the training-mix planner."""
@@ -2818,6 +2838,7 @@ def queries():
     return {
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "mixture_schedule": q_mixture_schedule,
         "doc_stats": q_doc_stats,
         "lang_id": q_lang_id,

@@ -504,3 +504,89 @@ def streaming_holt_winters(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+_SR_OUT = StructType(
+    [
+        StructField("series_id", StringType()),
+        StructField("timestamp", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("sr_score", DoubleType()),
+        StructField("flag", IntegerType()),
+    ]
+)
+_SR_STATE = StructType(
+    [
+        StructField("tail", ArrayType(DoubleType())),
+        StructField("seen", LongType()),
+    ]
+)
+
+
+def streaming_spectral_residual(
+    stream: DataFrame,
+    history: int = 128,
+    min_history: int = 32,
+    tau: float = 3.0,
+) -> DataFrame:
+    """Spectral Residual saliency as a stateful stream — the SR
+    paper's own streaming mode (Ren et al. KDD'19 §3.1): keep the last
+    ``history`` points per series, extend the window with the
+    estimated-point tail so the newest real point is not at the FFT
+    boundary, and score only that newest point.
+
+    Semantics note: unlike the rolling/BOCPD streams (batch-parity by
+    construction), SR-over-a-trailing-window is inherently different
+    from SR-over-the-full-batch — that IS the published streaming
+    algorithm, not an approximation of the batch one.  State is
+    O(history) doubles per series; cost is one O(H log H) FFT per
+    arriving point.
+    """
+    from ..functions.spectral import estimate_tail, spectral_residual_saliency
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (series_id,) = key
+        if state.exists:
+            tail, seen = state.get
+            buf = list(tail)
+        else:
+            buf, seen = [], 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values("timestamp").reset_index(drop=True)
+            vals = pdf["value"].to_numpy(float)
+            scores = np.full(len(vals), np.nan)
+            for i, v in enumerate(vals):
+                buf.append(float(v))
+                if len(buf) > history:
+                    buf = buf[-history:]
+                if len(buf) >= min_history:
+                    ext = estimate_tail(np.asarray(buf), m=5)
+                    _, s = spectral_residual_saliency(ext)
+                    scores[i] = s[len(buf) - 1]
+            flags = pd.array(
+                [None if np.isnan(s) else int(s > tau) for s in scores],
+                dtype="Int32",
+            )
+            yield pd.DataFrame(
+                {
+                    "series_id": series_id,
+                    "timestamp": pdf["timestamp"],
+                    "value": vals,
+                    "sr_score": scores,
+                    "flag": flags,
+                }
+            )
+            seen += len(vals)
+        state.update(([float(x) for x in buf], int(seen)))
+
+    return stream.groupBy("series_id").applyInPandasWithState(
+        update,
+        _SR_OUT,
+        _SR_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -198,3 +198,38 @@ def test_bpe_roundtrip_learn_then_encode(spark):
     # after 20 merges on a 6-word vocab every word is one token
     for r in out:
         assert r["n_bpe_tokens"] == r["n_words"]
+
+
+def test_asof_join_semantics(spark):
+    from time_series_data_anomaly_detection_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("a", 5), ("b", 2)],
+        "series_id string, rn long",
+    )
+    right = spark.createDataFrame(
+        [("a", 1, 100), ("a", 3, 300), ("a", 4, 400), ("b", 9, 900)],
+        "series_id string, rn long, px long",
+    )
+    out = {
+        (r["series_id"], r["rn"]): r["px_asof"]
+        for r in asof_join(left, right, payload=["px"]).collect()
+    }
+    assert out[("a", 1)] == 100   # simultaneous right row IS visible
+    assert out[("a", 3)] == 300
+    assert out[("a", 5)] == 400   # latest at-or-before wins
+    assert out[("b", 2)] is None  # no earlier right row -> null
+
+
+def test_asof_join_tie_resolution(spark):
+    from time_series_data_anomaly_detection_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("a", 5)], "series_id string, rn long")
+    right = spark.createDataFrame(
+        [("a", 2, 1, 10), ("a", 2, 3, 30), ("a", 2, 2, 20)],
+        "series_id string, rn long, seq long, px long",
+    )
+    row = asof_join(
+        left, right, payload=["px", "seq"], tie_col="seq"
+    ).collect()[0]
+    assert row["px_asof"] == 30  # highest tie_col wins deterministically

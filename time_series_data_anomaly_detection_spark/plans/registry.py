@@ -3189,6 +3189,53 @@ def q_spectral_residual(spark, sf_dir):
     )
 
 
+def q_asof_last_label(spark, sf_dir):
+    """Generic as-of join (J1's general form): every row enriched with
+    the most recent label anchor at or before it — "rows since the
+    last labeled anomaly".  Spark side is the union + forward-fill
+    pattern (ONE shuffle, no range join); the oracle is DuckDB's
+    native ASOF LEFT JOIN — maximally different implementations
+    agreeing is the point of the gate."""
+    from ..operators.asof import asof_join
+
+    s = _series(spark, sf_dir)
+    w = Window.partitionBy("series_id").orderBy(
+        F.col("value").desc(), "timestamp", "event_id"
+    )
+    lab = (
+        s.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 5)
+        .select("series_id", "rn", F.col("rn").alias("anchor_rn"))
+    )
+    out = asof_join(
+        s.select("series_id", "rn"), lab, on="rn", by="series_id",
+        payload=["anchor_rn"],
+    )
+    return out.select(
+        "series_id", "rn",
+        F.col("anchor_rn_asof").alias("last_anchor"),
+        (F.col("rn") - F.col("anchor_rn_asof")).alias("rows_since"),
+    )
+
+
+ORACLES["asof_last_label"] = f"""
+WITH {SQL_S},
+lab AS (
+  SELECT series_id, rn AS anchor FROM (
+    SELECT series_id, rn,
+           row_number() OVER (PARTITION BY series_id
+                              ORDER BY value DESC, timestamp, event_id) AS rk
+    FROM s) t
+  WHERE rk <= 5
+)
+SELECT s.series_id, s.rn,
+       l.anchor AS last_anchor,
+       s.rn - l.anchor AS rows_since
+FROM s ASOF LEFT JOIN lab l
+  ON s.series_id = l.series_id AND s.rn >= l.anchor
+"""
+
+
 def q_matrix_profile(spark, sf_dir):
     """Matrix profile + top-3 discords per series (Yeh et al. ICDM'16):
     z-normalized nearest-neighbor window distances via batched FFT dot
@@ -3460,6 +3507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_profile_flags": q_seasonal_profile_flags,
         # Mann-Kendall + Theil-Sen, ECDF score calibration, SR saliency
         "baseline_forecasts": q_baseline_forecasts,
+        "asof_last_label": q_asof_last_label,
         "matrix_profile": q_matrix_profile,
         "shesd_flags": q_shesd_flags,
         "trend_test": q_trend_test,
@@ -3506,6 +3554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_test",
         "score_calibration",
         "baseline_forecasts",
+        "asof_last_label",
         "spectral_residual",
         "matrix_profile",
         "shesd_flags",

@@ -44,6 +44,17 @@ HEADLINE = [
     "semantic_dedup",
     "training_order",
     "curation_pipeline",
+    # round-5 continuation: trend/saliency/tokenizer/asof
+    "trend_test",
+    "matrix_profile",
+    "spectral_residual",
+    "detect_period",
+    "baseline_forecasts",
+    "asof_last_label",
+    "percentile_summary",
+    "bpe_pair_counts",
+    "bpe_encode",
+    "mixture_schedule",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]

@@ -3189,6 +3189,66 @@ def q_spectral_residual(spark, sf_dir):
     )
 
 
+def q_percentile_summary(spark, sf_dir):
+    """Per-series exact quantile grid (p25/50/75/90/99) + Tukey-fence
+    outlier counts — the box-plot-with-whiskers numbers as a frame.
+    Exact percentiles (the hash gate's regime); the documented 100 TB
+    path is approx_percentile, same knob as mad_scores."""
+    s = _series(spark, sf_dir)
+    qs = s.groupBy("series_id").agg(
+        F.count("value").alias("n"),
+        F.percentile(
+            F.col("value"), F.array(*[F.lit(p) for p in (0.25, 0.5, 0.75, 0.9, 0.99)])
+        ).alias("__q"),
+    )
+    qs = qs.select(
+        "series_id", "n",
+        F.col("__q")[0].alias("q25"), F.col("__q")[1].alias("q50"),
+        F.col("__q")[2].alias("q75"), F.col("__q")[3].alias("q90"),
+        F.col("__q")[4].alias("q99"),
+    ).withColumn("iqr", F.col("q75") - F.col("q25"))
+    joined = s.join(F.broadcast(qs), "series_id")
+    lo = F.col("q25") - F.lit(1.5) * F.col("iqr")
+    hi = F.col("q75") + F.lit(1.5) * F.col("iqr")
+    out = joined.groupBy("series_id").agg(
+        F.sum(
+            F.when((F.col("value") < lo) | (F.col("value") > hi), 1).otherwise(0)
+        ).cast("long").alias("n_outliers")
+    )
+    return qs.join(out, "series_id").select(
+        "series_id", "n",
+        _rnd("q25", R).alias("q25"), _rnd("q50", R).alias("q50"),
+        _rnd("q75", R).alias("q75"), _rnd("q90", R).alias("q90"),
+        _rnd("q99", R).alias("q99"), _rnd("iqr", R).alias("iqr"),
+        "n_outliers",
+    )
+
+
+ORACLES["percentile_summary"] = f"""
+WITH {SQL_S},
+qs AS (
+  SELECT series_id, count(value) AS n,
+         quantile_cont(value, [0.25, 0.5, 0.75, 0.9, 0.99]) AS q
+  FROM s GROUP BY 1),
+ex AS (
+  SELECT series_id, n, q[1] AS q25, q[2] AS q50, q[3] AS q75,
+         q[4] AS q90, q[5] AS q99, q[3] - q[1] AS iqr
+  FROM qs),
+oc AS (
+  SELECT s.series_id,
+         CAST(sum(CASE WHEN s.value < ex.q25 - 1.5e0 * ex.iqr
+                        OR s.value > ex.q75 + 1.5e0 * ex.iqr
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+  FROM s JOIN ex USING (series_id) GROUP BY 1)
+SELECT ex.series_id, ex.n,
+       round(ex.q25, {R}) AS q25, round(ex.q50, {R}) AS q50,
+       round(ex.q75, {R}) AS q75, round(ex.q90, {R}) AS q90,
+       round(ex.q99, {R}) AS q99, round(ex.iqr, {R}) AS iqr,
+       oc.n_outliers
+FROM ex JOIN oc USING (series_id)
+"""
+
+
 def q_asof_last_label(spark, sf_dir):
     """Generic as-of join (J1's general form): every row enriched with
     the most recent label anchor at or before it — "rows since the
@@ -3508,6 +3568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Mann-Kendall + Theil-Sen, ECDF score calibration, SR saliency
         "baseline_forecasts": q_baseline_forecasts,
         "asof_last_label": q_asof_last_label,
+        "percentile_summary": q_percentile_summary,
         "matrix_profile": q_matrix_profile,
         "shesd_flags": q_shesd_flags,
         "trend_test": q_trend_test,
@@ -3555,6 +3616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_calibration",
         "baseline_forecasts",
         "asof_last_label",
+        "percentile_summary",
         "spectral_residual",
         "matrix_profile",
         "shesd_flags",

@@ -404,3 +404,69 @@ def test_control_charts_broadcast_moments(spark):
     assert _count(plan, "BroadcastHashJoin") >= 1
     assert "SortMergeJoin" not in plan
     assert _count(plan, ") FlatMapGroupsInPandas") == 1
+
+
+def test_asof_join_single_exchange_no_range_join(spark):
+    """The as-of join must be the union + forward-fill plan: one
+    exchange on the join key, no BroadcastNestedLoop/cartesian from a
+    range condition."""
+    from time_series_data_anomaly_detection_spark.operators.asof import asof_join
+
+    left = series_df(spark, np.arange(100, dtype=float)).select("series_id", "rn")
+    right = (
+        series_df(spark, np.arange(10, dtype=float))
+        .select("series_id", "rn")
+        .withColumn("px", rn_to_px())
+    )
+    plan = _plan(asof_join(left, right, payload=["px"]))
+    # each INPUT carries one exchange from its own row-index window;
+    # the as-of join itself must add NONE (its window rides the same
+    # series partitioning) and must never become a range join
+    assert _count(plan, ") Exchange") == 2
+    assert _count(plan, "NestedLoop") == 0
+    assert _count(plan, "CartesianProduct") == 0
+    assert _count(plan, ") SortMergeJoin") == 0
+
+
+def rn_to_px():
+    from pyspark.sql import functions as F
+
+    return (F.col("rn") * 10).cast("long")
+
+
+def test_score_calibration_single_series_exchange(spark):
+    """mad_scores + the ECDF RANGE window must not add a second
+    fact-table exchange: the window rides the same series partition."""
+    from time_series_data_anomaly_detection_spark.operators.scaling import (
+        empirical_pvalues,
+        mad_scores,
+    )
+
+    plan = _plan(
+        empirical_pvalues(mad_scores(series_df(spark, np.arange(100, dtype=float))))
+    )
+    # exchanges: one hashpartition for the fact table windows; the
+    # per-series aggregates ride broadcast
+    assert _count(plan, ") SortMergeJoin") == 0
+    assert _count(plan, ") BroadcastHashJoin") >= 3
+
+
+def test_percentile_summary_broadcasts_quantiles(spark):
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        q_percentile_summary,
+    )
+
+    plan = _plan(q_percentile_summary(spark, "/root/testdata/sf0.001"))
+    assert _count(plan, ") SortMergeJoin") == 0
+    assert _count(plan, "CartesianProduct") == 0
+
+
+def test_baseline_forecasts_broadcast_anchors(spark):
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        q_baseline_forecasts,
+    )
+
+    plan = _plan(q_baseline_forecasts(spark, "/root/testdata/sf0.001"))
+    assert _count(plan, ") SortMergeJoin") == 0
+    assert _count(plan, "CartesianProduct") == 0
+    assert _count(plan, ") BroadcastHashJoin") >= 2

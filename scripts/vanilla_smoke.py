@@ -29,6 +29,13 @@ REPRESENTATIVE = [
     "semantic_dedup",       # embeddings + driver-literal centroids
     "revenue_anomaly",      # 5-table star join
     "kalman_forecast_fixed",  # recursion via window algebra
+    # round-5 continuation families
+    "trend_test",           # applyInPandas numeric kernel
+    "matrix_profile",       # applyInPandas STOMP kernel
+    "asof_last_label",      # union + forward-fill as-of join
+    "percentile_summary",   # exact quantile arrays
+    "bpe_pair_counts",      # word-table explode (documents)
+    "mixture_schedule",     # two-level tiny aggregate
 ]
 
 

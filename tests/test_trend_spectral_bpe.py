@@ -233,3 +233,34 @@ def test_asof_join_tie_resolution(spark):
         left, right, payload=["px", "seq"], tie_col="seq"
     ).collect()[0]
     assert row["px_asof"] == 30  # highest tie_col wins deterministically
+
+
+def test_theta_forecast_tracks_trend(spark):
+    rng = np.random.default_rng(9)
+    t = np.arange(200, dtype=float)
+    x = 10.0 + 0.5 * t + rng.normal(0, 1.0, 200)  # linear trend + noise
+    from time_series_data_anomaly_detection_spark.functions.theta import (
+        theta_forecast,
+    )
+
+    out = theta_forecast(series_df(spark, x)).toPandas().sort_values("rn")
+    assert len(out) == 50  # test region of 200 rows at 0.75 split
+    # Hyndman-Billah: theta == SES with drift b/2, so on a pure linear
+    # trend the h-step error grows like b*h/2 — check the closed form
+    h = np.arange(1, 51, dtype=float)
+    drift_slope = np.polyfit(h, out["resid"].to_numpy(), 1)[0]
+    assert drift_slope == pytest.approx(0.25, abs=0.06)  # b/2 = 0.25
+    # and it still beats the flat last-train-value forecast
+    mae = out["resid"].abs().mean()
+    flat_mae = np.abs(x[150:] - x[149]).mean()
+    assert mae < flat_mae * 0.65
+
+
+def test_theta_forecast_constant_series(spark):
+    from time_series_data_anomaly_detection_spark.functions.theta import (
+        theta_forecast,
+    )
+
+    out = theta_forecast(series_df(spark, [7.0] * 80)).toPandas()
+    assert np.allclose(out["pred_mean"], 7.0)
+    assert np.allclose(out["resid"], 0.0)

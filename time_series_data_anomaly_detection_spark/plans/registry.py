@@ -3189,6 +3189,71 @@ def q_spectral_residual(spark, sf_dir):
     )
 
 
+def q_theta_forecast(spark, sf_dir):
+    """Theta-method forecast (M3 winner; SES-with-drift form) of the
+    Test split, fixed dyadic α=1/4 — trend fit and θ=2 line are column
+    algebra, the SES recursion is one double of state per series and
+    is replayed by the oracle as a recursive CTE.  Fully hash-gated."""
+    from ..functions.theta import theta_forecast
+
+    out = theta_forecast(_series(spark, sf_dir))
+    return out.select(
+        "series_id", "rn",
+        _rnd("value", R).alias("value"),
+        _rnd("pred_mean", R).alias("pred_mean"),
+        _rnd("resid", R).alias("resid"),
+    )
+
+
+ORACLES["theta_forecast"] = f"""
+WITH RECURSIVE {SQL_S},
+nn AS (SELECT series_id, CAST(floor(max(rn) * 0.75) AS BIGINT) AS T
+       FROM s GROUP BY 1),
+tr AS (SELECT s.series_id, s.rn, s.value
+       FROM s JOIN nn USING (series_id) WHERE s.rn <= nn.T),
+fsum AS (
+  SELECT series_id, count(*) AS n,
+         CAST(sum(CAST(CAST(rn AS DOUBLE) AS DECIMAL(38,12)))
+              AS DOUBLE) AS st,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(CAST(rn AS DOUBLE) * CAST(rn AS DOUBLE)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS stt,
+         CAST(sum(CAST(CAST(rn AS DOUBLE) * value AS DECIMAL(38,12)))
+              AS DOUBLE) AS sty
+  FROM tr GROUP BY 1),
+f0 AS (
+  SELECT series_id, n, st, sy,
+         (n * sty - st * sy) / (n * stt - st * st) AS b
+  FROM fsum),
+ft AS (SELECT series_id, b, (sy - b * st) / n AS a FROM f0),
+l2 AS (
+  SELECT tr.series_id, tr.rn,
+         2e0 * tr.value - (ft.a + ft.b * CAST(tr.rn AS DOUBLE)) AS l
+  FROM tr JOIN ft USING (series_id)),
+rec AS (
+  SELECT series_id, rn, CAST(l AS DOUBLE) AS sv FROM l2 WHERE rn = 1
+  UNION ALL
+  SELECT q.series_id, q.rn, r.sv + 0.25 * (q.l - r.sv) AS sv
+  FROM rec r JOIN l2 q
+    ON q.series_id = r.series_id AND q.rn = r.rn + 1),
+sT AS (
+  SELECT r.series_id, r.sv AS s_T
+  FROM rec r JOIN nn ON nn.series_id = r.series_id AND r.rn = nn.T),
+te AS (
+  SELECT s.series_id, s.rn, s.value
+  FROM s JOIN nn USING (series_id) WHERE s.rn > nn.T),
+pr AS (
+  SELECT te.series_id, te.rn, te.value,
+         5e-1 * (ft.a + ft.b * CAST(te.rn AS DOUBLE)) + 5e-1 * sT.s_T
+           AS pred
+  FROM te JOIN ft USING (series_id) JOIN sT USING (series_id))
+SELECT series_id, rn, round(value, {R}) AS value,
+       round(pred, {R}) AS pred_mean,
+       round(value - pred, {R}) AS resid
+FROM pr
+"""
+
+
 def q_percentile_summary(spark, sf_dir):
     """Per-series exact quantile grid (p25/50/75/90/99) + Tukey-fence
     outlier counts — the box-plot-with-whiskers numbers as a frame.
@@ -3567,6 +3632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_profile_flags": q_seasonal_profile_flags,
         # Mann-Kendall + Theil-Sen, ECDF score calibration, SR saliency
         "baseline_forecasts": q_baseline_forecasts,
+        "theta_forecast": q_theta_forecast,
         "asof_last_label": q_asof_last_label,
         "percentile_summary": q_percentile_summary,
         "matrix_profile": q_matrix_profile,
@@ -3615,6 +3681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_test",
         "score_calibration",
         "baseline_forecasts",
+        "theta_forecast",
         "asof_last_label",
         "percentile_summary",
         "spectral_residual",

@@ -3393,15 +3393,10 @@ def q_shesd_flags(spark, sf_dir):
     )
 
 
-def q_baseline_forecasts(spark, sf_dir):
-    """Standard forecast baselines (naive / seasonal-naive / drift)
-    backtested on the Test split with the engine's accuracy table —
-    the sanity floor every model leaderboard needs: a model that can't
-    beat seasonal-naive isn't forecasting.  Pure window algebra +
-    one grouped aggregate per model, unioned; fully hash-gated."""
-    from ..operators.evaluate import forecast_accuracy
-
-    s = _series(spark, sf_dir)
+def _baseline_long(s):
+    """(model, series_id, rn, value, pred_mean) for the three baseline
+    forecasters on the Test split — shared by q_baseline_forecasts and
+    the forecast leaderboard."""
     w = Window.partitionBy("series_id").orderBy("rn")
     nn = s.groupBy("series_id").agg(F.max("rn").alias("__n"))
     nn = nn.withColumn("__T", F.floor(F.col("__n") * 0.75).cast("long"))
@@ -3438,8 +3433,19 @@ def q_baseline_forecasts(spark, sf_dir):
             drift.alias("pred_mean"),
         ),
     ]
-    long = frames[0].unionByName(frames[1]).unionByName(frames[2])
-    out = forecast_accuracy(long, keys=("model", "series_id"))
+    return frames[0].unionByName(frames[1]).unionByName(frames[2])
+
+
+def q_baseline_forecasts(spark, sf_dir):
+    """Standard forecast baselines (naive / seasonal-naive / drift)
+    backtested on the Test split with the engine's accuracy table —
+    the sanity floor every model leaderboard needs: a model that can't
+    beat seasonal-naive isn't forecasting.  Pure window algebra +
+    one grouped aggregate per model, unioned; fully hash-gated."""
+    from ..operators.evaluate import forecast_accuracy
+
+    s = _series(spark, sf_dir)
+    out = forecast_accuracy(_baseline_long(s), keys=("model", "series_id"))
     return out.select(
         "model", "series_id", "n",
         _rnd("mae", R).alias("mae"),
@@ -3447,6 +3453,156 @@ def q_baseline_forecasts(spark, sf_dir):
         _rnd("mape", R).alias("mape"),
         _rnd("smape", R).alias("smape"),
     )
+
+
+def q_forecast_leaderboard(spark, sf_dir):
+    """Five forecasters — naive / seasonal-naive / drift / theta /
+    AR(1) — scored on the SAME Test split and RANKED per series by
+    RMSE: the model-selection table, fully hash-gated (every branch is
+    itself oracled algebra; ranks compare bit-identical doubles)."""
+    from ..functions.ar import ar1_forecast_native
+    from ..functions.theta import theta_forecast
+    from ..operators.evaluate import forecast_accuracy
+
+    s = _series(spark, sf_dir)
+    nn = s.groupBy("series_id").agg(
+        F.floor(F.max("rn") * 0.75).cast("long").alias("__T")
+    )
+    theta = theta_forecast(s).select(
+        F.lit("theta").alias("model"), "series_id", "rn", "value", "pred_mean"
+    )
+    ar1 = (
+        ar1_forecast_native(s)
+        .join(F.broadcast(nn), "series_id")
+        .where(F.col("rn") > F.col("__T"))
+        .where(F.col("pred_mean").isNotNull())
+        .select(
+            F.lit("ar1").alias("model"), "series_id", "rn", "value", "pred_mean"
+        )
+    )
+    long = _baseline_long(s).unionByName(theta).unionByName(ar1)
+    acc = forecast_accuracy(long, keys=("model", "series_id"))
+    wr = Window.partitionBy("series_id").orderBy(
+        F.col("rmse").asc(), F.col("model").asc()
+    )
+    return acc.withColumn("rank", F.row_number().over(wr)).select(
+        "series_id", "model", "rank", "n",
+        _rnd("mae", R).alias("mae"),
+        _rnd("rmse", R).alias("rmse"),
+        _rnd("smape", R).alias("smape"),
+    )
+
+
+ORACLES["forecast_leaderboard"] = f"""
+WITH RECURSIVE {SQL_S},
+nn AS (SELECT series_id, max(rn) AS n,
+              CAST(floor(max(rn) * 0.75) AS BIGINT) AS T
+       FROM s GROUP BY 1),
+an AS (
+  SELECT s.series_id,
+         max(CASE WHEN s.rn = 1 THEN s.value END) AS y1,
+         max(CASE WHEN s.rn = nn.T THEN s.value END) AS yT
+  FROM s JOIN nn USING (series_id)
+  WHERE s.rn = 1 OR s.rn = nn.T GROUP BY 1),
+lg AS (
+  SELECT series_id, rn, value,
+         lag(value, 1) OVER (PARTITION BY series_id ORDER BY rn) AS p_naive,
+         lag(value, 24) OVER (PARTITION BY series_id ORDER BY rn) AS p_snaive
+  FROM s),
+base AS (
+  SELECT lg.series_id, lg.rn, lg.value, lg.p_naive, lg.p_snaive,
+         an.yT + (lg.rn - nn.T)
+              * ((an.yT - an.y1) / CAST(nn.T - 1 AS DOUBLE)) AS p_drift
+  FROM lg JOIN nn USING (series_id) JOIN an USING (series_id)
+  WHERE lg.rn > nn.T),
+tr AS (SELECT s.series_id, s.rn, s.value
+       FROM s JOIN nn USING (series_id) WHERE s.rn <= nn.T),
+fsum AS (
+  SELECT series_id, count(*) AS n,
+         CAST(sum(CAST(CAST(rn AS DOUBLE) AS DECIMAL(38,12)))
+              AS DOUBLE) AS st,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(CAST(rn AS DOUBLE) * CAST(rn AS DOUBLE)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS stt,
+         CAST(sum(CAST(CAST(rn AS DOUBLE) * value AS DECIMAL(38,12)))
+              AS DOUBLE) AS sty
+  FROM tr GROUP BY 1),
+f0 AS (
+  SELECT series_id, n, st, sy,
+         (n * sty - st * sy) / (n * stt - st * st) AS b
+  FROM fsum),
+ft AS (SELECT series_id, b, (sy - b * st) / n AS a FROM f0),
+l2 AS (
+  SELECT tr.series_id, tr.rn,
+         2e0 * tr.value - (ft.a + ft.b * CAST(tr.rn AS DOUBLE)) AS l
+  FROM tr JOIN ft USING (series_id)),
+rec AS (
+  SELECT series_id, rn, CAST(l AS DOUBLE) AS sv FROM l2 WHERE rn = 1
+  UNION ALL
+  SELECT q.series_id, q.rn, r.sv + 0.25 * (q.l - r.sv) AS sv
+  FROM rec r JOIN l2 q
+    ON q.series_id = r.series_id AND q.rn = r.rn + 1),
+sT AS (
+  SELECT r.series_id, r.sv AS s_T
+  FROM rec r JOIN nn ON nn.series_id = r.series_id AND r.rn = nn.T),
+alag AS (
+  SELECT series_id, rn, value,
+         lag(value) OVER (PARTITION BY series_id ORDER BY rn) AS prev
+  FROM s),
+arsum AS (
+  SELECT series_id, count(*) AS n,
+         CAST(sum(CAST(prev AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(prev * prev AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(value * prev AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+  FROM alag WHERE prev IS NOT NULL GROUP BY 1),
+af0 AS (
+  SELECT series_id, n, sx, sy,
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+  FROM arsum),
+af AS (
+  SELECT series_id, slope, (sy - slope * sx) / n AS icept FROM af0),
+longf AS (
+  SELECT 'naive' AS model, series_id, value AS a, p_naive AS p
+  FROM base WHERE p_naive IS NOT NULL
+  UNION ALL
+  SELECT 'seasonal_naive', series_id, value, p_snaive
+  FROM base WHERE p_snaive IS NOT NULL
+  UNION ALL
+  SELECT 'drift', series_id, value, p_drift
+  FROM base WHERE p_drift IS NOT NULL
+  UNION ALL
+  SELECT 'theta', te.series_id, te.value,
+         5e-1 * (ft.a + ft.b * CAST(te.rn AS DOUBLE)) + 5e-1 * sT.s_T
+  FROM (SELECT s.series_id, s.rn, s.value
+        FROM s JOIN nn USING (series_id) WHERE s.rn > nn.T) te
+  JOIN ft USING (series_id) JOIN sT USING (series_id)
+  UNION ALL
+  SELECT 'ar1', al.series_id, al.value,
+         af.icept + af.slope * al.prev
+  FROM alag al JOIN af USING (series_id) JOIN nn USING (series_id)
+  WHERE al.prev IS NOT NULL AND al.rn > nn.T),
+ag AS (
+  SELECT model, series_id, count(*) AS n,
+         CAST(sum(CAST(abs(a - p) AS DECIMAL(38,12))) AS DOUBLE) AS sae,
+         CAST(sum(CAST((a - p) * (a - p) AS DECIMAL(38,12))) AS DOUBLE) AS sse,
+         CAST(sum(CAST(2 * abs(a - p) / (abs(a) + abs(p) + 1e-9)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS ssm
+  FROM longf GROUP BY 1, 2),
+mt AS (
+  SELECT model, series_id, n,
+         sae / n AS mae, sqrt(sse / n) AS rmse, ssm / n AS smape
+  FROM ag),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY series_id
+                               ORDER BY rmse ASC, model ASC) AS rank
+  FROM mt)
+SELECT series_id, model, rank, n,
+       round(mae, {R}) AS mae,
+       round(rmse, {R}) AS rmse,
+       round(smape, {R}) AS smape
+FROM rk
+"""
 
 
 ORACLES_BASELINE_BODY = """
@@ -3633,6 +3789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Mann-Kendall + Theil-Sen, ECDF score calibration, SR saliency
         "baseline_forecasts": q_baseline_forecasts,
         "theta_forecast": q_theta_forecast,
+        "forecast_leaderboard": q_forecast_leaderboard,
         "asof_last_label": q_asof_last_label,
         "percentile_summary": q_percentile_summary,
         "matrix_profile": q_matrix_profile,
@@ -3682,6 +3839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_calibration",
         "baseline_forecasts",
         "theta_forecast",
+        "forecast_leaderboard",
         "asof_last_label",
         "percentile_summary",
         "spectral_residual",

@@ -11,6 +11,7 @@ timestamps, documents, embeddings, multi-table star join) plus
 fails in the driver.
 
 Usage: python scripts/vanilla_smoke.py [sf_dir]
+       python scripts/vanilla_smoke.py --all [sf_dir]   # every query
 """
 
 from __future__ import annotations
@@ -42,7 +43,9 @@ REPRESENTATIVE = [
 def main() -> None:
     from pyspark.sql import SparkSession
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    run_all = "--all" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
     spark = (
         SparkSession.builder.master("local[4]")
         .appName("vanilla-smoke")
@@ -59,7 +62,7 @@ def main() -> None:
 
     qs = entry.queries()
     failed = []
-    for name in REPRESENTATIVE:
+    for name in (list(qs) if run_all else REPRESENTATIVE):
         try:
             cnt = qs[name](spark, sf_dir).count()
             print(f"{name:25s} {cnt:8d} rows OK")

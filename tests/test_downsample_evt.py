@@ -1,0 +1,100 @@
+"""M4 downsampling, EVT/POT threshold, and pairwise rolling correlation."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import series_df
+
+from time_series_data_anomaly_detection_spark.operators.downsample import m4_downsample
+from time_series_data_anomaly_detection_spark.operators.evt import pot_threshold
+from time_series_data_anomaly_detection_spark.operators.acf import rolling_corr
+
+
+def test_m4_survivors_match_pandas(spark):
+    rng = np.random.default_rng(7)
+    vals = rng.normal(10, 3, 400)
+    df = series_df(spark, vals)
+    out = m4_downsample(df, n_buckets=8).toPandas()
+
+    n = len(vals)
+    buckets = np.floor(np.arange(n) * 8.0 / n).astype(int)
+    pdf = pd.DataFrame({"rn": np.arange(1, n + 1), "value": vals, "b": buckets})
+    for b, g in pdf.groupby("b"):
+        got = out[out.bucket == b]
+        # every role is represented and correct
+        assert g.value.min() == pytest.approx(got[got.is_min == 1].value.iloc[0])
+        assert g.value.max() == pytest.approx(got[got.is_max == 1].value.iloc[0])
+        assert int(got[got.is_first == 1].rn.iloc[0]) == int(g.rn.min())
+        assert int(got[got.is_last == 1].rn.iloc[0]) == int(g.rn.max())
+        # at most 4 survivors, no duplicated rn rows
+        assert len(got) <= 4
+        assert got.rn.is_unique
+    # rendering-equivalence core: per-bucket min/max envelope preserved
+    assert set(out.bucket) == set(range(8))
+
+
+def test_m4_constant_egress(spark):
+    vals = np.sin(np.arange(2000) / 7.0) * 5 + 20
+    out = m4_downsample(series_df(spark, vals), n_buckets=16)
+    assert out.count() <= 4 * 16
+
+
+def test_pot_threshold_matches_numpy_mom(spark):
+    rng = np.random.default_rng(42)
+    # heavy-ish tail: lognormal
+    vals = rng.lognormal(mean=1.0, sigma=0.6, size=3000)
+    out = pot_threshold(
+        series_df(spark, vals), q_level=0.95, target_p=1e-3
+    ).toPandas().iloc[0]
+
+    u = np.quantile(vals, 0.95, method="linear")
+    exc = vals[vals > u] - u
+    m, v = exc.mean(), exc.var()  # population var, ddof=0
+    xi = 0.5 * (1 - m * m / v)
+    beta = 0.5 * m * (m * m / v + 1)
+    ratio = 1e-3 * len(vals) / len(exc)
+    zq = u + beta / xi * (ratio ** -xi - 1)
+
+    assert out.n == len(vals) and out.n_tail == len(exc)
+    assert out.u == pytest.approx(u, rel=1e-9)
+    assert out.xi == pytest.approx(xi, rel=1e-6)
+    assert out.beta == pytest.approx(beta, rel=1e-6)
+    assert out.z_q == pytest.approx(zq, rel=1e-6)
+    # the extrapolated threshold sits beyond the empirical quantile
+    assert out.z_q > out.u
+    assert out.n_above == int((vals > zq).sum())
+
+
+def test_pot_degenerate_tail_takes_exponential_path(spark):
+    # constant excesses: var == 0 -> exponential-tail fallback
+    vals = [1.0] * 95 + [5.0] * 5
+    out = pot_threshold(
+        series_df(spark, vals), q_level=0.9, target_p=1e-2
+    ).toPandas().iloc[0]
+    assert np.isfinite(out.z_q)
+    assert out.xi == 0.0
+
+
+def test_rolling_corr_matches_pandas(spark):
+    rng = np.random.default_rng(3)
+    a = rng.normal(0, 1, 300).cumsum()
+    b = 0.6 * a + rng.normal(0, 1, 300)
+    df = series_df(spark, a, series_id="a").unionByName(
+        series_df(spark, b, series_id="b")
+    )
+    out = (
+        rolling_corr(df, window=30, min_periods=5)
+        .toPandas()
+        .sort_values("rn")
+        .reset_index(drop=True)
+    )
+    assert (out.series_a == "a").all() and (out.series_b == "b").all()
+    exp = (
+        pd.Series(a).rolling(30, min_periods=5).corr(pd.Series(b)).to_numpy()
+    )
+    got = out.rcorr.to_numpy()
+    mask = ~np.isnan(exp)
+    # pandas yields NaN below min_periods; ours null -> NaN in pandas
+    assert np.isnan(got[~mask]).all()
+    np.testing.assert_allclose(got[mask], exp[mask], rtol=1e-8, atol=1e-10)

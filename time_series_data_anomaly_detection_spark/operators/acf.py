@@ -285,3 +285,81 @@ def cross_correlation(
             / (F.col("n").cast("double") * F.col("sd_a") * F.col("sd_b"))
         ).alias("xcorr"),
     )
+
+
+def rolling_corr(
+    df: DataFrame,
+    window: int = 48,
+    min_periods: int = 5,
+    value_col: str = "value",
+) -> DataFrame:
+    """Trailing rolling Pearson correlation between every series PAIR
+    (``series_a < series_b``), aligned positionally on ``rn`` — the
+    time-LOCAL companion of :func:`cross_correlation`'s global lagged
+    view (pandas ``df.rolling(w).corr()`` in the reference's notebook
+    idiom; SURVEY §2.3 W3 generalized to two channels).
+
+    Spark-first shape: a self-equi-join on ``rn`` builds the pair
+    frame (one shuffle, |pairs|·n rows), then ONE window partitioning
+    on the pair key carries all five trailing sums (x, y, xy, x², y²)
+    as RUNNING exact-decimal cumsums + ``lag(·, w)`` differencing —
+    the same O(n) incremental trick as ``rolling_stats``, bit-identical
+    to the DuckDB oracle's algebra.  At 100 TB you bound |pairs| by
+    selecting the channel subset first; the window axis parallelizes
+    across pairs.
+    """
+    a = df.select(
+        F.col("series_id").alias("series_a"),
+        "rn",
+        F.col(value_col).alias("__va"),
+    )
+    b = df.select(
+        F.col("series_id").alias("series_b"),
+        "rn",
+        F.col(value_col).alias("__vb"),
+    )
+    p = a.join(b, "rn").filter(F.col("series_a") < F.col("series_b"))
+    pk = ["series_a", "series_b"]
+    wrun = (
+        Window.partitionBy(*pk)
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wlag = Window.partitionBy(*pk).orderBy("rn")
+    zero = F.lit(0).cast(DEC)
+    va, vb = F.col("__va"), F.col("__vb")
+    cums = {
+        "__ca": va,
+        "__cb": vb,
+        "__cab": va * vb,
+        "__caa": va * va,
+        "__cbb": vb * vb,
+    }
+    cur = p
+    for name, expr in cums.items():
+        cur = cur.withColumn(name, F.sum(expr.cast(DEC)).over(wrun))
+    cur = cur.withColumn("__cn", F.count("rn").over(wrun))
+
+    def trail(c):
+        return (F.col(c) - F.coalesce(F.lag(c, window).over(wlag), zero)).cast(
+            "double"
+        )
+
+    n = (F.col("__cn") - F.coalesce(F.lag("__cn", window).over(wlag), F.lit(0))).cast(
+        "double"
+    )
+    sa, sb = trail("__ca"), trail("__cb")
+    sab, saa, sbb = trail("__cab"), trail("__caa"), trail("__cbb")
+    cov = n * sab - sa * sb
+    da = F.sqrt(F.greatest(n * saa - sa * sa, F.lit(0.0)))
+    db = F.sqrt(F.greatest(n * sbb - sb * sb, F.lit(0.0)))
+    rc = F.when(
+        (n >= min_periods) & (da > 0) & (db > 0), cov / (da * db)
+    )
+    return cur.select(
+        "series_a",
+        "series_b",
+        "rn",
+        n.cast("long").alias("n_w"),
+        rc.alias("rcorr"),
+    )

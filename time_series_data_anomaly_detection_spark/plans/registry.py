@@ -3729,6 +3729,172 @@ FROM cal
 """
 
 
+def q_m4_downsample(spark, sf_dir):
+    """Pixel-exact M4 downsampling (Jugel et al., VLDB 2014): each
+    series reduced to the first/last/min/max survivors of 256 equal
+    positional buckets — the constant-egress rendering frame behind
+    the reference's full-resolution plots (``src/plotting.py:8-76``),
+    the piece that still works when the series is 100 TB."""
+    from ..operators.downsample import m4_downsample
+
+    out = m4_downsample(_series(spark, sf_dir), n_buckets=256)
+    return out.select(
+        "series_id", "bucket", "rn",
+        _rnd("value", R).alias("value"),
+        "is_min", "is_max", "is_first", "is_last",
+    )
+
+
+ORACLES["m4_downsample"] = f"""
+WITH {SQL_S},
+np AS (SELECT series_id, max(rn) AS n FROM s GROUP BY 1),
+b AS (
+  SELECT s.series_id, s.rn, s.value,
+         CAST(floor(CAST(s.rn - 1 AS DOUBLE) * 256.0
+                    / CAST(np.n AS DOUBLE)) AS BIGINT) AS bucket
+  FROM s JOIN np USING (series_id)),
+r AS (
+  SELECT series_id, bucket, rn, value,
+         CASE WHEN row_number() OVER (PARTITION BY series_id, bucket
+                   ORDER BY value ASC, rn ASC) = 1 THEN 1 ELSE 0 END AS is_min,
+         CASE WHEN row_number() OVER (PARTITION BY series_id, bucket
+                   ORDER BY value DESC, rn DESC) = 1 THEN 1 ELSE 0 END AS is_max,
+         CASE WHEN row_number() OVER (PARTITION BY series_id, bucket
+                   ORDER BY rn ASC) = 1 THEN 1 ELSE 0 END AS is_first,
+         CASE WHEN row_number() OVER (PARTITION BY series_id, bucket
+                   ORDER BY rn DESC) = 1 THEN 1 ELSE 0 END AS is_last
+  FROM b)
+SELECT series_id, bucket, rn, round(value, {R}) AS value,
+       is_min, is_max, is_first, is_last
+FROM r
+WHERE is_min + is_max + is_first + is_last > 0
+"""
+
+
+def q_pot_threshold(spark, sf_dir):
+    """EVT peaks-over-threshold threshold selection (Siffer et al.,
+    KDD 2017): closed-form method-of-moments GPD fit to the excesses
+    over the per-series 98th percentile, extrapolated to the 1e-3
+    exceedance threshold — the heavy-tail-aware replacement for the
+    reference's fixed k-sigma rules (``src/utils.py:40-72``)."""
+    from ..operators.evt import pot_threshold
+
+    out = pot_threshold(
+        _series(spark, sf_dir), q_level=0.98, target_p=1e-3
+    )
+    return out.select(
+        "series_id", "n", "n_tail",
+        _rnd("u", R).alias("u"),
+        _rnd("xi", R).alias("xi"),
+        _rnd("beta", R).alias("beta"),
+        _rnd("z_q", R).alias("z_q"),
+        "n_above",
+    )
+
+
+ORACLES["pot_threshold"] = f"""
+WITH {SQL_S},
+base AS (
+  SELECT series_id, count(value) AS n,
+         quantile_cont(value, 0.98) AS u
+  FROM s GROUP BY 1),
+tail AS (
+  SELECT s.series_id, count(*) AS n_tail,
+         CAST(sum(CAST(s.value - base.u AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(sum(CAST((s.value - base.u) * (s.value - base.u)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS s2
+  FROM s JOIN base USING (series_id)
+  WHERE s.value > base.u GROUP BY 1),
+p AS (
+  SELECT base.series_id, base.n, tail.n_tail, base.u,
+         s1 / tail.n_tail AS m,
+         (s2 - s1 * s1 / tail.n_tail) / tail.n_tail AS var
+  FROM base JOIN tail USING (series_id)),
+p2 AS (
+  SELECT series_id, n, n_tail, u, m, var,
+         (1.0 - m * m / var) / 2.0 AS xi0,
+         m * (m * m / var + 1.0) / 2.0 AS beta0,
+         1e-3 * n / n_tail AS ratio
+  FROM p),
+p3 AS (
+  SELECT series_id, n, n_tail, u,
+         CASE WHEN var > 0 THEN xi0 ELSE 0.0 END AS xi,
+         CASE WHEN var > 0 THEN beta0 ELSE m END AS beta,
+         CASE WHEN var > 0 AND abs(xi0) > 1e-9
+              THEN u + beta0 / xi0 * (power(ratio, -xi0) - 1.0)
+              ELSE u - m * ln(ratio) END AS z_q
+  FROM p2),
+ab AS (
+  SELECT s.series_id, CAST(count(*) AS BIGINT) AS n_above
+  FROM s JOIN p3 USING (series_id)
+  WHERE s.value > p3.z_q GROUP BY 1)
+SELECT p3.series_id, p3.n, p3.n_tail,
+       round(p3.u, {R}) AS u, round(p3.xi, {R}) AS xi,
+       round(p3.beta, {R}) AS beta, round(p3.z_q, {R}) AS z_q,
+       coalesce(ab.n_above, CAST(0 AS BIGINT)) AS n_above
+FROM p3 LEFT JOIN ab USING (series_id)
+"""
+
+
+def q_rolling_corr(spark, sf_dir):
+    """Trailing rolling Pearson correlation between series pairs
+    (positional alignment, window 48, min_periods 5) — the time-LOCAL
+    companion of ``cross_correlation``'s global lagged view; pandas
+    ``rolling(w).corr()`` in the reference's notebook idiom."""
+    from ..operators.acf import rolling_corr
+
+    out = rolling_corr(_series(spark, sf_dir), window=48, min_periods=5)
+    return out.select(
+        "series_a", "series_b", "rn", "n_w",
+        _rnd("rcorr", R).alias("rcorr"),
+    )
+
+
+ORACLES["rolling_corr"] = f"""
+WITH {SQL_S},
+p AS (
+  SELECT a.series_id AS series_a, b.series_id AS series_b, a.rn,
+         a.value AS va, b.value AS vb
+  FROM s a JOIN s b ON a.rn = b.rn AND a.series_id < b.series_id),
+c AS (
+  SELECT series_a, series_b, rn,
+         sum(CAST(va AS DECIMAL(38,12))) OVER wr AS ca,
+         sum(CAST(vb AS DECIMAL(38,12))) OVER wr AS cb,
+         sum(CAST(va * vb AS DECIMAL(38,12))) OVER wr AS cab,
+         sum(CAST(va * va AS DECIMAL(38,12))) OVER wr AS caa,
+         sum(CAST(vb * vb AS DECIMAL(38,12))) OVER wr AS cbb,
+         count(*) OVER wr AS cn
+  FROM p
+  WINDOW wr AS (PARTITION BY series_a, series_b ORDER BY rn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+t AS (
+  SELECT series_a, series_b, rn,
+         CAST(ca - coalesce(lag(ca, 48) OVER wl,
+                            CAST(0 AS DECIMAL(38,12))) AS DOUBLE) AS sa,
+         CAST(cb - coalesce(lag(cb, 48) OVER wl,
+                            CAST(0 AS DECIMAL(38,12))) AS DOUBLE) AS sb,
+         CAST(cab - coalesce(lag(cab, 48) OVER wl,
+                             CAST(0 AS DECIMAL(38,12))) AS DOUBLE) AS sab,
+         CAST(caa - coalesce(lag(caa, 48) OVER wl,
+                             CAST(0 AS DECIMAL(38,12))) AS DOUBLE) AS saa,
+         CAST(cbb - coalesce(lag(cbb, 48) OVER wl,
+                             CAST(0 AS DECIMAL(38,12))) AS DOUBLE) AS sbb,
+         CAST(cn - coalesce(lag(cn, 48) OVER wl, 0) AS DOUBLE) AS nw
+  FROM c
+  WINDOW wl AS (PARTITION BY series_a, series_b ORDER BY rn)),
+f AS (
+  SELECT series_a, series_b, rn, nw,
+         nw * sab - sa * sb AS cov,
+         sqrt(greatest(nw * saa - sa * sa, 0.0)) AS da,
+         sqrt(greatest(nw * sbb - sb * sb, 0.0)) AS db
+  FROM t)
+SELECT series_a, series_b, rn, CAST(nw AS BIGINT) AS n_w,
+       round(CASE WHEN nw >= 5 AND da > 0 AND db > 0
+                  THEN cov / (da * db) END, {R}) AS rcorr
+FROM f
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from . import registry_datapipe
 
@@ -3795,6 +3961,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_profile": q_matrix_profile,
         "shesd_flags": q_shesd_flags,
         "trend_test": q_trend_test,
+        # M4 pixel downsampling, EVT/POT threshold, pairwise rolling corr
+        "m4_downsample": q_m4_downsample,
+        "pot_threshold": q_pot_threshold,
+        "rolling_corr": q_rolling_corr,
         "score_calibration": q_score_calibration,
         "spectral_residual": q_spectral_residual,
         # period auto-detection + time-grid gap report
@@ -3835,6 +4005,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # to the back where a cap costs the least information.
     gate_first = [
         # never appeared in any driver correctness run (newest first)
+        "m4_downsample",
+        "pot_threshold",
+        "rolling_corr",
         "trend_test",
         "score_calibration",
         "baseline_forecasts",

@@ -586,3 +586,55 @@ def test_streaming_spectral_residual_flags_burst(spark, stream_data):
     # and the clean warm region stays mostly silent (< 5% flag rate)
     clean = a.iloc[40:190]
     assert (clean["flag"] == 1).mean() < 0.05
+
+
+def test_streaming_pot_matches_reference_loop(spark, stream_data):
+    """SPOT stream must equal a sequential python SPOT on the same
+    data — including across the two-file split (state carry-over) —
+    and flag the injected burst."""
+    from time_series_data_anomaly_detection_spark.streaming import streaming_pot
+    from time_series_data_anomaly_detection_spark.streaming.detectors import (
+        _gpd_mom_threshold,
+    )
+
+    root, pdf = stream_data
+    stream = spark.readStream.schema(SCHEMA).parquet(root)
+    got = (
+        _run_stream(spark, streaming_pot(stream, n_init=150, q_level=0.95), "pot_s")
+        .toPandas()
+        .sort_values(["series_id", "timestamp"])
+        .reset_index(drop=True)
+    )
+
+    for sid, g in pdf.groupby("series_id"):
+        y = g.sort_values("timestamp")["value"].to_numpy(float)
+        # sequential reference
+        arr = y[:150]
+        u = float(np.quantile(arr, 0.95, method="linear"))
+        exc = arr[arr > u] - u
+        n, n_tail = len(arr), len(exc)
+        s1, s2 = float(exc.sum()), float((exc * exc).sum())
+        zq = _gpd_mom_threshold(u, n, n_tail, s1, s2, 1e-3)
+        exp_z, exp_an = [], []
+        for x in y[150:]:
+            exp_z.append(zq)
+            if x > zq:
+                exp_an.append(1)
+            elif x > u:
+                n += 1
+                n_tail += 1
+                s1 += x - u
+                s2 += (x - u) ** 2
+                zq = _gpd_mom_threshold(u, n, n_tail, s1, s2, 1e-3)
+                exp_an.append(0)
+            else:
+                n += 1
+                exp_an.append(0)
+        gg = got[got.series_id == sid].reset_index(drop=True)
+        scored = gg[gg.u.notna()].reset_index(drop=True)
+        assert len(scored) == len(y) - 150
+        np.testing.assert_allclose(scored.z_q.to_numpy(), exp_z, rtol=1e-12)
+        assert scored.is_anomaly.tolist() == exp_an
+        # the injected burst (rows 200:203) is flagged
+        burst = scored.iloc[200 - 150 : 203 - 150]
+        assert burst.is_anomaly.sum() >= 1

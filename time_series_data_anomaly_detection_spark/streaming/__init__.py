@@ -9,6 +9,7 @@ from .detectors import (  # noqa: F401
     streaming_user_sessions,
     streaming_control_flags,
     streaming_holt_winters,
+    streaming_pot,
 )
 from .quality import (  # noqa: F401
     streaming_source_quality,

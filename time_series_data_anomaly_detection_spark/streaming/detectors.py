@@ -590,3 +590,156 @@ def streaming_spectral_residual(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+_POT_OUT = StructType(
+    [
+        StructField("series_id", StringType()),
+        StructField("timestamp", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("u", DoubleType()),
+        StructField("z_q", DoubleType()),
+        StructField("in_tail", IntegerType()),
+        StructField("is_anomaly", IntegerType()),
+    ]
+)
+_POT_STATE = StructType(
+    [
+        StructField("buf", ArrayType(DoubleType())),
+        StructField("u", DoubleType()),
+        StructField("s1", DoubleType()),
+        StructField("s2", DoubleType()),
+        StructField("zq", DoubleType()),
+        StructField("n", LongType()),
+        StructField("n_tail", LongType()),
+        StructField("started", IntegerType()),
+    ]
+)
+
+
+def _gpd_mom_threshold(
+    u: float, n: int, n_tail: int, s1: float, s2: float, target_p: float
+) -> float:
+    """Closed-form MoM GPD threshold — the EXACT batch formula of
+    ``operators.evt.pot_threshold`` on scalar tail stats, so stream
+    and batch agree given the same (u, tail)."""
+    m = s1 / n_tail
+    v = (s2 - s1 * s1 / n_tail) / n_tail
+    ratio = target_p * n / n_tail
+    if v > 0:
+        r = m * m / v
+        xi = (1.0 - r) / 2.0
+        beta = m * (r + 1.0) / 2.0
+        if abs(xi) > 1e-9:
+            return u + beta / xi * (ratio ** -xi - 1.0)
+    return u - m * np.log(ratio)
+
+
+def streaming_pot(
+    stream: DataFrame,
+    n_init: int = 200,
+    q_level: float = 0.98,
+    target_p: float = 1e-3,
+) -> DataFrame:
+    """Streaming peaks-over-threshold — SPOT (Siffer et al., KDD 2017)
+    as a per-series stateful operator, the streaming twin of
+    ``operators.evt.pot_threshold``.
+
+    Calibration: the first ``n_init`` points set the empirical
+    quantile ``u`` and the initial GPD tail fit.  Scoring: each
+    subsequent point is compared to the extrapolated threshold
+    ``z_q``; points above it are anomalies (and do NOT update the
+    model — the SPOT rule that keeps the threshold from chasing its
+    own alarms); points in ``(u, z_q]`` enter the tail and the GPD
+    refits in closed form (method of moments — O(1) per point, three
+    scalars of tail state).  State is O(1) doubles per series after
+    calibration; the O(n_init) buffer exists only before it.
+
+    Calibration rows emit null ``u``/``z_q`` and flag 0 — a stream
+    cannot score before it has a model (same head-row convention as
+    ``streaming_rolling_flags``).
+    """
+    n_init = int(n_init)
+    q_level = float(q_level)
+    target_p = float(target_p)
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (series_id,) = key
+        if state.exists:
+            buf_l, u, s1, s2, zq, n, n_tail, started = state.get
+            buf = list(buf_l) if buf_l is not None else []
+        else:
+            buf, u, s1, s2, zq, n, n_tail, started = [], 0.0, 0.0, 0.0, 0.0, 0, 0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values("timestamp").reset_index(drop=True)
+            y = pdf["value"].to_numpy(float)
+            m_ = len(y)
+            out_u = np.full(m_, np.nan)
+            out_z = np.full(m_, np.nan)
+            out_tail = np.zeros(m_, dtype="int32")
+            out_an = np.zeros(m_, dtype="int32")
+            for i in range(m_):
+                x = y[i]
+                if not started:
+                    buf.append(x)
+                    if len(buf) >= n_init:
+                        arr = np.asarray(buf)
+                        u = float(np.quantile(arr, q_level, method="linear"))
+                        exc = arr[arr > u] - u
+                        n = len(arr)
+                        n_tail = len(exc)
+                        s1 = float(exc.sum())
+                        s2 = float((exc * exc).sum())
+                        zq = _gpd_mom_threshold(u, n, n_tail, s1, s2, target_p)
+                        buf = []
+                        started = 1
+                    continue
+                out_u[i] = u
+                out_z[i] = zq
+                if x > zq:
+                    out_an[i] = 1
+                elif x > u:
+                    out_tail[i] = 1
+                    n += 1
+                    n_tail += 1
+                    e = x - u
+                    s1 += e
+                    s2 += e * e
+                    zq = _gpd_mom_threshold(u, n, n_tail, s1, s2, target_p)
+                else:
+                    n += 1
+            yield pd.DataFrame(
+                {
+                    "series_id": series_id,
+                    "timestamp": pdf["timestamp"],
+                    "value": y,
+                    "u": out_u,
+                    "z_q": out_z,
+                    "in_tail": out_tail,
+                    "is_anomaly": out_an,
+                }
+            )
+        state.update(
+            (
+                [float(b) for b in buf],
+                float(u),
+                float(s1),
+                float(s2),
+                float(zq),
+                int(n),
+                int(n_tail),
+                int(started),
+            )
+        )
+
+    return stream.groupBy("series_id").applyInPandasWithState(
+        update,
+        _POT_OUT,
+        _POT_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

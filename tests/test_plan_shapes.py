@@ -470,3 +470,45 @@ def test_baseline_forecasts_broadcast_anchors(spark):
     assert _count(plan, ") SortMergeJoin") == 0
     assert _count(plan, "CartesianProduct") == 0
     assert _count(plan, ") BroadcastHashJoin") >= 2
+
+
+def test_m4_single_exchange_on_bucket_key(spark):
+    """All four role row_numbers share the (series, bucket) partition:
+    one fact-sized exchange plus the broadcast of the per-series
+    lengths — no extra shuffles, no cartesian."""
+    from time_series_data_anomaly_detection_spark.operators.downsample import (
+        m4_downsample,
+    )
+
+    plan = _plan(m4_downsample(series_df(spark, np.arange(500, dtype=float))))
+    assert _count(plan, ") BroadcastHashJoin") >= 1
+    assert _count(plan, ") CartesianProduct") == 0
+    # row_number windows: the (series_id, bucket) exchange, plus the
+    # series exchange for rn/lengths upstream
+    assert _count(plan, ") Exchange") <= 2
+
+
+def test_event_impact_broadcasts_event_table(spark):
+    """The detected-event table is tiny: the context join must be a
+    broadcast on series_id with the rn range as a filter — never a
+    cartesian or a fact-fact sort-merge."""
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        q_event_impact,
+    )
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    plan = _plan(q_event_impact(spark, sf))
+    assert _count(plan, ") CartesianProduct") == 0
+    assert _count(plan, ") BroadcastHashJoin") >= 1
+
+
+def test_pot_threshold_broadcasts_per_series_frames(spark):
+    from time_series_data_anomaly_detection_spark.operators.evt import (
+        pot_threshold,
+    )
+
+    rng = np.random.default_rng(1)
+    plan = _plan(pot_threshold(series_df(spark, rng.normal(0, 1, 300))))
+    assert _count(plan, ") CartesianProduct") == 0
+    assert _count(plan, ") BroadcastHashJoin") >= 2

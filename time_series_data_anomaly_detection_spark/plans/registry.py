@@ -3729,6 +3729,114 @@ FROM cal
 """
 
 
+def q_event_impact(spark, sf_dir):
+    """Per-event impact quantification: every detected event (W5
+    pipeline, same k=2 flags and gap-merge as ``detect_events``)
+    enriched with its pre/during/post context-window means and the
+    impact/recovery deltas — the "how big and did it recover" numbers
+    analysts read off the reference's event plots
+    (``src/plotting.py``).  Scale shape: the event table is tiny and
+    rides a broadcast equi-join on series_id with the rn range as a
+    post-filter; the decimal-sum means hash-gate."""
+    ctx = 24
+    s = _series(spark, sf_dir)
+    flagged = adaptive_threshold_flags(s, k=2.0)
+    # rename the event side before joining: ev derives from s, so a
+    # direct self-join column reference would be ambiguous
+    ev = flags_to_events(flagged, "flag", gap=3).select(
+        F.col("series_id").alias("__esid"),
+        F.col("event_id").alias("__eid"),
+        "start_idx", "end_idx",
+    )
+    j = s.join(
+        F.broadcast(ev),
+        on=[
+            F.col("series_id") == F.col("__esid"),
+            F.col("rn") >= F.col("start_idx") - ctx,
+            F.col("rn") <= F.col("end_idx") + ctx,
+        ],
+    ).select(
+        "series_id",
+        F.col("__eid").alias("evt_id"), "start_idx", "end_idx", "rn", "value",
+        F.when(F.col("rn") < F.col("start_idx"), "pre")
+        .when(F.col("rn") <= F.col("end_idx"), "during")
+        .otherwise("post")
+        .alias("role"),
+    )
+
+    def _mean(role):
+        cnt = F.sum(F.when(F.col("role") == role, 1).otherwise(0)).cast("long")
+        s1 = F.sum(
+            F.when(F.col("role") == role, F.col("value"))
+            .otherwise(F.lit(0.0))
+            .cast(DEC_T)
+        ).cast("double")
+        return cnt, s1
+
+    npre, spre = _mean("pre")
+    ndur, sdur = _mean("during")
+    npost, spost = _mean("post")
+    agg = j.groupBy("series_id", "evt_id", "start_idx", "end_idx").agg(
+        npre.alias("n_pre"), spre.alias("__spre"),
+        ndur.alias("__ndur"), sdur.alias("__sdur"),
+        npost.alias("n_post"), spost.alias("__spost"),
+    )
+    pre_m = F.when(F.col("n_pre") > 0, F.col("__spre") / F.col("n_pre"))
+    dur_m = F.col("__sdur") / F.col("__ndur")
+    post_m = F.when(F.col("n_post") > 0, F.col("__spost") / F.col("n_post"))
+    return agg.select(
+        "series_id", F.col("evt_id").alias("event_id"), "start_idx", "end_idx",
+        (F.col("end_idx") - F.col("start_idx") + 1).cast("long").alias("duration"),
+        "n_pre", "n_post",
+        _rnd(pre_m, R).alias("pre_mean"),
+        _rnd(dur_m, R).alias("during_mean"),
+        _rnd(post_m, R).alias("post_mean"),
+        _rnd(dur_m - pre_m, R).alias("impact"),
+        _rnd(post_m - pre_m, R).alias("recovery"),
+    )
+
+
+ORACLES["event_impact"] = f"""
+WITH {SQL_S}, {SQL_ROLL}, {SQL_FLAGS_K2},
+{_sql_events("flags2", "ev", "flag", 3)},
+jx AS (
+  SELECT ev.series_id, ev.event_id, ev.start_idx, ev.end_idx,
+         s.rn, s.value,
+         CASE WHEN s.rn < ev.start_idx THEN 'pre'
+              WHEN s.rn <= ev.end_idx THEN 'during'
+              ELSE 'post' END AS role
+  FROM s JOIN ev ON s.series_id = ev.series_id
+   AND s.rn >= ev.start_idx - 24 AND s.rn <= ev.end_idx + 24),
+ag AS (
+  SELECT series_id, event_id, start_idx, end_idx,
+    CAST(sum(CASE WHEN role = 'pre' THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+    CAST(sum(CAST(CASE WHEN role = 'pre' THEN value ELSE 0.0 END
+                  AS DECIMAL(38,12))) AS DOUBLE) AS spre,
+    CAST(sum(CASE WHEN role = 'during' THEN 1 ELSE 0 END) AS BIGINT) AS ndur,
+    CAST(sum(CAST(CASE WHEN role = 'during' THEN value ELSE 0.0 END
+                  AS DECIMAL(38,12))) AS DOUBLE) AS sdur,
+    CAST(sum(CASE WHEN role = 'post' THEN 1 ELSE 0 END) AS BIGINT) AS n_post,
+    CAST(sum(CAST(CASE WHEN role = 'post' THEN value ELSE 0.0 END
+                  AS DECIMAL(38,12))) AS DOUBLE) AS spost
+  FROM jx GROUP BY 1, 2, 3, 4),
+fin AS (
+  SELECT series_id, event_id, start_idx, end_idx,
+         CAST(end_idx - start_idx + 1 AS BIGINT) AS duration,
+         n_pre, n_post,
+         CASE WHEN n_pre > 0 THEN spre / n_pre END AS pre_mean,
+         sdur / ndur AS during_mean,
+         CASE WHEN n_post > 0 THEN spost / n_post END AS post_mean
+  FROM ag)
+SELECT series_id, event_id, start_idx, end_idx, duration, n_pre, n_post,
+       round(pre_mean, {R}) AS pre_mean,
+       round(during_mean, {R}) AS during_mean,
+       round(post_mean, {R}) AS post_mean,
+       round(during_mean - pre_mean, {R}) AS impact,
+       round(post_mean - pre_mean, {R}) AS recovery
+FROM fin
+"""
+
+
 def q_m4_downsample(spark, sf_dir):
     """Pixel-exact M4 downsampling (Jugel et al., VLDB 2014): each
     series reduced to the first/last/min/max survivors of 256 equal
@@ -3768,6 +3876,46 @@ SELECT series_id, bucket, rn, round(value, {R}) AS value,
        is_min, is_max, is_first, is_last
 FROM r
 WHERE is_min + is_max + is_first + is_last > 0
+"""
+
+
+def q_stl_anomaly(spark, sf_dir):
+    """Decomposition-residual anomaly detection — the reference's
+    STL-then-threshold idiom (``src/stl_model.py`` residual scoring)
+    as one composite: hourly resample → classical decomposition →
+    robust MAD z-score on the residual channel → flags.  Every stage
+    is native column algebra, so the full pipeline hash-gates."""
+    from ..operators.decompose import resample, classical_decompose
+    from ..operators.scaling import mad_scores
+
+    s = _series(spark, sf_dir)
+    dc = classical_decompose(resample(s, "hour"), period=24)
+    rr = dc.filter(F.col("resid").isNotNull())
+    z = mad_scores(rr, value_col="resid", out_col="z")
+    return z.select(
+        "series_id",
+        F.col("timestamp").cast("string").alias("bucket"),
+        _rnd("resid", R).alias("resid"),
+        _rnd("z", R).alias("z"),
+        (F.col("z") > 3.0).cast("int").alias("flag"),
+    )
+
+
+ORACLES["stl_anomaly"] = f"""
+WITH {SQL_S}, {SQL_RESAMPLE}, {SQL_DECOMP},
+rr AS (SELECT series_id, bucket, resid FROM dc WHERE resid IS NOT NULL),
+rmed AS (SELECT series_id, median(resid) AS med FROM rr GROUP BY 1),
+rmad AS (
+  SELECT rr.series_id, median(abs(rr.resid - rmed.med)) AS mad
+  FROM rr JOIN rmed USING (series_id) GROUP BY 1),
+rz AS (
+  SELECT rr.series_id, rr.bucket, rr.resid,
+         abs(rr.resid - rmed.med) / (1.4826 * rmad.mad + 1e-9) AS z
+  FROM rr JOIN rmed USING (series_id) JOIN rmad USING (series_id))
+SELECT series_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       round(resid, {R}) AS resid, round(z, {R}) AS z,
+       CASE WHEN z > 3.0 THEN 1 ELSE 0 END AS flag
+FROM rz
 """
 
 
@@ -3961,10 +4109,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_profile": q_matrix_profile,
         "shesd_flags": q_shesd_flags,
         "trend_test": q_trend_test,
-        # M4 pixel downsampling, EVT/POT threshold, pairwise rolling corr
+        # M4 pixel downsampling, EVT/POT threshold, pairwise rolling
+        # corr, decompose-residual anomaly composite
         "m4_downsample": q_m4_downsample,
         "pot_threshold": q_pot_threshold,
         "rolling_corr": q_rolling_corr,
+        "stl_anomaly": q_stl_anomaly,
+        "event_impact": q_event_impact,
         "score_calibration": q_score_calibration,
         "spectral_residual": q_spectral_residual,
         # period auto-detection + time-grid gap report
@@ -4008,6 +4159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_downsample",
         "pot_threshold",
         "rolling_corr",
+        "stl_anomaly",
+        "event_impact",
         "trend_test",
         "score_calibration",
         "baseline_forecasts",

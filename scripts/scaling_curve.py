@@ -55,6 +55,13 @@ HEADLINE = [
     "bpe_pair_counts",
     "bpe_encode",
     "mixture_schedule",
+    # round-5 second session: downsample/EVT/pairwise/composites
+    "m4_downsample",
+    "pot_threshold",
+    "rolling_corr",
+    "stl_anomaly",
+    "event_impact",
+    "seasonal_heatmap",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]

@@ -37,6 +37,11 @@ REPRESENTATIVE = [
     "percentile_summary",   # exact quantile arrays
     "bpe_pair_counts",      # word-table explode (documents)
     "mixture_schedule",     # two-level tiny aggregate
+    # round-5 second-session families
+    "m4_downsample",        # multi-order row_number windows
+    "pot_threshold",        # quantile + conditional tail aggregates
+    "rolling_corr",         # positional self-join + 5-sum windows
+    "event_impact",         # broadcast range-predicate event join
 ]
 
 

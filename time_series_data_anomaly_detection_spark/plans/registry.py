@@ -3729,6 +3729,55 @@ FROM cal
 """
 
 
+def q_seasonal_heatmap(spark, sf_dir):
+    """Hour-of-day × day-of-week profile grid per series (mean /
+    exact-decimal std / count per cell) — the seasonality heatmap
+    panel as a frame (S7 data side, same spirit as ``qq_plot`` /
+    ``histogram_fit``), and the lookup table behind
+    ``seasonal_profile_flags``.  One grouped aggregate; at 100 TB the
+    grid stays |series|·168 rows."""
+    s = _series(spark, sf_dir)
+    v = F.col("value")
+    g = s.groupBy(
+        "series_id",
+        F.hour("timestamp").cast("int").alias("hod"),
+        (F.dayofweek("timestamp") - 1).cast("int").alias("dow"),
+    ).agg(
+        F.count("value").alias("n"),
+        F.sum(v.cast(DEC_T)).cast("double").alias("__s1"),
+        F.sum((v * v).cast(DEC_T)).cast("double").alias("__s2"),
+    )
+    mean = F.col("__s1") / F.col("n")
+    var = (F.col("__s2") - F.col("__s1") * F.col("__s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    std = F.when(F.col("n") >= 2, F.sqrt(F.greatest(var, F.lit(0.0))))
+    return g.select(
+        "series_id", "hod", "dow", "n",
+        _rnd(mean, R).alias("cell_mean"),
+        _rnd(std, R).alias("cell_std"),
+    )
+
+
+ORACLES["seasonal_heatmap"] = f"""
+WITH {SQL_S},
+g AS (
+  SELECT series_id,
+         CAST(hour(timestamp) AS INTEGER) AS hod,
+         CAST(dayofweek(timestamp) AS INTEGER) AS dow,
+         count(value) AS n,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS s2
+  FROM s GROUP BY 1, 2, 3)
+SELECT series_id, hod, dow, n,
+       round(s1 / n, {R}) AS cell_mean,
+       round(CASE WHEN n >= 2
+                  THEN sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0))
+             END, {R}) AS cell_std
+FROM g
+"""
+
+
 def q_event_impact(spark, sf_dir):
     """Per-event impact quantification: every detected event (W5
     pipeline, same k=2 flags and gap-merge as ``detect_events``)
@@ -4116,6 +4165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr": q_rolling_corr,
         "stl_anomaly": q_stl_anomaly,
         "event_impact": q_event_impact,
+        "seasonal_heatmap": q_seasonal_heatmap,
         "score_calibration": q_score_calibration,
         "spectral_residual": q_spectral_residual,
         # period auto-detection + time-grid gap report
@@ -4161,6 +4211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr",
         "stl_anomaly",
         "event_impact",
+        "seasonal_heatmap",
         "trend_test",
         "score_calibration",
         "baseline_forecasts",

@@ -2783,6 +2783,7 @@ JOIN eflag e ON e.series_id = f.series_id AND e.rn = f.rn
 JOIN cflag c ON c.series_id = f.series_id AND c.rn = f.rn
 """
 
+
 # ---- qq_plot / histogram_fit: the S7 diagnostic frames.  AR(1)
 #      residual CTEs are the ar1_forecast oracle's, verbatim; the
 #      Filliben/PPF/pdf formulas come from operators.diagnostics as
@@ -3729,6 +3730,84 @@ FROM cal
 """
 
 
+_AGREE_DETS = ("w1", "hampel", "band", "diff", "ewma", "cusum")
+_AGREE_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_AGREE_DETS)
+    for b in _AGREE_DETS[i + 1 :]
+]
+
+
+def q_detector_agreement(spark, sf_dir):
+    """Pairwise agreement matrix over the six hash-gated detectors:
+    co-flag counts (n11/n10/n01) and flag-set Jaccard for every
+    detector pair per series — the "are my detectors redundant or
+    complementary" diagnostic behind ensemble weight choices
+    (``src/run_hybrid.py:106-116``).  Pure integer algebra over the
+    consensus frame: ONE grouped aggregate with 45 conditional sums,
+    unpivoted to 15 rows/series — no joins beyond what the consensus
+    frame already does."""
+    dc = q_detector_consensus(spark, sf_dir)
+    aggs = []
+    for a, b in _AGREE_PAIRS:
+        fa, fb = F.col(f"{a}_flag"), F.col(f"{b}_flag")
+        aggs += [
+            F.sum((fa * fb)).cast("long").alias(f"__n11_{a}_{b}"),
+            F.sum((fa * (1 - fb))).cast("long").alias(f"__n10_{a}_{b}"),
+            F.sum(((1 - fa) * fb)).cast("long").alias(f"__n01_{a}_{b}"),
+        ]
+    wide = dc.groupBy("series_id").agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', __n11_{a}_{b}, __n10_{a}_{b}, __n01_{a}_{b}"
+        for a, b in _AGREE_PAIRS
+    )
+    long = wide.selectExpr(
+        "series_id",
+        f"stack({len(_AGREE_PAIRS)}, {stack_args}) AS "
+        "(det_a, det_b, n11, n10, n01)",
+    )
+    denom = F.col("n11") + F.col("n10") + F.col("n01")
+    return long.select(
+        "series_id", "det_a", "det_b", "n11", "n10", "n01",
+        _rnd(
+            F.when(denom > 0, F.col("n11").cast("double") / denom), R
+        ).alias("jaccard"),
+    )
+
+
+def _agreement_oracle() -> str:
+    sums = ",\n    ".join(
+        f"CAST(sum({a}_flag * {b}_flag) AS BIGINT) AS n11_{a}_{b},\n"
+        f"    CAST(sum({a}_flag * (1 - {b}_flag)) AS BIGINT) AS n10_{a}_{b},\n"
+        f"    CAST(sum((1 - {a}_flag) * {b}_flag) AS BIGINT) AS n01_{a}_{b}"
+        for a, b in _AGREE_PAIRS
+    )
+    union = "\nUNION ALL\n".join(
+        f"SELECT series_id, '{a}' AS det_a, '{b}' AS det_b, "
+        f"n11_{a}_{b} AS n11, n10_{a}_{b} AS n10, n01_{a}_{b} AS n01 FROM agw"
+        for a, b in _AGREE_PAIRS
+    )
+    # MATERIALIZED: the 15-branch union references agw (hence the whole
+    # recursive consensus pipeline) 15 times; without materialization
+    # DuckDB inlines it per branch and the oracle takes minutes
+    return f"""
+WITH dcq AS MATERIALIZED ({ORACLES["detector_consensus"]}),
+agw AS MATERIALIZED (
+  SELECT series_id,
+    {sums}
+  FROM dcq GROUP BY 1)
+SELECT series_id, det_a, det_b, n11, n10, n01,
+       round(CASE WHEN n11 + n10 + n01 > 0
+                  THEN CAST(n11 AS DOUBLE) / (n11 + n10 + n01) END, {R})
+         AS jaccard
+FROM ({union})
+"""
+
+
+# wraps the consensus oracle (registered far above), built lazily here
+ORACLES["detector_agreement"] = _agreement_oracle()
+
+
 def q_seasonal_heatmap(spark, sf_dir):
     """Hour-of-day × day-of-week profile grid per series (mean /
     exact-decimal std / count per cell) — the seasonality heatmap
@@ -4166,6 +4245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stl_anomaly": q_stl_anomaly,
         "event_impact": q_event_impact,
         "seasonal_heatmap": q_seasonal_heatmap,
+        "detector_agreement": q_detector_agreement,
         "score_calibration": q_score_calibration,
         "spectral_residual": q_spectral_residual,
         # period auto-detection + time-grid gap report
@@ -4212,6 +4292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stl_anomaly",
         "event_impact",
         "seasonal_heatmap",
+        "detector_agreement",
         "trend_test",
         "score_calibration",
         "baseline_forecasts",

@@ -98,3 +98,50 @@ def test_rolling_corr_matches_pandas(spark):
     # pandas yields NaN below min_periods; ours null -> NaN in pandas
     assert np.isnan(got[~mask]).all()
     np.testing.assert_allclose(got[mask], exp[mask], rtol=1e-8, atol=1e-10)
+
+
+def test_detector_agreement_invariants(spark):
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        q_detector_agreement,
+    )
+
+    out = q_detector_agreement(spark, "/root/testdata/sf0.001").toPandas()
+    n_series = out.series_id.nunique()
+    assert len(out) == 15 * n_series  # all C(6,2) pairs per series
+    ok = out.jaccard.dropna()
+    assert ((ok >= 0) & (ok <= 1)).all()
+    # pairs follow registry detector order (positional, not lexical)
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        _AGREE_DETS,
+    )
+
+    pos = {d: i for i, d in enumerate(_AGREE_DETS)}
+    assert (out.det_a.map(pos) < out.det_b.map(pos)).all()
+    assert (out.n11 >= 0).all() and (out.n10 >= 0).all() and (out.n01 >= 0).all()
+
+
+def test_seasonal_heatmap_matches_pandas(spark):
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        q_seasonal_heatmap,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_seasonal_heatmap(spark, sf).toPandas()
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    g = (
+        ev.groupby(
+            ["event_type", ev.ts.dt.hour.rename("hod"), ev.ts.dt.dayofweek]
+        )["value"]
+        .agg(["count", "mean"])
+        .reset_index()
+    )
+    assert len(out) == len(g)
+    # spot-check a few cells (dow conventions differ: pandas Mon=0,
+    # engine Sun=0 — compare via (series, hod) marginals instead)
+    got = out.groupby(["series_id", "hod"]).apply(
+        lambda d: (d.n * d.cell_mean).sum() / d.n.sum(), include_groups=False
+    )
+    exp = ev.assign(hod=ev.ts.dt.hour).groupby(["event_type", "hod"])["value"].mean()
+    for k in list(exp.index)[:20]:
+        assert got.loc[k] == pytest.approx(exp.loc[k], rel=1e-6)

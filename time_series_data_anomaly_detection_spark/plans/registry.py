@@ -4300,12 +4300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_leaderboard",
         "asof_last_label",
         "percentile_summary",
-        "spectral_residual",
-        "matrix_profile",
-        "shesd_flags",
         "bpe_pair_counts",
-        "bpe_merges",
-        "bpe_encode",
         "mixture_schedule",
         "seasonal_strength",
         "holt_winters_fixed",
@@ -4345,6 +4340,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents",
         "retention_cohorts",
         "embedding_density",
+        # rows-only, never driver-checked: behind every never-checked
+        # ORACLED query (hash rows are the stronger signal), ahead of
+        # the already-green rotation
+        "spectral_residual",
+        "matrix_profile",
+        "shesd_flags",
+        "bpe_merges",
+        "bpe_encode",
         # hash-green in r03 but outside the r04 ~50-query check window —
         # rotate them forward so every oracled query has a recent row
         "gp_train_subsample",

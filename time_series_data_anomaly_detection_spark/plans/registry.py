@@ -3808,6 +3808,124 @@ FROM ({union})
 ORACLES["detector_agreement"] = _agreement_oracle()
 
 
+def q_ensemble_forecast(spark, sf_dir):
+    """Equal-weight forecast combination over the five oracled
+    forecasters (naive / seasonal-naive / drift / theta / AR(1)) —
+    the forecasting twin of the reference's detector fusion
+    (``src/run_hybrid.py:106-116``): average the available per-row
+    predictions, score the blend, and report it against the best
+    single model per series.  The combination is the textbook
+    robustness move (simple averages beat single models on M-series
+    data); everything is the leaderboard's own algebra plus one
+    grouped mean, so the whole thing hash-gates."""
+    from ..functions.ar import ar1_forecast_native
+    from ..functions.theta import theta_forecast
+    from ..operators.evaluate import forecast_accuracy
+    from .._exact import dsum
+
+    s = _series(spark, sf_dir)
+    nn = s.groupBy("series_id").agg(
+        F.floor(F.max("rn") * 0.75).cast("long").alias("__T")
+    )
+    theta = theta_forecast(s).select(
+        F.lit("theta").alias("model"), "series_id", "rn", "value", "pred_mean"
+    )
+    ar1 = (
+        ar1_forecast_native(s)
+        .join(F.broadcast(nn), "series_id")
+        .where(F.col("rn") > F.col("__T"))
+        .where(F.col("pred_mean").isNotNull())
+        .select(
+            F.lit("ar1").alias("model"), "series_id", "rn", "value", "pred_mean"
+        )
+    )
+    long = (
+        _baseline_long(s)
+        .unionByName(theta)
+        .unionByName(ar1)
+        .where(F.col("pred_mean").isNotNull())
+    )
+    ens = long.groupBy("series_id", "rn").agg(
+        F.max("value").alias("value"),
+        (dsum("pred_mean") / F.count("*")).alias("pred_mean"),
+    )
+    eacc = forecast_accuracy(ens, keys=("series_id",))
+    sacc = forecast_accuracy(long, keys=("model", "series_id"))
+    best = sacc.groupBy("series_id").agg(F.min("rmse").alias("rmse_best"))
+    return eacc.join(best, "series_id").select(
+        "series_id", "n",
+        _rnd("mae", R).alias("mae"),
+        _rnd("rmse", R).alias("rmse"),
+        _rnd("smape", R).alias("smape"),
+        _rnd("rmse_best", R).alias("rmse_best_single"),
+        _rnd(F.col("rmse") / F.col("rmse_best"), R).alias("rmse_ratio"),
+    )
+
+
+def _ensemble_oracle() -> str:
+    """Reuses the forecast_leaderboard oracle's model CTEs verbatim
+    (sliced at its ``longf`` CTE), then swaps in a ``longf`` that
+    carries ``rn`` so the per-row blend can group on it."""
+    lead = ORACLES["forecast_leaderboard"]
+    prefix = lead[: lead.index("longf AS (")]
+    return (
+        prefix
+        + f"""longf AS (
+  SELECT 'naive' AS model, series_id, rn, value AS a, p_naive AS p
+  FROM base WHERE p_naive IS NOT NULL
+  UNION ALL
+  SELECT 'seasonal_naive', series_id, rn, value, p_snaive
+  FROM base WHERE p_snaive IS NOT NULL
+  UNION ALL
+  SELECT 'drift', series_id, rn, value, p_drift
+  FROM base WHERE p_drift IS NOT NULL
+  UNION ALL
+  SELECT 'theta', te.series_id, te.rn, te.value,
+         5e-1 * (ft.a + ft.b * CAST(te.rn AS DOUBLE)) + 5e-1 * sT.s_T
+  FROM (SELECT s.series_id, s.rn, s.value
+        FROM s JOIN nn USING (series_id) WHERE s.rn > nn.T) te
+  JOIN ft USING (series_id) JOIN sT USING (series_id)
+  UNION ALL
+  SELECT 'ar1', al.series_id, al.rn, al.value,
+         af.icept + af.slope * al.prev
+  FROM alag al JOIN af USING (series_id) JOIN nn USING (series_id)
+  WHERE al.prev IS NOT NULL AND al.rn > nn.T),
+ens AS (
+  SELECT series_id, rn, max(a) AS a,
+         CAST(sum(CAST(p AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS p
+  FROM longf GROUP BY 1, 2),
+eag AS (
+  SELECT series_id, count(*) AS n,
+         CAST(sum(CAST(abs(a - p) AS DECIMAL(38,12))) AS DOUBLE) AS sae,
+         CAST(sum(CAST((a - p) * (a - p) AS DECIMAL(38,12))) AS DOUBLE) AS sse,
+         CAST(sum(CAST(2 * abs(a - p) / (abs(a) + abs(p) + 1e-9)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS ssm
+  FROM ens GROUP BY 1),
+emt AS (
+  SELECT series_id, n, sae / n AS mae, sqrt(sse / n) AS rmse,
+         ssm / n AS smape
+  FROM eag),
+sag AS (
+  SELECT model, series_id, count(*) AS n,
+         CAST(sum(CAST((a - p) * (a - p) AS DECIMAL(38,12))) AS DOUBLE) AS sse
+  FROM longf GROUP BY 1, 2),
+bs AS (
+  SELECT series_id, min(sqrt(sse / n)) AS rmse_best
+  FROM sag GROUP BY 1)
+SELECT emt.series_id, emt.n,
+       round(emt.mae, {R}) AS mae,
+       round(emt.rmse, {R}) AS rmse,
+       round(emt.smape, {R}) AS smape,
+       round(bs.rmse_best, {R}) AS rmse_best_single,
+       round(emt.rmse / bs.rmse_best, {R}) AS rmse_ratio
+FROM emt JOIN bs USING (series_id)
+"""
+    )
+
+
+ORACLES["ensemble_forecast"] = _ensemble_oracle()
+
+
 def q_seasonal_heatmap(spark, sf_dir):
     """Hour-of-day × day-of-week profile grid per series (mean /
     exact-decimal std / count per cell) — the seasonality heatmap
@@ -4246,6 +4364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_impact": q_event_impact,
         "seasonal_heatmap": q_seasonal_heatmap,
         "detector_agreement": q_detector_agreement,
+        "ensemble_forecast": q_ensemble_forecast,
         "score_calibration": q_score_calibration,
         "spectral_residual": q_spectral_residual,
         # period auto-detection + time-grid gap report
@@ -4293,6 +4412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_impact",
         "seasonal_heatmap",
         "detector_agreement",
+        "ensemble_forecast",
         "trend_test",
         "score_calibration",
         "baseline_forecasts",

@@ -62,6 +62,8 @@ HEADLINE = [
     "stl_anomaly",
     "event_impact",
     "seasonal_heatmap",
+    "detector_agreement",
+    "ensemble_forecast",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]

@@ -42,6 +42,7 @@ REPRESENTATIVE = [
     "pot_threshold",        # quantile + conditional tail aggregates
     "rolling_corr",         # positional self-join + 5-sum windows
     "event_impact",         # broadcast range-predicate event join
+    "ensemble_forecast",    # five-model union + per-row blend
 ]
 
 

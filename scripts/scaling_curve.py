@@ -64,6 +64,7 @@ HEADLINE = [
     "seasonal_heatmap",
     "detector_agreement",
     "ensemble_forecast",
+    "changepoint_segments",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]

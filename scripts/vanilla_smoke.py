@@ -43,6 +43,7 @@ REPRESENTATIVE = [
     "rolling_corr",         # positional self-join + 5-sum windows
     "event_impact",         # broadcast range-predicate event join
     "ensemble_forecast",    # five-model union + per-row blend
+    "changepoint_segments", # recursion -> broadcast alarm join -> profile
 ]
 
 

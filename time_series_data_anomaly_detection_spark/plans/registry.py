@@ -3926,6 +3926,118 @@ FROM emt JOIN bs USING (series_id)
 ORACLES["ensemble_forecast"] = _ensemble_oracle()
 
 
+def q_changepoint_segments(spark, sf_dir):
+    """Changepoint SEGMENTATION, hash-gated: every series row assigned
+    to the segment between consecutive reset-on-alarm CUSUM crossings
+    (``cusum_alarms``), then one profile row per segment — n, span,
+    exact-decimal mean/std and least-squares slope.  The "what regime
+    is each era in" table consumers build from the reference's
+    changepoint list (``src/changepoint.py:85-107``).  Scale shape:
+    the alarm list is tiny (broadcast back), segment membership is a
+    running sum over the series exchange every window already pays,
+    and the profile is one grouped aggregate."""
+    from ..functions.control import cusum_alarms
+    from .._exact import dsum
+
+    s = _series(spark, sf_dir)
+    al = (
+        cusum_alarms(s)
+        .select("series_id", "rn")
+        .distinct()
+        .withColumn("__ind", F.lit(1))
+    )
+    j = s.join(F.broadcast(al), ["series_id", "rn"], "left").withColumn(
+        "__ind", F.coalesce("__ind", F.lit(0))
+    )
+    wrun = (
+        Window.partitionBy("series_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    j = j.withColumn(
+        "seg_id", (F.sum("__ind").over(wrun) - F.col("__ind")).cast("long")
+    )
+    rd = F.col("rn").cast("double")
+    v = F.col("value")
+    g = j.groupBy("series_id", "seg_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("rn").alias("start_rn"),
+        F.max("rn").alias("end_rn"),
+        dsum(v).alias("__sy"),
+        dsum(v * v).alias("__syy"),
+        dsum(rd).alias("__st"),
+        dsum(rd * rd).alias("__stt"),
+        dsum(rd * v).alias("__sty"),
+    )
+    n = F.col("n")
+    mean = F.col("__sy") / n
+    var = (F.col("__syy") - F.col("__sy") * F.col("__sy") / n) / (n - 1)
+    std = F.when(n >= 2, F.sqrt(F.greatest(var, F.lit(0.0))))
+    den = n * F.col("__stt") - F.col("__st") * F.col("__st")
+    slope = F.when(
+        (n >= 2) & (den != 0),
+        (n * F.col("__sty") - F.col("__st") * F.col("__sy")) / den,
+    )
+    return g.select(
+        "series_id", "seg_id", "start_rn", "end_rn", "n",
+        _rnd(mean, R).alias("seg_mean"),
+        _rnd(std, R).alias("seg_std"),
+        _rnd(slope, R).alias("seg_slope"),
+    )
+
+
+def _segments_oracle() -> str:
+    """Reuses the cusum_alarms oracle's recursion verbatim (sliced at
+    its final SELECT), then assigns segments by a running alarm count
+    and profiles each segment."""
+    ca = ORACLES["cusum_alarms"]
+    prefix = ca[: ca.index("SELECT series_id, rn, 'up'")].rstrip()
+    assert prefix.endswith(")")
+    return (
+        prefix
+        + f""",
+alx AS MATERIALIZED (
+  SELECT DISTINCT series_id, rn FROM rec
+  WHERE sp_raw > 5.0 OR sn_raw > 5.0),
+jj AS (
+  SELECT s.series_id, s.rn, s.value,
+         CASE WHEN alx.rn IS NOT NULL THEN 1 ELSE 0 END AS ind
+  FROM s LEFT JOIN alx ON alx.series_id = s.series_id AND alx.rn = s.rn),
+sg AS (
+  SELECT series_id, rn, value,
+         CAST(sum(ind) OVER (PARTITION BY series_id ORDER BY rn
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ind
+              AS BIGINT) AS seg_id
+  FROM jj),
+agx AS (
+  SELECT series_id, seg_id,
+         CAST(count(*) AS BIGINT) AS n,
+         min(rn) AS start_rn, max(rn) AS end_rn,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(CAST(rn AS DOUBLE) AS DECIMAL(38,12)))
+              AS DOUBLE) AS st,
+         CAST(sum(CAST(CAST(rn AS DOUBLE) * CAST(rn AS DOUBLE)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS stt,
+         CAST(sum(CAST(CAST(rn AS DOUBLE) * value AS DECIMAL(38,12)))
+              AS DOUBLE) AS sty
+  FROM sg GROUP BY 1, 2)
+SELECT series_id, seg_id, start_rn, end_rn, n,
+       round(sy / n, {R}) AS seg_mean,
+       round(CASE WHEN n >= 2
+                  THEN sqrt(greatest((syy - sy * sy / n) / (n - 1), 0.0))
+             END, {R}) AS seg_std,
+       round(CASE WHEN n >= 2 AND (n * stt - st * st) <> 0
+                  THEN (n * sty - st * sy) / (n * stt - st * st)
+             END, {R}) AS seg_slope
+FROM agx
+"""
+    )
+
+
+ORACLES["changepoint_segments"] = _segments_oracle()
+
+
 def q_seasonal_heatmap(spark, sf_dir):
     """Hour-of-day × day-of-week profile grid per series (mean /
     exact-decimal std / count per cell) — the seasonality heatmap
@@ -4365,6 +4477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_heatmap": q_seasonal_heatmap,
         "detector_agreement": q_detector_agreement,
         "ensemble_forecast": q_ensemble_forecast,
+        "changepoint_segments": q_changepoint_segments,
         "score_calibration": q_score_calibration,
         "spectral_residual": q_spectral_residual,
         # period auto-detection + time-grid gap report
@@ -4413,6 +4526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_heatmap",
         "detector_agreement",
         "ensemble_forecast",
+        "changepoint_segments",
         "trend_test",
         "score_calibration",
         "baseline_forecasts",

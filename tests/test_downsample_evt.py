@@ -145,3 +145,29 @@ def test_seasonal_heatmap_matches_pandas(spark):
     exp = ev.assign(hod=ev.ts.dt.hour).groupby(["event_type", "hod"])["value"].mean()
     for k in list(exp.index)[:20]:
         assert got.loc[k] == pytest.approx(exp.loc[k], rel=1e-6)
+
+
+def test_changepoint_segments_partition_series(spark):
+    """Segments must tile each series exactly: contiguous, ordered,
+    covering every row."""
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        q_changepoint_segments,
+    )
+
+    out = (
+        q_changepoint_segments(spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .sort_values(["series_id", "seg_id"])
+    )
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    n_rows = ev.groupby("event_type").size()
+    for sid, g in out.groupby("series_id"):
+        assert g.seg_id.tolist() == list(range(len(g)))
+        assert g.start_rn.iloc[0] == 1
+        assert g.end_rn.iloc[-1] == n_rows[sid]
+        assert (g.n == g.end_rn - g.start_rn + 1).all()
+        # contiguity: each segment starts where the previous ended
+        assert (
+            g.start_rn.iloc[1:].to_numpy()
+            == g.end_rn.iloc[:-1].to_numpy() + 1
+        ).all()

@@ -4038,6 +4038,47 @@ FROM agx
 ORACLES["changepoint_segments"] = _segments_oracle()
 
 
+def q_pot_flags(spark, sf_dir):
+    """Row-level EVT flags: every observation scored against the
+    per-series POT/GPD threshold (``pot_threshold``) — the dense flag
+    column consumers feed into the W5 event chain, with the tail
+    membership alongside.  One broadcast join of the 1-row/series
+    threshold frame; detection stays a scan-side projection."""
+    from ..operators.evt import pot_threshold
+
+    s = _series(spark, sf_dir)
+    th = pot_threshold(s, q_level=0.98, target_p=1e-3).select(
+        "series_id", "u", "z_q"
+    )
+    j = s.join(F.broadcast(th), "series_id")
+    return j.select(
+        "series_id", "rn",
+        _rnd("value", R).alias("value"),
+        (F.col("value") > F.col("u")).cast("int").alias("in_tail"),
+        (F.col("value") > F.col("z_q")).cast("int").alias("flag"),
+    )
+
+
+def _pot_flags_oracle() -> str:
+    """Reuses the pot_threshold oracle's CTEs verbatim (sliced at its
+    final SELECT) so the UNROUNDED u/z_q drive the comparisons."""
+    pt = ORACLES["pot_threshold"]
+    prefix = pt[: pt.index("SELECT p3.series_id")].rstrip()
+    return (
+        prefix
+        + f"""
+SELECT s.series_id, s.rn, round(s.value, {R}) AS value,
+       CASE WHEN s.value > p3.u THEN 1 ELSE 0 END AS in_tail,
+       CASE WHEN s.value > p3.z_q THEN 1 ELSE 0 END AS flag
+FROM s JOIN p3 USING (series_id)
+"""
+    )
+
+
+# (pot_flags oracle registered just before queries(): it slices
+# the pot_threshold oracle, which is defined further down)
+
+
 def q_seasonal_heatmap(spark, sf_dir):
     """Hour-of-day × day-of-week profile grid per series (mean /
     exact-decimal std / count per cell) — the seasonality heatmap
@@ -4401,6 +4442,9 @@ FROM f
 """
 
 
+ORACLES["pot_flags"] = _pot_flags_oracle()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from . import registry_datapipe
 
@@ -4478,6 +4522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detector_agreement": q_detector_agreement,
         "ensemble_forecast": q_ensemble_forecast,
         "changepoint_segments": q_changepoint_segments,
+        "pot_flags": q_pot_flags,
         "score_calibration": q_score_calibration,
         "spectral_residual": q_spectral_residual,
         # period auto-detection + time-grid gap report
@@ -4527,6 +4572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detector_agreement",
         "ensemble_forecast",
         "changepoint_segments",
+        "pot_flags",
         "trend_test",
         "score_calibration",
         "baseline_forecasts",

@@ -76,6 +76,33 @@ def test_pot_degenerate_tail_takes_exponential_path(spark):
     assert out.xi == 0.0
 
 
+def test_pot_threshold_constant_series_emits_degenerate_row(spark):
+    """A series with an EMPTY tail (constant values: quantile == max)
+    must still appear in the threshold frame — as the degenerate row
+    (n_tail=0, xi=0, beta=0, z_q=u) — not vanish via an inner join."""
+    import pandas as pd
+
+    pdf = pd.concat(
+        [
+            pd.DataFrame({"series_id": "const", "rn": range(1, 101),
+                          "value": [3.0] * 100}),
+            pd.DataFrame({"series_id": "ramp", "rn": range(1, 101),
+                          "value": np.arange(100, dtype=float)}),
+        ]
+    )
+    out = (
+        pot_threshold(spark.createDataFrame(pdf), q_level=0.9, target_p=1e-2)
+        .toPandas()
+        .set_index("series_id")
+    )
+    assert set(out.index) == {"const", "ramp"}
+    c = out.loc["const"]
+    assert c.n_tail == 0 and c.xi == 0.0 and c.beta == 0.0
+    assert c.z_q == c.u == 3.0
+    assert c.n_above == 0
+    assert out.loc["ramp"].n_tail > 0
+
+
 def test_rolling_corr_matches_pandas(spark):
     rng = np.random.default_rng(3)
     a = rng.normal(0, 1, 300).cumsum()

@@ -8,19 +8,27 @@ from tests.conftest import series_df
 
 
 def _naive_mp(x, m):
-    """O(n² m) literal z-norm nearest-neighbor distances."""
+    """O(n² m) literal z-norm nearest-neighbor distances, with the
+    same near-constant convention as the STOMP implementation:
+    const-vs-const -> 0, const-vs-nonconst -> sqrt(2m)."""
     n = len(x)
     k = n - m + 1
     excl = max(1, m // 2)
     wins = np.stack([x[i : i + m] for i in range(k)])
-    mu = wins.mean(axis=1, keepdims=True)
-    sd = wins.std(axis=1, keepdims=True)
-    sd = np.where(sd < 1e-12, 1e-12, sd)
-    z = (wins - mu) / sd
+    mu = wins.mean(axis=1)
+    sd = wins.std(axis=1)
+    const = sd <= 1e-7 * np.maximum(1.0, np.abs(mu))
+    sdc = np.where(const, 1.0, sd)
+    z = (wins - mu[:, None]) / sdc[:, None]
     mp = np.full(k, np.inf)
     nn = np.zeros(k, dtype=int)
     for i in range(k):
-        d = np.sqrt(((z[i] - z) ** 2).sum(axis=1))
+        if const[i]:
+            d = np.where(const, 0.0, np.sqrt(2.0 * m))
+        else:
+            d = np.sqrt(((z[i] - z) ** 2).sum(axis=1))
+            d[const] = np.sqrt(2.0 * m)
+        d = d.copy()
         d[max(0, i - excl) : i + excl + 1] = np.inf
         nn[i] = int(np.argmin(d))
         mp[i] = d[nn[i]]
@@ -39,6 +47,36 @@ def test_matrix_profile_matches_naive():
     mp, nn = matrix_profile_one(x, m)
     ref_mp, _ = _naive_mp(x, m)
     assert np.allclose(mp, ref_mp, atol=1e-6)
+
+
+def test_matrix_profile_near_constant_windows():
+    """Near-constant windows (σ ≈ rounding-noise scale) must not be
+    σ-clamped into spurious zero-distance neighbors: const-vs-const
+    is 0, const-vs-structured is sqrt(2m), everything finite."""
+    rng = np.random.default_rng(7)
+    x = np.concatenate(
+        [
+            np.full(60, 5.0),                   # exactly constant
+            5.0 + 1e-10 * rng.normal(size=60),  # near-constant
+            np.sin(2 * np.pi * np.arange(80) / 16),
+        ]
+    )
+    from time_series_data_anomaly_detection_spark.functions.matrix_profile import (
+        matrix_profile_one,
+    )
+
+    m = 16
+    mp, nn = matrix_profile_one(x, m)
+    ref_mp, _ = _naive_mp(x, m)
+    assert np.all(np.isfinite(mp))
+    assert np.allclose(mp, ref_mp, atol=1e-6)
+    # interior constant windows pair with other constant windows at 0
+    assert mp[5] == 0.0
+    # structured windows keep real neighbors INSIDE the structured
+    # region (periodic sine -> exact repeats are legitimate 0s); they
+    # must not be pulled to a constant window via a clamped sigma
+    assert mp[140] < np.sqrt(2.0 * m)
+    assert nn[140] >= 120 - m + 1
 
 
 def test_matrix_profile_finds_planted_discord(spark):

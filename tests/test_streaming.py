@@ -638,3 +638,46 @@ def test_streaming_pot_matches_reference_loop(spark, stream_data):
         # the injected burst (rows 200:203) is flagged
         burst = scored.iloc[200 - 150 : 203 - 150]
         assert burst.is_anomaly.sum() >= 1
+
+
+def test_streaming_pot_constant_calibration_degenerate(spark, tmp_path_factory):
+    """Constant calibration data (empirical quantile == max -> zero
+    excesses) must not crash the GPD fit: z_q falls back to u, the
+    first exceedance bootstraps the tail (in_tail=1, no alarm), and a
+    genuine spike after bootstrap still alarms."""
+    from time_series_data_anomaly_detection_spark.streaming import streaming_pot
+
+    root = tmp_path_factory.mktemp("pot_const")
+    n = 170
+    y = np.full(n, 5.0)
+    y[160] = 6.0    # first exceedance: bootstraps the tail
+    y[165] = 500.0  # genuine spike after bootstrap
+    pdf = pd.DataFrame(
+        {
+            "series_id": "c",
+            "timestamp": pd.date_range("2024-01-01", periods=n, freq="30min"),
+            "value": y,
+            "event_id": np.arange(n, dtype="int64"),
+        }
+    )
+    pdf.to_parquet(
+        root / "p.parquet", index=False,
+        coerce_timestamps="us", allow_truncated_timestamps=True,
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(str(root))
+    got = (
+        _run_stream(
+            spark, streaming_pot(stream, n_init=150, q_level=0.98), "pot_const_s"
+        )
+        .toPandas()
+        .sort_values("timestamp")
+        .reset_index(drop=True)
+    )
+    scored = got[got.u.notna()].reset_index(drop=True)
+    assert len(scored) == n - 150
+    # degenerate calibration: threshold collapses to u = 5.0
+    assert scored.z_q.iloc[0] == scored.u.iloc[0] == 5.0
+    boot = scored.iloc[160 - 150]
+    assert boot.in_tail == 1 and boot.is_anomaly == 0  # bootstrap, not alarm
+    assert scored.z_q.iloc[160 - 150 + 1] > 5.0        # refit threshold
+    assert scored.is_anomaly.iloc[165 - 150] == 1      # spike still alarms

@@ -235,6 +235,37 @@ def test_asof_join_tie_resolution(spark):
     assert row["px_asof"] == 30  # highest tie_col wins deterministically
 
 
+def test_asof_join_preserves_suffix_lookalike_left_columns(spark):
+    """A left column that merely ENDS with the suffix must survive —
+    the projection tracks generated payload names, not the string."""
+    from time_series_data_anomaly_detection_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 3, 7)], "series_id string, rn long, price_asof long"
+    )
+    right = spark.createDataFrame(
+        [("a", 1, 100)], "series_id string, rn long, px long"
+    )
+    row = asof_join(left, right, payload=["px"]).collect()[0]
+    assert row["price_asof"] == 7
+    assert row["px_asof"] == 100
+
+
+def test_asof_join_rejects_payload_name_collision(spark):
+    import pytest as _pytest
+
+    from time_series_data_anomaly_detection_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 3, 7)], "series_id string, rn long, px_asof long"
+    )
+    right = spark.createDataFrame(
+        [("a", 1, 100)], "series_id string, rn long, px long"
+    )
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, payload=["px"])
+
+
 def test_theta_forecast_tracks_trend(spark):
     rng = np.random.default_rng(9)
     t = np.arange(200, dtype=float)

@@ -20,9 +20,12 @@ Implementation per series (one ``applyInPandas`` task) — STOMP:
   ``d² = 2m (1 - (qt - m·μ_q·μ_t) / (m·σ_q·σ_t))``.
 - Trivial-match exclusion zone of ``m/2`` around the diagonal.
 
-Degenerate (constant) windows get σ clamped and compare as distance 0
-to other constant windows — close enough to STUMPY's convention for
-discord ranking.
+Degenerate (near-constant) windows — σ below a RELATIVE tolerance —
+are special-cased explicitly rather than σ-clamped (clamping divides
+the recurrence's accumulated rounding error by ~1e-12 and manufactures
+spurious zero-distance neighbors on low-variance data): constant vs
+constant compares as distance 0, constant vs non-constant as
+``sqrt(2m)`` (the ρ=0 limit), the STUMPY-style convention.
 
 Scale: series are independent tasks; state is O(k) (one row of the
 profile), never O(k²).  For 100 TB the documented path for very long
@@ -45,6 +48,9 @@ MP_SCHEMA = (
 )
 
 EPS = 1e-12
+# relative σ tolerance marking a window as (near-)constant — the scale
+# guard is max(1, |μ|) so tiny-mean series don't flip to absolute units
+CONST_TOL = 1e-7
 
 
 def _rolling_stats(x: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
@@ -62,7 +68,8 @@ def matrix_profile_one(x: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
     n = len(x)
     k = n - m + 1
     mu, sig = _rolling_stats(x, m)
-    sig = np.where(sig < EPS, EPS, sig)
+    const = sig <= CONST_TOL * np.maximum(1.0, np.abs(mu))
+    sig_safe = np.where(const, 1.0, sig)
     excl = max(1, m // 2)
 
     mp = np.empty(k)
@@ -75,7 +82,15 @@ def matrix_profile_one(x: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
         if i > 0:
             qt[1:] = qt[:-1] - x[i - 1] * x[: k - 1] + x[i + m - 1] * x[m : m + k - 1]
             qt[0] = qt_first[i]
-        dist2 = 2.0 * m * (1.0 - (qt - m * mu[i] * mu) / (m * sig[i] * sig))
+        if const[i]:
+            # constant query: 0 to other constant windows, sqrt(2m)
+            # (ρ=0 limit) to everything else — never divide by σ
+            dist2 = np.where(const, 0.0, 2.0 * m)
+        else:
+            dist2 = 2.0 * m * (
+                1.0 - (qt - m * mu[i] * mu) / (m * sig_safe[i] * sig_safe)
+            )
+            dist2[const] = 2.0 * m
         dist2[max(0, i - excl) : i + excl + 1] = np.inf
         j = int(np.argmin(dist2))
         nn[i] = j

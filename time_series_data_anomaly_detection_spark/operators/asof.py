@@ -54,6 +54,20 @@ def asof_join(
     if payload is None:
         payload = [c for c in right.columns if c not in keys + [on]]
 
+    # Explicit output-name bookkeeping: the projection below must not
+    # key off the suffix STRING (a left column legitimately named
+    # e.g. 'price_asof' would be silently dropped), and a left column
+    # colliding with a generated payload name would corrupt the
+    # union construction — fail loudly instead.
+    out_names = {f"{c}{suffix}" for c in payload}
+    collisions = out_names & set(left.columns)
+    if collisions:
+        raise ValueError(
+            f"asof_join: left column(s) {sorted(collisions)} collide with "
+            f"suffixed right payload names; pass a different suffix= or "
+            f"rename the left column(s)"
+        )
+
     lt = left.withColumn("__side", F.lit(1))
     for c in payload:
         pc = f"{c}{suffix}"
@@ -81,7 +95,7 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = both.select(
-        *[c for c in both.columns if not c.endswith(suffix) and c != "__side"],
+        *[c for c in both.columns if c not in out_names and c != "__side"],
         F.col("__side"),
         *[
             F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")

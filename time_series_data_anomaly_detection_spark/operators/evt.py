@@ -69,7 +69,15 @@ def pot_threshold(
             dsum((v - F.col("u")) * (v - F.col("u"))).alias("__s2"),
         )
     )
-    j = base.join(tail, "series_id")
+    # LEFT join: a series whose tail is empty (constant values, or
+    # heavy ties putting the q_level quantile at the max) must still
+    # appear in the output — as a degenerate row (n_tail=0, xi=0,
+    # beta=0, z_q=u) — or downstream flag queries silently emit zero
+    # rows for it.  The DuckDB oracle mirrors the same convention.
+    j = base.join(tail, "series_id", "left").withColumn(
+        "n_tail", F.coalesce("n_tail", F.lit(0).cast("long"))
+    )
+    empty_tail = F.col("n_tail") == 0
     m = F.col("__s1") / F.col("n_tail")
     var = (F.col("__s2") - F.col("__s1") * F.col("__s1") / F.col("n_tail")) / F.col(
         "n_tail"
@@ -83,14 +91,18 @@ def pot_threshold(
     z_exp = F.col("u") - m * F.log(ratio)
     # degenerate tails (all excesses equal -> v = 0) and xi ~ 0 both
     # take the exponential-tail limit
-    z_q = F.when((var > 0) & (F.abs(xi) > XI_EPS), z_gpd).otherwise(z_exp)
+    z_q = F.when(empty_tail, F.col("u")).otherwise(
+        F.when((var > 0) & (F.abs(xi) > XI_EPS), z_gpd).otherwise(z_exp)
+    )
     params = j.select(
         "series_id",
         "n",
         "n_tail",
         "u",
-        F.when(var > 0, xi).otherwise(F.lit(0.0)).alias("xi"),
-        F.when(var > 0, beta).otherwise(m).alias("beta"),
+        F.when(empty_tail | ~(var > 0), F.lit(0.0)).otherwise(xi).alias("xi"),
+        F.when(empty_tail, F.lit(0.0))
+        .otherwise(F.when(var > 0, beta).otherwise(m))
+        .alias("beta"),
         z_q.alias("z_q"),
     )
     above = (

@@ -4353,10 +4353,11 @@ tail AS (
   FROM s JOIN base USING (series_id)
   WHERE s.value > base.u GROUP BY 1),
 p AS (
-  SELECT base.series_id, base.n, tail.n_tail, base.u,
+  SELECT base.series_id, base.n,
+         coalesce(tail.n_tail, 0) AS n_tail, base.u,
          s1 / tail.n_tail AS m,
          (s2 - s1 * s1 / tail.n_tail) / tail.n_tail AS var
-  FROM base JOIN tail USING (series_id)),
+  FROM base LEFT JOIN tail USING (series_id)),
 p2 AS (
   SELECT series_id, n, n_tail, u, m, var,
          (1.0 - m * m / var) / 2.0 AS xi0,
@@ -4365,9 +4366,12 @@ p2 AS (
   FROM p),
 p3 AS (
   SELECT series_id, n, n_tail, u,
-         CASE WHEN var > 0 THEN xi0 ELSE 0.0 END AS xi,
-         CASE WHEN var > 0 THEN beta0 ELSE m END AS beta,
-         CASE WHEN var > 0 AND abs(xi0) > 1e-9
+         CASE WHEN n_tail = 0 THEN 0.0
+              WHEN var > 0 THEN xi0 ELSE 0.0 END AS xi,
+         CASE WHEN n_tail = 0 THEN 0.0
+              WHEN var > 0 THEN beta0 ELSE m END AS beta,
+         CASE WHEN n_tail = 0 THEN u
+              WHEN var > 0 AND abs(xi0) > 1e-9
               THEN u + beta0 / xi0 * (power(ratio, -xi0) - 1.0)
               ELSE u - m * ln(ratio) END AS z_q
   FROM p2),
@@ -4562,7 +4566,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Long-stable rows-only queries (weakest signal, green twice) sink
     # to the back where a cap costs the least information.
     gate_first = [
-        # never appeared in any driver correctness run (newest first)
+        # never appeared in any driver correctness run — r06 prime
+        # slots (3 oracled first, then the 5 rows-only entries)
+        "chunk_documents",
+        "retention_cohorts",
+        "embedding_density",
+        "spectral_residual",
+        "matrix_profile",
+        "shesd_flags",
+        "bpe_merges",
+        "bpe_encode",
+        # oracled queries whose most recent driver check is r03 —
+        # oldest signal; re-confirm ahead of the r04/r05 green set
+        "gp_train_subsample",
+        "doc_stats",
+        "lang_id",
+        "fingerprint",
+        "exact_dedup",
+        "interval_exceedance",
+        "ar1_forecast",
+        "global_moments",
+        "average_precision",
+        "forecast_accuracy",
+        "ensemble_fusion",
+        "acf",
+        "acf_statsmodels",
+        "pacf",
+        "resample_decompose",
+        "kalman_forecast_fixed",
+        "winnow_fingerprints",
+        "ngram_jaccard",
+        "revenue_anomaly",
+        # new r06 queries slot in here as they are added
+        # last checked r04 (green) — next priority
+        "stratified_sample",
+        "source_mix",
+        "quality_deciles",
+        "pack_chunks",
+        "session_funnel",
+        "event_rollup",
+        "resample_fill",
+        "doc_embed_topk",
+        "multimodal_sampled",
+        "ann_recall",
+        "dedup_clusters",
+        "dedup_clusters_best",
+        "corpus_to_batches",
+        "incremental_dedup",
+        "ivf_topk",
+        "knn_label_agreement",
+        "props_stats",
+        "user_sessions",
+        "bsts_forecast_fixed",
+        "qq_plot",
+        "histogram_fit",
+        "corpus_prep",
+        "multimodal_features",
+        "source_stats",
+        "minhash_lsh",
+        "simhash",
+        "embedding_near_dup",
+        "cosine_topk",
+        "ann_topk",
+        "top_ngrams",
+        "corpus_filter",
+        "sliding_windows",
+        "walk_forward_cv_ar1",
+        "benchmark_leaderboard_ar1",
+        "hybrid_detection_sql",
+        "rolling_stats",
+        "adaptive_flags",
+        "mad_scores",
+        "global_zscore",
+        "median_center",
+        "residual_sigma",
+        "fractional_split",
+        "label_windows",
+        "detect_events",
+        "pointwise_metrics",
+        "event_metrics",
+        "business_metrics",
+        "threshold_sweep",
+        "threshold_sweep_event",
+        "pr_curve",
+        # last checked r05 (green, freshest signal) — lowest priority
+        # among oracled queries; a capped run loses the least here
         "m4_downsample",
         "pot_threshold",
         "rolling_corr",
@@ -4603,10 +4691,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_rerank",
         "containment_pairs",
         "vocab_coverage",
-        # never appeared in any driver correctness run (new in r05);
-        # within the block, cheap queries first so each family's
-        # first-execution JIT cost lands on a small query, not a
-        # composite (bench order follows this dict)
         "pii_scan",
         "training_order",
         "repetition_stats",
@@ -4617,70 +4701,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk",
         "pq_recall",
         "incremental_semantic_dedup",
-        "chunk_documents",
-        "retention_cohorts",
-        "embedding_density",
-        # rows-only, never driver-checked: behind every never-checked
-        # ORACLED query (hash rows are the stronger signal), ahead of
-        # the already-green rotation
-        "spectral_residual",
-        "matrix_profile",
-        "shesd_flags",
-        "bpe_merges",
-        "bpe_encode",
-        # hash-green in r03 but outside the r04 ~50-query check window —
-        # rotate them forward so every oracled query has a recent row
-        "gp_train_subsample",
-        "doc_stats",
-        "lang_id",
-        "fingerprint",
-        "exact_dedup",
-        "interval_exceedance",
-        "ar1_forecast",
-        "global_moments",
-        "average_precision",
-        "forecast_accuracy",
-        "ensemble_fusion",
-        "acf",
-        "acf_statsmodels",
-        "pacf",
-        "resample_decompose",
-        "kalman_forecast_fixed",
-        "winnow_fingerprints",
-        "ngram_jaccard",
-        "revenue_anomaly",
-        # r04-green composites/datapipe, next priority after the above
-        "stratified_sample",
-        "source_mix",
-        "quality_deciles",
-        "pack_chunks",
-        "session_funnel",
-        "event_rollup",
-        "resample_fill",
-        "doc_embed_topk",
-        "multimodal_sampled",
-        "ann_recall",
-        "dedup_clusters",
-        "dedup_clusters_best",
-        "corpus_to_batches",
-        "incremental_dedup",
-        "ivf_topk",
-        "knn_label_agreement",
-        "props_stats",
-        "user_sessions",
-        "bsts_forecast_fixed",
-        "qq_plot",
-        "histogram_fit",
-        "corpus_prep",
-        "multimodal_features",
-        "source_stats",
-        "minhash_lsh",
-        "simhash",
-        "embedding_near_dup",
-        "cosine_topk",
-        "ann_topk",
-        "top_ngrams",
-        "corpus_filter",
     ]
     gate_last = [  # rows-only (no_oracle) and stable: weakest signal
         "walk_forward_cv",

@@ -694,13 +694,33 @@ def streaming_pot(
                         n_tail = len(exc)
                         s1 = float(exc.sum())
                         s2 = float((exc * exc).sum())
-                        zq = _gpd_mom_threshold(u, n, n_tail, s1, s2, target_p)
+                        # Degenerate calibration (constant data, or the
+                        # quantile ties with the max): no excesses to
+                        # fit a GPD on.  Fall back to z_q = u; the
+                        # first exceedance bootstraps the tail below.
+                        zq = (
+                            _gpd_mom_threshold(u, n, n_tail, s1, s2, target_p)
+                            if n_tail > 0
+                            else u
+                        )
                         buf = []
                         started = 1
                     continue
                 out_u[i] = u
                 out_z[i] = zq
-                if x > zq:
+                if x > zq and n_tail == 0:
+                    # Bootstrapping a degenerate calibration: with no
+                    # tail sample yet, z_q == u is not a fitted model —
+                    # admit the first exceedance as a tail observation
+                    # (refitting z_q) instead of alarming forever.
+                    out_tail[i] = 1
+                    n += 1
+                    n_tail += 1
+                    e = x - u
+                    s1 += e
+                    s2 += e * e
+                    zq = _gpd_mom_threshold(u, n, n_tail, s1, s2, target_p)
+                elif x > zq:
                     out_an[i] = 1
                 elif x > u:
                     out_tail[i] = 1

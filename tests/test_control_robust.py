@@ -404,3 +404,81 @@ def test_cross_correlation_finds_lead_lag(spark):
     # and the correlation at the wrong sign of lag is weak
     wrong = out[(out.lag == 5)]["xcorr"].iloc[0]
     assert abs(wrong) < 0.3
+
+
+def test_pair_explosion_guard_trips(spark):
+    """Verdict r05 #5: the |series|^2 pair blow-up of the cross-series
+    operators is bounded in the API — above max_pairs the call raises
+    unless a channel subset or an explicit opt-in is given."""
+    import pytest as _pytest
+
+    from time_series_data_anomaly_detection_spark.operators.acf import (
+        cross_correlation,
+        rolling_corr,
+    )
+
+    rng = np.random.RandomState(7)
+    parts = [
+        series_df(spark, list(rng.randn(20)), series_id=f"s{i:02d}")
+        for i in range(12)
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+
+    # 12 series -> 66 pairs > max_pairs=10: both operators refuse
+    with _pytest.raises(ValueError, match="max_pairs"):
+        cross_correlation(df, max_lag=2, max_pairs=10)
+    with _pytest.raises(ValueError, match="max_pairs"):
+        rolling_corr(df, window=5, min_periods=2, max_pairs=10)
+
+    # a chosen channel subset passes and filters the frame
+    out = cross_correlation(
+        df, max_lag=2, series_subset=["s00", "s01", "s02"], max_pairs=10
+    ).toPandas()
+    assert set(out["series_a"]) <= {"s00", "s01"}
+    assert set(out["series_b"]) <= {"s01", "s02"}
+
+    # explicit opt-in skips the guard entirely (no count job)
+    n = rolling_corr(
+        df, window=5, min_periods=2, allow_all_pairs=True
+    ).count()
+    assert n == 66 * 20
+
+    # a subset larger than max_pairs still trips
+    with _pytest.raises(ValueError, match="max_pairs"):
+        cross_correlation(
+            df, max_lag=2,
+            series_subset=[f"s{i:02d}" for i in range(12)], max_pairs=10,
+        )
+
+
+def test_acf_fft_agrees_with_stack_plan(spark):
+    """The FFT large-max_lag ACF must agree with the stack-plan
+    statsmodels-convention estimator at max_lag=10 (same algebra, two
+    plans: float FFT vs exact-decimal sums — equal to well below the
+    r6 hash quantum)."""
+    from time_series_data_anomaly_detection_spark.operators.acf import (
+        acf_fft,
+        acf_statsmodels,
+    )
+
+    rng = np.random.RandomState(5)
+    y = np.cumsum(rng.randn(500)) + 10 * np.sin(np.arange(500) / 12.0)
+    df = series_df(spark, list(y), series_id="a").unionByName(
+        series_df(spark, list(rng.randn(350)), series_id="b")
+    )
+    got = acf_fft(df, max_lag=10).toPandas().sort_values(["series_id", "lag"])
+    want = (
+        acf_statsmodels(df, max_lag=10)
+        .toPandas()
+        .sort_values(["series_id", "lag"])
+    )
+    assert len(got) == len(want) == 20
+    np.testing.assert_allclose(
+        got["acf"].to_numpy(), want["acf"].to_numpy(), atol=1e-9
+    )
+    # short-series clamp: max_lag above n-1 yields n-1 lags, no crash
+    tiny = series_df(spark, [1.0, 2.0, 1.5, 3.0], series_id="t")
+    t = acf_fft(tiny, max_lag=10).toPandas()
+    assert list(t["lag"]) == [1, 2, 3]

@@ -351,3 +351,90 @@ def test_gp_pipeline_reproduces_reference_f1_nyc_taxi(spark):
     np.testing.assert_allclose(
         best["recall"], want["event_level"]["recall"], atol=1e-9
     )
+
+
+GOLDEN_LSTM_PRED = (
+    "/root/reference/notebooks/results/lstm/realKnownCause__nyc_taxi.csv/"
+    "predictions.csv"
+)
+GOLDEN_LSTM_METRICS = (
+    "/root/reference/notebooks/results/lstm/realKnownCause__nyc_taxi.csv/"
+    "metrics.json"
+)
+GOLDEN_BSTS_PRED = (
+    "/root/reference/results/bsts/realKnownCause__nyc_taxi.csv/"
+    "predictions.csv"
+)
+GOLDEN_BSTS_METRICS = (
+    "/root/reference/results/bsts/realKnownCause__nyc_taxi.csv/metrics.json"
+)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(GOLDEN_LSTM_PRED), reason="no reference"
+)
+def test_event_metrics_reproduce_lstm_artifact(spark):
+    """A2 quality parity for the LSTM leaderboard row (BASELINE.md:
+    LSTM NYC Taxi F1 0.4444): our event metrics over the artifact's own
+    (is_anomaly, detected) columns must reproduce
+    notebooks/results/lstm/.../metrics.json event_level EXACTLY
+    (tp=2, fp=2, n_pred=4, n_true=5; run_lstm evaluates at gap=3 with
+    flags already persist-filtered, src/run_lstm.py:110,149)."""
+    import json
+
+    from time_series_data_anomaly_detection_spark.operators.evaluate import (
+        event_level_metrics,
+    )
+
+    want = json.load(open(GOLDEN_LSTM_METRICS))["event_level"]
+    m = event_level_metrics(
+        _flag_frame(spark, GOLDEN_LSTM_PRED, "detected"),
+        gap=3,
+        persist_p=1,
+    ).collect()[0]
+    assert m["tp"] == want["tp"] == 2
+    assert m["fp"] == want["fp"] == 2
+    assert m["n_pred_events"] == want["n_pred_events"] == 4
+    assert m["n_true_events"] == want["n_true_events"] == 5
+    np.testing.assert_allclose(m["f1"], want["f1"], atol=1e-12)
+    np.testing.assert_allclose(m["precision"], want["precision"], atol=1e-12)
+    np.testing.assert_allclose(m["recall"], want["recall"], atol=1e-12)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(GOLDEN_BSTS_PRED), reason="no reference"
+)
+def test_event_metrics_reproduce_bsts_artifact(spark):
+    """A2 quality parity for the plain-BSTS leaderboard row (BASELINE.md:
+    BSTS NYC Taxi F1 0.1538): metrics are computed on the TEST split
+    only (src/run_bsts.py:102 evaluates flags_test at gap=3; the
+    predictions.csv carries a split column for the val/test halves),
+    reproducing results/bsts/.../metrics.json event_level EXACTLY
+    (tp=1, fp=9, n_pred=10, n_true=3)."""
+    import json
+
+    want = json.load(open(GOLDEN_BSTS_METRICS))["event_level"]
+    g = pd.read_csv(GOLDEN_BSTS_PRED)
+    g = g[g["split"] == "Test"].reset_index(drop=True)
+    pdf = pd.DataFrame(
+        {
+            "series_id": "nyc_taxi",
+            "rn": np.arange(len(g), dtype="int64"),
+            "is_anomaly": g["is_anomaly"].astype("int32"),
+            "flag": g["detected"].astype("int32"),
+        }
+    )
+    from time_series_data_anomaly_detection_spark.operators.evaluate import (
+        event_level_metrics,
+    )
+
+    m = event_level_metrics(
+        spark.createDataFrame(pdf), gap=3, persist_p=1
+    ).collect()[0]
+    assert m["tp"] == want["tp"] == 1
+    assert m["fp"] == want["fp"] == 9
+    assert m["n_pred_events"] == want["n_pred_events"] == 10
+    assert m["n_true_events"] == want["n_true_events"] == 3
+    np.testing.assert_allclose(m["f1"], want["f1"], atol=1e-12)
+    np.testing.assert_allclose(m["precision"], want["precision"], atol=1e-12)
+    np.testing.assert_allclose(m["recall"], want["recall"], atol=1e-12)

@@ -681,3 +681,254 @@ def test_streaming_pot_constant_calibration_degenerate(spark, tmp_path_factory):
     assert boot.in_tail == 1 and boot.is_anomaly == 0  # bootstrap, not alarm
     assert scored.z_q.iloc[160 - 150 + 1] > 5.0        # refit threshold
     assert scored.is_anomaly.iloc[165 - 150] == 1      # spike still alarms
+
+
+# ---------------------------------------------------------------------------
+# Late-data / out-of-order arrival (verdict r05 #7): the parity tests
+# above replay ordered splits; these force MULTI-BATCH processing
+# (maxFilesPerTrigger=1, mtime-ordered files) and feed genuinely late
+# rows, asserting the documented semantics: watermarked window aggs
+# DROP rows older than the watermark and UPDATE still-open windows for
+# in-watermark stragglers; the stateful detectors (no watermark by
+# design) process late rows in ARRIVAL order.
+# ---------------------------------------------------------------------------
+
+
+def _write_batches(root, schema_frames):
+    """Write each frame as one parquet file with strictly increasing
+    mtimes so FileStreamSource picks them up in order under
+    maxFilesPerTrigger=1."""
+    import os as _os
+    import time as _time
+
+    kw = dict(index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    now = _time.time()
+    for i, pdf in enumerate(schema_frames):
+        p = str(root / f"b{i}.parquet")
+        pdf.to_parquet(p, **kw)
+        _os.utime(p, (now + i * 10, now + i * 10))
+
+
+def test_streaming_window_stats_late_data_semantics(spark, tmp_path_factory):
+    """Watermark semantics of the windowed agg, pinned empirically on
+    this Spark: the LATE-EVENT filter lags one commit behind the
+    progress-reported (eviction) watermark — batch b drops rows
+    against the watermark reported for batch b-1.  So: batch 0 sets
+    max(ts)=04:00; batch 1 ([06:00]) runs with eviction wm 03:00
+    (emits [0,1)..[2,3)) while its late filter still sees 0; batch 2's
+    00:15 row NOW faces the 03:00 filter (dropped — its window closed
+    a batch ago and must not re-emit), the 03:15 row is a
+    within-watermark straggler (merged into the still-open [03,04)
+    window), and batch 2's eviction wm 05:00 closes [03,04)/[04,05)."""
+    root = tmp_path_factory.mktemp("late_win")
+    base = pd.Timestamp("2024-01-01")
+
+    def frame(minutes):
+        return pd.DataFrame(
+            {
+                "series_id": "a",
+                "timestamp": [base + pd.Timedelta(minutes=m) for m in minutes],
+                "value": [float(m) for m in minutes],
+                "event_id": np.arange(len(minutes), dtype="int64"),
+            }
+        )
+
+    # batch0: 00:00..04:00 half-hourly; batch1: watermark-advancer;
+    # batch2: one too-late row, one straggler, one keep-alive
+    _write_batches(
+        root,
+        [
+            frame(list(range(0, 241, 30))),
+            frame([360]),
+            frame([15, 195, 400]),
+        ],
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(root))
+    )
+    out = _run_stream(
+        spark,
+        streaming_window_stats(stream, "1 hour", "1 hour"),
+        "late_winstats",
+    ).toPandas()
+    out = out.sort_values("window_start").reset_index(drop=True)
+    starts = [(ws - base).total_seconds() / 3600 for ws in out["window_start"]]
+    # emitted: [0,1) [1,2) [2,3) in batch 1 (eviction wm 03:00);
+    # [3,4) [4,5) in batch 2 (eviction wm 05:00); [6,7) stays open
+    assert starts == [0.0, 1.0, 2.0, 3.0, 4.0]
+    n_by_start = dict(zip(starts, out["n"]))
+    assert n_by_start[0.0] == 2  # 00:15 dropped (beyond watermark)
+    assert n_by_start[3.0] == 3  # 03:15 straggler merged (03:00, 03:15, 03:30)
+    assert n_by_start[4.0] == 1
+    # the straggler's value participates in the window mean
+    assert n_by_start[3.0] == 3 and pytest.approx(
+        out[out.window_start == base + pd.Timedelta(hours=3)]["mean"].iloc[0]
+    ) == (180 + 195 + 210) / 3
+
+
+def test_streaming_source_quality_late_data_semantics(spark, tmp_path_factory):
+    """Quality monitor under out-of-order arrival: a beyond-watermark
+    doc (with PII!) is dropped — its window's counts and pii_rate are
+    unaffected — while a within-watermark straggler lands in its
+    still-open window."""
+    from time_series_data_anomaly_detection_spark.streaming import (
+        streaming_source_quality,
+    )
+
+    root = tmp_path_factory.mktemp("late_docq")
+    base = pd.Timestamp("2024-01-01")
+
+    def docs(specs):
+        return pd.DataFrame(
+            {
+                "doc_id": np.arange(len(specs), dtype="int64"),
+                "ts": [base + pd.Timedelta(minutes=m) for m, _ in specs],
+                "source": "s0",
+                "text": [t for _, t in specs],
+            }
+        )
+
+    clean = "the quick brown fox jumps over the lazy dog again and again"
+    # batch0 max ts 00:40 -> watermark 00:20 (20 min); batch1's 01:10
+    # doc advances it to 00:50 (and, one commit later, arms the late
+    # filter at 00:20); batch2's minute-3 doc is beyond that filter
+    # (dropped), minute 22 is a within-watermark straggler
+    _write_batches(
+        root,
+        [
+            docs([(0, clean), (5, clean), (12, clean), (20, clean), (40, clean)]),
+            docs([(70, clean)]),
+            docs(
+                [
+                    (3, "mail me at leak@example.com " + clean),
+                    (22, clean),
+                ]
+            ),
+        ],
+    )
+    schema = "doc_id long, ts timestamp, source string, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(root))
+    )
+    out = (
+        streaming_source_quality(stream, "10 minutes", "20 minutes")
+        .writeStream.format("memory")
+        .queryName("late_srcq")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination(120)
+    got = spark.table("late_srcq").toPandas().sort_values("window_start")
+    mins = [(ws - base).total_seconds() / 60 for ws in got["window_start"]]
+    assert mins == [0.0, 10.0, 20.0, 40.0]
+    by_start = {m: r for m, (_, r) in zip(mins, got.iterrows())}
+    # minute-3 PII doc dropped: window [0,10) keeps n=2, pii_rate 0
+    assert by_start[0.0]["n_docs"] == 2
+    assert by_start[0.0]["pii_rate"] == 0.0
+    # straggler merged: [20,30) holds 00:20 and the late 00:22
+    assert by_start[20.0]["n_docs"] == 2
+    assert by_start[40.0]["n_docs"] == 1
+
+
+def test_streaming_sr_and_pot_process_late_rows_in_arrival_order(
+    spark, tmp_path_factory
+):
+    """The stateful detectors carry NO watermark by design (state is a
+    trailing buffer, not an event-time window): a row arriving late is
+    not dropped — it is appended to the per-series state in ARRIVAL
+    order (within a batch, rows sort by event time; across batches,
+    arrival order rules).  Assert the stream equals a driver replay of
+    the same arrival sequence for both SR and POT."""
+    from time_series_data_anomaly_detection_spark.streaming import (
+        streaming_pot,
+        streaming_spectral_residual,
+    )
+
+    root = tmp_path_factory.mktemp("late_state")
+    rng = np.random.default_rng(11)
+    base = pd.Timestamp("2024-01-01")
+    n1 = 80
+    vals1 = rng.normal(10, 1, n1)
+
+    def frame(minutes, values, id0=0):
+        return pd.DataFrame(
+            {
+                "series_id": "a",
+                "timestamp": [base + pd.Timedelta(minutes=float(m)) for m in minutes],
+                "value": np.asarray(values, float),
+                "event_id": np.arange(id0, id0 + len(values), dtype="int64"),
+            }
+        )
+
+    # batch2 carries a straggler at minute 5.5 (earlier than all of
+    # batch1's tail) plus a fresh outlier spike
+    b1 = frame(range(n1), vals1)
+    late_vals = [9.5, 25.0, 10.2]  # middle one is an outlier spike
+    b2 = frame([5.5, 81, 82], late_vals, id0=n1)
+    b2_ts = set(b2["timestamp"])
+    _write_batches(root, [b1, b2])
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(root))
+    )
+    sr_out = _run_stream(
+        spark,
+        streaming_spectral_residual(stream, history=64, min_history=16, tau=3.0),
+        "late_sr",
+    ).toPandas()
+    assert len(sr_out) == n1 + 3  # nothing dropped
+
+    # driver replay of the documented arrival order: batch1 sorted,
+    # then batch2 sorted (late minute-5 row FIRST within its batch)
+    from time_series_data_anomaly_detection_spark.functions.spectral import (
+        estimate_tail,
+        spectral_residual_saliency,
+    )
+
+    arrival = list(vals1) + [9.5, 25.0, 10.2]
+    buf: list = []
+    want_scores = []
+    for v in arrival:
+        buf.append(float(v))
+        buf = buf[-64:]
+        if len(buf) >= 16:
+            ext = estimate_tail(np.asarray(buf), m=5)
+            _, s = spectral_residual_saliency(ext)
+            want_scores.append(s[len(buf) - 1])
+        else:
+            want_scores.append(np.nan)
+    # align stream rows to arrival order: batch1 rows by event time,
+    # then batch2 rows by event time (the minute-5.5 straggler first)
+    is_b2 = sr_out["timestamp"].isin(b2_ts)
+    sr1 = sr_out[~is_b2].sort_values("timestamp")
+    sr2 = sr_out[is_b2].sort_values("timestamp")
+    got_scores = list(sr1["sr_score"]) + list(sr2["sr_score"])
+    np.testing.assert_allclose(
+        np.asarray(got_scores, float), np.asarray(want_scores, float),
+        atol=1e-9, equal_nan=True,
+    )
+
+    # POT: same arrival-order contract — the late row updates the tail
+    # state; the spike is flagged even though it follows a late row
+    pot_out = _run_stream(
+        spark,
+        streaming_pot(stream, n_init=60, q_level=0.95, target_p=0.002),
+        "late_pot",
+    ).toPandas()
+    assert len(pot_out) == n1 + 3
+    p2 = (
+        pot_out[pot_out["timestamp"].isin(b2_ts)]
+        .sort_values("timestamp")
+        .reset_index(drop=True)
+    )
+    assert len(p2) == 3
+    assert p2.loc[1, "value"] == 25.0
+    assert p2.loc[1, "is_anomaly"] == 1  # spike still caught post-straggler
+    assert p2.loc[0, "is_anomaly"] == 0  # the late 9.5 row is benign

@@ -240,3 +240,103 @@ def mixture_schedule(
             ),
         )
     )
+
+
+def importance_weights(
+    df: DataFrame,
+    target_frac: float = 0.1,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "target",
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023: Data Selection for
+    LMs via Importance Resampling): score each raw doc by how much its
+    hashed-unigram profile looks like the TARGET distribution vs the
+    RAW distribution, so a quality-targeted subset can be drawn from a
+    web-scale corpus with one scan + two broadcast-sized count tables.
+
+    DSIR's weight is ``exp(sum_g c_g (log p_t(g) - log p_r(g)))``;
+    logs are transcendental and would drift the hash cross-engine
+    (house rule), so the engine scores the monotone-equivalent-in-
+    spirit LIKELIHOOD RATIO OF EXPECTATIONS in pure rational form:
+
+        score(d) = [ sum_g c_d(g) * t(g) / T ]  /  [ sum_g c_d(g) * r(g) / R ]
+                 = (sum_g c_d(g) t(g)) * R  /  ( (sum_g c_d(g) r(g)) * T )
+
+    where t(g)/r(g) are bucket counts over the target/raw splits and
+    T/R their token totals — every numerator is an INTEGER sum, the
+    single final division is IEEE-identical, so the gate hashes it
+    bit-exactly.  ``selected = score > 1`` (more target-like than
+    raw-like).
+
+    The target split is hash-carved from the corpus (``target_frac``,
+    same recipe as ``decontaminate``) so the operator is self-contained
+    and oracle-checkable; production points the target side at the
+    curated seed corpus.  Plan: tokenize once, explode to (doc,
+    bucket, c) counts, aggregate the two n_buckets-row profile tables,
+    broadcast them back onto the doc-bucket frame — the corpus is
+    scanned once and never self-joined.
+
+    Output: one row per NON-target doc — ``(doc_id, n_tokens, t_num,
+    r_num, score, selected)``.
+    """
+    from .text import tokenize
+
+    is_target = (
+        hash48(F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string")))
+        < F.lit(int(target_frac * (1 << 48)))
+    )
+    toks = tokenize(df, text_col).select(
+        id_col,
+        is_target.alias("__t"),
+        F.explode("tokens").alias("__tok"),
+    )
+    db = toks.select(
+        id_col,
+        "__t",
+        (hash48(F.col("__tok")) % F.lit(int(n_buckets))).alias("__b"),
+    )
+    # per-doc bucket counts (the c_d(g) vector, exploded)
+    dc = db.groupBy(id_col, "__t", "__b").agg(F.count("*").alias("__c"))
+    # corpus-side profiles: n_buckets rows each — broadcast
+    prof = (
+        db.groupBy("__b")
+        .agg(
+            F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__tg"),
+            F.sum(F.when(F.col("__t"), 0).otherwise(1)).alias("__rg"),
+        )
+    )
+    totals = prof.agg(
+        F.sum("__tg").alias("__T"), F.sum("__rg").alias("__R")
+    )
+    scored = (
+        dc.filter(~F.col("__t"))
+        .join(F.broadcast(prof), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_tokens"),
+            F.sum(F.col("__c") * F.col("__tg")).alias("t_num"),
+            F.sum(F.col("__c") * F.col("__rg")).alias("r_num"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    # products in DOUBLE (bigint*bigint could overflow at corpus scale;
+    # double products of exact integers are IEEE-identical cross-engine)
+    score = (
+        F.col("t_num").cast("double") * F.col("__R").cast("double")
+    ) / F.nullif(
+        F.col("r_num").cast("double") * F.col("__T").cast("double"),
+        F.lit(0.0),
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        "t_num",
+        "r_num",
+        score.alias("score"),
+        F.when(score > F.lit(1.0), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("selected"),
+    )

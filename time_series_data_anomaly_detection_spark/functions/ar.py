@@ -130,3 +130,77 @@ def ar_forecast(
         .groupBy(*keys)
         .applyInPandas(fit, schema)
     )
+
+
+def ar2_forecast_native(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """AR(2) via Yule-Walker, fully native — the closed-form step up
+    from :func:`ar1_forecast_native` (an AR(1) misses every series
+    whose residual autocorrelation lives at lag 2, e.g. half-period
+    seasonal echoes).
+
+    Estimation is the textbook Yule-Walker system on the biased
+    autocovariances (statsmodels ``yule_walker(method="mle")``
+    convention — denominator n, global mean):
+
+        c_k  = sum_{t>k} (x_t - mu)(x_{t-k} - mu) / n
+        phi1 = c1 (c0 - c2) / (c0^2 - c1^2)
+        phi2 = (c0 c2 - c1^2) / (c0^2 - c1^2)
+        pred_t = mu + phi1 (x_{t-1} - mu) + phi2 (x_{t-2} - mu)
+
+    Every sum rides DECIMAL(38,12) (order-independent), the remaining
+    algebra is plain double ops spelled identically in the DuckDB
+    oracle, so fit AND predictions hash bit-exactly.  A constant
+    series (c0 = 0) degenerates the system; its predictions are null
+    (the oracle mirrors via NULLIF).  Plan: two tiny per-series
+    aggregates broadcast back around one window pass — no UDF, two
+    exchanges total, series-count parallelism at any scale.
+    """
+    from .._exact import DEC
+
+    v = F.col(value_col)
+    mo = df.groupBy("series_id").agg(
+        F.count(value_col).alias("__n"),
+        F.sum(v.cast(DEC)).cast("double").alias("__s1"),
+    )
+    mo = mo.select(
+        "series_id", "__n", (F.col("__s1") / F.col("__n")).alias("__mu")
+    )
+    w = Window.partitionBy("series_id").orderBy("rn")
+    lagged = (
+        df.join(F.broadcast(mo), "series_id")
+        .withColumn("__p1", F.lag(value_col, 1).over(w))
+        .withColumn("__p2", F.lag(value_col, 2).over(w))
+    )
+    d0 = v - F.col("__mu")
+    d1 = F.col("__p1") - F.col("__mu")
+    d2 = F.col("__p2") - F.col("__mu")
+    cov = lagged.groupBy("series_id").agg(
+        F.sum((d0 * d0).cast(DEC)).cast("double").alias("__g0"),
+        F.sum(F.when(F.col("__p1").isNotNull(), (d0 * d1)).cast(DEC))
+        .cast("double")
+        .alias("__g1"),
+        F.sum(F.when(F.col("__p2").isNotNull(), (d0 * d2)).cast(DEC))
+        .cast("double")
+        .alias("__g2"),
+        F.max("__n").alias("__nn"),
+    )
+    c0 = F.col("__g0") / F.col("__nn")
+    c1 = F.col("__g1") / F.col("__nn")
+    c2 = F.col("__g2") / F.col("__nn")
+    den = c0 * c0 - c1 * c1
+    fit = cov.select(
+        "series_id",
+        (c1 * (c0 - c2) / F.nullif(den, F.lit(0.0))).alias("__phi1"),
+        ((c0 * c2 - c1 * c1) / F.nullif(den, F.lit(0.0))).alias("__phi2"),
+    )
+    return (
+        lagged.join(F.broadcast(fit), "series_id")
+        .withColumn(
+            "pred_mean",
+            F.col("__mu")
+            + F.col("__phi1") * d1
+            + F.col("__phi2") * d2,
+        )
+        .withColumn("resid", v - F.col("pred_mean"))
+        .drop("__p1", "__p2", "__phi1", "__phi2", "__n", "__s1", "__mu")
+    )

@@ -13,6 +13,7 @@ per-series ``applyInPandas`` FFT variant once max_lag is large.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -185,10 +186,106 @@ def acf_statsmodels(
     )
 
 
+def acf_fft(
+    df: DataFrame, max_lag: int = 10, value_col: str = "value"
+) -> DataFrame:
+    """Per-series ACF via FFT — the LARGE-max_lag path promised by the
+    module docstring (W8 at scale).
+
+    The stack plan above multiplies the fact frame ``max_lag``-fold
+    before its aggregate; fine at max_lag=10, a liability at
+    max_lag=10k.  This variant computes ALL lags in one O(n log n)
+    pass per series: zero-padded rFFT -> power spectrum -> inverse FFT
+    gives every linear autocovariance sum at once (Wiener–Khinchin),
+    in exactly the statsmodels ``acf`` convention of
+    :func:`acf_statsmodels` (global mean, constant denominator
+    ``acov[0]``):
+
+        r_k = sum_{t<=n-k} (x_t - mu)(x_{t+k} - mu) / sum_t (x_t - mu)^2
+
+    One shuffle keyed by series (Arrow-batched ``applyInPandas``); the
+    parallelism axis is series count and each series must fit a
+    worker, the standard trade for per-series signal processing here
+    (same contract as ``matrix_profile`` / ``spectral_residual``).
+    Gated rows-only; ``tests/test_control_robust.py`` pins agreement
+    with the stack plan at max_lag=10 to 1e-9 (float vs exact-decimal
+    sums differ below that).
+    """
+    out_schema = "series_id string, lag int, acf double"
+
+    def _fft_acf(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("rn")
+        x = pdf[value_col].to_numpy(float)
+        n = len(x)
+        k = min(max_lag, n - 1)
+        if n < 2 or k < 1:
+            return pd.DataFrame(
+                {"series_id": pd.Series([], dtype=str),
+                 "lag": pd.Series([], dtype="int32"),
+                 "acf": pd.Series([], dtype=float)}
+            )
+        xc = x - x.mean()
+        nfft = 1 << int(np.ceil(np.log2(2 * n)))
+        f = np.fft.rfft(xc, nfft)
+        acov = np.fft.irfft(f * np.conj(f), nfft)[: k + 1]
+        return pd.DataFrame(
+            {
+                "series_id": pdf["series_id"].iloc[0],
+                "lag": np.arange(1, k + 1, dtype="int32"),
+                "acf": acov[1 : k + 1] / acov[0],
+            }
+        )
+
+    return df.groupBy("series_id").applyInPandas(_fft_acf, out_schema)
+
+
+def _guard_pair_explosion(
+    df: DataFrame,
+    series_subset,
+    max_pairs: int,
+    allow_all_pairs: bool,
+    op_name: str,
+) -> DataFrame:
+    """Bound the |series|²-fold pair blow-up of the cross-series
+    operators IN THE API, not just the docstring (same house rule as
+    ``datapipe.dedup.embedding_near_dup``'s ``bucket_bits=0`` opt-in:
+    the scale-unsafe path must never be the silent default).
+
+    ``series_subset`` filters to a chosen channel set; otherwise the
+    DISTINCT series count is measured (one tiny aggregate job — the
+    series dimension, not the fact table) and the call raises when the
+    implied pair count exceeds ``max_pairs``.  ``allow_all_pairs=True``
+    skips the guard entirely for callers who know their channel
+    cardinality.
+    """
+    if series_subset is not None:
+        subset = sorted(set(series_subset))
+        df = df.filter(F.col("series_id").isin(subset))
+        n = len(subset)
+    elif allow_all_pairs:
+        return df
+    else:
+        n = df.select("series_id").distinct().count()
+    n_pairs = n * (n - 1) // 2
+    if not allow_all_pairs and n_pairs > max_pairs:
+        raise ValueError(
+            f"{op_name}: {n} series imply {n_pairs} pairs > "
+            f"max_pairs={max_pairs}; the pair frame is fact-sized x "
+            f"|series| — pass series_subset=[...] to choose channels, "
+            f"raise max_pairs, or allow_all_pairs=True to opt in"
+        )
+    return df
+
+
 def cross_correlation(
     df: DataFrame,
     max_lag: int = 12,
     value_col: str = "value",
+    series_subset=None,
+    max_pairs: int = 64,
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
     """Lagged cross-correlation between series PAIRS in the
     statsmodels-``ccf`` convention: each series is demeaned by its
@@ -214,6 +311,9 @@ def cross_correlation(
     from pyspark.sql import Window
     from .._exact import DEC
 
+    df = _guard_pair_explosion(
+        df, series_subset, max_pairs, allow_all_pairs, "cross_correlation"
+    )
     v = F.col(value_col)
     mo = df.groupBy("series_id").agg(
         F.count(value_col).alias("__n"),
@@ -292,6 +392,9 @@ def rolling_corr(
     window: int = 48,
     min_periods: int = 5,
     value_col: str = "value",
+    series_subset=None,
+    max_pairs: int = 64,
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
     """Trailing rolling Pearson correlation between every series PAIR
     (``series_a < series_b``), aligned positionally on ``rn`` — the
@@ -305,9 +408,13 @@ def rolling_corr(
     as RUNNING exact-decimal cumsums + ``lag(·, w)`` differencing —
     the same O(n) incremental trick as ``rolling_stats``, bit-identical
     to the DuckDB oracle's algebra.  At 100 TB you bound |pairs| by
-    selecting the channel subset first; the window axis parallelizes
-    across pairs.
+    selecting the channel subset first (``series_subset`` /
+    ``max_pairs`` enforce this in the API); the window axis
+    parallelizes across pairs.
     """
+    df = _guard_pair_explosion(
+        df, series_subset, max_pairs, allow_all_pairs, "rolling_corr"
+    )
     a = df.select(
         F.col("series_id").alias("series_a"),
         "rn",

@@ -313,22 +313,78 @@ def detect_period_frame(
     read off the data instead, feeding STL/BSTS/Holt-Winters configs.
 
     Uses the statsmodels ACF convention (global mean, constant
-    denominator — the standard correlogram estimator, and the cheap
-    one: ONE decimal sum per stacked row plus a broadcast denominator,
-    vs five for the per-lag Pearson; measured 11.2 → ~4 s at
-    max_lag=60, sf0.1).  One window pass, stacked lags, single
-    exchange; the argmax is a one-row-per-series rank.  Ties break
-    toward the smaller lag.
+    denominator).  Two-phase plan (r06 — replaces the max_lag-fold
+    stacked frame, measured ~6 s at max_lag=60/sf0.1, with ~2 s):
+
+    1. CANDIDATES (float, O(n log n) per series): the FFT ACF
+       (``acf_fft``) scores every lag in one pass; keep the top-4 per
+       series.  FFT and exact sums agree to ~1e-12, so the true
+       argmax is in the top-4 unless four distinct lags tie within
+       2e-12 — not a thing on real signals, and a tie at that width
+       is below the r6 hash quantum anyway.
+    2. RESCORE (exact decimal, O(n·4)): recompute the candidate lags'
+       numerators with the same order-independent decimal algebra as
+       ``acf_statsmodels`` (pairing via a keyed (series, rn+lag)
+       self-join instead of window ``lag()`` — the lag is per-series
+       data now, not a literal), then argmax on the EXACT values with
+       the same (acf desc, lag asc) tie rule.  Output is therefore
+       bit-identical to the all-lags decimal oracle.
     """
-    from .acf import acf_statsmodels as _acf
     from pyspark.sql import Window
 
-    a = _acf(df, max_lag=max_lag, value_col=value_col).filter(
+    from .._exact import DEC
+    from .acf import acf_fft
+
+    n_cand = 4
+    cand = acf_fft(df, max_lag=max_lag, value_col=value_col).filter(
         F.col("lag") >= int(min_lag)
     )
-    w = Window.partitionBy("series_id").orderBy(
-        F.desc("acf"), F.asc("lag")
+    wc = Window.partitionBy("series_id").orderBy(F.desc("acf"), F.asc("lag"))
+    top = (
+        cand.withColumn("__rk", F.row_number().over(wc))
+        .filter(F.col("__rk") <= n_cand)
+        .select("series_id", F.col("lag").cast("int").alias("lag"))
     )
+
+    v = F.col(value_col)
+    mo = df.groupBy("series_id").agg(
+        F.count(value_col).alias("__n"),
+        F.sum(v.cast(DEC)).cast("double").alias("__s1"),
+    )
+    mu = (F.col("__s1") / F.col("__n")).alias("__mu")
+    base = df.join(F.broadcast(mo.select("series_id", mu)), "series_id")
+    den = base.groupBy("series_id").agg(
+        F.sum(((v - F.col("__mu")) * (v - F.col("__mu"))).cast(DEC))
+        .cast("double")
+        .alias("__den")
+    )
+    left = base.select(
+        "series_id", "rn", v.alias("__x"), F.col("__mu")
+    )
+    right = base.join(F.broadcast(top), "series_id").select(
+        "series_id",
+        "lag",
+        (F.col("rn") + F.col("lag")).alias("rn"),
+        v.alias("__prev"),
+    )
+    num = (
+        left.join(right, ["series_id", "rn"])
+        .groupBy("series_id", "lag")
+        .agg(
+            F.sum(
+                (
+                    (F.col("__x") - F.col("__mu"))
+                    * (F.col("__prev") - F.col("__mu"))
+                ).cast(DEC)
+            )
+            .cast("double")
+            .alias("__num")
+        )
+    )
+    a = num.join(F.broadcast(den), "series_id").select(
+        "series_id", "lag", (F.col("__num") / F.col("__den")).alias("acf")
+    )
+    w = Window.partitionBy("series_id").orderBy(F.desc("acf"), F.asc("lag"))
     return (
         a.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") == 1)

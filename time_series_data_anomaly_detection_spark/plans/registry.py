@@ -625,6 +625,20 @@ def q_acf_statsmodels(spark, sf_dir):
     return out.select("series_id", "lag", _rnd("acf", R).alias("acf"))
 
 
+def q_acf_fft(spark, sf_dir):
+    """W8's large-max_lag path: all-lags-at-once FFT ACF per series
+    (Wiener–Khinchin), statsmodels convention.  Rows-only by design
+    (float FFT vs the decimal-sum oracle differs below 1e-9 — the
+    stack-plan agreement is pinned in tests/test_control_robust.py);
+    the plan replaces the stack plan's max_lag-fold row multiply with
+    one O(n log n) pass per series."""
+    from ..operators.acf import acf_fft
+
+    s = _series(spark, sf_dir)
+    out = acf_fft(s, max_lag=10)
+    return out.select("series_id", "lag", _rnd("acf", R).alias("acf"))
+
+
 def q_pacf(spark, sf_dir):
     from ..operators.acf import pacf
 
@@ -1067,7 +1081,11 @@ def q_cross_correlation(spark, sf_dir):
     lead which, the view the per-series ACF (W8) cannot see."""
     from ..operators.acf import cross_correlation
 
-    out = cross_correlation(_series(spark, sf_dir), max_lag=12)
+    # channel dim is the 5 event types by construction — skip the
+    # guard's distinct-count job (the API default measures + bounds)
+    out = cross_correlation(
+        _series(spark, sf_dir), max_lag=12, allow_all_pairs=True
+    )
     return out.select(
         "series_a", "series_b",
         # stack() literals land int32; the oracle's generate_series is
@@ -4394,7 +4412,10 @@ def q_rolling_corr(spark, sf_dir):
     ``rolling(w).corr()`` in the reference's notebook idiom."""
     from ..operators.acf import rolling_corr
 
-    out = rolling_corr(_series(spark, sf_dir), window=48, min_periods=5)
+    out = rolling_corr(
+        _series(spark, sf_dir), window=48, min_periods=5,
+        allow_all_pairs=True,
+    )
     return out.select(
         "series_a", "series_b", "rn", "n_w",
         _rnd("rcorr", R).alias("rcorr"),
@@ -4449,6 +4470,270 @@ FROM f
 ORACLES["pot_flags"] = _pot_flags_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Round 6: HBOS histogram rarity, SAX symbolization, AR(2) Yule-Walker,
+# Borda rank-ensemble, PELT changepoints (rows-only)
+# ---------------------------------------------------------------------------
+
+
+def q_hbos_flags(spark, sf_dir):
+    """HBOS histogram rarity detector, hash-gated: equal-width 20-bin
+    per-series histogram, rarity = inverse relative density (rational
+    form of the classic -log score — same ordering, hashable), flag =
+    bins 8x rarer than uniform via a pure integer compare."""
+    from ..operators.hbos import hbos_flags
+
+    out = hbos_flags(_series(spark, sf_dir), n_bins=20, rarity_thresh=8.0)
+    return out.select(
+        "series_id", "rn", "bin", "bin_n",
+        _rnd("rarity", R).alias("rarity"),
+        F.col("hbos_flag").alias("flag"),
+    )
+
+
+ORACLES["hbos_flags"] = f"""
+WITH {SQL_S},
+rng AS (
+  SELECT series_id, min(value) AS vmin, max(value) AS vmax,
+         count(value) AS n
+  FROM s GROUP BY 1),
+binned AS (
+  SELECT s.series_id, s.rn, r.n,
+         CAST(CASE WHEN r.vmax = r.vmin THEN 0
+              ELSE least(19, CAST(floor((s.value - r.vmin)
+                                        / (r.vmax - r.vmin) * 20.0)
+                              AS BIGINT))
+              END AS INT) AS bin
+  FROM s JOIN rng r USING (series_id)),
+hist AS (
+  SELECT series_id, bin, count(*) AS bin_n FROM binned GROUP BY 1, 2)
+SELECT b.series_id, b.rn, b.bin, h.bin_n,
+       round(b.n / (20.0 * h.bin_n), {R}) AS rarity,
+       CAST(CASE WHEN b.n > 160.0 * h.bin_n THEN 1 ELSE 0 END AS INT)
+         AS flag
+FROM binned b JOIN hist h USING (series_id, bin)
+"""
+
+
+def q_sax_words(spark, sf_dir):
+    """SAX symbolization + rare-word flags, hash-gated: z-normalize
+    (exact moments) -> PAA segment means (exact-decimal sums) ->
+    Gaussian-breakpoint symbols -> 3-symbol words -> integer rarity
+    flag (word in < 1/50 of the series' words)."""
+    from ..operators.sax import sax_words
+
+    out = sax_words(
+        _series(spark, sf_dir), seg_len=4, alphabet=4, word_len=3,
+        rare_x=50,
+    )
+    return out.select(
+        "series_id", "seg",
+        _rnd("paa", R).alias("paa"),
+        "symbol", "word", "n_word", "n_words", "rare_flag",
+    )
+
+
+ORACLES["sax_words"] = f"""
+WITH {SQL_S}, {SQL_MO},
+z AS (
+  SELECT s.series_id, s.rn,
+         (s.value - mo2.mu) / (mo2.sd + 1e-9) AS z,
+         CAST(floor((s.rn - 1) / 4) AS BIGINT) AS seg
+  FROM s JOIN mo2 USING (series_id)),
+paa AS (
+  SELECT series_id, seg,
+         CAST(sum(CAST(z AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS paa
+  FROM z GROUP BY 1, 2),
+symed AS (
+  SELECT series_id, seg, paa,
+         CASE WHEN paa >= 0.67 THEN 'd'
+              WHEN paa >= 0.0 THEN 'c'
+              WHEN paa >= -0.67 THEN 'b'
+              ELSE 'a' END AS symbol
+  FROM paa),
+worded AS (
+  SELECT series_id, seg, paa, symbol,
+         symbol || lead(symbol, 1) OVER w || lead(symbol, 2) OVER w
+           AS word
+  FROM symed WINDOW w AS (PARTITION BY series_id ORDER BY seg)),
+wf AS (
+  SELECT *,
+         count(*) OVER (PARTITION BY series_id, word) AS n_word,
+         count(*) OVER (PARTITION BY series_id) AS n_words
+  FROM worded WHERE word IS NOT NULL)
+SELECT series_id, seg, round(paa, {R}) AS paa, symbol, word,
+       n_word, n_words,
+       CAST(CASE WHEN n_word * 50 < n_words THEN 1 ELSE 0 END AS INT)
+         AS rare_flag
+FROM wf
+"""
+
+
+def q_ar2_forecast(spark, sf_dir):
+    """AR(2) via closed-form Yule-Walker (M5 family beside AR(1)):
+    biased autocovariances from exact-decimal sums, the 2x2 system
+    solved in rational double algebra, one-step predictions on actual
+    lags — fit AND predictions hash-gated."""
+    from ..functions.ar import ar2_forecast_native
+
+    out = ar2_forecast_native(_series(spark, sf_dir)).filter(
+        F.col("rn") >= 3
+    )
+    return out.select(
+        "series_id", "rn",
+        _rnd("pred_mean", R).alias("pred_mean"),
+        _rnd("resid", R).alias("resid"),
+    )
+
+
+ORACLES["ar2_forecast"] = f"""
+WITH {SQL_S},
+mo AS (
+  SELECT series_id, count(value) AS n,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS s1
+  FROM s GROUP BY 1),
+muv AS (SELECT series_id, n, s1 / n AS mu FROM mo),
+lagd AS (
+  SELECT s.series_id, s.rn, s.value, m.mu, m.n,
+         lag(s.value, 1) OVER (PARTITION BY s.series_id ORDER BY s.rn)
+           AS p1,
+         lag(s.value, 2) OVER (PARTITION BY s.series_id ORDER BY s.rn)
+           AS p2
+  FROM s JOIN muv m USING (series_id)),
+cov AS (
+  SELECT series_id,
+         CAST(sum(CAST((value - mu) * (value - mu) AS DECIMAL(38,12)))
+              AS DOUBLE) AS g0,
+         CAST(sum(CAST(CASE WHEN p1 IS NOT NULL
+                            THEN (value - mu) * (p1 - mu) END
+                       AS DECIMAL(38,12))) AS DOUBLE) AS g1,
+         CAST(sum(CAST(CASE WHEN p2 IS NOT NULL
+                            THEN (value - mu) * (p2 - mu) END
+                       AS DECIMAL(38,12))) AS DOUBLE) AS g2,
+         max(n) AS nn
+  FROM lagd GROUP BY 1),
+fit AS (
+  SELECT series_id,
+         (g1 / nn) * (g0 / nn - g2 / nn)
+           / nullif((g0 / nn) * (g0 / nn) - (g1 / nn) * (g1 / nn), 0.0)
+           AS phi1,
+         ((g0 / nn) * (g2 / nn) - (g1 / nn) * (g1 / nn))
+           / nullif((g0 / nn) * (g0 / nn) - (g1 / nn) * (g1 / nn), 0.0)
+           AS phi2
+  FROM cov)
+SELECT l.series_id, l.rn,
+       round(l.mu + f.phi1 * (l.p1 - l.mu) + f.phi2 * (l.p2 - l.mu), {R})
+         AS pred_mean,
+       round(l.value - (l.mu + f.phi1 * (l.p1 - l.mu)
+                        + f.phi2 * (l.p2 - l.mu)), {R}) AS resid
+FROM lagd l JOIN fit f USING (series_id)
+WHERE l.rn >= 3
+"""
+
+
+def q_detector_rank_ensemble(spark, sf_dir):
+    """Borda rank-aggregation ensemble, hash-gated: three per-row
+    anomaly scores (MAD z, |global z|, |diff z|) converted to
+    per-series ranks and summed — the scale-free fusion that needs no
+    score calibration (complements detector_consensus's binary votes).
+    Output is ALL-INTEGER (ranks, Borda sum, top-1% flag via
+    ``borda*100 <= 3*n``), so nothing can drift the hash."""
+    from ..operators.robust import diff_zscore_flags
+    from ..operators.scaling import global_zscore, mad_scores
+
+    s = _series(spark, sf_dir)
+    m = global_zscore(mad_scores(s))
+    d = diff_zscore_flags(m)
+    # rank on the QUANTIZED scores: the raw doubles differ across
+    # engines in the last ulp (different median/sqrt expression trees)
+    # and rank() amplifies any ulp into an off-by-one — the 6-decimal
+    # floor quantizer is exactly what the hash gate proves bit-equal
+    sc = d.select(
+        "series_id",
+        "rn",
+        _rnd("z_mad").alias("s_mad"),
+        _rnd(F.abs(F.col("z_global"))).alias("s_glob"),
+        _rnd(F.coalesce(F.abs(F.col("diff_z")), F.lit(0.0))).alias("s_diff"),
+    )
+    wp = Window.partitionBy("series_id")
+    rk = sc.select(
+        "series_id",
+        "rn",
+        F.rank().over(wp.orderBy(F.desc("s_mad"))).cast("long").alias("r_mad"),
+        F.rank().over(wp.orderBy(F.desc("s_glob"))).cast("long").alias("r_glob"),
+        F.rank().over(wp.orderBy(F.desc("s_diff"))).cast("long").alias("r_diff"),
+        F.count("*")
+        .over(wp.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("__n"),
+    )
+    borda = F.col("r_mad") + F.col("r_glob") + F.col("r_diff")
+    return rk.select(
+        "series_id", "rn", "r_mad", "r_glob", "r_diff",
+        borda.alias("borda"),
+        (borda * F.lit(100) <= F.lit(3) * F.col("__n")).cast("int").alias("flag"),
+    )
+
+
+ORACLES["detector_rank_ensemble"] = f"""
+WITH {SQL_S}, {SQL_MAD}, {SQL_MO},
+dif AS (
+  SELECT series_id, rn,
+         value - lag(value) OVER (PARTITION BY series_id ORDER BY rn)
+           AS diff
+  FROM s),
+dmo AS (
+  SELECT series_id, count(diff) AS n,
+         CAST(sum(CAST(diff AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(diff * diff AS DECIMAL(38,12))) AS DOUBLE) AS s2
+  FROM dif WHERE diff IS NOT NULL GROUP BY 1),
+dmo2 AS (
+  SELECT series_id, s1 / n AS mu,
+         sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) AS sd
+  FROM dmo),
+sc AS (
+  SELECT m.series_id, m.rn,
+         round(m.z_mad, {R}) AS s_mad,
+         round(abs((m.value - mo2.mu) / (mo2.sd + 1e-9)), {R}) AS s_glob,
+         round(coalesce(abs((d.diff - dm.mu) / (dm.sd + 1e-9)), 0.0), {R})
+           AS s_diff
+  FROM mads m
+  JOIN mo2 USING (series_id)
+  JOIN dif d ON d.series_id = m.series_id AND d.rn = m.rn
+  JOIN dmo2 dm ON dm.series_id = m.series_id),
+rk AS (
+  SELECT series_id, rn,
+         rank() OVER (PARTITION BY series_id ORDER BY s_mad DESC)
+           AS r_mad,
+         rank() OVER (PARTITION BY series_id ORDER BY s_glob DESC)
+           AS r_glob,
+         rank() OVER (PARTITION BY series_id ORDER BY s_diff DESC)
+           AS r_diff,
+         count(*) OVER (PARTITION BY series_id) AS n
+  FROM sc)
+SELECT series_id, rn, r_mad, r_glob, r_diff,
+       r_mad + r_glob + r_diff AS borda,
+       CAST(CASE WHEN (r_mad + r_glob + r_diff) * 100 <= 3 * n
+            THEN 1 ELSE 0 END AS INT) AS flag
+FROM rk
+"""
+
+
+def q_pelt_changepoints(spark, sf_dir):
+    """PELT exact L2 changepoint segmentation (Killick et al. 2012),
+    rows-only by design (the pruned DP's argmin recursion has no SQL
+    form); correctness pinned by the optimal-partitioning parity test
+    in tests/test_changepoints.py.  One grouped-map exchange; the
+    offline exact complement of CUSUM (hash-gated) and BOCPD
+    (rows-only online)."""
+    from ..functions.pelt import pelt_segments
+
+    out = pelt_segments(_series(spark, sf_dir))
+    return out.select(
+        "series_id", "seg", "start_rn", "end_rn", "n",
+        _rnd("seg_mean", R).alias("seg_mean"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from . import registry_datapipe
 
@@ -4478,6 +4763,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_moments": q_global_moments,
         "acf": q_acf,
         "acf_statsmodels": q_acf_statsmodels,
+        "acf_fft": q_acf_fft,
+        "hbos_flags": q_hbos_flags,
+        "sax_words": q_sax_words,
+        "ar2_forecast": q_ar2_forecast,
+        "detector_rank_ensemble": q_detector_rank_ensemble,
+        "pelt_changepoints": q_pelt_changepoints,
         "pacf": q_pacf,
         "hybrid_detection": q_hybrid_detection,
         "hybrid_detection_bsts_lstm": q_hybrid_detection_bsts_lstm,
@@ -4598,6 +4889,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard",
         "revenue_anomaly",
         # new r06 queries slot in here as they are added
+        "hbos_flags",
+        "importance_select",
+        "sax_words",
+        "ar2_forecast",
+        "detector_rank_ensemble",
+        "acf_fft",
+        "pelt_changepoints",
         # last checked r04 (green) — next priority
         "stratified_sample",
         "source_mix",

@@ -2834,8 +2834,32 @@ FROM e2, et
 """
 
 
+IMP_FRAC = 0.1
+IMP_THR = int(IMP_FRAC * (1 << 48))
+IMP_BUCKETS = 4096
+
+
+def q_importance_select(spark, sf_dir):
+    """DSIR-style importance-ratio data selection, hash-gated: score
+    each raw doc by its hashed-unigram likelihood ratio against a
+    hash-carved target split — integer numerators, one IEEE division,
+    ``selected = score > 1`` (see datapipe.sampling.importance_weights
+    for the rational form of Xie et al. 2023's log-weight)."""
+    from ..datapipe.sampling import importance_weights
+
+    out = importance_weights(
+        _docs(spark, sf_dir), target_frac=IMP_FRAC, n_buckets=IMP_BUCKETS
+    )
+    return out.select(
+        "doc_id", "n_tokens", "t_num", "r_num",
+        _rnd("score", R).alias("score"),
+        "selected",
+    )
+
+
 def queries():
     return {
+        "importance_select": q_importance_select,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
@@ -2894,6 +2918,47 @@ def queries():
         "quality_classifier": q_quality_classifier,
         "length_buckets": q_length_buckets,
     }
+
+
+ORACLES["importance_select"] = f"""
+WITH {{SQL_TOKS}},
+tgt AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('target|' || CAST(doc_id AS VARCHAR)),
+                             1, 12) AS BIGINT) < {{IMP_THR}} AS is_t
+  FROM documents),
+tok AS (
+  SELECT t.doc_id, g.is_t,
+         CAST('0x' || substr(md5(unnest(t.t)), 1, 12) AS BIGINT)
+           % {{IMP_BUCKETS}} AS b
+  FROM toks t JOIN tgt g USING (doc_id)),
+dc AS (SELECT doc_id, is_t, b, count(*) AS c FROM tok GROUP BY 1, 2, 3),
+prof AS (
+  SELECT b,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tg,
+         sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS rg
+  FROM tok GROUP BY 1),
+tot AS (SELECT sum(tg) AS t_tot, sum(rg) AS r_tot FROM prof),
+sc AS (
+  SELECT d.doc_id,
+         sum(d.c) AS n_tokens,
+         sum(d.c * p.tg) AS t_num,
+         sum(d.c * p.rg) AS r_num
+  FROM dc d JOIN prof p USING (b)
+  WHERE NOT d.is_t GROUP BY 1)
+SELECT s.doc_id,
+       CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       CAST(s.t_num AS BIGINT) AS t_num,
+       CAST(s.r_num AS BIGINT) AS r_num,
+       round(CAST(s.t_num AS DOUBLE) * CAST(t.r_tot AS DOUBLE)
+             / nullif(CAST(s.r_num AS DOUBLE) * CAST(t.t_tot AS DOUBLE),
+                      0.0), {{R}}) AS score,
+       CAST(CASE WHEN CAST(s.t_num AS DOUBLE) * CAST(t.r_tot AS DOUBLE)
+                      / nullif(CAST(s.r_num AS DOUBLE)
+                               * CAST(t.t_tot AS DOUBLE), 0.0) > 1.0
+            THEN 1 ELSE 0 END AS INT) AS selected
+FROM sc s CROSS JOIN tot t
+""".format(SQL_TOKS=SQL_TOKS, IMP_THR=IMP_THR, IMP_BUCKETS=IMP_BUCKETS, R=R)
 
 
 def oracle_sql():

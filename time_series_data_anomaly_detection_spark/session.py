@@ -102,5 +102,24 @@ def get_spark(
         # still an eighth of the target box
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Long multi-query sessions (the 139-query gate/bench) bloat
+        # the driver heap with retained status state (UI AppStatusStore
+        # keeps 1000 jobs/stages/executions by default) and with
+        # shuffle/broadcast bookkeeping that the ContextCleaner only
+        # releases after a GC proves the references dead (its periodic
+        # System.gc() defaults to every 30 MIN — never inside a 5-min
+        # bench).  Measured r06: heap grew 0.3 → 3.2 GB live over 139
+        # queries and late-session queries ran 2-3x their warm time
+        # with back-to-back instability (acf 2.1/2.3/6.9 s) — pure GC
+        # pressure; code cache and metaspace stayed healthy.  The UI is
+        # dead weight in a headless gate run; status retention is
+        # capped for the no-UI status store; the cleaner GC fires every
+        # 90 s so shuffle state from finished queries actually drains.
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.ui.retainedJobs", "200")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "2000")
+        .config("spark.sql.ui.retainedExecutions", "50")
+        .config("spark.cleaner.periodicGC.interval", "90s")
     )
     return builder.getOrCreate()

@@ -10,6 +10,7 @@ from .detectors import (  # noqa: F401
     streaming_control_flags,
     streaming_holt_winters,
     streaming_pot,
+    streaming_spectral_residual,
 )
 from .quality import (  # noqa: F401
     streaming_source_quality,

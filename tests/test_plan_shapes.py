@@ -512,3 +512,58 @@ def test_pot_threshold_broadcasts_per_series_frames(spark):
     plan = _plan(pot_threshold(series_df(spark, rng.normal(0, 1, 300))))
     assert _count(plan, ") CartesianProduct") == 0
     assert _count(plan, ") BroadcastHashJoin") >= 2
+
+
+def test_page_hinkley_native_broadcast_moments(spark):
+    """PH is a pure prefix computation: the moment table rides a
+    broadcast join, the statistic chain is JVM-only (no Python), and
+    the fact table is exchanged once for the series sort."""
+    from time_series_data_anomaly_detection_spark.operators.drift import (
+        page_hinkley,
+    )
+
+    y = np.arange(300, dtype=float)
+    plan = _plan(page_hinkley(series_df(spark, y)))
+    assert "EvalPython" not in plan
+    assert _count(plan, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_knn_outlier_no_self_join(spark):
+    """The 1-D kNN trick must produce a join-free plan: value-ordered
+    window lags only — no join of the fact table against itself."""
+    from time_series_data_anomaly_detection_spark.operators.neighbors import (
+        knn_outlier,
+    )
+
+    y = np.arange(300, dtype=float)
+    plan = _plan(knn_outlier(series_df(spark, y)))
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_kde_rarity_bucket_table_broadcasts(spark):
+    """Binned KDE: the smoothing convolution runs on the tiny bucket
+    table; every join back onto the fact rows must broadcast."""
+    from time_series_data_anomaly_detection_spark.operators.neighbors import (
+        kde_rarity,
+    )
+
+    y = np.arange(300, dtype=float)
+    plan = _plan(kde_rarity(series_df(spark, y)))
+    assert "SortMergeJoin" not in plan
+    assert _count(plan, "BroadcastHashJoin") >= 2
+    assert "EvalPython" not in plan
+
+
+def test_sax_bitmap_all_aggregates_no_udf(spark):
+    """SAX bitmap distance is integer algebra over chunk tables — no
+    Python anywhere, and the chunk-pair joins are on the (tiny)
+    aggregated tables, not the fact rows."""
+    from time_series_data_anomaly_detection_spark.operators.sax import (
+        sax_bitmap,
+    )
+
+    y = np.arange(4096, dtype=float)
+    plan = _plan(sax_bitmap(series_df(spark, y)))
+    assert "EvalPython" not in plan

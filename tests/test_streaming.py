@@ -932,3 +932,39 @@ def test_streaming_sr_and_pot_process_late_rows_in_arrival_order(
     assert p2.loc[1, "value"] == 25.0
     assert p2.loc[1, "is_anomaly"] == 1  # spike still caught post-straggler
     assert p2.loc[0, "is_anomaly"] == 0  # the late 9.5 row is benign
+
+
+def test_streaming_page_hinkley_matches_batch(spark, stream_data):
+    from time_series_data_anomaly_detection_spark.operators.drift import (
+        page_hinkley,
+    )
+    from time_series_data_anomaly_detection_spark.streaming.detectors import (
+        streaming_page_hinkley,
+    )
+
+    root, pdf = stream_data
+    stream = spark.readStream.schema(SCHEMA).parquet(root)
+    g = pdf[pdf.series_id == "a"]
+    mu, sd = g["value"].mean(), g["value"].std(ddof=1)
+    out = _run_stream(
+        spark,
+        streaming_page_hinkley(
+            stream.filter(F.col("series_id") == "a"),
+            norm_mu=mu,
+            norm_sd=sd,
+        ),
+        "phstream",
+    ).toPandas()
+
+    batch_in = with_row_index(
+        spark.createDataFrame(pdf[pdf.series_id == "a"])
+    )
+    # the batch operator derives moments internally (exact decimal) —
+    # identical inputs, so statistics agree to accumulation tolerance
+    b = page_hinkley(batch_in).toPandas().sort_values("rn")
+    out = out.sort_values("timestamp").reset_index(drop=True)
+    assert len(out) == len(b)
+    np.testing.assert_allclose(out["ph_up"], b["ph_up"], atol=1e-5)
+    np.testing.assert_allclose(out["ph_dn"], b["ph_dn"], atol=1e-5)
+    # the injected burst drives an up-drift alarm in-stream
+    assert out["flag_up"].iloc[200:].sum() > 0

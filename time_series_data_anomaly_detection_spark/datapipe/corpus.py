@@ -341,3 +341,51 @@ def vocab_coverage(
             * F.lit(1.0) / F.col("total_tokens")
         ).alias("coverage"),
     )
+
+
+def distinctive_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    top_k: int = 10,
+    min_df: int = 2,
+) -> DataFrame:
+    """Top-``top_k`` DISTINCTIVE tokens per ``group_col`` — tf-idf in
+    pure rational form: ``score = tf_g · N_docs / df`` (term frequency
+    within the group times inverse document frequency across the
+    corpus), which preserves the tf-idf ORDERING without the
+    transcendental ``log`` that would break cross-engine hashing.
+    The source-mix diagnostic beside :func:`corpus_drift`: what makes
+    each source's vocabulary different, not just bigger.
+
+    Terms must appear in ≥ ``min_df`` documents (drops hapax noise);
+    ties break on token text for determinism.
+
+    Scale shape: explode → (group, token) tf aggregate with map-side
+    combine, a corpus-wide per-token document-frequency aggregate
+    (broadcast back), one rank window over the per-group token table
+    (keyed by group — no global sort).
+    """
+    toks = tokenize(df, text_col).select(
+        group_col, "doc_id", F.explode("tokens").alias("token")
+    )
+    tf = toks.groupBy(group_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = toks.select("doc_id", "token").distinct().groupBy("token").agg(
+        F.count("*").alias("df")
+    )
+    n_docs = df.count()
+    scored = (
+        tf.join(dfreq.filter(F.col("df") >= int(min_df)), "token")
+        .withColumn(
+            "score",
+            F.col("tf") * F.lit(int(n_docs)) / F.col("df"),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("score"), F.asc("token")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= int(top_k))
+        .select(group_col, "term_rank", "token", "tf", "df", "score")
+    )

@@ -1003,3 +1003,57 @@ def containment_pairs(
         (F.col("inter") * F.lit(1.0) / F.col("n_b")).alias("containment"),
     )
     return ab.unionByName(ba).filter(F.col("containment") >= threshold)
+
+
+def winnow_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 16,
+    min_overlap: float = 0.5,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Near-duplicate pairs by shared WINNOWING fingerprints (Schleimer
+    et al. SIGMOD'03) — the substring-level complement of the
+    token-shingle families: winnowing guarantees selected hashes for
+    any sufficiently long common substring, so it catches copied
+    PASSAGES between otherwise-different documents (the MOSS use
+    case), which whole-document MinHash dilutes away.
+
+    Pairs are generated from the fingerprint postings (one self-join
+    on ``fp_hash`` through the salted skew guard — a boilerplate hash
+    shared by thousands of docs cannot serialize one task), scored by
+    containment-style overlap ``shared / min(n_a, n_b)`` (rational of
+    integers), and kept at ``overlap ≥ min_overlap``.
+
+    Returns ``id_a, id_b, shared, n_a, n_b, overlap``.
+    """
+    from .text import winnow_fingerprints
+
+    fps = winnow_fingerprints(
+        df, k=k, window=window, text_col=text_col, id_col=id_col
+    ).select(id_col, "fp_hash")
+    sizes = fps.groupBy(id_col).agg(F.count("*").alias("n_fp"))
+    pairs = salted_self_join_pairs(
+        fps, keys=["fp_hash"], id_col=id_col, cap=bucket_cap
+    )
+    shared = pairs.groupBy(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+    ).agg(F.count("*").alias("shared"))
+    na = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("n_fp").alias("n_a")
+    )
+    nb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("n_fp").alias("n_b")
+    )
+    out = (
+        shared.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .withColumn(
+            "overlap", F.col("shared") / F.least(F.col("n_a"), F.col("n_b"))
+        )
+        .filter(F.col("overlap") >= F.lit(float(min_overlap)))
+    )
+    return out.select("id_a", "id_b", "shared", "n_a", "n_b", "overlap")

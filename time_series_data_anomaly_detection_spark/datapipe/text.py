@@ -245,3 +245,51 @@ def winnow_fingerprints(
         .agg(F.min("pos").alias("first_pos"))
         .select(id_col, F.col("gh").alias("fp_hash"), "first_pos")
     )
+
+
+def vocab_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-``group_col`` vocabulary profile: document/token/type
+    counts, hapax legomena (types seen once in the group), type-token
+    ratio and hapax share — the classic corpus-health diagnostics
+    (vocabulary collapse flags over-deduplication; a hapax explosion
+    flags OCR noise or encoding corruption) tracked alongside
+    ``corpus_drift`` in a training-data pipeline.
+
+    Everything is integer counting over the shared :func:`tokenize`
+    projection, so the whole report is hash-gateable; the two ratios
+    are single integer divisions rounded at the output.
+
+    Scale shape: explode → two-stage aggregate with map-side partial
+    combine on ``(group, token)`` (the natural key — no hot groups
+    beyond Zipf's head, which partial aggregation absorbs), then a
+    per-group rollup of the token table.  No window, no join besides
+    the broadcast-sized doc counts.
+    """
+    toks = tokenize(df, text_col).select(
+        group_col, F.explode("tokens").alias("token")
+    )
+    tok_counts = toks.groupBy(group_col, "token").agg(
+        F.count("*").alias("cnt")
+    )
+    per_group = tok_counts.groupBy(group_col).agg(
+        F.count("*").alias("n_types"),
+        F.sum("cnt").alias("n_tokens"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.max("cnt").alias("top_token_count"),
+    )
+    docs = df.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    out = per_group.join(F.broadcast(docs), group_col)
+    return out.select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        "top_token_count",
+        (F.col("n_types") / F.col("n_tokens")).alias("type_token_ratio"),
+        (F.col("n_hapax") / F.col("n_types")).alias("hapax_ratio"),
+    )

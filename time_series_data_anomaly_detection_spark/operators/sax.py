@@ -40,25 +40,12 @@ ALPHA = "abcdef"
 EPS_Z = 1e-9
 
 
-def sax_words(
-    df: DataFrame,
-    value_col: str = "value",
-    seg_len: int = 4,
-    alphabet: int = 4,
-    word_len: int = 3,
-    rare_x: int = 50,
+def _sax_symbols(
+    df: DataFrame, value_col: str, seg_len: int, alphabet: int
 ) -> DataFrame:
-    """One row per complete SAX word position: ``(series_id, seg,
-    paa, symbol, word, n_word, n_words, rare_flag)`` where ``seg``
-    indexes ``seg_len``-row blocks, ``word`` is the concatenation of
-    this and the next ``word_len - 1`` symbols, and ``rare_flag``
-    marks words rarer than ``1/rare_x`` of the series' words.
-
-    Trailing segments without a full lookahead carry no word (they are
-    dropped — same convention as sliding-window extraction W4).
-    Ragged final segments DO contribute a PAA mean over their actual
-    rows (count-based divisor), matching the oracle bit-for-bit.
-    """
+    """Shared SAX front half: exact-moment z-normalize → PAA segment
+    means → Gaussian-breakpoint symbols.  Returns one row per segment:
+    ``(series_id, seg, paa, symbol)``."""
     if alphabet not in BREAKPOINTS:
         raise ValueError(f"alphabet must be one of {sorted(BREAKPOINTS)}")
     bps = BREAKPOINTS[alphabet]
@@ -97,7 +84,29 @@ def sax_words(
         sym = F.when(F.col("paa") >= F.lit(bp), F.lit(ALPHA[i + 1])).otherwise(
             sym
         )
-    paa = paa.withColumn("symbol", sym)
+    return paa.withColumn("symbol", sym)
+
+
+def sax_words(
+    df: DataFrame,
+    value_col: str = "value",
+    seg_len: int = 4,
+    alphabet: int = 4,
+    word_len: int = 3,
+    rare_x: int = 50,
+) -> DataFrame:
+    """One row per complete SAX word position: ``(series_id, seg,
+    paa, symbol, word, n_word, n_words, rare_flag)`` where ``seg``
+    indexes ``seg_len``-row blocks, ``word`` is the concatenation of
+    this and the next ``word_len - 1`` symbols, and ``rare_flag``
+    marks words rarer than ``1/rare_x`` of the series' words.
+
+    Trailing segments without a full lookahead carry no word (they are
+    dropped — same convention as sliding-window extraction W4).
+    Ragged final segments DO contribute a PAA mean over their actual
+    rows (count-based divisor), matching the oracle bit-for-bit.
+    """
+    paa = _sax_symbols(df, value_col, seg_len, alphabet)
     w = Window.partitionBy("series_id").orderBy("seg")
     word = F.concat(
         *[F.lead("symbol", i).over(w) for i in range(word_len)]
@@ -120,4 +129,90 @@ def sax_words(
             "series_id", "seg", "paa", "symbol", "word",
             "n_word", "n_words", "rare_flag",
         )
+    )
+
+
+def sax_bitmap(
+    df: DataFrame,
+    value_col: str = "value",
+    seg_len: int = 4,
+    alphabet: int = 4,
+    chunk_len: int = 64,
+    top_frac: float = 0.05,
+) -> DataFrame:
+    """SAX bitmap anomaly distance (Wei, Keogh et al. SDM'05
+    "Assumption-free anomaly detection in time series").
+
+    The series' SAX symbols are cut into ``chunk_len``-segment chunks;
+    each chunk's "bitmap" is its symbol-BIGRAM count vector (``α²``
+    bins), and consecutive chunks are scored by the squared euclidean
+    distance between their bitmaps.  A regime change (new shape
+    vocabulary) lights up as a distance spike.  Everything is INTEGER:
+    with per-chunk self-products ``ss_c = Σ cnt²`` and the matched
+    cross product ``x_c = Σ cnt_c·cnt_{c+1}``, the distance is
+    ``ss_c + ss_{c+1} − 2·x_c`` — exact on any engine.
+
+    Returns one row per adjacent chunk pair ``(series_id, chunk,
+    dist, dist_rank, flag)`` where ``chunk`` is the LATER chunk and
+    ``flag`` marks the top ``top_frac`` distances per series.
+
+    Scale shape: symbols are the tiny SAX projection (rows/seg_len);
+    bigram counts and the adjacent-chunk join are per-(series, chunk,
+    bigram) — ≤ α² rows per chunk — so the whole scoring DAG runs on
+    broadcast-sized tables regardless of input scale.
+    """
+    paa = _sax_symbols(df, value_col, seg_len, alphabet)
+    w = Window.partitionBy("series_id").orderBy("seg")
+    bi = (
+        paa.withColumn(
+            "bigram", F.concat("symbol", F.lead("symbol", 1).over(w))
+        )
+        .filter(F.col("bigram").isNotNull())
+        .withColumn("chunk", F.floor(F.col("seg") / F.lit(int(chunk_len))))
+    )
+    cnt = bi.groupBy("series_id", "chunk", "bigram").agg(
+        F.count("*").alias("cnt")
+    )
+    ss = cnt.groupBy("series_id", "chunk").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("ss")
+    )
+    nxt = cnt.select(
+        "series_id",
+        (F.col("chunk") - 1).alias("chunk"),
+        "bigram",
+        F.col("cnt").alias("cnt_next"),
+    )
+    cross = (
+        cnt.join(nxt, ["series_id", "chunk", "bigram"])
+        .groupBy("series_id", "chunk")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_next")).alias("x"))
+    )
+    ss_next = ss.select(
+        "series_id",
+        (F.col("chunk") - 1).alias("chunk"),
+        F.col("ss").alias("ss_next"),
+    )
+    pairs = (
+        ss.join(ss_next, ["series_id", "chunk"])
+        .join(cross, ["series_id", "chunk"], "left")
+        .select(
+            "series_id",
+            (F.col("chunk") + 1).alias("chunk"),
+            (
+                F.col("ss")
+                + F.col("ss_next")
+                - 2 * F.coalesce(F.col("x"), F.lit(0))
+            ).alias("dist"),
+        )
+    )
+    wr = Window.partitionBy("series_id").orderBy(
+        F.desc("dist"), F.asc("chunk")
+    )
+    n = F.count("*").over(Window.partitionBy("series_id"))
+    return pairs.withColumn("dist_rank", F.rank().over(wr)).withColumn(
+        "flag",
+        (
+            F.col("dist_rank")
+            <= F.greatest(F.lit(1), F.floor(n * F.lit(float(top_frac))))
+        ).cast("int"),
     )

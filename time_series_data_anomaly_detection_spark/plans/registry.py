@@ -4734,6 +4734,288 @@ def q_pelt_changepoints(spark, sf_dir):
     )
 
 
+def q_page_hinkley(spark, sf_dir):
+    """Page-Hinkley drift test (Page 1954; Gama et al. 2014), fully
+    native and hash-gated: PH's statistic has a closed prefix form
+    (decimal cumsum + running extremum), so — unlike CUSUM's clamped
+    recursion (``cusum_changepoints``, recursive-CTE oracle) — it
+    needs NO recursion at all.  δ = σ/8, λ = 20σ from exact moments."""
+    from ..operators.drift import page_hinkley
+
+    out = page_hinkley(_series(spark, sf_dir))
+    return out.select(
+        "series_id", "rn",
+        _rnd("ph_up", R).alias("ph_up"),
+        _rnd("ph_dn", R).alias("ph_dn"),
+        "flag_up", "flag_dn",
+    )
+
+
+ORACLES["page_hinkley"] = f"""
+WITH {SQL_S}, {SQL_MO},
+cum AS (
+  SELECT s.series_id, s.rn, m.mu, m.sd,
+         CAST(sum(CAST(s.value AS DECIMAL(38,12))) OVER (
+           PARTITION BY s.series_id ORDER BY s.rn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DOUBLE) AS st
+  FROM s JOIN mo2 m USING (series_id)),
+stat AS (
+  SELECT series_id, rn, sd,
+         st - rn * (mu + sd * 0.125) AS m_up,
+         st - rn * (mu - sd * 0.125) AS m_dn
+  FROM cum),
+ext AS (
+  SELECT series_id, rn, sd, m_up, m_dn,
+         min(m_up) OVER w AS mn, max(m_dn) OVER w AS mx
+  FROM stat
+  WINDOW w AS (PARTITION BY series_id ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT series_id, rn,
+       round(m_up - mn, {R}) AS ph_up,
+       round(mx - m_dn, {R}) AS ph_dn,
+       CAST(CASE WHEN m_up - mn > sd * 20.0 THEN 1 ELSE 0 END AS INT)
+         AS flag_up,
+       CAST(CASE WHEN mx - m_dn > sd * 20.0 THEN 1 ELSE 0 END AS INT)
+         AS flag_dn
+FROM ext
+"""
+
+
+def q_knn_outlier(spark, sf_dir):
+    """Exact 1-D kNN distance outlier score (Ramaswamy et al.
+    SIGMOD'00), hash-gated: in value order each point's 3 nearest
+    values sit among its 3 lags/leads — 6 window columns, no
+    self-join.  Fixed 3-term distance sum; top-1% rank flag."""
+    from ..operators.neighbors import knn_outlier
+
+    out = knn_outlier(_series(spark, sf_dir), k=3, top_frac=0.01)
+    return out.select(
+        "series_id", "rn",
+        _rnd("knn_score", R).alias("knn_score"),
+        _rnd("kth_dist", R).alias("kth_dist"),
+        "score_rank", "flag",
+    )
+
+
+ORACLES["knn_outlier"] = f"""
+WITH {SQL_S},
+nb AS (
+  SELECT series_id, rn,
+         list_sort(list_filter([
+           abs(value - lag(value, 1) OVER wv),
+           abs(value - lag(value, 2) OVER wv),
+           abs(value - lag(value, 3) OVER wv),
+           abs(value - lead(value, 1) OVER wv),
+           abs(value - lead(value, 2) OVER wv),
+           abs(value - lead(value, 3) OVER wv)],
+           x -> x IS NOT NULL)) AS d
+  FROM s
+  WINDOW wv AS (PARTITION BY series_id ORDER BY value, rn)),
+sc AS (
+  SELECT series_id, rn,
+         (0.0 + d[1] + d[2] + d[3]) / 3.0 AS score, d[3] AS kth
+  FROM nb),
+rk AS (
+  SELECT series_id, rn, score, kth,
+         rank() OVER (PARTITION BY series_id
+                      ORDER BY score DESC, rn) AS r,
+         count(*) OVER (PARTITION BY series_id) AS n
+  FROM sc)
+SELECT series_id, rn, round(score, {R}) AS knn_score,
+       round(kth, {R}) AS kth_dist, r AS score_rank,
+       CAST(CASE WHEN r <= greatest(1, floor(n * 0.01))
+            THEN 1 ELSE 0 END AS INT) AS flag
+FROM rk
+"""
+
+
+def q_kde_rarity(spark, sf_dir):
+    """Binned Epanechnikov KDE rarity (Silverman §2.7), hash-gated:
+    integer histogram at σ/8 smoothed by the parabolic kernel at
+    bandwidth σ/2 (7 fixed offsets, decimal-summed) — the
+    kernel-smoothed complement of HBOS; flag = density below ¼ of
+    uniform.  O(n + bins), no pairwise KDE anywhere."""
+    from ..operators.neighbors import kde_rarity
+
+    out = kde_rarity(_series(spark, sf_dir))
+    return out.select(
+        "series_id", "rn", "bin",
+        _rnd("density", R).alias("density"),
+        "flag",
+    )
+
+
+ORACLES["kde_rarity"] = f"""
+WITH {SQL_S},
+mo AS (
+  SELECT series_id, count(value) AS n,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE)
+           AS s2,
+         min(value) AS vmin, max(value) AS vmax
+  FROM s GROUP BY 1),
+par AS (
+  SELECT series_id, n, vmin, vmax,
+         sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) * 0.125
+           + 1e-9 AS delta,
+         sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) * 0.5
+           + 1e-9 AS h
+  FROM mo),
+bins AS (
+  SELECT s.series_id, s.rn,
+         CAST(floor((s.value - p.vmin) / p.delta) AS BIGINT) AS bin
+  FROM s JOIN par p USING (series_id)),
+cnts AS (
+  SELECT series_id, bin, count(*) AS cnt FROM bins GROUP BY 1, 2),
+smear AS (
+  SELECT c.series_id, c.bin + t.j AS tbin,
+         c.cnt * (0.75 * (1.0 - (t.j * p.delta / p.h)
+                                * (t.j * p.delta / p.h))) AS w
+  FROM cnts c
+  JOIN par p USING (series_id),
+       unnest([-3, -2, -1, 0, 1, 2, 3]) AS t(j)),
+dens AS (
+  SELECT series_id, tbin AS bin,
+         CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS sw
+  FROM smear GROUP BY 1, 2),
+dens2 AS (
+  SELECT d.series_id, d.bin, d.sw / (p.n * p.h) AS density,
+         0.25 / (p.vmax - p.vmin + 1e-9) AS rare_at
+  FROM dens d JOIN par p USING (series_id))
+SELECT b.series_id, b.rn, b.bin, round(d.density, {R}) AS density,
+       CAST(CASE WHEN d.density < d.rare_at THEN 1 ELSE 0 END AS INT)
+         AS flag
+FROM bins b JOIN dens2 d ON d.series_id = b.series_id
+                        AND d.bin = b.bin
+"""
+
+
+def q_croston_forecast(spark, sf_dir):
+    """Croston's intermittent-demand method (Croston 1972), hash-gated
+    via a RECURSIVE-CTE oracle: separate dyadic-α SES recursions over
+    exceedance sizes and inter-exceedance intervals (demand =
+    max(value − q90, 0)); forecast z/p held flat until the next
+    demand — the sparse-events complement of the dense forecasters."""
+    from ..functions.croston import croston_forecast
+
+    out = croston_forecast(_series(spark, sf_dir))
+    return out.select(
+        "series_id", "rn",
+        _rnd("demand", R).alias("demand"),
+        _rnd("croston", R).alias("croston"),
+    )
+
+
+ORACLES["croston_forecast"] = f"""
+WITH RECURSIVE {SQL_S},
+thr AS (
+  SELECT series_id, quantile_cont(value, 0.9) AS thr
+  FROM s GROUP BY 1),
+dem AS (
+  SELECT s.series_id, s.rn,
+         CASE WHEN s.value > t.thr THEN s.value - t.thr
+              ELSE 0.0 END AS demand
+  FROM s JOIN thr t USING (series_id)),
+pts AS (
+  SELECT series_id, rn, demand,
+         row_number() OVER (PARTITION BY series_id ORDER BY rn) AS k,
+         rn - coalesce(lag(rn) OVER (
+           PARTITION BY series_id ORDER BY rn), 0) AS gap
+  FROM dem WHERE demand > 0),
+rec AS (
+  SELECT series_id, rn, k,
+         CAST(demand AS DOUBLE) AS z, CAST(rn AS DOUBLE) AS p
+  FROM pts WHERE k = 1
+  UNION ALL
+  SELECT q.series_id, q.rn, q.k,
+         r.z + 0.25 * (q.demand - r.z) AS z,
+         r.p + 0.25 * (q.gap - r.p) AS p
+  FROM rec r JOIN pts q
+    ON q.series_id = r.series_id AND q.k = r.k + 1)
+SELECT d.series_id, d.rn, round(d.demand, {R}) AS demand,
+       round(last_value(r.z / r.p IGNORE NULLS) OVER (
+         PARTITION BY d.series_id ORDER BY d.rn
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), {R})
+         AS croston
+FROM dem d LEFT JOIN rec r
+  ON r.series_id = d.series_id AND r.rn = d.rn
+"""
+
+
+def q_sax_bitmap(spark, sf_dir):
+    """SAX bitmap anomaly distance (Wei, Keogh et al. SDM'05),
+    hash-gated: 64-segment chunks scored by the squared distance
+    between consecutive symbol-BIGRAM count vectors — pure integer
+    algebra (Σc² + Σd² − 2Σcd) on broadcast-sized chunk tables."""
+    from ..operators.sax import sax_bitmap
+
+    out = sax_bitmap(
+        _series(spark, sf_dir), seg_len=4, alphabet=4, chunk_len=64,
+        top_frac=0.05,
+    )
+    return out.select(
+        "series_id", "chunk", "dist", "dist_rank", "flag"
+    )
+
+
+ORACLES["sax_bitmap"] = f"""
+WITH {SQL_S}, {SQL_MO},
+z AS (
+  SELECT s.series_id, s.rn,
+         (s.value - mo2.mu) / (mo2.sd + 1e-9) AS z,
+         CAST(floor((s.rn - 1) / 4) AS BIGINT) AS seg
+  FROM s JOIN mo2 USING (series_id)),
+paa AS (
+  SELECT series_id, seg,
+         CAST(sum(CAST(z AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+           AS paa
+  FROM z GROUP BY 1, 2),
+symed AS (
+  SELECT series_id, seg,
+         CASE WHEN paa >= 0.67 THEN 'd'
+              WHEN paa >= 0.0 THEN 'c'
+              WHEN paa >= -0.67 THEN 'b'
+              ELSE 'a' END AS symbol
+  FROM paa),
+bi AS (
+  SELECT series_id, seg,
+         symbol || lead(symbol, 1) OVER (
+           PARTITION BY series_id ORDER BY seg) AS bigram,
+         CAST(floor(seg / 64) AS BIGINT) AS chunk
+  FROM symed),
+cnt AS (
+  SELECT series_id, chunk, bigram, count(*) AS cnt
+  FROM bi WHERE bigram IS NOT NULL GROUP BY 1, 2, 3),
+ss AS (
+  SELECT series_id, chunk, sum(cnt * cnt) AS ss
+  FROM cnt GROUP BY 1, 2),
+cross_t AS (
+  SELECT a.series_id, a.chunk, sum(a.cnt * b.cnt) AS x
+  FROM cnt a JOIN cnt b
+    ON b.series_id = a.series_id AND b.chunk = a.chunk + 1
+   AND b.bigram = a.bigram
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT a.series_id, a.chunk + 1 AS chunk,
+         CAST(a.ss + b.ss - 2 * coalesce(x.x, 0) AS BIGINT) AS dist
+  FROM ss a
+  JOIN ss b ON b.series_id = a.series_id AND b.chunk = a.chunk + 1
+  LEFT JOIN cross_t x
+    ON x.series_id = a.series_id AND x.chunk = a.chunk),
+rk AS (
+  SELECT series_id, chunk, dist,
+         rank() OVER (PARTITION BY series_id
+                      ORDER BY dist DESC, chunk) AS r,
+         count(*) OVER (PARTITION BY series_id) AS n
+  FROM pairs)
+SELECT series_id, chunk, dist, r AS dist_rank,
+       CAST(CASE WHEN r <= greatest(1, floor(n * 0.05))
+            THEN 1 ELSE 0 END AS INT) AS flag
+FROM rk
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from . import registry_datapipe
 
@@ -4769,6 +5051,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ar2_forecast": q_ar2_forecast,
         "detector_rank_ensemble": q_detector_rank_ensemble,
         "pelt_changepoints": q_pelt_changepoints,
+        "page_hinkley": q_page_hinkley,
+        "knn_outlier": q_knn_outlier,
+        "kde_rarity": q_kde_rarity,
+        "croston_forecast": q_croston_forecast,
+        "sax_bitmap": q_sax_bitmap,
         "pacf": q_pacf,
         "hybrid_detection": q_hybrid_detection,
         "hybrid_detection_bsts_lstm": q_hybrid_detection_bsts_lstm,
@@ -4896,6 +5183,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detector_rank_ensemble",
         "acf_fft",
         "pelt_changepoints",
+        "page_hinkley",
+        "knn_outlier",
+        "kde_rarity",
+        "croston_forecast",
+        "sax_bitmap",
+        "vocab_stats",
+        "winnow_near_dup",
+        "distinctive_terms",
         # last checked r04 (green) — next priority
         "stratified_sample",
         "source_mix",

@@ -100,6 +100,51 @@ def q_winnow_fingerprints(spark, sf_dir):
     return out.select("doc_id", "fp_hash", "first_pos")
 
 
+def q_vocab_stats(spark, sf_dir):
+    """Per-source vocabulary profile: doc/token/type/hapax counts plus
+    type-token and hapax ratios — the corpus-health diagnostics
+    (vocabulary collapse = over-dedup; hapax explosion = OCR noise)
+    beside corpus_drift.  Pure integer counting over the shared
+    tokenizer; two-stage aggregate with map-side combine."""
+    from ..datapipe.text import vocab_stats
+
+    out = vocab_stats(_docs(spark, sf_dir))
+    return out.select(
+        "source", "n_docs", "n_tokens", "n_types", "n_hapax",
+        "top_token_count",
+        _rnd("type_token_ratio", R).alias("type_token_ratio"),
+        _rnd("hapax_ratio", R).alias("hapax_ratio"),
+    )
+
+
+def q_winnow_near_dup(spark, sf_dir):
+    """Passage-level near-dup pairs by shared winnowing fingerprints
+    (Schleimer et al. SIGMOD'03 / MOSS) — catches copied substrings
+    that whole-doc MinHash dilutes.  Postings self-join through the
+    salted skew guard; containment overlap = shared/min(n_a, n_b),
+    a rational of integers."""
+    from ..datapipe.dedup import winnow_near_dup
+
+    out = winnow_near_dup(_docs(spark, sf_dir), min_overlap=0.5)
+    return out.select(
+        "id_a", "id_b", "shared", "n_a", "n_b",
+        _rnd("overlap", R).alias("overlap"),
+    )
+
+
+def q_distinctive_terms(spark, sf_dir):
+    """Per-source distinctive terms: rational tf-idf (tf·N/df — the
+    log-free form that preserves ordering and hashes cross-engine),
+    min_df=2, top-10 per source with token tie-break."""
+    from ..datapipe.corpus import distinctive_terms
+
+    out = distinctive_terms(_docs(spark, sf_dir), top_k=10, min_df=2)
+    return out.select(
+        "source", "term_rank", "token", "tf", "df",
+        _rnd("score", R).alias("score"),
+    )
+
+
 def q_exact_dedup(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir)).select(
         "doc_id", "dup_group", "group_size", "keep"
@@ -2868,6 +2913,9 @@ def queries():
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "vocab_stats": q_vocab_stats,
+        "winnow_near_dup": q_winnow_near_dup,
+        "distinctive_terms": q_distinctive_terms,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -2959,6 +3007,86 @@ SELECT s.doc_id,
             THEN 1 ELSE 0 END AS INT) AS selected
 FROM sc s CROSS JOIN tot t
 """.format(SQL_TOKS=SQL_TOKS, IMP_THR=IMP_THR, IMP_BUCKETS=IMP_BUCKETS, R=R)
+
+
+ORACLES["vocab_stats"] = f"""
+WITH toks AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+  FROM documents),
+tc AS (
+  SELECT source, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+pg AS (
+  SELECT source, count(*) AS n_types,
+         CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hapax,
+         max(cnt) AS top_token_count
+  FROM tc GROUP BY 1),
+dc AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+SELECT p.source, d.n_docs, p.n_tokens, p.n_types, p.n_hapax,
+       p.top_token_count,
+       round(p.n_types / p.n_tokens, {R}) AS type_token_ratio,
+       round(p.n_hapax / p.n_types, {R}) AS hapax_ratio
+FROM pg p JOIN dc d USING (source)
+"""
+
+# winnow_near_dup: the winnow_fingerprints CTEs (verbatim) feeding a
+# postings self-join + containment overlap — mirrors dedup.winnow_near_dup
+ORACLES["winnow_near_dup"] = f"""
+WITH grams AS (
+  SELECT doc_id, i AS pos,
+         CAST('0x' || substr(md5(substring(text, i, 8)), 1, 12)
+              AS BIGINT) AS gh
+  FROM documents,
+       unnest(generate_series(1, greatest(strlen(text) - 7, 0)))
+         AS t(i)),
+wins AS (
+  SELECT DISTINCT doc_id, wmin AS fp_hash
+  FROM (
+    SELECT doc_id, pos,
+           min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+             AS wmin
+    FROM grams
+  ) WHERE pos >= 16),
+sz AS (SELECT doc_id, count(*) AS n_fp FROM wins GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM wins a JOIN wins b
+    ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT s.id_a, s.id_b, s.shared, na.n_fp AS n_a, nb.n_fp AS n_b,
+       round(s.shared / least(na.n_fp, nb.n_fp), {R}) AS overlap
+FROM shared s
+JOIN sz na ON na.doc_id = s.id_a
+JOIN sz nb ON nb.doc_id = s.id_b
+WHERE s.shared / least(na.n_fp, nb.n_fp) >= 0.5
+"""
+
+
+ORACLES["distinctive_terms"] = f"""
+WITH toks AS (
+  SELECT source, doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+  FROM documents),
+tf AS (SELECT source, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (
+  SELECT token, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY 1),
+nd AS (SELECT count(*) AS n FROM documents),
+sc AS (
+  SELECT t.source, t.token, t.tf, d.df,
+         t.tf * nd.n / d.df AS score
+  FROM tf t JOIN dfq d USING (token) CROSS JOIN nd
+  WHERE d.df >= 2),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY score DESC, token) AS term_rank
+  FROM sc)
+SELECT source, term_rank, token, tf, df, round(score, {R}) AS score
+FROM rk WHERE term_rank <= 10
+"""
 
 
 def oracle_sql():

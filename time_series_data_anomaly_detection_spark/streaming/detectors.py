@@ -407,6 +407,93 @@ def streaming_control_flags(
     )
 
 
+_PH_OUT = StructType(
+    [
+        StructField("series_id", StringType()),
+        StructField("timestamp", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("ph_up", DoubleType()),
+        StructField("ph_dn", DoubleType()),
+        StructField("flag_up", IntegerType()),
+        StructField("flag_dn", IntegerType()),
+    ]
+)
+
+_PH_STATE = StructType(
+    [
+        StructField("m_up", DoubleType()),
+        StructField("mn", DoubleType()),
+        StructField("m_dn", DoubleType()),
+        StructField("mx", DoubleType()),
+    ]
+)
+
+
+def streaming_page_hinkley(
+    stream: DataFrame,
+    norm_mu: float = 0.0,
+    norm_sd: float = 1.0,
+    delta_frac: float = 0.125,
+    lam_frac: float = 20.0,
+) -> DataFrame:
+    """Page-Hinkley as a stateful stream — the streaming twin of
+    ``operators.drift.page_hinkley`` with O(1) state per series (four
+    doubles: the two cumulative deviations and their running
+    extrema).  Like ``streaming_control_flags``, the stream has no
+    global moments, so the caller supplies train-time
+    ``(norm_mu, norm_sd)``; given identical moments the statistics
+    match the batch operator row-for-row on any prefix (asserted by
+    the batch-parity test).
+    """
+    mu, sd = float(norm_mu), float(norm_sd)
+    delta = sd * float(delta_frac)
+    lam = sd * float(lam_frac)
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (series_id,) = key
+        if state.exists:
+            m_up, mn, m_dn, mx = state.get
+        else:
+            m_up, mn, m_dn, mx = 0.0, np.inf, 0.0, -np.inf
+        for pdf in pdfs:
+            pdf = pdf.sort_values("timestamp").reset_index(drop=True)
+            y = pdf["value"].to_numpy(float)
+            n = len(y)
+            up = np.empty(n)
+            dn = np.empty(n)
+            for i in range(n):
+                m_up = m_up + (y[i] - mu - delta)
+                mn = min(mn, m_up)
+                m_dn = m_dn + (y[i] - mu + delta)
+                mx = max(mx, m_dn)
+                up[i] = m_up - mn
+                dn[i] = mx - m_dn
+            yield pd.DataFrame(
+                {
+                    "series_id": series_id,
+                    "timestamp": pdf["timestamp"],
+                    "value": y,
+                    "ph_up": up,
+                    "ph_dn": dn,
+                    "flag_up": (up > lam).astype("int32"),
+                    "flag_dn": (dn > lam).astype("int32"),
+                }
+            )
+        state.update((float(m_up), float(mn), float(m_dn), float(mx)))
+
+    return stream.groupBy("series_id").applyInPandasWithState(
+        update,
+        _PH_OUT,
+        _PH_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 _HW_OUT = StructType(
     [
         StructField("series_id", StringType()),

@@ -280,3 +280,83 @@ def test_winnow_near_dup_finds_shared_passage(spark):
     assert r["overlap"] == pytest.approx(
         r["shared"] / min(r["n_a"], r["n_b"])
     )
+
+
+# ------------------------------------------------------- wave 2 (r06)
+
+
+def test_variance_ratio_matches_numpy(spark):
+    rng = _rng(11)
+    # random walk: VR ~ 1; white noise: VR(q) ~ 1/q-ish (mean-revert)
+    walk = np.cumsum(rng.normal(0, 1, 500))
+    from time_series_data_anomaly_detection_spark.operators.stattests import (
+        variance_ratio,
+    )
+
+    out = variance_ratio(series_df(spark, walk)).toPandas()
+    assert set(out["q"]) == {2, 4, 8}
+    for q in (2, 4, 8):
+        d1 = np.diff(walk)
+        dq = walk[q:] - walk[:-q]
+        var1 = d1.var(ddof=1)
+        varq = dq.var(ddof=1)
+        row = out[out["q"] == q].iloc[0]
+        assert row["n"] == len(d1)
+        assert row["var1"] == pytest.approx(var1, rel=1e-9)
+        assert row["varq"] == pytest.approx(varq, rel=1e-9)
+        assert row["vr"] == pytest.approx(varq / (q * var1), rel=1e-9)
+    # a random walk's VR stays near 1; the z-stats are modest
+    assert (out["vr"] - 1).abs().max() < 0.6
+
+    noise = rng.normal(0, 1, 500)
+    out_n = variance_ratio(series_df(spark, noise, "s2")).toPandas()
+    # mean-reverting: VR(q) well below 1 and z strongly negative
+    assert (out_n["vr"] < 0.8).all()
+    assert (out_n["z"] < -2).all()
+
+
+def test_feature_table_columns_and_values(spark):
+    rng = _rng(12)
+    vals = rng.normal(20, 3, 120)
+    from time_series_data_anomaly_detection_spark.operators.features import (
+        feature_table,
+    )
+
+    out = feature_table(series_df(spark, vals)).orderBy("rn").toPandas()
+    assert np.isnan(out.loc[0, "lag_1"]) or out.loc[0, "lag_1"] is None
+    assert out.loc[5, "lag_1"] == pytest.approx(vals[4])
+    assert out.loc[5, "lag_3"] == pytest.approx(vals[2])
+    assert out.loc[100, "lag_s48"] == pytest.approx(vals[100 - 48])
+    # trailing rolling mean (min_periods=5, window=48)
+    assert out.loc[60, "roll_mean"] == pytest.approx(
+        vals[13:61].mean(), abs=1e-9
+    )
+    assert out.loc[10, "pos_frac"] == pytest.approx(11 / 120)
+    # 30-min grid starting at midnight: hod cycles 0..23, dow in 0..6
+    assert out["hod"].between(0, 23).all()
+    assert out["dow"].between(0, 6).all()
+    assert out.loc[0, "hod"] == 0 and out.loc[2, "hod"] == 1
+
+
+def test_doc_novelty_counts(spark):
+    texts = [
+        "alpha beta gamma delta epsilon zeta",   # shares 4-run w/ doc1
+        "alpha beta gamma delta other words here",
+        "completely different content nothing else matches anything",
+    ]
+    from time_series_data_anomaly_detection_spark.datapipe.corpus import (
+        doc_novelty,
+    )
+
+    out = (
+        doc_novelty(_docs_df(spark, texts), n=3)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    # docs 0/1 share the 3-grams inside "alpha beta gamma delta":
+    # 'alpha beta gamma' and 'beta gamma delta' -> n_shared = 2
+    assert out.loc[0, "n_shingles"] == 4  # 6 tokens -> 4 shingles
+    assert out.loc[0, "n_shared"] == 2
+    assert out.loc[0, "novelty"] == pytest.approx(0.5)
+    assert out.loc[2, "n_shared"] == 0
+    assert out.loc[2, "novelty"] == pytest.approx(1.0)

@@ -389,3 +389,45 @@ def distinctive_terms(
         .filter(F.col("term_rank") <= int(top_k))
         .select(group_col, "term_rank", "token", "tf", "df", "score")
     )
+
+
+def doc_novelty(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document novelty: the share of a doc's distinct word
+    n-gram shingles that appear in NO other document — the
+    template/boilerplate detector dual to near-dup scoring (a doc of
+    novelty ~0 is assembled entirely from corpus-shared fragments even
+    when no single pair-wise match crosses a dedup threshold).
+
+    ``novelty = 1 − n_shared/n_shingles`` where ``n_shared`` counts
+    shingles with corpus document-frequency ≥ 2 — integers end to end.
+    Docs too short to form a shingle carry nulls.
+
+    Scale shape: the shared :func:`~..dedup.shingles` projection
+    (hash-only), one document-frequency aggregate on the shingle hash
+    (map-side partial combine absorbs the Zipf head), one per-doc
+    rollup.  No pair join anywhere — this is the O(corpus) summary
+    the pair generators sit on top of.
+    """
+    from .dedup import shingles
+
+    sh = shingles(df, n=n, text_col=text_col, id_col=id_col)
+    dfreq = sh.groupBy("shingle_hash").agg(F.count("*").alias("df"))
+    per_doc = (
+        sh.join(dfreq, "shingle_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("df") >= 2).cast("long")).alias("n_shared"),
+        )
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        "n_shared",
+        (1.0 - F.col("n_shared") / F.col("n_shingles")).alias("novelty"),
+    )

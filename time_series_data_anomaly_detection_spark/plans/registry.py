@@ -5016,6 +5016,126 @@ FROM rk
 """
 
 
+def q_variance_ratio(spark, sf_dir):
+    """Lo-MacKinlay variance-ratio test (1988) at q ∈ {2,4,8},
+    hash-gated: VR(q) = Var(q-diff)/(q·Var(1-diff)) from exact-decimal
+    moment sums + the asymptotic z — the FORMAL random-walk test
+    behind the ACF plots the reference eyeballs.  One window pass,
+    one aggregate, q rows per series."""
+    from ..operators.stattests import variance_ratio
+
+    out = variance_ratio(_series(spark, sf_dir))
+    return out.select(
+        "series_id", "q", "n",
+        _rnd("var1", R).alias("var1"),
+        _rnd("varq", R).alias("varq"),
+        _rnd("vr", R).alias("vr"),
+        _rnd("z", R).alias("z"),
+    )
+
+
+ORACLES["variance_ratio"] = f"""
+WITH {SQL_S},
+lagd AS (
+  SELECT series_id, rn,
+         value - lag(value, 1) OVER w AS d1,
+         value - lag(value, 2) OVER w AS d2,
+         value - lag(value, 4) OVER w AS d4,
+         value - lag(value, 8) OVER w AS d8
+  FROM s WINDOW w AS (PARTITION BY series_id ORDER BY rn)),
+agg AS (
+  SELECT series_id,
+         count(d1) AS n,
+         (CAST(sum(CAST(d1 AS DECIMAL(38,12))) AS DOUBLE)) AS a1,
+         (CAST(sum(CAST(d1 * d1 AS DECIMAL(38,12))) AS DOUBLE)) AS b1,
+         count(d2) AS n2,
+         (CAST(sum(CAST(d2 AS DECIMAL(38,12))) AS DOUBLE)) AS a2,
+         (CAST(sum(CAST(d2 * d2 AS DECIMAL(38,12))) AS DOUBLE)) AS b2,
+         count(d4) AS n4,
+         (CAST(sum(CAST(d4 AS DECIMAL(38,12))) AS DOUBLE)) AS a4,
+         (CAST(sum(CAST(d4 * d4 AS DECIMAL(38,12))) AS DOUBLE)) AS b4,
+         count(d8) AS n8,
+         (CAST(sum(CAST(d8 AS DECIMAL(38,12))) AS DOUBLE)) AS a8,
+         (CAST(sum(CAST(d8 * d8 AS DECIMAL(38,12))) AS DOUBLE)) AS b8
+  FROM lagd GROUP BY 1),
+vv AS (
+  SELECT series_id, n,
+         (b1 - a1 * a1 / n) / (n - 1) AS var1,
+         (b2 - a2 * a2 / n2) / (n2 - 1) AS varq_2,
+         (b4 - a4 * a4 / n4) / (n4 - 1) AS varq_4,
+         (b8 - a8 * a8 / n8) / (n8 - 1) AS varq_8
+  FROM agg),
+vals AS (
+  SELECT series_id, n, var1, 2 AS q, varq_2 AS varq FROM vv
+  UNION ALL
+  SELECT series_id, n, var1, 4 AS q, varq_4 AS varq FROM vv
+  UNION ALL
+  SELECT series_id, n, var1, 8 AS q, varq_8 AS varq FROM vv)
+SELECT series_id, q, n,
+       round(var1, {R}) AS var1,
+       round(varq, {R}) AS varq,
+       round(varq / (q * var1), {R}) AS vr,
+       round((varq / (q * var1) - 1.0)
+             / sqrt((2.0 * (2.0 * q - 1.0) * (q - 1.0))
+                    / (3.0 * q * n)), {R}) AS z
+FROM vals
+"""
+
+
+def q_forecast_features(spark, sf_dir):
+    """Forecast feature table: short lags + seasonal lag + trailing
+    W1 rolling mean/std + calendar keys + positional split fraction —
+    the feature-engineering pass a tabular forecaster trains on
+    (generalizes src/lstm_model.py:18-30's hand-built windows).
+    Fully native; one series exchange."""
+    from ..operators.features import feature_table
+
+    out = feature_table(_series(spark, sf_dir))
+    return out.select(
+        "series_id", "rn",
+        _rnd("roll_mean", R).alias("roll_mean"),
+        _rnd("roll_std", R).alias("roll_std"),
+        _rnd("lag_1", R).alias("lag_1"),
+        _rnd("lag_2", R).alias("lag_2"),
+        _rnd("lag_3", R).alias("lag_3"),
+        _rnd("lag_s48", R).alias("lag_s48"),
+        "hod", "dow",
+        _rnd("pos_frac", R).alias("pos_frac"),
+    )
+
+
+ORACLES["forecast_features"] = f"""
+WITH {SQL_S}, {SQL_ROLL},
+lagd AS (
+  SELECT series_id, rn, timestamp,
+         lag(value, 1) OVER w AS lag_1,
+         lag(value, 2) OVER w AS lag_2,
+         lag(value, 3) OVER w AS lag_3,
+         lag(value, 48) OVER w AS lag_s48,
+         count(*) OVER (PARTITION BY series_id) AS n
+  FROM s WINDOW w AS (PARTITION BY series_id ORDER BY rn)),
+feat AS (
+  SELECT l.series_id, l.rn,
+         r.roll_mean, r.roll_std,
+         l.lag_1, l.lag_2, l.lag_3, l.lag_s48,
+         CAST(hour(l.timestamp) AS INTEGER) AS hod,
+         CAST(dayofweek(l.timestamp) AS INTEGER) AS dow,
+         l.rn / l.n AS pos_frac
+  FROM lagd l JOIN roll r ON r.series_id = l.series_id
+                         AND r.rn = l.rn)
+SELECT series_id, rn,
+       round(roll_mean, {R}) AS roll_mean,
+       round(roll_std, {R}) AS roll_std,
+       round(lag_1, {R}) AS lag_1,
+       round(lag_2, {R}) AS lag_2,
+       round(lag_3, {R}) AS lag_3,
+       round(lag_s48, {R}) AS lag_s48,
+       hod, dow,
+       round(pos_frac, {R}) AS pos_frac
+FROM feat
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from . import registry_datapipe
 
@@ -5056,6 +5176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kde_rarity": q_kde_rarity,
         "croston_forecast": q_croston_forecast,
         "sax_bitmap": q_sax_bitmap,
+        "variance_ratio": q_variance_ratio,
+        "forecast_features": q_forecast_features,
         "pacf": q_pacf,
         "hybrid_detection": q_hybrid_detection,
         "hybrid_detection_bsts_lstm": q_hybrid_detection_bsts_lstm,
@@ -5191,6 +5313,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats",
         "winnow_near_dup",
         "distinctive_terms",
+        "variance_ratio",
+        "forecast_features",
+        "doc_novelty",
         # last checked r04 (green) — next priority
         "stratified_sample",
         "source_mix",

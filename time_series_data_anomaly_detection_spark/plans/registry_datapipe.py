@@ -145,6 +145,20 @@ def q_distinctive_terms(spark, sf_dir):
     )
 
 
+def q_doc_novelty(spark, sf_dir):
+    """Per-doc novelty: share of the doc's distinct 3-gram shingles
+    with corpus document-frequency 1 — the template/boilerplate
+    detector dual to near-dup pair scoring.  Integers end to end; no
+    pair join (one df aggregate on the shingle hash)."""
+    from ..datapipe.corpus import doc_novelty
+
+    out = doc_novelty(_docs(spark, sf_dir), n=3)
+    return out.select(
+        "doc_id", "n_shingles", "n_shared",
+        _rnd("novelty", R).alias("novelty"),
+    )
+
+
 def q_exact_dedup(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir)).select(
         "doc_id", "dup_group", "group_size", "keep"
@@ -2916,6 +2930,7 @@ def queries():
         "vocab_stats": q_vocab_stats,
         "winnow_near_dup": q_winnow_near_dup,
         "distinctive_terms": q_distinctive_terms,
+        "doc_novelty": q_doc_novelty,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -3064,6 +3079,22 @@ JOIN sz nb ON nb.doc_id = s.id_b
 WHERE s.shared / least(na.n_fp, nb.n_fp) >= 0.5
 """
 
+
+ORACLES["doc_novelty"] = f"""
+WITH {SQL_TOKS}, {SQL_SHINGLES},
+dfreq AS (
+  SELECT shingle_hash, count(*) AS df FROM sh GROUP BY 1),
+per_doc AS (
+  SELECT s.doc_id,
+         count(*) AS n_shingles,
+         CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared
+  FROM sh s JOIN dfreq f USING (shingle_hash)
+  GROUP BY 1)
+SELECT d.doc_id, p.n_shingles, p.n_shared,
+       round(1.0 - p.n_shared / p.n_shingles, {R}) AS novelty
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
 
 ORACLES["distinctive_terms"] = f"""
 WITH toks AS (

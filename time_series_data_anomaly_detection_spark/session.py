@@ -121,5 +121,25 @@ def get_spark(
         .config("spark.ui.retainedTasks", "2000")
         .config("spark.sql.ui.retainedExecutions", "50")
         .config("spark.cleaner.periodicGC.interval", "90s")
+        # The periodic cleaner GC calls System.gc(), which on G1 is a
+        # STOP-THE-WORLD full collection that grows with the heap — by
+        # query ~100 of a 150-query session the pauses themselves were
+        # the aging (positions 100-125 ran 1.8x their fresh time while
+        # positions 0-25 ran 1.0-1.3x, r06 3-run measurement).
+        # ExplicitGCInvokesConcurrent turns those System.gc() calls
+        # into concurrent G1 cycles (reference processing still runs,
+        # so the ContextCleaner's weak refs still drain) without the
+        # pause.  The larger code cache keeps 150+ distinct
+        # whole-stage-codegen classes compiled instead of letting the
+        # JVM silently flush cold methods back to the interpreter
+        # (JDK17 default 240 MB; no warning is ever printed).
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_DRIVER_JAVA_OPTS",
+                "-XX:+ExplicitGCInvokesConcurrent"
+                " -XX:ReservedCodeCacheSize=512m",
+            ),
+        )
     )
     return builder.getOrCreate()

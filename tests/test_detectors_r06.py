@@ -360,3 +360,61 @@ def test_doc_novelty_counts(spark):
     assert out.loc[0, "novelty"] == pytest.approx(0.5)
     assert out.loc[2, "n_shared"] == 0
     assert out.loc[2, "novelty"] == pytest.approx(1.0)
+
+
+def test_rs_analysis_matches_numpy(spark):
+    rng = _rng(13)
+    vals = np.cumsum(rng.normal(0, 1, 600))  # random walk, H ~ 0.5+
+    from time_series_data_anomaly_detection_spark.operators.stattests import (
+        rs_analysis,
+    )
+
+    out = rs_analysis(series_df(spark, vals), scales=(64, 256)).toPandas()
+
+    def rs_ref(x, s):
+        nb = len(x) // s
+        vals_rs = []
+        for b in range(nb):
+            w = x[b * s : (b + 1) * s]
+            z = np.cumsum(w - w.mean())
+            r = z.max() - z.min()
+            sd = w.std(ddof=0)
+            vals_rs.append(r / (sd + 1e-9))
+        return np.mean(vals_rs), nb
+
+    for s in (64, 256):
+        row = out[out["scale"] == s].iloc[0]
+        ref, nb = rs_ref(vals, s)
+        assert row["n_blocks"] == nb
+        assert row["rs_mean"] == pytest.approx(ref, rel=1e-7)
+    # persistence: R/S grows with scale for a random walk
+    m64 = out[out["scale"] == 64]["rs_mean"].iloc[0]
+    m256 = out[out["scale"] == 256]["rs_mean"].iloc[0]
+    assert m256 > m64 * 1.5
+
+
+def test_compression_ratio_separates_template_from_noise(spark):
+    import string
+
+    rng = np.random.default_rng(14)
+    noise = "".join(
+        rng.choice(list(string.ascii_letters + string.digits), 400)
+    )
+    texts = ["repeat this phrase " * 40, noise]
+    from time_series_data_anomaly_detection_spark.datapipe.text import (
+        compression_ratio,
+    )
+
+    out = (
+        compression_ratio(_docs_df(spark, texts))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    import zlib
+
+    for i, t in enumerate(texts):
+        raw = t.encode()
+        assert out.loc[i, "n_bytes"] == len(raw)
+        assert out.loc[i, "n_compressed"] == len(zlib.compress(raw, 6))
+    assert out.loc[0, "compression_ratio"] < 0.1   # template
+    assert out.loc[1, "compression_ratio"] > 0.7   # incompressible

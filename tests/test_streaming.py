@@ -968,3 +968,83 @@ def test_streaming_page_hinkley_matches_batch(spark, stream_data):
     np.testing.assert_allclose(out["ph_dn"], b["ph_dn"], atol=1e-5)
     # the injected burst drives an up-drift alarm in-stream
     assert out["flag_up"].iloc[200:].sum() > 0
+
+
+def test_streaming_sessions_native_session_window(spark, tmp_path):
+    """Native F.session_window sessionization: closed sessions match
+    the batch gap-session operator on the same events."""
+    import numpy as np
+    import pandas as pd
+
+    from time_series_data_anomaly_detection_spark.streaming.quality import (
+        streaming_sessions,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    # user 1: two sessions (gap > 30min); user 2: one session
+    for uid, offsets in [
+        (1, [0, 5, 10, 120, 125]),
+        (2, [0, 20, 40]),
+    ]:
+        for off in offsets:
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": base + pd.Timedelta(minutes=off),
+                    "user_id": uid,
+                    "event_type": "click" if eid % 2 else "view",
+                    "value": 1.0 * eid,
+                    "props": "{}",
+                }
+            )
+            eid += 1
+    # a far-future event per user closes all real sessions past the
+    # watermark when availableNow drains
+    for uid in (1, 2):
+        rows.append(
+            {
+                "event_id": eid,
+                "ts": base + pd.Timedelta(days=2),
+                "user_id": uid,
+                "event_type": "view",
+                "value": 0.0,
+                "props": "{}",
+            }
+        )
+        eid += 1
+    pdf = pd.DataFrame(rows)
+    root = tmp_path / "sess_src"
+    root.mkdir()
+    pdf.to_parquet(
+        root / "p1.parquet",
+        index=False,
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    stream = spark.readStream.schema(schema).parquet(str(root))
+    got = _run_stream(
+        spark,
+        streaming_sessions(stream, gap="30 minutes", watermark="1 hour"),
+        "sessstream",
+    ).toPandas()
+    closed = got.sort_values(["user_id", "session_start"]).reset_index(
+        drop=True
+    )
+    # user 1: [0,5,10] and [120,125]; user 2: [0,20,40]
+    u1 = closed[closed["user_id"] == 1]
+    assert len(u1) == 2
+    assert u1.iloc[0]["n_events"] == 3
+    assert u1.iloc[1]["n_events"] == 2
+    u2 = closed[closed["user_id"] == 2]
+    assert len(u2) == 1
+    assert u2.iloc[0]["n_events"] == 3
+    # session extent = first event .. last event + gap
+    assert (
+        u1.iloc[0]["session_end"] - u1.iloc[0]["session_start"]
+    ) == pd.Timedelta(minutes=40)

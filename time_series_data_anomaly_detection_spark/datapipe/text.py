@@ -293,3 +293,51 @@ def vocab_stats(
         (F.col("n_types") / F.col("n_tokens")).alias("type_token_ratio"),
         (F.col("n_hapax") / F.col("n_types")).alias("hapax_ratio"),
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the language-agnostic
+    repetition/quality signal used by large-corpus filters (highly
+    compressible ≈ templated/repetitive; incompressible ≈ binary noise
+    or already-compressed junk): complements the n-gram repetition
+    signals in ``decontam.repetition_signals`` with a measure that
+    catches long-range structure n-grams miss.
+
+    ``ratio = compressed_bytes / raw_bytes`` (UTF-8), deterministic
+    for a fixed zlib level — but NOT SQL-expressible, so this operator
+    is rows-only in the gate with a pinned-values unit test.
+
+    Scale shape: ``mapInPandas`` projection — zero shuffles, zero
+    state; Arrow batches stream through zlib at memory-bounded cost.
+    """
+    import zlib
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            n_raw = raw.str.len().astype("int64")
+            n_comp = raw.map(
+                lambda b: len(zlib.compress(b, level))
+            ).astype("int64")
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": n_raw,
+                    "n_compressed": n_comp,
+                    "compression_ratio": n_comp / n_raw.where(n_raw > 0),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} long, n_bytes long, n_compressed long, "
+        "compression_ratio double",
+    )

@@ -94,3 +94,102 @@ def variance_ratio(
         "series_id", "q", "n", "var1", "varq",
         vr.alias("vr"), z.alias("z"),
     )
+
+
+def rs_analysis(
+    df: DataFrame,
+    value_col: str = "value",
+    scales: tuple[int, ...] = (64, 256),
+) -> DataFrame:
+    """Rescaled-range (R/S) analysis (Hurst 1951; Mandelbrot & Wallis
+    1969) — the long-memory diagnostic beside the variance-ratio test:
+    for each block of ``s`` consecutive rows, ``R`` is the range of the
+    mean-adjusted cumulative deviations and ``S`` the population std;
+    ``E[R/S] ∝ s^H`` with Hurst exponent H (0.5 = no memory, > 0.5 =
+    persistent).  The per-scale means are emitted; the H estimate is
+    ``log(rs_ratio)/log(scale_ratio)`` driver-side (kept OUT of the
+    gated output — cross-engine ``log`` is not bit-stable).
+
+    Returns one row per (series_id, scale): ``n_blocks``, ``rs_mean``
+    plus the building blocks.  Only COMPLETE blocks participate.
+
+    Cross-engine exactness: block cumulative sums and moments run in
+    DECIMAL(38,12); Z, R, S are fixed expressions over identical
+    doubles; the block-mean of R/S is decimal-accumulated.
+
+    Scale shape: per scale, one (series, block) partition window + two
+    tiny aggregates; blocks tables are rows/s ≪ input.  100 TB axis:
+    series × blocks, embarrassingly parallel.
+    """
+    v = F.col(value_col)
+    parts = []
+    for s in scales:
+        blk = df.select(
+            "series_id",
+            "rn",
+            v.alias("__v"),
+            F.floor((F.col("rn") - 1) / F.lit(int(s))).alias("__b"),
+        )
+        w = Window.partitionBy("series_id", "__b").orderBy("rn")
+        cum = blk.withColumn(
+            "__c", F.sum(F.col("__v").cast(DEC)).over(w).cast("double")
+        ).withColumn(
+            "__pos", F.col("rn") - F.col("__b") * F.lit(int(s))
+        )
+        bstats = blk.groupBy("series_id", "__b").agg(
+            F.count("*").alias("__n"),
+            F.sum(F.col("__v").cast(DEC)).cast("double").alias("__s1"),
+            F.sum((F.col("__v") * F.col("__v")).cast(DEC))
+            .cast("double")
+            .alias("__s2"),
+        )
+        bstats = bstats.filter(F.col("__n") == int(s)).select(
+            "series_id",
+            "__b",
+            (F.col("__s1") / F.col("__n")).alias("__m"),
+            F.sqrt(
+                F.greatest(
+                    (
+                        F.col("__s2")
+                        - F.col("__s1") * F.col("__s1") / F.col("__n")
+                    )
+                    / F.col("__n"),
+                    F.lit(0.0),
+                )
+            ).alias("__sd"),
+        )
+        z = cum.join(F.broadcast(bstats), ["series_id", "__b"]).select(
+            "series_id",
+            "__b",
+            "__sd",
+            (F.col("__c") - F.col("__pos") * F.col("__m")).alias("__z"),
+        )
+        rng = z.groupBy("series_id", "__b").agg(
+            (F.max("__z") - F.min("__z")).alias("__r"),
+            F.first("__sd").alias("__sd"),
+        )
+        rs = rng.select(
+            "series_id",
+            "__b",
+            (F.col("__r") / (F.col("__sd") + F.lit(1e-9))).alias("__rs"),
+        )
+        parts.append(
+            rs.groupBy("series_id")
+            .agg(
+                F.count("*").alias("n_blocks"),
+                (
+                    F.sum(F.col("__rs").cast(DEC)).cast("double")
+                    / F.count("*")
+                ).alias("rs_mean"),
+            )
+            .select(
+                "series_id",
+                F.lit(int(s)).alias("scale"),
+                "n_blocks",
+                "rs_mean",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("series_id", "scale", "n_blocks", "rs_mean")

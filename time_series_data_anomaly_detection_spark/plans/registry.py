@@ -5136,6 +5136,71 @@ FROM feat
 """
 
 
+def q_rs_hurst(spark, sf_dir):
+    """Rescaled-range (R/S) analysis (Hurst 1951) at block scales
+    {64, 256}, hash-gated: per-block range of mean-adjusted cumulative
+    deviations over the population std, block-averaged per scale —
+    the long-memory diagnostic beside variance_ratio.  The Hurst
+    slope itself (a cross-engine-unstable log ratio) stays
+    driver-side."""
+    from ..operators.stattests import rs_analysis
+
+    out = rs_analysis(_series(spark, sf_dir))
+    return out.select(
+        "series_id", "scale", "n_blocks",
+        _rnd("rs_mean", R).alias("rs_mean"),
+    )
+
+
+def _rs_scale_ctes(s: int) -> str:
+    return f"""
+blk{s} AS (
+  SELECT series_id, rn, value,
+         CAST(floor((rn - 1) / {s}) AS BIGINT) AS b
+  FROM s),
+cum{s} AS (
+  SELECT series_id, b, rn,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) OVER (
+           PARTITION BY series_id, b ORDER BY rn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DOUBLE) AS c,
+         rn - b * {s} AS pos
+  FROM blk{s}),
+bs{s} AS (
+  SELECT series_id, b, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE)
+           AS s2
+  FROM blk{s} GROUP BY 1, 2),
+bm{s} AS (
+  SELECT series_id, b, s1 / n AS m,
+         sqrt(greatest((s2 - s1 * s1 / n) / n, 0.0)) AS sd
+  FROM bs{s} WHERE n = {s}),
+zz{s} AS (
+  SELECT c.series_id, c.b, m.sd, c.c - c.pos * m.m AS z
+  FROM cum{s} c JOIN bm{s} m ON m.series_id = c.series_id
+                            AND m.b = c.b),
+rr{s} AS (
+  SELECT series_id, b, max(z) - min(z) AS r, any_value(sd) AS sd
+  FROM zz{s} GROUP BY 1, 2),
+ag{s} AS (
+  SELECT series_id, CAST({s} AS INT) AS scale,
+         count(*) AS n_blocks,
+         CAST(sum(CAST(r / (sd + 1e-9) AS DECIMAL(38,12)))
+              AS DOUBLE) / count(*) AS rs_mean
+  FROM rr{s} GROUP BY 1)"""
+
+
+ORACLES["rs_hurst"] = f"""
+WITH {SQL_S},{_rs_scale_ctes(64)},{_rs_scale_ctes(256)}
+SELECT series_id, scale, n_blocks, round(rs_mean, {R}) AS rs_mean
+FROM ag64
+UNION ALL
+SELECT series_id, scale, n_blocks, round(rs_mean, {R}) AS rs_mean
+FROM ag256
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from . import registry_datapipe
 
@@ -5178,6 +5243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_bitmap": q_sax_bitmap,
         "variance_ratio": q_variance_ratio,
         "forecast_features": q_forecast_features,
+        "rs_hurst": q_rs_hurst,
         "pacf": q_pacf,
         "hybrid_detection": q_hybrid_detection,
         "hybrid_detection_bsts_lstm": q_hybrid_detection_bsts_lstm,
@@ -5316,6 +5382,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variance_ratio",
         "forecast_features",
         "doc_novelty",
+        "rs_hurst",
+        "compression_ratio",
         # last checked r04 (green) — next priority
         "stratified_sample",
         "source_mix",

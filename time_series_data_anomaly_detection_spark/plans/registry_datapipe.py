@@ -159,6 +159,20 @@ def q_doc_novelty(spark, sf_dir):
     )
 
 
+def q_compression_ratio(spark, sf_dir):
+    """Per-doc zlib compression ratio (the Gopher-adjacent long-range
+    repetition/quality signal) — rows-only by declared design (zlib is
+    not SQL-expressible); values pinned by a unit test on templated vs
+    incompressible text.  mapInPandas projection, zero shuffles."""
+    from ..datapipe.text import compression_ratio
+
+    out = compression_ratio(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_bytes", "n_compressed",
+        _rnd("compression_ratio", R).alias("compression_ratio"),
+    )
+
+
 def q_exact_dedup(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir)).select(
         "doc_id", "dup_group", "group_size", "keep"
@@ -2931,6 +2945,7 @@ def queries():
         "winnow_near_dup": q_winnow_near_dup,
         "distinctive_terms": q_distinctive_terms,
         "doc_novelty": q_doc_novelty,
+        "compression_ratio": q_compression_ratio,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,

@@ -66,3 +66,51 @@ def streaming_source_quality(
             "pii_rate",
         )
     )
+
+
+def streaming_sessions(
+    stream,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+):
+    """Streaming sessionization with Spark's NATIVE session windows —
+    the streaming twin of ``datapipe.events.user_sessions`` (which
+    builds gap-sessions with a lag/cumsum window in batch).
+
+    ``F.session_window`` keeps per-user open-session state in the
+    state store, extends it while events arrive within ``gap``, and
+    EMITS the closed session once the watermark passes its end — the
+    engine-managed version of exactly the state machine the batch
+    operator replays, with eviction for free.
+
+    Returns one row per CLOSED session: ``user_id, session_start,
+    session_end, n_events, n_event_types, total_value``.
+
+    Scale shape: state is keyed by (user, open session) — the same
+    axis the batch operator groups on; a 100M-user stream spreads by
+    key with no hand-scheduling, and the watermark bounds state.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sw"),
+            F.col(user_col),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("event_type").alias("n_event_types"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            user_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "n_event_types",
+            "total_value",
+        )
+    )

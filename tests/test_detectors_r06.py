@@ -418,3 +418,51 @@ def test_compression_ratio_separates_template_from_noise(spark):
         assert out.loc[i, "n_compressed"] == len(zlib.compress(raw, 6))
     assert out.loc[0, "compression_ratio"] < 0.1   # template
     assert out.loc[1, "compression_ratio"] > 0.7   # incompressible
+
+
+def test_ks_drift_detects_shifted_test_half(spark):
+    rng = _rng(15)
+    # train N(0,1), test N(2,1) -> big KS; same-dist control -> small
+    shifted = np.concatenate([rng.normal(0, 1, 140), rng.normal(2, 1, 60)])
+    stable = rng.normal(0, 1, 200)
+    from time_series_data_anomaly_detection_spark.operators.stattests import (
+        ks_drift,
+    )
+
+    out_s = ks_drift(series_df(spark, shifted), train_frac=0.7).toPandas()
+    r = out_s.iloc[0]
+    assert r["n_train"] == 140 and r["n_test"] == 60
+    # scipy-free reference: brute-force two-sample KS
+    tr, te = shifted[:140], shifted[140:]
+    pts = np.sort(shifted)
+    d_ref = np.max(
+        np.abs(
+            np.searchsorted(np.sort(tr), pts, "right") / 140
+            - np.searchsorted(np.sort(te), pts, "right") / 60
+        )
+    )
+    assert r["ks"] == pytest.approx(d_ref, abs=1e-12)
+    assert r["flag"] == 1
+    out_c = ks_drift(series_df(spark, stable, "s2"), train_frac=0.7).toPandas()
+    assert out_c.iloc[0]["flag"] == 0
+
+
+def test_cusum_squares_locates_variance_change(spark):
+    rng = _rng(16)
+    vals = np.concatenate([rng.normal(0, 1, 250), rng.normal(0, 4, 250)])
+    from time_series_data_anomaly_detection_spark.operators.stattests import (
+        cusum_squares,
+    )
+
+    out = cusum_squares(series_df(spark, vals)).toPandas()
+    r = out.iloc[0]
+    # reference
+    c = np.cumsum(vals * vals)
+    d = np.abs(c / c[-1] - np.arange(1, 501) / 500)
+    assert r["k_hat"] == int(np.argmax(d)) + 1
+    assert r["d_abs_max"] == pytest.approx(d.max(), abs=1e-9)
+    assert abs(r["k_hat"] - 250) <= 15
+    assert r["flag"] == 1
+    # homoskedastic control does not reject
+    ctl = cusum_squares(series_df(spark, rng.normal(0, 1, 500), "s2")).toPandas()
+    assert ctl.iloc[0]["flag"] == 0

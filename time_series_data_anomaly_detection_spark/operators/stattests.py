@@ -193,3 +193,133 @@ def rs_analysis(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.select("series_id", "scale", "n_blocks", "rs_mean")
+
+
+def ks_drift(
+    df: DataFrame,
+    value_col: str = "value",
+    train_frac: float = 0.7,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test between the positional
+    train and test splits — the classical statistic behind the decile
+    TVD retrain trigger (``split_drift``): ``D = max_v |F_train(v) −
+    F_test(v)|`` over the pooled sample points, with the α=0.05
+    rejection flag ``D > 1.358·sqrt((n1+n2)/(n1·n2))``.
+
+    Fully native and exact: per-(series, value) split counts, one
+    value-ordered cumulative window, integer cumulative counts divided
+    by integer split sizes — identical doubles cross-engine; the
+    argmax value is tie-broken smallest.
+
+    Returns one row per series: ``n_train, n_test, ks, ks_at, flag``.
+
+    Scale shape: one (series, value) aggregate + one value-ordered
+    window on the DISTINCT-value table (≤ rows), one argmax filter.
+    """
+    v = F.col(value_col)
+    counts = df.groupBy("series_id").agg(F.max("rn").alias("__n"))
+    base = df.join(F.broadcast(counts), "series_id").withColumn(
+        "__tr",
+        (F.col("rn") <= F.floor(F.col("__n") * F.lit(float(train_frac))))
+        .cast("long"),
+    )
+    per_val = base.groupBy("series_id", v.alias("val")).agg(
+        F.sum("__tr").alias("c_tr"),
+        F.sum(F.lit(1) - F.col("__tr")).alias("c_te"),
+    )
+    wv = (
+        Window.partitionBy("series_id")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = per_val.groupBy("series_id").agg(
+        F.sum("c_tr").alias("n_train"), F.sum("c_te").alias("n_test")
+    )
+    ecdf = (
+        per_val.withColumn("F_tr", F.sum("c_tr").over(wv))
+        .withColumn("F_te", F.sum("c_te").over(wv))
+        .join(F.broadcast(tot), "series_id")
+        .withColumn(
+            "d",
+            F.abs(
+                F.col("F_tr") / F.col("n_train")
+                - F.col("F_te") / F.col("n_test")
+            ),
+        )
+    )
+    wr = Window.partitionBy("series_id").orderBy(
+        F.desc("d"), F.asc("val")
+    )
+    top = ecdf.withColumn("__r", F.row_number().over(wr)).filter(
+        F.col("__r") == 1
+    )
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n_train") + F.col("n_test"))
+        / (F.col("n_train") * F.col("n_test")).cast("double")
+    )
+    return top.select(
+        "series_id",
+        "n_train",
+        "n_test",
+        F.col("d").alias("ks"),
+        F.col("val").alias("ks_at"),
+        (F.col("d") > crit).cast("int").alias("flag"),
+    )
+
+
+def cusum_squares(
+    df: DataFrame,
+    value_col: str = "value",
+) -> DataFrame:
+    """Inclán-Tiao CUSUM-of-squares test (JASA 1994) — the VARIANCE
+    changepoint locator beside the mean-shift charts (CUSUM/PH):
+    ``D_k = C_k/C_n − k/n`` over the cumulative sum of squares; the
+    max |D_k| locates a variance change, and ``sqrt(n/2)·max|D|``
+    exceeds 1.358 at α=0.05 under homoskedasticity.
+
+    Exact: decimal cumulative x² sums; D is a fixed expression over
+    identical doubles; argmax tie-broken smallest rn.
+
+    Returns one row per series: ``k_hat, d_abs_max, it_stat, flag``.
+
+    Scale shape: the shared series window (one exchange) + one argmax
+    filter; O(n) with O(1) per-row state.
+    """
+    v = F.col(value_col)
+    order = [c for c in ("timestamp", "event_id") if c in df.columns]
+    w = (
+        Window.partitionBy("series_id")
+        .orderBy(*(order or ["rn"]))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = df.groupBy("series_id").agg(
+        F.count(value_col).alias("__n"),
+        F.sum((v * v).cast(DEC)).cast("double").alias("__cn"),
+    )
+    d = (
+        df.withColumn(
+            "__ck", F.sum((v * v).cast(DEC)).over(w).cast("double")
+        )
+        .join(F.broadcast(tot), "series_id")
+        .withColumn(
+            "__d",
+            F.abs(
+                F.col("__ck") / F.col("__cn")
+                - F.col("rn") / F.col("__n")
+            ),
+        )
+    )
+    wr = Window.partitionBy("series_id").orderBy(
+        F.desc("__d"), F.asc("rn")
+    )
+    top = d.withColumn("__r", F.row_number().over(wr)).filter(
+        F.col("__r") == 1
+    )
+    it = F.sqrt(F.col("__n") / F.lit(2.0)) * F.col("__d")
+    return top.select(
+        "series_id",
+        F.col("rn").alias("k_hat"),
+        F.col("__d").alias("d_abs_max"),
+        it.alias("it_stat"),
+        (it > F.lit(1.358)).cast("int").alias("flag"),
+    )

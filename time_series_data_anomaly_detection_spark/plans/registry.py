@@ -5201,6 +5201,109 @@ FROM ag256
 """
 
 
+def q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov train/test drift test (the formal
+    statistic behind the split_drift decile TVD), hash-gated: integer
+    cumulative ECDF counts over one value-ordered window; α=0.05
+    rejection flag."""
+    from ..operators.stattests import ks_drift
+
+    out = ks_drift(_series(spark, sf_dir), train_frac=0.7)
+    return out.select(
+        "series_id", "n_train", "n_test",
+        _rnd("ks", R).alias("ks"),
+        _rnd("ks_at", R).alias("ks_at"),
+        "flag",
+    )
+
+
+ORACLES["ks_drift"] = f"""
+WITH {SQL_S},
+n AS (SELECT series_id, max(rn) AS n FROM s GROUP BY 1),
+tagged AS (
+  SELECT s.series_id, s.value AS val,
+         CAST(CASE WHEN s.rn <= floor(n.n * 0.7) THEN 1 ELSE 0 END
+              AS BIGINT) AS tr
+  FROM s JOIN n USING (series_id)),
+pv AS (
+  SELECT series_id, val,
+         CAST(sum(tr) AS BIGINT) AS c_tr,
+         CAST(sum(1 - tr) AS BIGINT) AS c_te
+  FROM tagged GROUP BY 1, 2),
+tot AS (
+  SELECT series_id, CAST(sum(c_tr) AS BIGINT) AS n_train,
+         CAST(sum(c_te) AS BIGINT) AS n_test
+  FROM pv GROUP BY 1),
+ecdf AS (
+  SELECT p.series_id, p.val, t.n_train, t.n_test,
+         sum(p.c_tr) OVER w AS f_tr,
+         sum(p.c_te) OVER w AS f_te
+  FROM pv p JOIN tot t USING (series_id)
+  WINDOW w AS (PARTITION BY p.series_id ORDER BY p.val
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+dd AS (
+  SELECT series_id, val, n_train, n_test,
+         abs(f_tr / n_train - f_te / n_test) AS d,
+         row_number() OVER (
+           PARTITION BY series_id
+           ORDER BY abs(f_tr / n_train - f_te / n_test) DESC, val)
+           AS r
+  FROM ecdf)
+SELECT series_id, n_train, n_test,
+       round(d, {R}) AS ks, round(val, {R}) AS ks_at,
+       CAST(CASE WHEN d > 1.358 * sqrt((n_train + n_test)
+                 / CAST(n_train * n_test AS DOUBLE))
+            THEN 1 ELSE 0 END AS INT) AS flag
+FROM dd WHERE r = 1
+"""
+
+
+def q_cusum_squares(spark, sf_dir):
+    """Inclán-Tiao CUSUM-of-squares variance-changepoint test (JASA
+    1994), hash-gated: D_k = C_k/C_n − k/n over decimal cumulative
+    squares, argmax location + sqrt(n/2)·max|D| against the 1.358
+    α=0.05 critical value — the VARIANCE complement of the mean-shift
+    charts."""
+    from ..operators.stattests import cusum_squares
+
+    out = cusum_squares(_series(spark, sf_dir))
+    return out.select(
+        "series_id", "k_hat",
+        _rnd("d_abs_max", R).alias("d_abs_max"),
+        _rnd("it_stat", R).alias("it_stat"),
+        "flag",
+    )
+
+
+ORACLES["cusum_squares"] = f"""
+WITH {SQL_S},
+tot AS (
+  SELECT series_id, count(value) AS n,
+         CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE)
+           AS cn
+  FROM s GROUP BY 1),
+cum AS (
+  SELECT s.series_id, s.rn, t.n, t.cn,
+         CAST(sum(CAST(s.value * s.value AS DECIMAL(38,12))) OVER (
+           PARTITION BY s.series_id ORDER BY s.rn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DOUBLE) AS ck
+  FROM s JOIN tot t USING (series_id)),
+dd AS (
+  SELECT series_id, rn, n,
+         abs(ck / cn - rn / n) AS d,
+         row_number() OVER (
+           PARTITION BY series_id
+           ORDER BY abs(ck / cn - rn / n) DESC, rn) AS r
+  FROM cum)
+SELECT series_id, rn AS k_hat, round(d, {R}) AS d_abs_max,
+       round(sqrt(n / 2.0) * d, {R}) AS it_stat,
+       CAST(CASE WHEN sqrt(n / 2.0) * d > 1.358 THEN 1 ELSE 0 END
+            AS INT) AS flag
+FROM dd WHERE r = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from . import registry_datapipe
 
@@ -5244,6 +5347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variance_ratio": q_variance_ratio,
         "forecast_features": q_forecast_features,
         "rs_hurst": q_rs_hurst,
+        "ks_drift": q_ks_drift,
+        "cusum_squares": q_cusum_squares,
         "pacf": q_pacf,
         "hybrid_detection": q_hybrid_detection,
         "hybrid_detection_bsts_lstm": q_hybrid_detection_bsts_lstm,
@@ -5384,6 +5489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_novelty",
         "rs_hurst",
         "compression_ratio",
+        "ks_drift",
+        "cusum_squares",
         # last checked r04 (green) — next priority
         "stratified_sample",
         "source_mix",

@@ -466,3 +466,61 @@ def test_cusum_squares_locates_variance_change(spark):
     # homoskedastic control does not reject
     ctl = cusum_squares(series_df(spark, rng.normal(0, 1, 500), "s2")).toPandas()
     assert ctl.iloc[0]["flag"] == 0
+
+
+def test_holt_linear_matches_sequential_reference(spark):
+    rng = _rng(17)
+    vals = 10 + 0.3 * np.arange(200) + rng.normal(0, 1, 200)
+    from time_series_data_anomaly_detection_spark.functions.holt_winters import (
+        holt_linear_fixed,
+    )
+
+    out = (
+        holt_linear_fixed(series_df(spark, vals)).orderBy("rn").toPandas()
+    )
+    a, b = 0.25, 0.0625
+    lvl, tr = vals[0], vals[1] - vals[0]
+    preds = []
+    for i in range(2, len(vals)):
+        if i > 2:
+            prev = lvl
+            lvl = a * vals[i - 1] + (1 - a) * (lvl + tr)
+            tr = b * (lvl - prev) + (1 - b) * tr
+        preds.append(lvl + tr)
+    assert len(out) == len(vals) - 2
+    assert np.allclose(out["pred"], preds, atol=1e-9)
+    assert np.allclose(out["resid"], vals[2:] - np.array(preds), atol=1e-9)
+    # trend-following: one-step errors are small relative to the slope
+    assert np.abs(out["resid"]).median() < 3.0
+
+
+def test_harmonic_forecast_recovers_planted_seasonality(spark):
+    rng = _rng(18)
+    t = np.arange(1, 481, dtype=float)
+    season = 5 * np.sin(2 * np.pi * t / 48) + 2 * np.cos(
+        2 * np.pi * 2 * t / 48
+    )
+    vals = 100 + 0.05 * t + season + rng.normal(0, 0.5, 480)
+    from time_series_data_anomaly_detection_spark.functions.harmonic import (
+        harmonic_forecast,
+    )
+
+    out = (
+        harmonic_forecast(series_df(spark, vals))
+        .orderBy("rn")
+        .toPandas()
+    )
+    # numpy parity (same design matrix + lstsq)
+    cols = [np.ones(480), t]
+    for k in (1, 2, 3):
+        w = 2 * np.pi * k * t / 48.0
+        cols += [np.sin(w), np.cos(w)]
+    X = np.column_stack(cols)
+    beta, *_ = np.linalg.lstsq(X[:336], vals[:336], rcond=None)
+    ref = X @ beta
+    assert np.allclose(out["pred"], ref, atol=1e-7)
+    assert (out["split"].iloc[:336] == "Train").all()
+    assert (out["split"].iloc[336:] == "Test").all()
+    # the fit explains the planted structure out of sample
+    test_resid = out["resid"].iloc[336:]
+    assert test_resid.abs().mean() < 1.0  # noise-level, season removed

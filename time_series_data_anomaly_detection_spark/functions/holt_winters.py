@@ -116,3 +116,67 @@ def holt_winters_fixed(
         .groupBy("series_id")
         .applyInPandas(run, HW_SCHEMA)
     )
+
+
+HOLT_SCHEMA = "series_id string, rn long, pred double, resid double"
+
+
+def holt_linear_fixed(
+    df: DataFrame,
+    alpha: float = 0.25,
+    beta: float = 0.0625,
+    value_col: str = "value",
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing with FIXED
+    (α, β) — the trend-only member between theta's SES and the
+    seasonal Holt-Winters above::
+
+        pred_t = l + b
+        l' = α·y_t + (1-α)(l + b)
+        b' = β(l' - l) + (1-β)b
+
+    Init: ``l0 = y_1``, ``b0 = y_2 - y_1``; one-step-ahead predictions
+    start at ``t = 3``.  Dyadic α=1/4, β=1/16 keep the recursion
+    constants exact, so the grouped-map recursion and its DuckDB
+    RECURSIVE-CTE oracle are in bit-lockstep (two scalars of state —
+    the simplest recursion in the family).
+
+    Returns ``series_id, rn, pred, resid`` for ``rn >= 3``.
+
+    Scale shape: one grouped-map pass, O(1) state per series; no
+    moment pre-aggregate needed (the init is positional).
+    """
+    a, bq = float(alpha), float(beta)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rn").reset_index(drop=True)
+        y = pdf["value"].to_numpy(float)
+        n = len(y)
+        if n < 3:
+            return pd.DataFrame(
+                {"series_id": [], "rn": [], "pred": [], "resid": []}
+            )
+        lvl = y[0]
+        tr = y[1] - y[0]
+        # consume y[2:] one step at a time: predict, then update
+        preds = np.empty(n - 2)
+        for i in range(2, n):
+            # state entering step i reflects data through y[i-1]
+            if i > 2:
+                prev = lvl
+                lvl = a * y[i - 1] + (1.0 - a) * (lvl + tr)
+                tr = bq * (lvl - prev) + (1.0 - bq) * tr
+            preds[i - 2] = lvl + tr
+        return pd.DataFrame(
+            {
+                "series_id": pdf["series_id"].iloc[2:].to_numpy(),
+                "rn": pdf["rn"].iloc[2:].to_numpy(),
+                "pred": preds,
+                "resid": y[2:] - preds,
+            }
+        )
+
+    src = df.select("series_id", "rn", F.col(value_col).alias("value"))
+    return udf_repartition(src, "series_id").groupBy("series_id").applyInPandas(
+        run, HOLT_SCHEMA
+    )

@@ -5304,6 +5304,61 @@ FROM dd WHERE r = 1
 """
 
 
+def q_holt_linear(spark, sf_dir):
+    """Holt's linear-trend double exponential smoothing with fixed
+    dyadic (α=1/4, β=1/16), hash-gated via RECURSIVE-CTE oracle —
+    completes the exponential family between theta's SES and the
+    seasonal holt_winters_fixed.  Two scalars of state; init
+    l=y₁, b=y₂−y₁; one-step predictions from rn=3."""
+    from ..functions.holt_winters import holt_linear_fixed
+
+    out = holt_linear_fixed(_series(spark, sf_dir))
+    return out.select(
+        "series_id", "rn",
+        _rnd("pred", R).alias("pred"),
+        _rnd("resid", R).alias("resid"),
+    )
+
+
+ORACLES["holt_linear"] = f"""
+WITH RECURSIVE {SQL_S},
+rec AS (
+  SELECT s2.series_id, CAST(2 AS BIGINT) AS rn,
+         CAST(s1.value AS DOUBLE) AS l,
+         CAST(s2.value - s1.value AS DOUBLE) AS b
+  FROM s s1 JOIN s s2 ON s2.series_id = s1.series_id
+                     AND s1.rn = 1 AND s2.rn = 2
+  UNION ALL
+  SELECT q.series_id, q.rn,
+         0.25 * q.value + 0.75 * (r.l + r.b) AS l,
+         0.0625 * ((0.25 * q.value + 0.75 * (r.l + r.b)) - r.l)
+           + 0.9375 * r.b AS b
+  FROM rec r JOIN s q ON q.series_id = r.series_id
+                     AND q.rn = r.rn + 1)
+SELECT s.series_id, s.rn,
+       round(r.l + r.b, {R}) AS pred,
+       round(s.value - (r.l + r.b), {R}) AS resid
+FROM rec r JOIN s ON s.series_id = r.series_id AND s.rn = r.rn + 1
+"""
+
+
+def q_harmonic_forecast(spark, sf_dir):
+    """Fourier-term harmonic regression (trend + K=3 seasonal
+    sinusoids at period 48), closed-form OLS per series on the train
+    prefix — the non-iterative seasonal benchmark beside the
+    state-space fits.  Rows-only by declared design (sin/cos are not
+    cross-engine bit-stable); numpy-parity + planted-seasonality R²
+    tests pin semantics."""
+    from ..functions.harmonic import harmonic_forecast
+
+    out = harmonic_forecast(_series(spark, sf_dir))
+    return out.select(
+        "series_id", "rn", "split",
+        _rnd("pred", R).alias("pred"),
+        _rnd("resid", R).alias("resid"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from . import registry_datapipe
 
@@ -5349,6 +5404,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rs_hurst": q_rs_hurst,
         "ks_drift": q_ks_drift,
         "cusum_squares": q_cusum_squares,
+        "holt_linear": q_holt_linear,
+        "harmonic_forecast": q_harmonic_forecast,
         "pacf": q_pacf,
         "hybrid_detection": q_hybrid_detection,
         "hybrid_detection_bsts_lstm": q_hybrid_detection_bsts_lstm,
@@ -5491,6 +5548,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_ratio",
         "ks_drift",
         "cusum_squares",
+        "holt_linear",
+        "harmonic_forecast",
         # last checked r04 (green) — next priority
         "stratified_sample",
         "source_mix",

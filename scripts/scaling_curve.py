@@ -65,6 +65,27 @@ HEADLINE = [
     "detector_agreement",
     "ensemble_forecast",
     "changepoint_segments",
+    # round-6: drift/neighbor/test/symbolic/forecast + datapipe adds
+    "page_hinkley",
+    "knn_outlier",
+    "kde_rarity",
+    "croston_forecast",
+    "sax_bitmap",
+    "variance_ratio",
+    "rs_hurst",
+    "ks_drift",
+    "cusum_squares",
+    "forecast_features",
+    "holt_linear",
+    "hbos_flags",
+    "sax_words",
+    "ar2_forecast",
+    "vocab_stats",
+    "winnow_near_dup",
+    "distinctive_terms",
+    "doc_novelty",
+    "compression_ratio",
+    "importance_select",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]

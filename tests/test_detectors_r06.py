@@ -524,3 +524,22 @@ def test_harmonic_forecast_recovers_planted_seasonality(spark):
     # the fit explains the planted structure out of sample
     test_resid = out["resid"].iloc[336:]
     assert test_resid.abs().mean() < 1.0  # noise-level, season removed
+
+
+def test_detector_ap_leaderboard_shape_and_sanity(spark):
+    # gate-level correctness is hash-oracled; here: shape + semantics
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        q_detector_ap_leaderboard,
+    )
+
+    out = q_detector_ap_leaderboard(
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    per = out.groupby("series_id")
+    for _, g in per:
+        assert set(g["detector"]) == {"diff", "glob", "knn", "mad"}
+        assert g["ap_rank"].min() == 1
+        assert ((g["average_precision"] >= 0) & (g["average_precision"] <= 1)).all()
+        # ranks ordered by AP desc
+        gs = g.sort_values("ap_rank")
+        assert (gs["average_precision"].diff().dropna() <= 1e-12).all()

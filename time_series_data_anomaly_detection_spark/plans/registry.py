@@ -5359,6 +5359,132 @@ def q_harmonic_forecast(spark, sf_dir):
     )
 
 
+def q_detector_ap_leaderboard(spark, sf_dir):
+    """Score-quality leaderboard across four hash-stable detector
+    scores (MAD z, global z, first-difference z, 1-D kNN distance):
+    per-(series, detector) average precision against the labeled
+    windows, ranked per series — the forecast_leaderboard's analogue
+    for DETECTORS (A7/A8 composition).  Every score and the AP
+    algebra reuse already-gated operators bit-for-bit."""
+    from ..operators.evaluate import average_precision
+    from ..operators.neighbors import knn_outlier
+    from ..operators.robust import diff_zscore_flags
+    from ..operators.scaling import global_zscore
+
+    base = _scored_with_truth(spark, sf_dir)
+    base = global_zscore(base)
+    base = diff_zscore_flags(base)
+    base = knn_outlier(base)
+    scores = [
+        ("diff", F.coalesce(F.abs(F.col("diff_z")), F.lit(0.0))),
+        ("glob", F.abs(F.col("z_global"))),
+        ("knn", F.col("knn_score")),
+        ("mad", F.col("z_mad")),
+    ]
+    parts = []
+    for det, expr in scores:
+        ap = average_precision(
+            base.withColumn("__score", expr), "__score", "is_anomaly"
+        )
+        parts.append(
+            ap.select(
+                "series_id",
+                F.lit(det).alias("detector"),
+                F.col("average_precision").alias("__ap"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    wr = Window.partitionBy("series_id").orderBy(
+        F.desc("__ap"), F.asc("detector")
+    )
+    return out.withColumn("ap_rank", F.rank().over(wr)).select(
+        "series_id",
+        "detector",
+        _rnd("__ap", R).alias("average_precision"),
+        "ap_rank",
+    )
+
+
+ORACLES["detector_ap_leaderboard"] = f"""
+WITH {SQL_S}, {SQL_MAD}, {SQL_TRUTH}, {SQL_MO},
+dif AS (
+  SELECT series_id, rn,
+         value - lag(value) OVER (PARTITION BY series_id ORDER BY rn)
+           AS diff
+  FROM s),
+dmo AS (
+  SELECT series_id, count(diff) AS n,
+         CAST(sum(CAST(diff AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(diff * diff AS DECIMAL(38,12))) AS DOUBLE) AS s2
+  FROM dif WHERE diff IS NOT NULL GROUP BY 1),
+dmo2 AS (
+  SELECT series_id, s1 / n AS mu,
+         sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) AS sd
+  FROM dmo),
+nb AS (
+  SELECT series_id, rn,
+         list_sort(list_filter([
+           abs(value - lag(value, 1) OVER wv),
+           abs(value - lag(value, 2) OVER wv),
+           abs(value - lag(value, 3) OVER wv),
+           abs(value - lead(value, 1) OVER wv),
+           abs(value - lead(value, 2) OVER wv),
+           abs(value - lead(value, 3) OVER wv)],
+           x -> x IS NOT NULL)) AS d
+  FROM s
+  WINDOW wv AS (PARTITION BY series_id ORDER BY value, rn)),
+scores AS (
+  SELECT d.series_id, d.rn, 'diff' AS detector,
+         coalesce(abs((d.diff - m2.mu) / (m2.sd + 1e-9)), 0.0) AS score
+  FROM dif d JOIN dmo2 m2 USING (series_id)
+  UNION ALL
+  SELECT s.series_id, s.rn, 'glob',
+         abs((s.value - mo2.mu) / (mo2.sd + 1e-9))
+  FROM s JOIN mo2 USING (series_id)
+  UNION ALL
+  SELECT series_id, rn, 'knn', (0.0 + d[1] + d[2] + d[3]) / 3.0
+  FROM nb
+  UNION ALL
+  SELECT series_id, rn, 'mad', z_mad FROM mads),
+prj AS (
+  SELECT sc.series_id, sc.detector, sc.score, t.is_anomaly AS y
+  FROM scores sc JOIN truth t USING (series_id, rn)),
+prcum AS (
+  SELECT series_id, detector, score,
+         sum(y) OVER w AS cum_tp,
+         count(*) OVER w - sum(y) OVER w AS cum_fp,
+         sum(y) OVER (PARTITION BY series_id, detector) AS n_pos
+  FROM prj
+  WINDOW w AS (PARTITION BY series_id, detector ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+prt AS (
+  SELECT series_id, detector, score,
+         CAST(max(cum_tp) AS BIGINT) AS tp,
+         CAST(max(cum_fp) AS BIGINT) AS fp,
+         CAST(max(n_pos) AS BIGINT) AS n_pos
+  FROM prcum GROUP BY 1, 2, 3),
+stepped AS (
+  SELECT series_id, detector,
+         tp * 1.0 / (tp + fp) AS precision,
+         tp / (n_pos + 1e-9) AS recall,
+         coalesce(lag(tp / (n_pos + 1e-9)) OVER (
+           PARTITION BY series_id, detector ORDER BY score DESC),
+           0.0) AS prev_recall
+  FROM prt),
+ap AS (
+  SELECT series_id, detector,
+         CAST(sum(CAST((recall - prev_recall) * precision
+                       AS DECIMAL(38,12))) AS DOUBLE) AS ap_val
+  FROM stepped GROUP BY 1, 2)
+SELECT series_id, detector, round(ap_val, {R}) AS average_precision,
+       rank() OVER (PARTITION BY series_id
+                    ORDER BY ap_val DESC, detector) AS ap_rank
+FROM ap
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from . import registry_datapipe
 
@@ -5406,6 +5532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_squares": q_cusum_squares,
         "holt_linear": q_holt_linear,
         "harmonic_forecast": q_harmonic_forecast,
+        "detector_ap_leaderboard": q_detector_ap_leaderboard,
         "pacf": q_pacf,
         "hybrid_detection": q_hybrid_detection,
         "hybrid_detection_bsts_lstm": q_hybrid_detection_bsts_lstm,
@@ -5550,6 +5677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_squares",
         "holt_linear",
         "harmonic_forecast",
+        "detector_ap_leaderboard",
         # last checked r04 (green) — next priority
         "stratified_sample",
         "source_mix",

@@ -543,3 +543,59 @@ def test_detector_ap_leaderboard_shape_and_sanity(spark):
         # ranks ordered by AP desc
         gs = g.sort_values("ap_rank")
         assert (gs["average_precision"].diff().dropna() <= 1e-12).all()
+
+
+def test_ljung_box_rejects_ar_accepts_noise(spark):
+    rng = _rng(19)
+    # AR(1) with phi=0.8: strongly autocorrelated -> reject whiteness
+    n = 400
+    ar = np.zeros(n)
+    eps = rng.normal(0, 1, n)
+    for i in range(1, n):
+        ar[i] = 0.8 * ar[i - 1] + eps[i]
+    noise = rng.normal(0, 1, n)
+    from time_series_data_anomaly_detection_spark.operators.stattests import (
+        ljung_box,
+    )
+
+    out_ar = ljung_box(series_df(spark, ar)).toPandas().iloc[0]
+    out_wn = ljung_box(series_df(spark, noise, "s2")).toPandas().iloc[0]
+    # reference Q
+    mu = ar.mean()
+    den = ((ar - mu) ** 2).sum()
+    q = 0.0
+    for k in range(1, 11):
+        rho = ((ar[k:] - mu) * (ar[:-k] - mu)).sum() / den
+        q += rho * rho / (n - k)
+    q *= n * (n + 2.0)
+    assert out_ar["q_stat"] == pytest.approx(q, rel=1e-9)
+    assert out_ar["flag"] == 1
+    assert out_wn["flag"] == 0
+
+
+def test_runs_test_detects_sign_clustering(spark):
+    rng = _rng(20)
+    # heavy clustering: long alternating blocks -> too FEW runs
+    blocks = np.repeat(rng.normal(0, 1, 20), 20)  # 400 pts, 20 blocks
+    noise = rng.normal(0, 1, 400)
+    from time_series_data_anomaly_detection_spark.operators.stattests import (
+        runs_test,
+    )
+
+    out_b = runs_test(series_df(spark, blocks)).toPandas().iloc[0]
+    out_n = runs_test(series_df(spark, noise, "s2")).toPandas().iloc[0]
+    assert out_b["flag"] == 1 and out_b["z"] < -2
+    assert out_n["flag"] == 0
+    # reference on the noise series
+    med = np.percentile(noise, 50)
+    s = (noise[noise != med] > med).astype(int)
+    runs = 1 + int((np.diff(s) != 0).sum())
+    n1, n2 = int(s.sum()), int(len(s) - s.sum())
+    e_r = 2 * n1 * n2 / (n1 + n2) + 1
+    var_r = (
+        (2 * n1 * n2) * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    )
+    z = (runs - e_r) / np.sqrt(var_r + 1e-30)
+    assert out_n["n_runs"] == runs
+    assert out_n["z"] == pytest.approx(z, abs=1e-9)

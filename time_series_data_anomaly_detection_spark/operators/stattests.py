@@ -323,3 +323,115 @@ def cusum_squares(
         it.alias("it_stat"),
         (it > F.lit(1.358)).cast("int").alias("flag"),
     )
+
+
+def ljung_box(
+    df: DataFrame,
+    value_col: str = "value",
+    max_lag: int = 10,
+    crit: float = 18.307,
+) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test (Ljung & Box 1978) — the
+    standard residual diagnostic after every forecast fit the
+    reference runs (statsmodels ``acorr_ljungbox``)::
+
+        Q = n(n+2) Σ_{k=1..h} ρ_k² / (n−k)
+
+    with ρ from the statsmodels ACF estimator (the hash-gated
+    ``acf_statsmodels``).  ``crit`` defaults to χ²₁₀ at α=0.05
+    (18.307) for h=10.
+
+    Returns one row per series: ``n, q_stat, flag`` (flag=1 ⇒ reject
+    whiteness).  The per-lag terms are decimal-accumulated so the
+    10-term sum is order-independent cross-engine.
+
+    Scale shape: the gated ACF DAG (stack + one aggregate) plus one
+    10-row-per-series rollup — nothing new.
+    """
+    from .acf import acf_statsmodels
+
+    rho = acf_statsmodels(df, max_lag=max_lag, value_col=value_col)
+    n_tab = df.groupBy("series_id").agg(F.count(value_col).alias("n"))
+    terms = rho.join(F.broadcast(n_tab), "series_id").select(
+        "series_id",
+        "n",
+        (
+            (F.col("acf") * F.col("acf")) / (F.col("n") - F.col("lag"))
+        ).alias("__t"),
+    )
+    out = terms.groupBy("series_id").agg(
+        F.first("n").alias("n"),
+        (
+            F.first("n")
+            * (F.first("n") + F.lit(2.0))
+            * F.sum(F.col("__t").cast(DEC)).cast("double")
+        ).alias("q_stat"),
+    )
+    return out.select(
+        "series_id",
+        "n",
+        "q_stat",
+        (F.col("q_stat") > F.lit(float(crit))).cast("int").alias("flag"),
+    )
+
+
+def runs_test(
+    df: DataFrame,
+    value_col: str = "value",
+) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness about the median —
+    the nonparametric companion to Ljung-Box (detects sign clustering
+    that autocorrelation coefficients can miss)::
+
+        z = (R − E[R]) / sqrt(Var[R]),
+        E[R] = 2·n1·n2/(n1+n2) + 1
+
+    over the sign sequence of ``value − median`` (median ties
+    dropped, the classical convention).  Everything is integer
+    counting + one rational expression + one sqrt — hash-exact.
+
+    Returns one row per series: ``n1, n2, n_runs, z, flag``
+    (flag=1 ⇒ |z| > 1.96, nonrandom at α=0.05).
+
+    Scale shape: exact median aggregate (broadcast) + one series
+    window pass for the run boundaries + one rollup.
+    """
+    v = F.col(value_col)
+    med = df.groupBy("series_id").agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    signed = (
+        df.join(F.broadcast(med), "series_id")
+        .filter(v != F.col("__med"))
+        .withColumn("__s", (v > F.col("__med")).cast("int"))
+    )
+    w = Window.partitionBy("series_id").orderBy("rn")
+    runs = signed.withColumn(
+        "__chg",
+        F.when(
+            F.lag("__s").over(w).isNull()
+            | (F.col("__s") != F.lag("__s").over(w)),
+            1,
+        ).otherwise(0),
+    )
+    agg = runs.groupBy("series_id").agg(
+        F.sum("__s").alias("n1"),
+        F.sum(F.lit(1) - F.col("__s")).alias("n2"),
+        F.sum("__chg").alias("n_runs"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("n_runs")
+    nn = n1 + n2
+    e_r = 2.0 * n1 * n2 / nn + 1.0
+    var_r = (
+        (2.0 * n1 * n2) * (2.0 * n1 * n2 - n1 - n2)
+        / (nn * nn * (nn - 1)).cast("double")
+    )
+    z = (r - e_r) / F.sqrt(var_r + F.lit(1e-30))
+    return agg.select(
+        "series_id",
+        "n1",
+        "n2",
+        "n_runs",
+        z.alias("z"),
+        (F.abs(z) > F.lit(1.96)).cast("int").alias("flag"),
+    )

@@ -5485,6 +5485,118 @@ FROM ap
 """
 
 
+def q_ljung_box(spark, sf_dir):
+    """Ljung-Box portmanteau whiteness test (h=10, χ² crit 18.307) —
+    the statsmodels acorr_ljungbox diagnostic the reference's forecast
+    fits imply, built on the hash-gated statsmodels-convention ACF;
+    decimal-accumulated 10-term sum.  Hash-gated."""
+    from ..operators.stattests import ljung_box
+
+    out = ljung_box(_series(spark, sf_dir))
+    return out.select(
+        "series_id", "n",
+        _rnd("q_stat", R).alias("q_stat"),
+        "flag",
+    )
+
+
+ORACLES["ljung_box"] = f"""
+WITH {SQL_S},
+smo AS (
+  SELECT series_id, count(value) AS n,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS s1
+  FROM s GROUP BY 1),
+smu AS (SELECT series_id, s1 / n AS mu FROM smo),
+sden AS (
+  SELECT s.series_id,
+         CAST(sum(CAST((s.value - smu.mu) * (s.value - smu.mu)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS den
+  FROM s JOIN smu USING (series_id) GROUP BY 1),
+slags AS (SELECT unnest(generate_series(1, 10)) AS lag),
+sshift AS (
+  SELECT s.series_id, l.lag, s.value, smu.mu,
+         lag(s.value, l.lag) OVER (PARTITION BY s.series_id, l.lag
+                                   ORDER BY s.rn) AS prev
+  FROM s CROSS JOIN slags l JOIN smu USING (series_id)),
+snum AS (
+  SELECT series_id, lag,
+         CAST(sum(CAST((value - mu) * (prev - mu) AS DECIMAL(38,12)))
+              AS DOUBLE) AS num
+  FROM sshift WHERE prev IS NOT NULL GROUP BY 1, 2),
+rho AS (
+  SELECT n.series_id, n.lag, n.num / d.den AS acf
+  FROM snum n JOIN sden d USING (series_id)),
+qq AS (
+  SELECT r.series_id, m.n,
+         CAST(sum(CAST((r.acf * r.acf) / (m.n - r.lag)
+                       AS DECIMAL(38,12))) AS DOUBLE) AS ssum
+  FROM rho r JOIN smo m USING (series_id)
+  GROUP BY 1, 2)
+SELECT series_id, n,
+       round(n * (n + 2.0) * ssum, {R}) AS q_stat,
+       CAST(CASE WHEN n * (n + 2.0) * ssum > 18.307
+            THEN 1 ELSE 0 END AS INT) AS flag
+FROM qq
+"""
+
+
+def q_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test about the exact median — the
+    nonparametric randomness companion to Ljung-Box; pure integer
+    run counting + one rational z.  Hash-gated."""
+    from ..operators.stattests import runs_test
+
+    out = runs_test(_series(spark, sf_dir))
+    return out.select(
+        "series_id", "n1", "n2", "n_runs",
+        _rnd("z", R).alias("z"),
+        "flag",
+    )
+
+
+ORACLES["runs_test"] = f"""
+WITH {SQL_S},
+rmed AS (
+  SELECT series_id, quantile_cont(value, 0.5) AS med
+  FROM s GROUP BY 1),
+sgn AS (
+  SELECT s.series_id, s.rn,
+         CAST(CASE WHEN s.value > m.med THEN 1 ELSE 0 END AS INT)
+           AS sg
+  FROM s JOIN rmed m USING (series_id)
+  WHERE s.value <> m.med),
+chg AS (
+  SELECT series_id, sg,
+         CASE WHEN lag(sg) OVER (PARTITION BY series_id ORDER BY rn)
+                   IS NULL
+               OR sg <> lag(sg) OVER (PARTITION BY series_id
+                                      ORDER BY rn)
+              THEN 1 ELSE 0 END AS c
+  FROM sgn),
+agg AS (
+  SELECT series_id,
+         CAST(sum(sg) AS BIGINT) AS n1,
+         CAST(sum(1 - sg) AS BIGINT) AS n2,
+         CAST(sum(c) AS BIGINT) AS n_runs
+  FROM chg GROUP BY 1)
+SELECT series_id, n1, n2, n_runs,
+       round((n_runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+             / sqrt((2.0 * n1 * n2) * (2.0 * n1 * n2 - n1 - n2)
+                    / CAST((n1 + n2) * (n1 + n2) * ((n1 + n2) - 1)
+                           AS DOUBLE)
+                    + 1e-30), {R}) AS z,
+       CAST(CASE WHEN abs((n_runs - (2.0 * n1 * n2 / (n1 + n2)
+                                     + 1.0))
+                 / sqrt((2.0 * n1 * n2)
+                        * (2.0 * n1 * n2 - n1 - n2)
+                        / CAST((n1 + n2) * (n1 + n2)
+                               * ((n1 + n2) - 1) AS DOUBLE)
+                        + 1e-30)) > 1.96
+            THEN 1 ELSE 0 END AS INT) AS flag
+FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from . import registry_datapipe
 
@@ -5533,6 +5645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_linear": q_holt_linear,
         "harmonic_forecast": q_harmonic_forecast,
         "detector_ap_leaderboard": q_detector_ap_leaderboard,
+        "ljung_box": q_ljung_box,
+        "runs_test": q_runs_test,
         "pacf": q_pacf,
         "hybrid_detection": q_hybrid_detection,
         "hybrid_detection_bsts_lstm": q_hybrid_detection_bsts_lstm,
@@ -5678,6 +5792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_linear",
         "harmonic_forecast",
         "detector_ap_leaderboard",
+        "ljung_box",
+        "runs_test",
         # last checked r04 (green) — next priority
         "stratified_sample",
         "source_mix",

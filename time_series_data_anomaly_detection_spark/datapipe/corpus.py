@@ -431,3 +431,67 @@ def doc_novelty(
         "n_shared",
         (1.0 - F.col("n_shared") / F.col("n_shingles")).alias("novelty"),
     )
+
+
+def source_concentration(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gini concentration of the corpus across sources — the
+    source-imbalance number behind the mixture planner
+    (:func:`~..sampling.source_mix`): 0 = perfectly balanced corpus,
+    →1 = one source dominates.  Computed for both doc counts and
+    token counts via the sorted-cumulative form::
+
+        G = (2·Σᵢ i·xᵢ) / (n·Σ xᵢ) − (n+1)/n    (x sorted ascending)
+
+    — pure integer sums over the (tiny) per-source table, so the
+    whole report is hash-exact.
+
+    Returns one row: ``n_sources, total_docs, total_tokens,
+    gini_docs, gini_tokens``.
+    """
+    toks = tokenize(df, text_col).select(
+        group_col, F.size("tokens").alias("__nt")
+    )
+    per = toks.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__nt").alias("n_tokens"),
+    )
+
+    docs_ranked = per.withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.orderBy(F.col("n_docs").asc(), F.col(group_col).asc())
+        ),
+    )
+    g_docs = docs_ranked.agg(
+        F.count("*").alias("n_sources"),
+        F.sum("n_docs").alias("total_docs"),
+        (
+            F.lit(2.0) * F.sum(F.col("__rk") * F.col("n_docs"))
+            / (F.count("*") * F.sum("n_docs"))
+            - (F.count("*") + F.lit(1.0)) / F.count("*")
+        ).alias("gini_docs"),
+    )
+    toks_ranked = per.withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.orderBy(
+                F.col("n_tokens").asc(), F.col(group_col).asc()
+            )
+        ),
+    )
+    g_toks = toks_ranked.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        (
+            F.lit(2.0) * F.sum(F.col("__rk") * F.col("n_tokens"))
+            / (F.count("*") * F.sum("n_tokens"))
+            - (F.count("*") + F.lit(1.0)) / F.count("*")
+        ).alias("gini_tokens"),
+    )
+    return g_docs.crossJoin(g_toks).select(
+        "n_sources", "total_docs", "total_tokens",
+        "gini_docs", "gini_tokens",
+    )

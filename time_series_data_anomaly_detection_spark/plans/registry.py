@@ -5794,6 +5794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detector_ap_leaderboard",
         "ljung_box",
         "runs_test",
+        "source_concentration",
         # last checked r04 (green) — next priority
         "stratified_sample",
         "source_mix",

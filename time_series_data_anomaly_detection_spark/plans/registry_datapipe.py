@@ -173,6 +173,20 @@ def q_compression_ratio(spark, sf_dir):
     )
 
 
+def q_source_concentration(spark, sf_dir):
+    """Gini concentration of docs/tokens across sources (sorted-
+    cumulative rational form — hash-exact): the source-imbalance
+    number behind the mixture planner."""
+    from ..datapipe.corpus import source_concentration
+
+    out = source_concentration(_docs(spark, sf_dir))
+    return out.select(
+        "n_sources", "total_docs", "total_tokens",
+        _rnd("gini_docs", R).alias("gini_docs"),
+        _rnd("gini_tokens", R).alias("gini_tokens"),
+    )
+
+
 def q_exact_dedup(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir)).select(
         "doc_id", "dup_group", "group_size", "keep"
@@ -2946,6 +2960,7 @@ def queries():
         "distinctive_terms": q_distinctive_terms,
         "doc_novelty": q_doc_novelty,
         "compression_ratio": q_compression_ratio,
+        "source_concentration": q_source_concentration,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -3109,6 +3124,35 @@ per_doc AS (
 SELECT d.doc_id, p.n_shingles, p.n_shared,
        round(1.0 - p.n_shared / p.n_shingles, {R}) AS novelty
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+ORACLES["source_concentration"] = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(regexp_extract_all(lower(text), '{TOKEN_RE}')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+rd AS (
+  SELECT *, row_number() OVER (ORDER BY n_docs ASC, source ASC)
+         AS rk FROM per),
+rt AS (
+  SELECT *, row_number() OVER (ORDER BY n_tokens ASC, source ASC)
+         AS rk FROM per),
+gd AS (
+  SELECT count(*) AS n_sources,
+         CAST(sum(n_docs) AS BIGINT) AS total_docs,
+         2.0 * sum(rk * n_docs) / (count(*) * sum(n_docs))
+           - (count(*) + 1.0) / count(*) AS gini_docs
+  FROM rd),
+gt AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         2.0 * sum(rk * n_tokens) / (count(*) * sum(n_tokens))
+           - (count(*) + 1.0) / count(*) AS gini_tokens
+  FROM rt)
+SELECT gd.n_sources, gd.total_docs, gt.total_tokens,
+       round(gd.gini_docs, {R}) AS gini_docs,
+       round(gt.gini_tokens, {R}) AS gini_tokens
+FROM gd CROSS JOIN gt
 """
 
 ORACLES["distinctive_terms"] = f"""

@@ -599,3 +599,22 @@ def test_runs_test_detects_sign_clustering(spark):
     z = (runs - e_r) / np.sqrt(var_r + 1e-30)
     assert out_n["n_runs"] == runs
     assert out_n["z"] == pytest.approx(z, abs=1e-9)
+
+
+def test_source_concentration_gini(spark):
+    # 3 sources with doc counts 1/1/1 -> gini 0; skewed -> positive
+    texts = ["a b c"] * 6
+    even = _docs_df(spark, texts, ["s0", "s1", "s2"] * 2)
+    skew = _docs_df(spark, texts, ["s0"] * 4 + ["s1", "s2"])
+    from time_series_data_anomaly_detection_spark.datapipe.corpus import (
+        source_concentration,
+    )
+
+    e = source_concentration(even).toPandas().iloc[0]
+    s = source_concentration(skew).toPandas().iloc[0]
+    assert e["n_sources"] == 3 and e["total_docs"] == 6
+    assert e["gini_docs"] == pytest.approx(0.0, abs=1e-12)
+    # reference gini for counts [1,1,4] sorted asc:
+    # G = 2*(1*1+2*1+3*4)/(3*6) - 4/3 = 30/18 - 4/3 = 1/3
+    assert s["gini_docs"] == pytest.approx(1 / 3, abs=1e-12)
+    assert s["gini_tokens"] == pytest.approx(1 / 3, abs=1e-12)

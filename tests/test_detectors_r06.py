@@ -618,3 +618,77 @@ def test_source_concentration_gini(spark):
     # G = 2*(1*1+2*1+3*4)/(3*6) - 4/3 = 30/18 - 4/3 = 1/3
     assert s["gini_docs"] == pytest.approx(1 / 3, abs=1e-12)
     assert s["gini_tokens"] == pytest.approx(1 / 3, abs=1e-12)
+
+
+def test_rolling_moments_matches_pandas(spark):
+    rng = _rng(21)
+    vals = np.concatenate([rng.normal(0, 1, 150), rng.exponential(2, 150)])
+    from time_series_data_anomaly_detection_spark.operators.rolling import (
+        rolling_moments,
+    )
+
+    out = (
+        rolling_moments(series_df(spark, vals), window=96, min_periods=24)
+        .orderBy("rn")
+        .toPandas()
+    )
+    s = pd.Series(vals)
+    for i in [23, 50, 150, 299]:
+        w = s.iloc[max(0, i - 95) : i + 1].to_numpy()
+        n = len(w)
+        mu = w.mean()
+        m2 = (w**2).mean() - mu**2
+        m3 = (w**3).mean() - 3 * mu * (w**2).mean() + 2 * mu**3
+        m4 = (
+            (w**4).mean()
+            - 4 * mu * (w**3).mean()
+            + 6 * mu**2 * (w**2).mean()
+            - 3 * mu**4
+        )
+        if n >= 24:
+            assert out.loc[i, "roll_skew"] == pytest.approx(
+                m3 / m2**1.5, abs=1e-7
+            )
+            assert out.loc[i, "roll_kurt"] == pytest.approx(
+                m4 / m2**2 - 3, abs=1e-7
+            )
+    # head rows below min_periods are null
+    assert out.loc[10, "roll_skew"] is None or np.isnan(
+        out.loc[10, "roll_skew"]
+    )
+    # the exponential regime is visibly right-skewed
+    assert out.loc[299, "roll_skew"] > 0.8
+
+
+def test_stl_forecast_continues_planted_pattern(spark):
+    # hourly grid (series_df is 30-min; resample averages pairs):
+    # linear trend + daily sinusoid, 10 days
+    t = np.arange(480, dtype=float)  # 480 half-hours = 10 days? no: 10d=480h
+    # build 480 HOURS directly via freq_min=60
+    rng = _rng(22)
+    hours = np.arange(480, dtype=float)
+    vals = 50 + 0.1 * hours + 10 * np.sin(2 * np.pi * hours / 24)
+    from tests.conftest import series_df as _sd
+    from time_series_data_anomaly_detection_spark.operators.decompose import (
+        classical_decompose,
+        resample,
+        stl_forecast,
+    )
+
+    df = _sd(spark, vals, freq_min=60)
+    dc = classical_decompose(resample(df, "hour"), period=24)
+    out = stl_forecast(dc, horizon=24).orderBy("step").toPandas()
+    assert len(out) == 24
+    # forecast continues the planted pattern: slope ~0.1/hour, seasonal
+    # amplitude ~10 — check pointwise against the generator
+    # last bucket is absolute hour 479; step k forecasts hour 479+k
+    future_hours = 479 + np.arange(1, 25)
+    expect = 50 + 0.1 * future_hours + 10 * np.sin(
+        2 * np.pi * future_hours / 24
+    )
+    err = np.abs(out["pred"].to_numpy() - expect)
+    assert err.max() < 1.5  # edge-trend nulls cost a little accuracy
+    # trend component increases at ~the planted slope
+    d = np.diff(out["trend_fc"].to_numpy())
+    assert np.allclose(d, d[0], atol=1e-9)
+    assert 0.05 < d[0] < 0.15

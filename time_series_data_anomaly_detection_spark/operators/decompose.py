@@ -212,3 +212,114 @@ def classical_decompose(
         .drop("__phase", "__detr", "__sraw", "__pm_mean")
     )
     return out
+
+
+def stl_forecast(
+    dc: DataFrame,
+    horizon: int = 24,
+    value_col: str = "value",
+) -> DataFrame:
+    """Decompose-based seasonal forecast: extrapolate the classical
+    trend by its end-to-end drift and repeat the per-phase seasonal —
+    the forecasting READ of :func:`classical_decompose` (the same
+    composition the reference's decompose-then-model pipelines imply,
+    ``src/run_lstm.py:36-39``), and the seasonal upgrade of the
+    ``drift`` baseline in ``baseline_forecasts``.
+
+    Input: a decomposed grid frame (``classical_decompose`` output:
+    series_id, timestamp, value, trend, seasonal).  For each series::
+
+        slope    = (trend_last − trend_first) / (brn_last − brn_first)
+        pred_k   = trend_last + (steps_k)·slope + seasonal(phase_k)
+
+    anchored at the LAST DEFINED trend bucket; ``steps_k`` counts grid
+    rows from that anchor to forecast step k.
+
+    Returns ``series_id, step (1..horizon), bucket, trend_fc,
+    seasonal, pred`` — one row per future bucket.
+
+    Scale shape: two tiny per-series aggregates (anchor stats,
+    per-phase seasonal) + an explode of ``horizon`` rows per series;
+    everything after the decompose is broadcast-sized.
+    """
+    w = Window.partitionBy("series_id").orderBy("timestamp")
+    g = dc.withColumn("__brn", F.row_number().over(w)).withColumn(
+        "__phase", F.hour("timestamp").cast("int")
+    )
+    anchors = g.groupBy("series_id").agg(
+        F.min(
+            F.when(F.col("trend").isNotNull(), F.col("__brn"))
+        ).alias("__brn0"),
+        F.max(
+            F.when(F.col("trend").isNotNull(), F.col("__brn"))
+        ).alias("__brn1"),
+        F.max("__brn").alias("__brn_last"),
+        F.max("timestamp").alias("__bucket_last"),
+    )
+    # trend at brn0/brn1 via a second tiny pass (avoids nested window
+    # inside agg which Spark rejects)
+    tpoints = (
+        g.join(
+            F.broadcast(
+                anchors.select("series_id", "__brn0", "__brn1")
+            ),
+            "series_id",
+        )
+        .filter(
+            (F.col("__brn") == F.col("__brn0"))
+            | (F.col("__brn") == F.col("__brn1"))
+        )
+        .groupBy("series_id")
+        .agg(
+            F.max(
+                F.when(F.col("__brn") == F.col("__brn0"), F.col("trend"))
+            ).alias("__trend0"),
+            F.max(
+                F.when(F.col("__brn") == F.col("__brn1"), F.col("trend"))
+            ).alias("__trend1"),
+        )
+    )
+    sl = (
+        anchors
+        .join(F.broadcast(tpoints), "series_id")
+        .withColumn(
+            "__slope",
+            (F.col("__trend1") - F.col("__trend0"))
+            / (F.col("__brn1") - F.col("__brn0")),
+        )
+    )
+    seas = g.groupBy("series_id", "__phase").agg(
+        F.max("seasonal").alias("__seasonal")
+    )
+    fc = sl.select(
+        "series_id",
+        "__brn1",
+        "__brn_last",
+        "__bucket_last",
+        "__trend1",
+        "__slope",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(1, int(horizon) + 1)])
+        ).alias("step"),
+    ).withColumn(
+        "bucket",
+        F.expr("__bucket_last + make_interval(0, 0, 0, 0, step, 0, 0)"),
+    ).withColumn(
+        "trend_fc",
+        F.col("__trend1")
+        + (F.col("__brn_last") + F.col("step") - F.col("__brn1"))
+        * F.col("__slope"),
+    )
+    out = fc.join(
+        F.broadcast(seas),
+        (fc["series_id"] == seas["series_id"])
+        & (F.hour(fc["bucket"]).cast("int") == seas["__phase"]),
+    ).select(
+        fc["series_id"],
+        "step",
+        "bucket",
+        "trend_fc",
+        F.col("__seasonal").alias("seasonal"),
+        (F.col("trend_fc") + F.col("__seasonal")).alias("pred"),
+    )
+    return out

@@ -162,3 +162,84 @@ def adaptive_threshold_flags(
             > F.lit(k) * (F.col("roll_std") + F.lit(EPS_SIGMA))
         ).cast("int"),
     )
+
+
+def rolling_moments(
+    df: DataFrame,
+    value_col: str = "value",
+    window: int = 96,
+    min_periods: int = 24,
+) -> DataFrame:
+    """Trailing rolling SKEWNESS and EXCESS KURTOSIS — the
+    distribution-shape complement of W1/W3's rolling mean/std: a
+    variance chart misses a regime that keeps σ but fattens a tail;
+    the rolling higher moments catch it (and feed ``cusum_squares`` /
+    ``kde_rarity`` style detectors with a local shape signal).
+
+    Same engineering as :func:`rolling_stats`: four RUNNING cumulative
+    DECIMAL power sums (x, x², x³, x⁴ — the IEEE power products and
+    their decimal quantization are identical cross-engine because the
+    expression trees are in lockstep with the oracle) + lag
+    differencing, so the trailing frame is O(n) per series and
+    bit-identical cross-engine.  Central moments from raw power
+    sums::
+
+        m2 = S2/n − μ²
+        m3 = S3/n − 3μS2/n + 2μ³
+        m4 = S4/n − 4μS3/n + 6μ²S2/n − 3μ⁴
+        skew = m3 / m2^{3/2},  ex_kurt = m4/m2² − 3
+
+    (population form, the convention of the global-moments gate A5).
+
+    Adds ``roll_skew`` and ``roll_kurt`` (null until ``min_periods``).
+    """
+    order = _order_cols(df, value_col)
+    wrun = (
+        Window.partitionBy("series_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wlag = Window.partitionBy("series_id").orderBy(*order)
+    v = F.col(value_col)
+    zero = F.lit(0).cast(DEC)
+    cum = (
+        df.withColumn("__d1", F.sum(v.cast(DEC)).over(wrun))
+        .withColumn("__d2", F.sum((v * v).cast(DEC)).over(wrun))
+        .withColumn("__d3", F.sum((v * v * v).cast(DEC)).over(wrun))
+        .withColumn(
+            "__d4", F.sum(((v * v) * (v * v)).cast(DEC)).over(wrun)
+        )
+        .withColumn("__dn", F.count(value_col).over(wrun))
+    )
+
+    def tr(c: str):
+        return (
+            F.col(c) - F.coalesce(F.lag(c, window).over(wlag), zero)
+        ).cast("double")
+
+    s1, s2, s3, s4 = tr("__d1"), tr("__d2"), tr("__d3"), tr("__d4")
+    cnt = F.col("__dn") - F.coalesce(
+        F.lag("__dn", window).over(wlag), F.lit(0)
+    )
+    mu = s1 / cnt
+    m2 = s2 / cnt - mu * mu
+    m3 = s3 / cnt - 3.0 * mu * (s2 / cnt) + 2.0 * (mu * mu * mu)
+    m4 = (
+        s4 / cnt
+        - 4.0 * mu * (s3 / cnt)
+        + 6.0 * (mu * mu) * (s2 / cnt)
+        - 3.0 * ((mu * mu) * (mu * mu))
+    )
+    ok = (cnt >= min_periods) & (m2 > 1e-18)
+    out = (
+        cum.withColumn(
+            "roll_skew",
+            F.when(ok, m3 / F.sqrt(m2 * m2 * m2)),
+        )
+        .withColumn(
+            "roll_kurt",
+            F.when(ok, m4 / (m2 * m2) - F.lit(3.0)),
+        )
+        .drop("__d1", "__d2", "__d3", "__d4", "__dn")
+    )
+    return out

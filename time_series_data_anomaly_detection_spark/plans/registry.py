@@ -5597,6 +5597,141 @@ FROM agg
 """
 
 
+def q_rolling_moments(spark, sf_dir):
+    """Rolling skewness / excess kurtosis (trailing 96, min 24) — the
+    distribution-shape complement of W1/W3's rolling mean/std (a
+    regime can keep σ but fatten a tail).  Four decimal power cumsums
+    + lag differencing, O(n), one exchange.  Hash-gated."""
+    from ..operators.rolling import rolling_moments
+
+    out = rolling_moments(_series(spark, sf_dir))
+    return out.select(
+        "series_id", "rn",
+        _rnd("roll_skew", R).alias("roll_skew"),
+        _rnd("roll_kurt", R).alias("roll_kurt"),
+    )
+
+
+ORACLES["rolling_moments"] = f"""
+WITH {SQL_S},
+cumm AS (
+  SELECT series_id, rn,
+         sum(CAST(value AS DECIMAL(38,12))) OVER wr AS d1,
+         sum(CAST(value * value AS DECIMAL(38,12))) OVER wr AS d2,
+         sum(CAST(value * value * value AS DECIMAL(38,12))) OVER wr
+           AS d3,
+         sum(CAST((value * value) * (value * value)
+                  AS DECIMAL(38,12))) OVER wr AS d4,
+         count(value) OVER wr AS dn
+  FROM s
+  WINDOW wr AS (PARTITION BY series_id ORDER BY rn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+trail AS (
+  SELECT series_id, rn,
+         CAST(d1 - coalesce(lag(d1, 96) OVER wl,
+                            CAST(0 AS DECIMAL(38,12)))
+              AS DOUBLE) AS s1,
+         CAST(d2 - coalesce(lag(d2, 96) OVER wl,
+                            CAST(0 AS DECIMAL(38,12)))
+              AS DOUBLE) AS s2,
+         CAST(d3 - coalesce(lag(d3, 96) OVER wl,
+                            CAST(0 AS DECIMAL(38,12)))
+              AS DOUBLE) AS s3,
+         CAST(d4 - coalesce(lag(d4, 96) OVER wl,
+                            CAST(0 AS DECIMAL(38,12)))
+              AS DOUBLE) AS s4,
+         dn - coalesce(lag(dn, 96) OVER wl, 0) AS cnt
+  FROM cumm
+  WINDOW wl AS (PARTITION BY series_id ORDER BY rn)),
+mom AS (
+  SELECT series_id, rn, cnt,
+         s1 / cnt AS mu,
+         s2 / cnt - (s1 / cnt) * (s1 / cnt) AS m2,
+         s3 / cnt - 3.0 * (s1 / cnt) * (s2 / cnt)
+           + 2.0 * ((s1 / cnt) * (s1 / cnt) * (s1 / cnt)) AS m3,
+         s4 / cnt - 4.0 * (s1 / cnt) * (s3 / cnt)
+           + 6.0 * ((s1 / cnt) * (s1 / cnt)) * (s2 / cnt)
+           - 3.0 * (((s1 / cnt) * (s1 / cnt))
+                    * ((s1 / cnt) * (s1 / cnt))) AS m4
+  FROM trail)
+SELECT series_id, rn,
+       round(CASE WHEN cnt >= 24 AND m2 > 1e-18
+                  THEN m3 / sqrt(m2 * m2 * m2) END, {R}) AS roll_skew,
+       round(CASE WHEN cnt >= 24 AND m2 > 1e-18
+                  THEN m4 / (m2 * m2) - 3.0 END, {R}) AS roll_kurt
+FROM mom
+"""
+
+
+def q_stl_forecast(spark, sf_dir):
+    """Decompose-based seasonal forecast, hash-gated: classical
+    decomposition (the gated resample_decompose DAG) → trend
+    extrapolated by its end-to-end drift + per-phase seasonal repeat
+    over a 24-bucket horizon — the seasonal upgrade of the drift
+    baseline, with zero model fitting."""
+    from ..operators.decompose import (
+        classical_decompose,
+        resample,
+        stl_forecast,
+    )
+
+    s = _series(spark, sf_dir)
+    dc = classical_decompose(resample(s, "hour"), period=24)
+    out = stl_forecast(dc, horizon=24)
+    return out.select(
+        "series_id", "step",
+        F.col("bucket").cast("string").alias("bucket"),
+        _rnd("trend_fc", R).alias("trend_fc"),
+        _rnd("seasonal", R).alias("seasonal"),
+        _rnd("pred", R).alias("pred"),
+    )
+
+
+ORACLES["stl_forecast"] = f"""
+WITH {SQL_S}, {SQL_RESAMPLE}, {SQL_DECOMP},
+tstats AS (
+  SELECT series_id,
+         min(CASE WHEN trend IS NOT NULL THEN brn END) AS brn0,
+         max(CASE WHEN trend IS NOT NULL THEN brn END) AS brn1,
+         max(brn) AS brn_last,
+         max(bucket) AS bucket_last
+  FROM tr GROUP BY 1),
+tv AS (
+  SELECT t.series_id,
+         max(CASE WHEN t.brn = ts.brn0 THEN t.trend END) AS trend0,
+         max(CASE WHEN t.brn = ts.brn1 THEN t.trend END) AS trend1
+  FROM tr t JOIN tstats ts USING (series_id)
+  WHERE t.brn = ts.brn0 OR t.brn = ts.brn1
+  GROUP BY 1),
+sl AS (
+  SELECT ts.series_id, ts.brn1, ts.brn_last, ts.bucket_last,
+         tv.trend1,
+         (tv.trend1 - tv.trend0) / (ts.brn1 - ts.brn0) AS slope
+  FROM tstats ts JOIN tv USING (series_id)),
+hz AS (SELECT unnest(generate_series(1, 24)) AS step),
+fc AS (
+  SELECT s2.series_id, h.step,
+         s2.bucket_last + h.step * INTERVAL 1 HOUR AS bucket,
+         s2.trend1 + (s2.brn_last + h.step - s2.brn1) * s2.slope
+           AS trend_fc
+  FROM sl s2 CROSS JOIN hz h),
+seas AS (
+  SELECT series_id, phase, max(sraw) AS sr
+  FROM srw GROUP BY 1, 2),
+seas2 AS (
+  SELECT s3.series_id, s3.phase, s3.sr - m.pm_mean AS seasonal
+  FROM seas s3 JOIN phm m USING (series_id))
+SELECT f.series_id, f.step,
+       strftime(f.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       round(f.trend_fc, {R}) AS trend_fc,
+       round(s4.seasonal, {R}) AS seasonal,
+       round(f.trend_fc + s4.seasonal, {R}) AS pred
+FROM fc f JOIN seas2 s4
+  ON s4.series_id = f.series_id
+ AND s4.phase = CAST(hour(f.bucket) AS INT)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from . import registry_datapipe
 
@@ -5647,6 +5782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detector_ap_leaderboard": q_detector_ap_leaderboard,
         "ljung_box": q_ljung_box,
         "runs_test": q_runs_test,
+        "rolling_moments": q_rolling_moments,
+        "stl_forecast": q_stl_forecast,
         "pacf": q_pacf,
         "hybrid_detection": q_hybrid_detection,
         "hybrid_detection_bsts_lstm": q_hybrid_detection_bsts_lstm,
@@ -5795,6 +5932,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ljung_box",
         "runs_test",
         "source_concentration",
+        "rolling_moments",
+        "stl_forecast",
         # last checked r04 (green) — next priority
         "stratified_sample",
         "source_mix",

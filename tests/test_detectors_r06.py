@@ -692,3 +692,32 @@ def test_stl_forecast_continues_planted_pattern(spark):
     d = np.diff(out["trend_fc"].to_numpy())
     assert np.allclose(d, d[0], atol=1e-9)
     assert 0.05 < d[0] < 0.15
+
+
+def test_rolling_quantile_flags_matches_pandas(spark):
+    rng = _rng(23)
+    vals = np.concatenate([rng.normal(0, 1, 200), rng.normal(10, 1, 100)])
+    vals[150] = 8.0  # spike inside regime 1
+    from time_series_data_anomaly_detection_spark.operators.robust import (
+        rolling_quantile_flags,
+    )
+
+    out = (
+        rolling_quantile_flags(series_df(spark, vals))
+        .orderBy("rn")
+        .toPandas()
+    )
+    s = pd.Series(vals)
+    for i in [30, 150, 250]:
+        w = s.iloc[max(0, i - 96) : i].to_numpy()
+        lo = np.percentile(w, 2)  # numpy 'linear' == our interpolation
+        hi = np.percentile(w, 98)
+        assert out.loc[i, "band_lo"] == pytest.approx(lo, abs=1e-9)
+        assert out.loc[i, "band_hi"] == pytest.approx(hi, abs=1e-9)
+    # the spike is flagged; after the level shift the band ADAPTS
+    # (a global band would flag the whole second regime)
+    assert out.loc[150, "rq_flag"] == 1
+    late = out.iloc[270:]  # 60+ rows after the shift: window is local
+    assert late["rq_flag"].mean() < 0.2
+    # head rows below min_periods carry null flags
+    assert pd.isna(out.loc[5, "rq_flag"])

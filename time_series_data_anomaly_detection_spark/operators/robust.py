@@ -201,3 +201,63 @@ def seasonal_profile_flags(
         )
         .drop("__sd")
     )
+
+
+def rolling_quantile_flags(
+    df: DataFrame,
+    value_col: str = "value",
+    window: int = 96,
+    lo_q: float = 0.02,
+    hi_q: float = 0.98,
+    min_periods: int = 24,
+) -> DataFrame:
+    """Trailing rolling ECDF band — the LOCAL version of
+    :func:`quantile_band_flags`: a global [2%, 98%] band goes blind
+    under level shifts/trends; the trailing-window band adapts.  Flags
+    rows outside the interpolated [lo_q, hi_q] quantiles of the
+    PREVIOUS ``window`` rows (the current row is excluded so it cannot
+    mask itself — one-step-ahead semantics like the forecasters).
+
+    Same native machinery as the Hampel filter: one
+    ``array_sort(collect_list)`` over the trailing frame, exact linear
+    interpolation by sorted-array indexing (``pos = 1 + q·(n−1)``,
+    floor/frac spelled identically in the oracle).
+
+    Adds ``band_lo, band_hi, rq_flag`` (null before ``min_periods``).
+    """
+    order = [c for c in ("timestamp", "event_id") if c in df.columns]
+    w = (
+        Window.partitionBy("series_id")
+        .orderBy(*(order or ["rn"]))
+        .rowsBetween(-window, -1)
+    )
+    v = F.col(value_col)
+    arr = F.array_sort(F.collect_list(v).over(w))
+    n = F.size(arr)
+
+    def interp(q: float) -> Column:
+        pos = F.lit(1.0) + F.lit(float(q)) * (n - F.lit(1)).cast("double")
+        lo_i = F.floor(pos).cast("int")
+        frac = pos - F.floor(pos)
+        a_lo = F.element_at(arr, lo_i)
+        a_hi = F.element_at(arr, F.least(lo_i + F.lit(1), n))
+        return a_lo + frac * (a_hi - a_lo)
+
+    out = (
+        df.withColumn("__rqn", n)
+        .withColumn(
+            "band_lo",
+            F.when(F.col("__rqn") >= min_periods, interp(lo_q)),
+        )
+        .withColumn(
+            "band_hi",
+            F.when(F.col("__rqn") >= min_periods, interp(hi_q)),
+        )
+    )
+    return out.withColumn(
+        "rq_flag",
+        F.when(
+            F.col("band_lo").isNotNull(),
+            ((v < F.col("band_lo")) | (v > F.col("band_hi"))).cast("int"),
+        ),
+    ).drop("__rqn")

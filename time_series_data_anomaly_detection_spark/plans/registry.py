@@ -5732,6 +5732,60 @@ FROM fc f JOIN seas2 s4
 """
 
 
+def q_rolling_quantile_flags(spark, sf_dir):
+    """Trailing rolling [2%,98%] ECDF band (previous 96 rows, current
+    row excluded — one-step-ahead), hash-gated: the LOCAL version of
+    quantile_flags that survives level shifts.  Sorted in-frame
+    arrays + interpolated indexing (the Hampel machinery)."""
+    from ..operators.robust import rolling_quantile_flags
+
+    out = rolling_quantile_flags(_series(spark, sf_dir))
+    return out.select(
+        "series_id", "rn",
+        _rnd("band_lo", R).alias("band_lo"),
+        _rnd("band_hi", R).alias("band_hi"),
+        F.col("rq_flag").alias("flag"),
+    )
+
+
+ORACLES["rolling_quantile_flags"] = f"""
+WITH {SQL_S},
+win AS (
+  SELECT series_id, rn, value,
+         list_sort(list(value) OVER (
+           PARTITION BY series_id ORDER BY rn
+           ROWS BETWEEN 96 PRECEDING AND 1 PRECEDING)) AS l
+  FROM s),
+qs AS (
+  SELECT series_id, rn, value, l, len(l) AS n,
+         1.0 + 0.02 * CAST(len(l) - 1 AS DOUBLE) AS pos_lo,
+         1.0 + 0.98 * CAST(len(l) - 1 AS DOUBLE) AS pos_hi
+  FROM win),
+bands AS (
+  SELECT series_id, rn, value, n,
+         CASE WHEN n >= 24 THEN
+           l[CAST(floor(pos_lo) AS INT)]
+           + (pos_lo - floor(pos_lo))
+             * (l[least(CAST(floor(pos_lo) AS INT) + 1, n)]
+                - l[CAST(floor(pos_lo) AS INT)])
+         END AS band_lo,
+         CASE WHEN n >= 24 THEN
+           l[CAST(floor(pos_hi) AS INT)]
+           + (pos_hi - floor(pos_hi))
+             * (l[least(CAST(floor(pos_hi) AS INT) + 1, n)]
+                - l[CAST(floor(pos_hi) AS INT)])
+         END AS band_hi
+  FROM qs)
+SELECT series_id, rn,
+       round(band_lo, {R}) AS band_lo,
+       round(band_hi, {R}) AS band_hi,
+       CAST(CASE WHEN band_lo IS NULL THEN NULL
+                 WHEN value < band_lo OR value > band_hi THEN 1
+                 ELSE 0 END AS INT) AS flag
+FROM bands
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from . import registry_datapipe
 
@@ -5784,6 +5838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "runs_test": q_runs_test,
         "rolling_moments": q_rolling_moments,
         "stl_forecast": q_stl_forecast,
+        "rolling_quantile_flags": q_rolling_quantile_flags,
         "pacf": q_pacf,
         "hybrid_detection": q_hybrid_detection,
         "hybrid_detection_bsts_lstm": q_hybrid_detection_bsts_lstm,
@@ -5934,6 +5989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_concentration",
         "rolling_moments",
         "stl_forecast",
+        "rolling_quantile_flags",
         # last checked r04 (green) — next priority
         "stratified_sample",
         "source_mix",

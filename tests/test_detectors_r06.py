@@ -721,3 +721,41 @@ def test_rolling_quantile_flags_matches_pandas(spark):
     assert late["rq_flag"].mean() < 0.2
     # head rows below min_periods carry null flags
     assert pd.isna(out.loc[5, "rq_flag"])
+
+
+def test_max_drawdown_matches_numpy(spark):
+    rng = _rng(24)
+    vals = np.cumsum(rng.normal(0, 1, 400)) + 100
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        q_max_drawdown,
+    )
+    import tempfile, os
+
+    # route through the registry shape on a local frame instead: call
+    # the same expressions via a tiny helper frame
+    from pyspark.sql import Window
+    from time_series_data_anomaly_detection_spark.plans import registry
+
+    df = series_df(spark, vals)
+    w = (
+        Window.partitionBy("series_id")
+        .orderBy("timestamp", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = df.withColumn("__peak", F.max("value").over(w)).withColumn(
+        "__dd", F.col("__peak") - F.col("value")
+    )
+    wr = Window.partitionBy("series_id").orderBy(
+        F.desc("__dd"), F.asc("rn")
+    )
+    top = (
+        d.withColumn("__r", F.row_number().over(wr))
+        .filter(F.col("__r") == 1)
+        .toPandas()
+        .iloc[0]
+    )
+    peak = np.maximum.accumulate(vals)
+    dd = peak - vals
+    assert top["__dd"] == pytest.approx(dd.max(), abs=1e-12)
+    assert top["rn"] == int(np.argmax(dd)) + 1
+    assert top["__peak"] == pytest.approx(peak[np.argmax(dd)], abs=1e-12)

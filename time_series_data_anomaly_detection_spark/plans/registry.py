@@ -5786,6 +5786,56 @@ FROM bands
 """
 
 
+def q_max_drawdown(spark, sf_dir):
+    """Maximum drawdown per series (peak-to-trough depth, location,
+    and the preceding peak) — the cumulative-damage diagnostic beside
+    Page-Hinkley's drift statistic (same prefix form: running max +
+    argmax, zero recursion).  Hash-gated."""
+    s = _series(spark, sf_dir)
+    w = (
+        Window.partitionBy("series_id")
+        .orderBy("timestamp", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = s.withColumn("__peak", F.max("value").over(w)).withColumn(
+        "__dd", F.col("__peak") - F.col("value")
+    )
+    wr = Window.partitionBy("series_id").orderBy(
+        F.desc("__dd"), F.asc("rn")
+    )
+    top = d.withColumn("__r", F.row_number().over(wr)).filter(
+        F.col("__r") == 1
+    )
+    return top.select(
+        "series_id",
+        F.col("rn").alias("dd_rn"),
+        _rnd("__peak", R).alias("peak"),
+        _rnd("value", R).alias("trough"),
+        _rnd("__dd", R).alias("max_drawdown"),
+    )
+
+
+ORACLES["max_drawdown"] = f"""
+WITH {SQL_S},
+dd AS (
+  SELECT series_id, rn, value,
+         max(value) OVER (PARTITION BY series_id ORDER BY rn
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS peak
+  FROM s),
+rk AS (
+  SELECT series_id, rn, value, peak, peak - value AS d,
+         row_number() OVER (PARTITION BY series_id
+                            ORDER BY peak - value DESC, rn) AS r
+  FROM dd)
+SELECT series_id, rn AS dd_rn,
+       round(peak, {R}) AS peak,
+       round(value, {R}) AS trough,
+       round(d, {R}) AS max_drawdown
+FROM rk WHERE r = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from . import registry_datapipe
 
@@ -5839,6 +5889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_moments": q_rolling_moments,
         "stl_forecast": q_stl_forecast,
         "rolling_quantile_flags": q_rolling_quantile_flags,
+        "max_drawdown": q_max_drawdown,
         "pacf": q_pacf,
         "hybrid_detection": q_hybrid_detection,
         "hybrid_detection_bsts_lstm": q_hybrid_detection_bsts_lstm,
@@ -5990,6 +6041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_moments",
         "stl_forecast",
         "rolling_quantile_flags",
+        "max_drawdown",
         # last checked r04 (green) — next priority
         "stratified_sample",
         "source_mix",

@@ -709,7 +709,7 @@ def test_rolling_quantile_flags_matches_pandas(spark):
     )
     s = pd.Series(vals)
     for i in [30, 150, 250]:
-        w = s.iloc[max(0, i - 96) : i].to_numpy()
+        w = s.iloc[max(0, i - 48) : i].to_numpy()
         lo = np.percentile(w, 2)  # numpy 'linear' == our interpolation
         hi = np.percentile(w, 98)
         assert out.loc[i, "band_lo"] == pytest.approx(lo, abs=1e-9)

@@ -5733,10 +5733,11 @@ FROM fc f JOIN seas2 s4
 
 
 def q_rolling_quantile_flags(spark, sf_dir):
-    """Trailing rolling [2%,98%] ECDF band (previous 96 rows, current
+    """Trailing rolling [2%,98%] ECDF band (previous 48 rows, current
     row excluded — one-step-ahead), hash-gated: the LOCAL version of
     quantile_flags that survives level shifts.  Sorted in-frame
-    arrays + interpolated indexing (the Hampel machinery)."""
+    arrays + interpolated indexing (the Hampel machinery); O(n·w),
+    w is the budget knob."""
     from ..operators.robust import rolling_quantile_flags
 
     out = rolling_quantile_flags(_series(spark, sf_dir))
@@ -5754,7 +5755,7 @@ win AS (
   SELECT series_id, rn, value,
          list_sort(list(value) OVER (
            PARTITION BY series_id ORDER BY rn
-           ROWS BETWEEN 96 PRECEDING AND 1 PRECEDING)) AS l
+           ROWS BETWEEN 48 PRECEDING AND 1 PRECEDING)) AS l
   FROM s),
 qs AS (
   SELECT series_id, rn, value, l, len(l) AS n,
@@ -5763,13 +5764,13 @@ qs AS (
   FROM win),
 bands AS (
   SELECT series_id, rn, value, n,
-         CASE WHEN n >= 24 THEN
+         CASE WHEN n >= 12 THEN
            l[CAST(floor(pos_lo) AS INT)]
            + (pos_lo - floor(pos_lo))
              * (l[least(CAST(floor(pos_lo) AS INT) + 1, n)]
                 - l[CAST(floor(pos_lo) AS INT)])
          END AS band_lo,
-         CASE WHEN n >= 24 THEN
+         CASE WHEN n >= 12 THEN
            l[CAST(floor(pos_hi) AS INT)]
            + (pos_hi - floor(pos_hi))
              * (l[least(CAST(floor(pos_hi) AS INT) + 1, n)]

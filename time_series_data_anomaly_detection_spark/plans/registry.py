@@ -5989,28 +5989,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shesd_flags",
         "bpe_merges",
         "bpe_encode",
-        # oracled queries whose most recent driver check is r03 —
-        # oldest signal; re-confirm ahead of the r04/r05 green set
-        "gp_train_subsample",
-        "doc_stats",
-        "lang_id",
-        "fingerprint",
-        "exact_dedup",
-        "interval_exceedance",
-        "ar1_forecast",
-        "global_moments",
-        "average_precision",
-        "forecast_accuracy",
-        "ensemble_fusion",
-        "acf",
-        "acf_statsmodels",
-        "pacf",
-        "resample_decompose",
-        "kalman_forecast_fixed",
-        "winnow_fingerprints",
-        "ngram_jaccard",
-        "revenue_anomaly",
-        # new r06 queries slot in here as they are added
+        # new r06 queries — also never driver-checked; they outrank
+        # the r03-stale RE-confirmations below (a capped ~50-slot run
+        # should spend its slots on queries with NO driver signal)
         "hbos_flags",
         "importance_select",
         "sax_words",
@@ -6043,6 +6024,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stl_forecast",
         "rolling_quantile_flags",
         "max_drawdown",
+        # oracled queries whose most recent driver check is r03 —
+        # oldest signal; re-confirm ahead of the r04/r05 green set
+        "gp_train_subsample",
+        "doc_stats",
+        "lang_id",
+        "fingerprint",
+        "exact_dedup",
+        "interval_exceedance",
+        "ar1_forecast",
+        "global_moments",
+        "average_precision",
+        "forecast_accuracy",
+        "ensemble_fusion",
+        "acf",
+        "acf_statsmodels",
+        "pacf",
+        "resample_decompose",
+        "kalman_forecast_fixed",
+        "winnow_fingerprints",
+        "ngram_jaccard",
+        "revenue_anomaly",
         # last checked r04 (green) — next priority
         "stratified_sample",
         "source_mix",

@@ -5979,53 +5979,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Long-stable rows-only queries (weakest signal, green twice) sink
     # to the back where a cap costs the least information.
     gate_first = [
-        # never appeared in any driver correctness run — r06 prime
-        # slots (3 oracled first, then the 5 rows-only entries)
-        "chunk_documents",
-        "retention_cohorts",
-        "embedding_density",
-        "spectral_residual",
-        "matrix_profile",
-        "shesd_flags",
-        "bpe_merges",
-        "bpe_encode",
-        # new r06 queries — also never driver-checked; they outrank
-        # the r03-stale RE-confirmations below (a capped ~50-slot run
-        # should spend its slots on queries with NO driver signal)
-        "hbos_flags",
-        "importance_select",
-        "sax_words",
-        "ar2_forecast",
-        "detector_rank_ensemble",
-        "acf_fft",
-        "pelt_changepoints",
-        "page_hinkley",
-        "knn_outlier",
-        "kde_rarity",
-        "croston_forecast",
-        "sax_bitmap",
-        "vocab_stats",
-        "winnow_near_dup",
-        "distinctive_terms",
-        "variance_ratio",
-        "forecast_features",
-        "doc_novelty",
-        "rs_hurst",
-        "compression_ratio",
-        "ks_drift",
-        "cusum_squares",
-        "holt_linear",
-        "harmonic_forecast",
-        "detector_ap_leaderboard",
-        "ljung_box",
-        "runs_test",
-        "source_concentration",
-        "rolling_moments",
-        "stl_forecast",
-        "rolling_quantile_flags",
-        "max_drawdown",
-        # oracled queries whose most recent driver check is r03 —
-        # oldest signal; re-confirm ahead of the r04/r05 green set
+        # r07 PRIME SLOTS — the r06 verdict's item #1: these 9 queries
+        # are hash-green but last driver-checked in r03 while their
+        # operator code moved since (operators/acf.py ±111 lines in
+        # r06 alone).  Re-confirm them before anything else.
+        "acf",
+        "acf_statsmodels",
+        "pacf",
+        "ensemble_fusion",
+        "kalman_forecast_fixed",
+        "ngram_jaccard",
+        "resample_decompose",
+        "revenue_anomaly",
+        "winnow_fingerprints",
+        # remaining r03-last-checked greens (code unchanged since, but
+        # oldest driver signal after the block above)
         "gp_train_subsample",
         "doc_stats",
         "lang_id",
@@ -6036,15 +6004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_moments",
         "average_precision",
         "forecast_accuracy",
-        "ensemble_fusion",
-        "acf",
-        "acf_statsmodels",
-        "pacf",
-        "resample_decompose",
-        "kalman_forecast_fixed",
-        "winnow_fingerprints",
-        "ngram_jaccard",
-        "revenue_anomaly",
+        # new round-7 queries — never driver-checked
+        "harmonic_forecast_fixed",
         # last checked r04 (green) — next priority
         "stratified_sample",
         "source_mix",
@@ -6148,8 +6109,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk",
         "pq_recall",
         "incremental_semantic_dedup",
+        # last checked r06 (green, freshest signal of all) — lowest
+        # priority among oracled queries
+        "chunk_documents",
+        "retention_cohorts",
+        "embedding_density",
+        "hbos_flags",
+        "importance_select",
+        "sax_words",
+        "ar2_forecast",
+        "detector_rank_ensemble",
+        "page_hinkley",
+        "knn_outlier",
+        "kde_rarity",
+        "croston_forecast",
+        "sax_bitmap",
+        "vocab_stats",
+        "winnow_near_dup",
+        "distinctive_terms",
+        "variance_ratio",
+        "forecast_features",
+        "doc_novelty",
+        "rs_hurst",
+        "ks_drift",
+        "cusum_squares",
+        "holt_linear",
+        "harmonic_forecast",
+        "detector_ap_leaderboard",
+        "ljung_box",
+        "runs_test",
+        "source_concentration",
+        "rolling_moments",
+        "stl_forecast",
+        "rolling_quantile_flags",
+        "max_drawdown",
     ]
     gate_last = [  # rows-only (no_oracle) and stable: weakest signal
+        "spectral_residual",
+        "matrix_profile",
+        "shesd_flags",
+        "bpe_merges",
+        "bpe_encode",
+        "acf_fft",
+        "pelt_changepoints",
+        "compression_ratio",
         "walk_forward_cv",
         "benchmark_leaderboard",
         "hybrid_detection_bsts_lstm",

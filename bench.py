@@ -88,16 +88,47 @@ def main() -> None:
         qs, key=lambda n: (n not in prior, prior.get(n, 0.0), n)
     )
 
-    timings: dict[str, float] = {}
-    for name in order:
+    def run_one(name: str) -> float:
         fn = qs[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         # noop sink: forces evaluation of EVERY output column (count()
         # would let Catalyst prune the computed projections)
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        return round(time.perf_counter() - t0, 4)
+
+    timings: dict[str, float] = {}
+    for name in order:
+        timings[name] = run_one(name)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    # Transient defense (r06 verdict item #2): a single timed pass can
+    # record one-off spikes (GC pause, first-execution JIT of a late
+    # codegen family, worker fork) that vanish on re-measure — r06's
+    # driver run had four 2.7-8.5x movers, all transients.  Re-run any
+    # query that measured >3x its last committed time (and >2 s
+    # absolute, so sub-second jitter doesn't trigger retries) once at
+    # the end, when everything is warm, and report min(first, retry)
+    # with both numbers under "retried" so round-over-round readers
+    # can tell a real regression (retry confirms it) from noise (retry
+    # collapses it).
+    retried: dict[str, dict[str, float]] = {}
+    suspects = [
+        n
+        for n in order
+        if n in prior
+        and timings[n] > 3.0 * prior[n]
+        and timings[n] > 2.0
+    ]
+    for name in suspects:
+        first = timings[name]
+        retry = run_one(name)
+        timings[name] = min(first, retry)
+        retried[name] = {"first": first, "retry": retry}
+        print(
+            f"# retry {name}: first={first:.3f}s retry={retry:.3f}s",
+            file=sys.stderr,
+        )
 
     # the registry wrapper releases the previous query's caches at each
     # query start; drop the final query's too so the session ends clean
@@ -121,6 +152,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "retried": retried,
                 "sf": sf,
             },
             f,
@@ -145,6 +177,9 @@ def main() -> None:
                 "n_queries": len(timings),
                 "queries": shown,
                 "queries_shown": len(shown),
+                "retried": {
+                    n: [r["first"], r["retry"]] for n, r in retried.items()
+                },
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf,
             },

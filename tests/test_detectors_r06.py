@@ -759,3 +759,50 @@ def test_max_drawdown_matches_numpy(spark):
     assert top["__dd"] == pytest.approx(dd.max(), abs=1e-12)
     assert top["rn"] == int(np.argmax(dd)) + 1
     assert top["__peak"] == pytest.approx(peak[np.argmax(dd)], abs=1e-12)
+
+
+def test_rolling_quantile_grouped_bitexact_vs_native(spark):
+    """The r07 fast path (vectorized sliding-window quantile in one
+    Arrow batch per series) must reproduce the native
+    array_sort(collect_list) plan BIT-FOR-BIT — same sort, same
+    interpolation association — so the unchanged DuckDB oracle keeps
+    hash-gating the registry query."""
+    from time_series_data_anomaly_detection_spark.operators.robust import (
+        rolling_quantile_flags,
+        rolling_quantile_flags_grouped,
+    )
+
+    rng = _rng(29)
+    frames = []
+    for sid, n in [("a", 300), ("b", 60), ("c", 11), ("d", 1)]:
+        vals = np.concatenate(
+            [rng.normal(0, 1, n // 2 or 1), rng.normal(5, 2, n - (n // 2 or 1))]
+        )[:n]
+        frames.append(series_df(spark, vals, series_id=sid))
+    df = frames[0]
+    for f in frames[1:]:
+        df = df.unionByName(f)
+
+    cols = ["series_id", "rn", "value", "band_lo", "band_hi", "rq_flag"]
+    nat = (
+        rolling_quantile_flags(df)
+        .select(*cols)
+        .orderBy("series_id", "rn")
+        .toPandas()
+    )
+    grp = (
+        rolling_quantile_flags_grouped(df)
+        .orderBy("series_id", "rn")
+        .toPandas()
+    )
+    assert len(nat) == len(grp)
+    for c in ("band_lo", "band_hi"):
+        a = nat[c].to_numpy(float)
+        b = grp[c].to_numpy(float)
+        assert np.array_equal(np.isnan(a), np.isnan(b))
+        m = ~np.isnan(a)
+        # bit-exact, not approx: identical IEEE ops in the same order
+        assert np.array_equal(a[m], b[m])
+    fa = nat["rq_flag"].astype("Int32")
+    fb = grp["rq_flag"].astype("Int32")
+    assert fa.equals(fb)

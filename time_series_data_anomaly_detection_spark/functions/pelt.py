@@ -47,23 +47,24 @@ def pelt_l2(x: np.ndarray, beta: float) -> list[int]:
     n = len(x)
     s1, s2 = _l2_cost_arrays(x)
 
-    def cost(s: int, t: int) -> float:
-        m = t - s
-        d = s1[t] - s1[s]
-        return (s2[t] - s2[s]) - d * d / m
-
     f = np.full(n + 1, np.inf)
     f[0] = -beta
     last = np.zeros(n + 1, dtype=int)
-    cand = [0]
+    # candidate scan as numpy array ops (the r06 verdict's item #4: the
+    # per-t Python list comprehension was the constant-factor hot spot
+    # at ~20k iterations/series).  Expression association matches the
+    # scalar original — (f + ((S2 - S2[s]) - d^2/m)) + beta — so the
+    # optimum (and the optimal-partitioning parity test) is unchanged.
+    cand = np.array([0], dtype=np.int64)
     for t in range(1, n + 1):
-        vals = [f[s] + cost(s, t) + beta for s in cand]
+        m = t - cand
+        d = s1[t] - s1[cand]
+        vals = f[cand] + ((s2[t] - s2[cand]) - d * d / m) + beta
         best = int(np.argmin(vals))
         f[t] = vals[best]
         last[t] = cand[best]
         # inequality pruning: s stays viable iff f[s] + cost(s,t) <= f[t]
-        cand = [s for s, vl in zip(cand, vals) if vl - beta <= f[t]]
-        cand.append(t)
+        cand = np.append(cand[vals - beta <= f[t]], t)
     cps = []
     t = n
     while t > 0:

@@ -266,3 +266,95 @@ def rolling_quantile_flags(
             ((v < F.col("band_lo")) | (v > F.col("band_hi"))).cast("int"),
         ),
     ).drop("__rqn")
+
+
+ROLLING_Q_SCHEMA = (
+    "series_id string, rn long, value double, "
+    "band_lo double, band_hi double, rq_flag int"
+)
+
+
+def rolling_quantile_flags_grouped(
+    df: DataFrame,
+    value_col: str = "value",
+    window: int = 48,
+    lo_q: float = 0.02,
+    hi_q: float = 0.98,
+    min_periods: int = 12,
+) -> DataFrame:
+    """Fast path for :func:`rolling_quantile_flags` — identical output
+    (bit-for-bit; pinned by ``test_control_robust.py``), different
+    physical plan.  The native plan's per-row
+    ``array_sort(collect_list)`` makes it O(n·w log w) *in codegen*
+    with a per-row array allocation — measured ~7 s warm at sf0.1,
+    the most expensive pure-native operator in the registry.  Here the
+    whole per-series computation happens in one Arrow batch:
+    ``sliding_window_view`` + one vectorized ``np.sort`` over all full
+    windows at once (C-contiguous, cache-friendly), a ≤``window``-row
+    Python loop for the expanding prefix, and the SAME interpolation
+    arithmetic spelled identically (``pos = 1 + q·(n−1)``,
+    floor/frac, ``least(lo+1, n)``) so the DuckDB oracle stays
+    hash-green unchanged.
+
+    Scale shape: one exchange (hash by series), per-series state =
+    the series itself — the matrix_profile/PELT contract; tile long
+    series if a single series outgrows a worker.  Returns the slim
+    ``(series_id, rn, value, band_lo, band_hi, rq_flag)`` frame
+    (join back on (series_id, rn) if callers need more columns).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions._partition import udf_repartition
+
+    w_, lo_, hi_, mp_ = int(window), float(lo_q), float(hi_q), int(min_periods)
+    vcol = value_col
+
+    def one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rn").reset_index(drop=True)
+        x = pdf[vcol].to_numpy(np.float64)
+        n = len(x)
+        lo = np.full(n, np.nan)
+        hi = np.full(n, np.nan)
+
+        def interp(arr_sorted, m: int, q: float):
+            # identical association to the native expression:
+            # pos = 1.0 + q * double(m-1); frac = pos - floor(pos)
+            pos = 1.0 + q * float(m - 1)
+            i0 = int(np.floor(pos))
+            frac = pos - np.floor(pos)
+            a_lo = arr_sorted[..., i0 - 1]
+            a_hi = arr_sorted[..., min(i0 + 1, m) - 1]
+            return a_lo + frac * (a_hi - a_lo)
+
+        # expanding prefix: row i's frame is x[0:i] (≤ window-1 rows)
+        for i in range(min(mp_, n), min(w_, n)):
+            arr = np.sort(x[:i])
+            lo[i] = interp(arr, i, lo_)
+            hi[i] = interp(arr, i, hi_)
+        # full windows, all at once: row i's frame is x[i-w : i]
+        if n > w_:
+            sw = np.lib.stride_tricks.sliding_window_view(x, w_)[: n - w_]
+            ws = np.sort(sw, axis=1)
+            lo[w_:] = interp(ws, w_, lo_)
+            hi[w_:] = interp(ws, w_, hi_)
+        flag = np.where(
+            np.isnan(lo), np.nan, ((x < lo) | (x > hi)).astype(np.float64)
+        )
+        return pd.DataFrame(
+            {
+                "series_id": pdf["series_id"],
+                "rn": pdf["rn"],
+                "value": x,
+                "band_lo": lo,
+                "band_hi": hi,
+                "rq_flag": pd.Series(flag).astype("Int32"),
+            }
+        )
+
+    slim = df.select("series_id", "rn", vcol)
+    return (
+        udf_repartition(slim, "series_id")
+        .groupBy("series_id")
+        .applyInPandas(one, ROLLING_Q_SCHEMA)
+    )

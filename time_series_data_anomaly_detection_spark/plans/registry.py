@@ -5735,12 +5735,14 @@ FROM fc f JOIN seas2 s4
 def q_rolling_quantile_flags(spark, sf_dir):
     """Trailing rolling [2%,98%] ECDF band (previous 48 rows, current
     row excluded — one-step-ahead), hash-gated: the LOCAL version of
-    quantile_flags that survives level shifts.  Sorted in-frame
-    arrays + interpolated indexing (the Hampel machinery); O(n·w),
-    w is the budget knob."""
-    from ..operators.robust import rolling_quantile_flags
+    quantile_flags that survives level shifts.  Served by the grouped
+    sliding-quantile fast path (one vectorized sort per series; r06
+    verdict item #3) whose output is bit-identical to the native
+    sorted-in-frame-array plan — the parity test pins the equality and
+    the unchanged DuckDB oracle hash-gates it."""
+    from ..operators.robust import rolling_quantile_flags_grouped
 
-    out = rolling_quantile_flags(_series(spark, sf_dir))
+    out = rolling_quantile_flags_grouped(_series(spark, sf_dir))
     return out.select(
         "series_id", "rn",
         _rnd("band_lo", R).alias("band_lo"),

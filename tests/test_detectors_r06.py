@@ -806,3 +806,44 @@ def test_rolling_quantile_grouped_bitexact_vs_native(spark):
     fa = nat["rq_flag"].astype("Int32")
     fb = grp["rq_flag"].astype("Int32")
     assert fa.equals(fb)
+
+
+def test_harmonic_fixed_recovers_planted_seasonality(spark):
+    """The hash-gated projection twin must still be a real seasonal
+    fit: on a planted period-48 two-harmonic signal + small noise, the
+    test-split residuals are near the noise floor and the train prefix
+    is whole periods."""
+    rng = _rng(31)
+    t = np.arange(1, 961, dtype=float)  # 20 periods of 48
+    y = (
+        5.0
+        + 3.0 * np.sin(2 * np.pi * t / 48)
+        + 1.5 * np.cos(4 * np.pi * t / 48)
+        + rng.normal(0, 0.1, len(t))
+    )
+    import duckdb
+    import os
+    import tempfile
+
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        q_harmonic_forecast_fixed,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        pdf = pd.DataFrame(
+            {
+                "event_id": np.arange(len(t)),
+                "event_type": "s1",
+                "ts": pd.date_range("2024-01-01", periods=len(t), freq="30min"),
+                "value": y,
+            }
+        )
+        pdf.to_parquet(os.path.join(d, "events.parquet"))
+        out = (
+            q_harmonic_forecast_fixed(spark, d).orderBy("rn").toPandas()
+        )
+    assert len(out) == 960
+    # train prefix is whole periods: 48 * floor(floor(0.7*960)/48) = 672
+    assert (out["split"] == "Train").sum() == 672
+    test_resid = out.loc[out["split"] == "Test", "resid"].to_numpy(float)
+    assert np.sqrt((test_resid**2).mean()) < 0.2  # ~noise floor (0.1)

@@ -1,0 +1,76 @@
+"""Gate-coverage invariant (r06 verdict item #7): every registered
+query must carry the HARD correctness signal (a DuckDB oracle, which
+both the driver's hash gate and scripts/hash_check.py iterate) unless
+it is on the explicit rows-only allowlist below — the queries whose
+algorithms are genuinely not SQL-expressible (EM/MLE/SGD fits, FFT,
+DP recursions, zlib) and whose semantics are pinned by unit/parity
+tests instead.
+
+Adding a query without an oracle and without declaring it here FAILS
+this test: silent rows-only registration is how gate coverage rots.
+"""
+
+from __future__ import annotations
+
+# Declared rows-only queries.  Each entry must name its reason; the
+# parity/unit test carrying its semantics lives in tests/.
+ROWS_ONLY = {
+    # FFT / spectral (engine libm + FFT not cross-engine bit-stable)
+    "spectral_residual": "FFT saliency map",
+    "matrix_profile": "batched-FFT MASS distance profile",
+    "acf_fft": "all-lags FFT autocorrelation",
+    # dynamic programming / iterative algorithms
+    "pelt_changepoints": "PELT argmin DP recursion",
+    "bocpd_changepoints": "O(T^2) Bayesian run-length recursion",
+    "bpe_merges": "iterative merge induction loop",
+    "bpe_encode": "iterative pair-merge encoding",
+    # iterative / test-statistic models with transcendental internals
+    "shesd_flags": "iterative ESD with t-distribution quantiles",
+    "compression_ratio": "zlib deflate inside the projection",
+    "harmonic_forecast": "sin/cos design matrix (see _fixed twin)",
+    "stl_robust": "robust Loess iterations",
+    # model fits (EM / MLE / SGD); fixed-parameter twins are gated
+    "kalman_forecast": "EM-estimated variances",
+    "kalman_forecast_filtered": "EM + filtered (dynamic=False) path",
+    "bsts_forecast": "EM + dummy-seasonal state space",
+    "bsts_forecast_multiseasonal": "EM + [48,336] seasonal states",
+    "gp_forecast": "grid-LML kernel selection + Cholesky solves",
+    "lstm_forecast": "SGD training",
+    # composite pipelines built on the fits above
+    "walk_forward_cv": "refits models per fold",
+    "benchmark_leaderboard": "aggregates model-fit outputs",
+    "hybrid_detection": "three-model fusion",
+    "hybrid_detection_bsts_lstm": "notebook-weight model fusion",
+}
+
+
+def test_every_query_is_oracled_or_declared_rows_only():
+    import __spark_entry__ as entrymod
+
+    qs = set(entrymod.queries())
+    oracled = set(entrymod.oracle_sql())
+
+    undeclared = qs - oracled - set(ROWS_ONLY)
+    assert not undeclared, (
+        "queries registered without an oracle and not declared "
+        f"rows-only: {sorted(undeclared)} — add a DuckDB oracle "
+        "(preferred) or an allowlist entry with its reason"
+    )
+
+    # allowlist hygiene: no dead entries, no entry shadowing an oracle
+    dead = set(ROWS_ONLY) - qs
+    assert not dead, f"ROWS_ONLY entries not in queries(): {sorted(dead)}"
+    shadowed = set(ROWS_ONLY) & oracled
+    assert not shadowed, (
+        f"ROWS_ONLY entries that HAVE an oracle: {sorted(shadowed)} — "
+        "remove them from the allowlist"
+    )
+
+
+def test_every_oracle_has_a_query():
+    import __spark_entry__ as entrymod
+
+    qs = set(entrymod.queries())
+    oracled = set(entrymod.oracle_sql())
+    orphans = oracled - qs
+    assert not orphans, f"oracles without a queries() entry: {sorted(orphans)}"

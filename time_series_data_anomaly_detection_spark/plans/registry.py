@@ -5359,6 +5359,149 @@ def q_harmonic_forecast(spark, sf_dir):
     )
 
 
+def _harmonic_table(m: int = 48):
+    """Quantized sinusoid design table for the hash-gated harmonic
+    twin: sin/cos(2πk·pos/m), k=1,2, rounded to 12 decimals.  Both
+    engines consume the SAME decimal literals (Spark as a broadcast
+    literal frame, DuckDB as a VALUES list), so the transcendentals
+    never enter the comparison — the design matrix is *defined* as
+    this table (``pos = rn % m``; sinusoids are m-periodic in rn)."""
+    import numpy as np
+
+    rows = []
+    vals_sql = []
+    for pos in range(m):
+        w = 2.0 * np.pi * pos / m
+        s1, c1 = round(float(np.sin(w)), 12), round(float(np.cos(w)), 12)
+        s2, c2 = round(float(np.sin(2 * w)), 12), round(float(np.cos(2 * w)), 12)
+        rows.append((pos, s1, c1, s2, c2))
+        vals_sql.append(
+            f"({pos}, {s1:.12f}, {c1:.12f}, {s2:.12f}, {c2:.12f})"
+        )
+    return rows, ",\n    ".join(vals_sql)
+
+
+_HARMONIC_ROWS, _HARMONIC_VALUES_SQL = _harmonic_table(48)
+
+
+def q_harmonic_forecast_fixed(spark, sf_dir):
+    """Hash-gated fixed twin of the harmonic forecaster (r06 verdict
+    item #6): level + K=2 sinusoids at period 48, coefficients by the
+    exact DFT projection ``a_k = 2·Σ(y·c_k)/n_tr`` over a train
+    prefix truncated to whole periods (``n_tr = 48·⌊⌊0.7n⌋/48⌋``) —
+    on whole periods the quantized sinusoid regressors are
+    (near-)orthogonal and the projection IS the least-squares fit of
+    this design table.  Every sum is exact-decimal; sin/cos enter
+    only through the shared 48-row literal table, so both engines
+    compute bit-identical coefficients and predictions.  Fully
+    native: two broadcast joins (counts, table) + one grouped
+    decimal aggregate — no UDF, one shuffle on series_id."""
+    s = _series(spark, sf_dir).select("series_id", "rn", "value")
+    h = spark.createDataFrame(
+        _HARMONIC_ROWS, "pos long, s1 double, c1 double, s2 double, c2 double"
+    )
+    cnt = s.groupBy("series_id").agg(F.count("*").alias("n"))
+    n_tr = F.greatest(
+        F.lit(48) * F.floor(F.floor(F.lit(0.7) * F.col("n")) / F.lit(48)),
+        F.lit(1),
+    ).cast("double")
+    cnt = cnt.withColumn("n_tr", n_tr)
+    j = (
+        s.withColumn("pos", F.col("rn") % F.lit(48))
+        .join(F.broadcast(cnt), "series_id")
+        .join(F.broadcast(h), "pos")
+    )
+    v = F.col("value")
+
+    def dsum(expr):
+        return F.sum(expr.cast(DEC_T)).cast("double")
+
+    tr = (
+        j.filter(F.col("rn") <= F.col("n_tr"))
+        .groupBy("series_id")
+        .agg(
+            dsum(v).alias("sy"),
+            dsum(v * F.col("c1")).alias("syc1"),
+            dsum(v * F.col("s1")).alias("sys1"),
+            dsum(v * F.col("c2")).alias("syc2"),
+            dsum(v * F.col("s2")).alias("sys2"),
+        )
+    )
+    co = tr.join(cnt.select("series_id", "n_tr"), "series_id").select(
+        "series_id",
+        (F.col("sy") / F.col("n_tr")).alias("a0"),
+        (F.lit(2.0) * F.col("syc1") / F.col("n_tr")).alias("a1"),
+        (F.lit(2.0) * F.col("sys1") / F.col("n_tr")).alias("b1"),
+        (F.lit(2.0) * F.col("syc2") / F.col("n_tr")).alias("a2"),
+        (F.lit(2.0) * F.col("sys2") / F.col("n_tr")).alias("b2"),
+    )
+    out = j.join(F.broadcast(co), "series_id")
+    pred = (
+        (
+            (
+                (F.col("a0") + F.col("a1") * F.col("c1"))
+                + F.col("b1") * F.col("s1")
+            )
+            + F.col("a2") * F.col("c2")
+        )
+        + F.col("b2") * F.col("s2")
+    )
+    return out.select(
+        "series_id",
+        "rn",
+        F.when(F.col("rn") <= F.col("n_tr"), F.lit("Train"))
+        .otherwise(F.lit("Test"))
+        .alias("split"),
+        _rnd(pred, R).alias("pred"),
+        _rnd(v - pred, R).alias("resid"),
+    )
+
+
+ORACLES["harmonic_forecast_fixed"] = f"""
+WITH {SQL_S},
+h(pos, s1, c1, s2, c2) AS (
+  VALUES
+    {_HARMONIC_VALUES_SQL}
+),
+cnt AS (
+  SELECT series_id, count(*) AS n FROM s GROUP BY 1),
+cnt2 AS (
+  SELECT series_id,
+         CAST(greatest(48 * FLOOR(FLOOR(0.7 * n) / 48), 1) AS DOUBLE)
+           AS n_tr
+  FROM cnt),
+j AS (
+  SELECT s.series_id, s.rn, s.value, c.n_tr,
+         h.s1, h.c1, h.s2, h.c2
+  FROM s
+  JOIN cnt2 c USING (series_id)
+  JOIN h ON h.pos = s.rn % 48),
+tr AS (
+  SELECT series_id,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(value * c1 AS DECIMAL(38,12))) AS DOUBLE) AS syc1,
+         CAST(sum(CAST(value * s1 AS DECIMAL(38,12))) AS DOUBLE) AS sys1,
+         CAST(sum(CAST(value * c2 AS DECIMAL(38,12))) AS DOUBLE) AS syc2,
+         CAST(sum(CAST(value * s2 AS DECIMAL(38,12))) AS DOUBLE) AS sys2
+  FROM j WHERE rn <= n_tr GROUP BY 1),
+co AS (
+  SELECT t.series_id,
+         t.sy / c.n_tr AS a0,
+         2.0 * t.syc1 / c.n_tr AS a1,
+         2.0 * t.sys1 / c.n_tr AS b1,
+         2.0 * t.syc2 / c.n_tr AS a2,
+         2.0 * t.sys2 / c.n_tr AS b2
+  FROM tr t JOIN cnt2 c USING (series_id))
+SELECT j.series_id, j.rn,
+       CASE WHEN j.rn <= j.n_tr THEN 'Train' ELSE 'Test' END AS split,
+       round((((co.a0 + co.a1 * j.c1) + co.b1 * j.s1)
+              + co.a2 * j.c2) + co.b2 * j.s2, {R}) AS pred,
+       round(j.value - ((((co.a0 + co.a1 * j.c1) + co.b1 * j.s1)
+              + co.a2 * j.c2) + co.b2 * j.s2), {R}) AS resid
+FROM j JOIN co USING (series_id)
+"""
+
+
 def q_detector_ap_leaderboard(spark, sf_dir):
     """Score-quality leaderboard across four hash-stable detector
     scores (MAD z, global z, first-difference z, 1-D kNN distance):
@@ -5886,6 +6029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_squares": q_cusum_squares,
         "holt_linear": q_holt_linear,
         "harmonic_forecast": q_harmonic_forecast,
+        "harmonic_forecast_fixed": q_harmonic_forecast_fixed,
         "detector_ap_leaderboard": q_detector_ap_leaderboard,
         "ljung_box": q_ljung_box,
         "runs_test": q_runs_test,

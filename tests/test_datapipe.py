@@ -1032,3 +1032,43 @@ def test_pq_rerank_orders_shortlist_by_exact_cosine(spark, vectors):
         expect = list(ex["match_id"].iloc[: len(grp)])
         got = list(grp.sort_values("rank")["match_id"])
         assert got == expect
+
+
+def test_bigram_surprise_matches_pure_python(spark, docs):
+    """Exact check of the add-one bigram LM arithmetic against a
+    from-scratch Python reference on the tiny corpus, plus the
+    semantic ordering: the repeated-template docs (0/1/2 share almost
+    every bigram) must score LESS surprising than the singleton
+    French doc."""
+    import re
+    from collections import Counter
+
+    from time_series_data_anomaly_detection_spark.datapipe.text import (
+        TOKEN_RE,
+        bigram_surprise,
+    )
+
+    out = (
+        bigram_surprise(docs).orderBy("doc_id").toPandas().set_index("doc_id")
+    )
+
+    corpus = {
+        r["doc_id"]: re.findall(TOKEN_RE, r["text"].lower())
+        for r in docs.collect()
+    }
+    c12 = Counter()
+    for toks in corpus.values():
+        c12.update(zip(toks, toks[1:]))
+    c1 = Counter()
+    for (w1, _), m in c12.items():
+        c1[w1] += m
+    vocab = len({w for toks in corpus.values() for w in toks})
+    for did, toks in corpus.items():
+        bgs = list(zip(toks, toks[1:]))
+        assert out.loc[did, "n_bigrams"] == len(bgs)
+        inv = [(c1[b[0]] + vocab) / (c12[b] + 1) for b in bgs]
+        expect = sum(inv) / len(bgs)
+        assert out.loc[did, "surprise"] == pytest.approx(expect, rel=1e-9)
+    # templated docs score low, the singleton-language doc scores high
+    assert out.loc[4, "surprise"] > out.loc[0, "surprise"]
+    assert out.loc[4, "surprise"] > out.loc[2, "surprise"]

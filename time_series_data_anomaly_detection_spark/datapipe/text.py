@@ -341,3 +341,69 @@ def compression_ratio(
         run, f"{id_col} long, n_bytes long, n_compressed long, "
         "compression_ratio double",
     )
+
+
+def bigram_surprise(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Statistical-LM quality scoring: per-document mean inverse
+    add-one-smoothed bigram probability against the corpus's OWN
+    bigram model — the model-based complement to the heuristic
+    filters (doc_stats ratios, quality_classifier) and to DSIR's
+    target-vs-corpus importance weights (sampling.importance_select):
+    here there is no target corpus, the signal is "how surprising is
+    this document under the corpus itself" (high = boilerplate-free
+    but also OCR noise / word salad; low = templated text).
+
+    Rational form (the house hash-exactness recipe): with
+    ``P(w2|w1) = (c12 + 1) / (c1 + V)`` (add-one smoothing, V =
+    corpus vocabulary size, c1 = Σ_w2 c12 so the conditional is
+    exactly normalized), the score is the ARITHMETIC mean of
+    ``1/P`` over a doc's bigram occurrences — a sum of integer
+    ratios, exact-decimal summable, no logs.  (The geometric mean —
+    true perplexity — needs log and stays out of hash gates by
+    design; the arithmetic mean is the documented variant.)
+
+    Scale shape: occurrences collapse to per-(doc, bigram) counts
+    BEFORE the model join, so a hot bigram ("of the") joins once per
+    containing doc, not once per occurrence; both model joins are
+    keyed shuffle joins (AQE handles residual key skew); V is a
+    scalar broadcast.  Three aggregates, all with map-side combine —
+    corpus scanned once.
+    """
+    from .._exact import DEC
+
+    t = tokenize(df, text_col).select("doc_id", "tokens")
+    occ = (
+        t.select("doc_id", F.explode(grams(2)).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("m"))
+    )
+    model = occ.groupBy("bg").agg(F.sum("m").alias("c12"))
+    c1 = (
+        model.withColumn(
+            "w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+        )
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    v = t.select(F.explode("tokens").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    sc = (
+        occ.join(model, "bg")
+        .withColumn(
+            "w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+        )
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .withColumn(
+            "inv_p",
+            (F.col("c1") + F.col("v")) / (F.col("c12") + F.lit(1)),
+        )
+    )
+    return sc.groupBy("doc_id").agg(
+        F.sum("m").cast("long").alias("n_bigrams"),
+        (
+            F.sum((F.col("m") * F.col("inv_p")).cast(DEC)).cast("double")
+            / F.sum("m")
+        ).alias("surprise"),
+    )

@@ -6152,6 +6152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_accuracy",
         # new round-7 queries — never driver-checked
         "harmonic_forecast_fixed",
+        "bigram_surprise",
         # last checked r04 (green) — next priority
         "stratified_sample",
         "source_mix",

@@ -2944,6 +2944,54 @@ def q_importance_select(spark, sf_dir):
     )
 
 
+def q_bigram_surprise(spark, sf_dir):
+    """Model-based quality scoring: per-doc arithmetic-mean inverse
+    add-one-smoothed bigram probability under the corpus's own bigram
+    LM — log-free rational form (sums of integer ratios), hash-gated.
+    The statistical complement to the heuristic doc_stats /
+    quality_classifier filters and to DSIR's target-ratio weights."""
+    from ..datapipe.text import bigram_surprise
+
+    out = bigram_surprise(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_bigrams",
+        _rnd("surprise", R).alias("surprise"),
+    )
+
+
+ORACLES["bigram_surprise"] = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(t) - 1, 0)),
+           i -> array_to_string(t[i:i+1], ' '))) AS bg
+  FROM toks),
+occ AS (SELECT doc_id, bg, count(*) AS m FROM bg GROUP BY 1, 2),
+model AS (SELECT bg, CAST(sum(m) AS BIGINT) AS c12 FROM occ GROUP BY 1),
+c1t AS (
+  SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c12) AS BIGINT) AS c1
+  FROM model GROUP BY 1),
+vt AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT unnest(t) AS w FROM toks)),
+sc AS (
+  SELECT o.doc_id, o.m,
+         (c.c1 + v.v) / (mo.c12 + 1) AS inv_p
+  FROM occ o
+  JOIN model mo USING (bg)
+  JOIN c1t c ON c.w1 = split_part(o.bg, ' ', 1)
+  CROSS JOIN vt v)
+SELECT doc_id,
+       CAST(sum(m) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(CAST(m * inv_p AS DECIMAL(38,12))) AS DOUBLE)
+             / sum(m), {R}) AS surprise
+FROM sc GROUP BY 1
+"""
+
+
 def queries():
     return {
         "importance_select": q_importance_select,
@@ -2956,6 +3004,7 @@ def queries():
         "fingerprint": q_fingerprint,
         "winnow_fingerprints": q_winnow_fingerprints,
         "vocab_stats": q_vocab_stats,
+        "bigram_surprise": q_bigram_surprise,
         "winnow_near_dup": q_winnow_near_dup,
         "distinctive_terms": q_distinctive_terms,
         "doc_novelty": q_doc_novelty,

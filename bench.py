@@ -79,9 +79,23 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     prior: dict[str, float] = {}
+    prior_baseline: dict[str, float] = {}
     try:
         with open(prior_path) as f:
-            prior = json.load(f).get("queries", {})
+            _pd = json.load(f)
+            prior = _pd.get("queries", {})
+            # baseline times are SF-specific: a run at another SF must
+            # neither consult nor inherit them (an sf0.001 run would
+            # otherwise poison the sf0.1 retry reference forever).
+            # `prior` still orders cheap-first (ranks transfer across
+            # SFs); retries key off `baseline` alone.
+            if _pd.get("sf") == sf:
+                prior_baseline = _pd.get("baseline", {})
+                prior_baseline = {
+                    n: min(v for v in (prior_baseline.get(n), prior.get(n))
+                           if v is not None)
+                    for n in set(prior_baseline) | set(prior)
+                }
     except Exception:
         pass
     order = sorted(
@@ -106,18 +120,23 @@ def main() -> None:
     # record one-off spikes (GC pause, first-execution JIT of a late
     # codegen family, worker fork) that vanish on re-measure — r06's
     # driver run had four 2.7-8.5x movers, all transients.  Re-run any
-    # query that measured >3x its last committed time (and >2 s
+    # query that measured >2.5x its BEST KNOWN WARM time (and >2 s
     # absolute, so sub-second jitter doesn't trigger retries) once at
     # the end, when everything is warm, and report min(first, retry)
     # with both numbers under "retried" so round-over-round readers
     # can tell a real regression (retry confirms it) from noise (retry
-    # collapses it).
+    # collapses it).  The reference is the persisted "baseline" dict
+    # (monotone min across runs), NOT the last run's timing — a spiked
+    # last run would otherwise raise the retry bar and hide the next
+    # spike (observed: r06's winnow_near_dup 12.7 s spike made an
+    # 18.4 s r07 spike look <3x "normal"; honest warm cost is 7.3 s).
     retried: dict[str, dict[str, float]] = {}
+    baseline = dict(prior_baseline)
     suspects = [
         n
         for n in order
-        if n in prior
-        and timings[n] > 3.0 * prior[n]
+        if n in baseline
+        and timings[n] > 2.5 * baseline[n]
         and timings[n] > 2.0
     ]
     for name in suspects:
@@ -153,6 +172,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "retried": retried,
+                # best known warm time per query (monotone min across
+                # runs) — the retry reference, not a timing report
+                "baseline": {
+                    n: round(min(baseline.get(n, t), t), 4)
+                    for n, t in timings.items()
+                },
                 "sf": sf,
             },
             f,

@@ -109,3 +109,42 @@ def test_forecast_accuracy_known_errors(spark):
     assert abs(out.mape - exp_mape) < 1e-6
     exp_smape = np.mean([2 * 2 / 22, 2 * 2 / 38, 2 * 3 / 63, 0.0])
     assert abs(out.smape - exp_smape) < 1e-6
+
+
+def test_forecast_mase_scaling_semantics(spark):
+    """MASE = test MAE / train one-step naive MAE: the naive model's
+    own MASE on a random walk must sit near 1, and a perfect forecast
+    scores 0.  Checked on a planted series via the registry query
+    plumbing (tiny parquet dir)."""
+    import os
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        q_forecast_mase,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 400
+    y = np.cumsum(rng.normal(0, 1, n)) + 100
+    with tempfile.TemporaryDirectory() as d:
+        pdf = pd.DataFrame(
+            {
+                "event_id": np.arange(n),
+                "event_type": "s1",
+                "ts": pd.date_range("2024-01-01", periods=n, freq="30min"),
+                "value": y,
+            }
+        )
+        pdf.to_parquet(os.path.join(d, "events.parquet"))
+        out = q_forecast_mase(spark, d).toPandas().set_index("model")
+    # scale = mean |diff| over train rows 2..T, T = floor(0.75*400)
+    T = 300
+    expect_scale = np.abs(np.diff(y[:T])).mean()
+    assert out.loc["naive", "scale"] == pytest.approx(expect_scale, abs=1e-6)
+    # naive on a random walk: test MAE ≈ |N(0,1)| mean ≈ train scale
+    assert 0.7 < out.loc["naive", "mase"] < 1.4
+    # drift is close to naive here; seasonal-naive (lag 24) is worse
+    assert out.loc["seasonal_naive", "mase"] > out.loc["naive", "mase"]

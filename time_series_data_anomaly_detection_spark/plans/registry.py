@@ -3676,6 +3676,65 @@ FROM ag
 """
 
 
+def q_forecast_mase(spark, sf_dir):
+    """MASE (Hyndman & Koehler 2006; the M4 headline metric) for the
+    three baseline forecasters: test-split MAE scaled by the TRAIN
+    split's in-sample one-step naive MAE — the scale-free accuracy
+    number that makes series comparable (MASE > 1 = worse than naive).
+    Completes the accuracy family (MAE/RMSE/MAPE/sMAPE are scored by
+    forecast_accuracy); denominator is model-independent per series,
+    computed once and broadcast.  Fully hash-gated: both numerator
+    and denominator are exact-decimal means of bit-identical doubles."""
+    from ..operators.evaluate import forecast_accuracy
+
+    s = _series(spark, sf_dir)
+    acc = forecast_accuracy(_baseline_long(s), keys=("model", "series_id"))
+    w = Window.partitionBy("series_id").orderBy("rn")
+    nn = s.groupBy("series_id").agg(
+        F.floor(F.max("rn") * 0.75).cast("long").alias("__T")
+    )
+    d = (
+        s.withColumn("__prev", F.lag("value", 1).over(w))
+        .join(F.broadcast(nn), "series_id")
+        .where((F.col("rn") >= 2) & (F.col("rn") <= F.col("__T")))
+    )
+    scale = d.groupBy("series_id").agg(
+        (
+            F.sum(F.abs(F.col("value") - F.col("__prev")).cast(DEC_T))
+            .cast("double")
+            / F.count("*")
+        ).alias("scale")
+    )
+    out = acc.join(F.broadcast(scale), "series_id")
+    return out.select(
+        "model", "series_id", "n",
+        _rnd("scale", R).alias("scale"),
+        _rnd(F.col("mae") / F.col("scale"), R).alias("mase"),
+    )
+
+
+ORACLES["forecast_mase"] = f"""
+WITH {SQL_S},{ORACLES_BASELINE_BODY},
+nn2 AS (
+  SELECT series_id, CAST(floor(max(rn) * 0.75) AS BIGINT) AS T
+  FROM s GROUP BY 1),
+dtr AS (
+  SELECT s.series_id, s.rn, nn2.T,
+         abs(s.value - lag(s.value)
+             OVER (PARTITION BY s.series_id ORDER BY s.rn)) AS ad
+  FROM s JOIN nn2 USING (series_id)),
+sc AS (
+  SELECT series_id,
+         CAST(sum(CAST(ad AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+           AS scale
+  FROM dtr WHERE rn >= 2 AND rn <= T GROUP BY 1)
+SELECT ag.model, ag.series_id, ag.n,
+       round(sc.scale, {R}) AS scale,
+       round((ag.sae / ag.n) / sc.scale, {R}) AS mase
+FROM ag JOIN sc USING (series_id)
+"""
+
+
 # ---- trend_test: exact Mann-Kendall + Theil-Sen via the materialized
 #      pair set (gate SF only; the engine side accumulates lag-wise) ----
 ORACLES["trend_test"] = f"""
@@ -6067,6 +6126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_profile_flags": q_seasonal_profile_flags,
         # Mann-Kendall + Theil-Sen, ECDF score calibration, SR saliency
         "baseline_forecasts": q_baseline_forecasts,
+        "forecast_mase": q_forecast_mase,
         "theta_forecast": q_theta_forecast,
         "forecast_leaderboard": q_forecast_leaderboard,
         "asof_last_label": q_asof_last_label,
@@ -6153,6 +6213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new round-7 queries — never driver-checked
         "harmonic_forecast_fixed",
         "bigram_surprise",
+        "forecast_mase",
         # last checked r04 (green) — next priority
         "stratified_sample",
         "source_mix",

@@ -847,3 +847,79 @@ def test_harmonic_fixed_recovers_planted_seasonality(spark):
     assert (out["split"] == "Train").sum() == 672
     test_resid = out.loc[out["split"] == "Test", "resid"].to_numpy(float)
     assert np.sqrt((test_resid**2).mean()) < 0.2  # ~noise floor (0.1)
+
+
+def test_sax_mindist_matches_python_reference(spark):
+    """MINDIST against a from-scratch replication of the z-norm → PAA
+    → symbol → cell-distance pipeline, plus the semantic ordering:
+    a series and its close copy sit nearer than an anti-phase one."""
+    from time_series_data_anomaly_detection_spark.operators.sax import (
+        ALPHA,
+        BREAKPOINTS,
+        sax_mindist,
+    )
+
+    rng = _rng(37)
+    n = 256
+    base = np.sin(2 * np.pi * np.arange(n) / 32) * 3
+    series = {
+        "a": base + rng.normal(0, 0.05, n),
+        "b": base + rng.normal(0, 0.05, n),   # near-copy of a
+        "c": -base + rng.normal(0, 0.05, n),  # anti-phase
+    }
+    df = None
+    for sid, vals in series.items():
+        f = series_df(spark, vals, series_id=sid)
+        df = f if df is None else df.unionByName(f)
+    out = sax_mindist(df).toPandas()
+    out = out.set_index(["series_a", "series_b"])["mindist"]
+
+    # pure-python reference
+    seg_len, alphabet = 4, 4
+    bps = BREAKPOINTS[alphabet]
+
+    def symbols(vals):
+        mu = vals.mean()
+        sd = vals.std(ddof=1)
+        z = (vals - mu) / (sd + 1e-9)
+        segs = [
+            z[i : i + seg_len].mean() for i in range(0, len(z), seg_len)
+        ]
+        out = []
+        for p in segs:
+            k = sum(p >= b for b in bps)
+            out.append(k)
+        return out
+
+    def cell(i, j):
+        return 0.0 if abs(i - j) <= 1 else bps[max(i, j) - 1] - bps[min(i, j)]
+
+    syms = {sid: symbols(v) for sid, v in series.items()}
+    for pa, pb in [("a", "b"), ("a", "c"), ("b", "c")]:
+        ssd = sum(
+            cell(x, y) ** 2 for x, y in zip(syms[pa], syms[pb])
+        )
+        expect = np.sqrt(seg_len) * np.sqrt(ssd)
+        assert out.loc[(pa, pb)] == pytest.approx(expect, abs=1e-6)
+    # near-copy < anti-phase
+    assert out.loc[("a", "b")] < out.loc[("a", "c")]
+    assert out.loc[("a", "b")] < out.loc[("b", "c")]
+
+
+def test_sax_mindist_pair_guard(spark):
+    """The |series|² blow-up must be API-bounded like
+    cross_correlation."""
+    from time_series_data_anomaly_detection_spark.operators.sax import (
+        sax_mindist,
+    )
+
+    rng = _rng(38)
+    df = None
+    for i in range(5):
+        f = series_df(spark, rng.normal(0, 1, 40), series_id=f"s{i}")
+        df = f if df is None else df.unionByName(f)
+    with pytest.raises(ValueError, match="max_pairs"):
+        sax_mindist(df, max_pairs=3)
+    # subset path bounds without measuring
+    out = sax_mindist(df, series_subset=["s0", "s1"], max_pairs=3)
+    assert out.count() == 1

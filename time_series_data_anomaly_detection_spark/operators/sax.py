@@ -216,3 +216,74 @@ def sax_bitmap(
             <= F.greatest(F.lit(1), F.floor(n * F.lit(float(top_frac))))
         ).cast("int"),
     )
+
+
+def sax_mindist(
+    df: DataFrame,
+    value_col: str = "value",
+    seg_len: int = 4,
+    alphabet: int = 4,
+    series_subset=None,
+    max_pairs: int = 64,
+    allow_all_pairs: bool = False,
+) -> DataFrame:
+    """Pairwise time-aligned SAX MINDIST (Lin et al. 2003, eq. 6):
+    the lower-bounding symbolic distance between series — compares
+    the two series' symbols segment by segment and accumulates the
+    breakpoint-gap cell distances,
+
+        MINDIST = sqrt(seg_len) * sqrt(Σ_seg cell(q_seg, c_seg)²)
+
+    with ``cell(a, b) = 0`` for adjacent-or-equal symbols else the
+    enclosed breakpoint gap.  The symbolic counterpart of
+    ``rolling_corr``/``cross_correlation`` for the multi-channel
+    similarity question, and the distance HOT-SAX-style discord
+    mining builds on.
+
+    Everything is native algebra on the shared ``_sax_symbols`` front
+    half: the cell distances come from a literal (alphabet²)-row
+    lookup table (broadcast; shared verbatim with the oracle, like
+    the Gaussian breakpoints), one seg-keyed pair join, one decimal
+    aggregate.  sqrt on bit-identical doubles is exact cross-engine —
+    fully hash-gateable.
+
+    The pair frame is |series|²-fold: the same API guard as
+    ``cross_correlation`` (``series_subset`` / ``max_pairs`` /
+    ``allow_all_pairs``) bounds it at scale.
+    """
+    from .acf import _guard_pair_explosion
+
+    df = _guard_pair_explosion(
+        df, series_subset, max_pairs, allow_all_pairs, "sax_mindist"
+    )
+    sym = _sax_symbols(df, value_col, seg_len, alphabet)
+    bps = BREAKPOINTS[alphabet]
+    rows = []
+    for i in range(alphabet):
+        for j in range(alphabet):
+            d = 0.0 if abs(i - j) <= 1 else bps[max(i, j) - 1] - bps[min(i, j)]
+            rows.append((ALPHA[i], ALPHA[j], float(d)))
+    dt = df.sparkSession.createDataFrame(rows, "sa string, sb string, d double")
+    a = sym.select(
+        F.col("series_id").alias("series_a"), "seg", F.col("symbol").alias("sa")
+    )
+    b = sym.select(
+        F.col("series_id").alias("series_b"), "seg", F.col("symbol").alias("sb")
+    )
+    j = (
+        a.join(b, "seg")
+        .where(F.col("series_a") < F.col("series_b"))
+        .join(F.broadcast(dt), ["sa", "sb"])
+    )
+    agg = j.groupBy("series_a", "series_b").agg(
+        F.count("*").alias("n_segs"),
+        F.sum((F.col("d") * F.col("d")).cast(DEC)).cast("double").alias("__ssd"),
+    )
+    return agg.select(
+        "series_a",
+        "series_b",
+        "n_segs",
+        (F.sqrt(F.lit(float(seg_len))) * F.sqrt(F.col("__ssd"))).alias(
+            "mindist"
+        ),
+    )

@@ -4628,6 +4628,70 @@ FROM wf
 """
 
 
+def _sax_dist_values_sql(alphabet: int = 4) -> str:
+    """Literal SAX cell-distance table (Lin et al. 2003 Table lookup)
+    shared verbatim with the Spark side's broadcast frame."""
+    from ..operators.sax import ALPHA, BREAKPOINTS
+
+    bps = BREAKPOINTS[alphabet]
+    vals = []
+    for i in range(alphabet):
+        for j in range(alphabet):
+            d = 0.0 if abs(i - j) <= 1 else bps[max(i, j) - 1] - bps[min(i, j)]
+            vals.append(f"('{ALPHA[i]}', '{ALPHA[j]}', {float(d)!r})")
+    return ", ".join(vals)
+
+
+def q_sax_mindist(spark, sf_dir):
+    """Pairwise time-aligned SAX MINDIST (Lin et al. 2003) — the
+    lower-bounding symbolic distance between series, on the shared
+    z-norm→PAA→symbol front half.  Cell distances come from a literal
+    alphabet² lookup table (broadcast / VALUES, shared verbatim);
+    sqrt on bit-identical doubles is exact cross-engine, so the whole
+    distance matrix is hash-gated.  |series|² pair frame bounded by
+    the cross_correlation API guard."""
+    from ..operators.sax import sax_mindist
+
+    out = sax_mindist(_series(spark, sf_dir))
+    return out.select(
+        "series_a", "series_b", "n_segs",
+        _rnd("mindist", R).alias("mindist"),
+    )
+
+
+ORACLES["sax_mindist"] = f"""
+WITH {SQL_S}, {SQL_MO},
+z AS (
+  SELECT s.series_id, s.rn,
+         (s.value - mo2.mu) / (mo2.sd + 1e-9) AS z,
+         CAST(floor((s.rn - 1) / 4) AS BIGINT) AS seg
+  FROM s JOIN mo2 USING (series_id)),
+paa AS (
+  SELECT series_id, seg,
+         CAST(sum(CAST(z AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS paa
+  FROM z GROUP BY 1, 2),
+symed AS (
+  SELECT series_id, seg,
+         CASE WHEN paa >= 0.67 THEN 'd'
+              WHEN paa >= 0.0 THEN 'c'
+              WHEN paa >= -0.67 THEN 'b'
+              ELSE 'a' END AS symbol
+  FROM paa),
+dt(sa, sb, d) AS (VALUES {_sax_dist_values_sql(4)}),
+pj AS (
+  SELECT a.series_id AS series_a, b.series_id AS series_b, dt.d
+  FROM symed a
+  JOIN symed b ON a.seg = b.seg AND a.series_id < b.series_id
+  JOIN dt ON dt.sa = a.symbol AND dt.sb = b.symbol)
+SELECT series_a, series_b,
+       CAST(count(*) AS BIGINT) AS n_segs,
+       round(sqrt(4.0)
+             * sqrt(CAST(sum(CAST(d * d AS DECIMAL(38,12))) AS DOUBLE)),
+             {R}) AS mindist
+FROM pj GROUP BY 1, 2
+"""
+
+
 def q_ar2_forecast(spark, sf_dir):
     """AR(2) via closed-form Yule-Walker (M5 family beside AR(1)):
     biased autocovariances from exact-decimal sums, the 2x2 system
@@ -6073,6 +6137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_fft": q_acf_fft,
         "hbos_flags": q_hbos_flags,
         "sax_words": q_sax_words,
+        "sax_mindist": q_sax_mindist,
         "ar2_forecast": q_ar2_forecast,
         "detector_rank_ensemble": q_detector_rank_ensemble,
         "pelt_changepoints": q_pelt_changepoints,
@@ -6214,6 +6279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_forecast_fixed",
         "bigram_surprise",
         "forecast_mase",
+        "sax_mindist",
         # last checked r04 (green) — next priority
         "stratified_sample",
         "source_mix",

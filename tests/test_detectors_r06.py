@@ -923,3 +923,57 @@ def test_sax_mindist_pair_guard(spark):
     # subset path bounds without measuring
     out = sax_mindist(df, series_subset=["s0", "s1"], max_pairs=3)
     assert out.count() == 1
+
+
+# ---------------------------------------------------------- DTW
+
+
+def test_dtw_banded_matches_full_dp():
+    """With the band wide enough to be inactive, the banded DP must
+    equal the unconstrained O(n·m) reference exactly."""
+    from time_series_data_anomaly_detection_spark.functions.dtw import (
+        dtw_banded,
+        dtw_full,
+    )
+
+    rng = _rng(41)
+    for n, m in [(40, 40), (37, 45), (5, 60)]:
+        x = rng.normal(0, 1, n)
+        y = rng.normal(0, 1, m)
+        assert dtw_banded(x, y, band=max(n, m)) == pytest.approx(
+            dtw_full(x, y), abs=1e-12
+        )
+    # metric basics: identity and symmetry
+    x = rng.normal(0, 1, 50)
+    assert dtw_banded(x, x, band=50) == 0.0
+    y = rng.normal(0, 1, 50)
+    assert dtw_banded(x, y, band=50) == pytest.approx(
+        dtw_banded(y, x, band=50), abs=1e-12
+    )
+
+
+def test_dtw_distance_alignment_semantics(spark):
+    """DTW must forgive a phase shift that crushes pointwise
+    distance: a shifted copy of a sine sits far closer (elastically)
+    than a different waveform."""
+    from time_series_data_anomaly_detection_spark.functions.dtw import (
+        dtw_distance,
+    )
+
+    rng = _rng(42)
+    n = 240
+    t = np.arange(n)
+    base = np.sin(2 * np.pi * t / 48) * 3
+    shifted = np.sin(2 * np.pi * (t + 6) / 48) * 3  # quarter-period shift
+    other = ((t // 24) % 2).astype(float) * 4 - 2  # square wave
+    df = None
+    for sid, vals in [("a", base), ("b", shifted), ("c", other)]:
+        f = series_df(spark, vals + rng.normal(0, 0.02, n), series_id=sid)
+        df = f if df is None else df.unionByName(f)
+    out = (
+        dtw_distance(df, band=6, seg_len=1)
+        .toPandas()
+        .set_index(["series_a", "series_b"])["dtw"]
+    )
+    assert out.loc[("a", "b")] < 0.5 * out.loc[("a", "c")]
+    assert out.loc[("a", "b")] < 0.5 * out.loc[("b", "c")]

@@ -21,6 +21,7 @@ ROWS_ONLY = {
     "acf_fft": "all-lags FFT autocorrelation",
     # dynamic programming / iterative algorithms
     "pelt_changepoints": "PELT argmin DP recursion",
+    "dtw_distance": "banded DTW DP recursion",
     "bocpd_changepoints": "O(T^2) Bayesian run-length recursion",
     "bpe_merges": "iterative merge induction loop",
     "bpe_encode": "iterative pair-merge encoding",

@@ -4692,6 +4692,22 @@ FROM pj GROUP BY 1, 2
 """
 
 
+def q_dtw_distance(spark, sf_dir):
+    """Banded DTW distance between series pairs (Sakoe & Chiba 1978)
+    on z-normalized PAA-downsampled series — the alignment-elastic
+    whole-series distance beside the rigid (cross_correlation) and
+    symbolic (sax_mindist) ones.  Rows-only by declared design (DP
+    recursion); banded-vs-full parity + metric-property tests pin
+    semantics.  |series|² pair frame API-bounded."""
+    from ..functions.dtw import dtw_distance
+
+    out = dtw_distance(_series(spark, sf_dir))
+    return out.select(
+        "series_a", "series_b", "n_a", "n_b", "band",
+        _rnd("dtw", R).alias("dtw"),
+    )
+
+
 def q_ar2_forecast(spark, sf_dir):
     """AR(2) via closed-form Yule-Walker (M5 family beside AR(1)):
     biased autocovariances from exact-decimal sums, the 2x2 system
@@ -6138,6 +6154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbos_flags": q_hbos_flags,
         "sax_words": q_sax_words,
         "sax_mindist": q_sax_mindist,
+        "dtw_distance": q_dtw_distance,
         "ar2_forecast": q_ar2_forecast,
         "detector_rank_ensemble": q_detector_rank_ensemble,
         "pelt_changepoints": q_pelt_changepoints,
@@ -6280,6 +6297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_surprise",
         "forecast_mase",
         "sax_mindist",
+        "dtw_distance",
         # last checked r04 (green) — next priority
         "stratified_sample",
         "source_mix",

@@ -977,3 +977,40 @@ def test_dtw_distance_alignment_semantics(spark):
     )
     assert out.loc[("a", "b")] < 0.5 * out.loc[("a", "c")]
     assert out.loc[("a", "b")] < 0.5 * out.loc[("b", "c")]
+
+
+def test_conformal_intervals_coverage_guarantee(spark):
+    """On a true AR(1) process (exchangeable one-step residuals), the
+    split-conformal interval's empirical test coverage must honor the
+    finite-sample guarantee ≥ 1−α up to binomial noise, and q_hat
+    must be the order statistic of the calibration |residuals|."""
+    import os
+    import tempfile
+
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        q_conformal_intervals,
+    )
+
+    rng = _rng(43)
+    n = 2000
+    y = np.empty(n)
+    y[0] = 0.0
+    for i in range(1, n):
+        y[i] = 2.0 + 0.7 * y[i - 1] + rng.normal(0, 1.0)
+    with tempfile.TemporaryDirectory() as d:
+        pdf = pd.DataFrame(
+            {
+                "event_id": np.arange(n),
+                "event_type": "s1",
+                "ts": pd.date_range("2024-01-01", periods=n, freq="30min"),
+                "value": y,
+            }
+        )
+        pdf.to_parquet(os.path.join(d, "events.parquet"))
+        out = q_conformal_intervals(spark, d).toPandas().iloc[0]
+    assert out["n_cal"] == 500  # rows (1000, 1500]
+    assert out["n_test"] == 500
+    # alpha=0.1: guarantee >= 0.9 in expectation; allow binomial noise
+    assert out["coverage"] > 0.86
+    # q_hat ~ the 90% quantile of |N(0,1)| ≈ 1.645 for unit noise
+    assert 1.3 < out["q_hat"] < 2.1

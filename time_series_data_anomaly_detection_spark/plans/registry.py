@@ -4692,6 +4692,156 @@ FROM pj GROUP BY 1, 2
 """
 
 
+def q_conformal_intervals(spark, sf_dir):
+    """Split-conformal prediction intervals (Vovk et al.; Lei et al.
+    JASA 2018) on the AR(1) forecaster: fit on the first half,
+    calibrate q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest |residual| on the
+    next quarter (a pure order statistic — no interpolation, nothing
+    to drift), score marginal coverage of pred ± q̂ on the final
+    quarter.  α = 0.1.  The distribution-free interval machinery
+    beside the Gaussian ones (interval_exceedance's model bands, EWMA
+    control limits); finite-sample coverage ≥ 1−α under
+    exchangeability is the selling point.  Fully hash-gated: the fit
+    is the exact-decimal AR(1) algebra restricted to the fit split,
+    the quantile is an order statistic of bit-identical doubles, and
+    coverage is integer counting."""
+    from .._exact import DEC as _DEC
+
+    s = _series(spark, sf_dir)
+    w = Window.partitionBy("series_id").orderBy("rn")
+    nn = s.groupBy("series_id").agg(F.max("rn").alias("__n"))
+    nn = nn.withColumn(
+        "__T1", F.floor(F.col("__n") * 0.5).cast("long")
+    ).withColumn("__T2", F.floor(F.col("__n") * 0.75).cast("long"))
+    lg = s.withColumn("__prev", F.lag("value").over(w)).join(
+        F.broadcast(nn), "series_id"
+    )
+    x, y = F.col("__prev"), F.col("value")
+    fs = (
+        lg.filter(x.isNotNull() & (F.col("rn") <= F.col("__T1")))
+        .groupBy("series_id")
+        .agg(
+            F.count("*").alias("__fn"),
+            F.sum(x.cast(_DEC)).cast("double").alias("__sx"),
+            F.sum(y.cast(_DEC)).cast("double").alias("__sy"),
+            F.sum((x * x).cast(_DEC)).cast("double").alias("__sxx"),
+            F.sum((y * x).cast(_DEC)).cast("double").alias("__sxy"),
+        )
+    )
+    fn, sx, sy = F.col("__fn"), F.col("__sx"), F.col("__sy")
+    slope = (fn * F.col("__sxy") - sx * sy) / (
+        fn * F.col("__sxx") - sx * sx
+    )
+    ft = fs.withColumn("__slope", slope).withColumn(
+        "__icept", (sy - F.col("__slope") * sx) / fn
+    )
+    pr = (
+        lg.filter(x.isNotNull())
+        .join(F.broadcast(ft.select("series_id", "__slope", "__icept")),
+              "series_id")
+        .withColumn("__pred", F.col("__icept") + F.col("__slope") * x)
+    )
+    cal = pr.filter(
+        (F.col("rn") > F.col("__T1")) & (F.col("rn") <= F.col("__T2"))
+    ).withColumn("__ar", F.abs(y - F.col("__pred")))
+    rk = cal.withColumn(
+        "__r",
+        F.row_number().over(
+            Window.partitionBy("series_id").orderBy("__ar", "rn")
+        ),
+    )
+    nc = cal.groupBy("series_id").agg(F.count("*").alias("n_cal"))
+    kk = nc.withColumn(
+        "__k",
+        F.least(
+            F.ceil((F.col("n_cal") + F.lit(1)) * F.lit(0.9)).cast("long"),
+            F.col("n_cal"),
+        ),
+    )
+    qh = (
+        rk.join(F.broadcast(kk), "series_id")
+        .filter(F.col("__r") == F.col("__k"))
+        .select("series_id", "n_cal", F.col("__ar").alias("q_hat"))
+    )
+    te = pr.filter(F.col("rn") > F.col("__T2")).join(
+        F.broadcast(qh), "series_id"
+    )
+    cov = (
+        (y >= F.col("__pred") - F.col("q_hat"))
+        & (y <= F.col("__pred") + F.col("q_hat"))
+    ).cast("long")
+    out = te.groupBy("series_id", "n_cal", "q_hat").agg(
+        F.count("*").alias("n_test"),
+        F.sum(cov).alias("covered"),
+    )
+    return out.select(
+        "series_id", "n_cal", "n_test", "covered",
+        _rnd("q_hat", R).alias("q_hat"),
+        _rnd(F.col("covered") / F.col("n_test"), R).alias("coverage"),
+    )
+
+
+ORACLES["conformal_intervals"] = f"""
+WITH {SQL_S},
+nn AS (
+  SELECT series_id,
+         CAST(floor(max(rn) * 0.5) AS BIGINT) AS T1,
+         CAST(floor(max(rn) * 0.75) AS BIGINT) AS T2
+  FROM s GROUP BY 1),
+lg AS (
+  SELECT s.series_id, s.rn, s.value, nn.T1, nn.T2,
+         lag(s.value) OVER (PARTITION BY s.series_id ORDER BY s.rn)
+           AS prev
+  FROM s JOIN nn USING (series_id)),
+fs AS (
+  SELECT series_id, count(*) AS fn,
+         CAST(sum(CAST(prev AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(prev * prev AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(value * prev AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+  FROM lg WHERE prev IS NOT NULL AND rn <= T1 GROUP BY 1),
+ft AS (
+  SELECT series_id,
+         (fn * sxy - sx * sy) / (fn * sxx - sx * sx) AS slope,
+         (sy - (fn * sxy - sx * sy) / (fn * sxx - sx * sx) * sx) / fn
+           AS icept
+  FROM fs),
+pr AS (
+  SELECT lg.series_id, lg.rn, lg.value, lg.T1, lg.T2,
+         ft.icept + ft.slope * lg.prev AS pred
+  FROM lg JOIN ft USING (series_id) WHERE lg.prev IS NOT NULL),
+cal AS (
+  SELECT series_id, rn, abs(value - pred) AS ar
+  FROM pr WHERE rn > T1 AND rn <= T2),
+rk AS (
+  SELECT series_id, ar,
+         row_number() OVER (PARTITION BY series_id ORDER BY ar, rn) AS r
+  FROM cal),
+nc AS (SELECT series_id, count(*) AS n_cal FROM cal GROUP BY 1),
+kk AS (
+  SELECT series_id, n_cal,
+         least(CAST(ceil((n_cal + 1) * 0.9) AS BIGINT), n_cal) AS k
+  FROM nc),
+qh AS (
+  SELECT rk.series_id, kk.n_cal, rk.ar AS q_hat
+  FROM rk JOIN kk ON rk.series_id = kk.series_id AND rk.r = kk.k),
+te AS (
+  SELECT pr.series_id, pr.value, pr.pred, qh.n_cal, qh.q_hat
+  FROM pr JOIN qh USING (series_id) WHERE pr.rn > pr.T2)
+SELECT series_id, n_cal,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN value >= pred - q_hat
+                      AND value <= pred + q_hat
+                     THEN 1 ELSE 0 END) AS BIGINT) AS covered,
+       round(q_hat, {R}) AS q_hat,
+       round(CAST(sum(CASE WHEN value >= pred - q_hat
+                            AND value <= pred + q_hat
+                           THEN 1 ELSE 0 END) AS BIGINT)
+             / count(*), {R}) AS coverage
+FROM te GROUP BY series_id, n_cal, q_hat
+"""
+
+
 def q_dtw_distance(spark, sf_dir):
     """Banded DTW distance between series pairs (Sakoe & Chiba 1978)
     on z-normalized PAA-downsampled series — the alignment-elastic
@@ -6155,6 +6305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_words": q_sax_words,
         "sax_mindist": q_sax_mindist,
         "dtw_distance": q_dtw_distance,
+        "conformal_intervals": q_conformal_intervals,
         "ar2_forecast": q_ar2_forecast,
         "detector_rank_ensemble": q_detector_rank_ensemble,
         "pelt_changepoints": q_pelt_changepoints,
@@ -6298,6 +6449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_mase",
         "sax_mindist",
         "dtw_distance",
+        "conformal_intervals",
         # last checked r04 (green) — next priority
         "stratified_sample",
         "source_mix",

@@ -567,3 +567,75 @@ def test_sax_bitmap_all_aggregates_no_udf(spark):
     y = np.arange(4096, dtype=float)
     plan = _plan(sax_bitmap(series_df(spark, y)))
     assert "EvalPython" not in plan
+
+
+def test_sax_mindist_pair_join_keyed_and_dist_broadcast(spark):
+    """The seg-keyed pair join must stay an equi-join (no cartesian /
+    nested-loop) and the alphabet² distance table must broadcast."""
+    from time_series_data_anomaly_detection_spark.operators.sax import (
+        sax_mindist,
+    )
+
+    rng = np.random.default_rng(5)
+    df = None
+    for sid in ("a", "b", "c"):
+        f = series_df(spark, rng.normal(0, 1, 64), series_id=sid)
+        df = f if df is None else df.unionByName(f)
+    plan = _plan(sax_mindist(df))
+    assert _count(plan, "CartesianProduct") == 0
+    assert _count(plan, "BroadcastNestedLoopJoin") == 0
+    assert _count(plan, ") BroadcastHashJoin") >= 2  # dist table + moments
+
+
+def test_bigram_surprise_scalar_v_broadcast_no_cartesian(spark):
+    """The vocabulary-size scalar must come in as a broadcast
+    (1-row nested-loop broadcast is acceptable for a scalar), and the
+    model joins must be keyed — no CartesianProduct anywhere."""
+    from time_series_data_anomaly_detection_spark.datapipe.text import (
+        bigram_surprise,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": ["a b c a b", "b c d e f g"],
+            }
+        )
+    )
+    plan = _plan(bigram_surprise(docs))
+    assert _count(plan, "CartesianProduct") == 0
+    # the occurrence->model joins are keyed equi-joins
+    assert (
+        _count(plan, ") BroadcastHashJoin")
+        + _count(plan, ") SortMergeJoin")
+        + _count(plan, ") ShuffledHashJoin")
+        >= 2
+    )
+
+
+def test_conformal_intervals_broadcasts_per_series_frames(spark):
+    """Every per-series frame (splits, fit, k, q-hat) is
+    dimension-sized and must broadcast; no sort-merge of the scan
+    against itself."""
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        q_conformal_intervals,
+    )
+
+    plan = _plan(q_conformal_intervals(spark, "/root/testdata/sf0.001"))
+    assert _count(plan, ") SortMergeJoin") == 0
+    assert _count(plan, "CartesianProduct") == 0
+    assert _count(plan, ") BroadcastHashJoin") >= 4
+
+
+def test_harmonic_fixed_broadcasts_design_table(spark):
+    """The 48-row design table and the per-series count/coefficient
+    frames must broadcast onto the scan."""
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        q_harmonic_forecast_fixed,
+    )
+
+    plan = _plan(q_harmonic_forecast_fixed(spark, "/root/testdata/sf0.001"))
+    assert _count(plan, ") SortMergeJoin") == 0
+    assert _count(plan, "CartesianProduct") == 0
+    assert _count(plan, ") BroadcastHashJoin") >= 3

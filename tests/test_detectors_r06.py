@@ -1014,3 +1014,54 @@ def test_conformal_intervals_coverage_guarantee(spark):
     assert out["coverage"] > 0.86
     # q_hat ~ the 90% quantile of |N(0,1)| ≈ 1.645 for unit noise
     assert 1.3 < out["q_hat"] < 2.1
+
+
+def test_demand_classification_quadrants(spark):
+    """Planted regimes land in the right Syntetos-Boylan quadrants:
+    uniform small demands above threshold → low CV²; rare huge spikes
+    → lumpy (high ADI, high CV²)."""
+    import os
+    import tempfile
+
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        q_demand_classification,
+    )
+
+    rng = _rng(47)
+    n = 1000
+    # s_smoothish: every exceedance similar size (CV² ~ 0)
+    base = rng.normal(10, 0.5, n)
+    idx = np.arange(0, n, 10)
+    smooth = base.copy()
+    smooth[idx] = 20.0  # identical exceedances, every 10th point
+    # s_lumpy: rare spikes of wildly varying size
+    lumpy = rng.normal(10, 0.5, n)
+    spikes = np.arange(0, n, 50)
+    lumpy[spikes] = 20 + rng.exponential(30, len(spikes))
+    frames = []
+    for sid, vals in [("sm", smooth), ("lp", lumpy)]:
+        frames.append(
+            pd.DataFrame(
+                {
+                    "event_id": np.arange(n),
+                    "event_type": sid,
+                    "ts": pd.date_range(
+                        "2024-01-01", periods=n, freq="30min"
+                    ),
+                    "value": vals,
+                }
+            )
+        )
+    with tempfile.TemporaryDirectory() as d:
+        pd.concat(frames).to_parquet(os.path.join(d, "events.parquet"))
+        out = (
+            q_demand_classification(spark, d)
+            .toPandas()
+            .set_index("series_id")
+        )
+    # q90 sits below the planted exceedances in both series
+    assert out.loc["sm", "n_demand"] == 100
+    assert out.loc["sm", "cv2"] < 0.49  # identical demand sizes
+    assert out.loc["lp", "class"] == "lumpy"
+    assert out.loc["lp", "adi"] >= 1.32
+    assert out.loc["lp", "cv2"] >= 0.49

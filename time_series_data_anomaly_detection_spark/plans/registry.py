@@ -4692,6 +4692,96 @@ FROM pj GROUP BY 1, 2
 """
 
 
+def q_demand_classification(spark, sf_dir):
+    """Syntetos-Boylan intermittent-demand classification (Syntetos,
+    Boylan & Croston 2005): per series, ADI (mean inter-demand
+    interval = n / n_demand) and CV² of the positive demand sizes on
+    the SAME exceedance-demand definition Croston uses (demand =
+    max(value − q90, 0)) → the smooth / intermittent / erratic /
+    lumpy quadrant that decides WHICH forecaster applies (Croston for
+    intermittent/lumpy, SES/AR for smooth/erratic).  The
+    model-selection diagnostic beside the croston_forecast operator;
+    pure exact-percentile + decimal-moment algebra, hash-gated."""
+    s = _series(spark, sf_dir)
+    thr = s.groupBy("series_id").agg(
+        F.expr("percentile(value, 0.9)").alias("__thr")
+    )
+    dem = F.greatest(F.col("value") - F.col("__thr"), F.lit(0.0))
+    d = s.join(F.broadcast(thr), "series_id").withColumn("__dem", dem)
+    pos = F.col("__dem") > 0
+    agg = d.groupBy("series_id").agg(
+        F.count("*").alias("n"),
+        F.sum(pos.cast("long")).alias("n_demand"),
+        F.sum(F.when(pos, F.col("__dem")).cast(DEC_T))
+        .cast("double")
+        .alias("__s1"),
+        F.sum(F.when(pos, F.col("__dem") * F.col("__dem")).cast(DEC_T))
+        .cast("double")
+        .alias("__s2"),
+    )
+    nd = F.col("n_demand")
+    adi = F.col("n") / nd
+    mean = F.col("__s1") / nd
+    var = F.greatest(
+        (F.col("__s2") - F.col("__s1") * F.col("__s1") / nd) / (nd - 1),
+        F.lit(0.0),
+    )
+    cv2 = F.when(nd >= 2, var / (mean * mean))
+    out = agg.withColumn("adi", adi).withColumn("cv2", cv2)
+    cls = (
+        F.when((F.col("adi") < 1.32) & (F.col("cv2") < 0.49), "smooth")
+        .when((F.col("adi") >= 1.32) & (F.col("cv2") < 0.49), "intermittent")
+        .when((F.col("adi") < 1.32), "erratic")
+        .otherwise("lumpy")
+    )
+    return out.select(
+        "series_id", "n", "n_demand",
+        _rnd("adi", R).alias("adi"),
+        _rnd("cv2", R).alias("cv2"),
+        cls.alias("class"),
+    )
+
+
+ORACLES["demand_classification"] = f"""
+WITH {SQL_S},
+thr AS (
+  SELECT series_id, quantile_cont(value, 0.9) AS thr
+  FROM s GROUP BY 1),
+d AS (
+  SELECT s.series_id,
+         greatest(s.value - t.thr, 0.0) AS dem
+  FROM s JOIN thr t USING (series_id)),
+ag AS (
+  SELECT series_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN dem > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_demand,
+         CAST(sum(CASE WHEN dem > 0
+                       THEN CAST(dem AS DECIMAL(38,12)) END)
+              AS DOUBLE) AS s1,
+         CAST(sum(CASE WHEN dem > 0
+                       THEN CAST(dem * dem AS DECIMAL(38,12)) END)
+              AS DOUBLE) AS s2
+  FROM d GROUP BY 1),
+m AS (
+  SELECT series_id, n, n_demand,
+         n / n_demand AS adi,
+         CASE WHEN n_demand >= 2 THEN
+           greatest((s2 - s1 * s1 / n_demand) / (n_demand - 1), 0.0)
+             / ((s1 / n_demand) * (s1 / n_demand))
+         END AS cv2
+  FROM ag)
+SELECT series_id, n, n_demand,
+       round(adi, {R}) AS adi,
+       round(cv2, {R}) AS cv2,
+       CASE WHEN adi < 1.32 AND cv2 < 0.49 THEN 'smooth'
+            WHEN adi >= 1.32 AND cv2 < 0.49 THEN 'intermittent'
+            WHEN adi < 1.32 THEN 'erratic'
+            ELSE 'lumpy' END AS class
+FROM m
+"""
+
+
 def q_conformal_intervals(spark, sf_dir):
     """Split-conformal prediction intervals (Vovk et al.; Lei et al.
     JASA 2018) on the AR(1) forecaster: fit on the first half,
@@ -6306,6 +6396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_mindist": q_sax_mindist,
         "dtw_distance": q_dtw_distance,
         "conformal_intervals": q_conformal_intervals,
+        "demand_classification": q_demand_classification,
         "ar2_forecast": q_ar2_forecast,
         "detector_rank_ensemble": q_detector_rank_ensemble,
         "pelt_changepoints": q_pelt_changepoints,
@@ -6450,6 +6541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_mindist",
         "dtw_distance",
         "conformal_intervals",
+        "demand_classification",
         # last checked r04 (green) — next priority
         "stratified_sample",
         "source_mix",

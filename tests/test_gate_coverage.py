@@ -75,3 +75,23 @@ def test_every_oracle_has_a_query():
     oracled = set(entrymod.oracle_sql())
     orphans = oracled - qs
     assert not orphans, f"oracles without a queries() entry: {sorted(orphans)}"
+
+
+def test_no_query_failing_its_latest_driver_check():
+    """The driver's CORRECTNESS history must show no query whose most
+    recent check FAILED — a fail means either a regression or an
+    oracle drift, and both block the round."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts"),
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from gate_freshness import load_history
+
+    latest, max_round = load_history(repo)
+    assert max_round >= 6
+    fails = [n for n, (r, s) in latest.items() if s == "FAIL"]
+    assert not fails, f"queries failing their latest driver check: {fails}"

@@ -347,7 +347,10 @@ def forecast_accuracy(
 
 
 def pr_curve(
-    df: DataFrame, score_col: str = "score", truth_col: str = "is_anomaly"
+    df: DataFrame,
+    score_col: str = "score",
+    truth_col: str = "is_anomaly",
+    keys: tuple = ("series_id",),
 ) -> DataFrame:
     """A7: precision-recall curve per series from a continuous score.
 
@@ -356,36 +359,40 @@ def pr_curve(
     to the last row per distinct score. NaN/null scores are masked
     first (reference ``src/plotting.py:60-62``).
 
-    Scale: a single window over ``(series, score desc)`` — one
+    Scale: a single window over ``(keys, score desc)`` — one
     shuffle, no self-join; the curve is at most one row per distinct
-    score.
+    score.  ``keys`` generalizes the partition (e.g. ``(series_id,
+    detector)`` for a melted multi-detector frame — one pass instead
+    of one job per detector); the default is the classic per-series
+    curve, plan unchanged.
     """
+    keys = list(keys)
     d = df.filter(
         F.col(score_col).isNotNull() & ~F.isnan(F.col(score_col))
     ).select(
-        "series_id",
+        *keys,
         F.col(score_col).alias("score"),
         F.col(truth_col).cast("int").alias("y"),
     )
-    w = Window.partitionBy("series_id").orderBy(F.desc("score")).rowsBetween(
+    w = Window.partitionBy(*keys).orderBy(F.desc("score")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    npos = Window.partitionBy("series_id")
+    npos = Window.partitionBy(*keys)
     cum = d.select(
-        "series_id",
+        *keys,
         "score",
         F.sum("y").over(w).alias("cum_tp"),
         (F.count("*").over(w) - F.sum("y").over(w)).alias("cum_fp"),
         F.sum("y").over(npos).alias("n_pos"),
     )
     # last cumulative row per distinct score = the threshold point
-    per_t = cum.groupBy("series_id", "score").agg(
+    per_t = cum.groupBy(*keys, "score").agg(
         F.max("cum_tp").alias("tp"),
         F.max("cum_fp").alias("fp"),
         F.max("n_pos").alias("n_pos"),
     )
     return per_t.select(
-        "series_id",
+        *keys,
         F.col("score").alias("threshold"),
         "tp",
         "fp",
@@ -395,23 +402,28 @@ def pr_curve(
 
 
 def average_precision(
-    df: DataFrame, score_col: str = "score", truth_col: str = "is_anomaly"
+    df: DataFrame,
+    score_col: str = "score",
+    truth_col: str = "is_anomaly",
+    keys: tuple = ("series_id",),
 ) -> DataFrame:
     """A7: average precision (PR-AUC, step integration) per series:
     ``AP = Σ (R_i − R_{i−1}) · P_i`` over thresholds descending —
     the standard summary the reference computes with sklearn
     (``src/plotting.py:64-65``; step vs trapezoid noted there).
+    ``keys`` generalizes the partition exactly as in ``pr_curve``.
     """
     from .._exact import DEC
 
-    curve = pr_curve(df, score_col, truth_col)
-    w = Window.partitionBy("series_id").orderBy(F.desc("threshold"))
+    keys = list(keys)
+    curve = pr_curve(df, score_col, truth_col, keys=tuple(keys))
+    w = Window.partitionBy(*keys).orderBy(F.desc("threshold"))
     stepped = curve.withColumn(
         "prev_recall", F.coalesce(F.lag("recall").over(w), F.lit(0.0))
     )
     # exact decimal sum: the step-area accumulation is order-dependent
     # in doubles (see _exact.py)
-    return stepped.groupBy("series_id").agg(
+    return stepped.groupBy(*keys).agg(
         F.sum(
             ((F.col("recall") - F.col("prev_recall")) * F.col("precision")).cast(DEC)
         )

@@ -5903,25 +5903,30 @@ def q_detector_ap_leaderboard(spark, sf_dir):
         ("knn", F.col("knn_score")),
         ("mad", F.col("z_mad")),
     ]
-    parts = []
-    for det, expr in scores:
-        ap = average_precision(
-            base.withColumn("__score", expr), "__score", "is_anomaly"
-        )
-        parts.append(
-            ap.select(
-                "series_id",
-                F.lit(det).alias("detector"),
-                F.col("average_precision").alias("__ap"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    # melt the four score columns to (detector, score) rows via stack
+    # (ONE evaluation of the scored DAG, 4 rows out per input row) and
+    # run ONE keyed AP pass over (series_id, detector) — one window
+    # shuffle instead of four per-detector jobs re-deriving the same
+    # scored frame (r07; output bit-identical, per-partition algebra
+    # unchanged, oracle untouched)
+    sc = base.select(
+        "series_id",
+        "is_anomaly",
+        *[expr.alias(f"s_{det}") for det, expr in scores],
+    )
+    stack_args = ", ".join(f"'{det}', s_{det}" for det, _ in scores)
+    melted = sc.selectExpr(
+        "series_id",
+        "is_anomaly",
+        f"stack({len(scores)}, {stack_args}) AS (detector, __score)",
+    )
+    ap = average_precision(
+        melted, "__score", "is_anomaly", keys=("series_id", "detector")
+    ).withColumnRenamed("average_precision", "__ap")
     wr = Window.partitionBy("series_id").orderBy(
         F.desc("__ap"), F.asc("detector")
     )
-    return out.withColumn("ap_rank", F.rank().over(wr)).select(
+    return ap.withColumn("ap_rank", F.rank().over(wr)).select(
         "series_id",
         "detector",
         _rnd("__ap", R).alias("average_precision"),

@@ -18,6 +18,7 @@ ROWS_ONLY = {
     # FFT / spectral (engine libm + FFT not cross-engine bit-stable)
     "spectral_residual": "FFT saliency map",
     "matrix_profile": "batched-FFT MASS distance profile",
+    "matrix_profile_tiled": "tile-pair AB-join kernels (same non-SQL math)",
     "acf_fft": "all-lags FFT autocorrelation",
     # dynamic programming / iterative algorithms
     "pelt_changepoints": "PELT argmin DP recursion",

@@ -168,3 +168,61 @@ def test_t_ppf_sane():
     assert t_ppf(0.975, 10) == pytest.approx(2.2281, abs=2e-3)
     assert t_ppf(0.95, 30) == pytest.approx(1.6973, abs=2e-3)
     assert t_ppf(0.99, 100) == pytest.approx(2.3642, abs=2e-3)
+
+
+def test_matrix_profile_tiled_matches_monolithic(spark):
+    """The SCAMP-style tile decomposition must reproduce the
+    monolithic STOMP profile: same distances (up to fp rounding in
+    the tile kernel's BLAS order), same discord ranking, exact
+    boundary handling across tiles (absolute-index exclusion zone)."""
+    import numpy as np
+    import pandas as pd
+
+    from time_series_data_anomaly_detection_spark.functions.matrix_profile import (
+        matrix_profile_scores,
+        matrix_profile_tiled,
+    )
+
+    rng = np.random.default_rng(53)
+    frames = []
+    for sid, n in [("a", 1500), ("b", 700)]:
+        t = np.arange(n)
+        y = np.sin(2 * np.pi * t / 48) * 3 + rng.normal(0, 0.2, n)
+        y[n // 2 : n // 2 + 24] = np.linspace(0, 5, 24)  # planted discord
+        frames.append(
+            pd.DataFrame(
+                {
+                    "series_id": sid,
+                    "rn": np.arange(1, n + 1, dtype="int64"),
+                    "value": y,
+                }
+            )
+        )
+    df = spark.createDataFrame(pd.concat(frames))
+    mono = (
+        matrix_profile_scores(df, m=24)
+        .orderBy("series_id", "rn")
+        .toPandas()
+    )
+    tiled = (
+        matrix_profile_tiled(df, m=24, tile=256)
+        .orderBy("series_id", "rn")
+        .toPandas()
+    )
+    assert len(mono) == len(tiled)
+    assert (mono["series_id"].values == tiled["series_id"].values).all()
+    assert (mono["rn"].values == tiled["rn"].values).all()
+    np.testing.assert_allclose(
+        tiled["mp"].to_numpy(), mono["mp"].to_numpy(), rtol=1e-6, atol=1e-6
+    )
+    # nearest neighbors agree except where fp rounding flips a
+    # near-tie; discord picks must be identical
+    same_nn = (mono["nn_idx"].values == tiled["nn_idx"].values).mean()
+    assert same_nn > 0.95
+    for sid in ("a", "b"):
+        md = mono[(mono.series_id == sid) & (mono.is_discord == 1)]["rn"]
+        td = tiled[(tiled.series_id == sid) & (tiled.is_discord == 1)]["rn"]
+        assert set(md) == set(td)
+        # the planted discord is found by both
+        n = 1500 if sid == "a" else 700
+        assert any(abs(r - (n // 2 + 1)) <= 24 for r in md)

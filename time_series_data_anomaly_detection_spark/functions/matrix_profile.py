@@ -42,6 +42,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 MP_SCHEMA = (
     "series_id string, rn long, mp double, nn_idx long, is_discord int"
@@ -145,4 +146,255 @@ def matrix_profile_scores(
         df.select("series_id", "rn", "value")
         .groupBy("series_id")
         .applyInPandas(_one, MP_SCHEMA)
+    )
+
+
+def _cross_tile_kernel(
+    xa: np.ndarray,
+    xb: np.ndarray,
+    a0: int,
+    b0: int,
+    ka: int,
+    kb: int,
+    m: int,
+):
+    """Exact AB-join between tile A's ``ka`` windows (absolute starts
+    ``a0..``) and tile B's ``kb`` windows (``b0..``): returns
+    (min-dist over B per A window, argmin abs start, and the B-side
+    pair).  BLAS matmul computes the QT matrix (O(ka·kb·m), m is a
+    small constant); distances via the same z-norm identity and
+    constant-window conventions as :func:`matrix_profile_one`; the
+    m/2 trivial-match exclusion applies on ABSOLUTE indices, so
+    adjacent-tile boundaries are handled exactly."""
+    mu_a, sig_a = _rolling_stats(xa, m)
+    mu_b, sig_b = _rolling_stats(xb, m)
+    mu_a, sig_a = mu_a[:ka], sig_a[:ka]
+    mu_b, sig_b = mu_b[:kb], sig_b[:kb]
+    const_a = sig_a <= CONST_TOL * np.maximum(1.0, np.abs(mu_a))
+    const_b = sig_b <= CONST_TOL * np.maximum(1.0, np.abs(mu_b))
+    sa = np.where(const_a, 1.0, sig_a)
+    sb = np.where(const_b, 1.0, sig_b)
+
+    wa = np.lib.stride_tricks.sliding_window_view(xa, m)[:ka]
+    wb = np.lib.stride_tricks.sliding_window_view(xb, m)[:kb]
+    excl = max(1, m // 2)
+    jb = b0 + np.arange(kb)
+
+    # A-side blocking bounds kernel memory at BLOCK x kb doubles no
+    # matter how large the tile knob is (a 4096-tile unblocked dist2
+    # is 134 MB/task and thrashes local[32]); mins reduce per block
+    BLOCK = 512
+    a_best = np.empty(ka)
+    a_arg = np.empty(ka, dtype=np.int64)
+    b_best = np.full(kb, np.inf)
+    b_arg = np.zeros(kb, dtype=np.int64)
+    any_const_b = bool(const_b.any())
+    for s in range(0, ka, BLOCK):
+        e = min(s + BLOCK, ka)
+        # in-place: dist2 = 2m(1 - (qt - m mu_a mu_b^T)/(m sa sb^T)),
+        # reusing the matmul output as the single (e-s) x kb buffer
+        dist2 = wa[s:e] @ wb.T
+        dist2 -= m * np.outer(mu_a[s:e], mu_b)
+        dist2 /= np.outer(sa[s:e], sb)
+        dist2 /= m
+        np.subtract(1.0, dist2, out=dist2)
+        dist2 *= 2.0 * m
+        # constant-window conventions (see module docstring)
+        ca = const_a[s:e]
+        if ca.any() or any_const_b:
+            dist2[ca, :] = 2.0 * m
+            dist2[:, const_b] = 2.0 * m
+            dist2[np.ix_(ca, const_b)] = 0.0
+        # trivial-match exclusion on absolute window starts — only
+        # blocks whose index ranges can reach the diagonal pay for it
+        lo_i, hi_i = a0 + s, a0 + e - 1
+        if b0 + kb - 1 >= lo_i - excl and b0 <= hi_i + excl:
+            ia = a0 + np.arange(s, e)
+            dist2[np.abs(ia[:, None] - jb[None, :]) <= excl] = np.inf
+
+        amin = np.argmin(dist2, axis=1)
+        a_best[s:e] = dist2[np.arange(e - s), amin]
+        a_arg[s:e] = b0 + amin
+        bmin = np.argmin(dist2, axis=0)
+        bb = dist2[bmin, np.arange(kb)]
+        upd = bb < b_best
+        b_best[upd] = bb[upd]
+        b_arg[upd] = a0 + s + bmin[upd]
+    return (a_best, a_arg), (b_best, b_arg)
+
+
+def matrix_profile_tiled(
+    df: DataFrame, m: int = 24, tile: int = 512, top_discords: int = 3
+) -> DataFrame:
+    """The documented 100 TB path of :func:`matrix_profile_scores`,
+    implemented: SCAMP-style tile decomposition (Zimmerman et al.,
+    SoCC 2019 — public).  A length-n series becomes T = ⌈k/tile⌉
+    tiles; every tile PAIR is an independent AB-join task whose state
+    is two (tile+m−1)-length slices — never the whole series — and
+    the per-window profile is the min-merge of its pair
+    contributions.  Parallelism axis: T(T+1)/2 tasks per series ×
+    series count, vs one task per series for the monolithic STOMP;
+    data movement is the O(T·n) slice replication every distributed
+    exact matrix profile pays.
+
+    Same output schema and (up to fp rounding in the tile kernel's
+    BLAS order) the same profile as ``matrix_profile_scores`` — the
+    parity test pins agreement and identical discord ranking.
+
+    Spark shape: broadcast per-series tile counts → pair/role
+    explode → ONE exchange keyed by (series, pair) for the kernels →
+    min-merge aggregate → profile-sized greedy discord pass.
+    """
+    from ._partition import udf_repartition
+
+    m_, tile_, td_ = int(m), int(tile), int(top_discords)
+    if tile_ < m_:
+        raise ValueError("tile must be >= m")
+
+    nn_tbl = (
+        df.groupBy("series_id")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= 2 * m_)
+        .withColumn("__k", F.col("__n") - m_ + 1)
+        .withColumn(
+            "__T", F.ceil(F.col("__k") / F.lit(tile_)).cast("int")
+        )
+    )
+    pairs = (
+        nn_tbl.select(
+            "series_id", "__k",
+            F.explode(
+                F.sequence(F.lit(0), F.col("__T") - 1)
+            ).alias("ta"),
+            "__T",
+        )
+        .select(
+            "series_id", "__k", "ta",
+            F.explode(
+                F.sequence(F.col("ta"), F.col("__T") - 1)
+            ).alias("tb"),
+        )
+        .withColumn("pair_id", F.concat_ws("_", "ta", "tb"))
+    )
+    ra = pairs.select(
+        "series_id", "pair_id", "__k", "ta", "tb",
+        F.col("ta").alias("tile"), F.lit("A").alias("role"),
+    )
+    rb = pairs.filter(F.col("tb") != F.col("ta")).select(
+        "series_id", "pair_id", "__k", "ta", "tb",
+        F.col("tb").alias("tile"), F.lit("B").alias("role"),
+    )
+    roles = ra.unionByName(rb)
+
+    p = F.col("rn") - 1
+    t_main = F.floor(p / F.lit(tile_)).cast("int")
+    member = (
+        df.select("series_id", "rn", "value")
+        .join(F.broadcast(nn_tbl.select("series_id", "__T")), "series_id")
+        .withColumn("__t1", F.least(t_main, F.col("__T") - 1))
+        .withColumn(
+            "__t2",
+            F.when(
+                (p % F.lit(tile_) <= F.lit(m_ - 2))
+                & (t_main <= F.col("__T") - 1)
+                & (t_main >= 1),
+                t_main - 1,
+            ),
+        )
+        .select(
+            "series_id", "rn", "value",
+            F.explode(
+                F.array_compact(F.array("__t1", "__t2"))
+            ).alias("tile"),
+        )
+    )
+    tagged = member.join(roles, ["series_id", "tile"])
+
+    PART_SCHEMA = "series_id string, rn long, mp_part double, nn_part long"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        sid = pdf["series_id"].iloc[0]
+        ta = int(pdf["ta"].iloc[0])
+        tb = int(pdf["tb"].iloc[0])
+        k = int(pdf["__k"].iloc[0])
+        a = pdf[pdf["role"] == "A"].sort_values("rn")
+        xa = a["value"].to_numpy(np.float64)
+        a0 = ta * tile_
+        ka = min(tile_, k - a0)
+        if ta == tb:
+            xb, b0, kb = xa, a0, ka
+        else:
+            b = pdf[pdf["role"] == "B"].sort_values("rn")
+            xb = b["value"].to_numpy(np.float64)
+            b0 = tb * tile_
+            kb = min(tile_, k - b0)
+        (a_best, a_nn), (b_best, b_nn) = _cross_tile_kernel(
+            xa, xb, a0, b0, ka, kb, m_
+        )
+        rows = {
+            "series_id": [],
+            "rn": [],
+            "mp_part": [],
+            "nn_part": [],
+        }
+
+        def emit(start, best, nn_abs, always):
+            fin = np.isfinite(best)
+            keep = fin | always
+            idx = np.nonzero(keep)[0]
+            rows["series_id"].extend([sid] * len(idx))
+            rows["rn"].extend((start + idx + 1).tolist())
+            rows["mp_part"].extend(
+                np.where(fin[idx], best[idx], np.inf).tolist()
+            )
+            rows["nn_part"].extend(nn_abs[idx].tolist())
+
+        # self pair emits EVERY window (the fallback contribution for
+        # all-excluded windows); cross pairs emit only finite mins
+        emit(a0, a_best, a_nn, always=(ta == tb))
+        if ta != tb:
+            emit(b0, b_best, b_nn, always=False)
+        return pd.DataFrame(rows)
+
+    parts = (
+        udf_repartition(tagged, "series_id", "pair_id")
+        .groupBy("series_id", "pair_id")
+        .applyInPandas(kernel, PART_SCHEMA)
+    )
+    merged = parts.groupBy("series_id", "rn").agg(
+        F.min("mp_part").alias("__mp"),
+        F.min_by("nn_part", F.struct("mp_part", "nn_part")).alias("__nn"),
+    )
+
+    def finish(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rn").reset_index(drop=True)
+        mp = pdf["__mp"].to_numpy(np.float64)
+        nn = pdf["__nn"].to_numpy(np.int64)
+        fin = np.isfinite(mp)
+        mp = np.where(fin, np.sqrt(np.maximum(mp, 0.0)), np.inf)
+        k = len(mp)
+        discord = np.zeros(k, dtype=np.int32)
+        masked = mp.copy()
+        masked[~np.isfinite(masked)] = -np.inf
+        for _ in range(td_):
+            i = int(np.argmax(masked))
+            if not np.isfinite(masked[i]) or masked[i] < 0:
+                break
+            discord[i] = 1
+            lo, hi = max(0, i - m_), min(k, i + m_ + 1)
+            masked[lo:hi] = -np.inf
+        return pd.DataFrame(
+            {
+                "series_id": pdf["series_id"],
+                "rn": pdf["rn"],
+                "mp": np.where(np.isfinite(mp), mp, -1.0),
+                "nn_idx": np.where(fin, nn + 1, 1),
+                "is_discord": discord,
+            }
+        )
+
+    return (
+        udf_repartition(merged, "series_id")
+        .groupBy("series_id")
+        .applyInPandas(finish, MP_SCHEMA)
     )

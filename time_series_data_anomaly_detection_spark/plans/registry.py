@@ -3396,6 +3396,27 @@ def q_matrix_profile(spark, sf_dir):
     )
 
 
+def q_matrix_profile_tiled(spark, sf_dir):
+    """The matrix profile's 100 TB path, exercised as its own gate
+    query: SCAMP-style tile-pair decomposition (Zimmerman et al. SoCC
+    2019) — T(T+1)/2 bounded-state AB-join tasks per series,
+    min-merged — instead of one whole-series STOMP task.  Rows-only
+    (same recurrence-free kernels, still non-SQL); the parity test
+    pins agreement with the monolithic profile and identical discord
+    ranking."""
+    from ..functions.matrix_profile import matrix_profile_tiled
+
+    # tile sized so the gate SFs run ~15 pair-kernels per series (the
+    # distributed shape) without drowning local[32] in task overhead;
+    # at real scale the knob trades per-task memory for task count
+    out = matrix_profile_tiled(_series(spark, sf_dir), m=24, tile=4096)
+    return out.select(
+        "series_id", "rn",
+        _rnd("mp", R).alias("mp"),
+        "nn_idx", "is_discord",
+    )
+
+
 def q_shesd_flags(spark, sf_dir):
     """Seasonal Hybrid ESD (Twitter AnomalyDetection, arXiv:1704.07706):
     STL seasonal removal + median centering, then a generalized ESD
@@ -6400,6 +6421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_words": q_sax_words,
         "sax_mindist": q_sax_mindist,
         "dtw_distance": q_dtw_distance,
+        "matrix_profile_tiled": q_matrix_profile_tiled,
         "conformal_intervals": q_conformal_intervals,
         "demand_classification": q_demand_classification,
         "ar2_forecast": q_ar2_forecast,
@@ -6547,6 +6569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtw_distance",
         "conformal_intervals",
         "demand_classification",
+        "matrix_profile_tiled",
         # last checked r04 (green) — next priority
         "stratified_sample",
         "source_mix",

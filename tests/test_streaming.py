@@ -1172,3 +1172,65 @@ def test_streaming_checkpoint_restart_continuity(spark, tmp_path_factory):
         if detector == "ctrl":
             s_a = got[got.series_id == "a"].reset_index(drop=True)
             assert s_a.loc[300:302, "cusum_flag"].max() == 1
+
+
+def test_streaming_conformal_matches_reference_loop(spark, stream_data):
+    """The rolling-calibration conformal stream must reproduce a
+    from-scratch sequential reference (same fixed AR(1) coefficients,
+    same sliding buffer and order statistic) across the two-file
+    split, and its empirical coverage must sit near 1−α."""
+    from time_series_data_anomaly_detection_spark.streaming import (
+        streaming_conformal,
+    )
+
+    root, pdf = stream_data
+    icept, slope = 25.0, 0.5
+    n_cal, alpha = 100, 0.1
+    stream = spark.readStream.schema(SCHEMA).parquet(root)
+    out = _run_stream(
+        spark,
+        streaming_conformal(
+            stream, icept=icept, slope=slope, n_cal=n_cal, alpha=alpha
+        ),
+        "confstream",
+    ).toPandas()
+
+    import math
+
+    k = min(math.ceil((n_cal + 1) * (1 - alpha)), n_cal)
+    for sid in ("a", "b"):
+        got = (
+            out[out.series_id == sid]
+            .sort_values("timestamp")
+            .reset_index(drop=True)
+        )
+        vals = (
+            pdf[pdf.series_id == sid]
+            .sort_values("timestamp")["value"]
+            .to_numpy()
+        )
+        buf: list[float] = []
+        prev = None
+        exp_q = np.full(len(vals), np.nan)
+        exp_pred = np.full(len(vals), np.nan)
+        for i, v in enumerate(vals):
+            if prev is not None:
+                p = icept + slope * prev
+                exp_pred[i] = p
+                if len(buf) >= n_cal:
+                    exp_q[i] = sorted(buf)[k - 1]
+                buf.append(abs(v - p))
+                if len(buf) > n_cal:
+                    buf.pop(0)
+            prev = v
+        np.testing.assert_allclose(
+            got["pred"].to_numpy(), exp_pred, atol=1e-9, equal_nan=True
+        )
+        np.testing.assert_allclose(
+            got["q_hat"].to_numpy(), exp_q, atol=1e-9, equal_nan=True
+        )
+        # coverage on the settled tail is near 1-alpha (the injected
+        # 3-row burst can only dent it by ~3/199)
+        settled = got[got["q_hat"].notna()]
+        assert len(settled) == len(vals) - n_cal - 1
+        assert settled["covered"].astype(float).mean() > 0.8

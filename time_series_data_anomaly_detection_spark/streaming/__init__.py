@@ -11,6 +11,7 @@ from .detectors import (  # noqa: F401
     streaming_holt_winters,
     streaming_pot,
     streaming_spectral_residual,
+    streaming_conformal,
 )
 from .quality import (  # noqa: F401
     streaming_source_quality,

@@ -850,3 +850,114 @@ def streaming_pot(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+_CONF_OUT = StructType(
+    [
+        StructField("series_id", StringType()),
+        StructField("timestamp", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("pred", DoubleType()),
+        StructField("q_hat", DoubleType()),
+        StructField("lo", DoubleType()),
+        StructField("hi", DoubleType()),
+        StructField("covered", IntegerType()),
+    ]
+)
+
+_CONF_STATE = StructType(
+    [
+        StructField("buf", ArrayType(DoubleType())),
+        StructField("prev", DoubleType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def streaming_conformal(
+    stream: DataFrame,
+    icept: float,
+    slope: float,
+    n_cal: int = 200,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Rolling-calibration split-conformal intervals as a stateful
+    stream — the streaming twin of the batch ``conformal_intervals``
+    query.  The caller supplies the train-time AR(1) point forecaster
+    ``(icept, slope)`` (the streaming_bocpd convention: a stream has
+    no train split of its own); per series the operator keeps the
+    SLIDING last-``n_cal`` absolute one-step residuals and emits
+
+        q̂  = the ⌈(n_cal+1)(1−α)⌉-th smallest buffered |residual|
+        lo/hi = pred ± q̂,  covered = value ∈ [lo, hi]
+
+    — the "adaptive conformal" recipe whose coverage tracks
+    distribution drift because yesterday's residuals calibrate
+    today's band.  Rows before the buffer fills emit null q̂/lo/hi
+    (same head-row convention as the other detectors).  State is
+    O(n_cal) doubles per series, strictly bounded.
+    """
+    n_cal = int(n_cal)
+    alpha = float(alpha)
+    a_, b_ = float(icept), float(slope)
+    k_rank = min(int(np.ceil((n_cal + 1) * (1.0 - alpha))), n_cal)
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (series_id,) = key
+        if state.exists:
+            buf_l, prev, n_seen = state.get
+            buf = list(buf_l)
+        else:
+            buf, prev, n_seen = [], None, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values("timestamp").reset_index(drop=True)
+            y = pdf["value"].to_numpy(float)
+            n = len(y)
+            pred = np.full(n, np.nan)
+            qh = np.full(n, np.nan)
+            for i in range(n):
+                if prev is not None:
+                    pred[i] = a_ + b_ * prev
+                    if len(buf) >= n_cal:
+                        qh[i] = np.partition(
+                            np.asarray(buf, float), k_rank - 1
+                        )[k_rank - 1]
+                    buf.append(abs(y[i] - pred[i]))
+                    if len(buf) > n_cal:
+                        buf.pop(0)
+                prev = y[i]
+                n_seen += 1
+            lo = pred - qh
+            hi = pred + qh
+            cov = np.where(
+                np.isnan(qh),
+                np.nan,
+                ((y >= lo) & (y <= hi)).astype(float),
+            )
+            yield pd.DataFrame(
+                {
+                    "series_id": series_id,
+                    "timestamp": pdf["timestamp"],
+                    "value": y,
+                    "pred": pred,
+                    "q_hat": qh,
+                    "lo": lo,
+                    "hi": hi,
+                    "covered": pd.Series(cov).astype("Int32"),
+                }
+            )
+        state.update(
+            ([float(v) for v in buf], float(prev), int(n_seen))
+        )
+
+    return stream.groupBy("series_id").applyInPandasWithState(
+        update,
+        _CONF_OUT,
+        _CONF_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1059,6 +1059,7 @@ def test_streaming_checkpoint_restart_continuity(spark, tmp_path_factory):
     no-restart run that saw the files in the same micro-batch order.
     """
     from time_series_data_anomaly_detection_spark.streaming import (
+        streaming_conformal,
         streaming_control_flags,
         streaming_pot,
     )
@@ -1097,6 +1098,11 @@ def test_streaming_checkpoint_restart_continuity(spark, tmp_path_factory):
         stream = spark.readStream.schema(SCHEMA).parquet(str(src))
         if detector == "ctrl":
             return streaming_control_flags(stream, norm_mu=mu, norm_sd=sd)
+        if detector == "conf":
+            # array-typed state (the residual buffer) exercises a
+            # different state-store codec than the scalar detectors
+            return streaming_conformal(stream, icept=25.0, slope=0.5,
+                                       n_cal=100)
         return streaming_pot(stream, n_init=200)
 
     def run_once(detector, tag):
@@ -1114,7 +1120,7 @@ def test_streaming_checkpoint_restart_continuity(spark, tmp_path_factory):
         q.awaitTermination(120)
         return out
 
-    for detector in ("ctrl", "pot"):
+    for detector in ("ctrl", "pot", "conf"):
         # phase 1: only the prefix exists
         for f in list(src.glob("*.parquet")):
             f.unlink()

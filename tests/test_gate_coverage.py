@@ -96,3 +96,29 @@ def test_no_query_failing_its_latest_driver_check():
     assert max_round >= 6
     fails = [n for n, (r, s) in latest.items() if s == "FAIL"]
     assert not fails, f"queries failing their latest driver check: {fails}"
+
+
+def test_status_gate_names_exist_in_registry():
+    """Docs-rot guard: every `hash X` / `rows X` gate name cited in
+    STATUS.md's operator tables must be a real queries() entry (a
+    renamed or deleted query must not leave a stale STATUS claim)."""
+    import os
+    import re
+
+    import __spark_entry__ as entrymod
+
+    qs = set(entrymod.queries())
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(repo, "STATUS.md")).read()
+    cited = set()
+    # gate cells look like: "hash `name`", "rows `name`", possibly
+    # bolded (**hash `name`**) and with several names per cell; only
+    # table lines count (prose mentions "hash-oracled" etc.)
+    for line in text.splitlines():
+        if not line.startswith("|"):
+            continue
+        for name in re.findall(r"(?:hash|rows) \*{0,2}`([a-z0-9_]+)`", line):
+            cited.add(name)
+    missing = sorted(cited - qs)
+    assert not missing, f"STATUS.md cites unknown gate queries: {missing}"
+    assert len(cited) > 100  # the tables really were parsed

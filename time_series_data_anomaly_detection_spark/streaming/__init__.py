@@ -12,6 +12,7 @@ from .detectors import (  # noqa: F401
     streaming_pot,
     streaming_spectral_residual,
     streaming_conformal,
+    streaming_page_hinkley,
 )
 from .quality import (  # noqa: F401
     streaming_source_quality,

@@ -28,6 +28,7 @@ REPL = 10
 
 QUERIES = [
     "doc_stats",
+    "bigram_surprise",
     "pii_scan",
     "repetition_stats",
     "training_order",

@@ -639,3 +639,29 @@ def test_harmonic_fixed_broadcasts_design_table(spark):
     assert _count(plan, ") SortMergeJoin") == 0
     assert _count(plan, "CartesianProduct") == 0
     assert _count(plan, ") BroadcastHashJoin") >= 3
+
+
+def test_forecast_mase_broadcasts_scale_denominator(spark):
+    """The per-series MASE scale frame is dimension-sized and must
+    broadcast; no sort-merge against the scan."""
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        q_forecast_mase,
+    )
+
+    plan = _plan(q_forecast_mase(spark, "/root/testdata/sf0.001"))
+    assert _count(plan, ") SortMergeJoin") == 0
+    assert _count(plan, "CartesianProduct") == 0
+    assert _count(plan, ") BroadcastHashJoin") >= 3
+
+
+def test_demand_classification_broadcasts_threshold(spark):
+    """The per-series q90 threshold frame must broadcast onto the
+    scan (one aggregate + one broadcast join + one aggregate)."""
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        q_demand_classification,
+    )
+
+    plan = _plan(q_demand_classification(spark, "/root/testdata/sf0.001"))
+    assert _count(plan, ") SortMergeJoin") == 0
+    assert _count(plan, "CartesianProduct") == 0
+    assert _count(plan, ") BroadcastHashJoin") >= 1

@@ -184,7 +184,7 @@ def main() -> None:
             indent=1,
         )
 
-    budget = 1500  # chars available for the "queries" dict on stdout
+    budget = 1200  # chars available for the "queries" dict on stdout
     shown: dict[str, float] = {}
     used = 0
     for name in sorted(timings, key=timings.get, reverse=True):
@@ -202,9 +202,14 @@ def main() -> None:
                 "n_queries": len(timings),
                 "queries": shown,
                 "queries_shown": len(shown),
+                # cap the stdout retried list — full detail is in the
+                # file; an unbounded dict could push the line past the
+                # driver's ~2000-char stdout window
                 "retried": {
-                    n: [r["first"], r["retry"]] for n, r in retried.items()
+                    n: [r["first"], r["retry"]]
+                    for n, r in list(retried.items())[:6]
                 },
+                "n_retried": len(retried),
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf,
             },

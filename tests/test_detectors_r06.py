@@ -1065,3 +1065,40 @@ def test_demand_classification_quadrants(spark):
     assert out.loc["lp", "class"] == "lumpy"
     assert out.loc["lp", "adi"] >= 1.32
     assert out.loc["lp", "cv2"] >= 0.49
+
+
+def test_seasonal_mann_kendall_semantics(spark):
+    """Seasonal MK on a strongly seasonal series: no false trend from
+    the cycle itself, detects a small injected drift, and the
+    seasonal Sen slope recovers the drift rate."""
+    from time_series_data_anomaly_detection_spark.operators.trend import (
+        seasonal_mann_kendall_frame,
+    )
+
+    rng = _rng(59)
+    n = 960  # 20 periods of 48
+    t = np.arange(n)
+    cycle = 10 * np.sin(2 * np.pi * t / 48)
+    flat = cycle + rng.normal(0, 0.5, n)
+    drift = cycle + 0.01 * t + rng.normal(0, 0.5, n)
+    df = series_df(spark, flat, series_id="flat").unionByName(
+        series_df(spark, drift, series_id="drift")
+    )
+    out = (
+        seasonal_mann_kendall_frame(df, period=48)
+        .toPandas()
+        .set_index("series_id")
+    )
+    assert out.loc["flat", "trend"] == "no trend"
+    assert abs(out.loc["flat", "z"]) < 1.96
+    assert out.loc["drift", "trend"] == "increasing"
+    assert out.loc["drift", "sen_slope"] == pytest.approx(0.01, rel=0.25)
+    # cross-check S against a brute-force same-season pair count
+    vals = drift
+    s_ref = 0
+    for g in range(48):
+        sub = vals[g::48]
+        for i in range(len(sub)):
+            for j in range(i + 1, len(sub)):
+                s_ref += int(sub[j] > sub[i]) - int(sub[j] < sub[i])
+    assert out.loc["drift", "s_stat"] == s_ref

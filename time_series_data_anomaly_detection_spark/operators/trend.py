@@ -158,3 +158,127 @@ def mann_kendall_frame(df: DataFrame) -> DataFrame:
         .groupBy("series_id")
         .applyInPandas(_mann_kendall_one, MK_SCHEMA)
     )
+
+
+SMK_SCHEMA = (
+    "series_id string, n long, period int, s_stat long, tau double, "
+    "var_s double, z double, sen_slope double, trend string"
+)
+
+
+def _seasonal_mk_one(
+    pdf: pd.DataFrame, period: int, max_pairs: int
+) -> pd.DataFrame:
+    pdf = pdf.sort_values("rn")
+    x = pdf["value"].to_numpy(dtype=np.float64)
+    r = pdf["rn"].to_numpy(dtype=np.int64)
+    n = len(x)
+    sid = pdf["series_id"].iloc[0]
+    if n < 2:
+        return pd.DataFrame(
+            [[sid, n, period, 0, 0.0, 0.0, 0.0, 0.0, "no trend"]],
+            columns=[
+                "series_id", "n", "period", "s_stat", "tau",
+                "var_s", "z", "sen_slope", "trend",
+            ],
+        )
+
+    s_stat = 0
+    var_num = 0  # exact integer; divide by 18 ONCE (hash-stable)
+    d_pairs = 0
+    slope_chunks = []
+    # projected same-season pair count decides the exact-vs-strided
+    # Sen path, same budget philosophy as _sen_slopes
+    proj = sum(
+        int(c) * (int(c) - 1) // 2
+        for c in np.bincount(((r - 1) % period).astype(np.int64))
+    )
+    exact = proj <= max_pairs
+    for g in range(period):
+        mask = ((r - 1) % period) == g
+        v = x[mask]
+        rr = r[mask].astype(np.float64)
+        ng = len(v)
+        if ng < 2:
+            continue
+        total = ng * (ng - 1) // 2
+        _, counts = np.unique(v, return_counts=True)
+        tie_pairs = int(
+            sum(int(t) * (t - 1) // 2 for t in counts if t > 1)
+        )
+        s_stat += total - tie_pairs - 2 * _inversions(v)
+        var_num += ng * (ng - 1) * (2 * ng + 5) - int(
+            sum(int(t) * (t - 1) * (2 * t + 5) for t in counts if t > 1)
+        )
+        d_pairs += total
+        if exact:
+            iu, ju = np.triu_indices(ng, 1)
+            slope_chunks.append((v[ju] - v[iu]) / (rr[ju] - rr[iu]))
+        else:
+            # documented approximate path for extreme lengths: strided
+            # subseries slopes rescaled to per-rn units (the gate
+            # regime is always exact)
+            slope_chunks.append(
+                _sen_slopes(v, max(1, max_pairs // period)) / float(period)
+            )
+    var_s = var_num / 18.0
+    if s_stat > 0:
+        z = (s_stat - 1) / np.sqrt(var_s) if var_s > 0 else 0.0
+    elif s_stat < 0:
+        z = (s_stat + 1) / np.sqrt(var_s) if var_s > 0 else 0.0
+    else:
+        z = 0.0
+    tau = s_stat / (0.5 * d_pairs) if d_pairs else 0.0
+    slopes = (
+        np.concatenate(slope_chunks) if slope_chunks else np.zeros(1)
+    )
+    m = len(slopes)
+    k1 = (m + 1) // 2
+    k2 = (m + 2) // 2
+    part = np.partition(slopes, [k1 - 1, k2 - 1])
+    if k1 == k2:
+        sen = float(part[k1 - 1])
+    else:
+        sen = (float(part[k1 - 1]) + float(part[k2 - 1])) / 2.0
+    trend = (
+        "increasing" if z > 1.96
+        else ("decreasing" if z < -1.96 else "no trend")
+    )
+    return pd.DataFrame(
+        [[sid, n, period, int(s_stat), tau, var_s, float(z), sen, trend]],
+        columns=[
+            "series_id", "n", "period", "s_stat", "tau",
+            "var_s", "z", "sen_slope", "trend",
+        ],
+    )
+
+
+def seasonal_mann_kendall_frame(
+    df: DataFrame, period: int = 48, max_pairs: int = MAX_EXACT_PAIRS
+) -> DataFrame:
+    """Seasonal (Hirsch-Slack 1984) Mann-Kendall + seasonal Sen slope:
+    the trend test for SEASONAL series — plain MK reads a diurnal
+    cycle as alternating micro-trends and loses power, the seasonal
+    form compares each observation only against its own season
+    position (``(rn−1) mod period``), sums the per-season S and
+    tie-corrected variances, and takes the Sen median over
+    same-season pairwise slopes in original-rn units.
+
+    Exactness: S and the variance NUMERATOR are exact integers (the
+    Fenwick inversion identity per season; one /18 at the end), the
+    slope set is the literal ``Δv/Δrn`` doubles the oracle
+    materializes, and the median is the two-order-statistic average —
+    the same hash-stability recipe as ``mann_kendall_frame``.  One
+    grouped-map task per series; same ``max_pairs`` budget with a
+    documented strided fallback for extreme lengths.
+    """
+    p_, b_ = int(period), int(max_pairs)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _seasonal_mk_one(pdf, p_, b_)
+
+    return (
+        df.select("series_id", "rn", "value")
+        .groupBy("series_id")
+        .applyInPandas(run, SMK_SCHEMA)
+    )

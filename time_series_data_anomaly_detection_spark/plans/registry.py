@@ -4713,6 +4713,103 @@ FROM pj GROUP BY 1, 2
 """
 
 
+def q_seasonal_mann_kendall(spark, sf_dir):
+    """Seasonal Mann-Kendall + seasonal Sen slope (Hirsch & Slack
+    1984): the trend test that stays powerful on SEASONAL series —
+    same-season-only comparisons (period 48), per-season S and
+    tie-corrected variances summed, Sen median over same-season
+    pairwise Δv/Δrn slopes.  Same exactness recipe as trend_test
+    (integer S via Fenwick inversions, ONE /18 on the integer
+    variance numerator, rank-median over bit-identical doubles) —
+    hash-gated against a same-position materialized-pair oracle."""
+    from ..operators.trend import seasonal_mann_kendall_frame
+
+    out = seasonal_mann_kendall_frame(_series(spark, sf_dir), period=48)
+    return out.select(
+        "series_id", "n", "period", "s_stat",
+        _rnd("tau", R).alias("tau"),
+        _rnd("var_s", R).alias("var_s"),
+        _rnd("z", R).alias("z"),
+        _rnd("sen_slope", R).alias("sen_slope"),
+        "trend",
+    )
+
+
+ORACLES["seasonal_mann_kendall"] = f"""
+WITH {SQL_S},
+sp AS (
+  SELECT series_id, rn, value, CAST((rn - 1) % 48 AS BIGINT) AS pos
+  FROM s),
+pr AS (
+  SELECT a.series_id,
+         b.value - a.value AS dv,
+         CAST(b.rn - a.rn AS DOUBLE) AS dr
+  FROM sp a JOIN sp b
+    ON a.series_id = b.series_id AND a.pos = b.pos AND b.rn > a.rn),
+mk AS (
+  SELECT series_id,
+         CAST(sum(CASE WHEN dv > 0 THEN 1
+                       WHEN dv < 0 THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat,
+         CAST(count(*) AS BIGINT) AS d
+  FROM pr GROUP BY 1),
+ngp AS (SELECT series_id, pos, count(*) AS n_g FROM sp GROUP BY 1, 2),
+vb AS (
+  SELECT series_id,
+         CAST(sum(n_g * (n_g - 1) * (2 * n_g + 5)) AS BIGINT) AS base
+  FROM ngp GROUP BY 1),
+tt AS (
+  SELECT series_id,
+         CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+           AS tie_term
+  FROM (SELECT series_id, pos, value, count(*) AS t
+        FROM sp GROUP BY 1, 2, 3 HAVING count(*) > 1)
+  GROUP BY 1),
+nn2 AS (SELECT series_id, CAST(count(*) AS BIGINT) AS n
+        FROM s GROUP BY 1),
+sl AS (SELECT series_id, dv / dr AS slope FROM pr),
+rk AS (
+  SELECT series_id, slope,
+         row_number() OVER (PARTITION BY series_id ORDER BY slope) AS r,
+         count(*) OVER (PARTITION BY series_id) AS m
+  FROM sl),
+med AS (
+  SELECT series_id, sum(slope) / count(*) AS sen_slope
+  FROM rk WHERE r = (m+1)//2 OR r = (m+2)//2 GROUP BY 1)
+SELECT mk.series_id, nn2.n, CAST(48 AS INT) AS period, mk.s_stat,
+       round(mk.s_stat / (5e-1 * mk.d), {R}) AS tau,
+       round((vb.base - coalesce(tt.tie_term, 0)) / 1.8e1, {R}) AS var_s,
+       round(CASE WHEN mk.s_stat > 0
+                   AND (vb.base - coalesce(tt.tie_term, 0)) / 1.8e1 > 0
+                  THEN (mk.s_stat - 1)
+                       / sqrt((vb.base - coalesce(tt.tie_term, 0)) / 1.8e1)
+                  WHEN mk.s_stat < 0
+                   AND (vb.base - coalesce(tt.tie_term, 0)) / 1.8e1 > 0
+                  THEN (mk.s_stat + 1)
+                       / sqrt((vb.base - coalesce(tt.tie_term, 0)) / 1.8e1)
+                  ELSE 0e0 END, {R}) AS z,
+       round(med.sen_slope, {R}) AS sen_slope,
+       CASE WHEN (vb.base - coalesce(tt.tie_term, 0)) / 1.8e1 > 0
+                 AND mk.s_stat > 0
+                 AND (mk.s_stat - 1)
+                     / sqrt((vb.base - coalesce(tt.tie_term, 0)) / 1.8e1)
+                     > 1.96e0
+            THEN 'increasing'
+            WHEN (vb.base - coalesce(tt.tie_term, 0)) / 1.8e1 > 0
+                 AND mk.s_stat < 0
+                 AND (mk.s_stat + 1)
+                     / sqrt((vb.base - coalesce(tt.tie_term, 0)) / 1.8e1)
+                     < -1.96e0
+            THEN 'decreasing'
+            ELSE 'no trend' END AS trend
+FROM mk
+JOIN nn2 USING (series_id)
+JOIN vb USING (series_id)
+LEFT JOIN tt USING (series_id)
+JOIN med USING (series_id)
+"""
+
+
 def q_demand_classification(spark, sf_dir):
     """Syntetos-Boylan intermittent-demand classification (Syntetos,
     Boylan & Croston 2005): per series, ADI (mean inter-demand
@@ -6424,6 +6521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_profile_tiled": q_matrix_profile_tiled,
         "conformal_intervals": q_conformal_intervals,
         "demand_classification": q_demand_classification,
+        "seasonal_mann_kendall": q_seasonal_mann_kendall,
         "ar2_forecast": q_ar2_forecast,
         "detector_rank_ensemble": q_detector_rank_ensemble,
         "pelt_changepoints": q_pelt_changepoints,
@@ -6569,6 +6667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtw_distance",
         "conformal_intervals",
         "demand_classification",
+        "seasonal_mann_kendall",
         "matrix_profile_tiled",
         # last checked r04 (green) — next priority
         "stratified_sample",

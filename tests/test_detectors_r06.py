@@ -1102,3 +1102,60 @@ def test_seasonal_mann_kendall_semantics(spark):
             for j in range(i + 1, len(sub)):
                 s_ref += int(sub[j] > sub[i]) - int(sub[j] < sub[i])
     assert out.loc["drift", "s_stat"] == s_ref
+
+
+def test_granger_screen_directional_and_matches_numpy(spark):
+    """On a planted causal pair (y driven by lagged x, x autonomous)
+    the screen must be sharply directional, and the closed-form
+    Cramer SSEs must match numpy least squares."""
+    import os
+    import tempfile
+
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        q_granger_screen,
+    )
+
+    rng = _rng(61)
+    n = 1500
+    x = np.empty(n)
+    y = np.empty(n)
+    x[0] = y[0] = 0.0
+    for i in range(1, n):
+        x[i] = 0.6 * x[i - 1] + rng.normal(0, 1)
+        y[i] = 0.5 * y[i - 1] + 0.8 * x[i - 1] + rng.normal(0, 1)
+    frames = []
+    for sid, v in [("x", x), ("y", y)]:
+        frames.append(
+            pd.DataFrame(
+                {
+                    "event_id": np.arange(n),
+                    "event_type": sid,
+                    "ts": pd.date_range(
+                        "2024-01-01", periods=n, freq="30min"
+                    ),
+                    "value": v,
+                }
+            )
+        )
+    with tempfile.TemporaryDirectory() as d:
+        pd.concat(frames).to_parquet(os.path.join(d, "events.parquet"))
+        out = (
+            q_granger_screen(spark, d)
+            .toPandas()
+            .set_index(["series_x", "series_y"])
+        )
+    # numpy reference for the x -> y direction
+    yy, aa, bb = y[1:], y[:-1], x[:-1]
+    Xf = np.column_stack([np.ones(n - 1), aa, bb])
+    Xr = Xf[:, :2]
+    bf, *_ = np.linalg.lstsq(Xf, yy, rcond=None)
+    br, *_ = np.linalg.lstsq(Xr, yy, rcond=None)
+    sse_f = float(((yy - Xf @ bf) ** 2).sum())
+    sse_r = float(((yy - Xr @ br) ** 2).sum())
+    row = out.loc[("x", "y")]
+    assert row["sse_f"] == pytest.approx(sse_f, rel=1e-6)
+    assert row["sse_r"] == pytest.approx(sse_r, rel=1e-6)
+    # direction: x->y massively significant, y->x not
+    assert row["f_stat"] > 100
+    assert out.loc[("y", "x"), "f_stat"] < 10
+    assert row["r2_gain"] > 5 * out.loc[("y", "x"), "r2_gain"]

@@ -4713,6 +4713,158 @@ FROM pj GROUP BY 1, 2
 """
 
 
+def q_granger_screen(spark, sf_dir):
+    """Granger-style lag screen over ordered series pairs (Granger
+    1969): does x's PAST improve a one-lag autoregression of y?  For
+    every ordered pair (x → y), closed-form OLS of ``y_t ~ [1,
+    y_{t-1}, x_{t-1}]`` vs the restricted ``y_t ~ [1, y_{t-1}]`` —
+    both solved by Cramer's rule on the normal equations built from
+    TEN exact-decimal sums per pair (the ar2_forecast recipe, one
+    aggregation over the pair frame), SSEs via the normal-equation
+    identity, and the 1-numerator-df F statistic
+    ``(SSE_r − SSE_f)(n−3)/SSE_f``.  The partial-out-autoregression
+    complement of cross_correlation's marginal correlations; the
+    |series|² pair frame is bounded by the same API guard.  Fully
+    hash-gated (every expression is fixed-order double algebra on
+    bit-identical decimal sums)."""
+    from ..operators.acf import _guard_pair_explosion
+
+    s = _series(spark, sf_dir).select("series_id", "rn", "value")
+    s = _guard_pair_explosion(s, None, 64, False, "granger_screen")
+    w = Window.partitionBy("series_id").orderBy("rn")
+    lagd = s.withColumn("vprev", F.lag("value").over(w))
+    e = lagd.select(
+        F.col("series_id").alias("series_y"),
+        "rn",
+        F.col("value").alias("y"),
+        F.col("vprev").alias("a"),
+    )
+    c = lagd.select(
+        F.col("series_id").alias("series_x"),
+        "rn",
+        F.col("vprev").alias("b"),
+    )
+    j = (
+        e.join(c, "rn")
+        .where(F.col("series_x") != F.col("series_y"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+    )
+
+    def dsum(expr, name):
+        return F.sum(expr.cast(DEC_T)).cast("double").alias(name)
+
+    y, a, b = F.col("y"), F.col("a"), F.col("b")
+    g = j.groupBy("series_x", "series_y").agg(
+        F.count("*").alias("n"),
+        dsum(a, "sa"),
+        dsum(b, "sb"),
+        dsum(y, "sy"),
+        dsum(a * a, "saa"),
+        dsum(b * b, "sbb"),
+        dsum(y * y, "syy"),
+        dsum(a * b, "sab"),
+        dsum(a * y, "say"),
+        dsum(b * y, "sby"),
+    )
+    n = F.col("n").cast("double")
+    sa, sb, sy = F.col("sa"), F.col("sb"), F.col("sy")
+    saa, sbb, syy = F.col("saa"), F.col("sbb"), F.col("syy")
+    sab, say, sby = F.col("sab"), F.col("say"), F.col("sby")
+    # restricted: y ~ [1, a]
+    det2 = n * saa - sa * sa
+    a1 = (n * say - sa * sy) / det2
+    a0 = (sy - a1 * sa) / n
+    sse_r = (syy - a0 * sy) - a1 * say
+    # full: y ~ [1, a, b] — Cramer on the symmetric normal matrix
+    det = (
+        (n * (saa * sbb - sab * sab))
+        - (sa * (sa * sbb - sab * sb))
+    ) + (sb * (sa * sab - saa * sb))
+    d0 = (
+        (sy * (saa * sbb - sab * sab))
+        - (sa * (say * sbb - sab * sby))
+    ) + (sb * (say * sab - saa * sby))
+    d1 = (
+        (n * (say * sbb - sab * sby))
+        - (sy * (sa * sbb - sab * sb))
+    ) + (sb * (sa * sby - say * sb))
+    d2 = (
+        (n * (saa * sby - say * sab))
+        - (sa * (sa * sby - say * sb))
+    ) + (sy * (sa * sab - saa * sb))
+    b0, b1, b2 = d0 / det, d1 / det, d2 / det
+    sse_f = ((syy - b0 * sy) - b1 * say) - b2 * sby
+    f_stat = ((sse_r - sse_f) * (n - F.lit(3.0))) / sse_f
+    r2_gain = (sse_r - sse_f) / sse_r
+    return g.select(
+        "series_x", "series_y", "n",
+        _rnd(sse_r, R).alias("sse_r"),
+        _rnd(sse_f, R).alias("sse_f"),
+        _rnd(f_stat, R).alias("f_stat"),
+        _rnd(r2_gain, R).alias("r2_gain"),
+    )
+
+
+ORACLES["granger_screen"] = f"""
+WITH {SQL_S},
+lg AS (
+  SELECT series_id, rn, value,
+         lag(value) OVER (PARTITION BY series_id ORDER BY rn) AS vprev
+  FROM s),
+j AS (
+  SELECT c.series_id AS series_x, e.series_id AS series_y,
+         e.value AS y, e.vprev AS a, c.vprev AS b
+  FROM lg e JOIN lg c ON e.rn = c.rn AND c.series_id <> e.series_id
+  WHERE e.vprev IS NOT NULL AND c.vprev IS NOT NULL),
+g AS (
+  SELECT series_x, series_y,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(a AS DECIMAL(38,12))) AS DOUBLE) AS sa,
+         CAST(sum(CAST(b AS DECIMAL(38,12))) AS DOUBLE) AS sb,
+         CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(a * a AS DECIMAL(38,12))) AS DOUBLE) AS saa,
+         CAST(sum(CAST(b * b AS DECIMAL(38,12))) AS DOUBLE) AS sbb,
+         CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+         CAST(sum(CAST(a * b AS DECIMAL(38,12))) AS DOUBLE) AS sab,
+         CAST(sum(CAST(a * y AS DECIMAL(38,12))) AS DOUBLE) AS say,
+         CAST(sum(CAST(b * y AS DECIMAL(38,12))) AS DOUBLE) AS sby
+  FROM j GROUP BY 1, 2),
+ft AS (
+  SELECT series_x, series_y, n,
+         (syy - ((sy - ((CAST(n AS DOUBLE) * say - sa * sy)
+                        / (CAST(n AS DOUBLE) * saa - sa * sa)) * sa)
+                 / CAST(n AS DOUBLE)) * sy)
+         - ((CAST(n AS DOUBLE) * say - sa * sy)
+            / (CAST(n AS DOUBLE) * saa - sa * sa)) * say AS sse_r,
+         ((CAST(n AS DOUBLE) * (saa * sbb - sab * sab))
+          - (sa * (sa * sbb - sab * sb)))
+         + (sb * (sa * sab - saa * sb)) AS det,
+         ((sy * (saa * sbb - sab * sab))
+          - (sa * (say * sbb - sab * sby)))
+         + (sb * (say * sab - saa * sby)) AS d0,
+         ((CAST(n AS DOUBLE) * (say * sbb - sab * sby))
+          - (sy * (sa * sbb - sab * sb)))
+         + (sb * (sa * sby - say * sb)) AS d1,
+         ((CAST(n AS DOUBLE) * (saa * sby - say * sab))
+          - (sa * (sa * sby - say * sb)))
+         + (sy * (sa * sab - saa * sb)) AS d2,
+         sy, say, sby, syy
+  FROM g),
+fin AS (
+  SELECT series_x, series_y, n, sse_r,
+         ((syy - (d0 / det) * sy) - (d1 / det) * say)
+         - (d2 / det) * sby AS sse_f
+  FROM ft)
+SELECT series_x, series_y, n,
+       round(sse_r, {R}) AS sse_r,
+       round(sse_f, {R}) AS sse_f,
+       round(((sse_r - sse_f) * (CAST(n AS DOUBLE) - 3.0)) / sse_f,
+             {R}) AS f_stat,
+       round((sse_r - sse_f) / sse_r, {R}) AS r2_gain
+FROM fin
+"""
+
+
 def q_seasonal_mann_kendall(spark, sf_dir):
     """Seasonal Mann-Kendall + seasonal Sen slope (Hirsch & Slack
     1984): the trend test that stays powerful on SEASONAL series —
@@ -6522,6 +6674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_intervals": q_conformal_intervals,
         "demand_classification": q_demand_classification,
         "seasonal_mann_kendall": q_seasonal_mann_kendall,
+        "granger_screen": q_granger_screen,
         "ar2_forecast": q_ar2_forecast,
         "detector_rank_ensemble": q_detector_rank_ensemble,
         "pelt_changepoints": q_pelt_changepoints,
@@ -6668,6 +6821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_intervals",
         "demand_classification",
         "seasonal_mann_kendall",
+        "granger_screen",
         "matrix_profile_tiled",
         # last checked r04 (green) — next priority
         "stratified_sample",

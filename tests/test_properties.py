@@ -124,9 +124,16 @@ def test_rolling_matches_pandas(spark, values, window, min_periods):
         got["roll_mean"].to_numpy(float), exp_mean.to_numpy(float),
         atol=1e-6, equal_nan=True,
     )
+    # std atol 1e-5: on a near-constant window that FOLLOWS large
+    # values, pandas' moving-window variance update keeps a
+    # cancellation residue of ~Σx²·eps ≈ 1e-12 in variance (≈1e-6 as
+    # a std) — hypothesis found [1, 100, 0, 0, 1.2e-38] where pandas
+    # reports std 1.17e-6 for the [0, 0, 1.2e-38] window while the
+    # engine's exact decimal sums give the true 0.0.  The engine is
+    # the accurate side here; the tolerance absorbs pandas' residue.
     np.testing.assert_allclose(
         got["roll_std"].to_numpy(float), exp_std.to_numpy(float),
-        atol=1e-6, equal_nan=True,
+        atol=1e-5, equal_nan=True,
     )
 
 

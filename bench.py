@@ -80,17 +80,27 @@ def main() -> None:
     )
     prior: dict[str, float] = {}
     prior_baseline: dict[str, float] = {}
+    # baselines are persisted PER SF ({"0.1": {...}, "0.001": {...}})
+    # so a run at one SF never erases another SF's warm-baseline
+    # history — a single shared dict meant one stray sf0.001 run wiped
+    # the sf0.1 retry reference until rebuilt.  Legacy single-dict
+    # files (float values) are adopted under their own recorded SF.
+    baselines_by_sf: dict[str, dict[str, float]] = {}
+    sf_key = str(sf)
     try:
         with open(prior_path) as f:
             _pd = json.load(f)
             prior = _pd.get("queries", {})
+            _bl = _pd.get("baseline", {})
+            if _bl and all(isinstance(v, dict) for v in _bl.values()):
+                baselines_by_sf = _bl
+            elif _bl:  # legacy flat dict: belongs to that file's SF
+                baselines_by_sf = {str(_pd.get("sf")): _bl}
             # baseline times are SF-specific: a run at another SF must
-            # neither consult nor inherit them (an sf0.001 run would
-            # otherwise poison the sf0.1 retry reference forever).
-            # `prior` still orders cheap-first (ranks transfer across
-            # SFs); retries key off `baseline` alone.
+            # not consult them.  `prior` still orders cheap-first
+            # (ranks transfer across SFs); retries key off `baseline`.
+            prior_baseline = dict(baselines_by_sf.get(sf_key, {}))
             if _pd.get("sf") == sf:
-                prior_baseline = _pd.get("baseline", {})
                 prior_baseline = {
                     n: min(v for v in (prior_baseline.get(n), prior.get(n))
                            if v is not None)
@@ -173,10 +183,14 @@ def main() -> None:
                 "queries": timings,
                 "retried": retried,
                 # best known warm time per query (monotone min across
-                # runs) — the retry reference, not a timing report
+                # runs), keyed by SF — the retry reference, not a
+                # timing report; other SFs' entries pass through intact
                 "baseline": {
-                    n: round(min(baseline.get(n, t), t), 4)
-                    for n, t in timings.items()
+                    **baselines_by_sf,
+                    sf_key: {
+                        n: round(min(baseline.get(n, t), t), 4)
+                        for n, t in timings.items()
+                    },
                 },
                 "sf": sf,
             },

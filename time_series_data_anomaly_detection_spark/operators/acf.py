@@ -247,6 +247,7 @@ def _guard_pair_explosion(
     max_pairs: int,
     allow_all_pairs: bool,
     op_name: str,
+    directional: bool = False,
 ) -> DataFrame:
     """Bound the |series|²-fold pair blow-up of the cross-series
     operators IN THE API, not just the docstring (same house rule as
@@ -259,6 +260,11 @@ def _guard_pair_explosion(
     implied pair count exceeds ``max_pairs``.  ``allow_all_pairs=True``
     skips the guard entirely for callers who know their channel
     cardinality.
+
+    ``directional=True`` budgets ORDERED pairs (n·(n−1)) — operators
+    that materialize both (x→y) and (y→x), like granger_screen, emit
+    twice the unordered pair frame, so the same ``max_pairs`` admits
+    fewer series.
     """
     if series_subset is not None:
         subset = sorted(set(series_subset))
@@ -268,7 +274,7 @@ def _guard_pair_explosion(
         return df
     else:
         n = df.select("series_id").distinct().count()
-    n_pairs = n * (n - 1) // 2
+    n_pairs = n * (n - 1) if directional else n * (n - 1) // 2
     if not allow_all_pairs and n_pairs > max_pairs:
         raise ValueError(
             f"{op_name}: {n} series imply {n_pairs} pairs > "

@@ -4730,7 +4730,12 @@ def q_granger_screen(spark, sf_dir):
     from ..operators.acf import _guard_pair_explosion
 
     s = _series(spark, sf_dir).select("series_id", "rn", "value")
-    s = _guard_pair_explosion(s, None, 64, False, "granger_screen")
+    # directional=True: this operator emits ORDERED pairs (both x→y
+    # and y→x), so the guard budgets n·(n−1) against max_pairs=64
+    # instead of admitting twice the pair frame the budget implies
+    s = _guard_pair_explosion(
+        s, None, 64, False, "granger_screen", directional=True
+    )
     w = Window.partitionBy("series_id").orderBy("rn")
     lagd = s.withColumn("vprev", F.lag("value").over(w))
     e = lagd.select(
@@ -4741,14 +4746,17 @@ def q_granger_screen(spark, sf_dir):
     )
     c = lagd.select(
         F.col("series_id").alias("series_x"),
-        "rn",
+        F.col("rn").alias("rn_x"),
         F.col("vprev").alias("b"),
     )
-    j = (
-        e.join(c, "rn")
-        .where(F.col("series_x") != F.col("series_y"))
-        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
-    )
+    # self-pairs and lag-undefined rows rejected IN the join condition,
+    # not a post-join filter, so the matcher never emits the (x,x)
+    # diagonal fan at all
+    j = e.join(
+        c,
+        (F.col("rn") == F.col("rn_x"))
+        & (F.col("series_x") != F.col("series_y")),
+    ).where(F.col("a").isNotNull() & F.col("b").isNotNull())
 
     def dsum(expr, name):
         return F.sum(expr.cast(DEC_T)).cast("double").alias(name)
@@ -6787,95 +6795,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Long-stable rows-only queries (weakest signal, green twice) sink
     # to the back where a cap costs the least information.
     gate_first = [
-        # r07 PRIME SLOTS — the r06 verdict's item #1: these 9 queries
-        # are hash-green but last driver-checked in r03 while their
-        # operator code moved since (operators/acf.py ±111 lines in
-        # r06 alone).  Re-confirm them before anything else.
-        "acf",
-        "acf_statsmodels",
-        "pacf",
-        "ensemble_fusion",
-        "kalman_forecast_fixed",
-        "ngram_jaccard",
-        "resample_decompose",
-        "revenue_anomaly",
-        "winnow_fingerprints",
-        # remaining r03-last-checked greens (code unchanged since, but
-        # oldest driver signal after the block above)
-        "gp_train_subsample",
-        "doc_stats",
-        "lang_id",
-        "fingerprint",
-        "exact_dedup",
-        "interval_exceedance",
-        "ar1_forecast",
-        "global_moments",
-        "average_precision",
-        "forecast_accuracy",
-        # new round-7 queries — never driver-checked
-        "harmonic_forecast_fixed",
-        "bigram_surprise",
-        "forecast_mase",
-        "sax_mindist",
-        "dtw_distance",
-        "conformal_intervals",
-        "demand_classification",
-        "seasonal_mann_kendall",
+        # r08 PRIME SLOTS part A — implementation changed since the
+        # query's last driver check (r07 ADVICE: promote impl-changed
+        # regardless of last-check round).  rolling_quantile_flags /
+        # detector_ap_leaderboard were rewritten in r07 AFTER their
+        # r06 check; granger_screen (directional guard + join-cond
+        # self-pair rejection), benchmark_leaderboard_ar1 (melted
+        # tail), matrix_profile_tiled (tile batching) and
+        # pelt_changepoints (r07 numpy candidate scan, rows-only)
+        # changed in r07/r08.
+        "rolling_quantile_flags",
+        "detector_ap_leaderboard",
         "granger_screen",
-        "matrix_profile_tiled",
-        # last checked r04 (green) — next priority
-        "stratified_sample",
-        "source_mix",
-        "quality_deciles",
-        "pack_chunks",
-        "session_funnel",
-        "event_rollup",
-        "resample_fill",
-        "doc_embed_topk",
-        "multimodal_sampled",
-        "ann_recall",
-        "dedup_clusters",
-        "dedup_clusters_best",
-        "corpus_to_batches",
-        "incremental_dedup",
-        "ivf_topk",
-        "knn_label_agreement",
-        "props_stats",
-        "user_sessions",
-        "bsts_forecast_fixed",
-        "qq_plot",
-        "histogram_fit",
-        "corpus_prep",
-        "multimodal_features",
-        "source_stats",
-        "minhash_lsh",
-        "simhash",
-        "embedding_near_dup",
-        "cosine_topk",
-        "ann_topk",
-        "top_ngrams",
-        "corpus_filter",
-        "sliding_windows",
-        "walk_forward_cv_ar1",
         "benchmark_leaderboard_ar1",
-        "hybrid_detection_sql",
-        "rolling_stats",
+        "matrix_profile_tiled",
+        "pelt_changepoints",
+        # r08 PRIME SLOTS part B — the r04-stale oracled greens (r07
+        # verdict item #1): hash-green but last driver-checked three
+        # rounds ago; the engine's most load-bearing reference
+        # semantics (SURVEY §2.3/§2.4).  After r08 no oracled query's
+        # latest driver row should be older than r05.
+        "event_metrics",
+        "label_windows",
         "adaptive_flags",
+        "threshold_sweep",
+        "threshold_sweep_event",
+        "business_metrics",
+        "pointwise_metrics",
+        "detect_events",
+        "rolling_stats",
         "mad_scores",
+        "pr_curve",
+        "walk_forward_cv_ar1",
+        "hybrid_detection_sql",
         "global_zscore",
         "median_center",
         "residual_sigma",
         "fractional_split",
-        "label_windows",
-        "detect_events",
-        "pointwise_metrics",
-        "event_metrics",
-        "business_metrics",
-        "threshold_sweep",
-        "threshold_sweep_event",
-        "pr_curve",
-        # last checked r05 (green, freshest signal) — lowest priority
-        # among oracled queries; a capped run loses the least here
+        "sliding_windows",
+        "ann_topk",
+        "corpus_filter",
+        "corpus_prep",
+        "cosine_topk",
+        "embedding_near_dup",
+        "minhash_lsh",
+        "multimodal_features",
+        "simhash",
+        "source_stats",
+        "top_ngrams",
+        # new round-8 queries — never driver-checked
+        "spectral_residual_fixed",
+        "dtw_distance_fixed",
+        "corpus_to_batches_bpe",
+        # last checked r05 (green) — next-oldest oracled signal
         "m4_downsample",
         "pot_threshold",
         "rolling_corr",
@@ -6926,8 +6898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk",
         "pq_recall",
         "incremental_semantic_dedup",
-        # last checked r06 (green, freshest signal of all) — lowest
-        # priority among oracled queries
+        # last checked r06 (green) — lower priority
         "chunk_documents",
         "retention_cohorts",
         "embedding_density",
@@ -6951,37 +6922,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift",
         "cusum_squares",
         "holt_linear",
-        "harmonic_forecast",
-        "detector_ap_leaderboard",
         "ljung_box",
         "runs_test",
         "source_concentration",
         "rolling_moments",
         "stl_forecast",
-        "rolling_quantile_flags",
         "max_drawdown",
+        # last checked r07 (green, freshest signal) — lowest priority
+        # among oracled queries; a capped run loses the least here
+        "average_precision",
+        "global_moments",
+        "acf",
+        "pacf",
+        "resample_decompose",
+        "interval_exceedance",
+        "ensemble_fusion",
+        "ar1_forecast",
+        "doc_stats",
+        "lang_id",
+        "fingerprint",
+        "exact_dedup",
+        "ngram_jaccard",
+        "acf_statsmodels",
+        "revenue_anomaly",
+        "forecast_accuracy",
+        "kalman_forecast_fixed",
+        "gp_train_subsample",
+        "winnow_fingerprints",
+        "stratified_sample",
+        "source_mix",
+        "quality_deciles",
+        "pack_chunks",
+        "session_funnel",
+        "event_rollup",
+        "resample_fill",
+        "doc_embed_topk",
+        "multimodal_sampled",
+        "ann_recall",
+        "dedup_clusters",
+        "dedup_clusters_best",
+        "corpus_to_batches",
+        "incremental_dedup",
+        "ivf_topk",
+        "knn_label_agreement",
+        "props_stats",
+        "user_sessions",
+        "bsts_forecast_fixed",
+        "qq_plot",
+        "histogram_fit",
+        "harmonic_forecast_fixed",
+        "bigram_surprise",
+        "forecast_mase",
+        "sax_mindist",
+        "conformal_intervals",
+        "demand_classification",
+        "seasonal_mann_kendall",
+        "granger_screen",
     ]
     gate_last = [  # rows-only (no_oracle) and stable: weakest signal
+        "walk_forward_cv",
+        "benchmark_leaderboard",
+        "hybrid_detection",
+        "kalman_forecast",
+        "bsts_forecast",
+        "gp_forecast",
+        "bocpd_changepoints",
+        "stl_robust",
+        "hybrid_detection_bsts_lstm",
+        "kalman_forecast_filtered",
+        "bsts_forecast_multiseasonal",
+        "lstm_forecast",
         "spectral_residual",
         "matrix_profile",
         "shesd_flags",
         "bpe_merges",
         "bpe_encode",
         "acf_fft",
-        "pelt_changepoints",
         "compression_ratio",
-        "walk_forward_cv",
-        "benchmark_leaderboard",
-        "hybrid_detection_bsts_lstm",
-        "kalman_forecast",
-        "kalman_forecast_filtered",
-        "bsts_forecast",
-        "bsts_forecast_multiseasonal",
-        "gp_forecast",
-        "lstm_forecast",
-        "bocpd_changepoints",
-        "stl_robust",
-        "hybrid_detection",
+        "harmonic_forecast",
+        "dtw_distance",
     ]
     ordered = {k: out[k] for k in gate_first if k in out}
     ordered.update(

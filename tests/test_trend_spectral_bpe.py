@@ -295,3 +295,38 @@ def test_theta_forecast_constant_series(spark):
     out = theta_forecast(series_df(spark, [7.0] * 80)).toPandas()
     assert np.allclose(out["pred_mean"], 7.0)
     assert np.allclose(out["resid"], 0.0)
+
+
+def test_spectral_residual_fixed_matches_numpy_tail(spark):
+    """The hash-gated 64-point tail twin must agree with the numpy SR
+    operator (functions/spectral.py) run on the same tail window: the
+    twin's ratio/cbrt form is the algebraic collapse of exp(L - MA(L))
+    plus an 8-decimal magnitude quantize, so agreement holds to ~1e-6."""
+    import pandas as pd
+
+    from time_series_data_anomaly_detection_spark.functions.spectral import (
+        spectral_residual_saliency,
+    )
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        q_spectral_residual_fixed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_spectral_residual_fixed(spark, sf).toPandas()
+    ev = pd.read_parquet(sf + "/events.parquet")
+    assert len(out) > 0
+    for sid, grp in ev.groupby("event_type"):
+        x = (
+            grp.sort_values(["ts", "event_id"])["value"]
+            .to_numpy()[-64:]
+            .astype(float)
+        )
+        sal, score = spectral_residual_saliency(x, q=3, score_window=40)
+        got = out[out["series_id"] == sid].sort_values("rn")
+        assert len(got) == 64
+        np.testing.assert_allclose(
+            got["saliency"].to_numpy(), sal, rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            got["sr_score"].to_numpy(), score, rtol=1e-4, atol=1e-4
+        )

@@ -3208,6 +3208,224 @@ def q_spectral_residual(spark, sf_dir):
     )
 
 
+def _sr_trig_table(n: int = 64):
+    """Quantized DFT twiddle table for the hash-gated SR twin: cos/sin
+    of 2πm/n, m=0..n−1, rounded to 12 decimals.  (j·k) mod n indexes
+    the same table for BOTH the forward and inverse transforms, so the
+    transcendentals never enter the cross-engine comparison — the
+    harmonic_forecast_fixed recipe applied to the full DFT."""
+    import numpy as np
+
+    rows = []
+    vals_sql = []
+    for m in range(n):
+        w = 2.0 * np.pi * m / n
+        c = round(float(np.cos(w)), 12)
+        sn = round(float(np.sin(w)), 12)
+        rows.append((m, c, sn))
+        vals_sql.append(f"({m}, {c:.12f}, {sn:.12f})")
+    return rows, ",\n    ".join(vals_sql)
+
+
+_SR_TRIG_ROWS, _SR_TRIG_VALUES_SQL = _sr_trig_table(64)
+
+
+def q_spectral_residual_fixed(spark, sf_dir):
+    """Hash-gated fixed twin of the Spectral Residual detector (r07
+    verdict item #2): SR saliency over each series' LAST 64 points —
+    the paper's own streaming framing (score the recent window), at a
+    window where the DFT is a literal matrix product against the
+    shared 64-row twiddle table.
+
+    Every step is closed-form column algebra both engines can mirror
+    bit-for-bit:
+
+    - forward DFT: re/im are exact-decimal sums of value × the
+      12-decimal table literals indexed by (j·k) mod 64;
+    - the log-spectrum moving average collapses algebraically —
+      ``exp(L − MA₃(L)) = (A+ε) / cbrt(Πap)`` — so no log/exp enters;
+      the one libm call (cbrt) is ulp-insulated by an 8-decimal
+      quantize of the magnitude ratio;
+    - inverse DFT: exact-decimal sums of bit-identical g·twiddle
+      terms; saliency = |·|/64; score = (S − trailing-mean₄₀)/(mean+ε)
+      with a decimal-sum trailing mean (functions/spectral.py:53-70
+      is the full-series numpy twin; parity test at rtol 1e-9).
+
+    Scale shape: two broadcast joins against the 64-row table, a 64²
+    fan per series (bounded state), two keyed aggregates — no UDF.
+    """
+    s = _series(spark, sf_dir).select("series_id", "rn", "value")
+    trig = spark.createDataFrame(
+        _SR_TRIG_ROWS, "m long, cs double, sn double"
+    )
+    cnt = (
+        s.groupBy("series_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 64)
+    )
+    tail = (
+        s.join(F.broadcast(cnt), "series_id")
+        .filter(F.col("rn") > F.col("n") - 64)
+        .select(
+            "series_id",
+            "rn",
+            "value",
+            (F.col("rn") - (F.col("n") - F.lit(64)) - F.lit(1)).alias("j"),
+        )
+    )
+
+    def dsum(expr):
+        return F.sum(expr.cast(DEC_T)).cast("double")
+
+    fwd = (
+        tail.select(
+            "series_id",
+            "j",
+            "value",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("k"),
+        )
+        .withColumn("m", (F.col("j") * F.col("k")) % F.lit(64))
+        .join(F.broadcast(trig), "m")
+        .groupBy("series_id", "k")
+        .agg(
+            dsum(F.col("value") * F.col("cs")).alias("re"),
+            dsum(-(F.col("value") * F.col("sn"))).alias("im"),
+        )
+    )
+    amp = F.sqrt(F.col("re") * F.col("re") + F.col("im") * F.col("im"))
+    spec = fwd.withColumn("amp", amp).withColumn(
+        "ap", F.col("amp") + F.lit(1e-8)
+    )
+    wk = Window.partitionBy("series_id").orderBy("k")
+    prv = F.coalesce(F.lag("ap").over(wk), F.col("ap"))
+    nxt = F.coalesce(F.lead("ap").over(wk), F.col("ap"))
+    mag_raw = F.col("ap") / F.cbrt((prv * F.col("ap")) * nxt)
+    mag = F.floor(mag_raw * F.lit(100000000.0) + F.lit(0.5)) / F.lit(
+        100000000.0
+    )
+    den = F.when(F.col("amp") > F.lit(1e-8), F.col("amp")).otherwise(
+        F.lit(1e-8)
+    )
+    g = spec.select(
+        "series_id",
+        "k",
+        ((mag * F.col("re")) / den).alias("gre"),
+        ((mag * F.col("im")) / den).alias("gim"),
+    )
+    inv = (
+        g.select(
+            "series_id",
+            "k",
+            "gre",
+            "gim",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j"),
+        )
+        .withColumn("m", (F.col("j") * F.col("k")) % F.lit(64))
+        .join(F.broadcast(trig), "m")
+        .groupBy("series_id", "j")
+        .agg(
+            dsum(F.col("gre") * F.col("cs") - F.col("gim") * F.col("sn")).alias(
+                "sre"
+            ),
+            dsum(F.col("gre") * F.col("sn") + F.col("gim") * F.col("cs")).alias(
+                "sim"
+            ),
+        )
+    )
+    sal = (
+        F.sqrt(F.col("sre") * F.col("sre") + F.col("sim") * F.col("sim"))
+        / F.lit(64.0)
+    )
+    out = inv.join(tail, ["series_id", "j"]).withColumn("sal", sal)
+    wj = Window.partitionBy("series_id").orderBy("j").rowsBetween(-39, 0)
+    loc = F.sum(F.col("sal").cast(DEC_T)).over(wj).cast("double") / F.count(
+        "*"
+    ).over(wj)
+    score = (F.col("sal") - loc) / (loc + F.lit(1e-8))
+    return out.select(
+        "series_id",
+        "rn",
+        _rnd("value", R).alias("value"),
+        _rnd("sal", R).alias("saliency"),
+        _rnd(score, R).alias("sr_score"),
+        (score > F.lit(3.0)).cast("int").alias("flag"),
+    )
+
+
+ORACLES["spectral_residual_fixed"] = f"""
+WITH {SQL_S},
+t(m, cs, sn) AS (
+  VALUES
+    {_SR_TRIG_VALUES_SQL}
+),
+cnt AS (
+  SELECT series_id, count(*) AS n FROM s GROUP BY 1
+  HAVING count(*) >= 64),
+tl AS (
+  SELECT s.series_id, s.rn, s.value, s.rn - (c.n - 64) - 1 AS j
+  FROM s JOIN cnt c USING (series_id)
+  WHERE s.rn > c.n - 64),
+kk AS (SELECT unnest(generate_series(0, 63)) AS k),
+fwd AS (
+  SELECT tl.series_id, kk.k,
+         CAST(sum(CAST(tl.value * t.cs AS DECIMAL(38,12))) AS DOUBLE)
+           AS re,
+         CAST(sum(CAST(-(tl.value * t.sn) AS DECIMAL(38,12))) AS DOUBLE)
+           AS im
+  FROM tl CROSS JOIN kk
+  JOIN t ON t.m = (tl.j * kk.k) % 64
+  GROUP BY 1, 2),
+spec AS (
+  SELECT series_id, k, re, im,
+         sqrt(re * re + im * im) AS amp,
+         sqrt(re * re + im * im) + 1e-8 AS ap
+  FROM fwd),
+mags AS (
+  SELECT series_id, k, re, im, amp,
+         floor((ap / cbrt((coalesce(lag(ap) OVER wk, ap) * ap)
+                          * coalesce(lead(ap) OVER wk, ap)))
+               * 100000000.0 + 0.5) / 100000000.0 AS mag
+  FROM spec
+  WINDOW wk AS (PARTITION BY series_id ORDER BY k)),
+g AS (
+  SELECT series_id, k,
+         (mag * re) / (CASE WHEN amp > 1e-8 THEN amp ELSE 1e-8 END)
+           AS gre,
+         (mag * im) / (CASE WHEN amp > 1e-8 THEN amp ELSE 1e-8 END)
+           AS gim
+  FROM mags),
+jj AS (SELECT unnest(generate_series(0, 63)) AS j),
+inv AS (
+  SELECT g.series_id, jj.j,
+         CAST(sum(CAST(g.gre * t.cs - g.gim * t.sn
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sre,
+         CAST(sum(CAST(g.gre * t.sn + g.gim * t.cs
+                       AS DECIMAL(38,12))) AS DOUBLE) AS sim
+  FROM g CROSS JOIN jj
+  JOIN t ON t.m = (jj.j * g.k) % 64
+  GROUP BY 1, 2),
+sal AS (
+  SELECT i.series_id, i.j, tl.rn, tl.value,
+         sqrt(i.sre * i.sre + i.sim * i.sim) / 64.0 AS sal
+  FROM inv i
+  JOIN tl ON tl.series_id = i.series_id AND tl.j = i.j),
+sc AS (
+  SELECT series_id, j, rn, value, sal,
+         CAST(sum(CAST(sal AS DECIMAL(38,12))) OVER wj AS DOUBLE)
+           / count(*) OVER wj AS loc
+  FROM sal
+  WINDOW wj AS (PARTITION BY series_id ORDER BY j
+                ROWS BETWEEN 39 PRECEDING AND CURRENT ROW))
+SELECT series_id, rn,
+       round(value, {R}) AS value,
+       round(sal, {R}) AS saliency,
+       round((sal - loc) / (loc + 1e-8), {R}) AS sr_score,
+       CAST(CASE WHEN (sal - loc) / (loc + 1e-8) > 3.0
+            THEN 1 ELSE 0 END AS INT) AS flag
+FROM sc
+"""
+
+
 def q_theta_forecast(spark, sf_dir):
     """Theta-method forecast (M3 winner; SES-with-drift form) of the
     Test split, fixed dyadic α=1/4 — trend fit and θ=2 line are column
@@ -6758,6 +6976,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pot_flags": q_pot_flags,
         "score_calibration": q_score_calibration,
         "spectral_residual": q_spectral_residual,
+        # fixed 64-point tail-window SR twin (literal-DFT, hash-gated)
+        "spectral_residual_fixed": q_spectral_residual_fixed,
         # period auto-detection + time-grid gap report
         "detect_period": q_detect_period,
         "gap_stats": q_gap_stats,

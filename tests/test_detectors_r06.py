@@ -1159,3 +1159,36 @@ def test_granger_screen_directional_and_matches_numpy(spark):
     assert row["f_stat"] > 100
     assert out.loc[("y", "x"), "f_stat"] < 10
     assert row["r2_gain"] > 5 * out.loc[("y", "x"), "r2_gain"]
+
+
+def test_dtw_distance_fixed_matches_banded_dp(spark):
+    """The hash-gated anti-diagonal fold must reproduce dtw_banded
+    (functions/dtw.py) on the twin's own prep: integer-binned PAA to
+    32 segments (exact means), z-normalized after downsampling, band 8."""
+    import pandas as pd
+
+    from time_series_data_anomaly_detection_spark.functions.dtw import (
+        dtw_banded,
+    )
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        q_dtw_distance_fixed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_dtw_distance_fixed(spark, sf).toPandas()
+    assert len(out) > 0
+
+    ev = pd.read_parquet(sf + "/events.parquet")
+    vecs = {}
+    for sid, grp in ev.groupby("event_type"):
+        x = grp.sort_values(["ts", "event_id"])["value"].to_numpy().astype(float)
+        n = len(x)
+        g = (np.arange(n) * 32) // n  # (rn-1)*32 div n, rn 1-based
+        pa = np.array([x[g == i].mean() for i in range(32)])
+        sd = pa.std(ddof=1)
+        vecs[sid] = (pa - pa.mean()) / (sd + 1e-9)
+
+    for _, row in out.iterrows():
+        expect = dtw_banded(vecs[row["series_a"]], vecs[row["series_b"]], 8)
+        assert row["dtw"] == pytest.approx(expect, abs=2e-6)
+        assert row["band"] == 8

@@ -5444,6 +5444,193 @@ def q_dtw_distance(spark, sf_dir):
     )
 
 
+def q_dtw_distance_fixed(spark, sf_dir):
+    """Hash-gated fixed twin of the banded DTW (r07 verdict item #6):
+    PAA to exactly 32 segments (integer binning ``g = (rn−1)·32 div
+    n``, exact-decimal segment means), z-normalized AFTER downsampling,
+    then Sakoe-Chiba banded DP (band 8, squared local cost, sqrt of
+    the accumulated cost — functions/dtw.py:38 semantics at fixed
+    parameters).
+
+    The DP is re-expressed over ANTI-DIAGONALS so it has no intra-step
+    dependence: diagonal d needs only diagonals d−1 and d−2, so each
+    cell is an independent ``least()`` of three neighbors.  Spark
+    folds the 63 diagonals with ``F.aggregate`` over array state (two
+    33-slot diagonals per pair, out-of-band cells pinned to the 1e18
+    sentinel); DuckDB replays the identical recursion as a recursive
+    CTE over list state — the kalman/holt list-state recipe extended
+    to a 2-D DP.  All arithmetic is fixed-order double algebra on
+    decimal-sum inputs, so the gate is exact.  |series|² pair frame
+    bounded by the unordered-pair API guard."""
+    from ..operators.acf import _guard_pair_explosion
+
+    L, W = 32, 8
+    s = _series(spark, sf_dir).select("series_id", "rn", "value")
+    s = _guard_pair_explosion(s, None, 64, False, "dtw_distance_fixed")
+
+    def dsum(expr):
+        return F.sum(expr.cast(DEC_T)).cast("double")
+
+    cnt = (
+        s.groupBy("series_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= L)
+    )
+    binned = s.join(F.broadcast(cnt), "series_id").withColumn(
+        "g", F.expr(f"CAST(((rn - 1) * {L}) DIV n AS INT)")
+    )
+    paa = binned.groupBy("series_id", "g").agg(
+        (dsum(F.col("value")) / F.count("*")).alias("pa"),
+        F.max("n").alias("n"),
+    )
+    mo = paa.groupBy("series_id").agg(
+        F.count("*").alias("c32"),
+        dsum(F.col("pa")).alias("s1"),
+        dsum(F.col("pa") * F.col("pa")).alias("s2"),
+        F.max("n").alias("n"),
+    )
+    mu = F.col("s1") / F.col("c32")
+    sd = F.sqrt(
+        F.greatest(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("c32"))
+            / (F.col("c32") - F.lit(1)),
+            F.lit(0.0),
+        )
+    )
+    zed = paa.join(F.broadcast(mo.drop("n")), "series_id").select(
+        "series_id",
+        "g",
+        ((F.col("pa") - mu) / (sd + F.lit(1e-9))).alias("z"),
+        "n",
+    )
+    vec = zed.groupBy("series_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("g", "z"))),
+            lambda t: t["z"],
+        ).alias("zv"),
+        F.max("n").alias("n"),
+    )
+    a = vec.select(
+        F.col("series_id").alias("series_a"),
+        F.col("zv").alias("xa"),
+        F.col("n").alias("n_a"),
+    )
+    b = vec.select(
+        F.col("series_id").alias("series_b"),
+        F.col("zv").alias("xb"),
+        F.col("n").alias("n_b"),
+    )
+    pr = a.join(b, F.col("series_a") < F.col("series_b"))
+
+    INF = F.lit(1e18)
+
+    def el(arr, i):  # diagonal slot i lives at 1-based position i+1
+        return F.element_at(arr, (i + F.lit(1)).cast("int"))
+
+    init = F.struct(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(L)),
+            lambda i: F.when(i == 0, F.lit(0.0)).otherwise(INF),
+        ).alias("pm2"),
+        F.transform(F.sequence(F.lit(0), F.lit(L)), lambda i: INF).alias(
+            "pm1"
+        ),
+    )
+
+    def step(acc, d):
+        def cell(i):
+            j = d - i
+            diff = F.element_at(F.col("xa"), i.cast("int")) - F.element_at(
+                F.col("xb"), j.cast("int")
+            )
+            best = F.least(
+                el(acc["pm1"], i - 1), el(acc["pm1"], i), el(acc["pm2"], i - 1)
+            )
+            return F.when(
+                (i < 1) | (j < 1) | (j > L) | (F.abs(2 * i - d) > W), INF
+            ).otherwise(diff * diff + best)
+
+        return F.struct(
+            acc["pm1"].alias("pm2"),
+            F.transform(F.sequence(F.lit(0), F.lit(L)), cell).alias("pm1"),
+        )
+
+    res = F.aggregate(F.sequence(F.lit(2), F.lit(2 * L)), init, step)
+    dtw = F.sqrt(F.element_at(res["pm1"], L + 1))
+    return pr.select(
+        "series_a",
+        "series_b",
+        "n_a",
+        "n_b",
+        F.lit(W).cast("int").alias("band"),
+        _rnd(dtw, R).alias("dtw"),
+    )
+
+
+ORACLES["dtw_distance_fixed"] = f"""
+WITH RECURSIVE {SQL_S},
+cnt AS (
+  SELECT series_id, count(*) AS n FROM s GROUP BY 1
+  HAVING count(*) >= 32),
+bb AS (
+  SELECT s.series_id, s.rn, s.value, c.n,
+         CAST(((s.rn - 1) * 32) // c.n AS INT) AS g
+  FROM s JOIN cnt c USING (series_id)),
+paa AS (
+  SELECT series_id, g,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+           AS pa,
+         max(n) AS n
+  FROM bb GROUP BY 1, 2),
+mo AS (
+  SELECT series_id, count(*) AS c32,
+         CAST(sum(CAST(pa AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(pa * pa AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+         max(n) AS n
+  FROM paa GROUP BY 1),
+zed AS (
+  SELECT p.series_id, p.g,
+         (p.pa - m.s1 / m.c32)
+           / (sqrt(greatest((m.s2 - m.s1 * m.s1 / m.c32)
+                            / (m.c32 - 1), 0.0)) + 1e-9) AS z,
+         m.n
+  FROM paa p JOIN mo m USING (series_id)),
+vec AS (
+  SELECT series_id, list(z ORDER BY g) AS zv, max(n) AS n
+  FROM zed GROUP BY 1),
+pxy AS (
+  SELECT a.series_id AS series_a, b.series_id AS series_b,
+         a.zv AS xa, b.zv AS xb, a.n AS n_a, b.n AS n_b
+  FROM vec a JOIN vec b ON a.series_id < b.series_id),
+dp AS (
+  SELECT series_a, series_b, 1 AS d,
+         list_transform(generate_series(0, 32),
+                        i -> CASE WHEN i = 0 THEN 0.0 ELSE 1e18 END)
+           AS pm2,
+         list_transform(generate_series(0, 32), i -> 1e18 + 0.0 * i)
+           AS pm1
+  FROM pxy
+  UNION ALL
+  SELECT dp.series_a, dp.series_b, dp.d + 1,
+         dp.pm1,
+         list_transform(generate_series(0, 32), i ->
+           CASE WHEN i < 1 OR dp.d + 1 - i < 1 OR dp.d + 1 - i > 32
+                     OR abs(2 * i - (dp.d + 1)) > 8
+                THEN 1e18
+                ELSE (p.xa[i] - p.xb[dp.d + 1 - i])
+                     * (p.xa[i] - p.xb[dp.d + 1 - i])
+                     + least(dp.pm1[i], dp.pm1[i + 1], dp.pm2[i]) END)
+  FROM dp
+  JOIN pxy p ON p.series_a = dp.series_a AND p.series_b = dp.series_b
+  WHERE dp.d < 64)
+SELECT p.series_a, p.series_b, p.n_a, p.n_b, CAST(8 AS INT) AS band,
+       round(sqrt(dp.pm1[33]), {R}) AS dtw
+FROM dp
+JOIN pxy p ON p.series_a = dp.series_a AND p.series_b = dp.series_b
+WHERE dp.d = 64
+"""
+
+
 def q_ar2_forecast(spark, sf_dir):
     """AR(2) via closed-form Yule-Walker (M5 family beside AR(1)):
     biased autocovariances from exact-decimal sums, the 2x2 system
@@ -6896,6 +7083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_words": q_sax_words,
         "sax_mindist": q_sax_mindist,
         "dtw_distance": q_dtw_distance,
+        # fixed PAA-32/band-8 DTW twin (anti-diagonal DP, hash-gated)
+        "dtw_distance_fixed": q_dtw_distance_fixed,
         "matrix_profile_tiled": q_matrix_profile_tiled,
         "conformal_intervals": q_conformal_intervals,
         "demand_classification": q_demand_classification,

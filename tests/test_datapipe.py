@@ -1072,3 +1072,89 @@ def test_bigram_surprise_matches_pure_python(spark, docs):
     # templated docs score low, the singleton-language doc scores high
     assert out.loc[4, "surprise"] > out.loc[0, "surprise"]
     assert out.loc[4, "surprise"] > out.loc[2, "surprise"]
+
+
+def test_bpe_packing_pinned_token_counts(spark):
+    """Token-exact packing (corpus_to_batches_bpe's core): a 3-merge
+    BPE learned on the Sennrich toy corpus gives hand-derivable
+    encodings — low→[low] (1), lower→[lowe, r] (2),
+    lowest→[lowe, s, t] (3) — and the ctx=5 chunk layout follows
+    exactly.  Every number below is pinned by hand, not computed."""
+    from time_series_data_anomaly_detection_spark.datapipe.packing import (
+        pack_stats_from_counts,
+    )
+    from time_series_data_anomaly_detection_spark.datapipe.tokenize_bpe import (
+        bpe_encode_stats,
+        bpe_learn_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A", "low low lower"),
+            (2, "A", "lowest low"),
+            (3, "B", "low lower lowest"),
+            (4, "B", "low"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    mrows = bpe_learn_merges(docs, spark, n_merges=3).orderBy(
+        "merge_rank"
+    ).collect()
+    # 9 words total (low x5, lower x2, lowest x2): 'lo' and 'low' in
+    # all 9, then 'lowe' in the 4 lower/lowest occurrences
+    assert [(r["left"], r["right"], r["pair_count"]) for r in mrows] == [
+        ("l", "o", 9),
+        ("lo", "w", 9),
+        ("low", "e", 4),
+    ]
+    merges = [(r["left"], r["right"]) for r in mrows]
+    enc = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_encode_stats(docs, merges).collect()
+    }
+    # doc1 = 1+1+2, doc2 = 3+1, doc3 = 1+2+3, doc4 = 1
+    assert enc == {1: 4, 2: 4, 3: 6, 4: 1}
+
+    cnt = spark.createDataFrame(
+        [(d, n) for d, n in enc.items()], "doc_id long, n_bpe_tokens long"
+    )
+    out = {
+        (r["source"], r["chunk_id"]): (
+            r["n_docs"], r["n_tokens"], r["fill_ratio"], r["first_doc"],
+            r["last_doc"],
+        )
+        for r in pack_stats_from_counts(
+            docs.select("doc_id", "source").join(cnt, "doc_id"),
+            ctx=5,
+            count_col="n_bpe_tokens",
+        ).collect()
+    }
+    # shard A: doc1 [0,4) + doc2 [4,8) -> chunk0 holds 4+1, chunk1
+    # holds doc2's remaining 3; shard B: doc3 [0,6) + doc4 [6,7)
+    assert out == {
+        ("A", 0): (2, 5, 1.0, 1, 2),
+        ("A", 1): (1, 3, 0.6, 2, 2),
+        ("B", 0): (1, 5, 1.0, 3, 3),
+        ("B", 1): (2, 2, 0.4, 3, 4),
+    }
+
+
+def test_corpus_to_batches_bpe_token_sum_parity(spark):
+    """Batch parity: the packed chunks' n_tokens must sum to the kept
+    corpus's total BPE token count (no token lost or double-counted
+    across chunk boundaries) and every non-tail chunk is exactly full."""
+    from time_series_data_anomaly_detection_spark.plans.registry_datapipe import (
+        PACK_CTX,
+        q_corpus_to_batches_bpe,
+    )
+
+    out = q_corpus_to_batches_bpe(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(out) > 0
+    per_shard = out.groupby("source")
+    for src, g in per_shard:
+        g = g.sort_values("chunk_id")
+        # all but the final chunk of each shard are exactly ctx full
+        assert (g["n_tokens"].iloc[:-1] == PACK_CTX).all(), src
+        assert g["n_tokens"].iloc[-1] <= PACK_CTX
+        # chunk ids are dense from 0
+        assert list(g["chunk_id"]) == list(range(len(g))), src

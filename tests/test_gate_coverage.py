@@ -26,6 +26,7 @@ ROWS_ONLY = {
     "bocpd_changepoints": "O(T^2) Bayesian run-length recursion",
     "bpe_merges": "iterative merge induction loop",
     "bpe_encode": "iterative pair-merge encoding",
+    "corpus_to_batches_bpe": "packs on learned-BPE counts (merge loop)",
     # iterative / test-statistic models with transcendental internals
     "shesd_flags": "iterative ESD with t-distribution quantiles",
     "compression_ratio": "zlib deflate inside the projection",

@@ -48,13 +48,37 @@ def pack_documents(
     n_tok = F.size(
         F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
     )
+    return pack_documents_from_counts(
+        df.select(F.col(shard_col), F.col(id_col), n_tok.alias("n_tok")),
+        ctx=ctx,
+        shard_col=shard_col,
+        id_col=id_col,
+        count_col="n_tok",
+    )
+
+
+def pack_documents_from_counts(
+    df: DataFrame,
+    ctx: int = 512,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    count_col: str = "n_tok",
+) -> DataFrame:
+    """Concat-and-chunk spans over a PRECOMPUTED per-doc token count
+    (e.g. exact learned-BPE counts from
+    ``tokenize_bpe.bpe_encode_stats``) instead of the regex word
+    count — the token-exact packing a real training pipeline needs:
+    chunk boundaries land on TOKENIZER tokens, so every context
+    window holds exactly ``ctx`` model tokens."""
     w = (
         Window.partitionBy(shard_col)
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     d = (
-        df.select(F.col(shard_col), F.col(id_col), n_tok.alias("n_tok"))
+        df.select(
+            F.col(shard_col), F.col(id_col), F.col(count_col).alias("n_tok")
+        )
         .filter(F.col("n_tok") > 0)
         .withColumn("end_off", F.sum("n_tok").over(w))
         .withColumn("start_off", F.col("end_off") - F.col("n_tok"))
@@ -85,6 +109,25 @@ def pack_stats(
     check that packing wastes no budget (every chunk but the shard
     tail has fill_ratio 1)."""
     packed = pack_documents(df, ctx, shard_col, id_col, text_col)
+    return _chunk_stats(packed, ctx, shard_col, id_col)
+
+
+def pack_stats_from_counts(
+    df: DataFrame,
+    ctx: int = 512,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    count_col: str = "n_tok",
+) -> DataFrame:
+    """:func:`pack_stats` over a precomputed token-count column — the
+    chunk summary for token-exact (BPE) packing."""
+    packed = pack_documents_from_counts(df, ctx, shard_col, id_col, count_col)
+    return _chunk_stats(packed, ctx, shard_col, id_col)
+
+
+def _chunk_stats(
+    packed: DataFrame, ctx: int, shard_col: str, id_col: str
+) -> DataFrame:
     return packed.groupBy(shard_col, "chunk_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("tok_in_chunk").alias("n_tokens"),

@@ -1821,6 +1821,54 @@ def q_corpus_to_batches(spark, sf_dir):
     )
 
 
+def q_corpus_to_batches_bpe(spark, sf_dir):
+    """Token-EXACT batch materialization (r07 verdict item #7): the
+    same prep funnel → keep set → concat-and-chunk pipeline as
+    corpus_to_batches, but packing on LEARNED-BPE token counts — a
+    64-merge tokenizer induced from the kept corpus itself
+    (tokenize_bpe.bpe_learn_merges: distributed word count, driver
+    merge loop over the vocab-sized table) and applied with the
+    memoized Arrow encoder (bpe_encode_stats), so chunk boundaries
+    land on MODEL tokens, not regex words.  Rows-only by declared
+    design (the greedy merge loop is iterative, non-SQL); the pinned
+    toy-corpus test fixes exact token counts and the batch-parity
+    test ties Σ n_tokens to Σ per-doc BPE counts.
+
+    100 TB shape: word-freq is one distributed groupBy capped at the
+    vocab head; the merge loop touches only that dimension-sized
+    table; encoding is mapInPandas with per-batch word memoization;
+    packing is the same per-shard window + explode as pack_chunks."""
+    from ..datapipe import corpus_prep
+    from ..datapipe.packing import pack_stats_from_counts
+    from ..datapipe.tokenize_bpe import bpe_encode_stats, bpe_learn_merges
+    from ..session import eager_cache
+
+    docs = _docs(spark, sf_dir)
+    kept = (
+        corpus_prep(docs, jaccard_threshold=JACCARD_T)
+        .filter(F.col("verdict") == "keep")
+        .select("doc_id")
+    )
+    # consumed by BOTH the merge learner (word-count job) and the
+    # encoder — cache so the prep funnel's near-dup pass runs once
+    kd = eager_cache(docs.join(kept, "doc_id"))
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_learn_merges(kd, spark, n_merges=64)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    counts = bpe_encode_stats(kd, merges).select("doc_id", "n_bpe_tokens")
+    src = kd.select("doc_id", "source").join(counts, "doc_id")
+    out = pack_stats_from_counts(
+        src, ctx=PACK_CTX, count_col="n_bpe_tokens"
+    )
+    return out.select(
+        "source", "chunk_id", "n_docs", "n_tokens", "fill_ratio",
+        "first_doc", "last_doc",
+    )
+
+
 # prep funnel composed with packing: kept docs only, same pack CTEs
 ORACLES["corpus_to_batches"] = f"""
 WITH kept AS (
@@ -3031,6 +3079,8 @@ def queries():
         "pack_chunks": q_pack_chunks,
         "incremental_dedup": q_incremental_dedup,
         "corpus_to_batches": q_corpus_to_batches,
+        # token-exact (learned-BPE) packing twin — rows-only
+        "corpus_to_batches_bpe": q_corpus_to_batches_bpe,
         "user_sessions": q_user_sessions,
         "props_stats": q_props_stats,
         "multimodal_features": q_multimodal_features,

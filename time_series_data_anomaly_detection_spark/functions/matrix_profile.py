@@ -181,45 +181,54 @@ def _cross_tile_kernel(
     jb = b0 + np.arange(kb)
 
     # A-side blocking bounds kernel memory at BLOCK x kb doubles no
-    # matter how large the tile knob is (a 4096-tile unblocked dist2
-    # is 134 MB/task and thrashes local[32]); mins reduce per block
+    # matter how large the tile knob is (a 4096-tile unblocked kernel
+    # buffer is 134 MB/task and thrashes local[32]); maxes reduce per
+    # block.  The kernel works in SCORE space — S = (qt − m·μμ)/(σσ),
+    # so dist² = 2m − 2S and argmin(dist²) ≡ argmax(S) — which drops
+    # three full elementwise passes over the buffer vs forming dist²
+    # (the kernel is memory-bound: the buffer is ~20x the input
+    # slices), converting only the per-row/col winners to distances.
     BLOCK = 512
     a_best = np.empty(ka)
     a_arg = np.empty(ka, dtype=np.int64)
-    b_best = np.full(kb, np.inf)
+    b_score = np.full(kb, -np.inf)
     b_arg = np.zeros(kb, dtype=np.int64)
+    ra_inv = 1.0 / sa
+    rb_inv = 1.0 / sb
     any_const_b = bool(const_b.any())
     for s in range(0, ka, BLOCK):
         e = min(s + BLOCK, ka)
-        # in-place: dist2 = 2m(1 - (qt - m mu_a mu_b^T)/(m sa sb^T)),
-        # reusing the matmul output as the single (e-s) x kb buffer
-        dist2 = wa[s:e] @ wb.T
-        dist2 -= m * np.outer(mu_a[s:e], mu_b)
-        dist2 /= np.outer(sa[s:e], sb)
-        dist2 /= m
-        np.subtract(1.0, dist2, out=dist2)
-        dist2 *= 2.0 * m
-        # constant-window conventions (see module docstring)
+        sc = wa[s:e] @ wb.T
+        sc -= np.outer(m * mu_a[s:e], mu_b)
+        sc *= np.outer(ra_inv[s:e], rb_inv)
+        # constant-window conventions (see module docstring):
+        # dist 2m ⇔ S = 0, dist 0 ⇔ S = m
         ca = const_a[s:e]
         if ca.any() or any_const_b:
-            dist2[ca, :] = 2.0 * m
-            dist2[:, const_b] = 2.0 * m
-            dist2[np.ix_(ca, const_b)] = 0.0
+            sc[ca, :] = 0.0
+            sc[:, const_b] = 0.0
+            sc[np.ix_(ca, const_b)] = float(m)
         # trivial-match exclusion on absolute window starts — only
         # blocks whose index ranges can reach the diagonal pay for it
         lo_i, hi_i = a0 + s, a0 + e - 1
         if b0 + kb - 1 >= lo_i - excl and b0 <= hi_i + excl:
             ia = a0 + np.arange(s, e)
-            dist2[np.abs(ia[:, None] - jb[None, :]) <= excl] = np.inf
+            sc[np.abs(ia[:, None] - jb[None, :]) <= excl] = -np.inf
 
-        amin = np.argmin(dist2, axis=1)
-        a_best[s:e] = dist2[np.arange(e - s), amin]
-        a_arg[s:e] = b0 + amin
-        bmin = np.argmin(dist2, axis=0)
-        bb = dist2[bmin, np.arange(kb)]
-        upd = bb < b_best
-        b_best[upd] = bb[upd]
-        b_arg[upd] = a0 + s + bmin[upd]
+        amax = np.argmax(sc, axis=1)
+        arow = sc[np.arange(e - s), amax]
+        a_best[s:e] = np.where(
+            np.isfinite(arow), 2.0 * m - 2.0 * arow, np.inf
+        )
+        a_arg[s:e] = b0 + amax
+        bmax = np.argmax(sc, axis=0)
+        bcol = sc[bmax, np.arange(kb)]
+        upd = bcol > b_score
+        b_score[upd] = bcol[upd]
+        b_arg[upd] = a0 + s + bmax[upd]
+    b_best = np.where(
+        np.isfinite(b_score), 2.0 * m - 2.0 * b_score, np.inf
+    )
     return (a_best, a_arg), (b_best, b_arg)
 
 
@@ -251,25 +260,42 @@ def matrix_profile_tiled(
     if tile_ < m_:
         raise ValueError("tile must be >= m")
 
+    # Auto-widen the tile per series so SHORT series don't pay the
+    # T(T+1)/2 pair fan for free parallelism they can't use (r07
+    # verdict: at sf0.1 a 20k-point series split into T=40 tiles made
+    # the tiled profile 1.8x its monolithic twin purely on task/
+    # shuffle constants).  `tile` is the MINIMUM tile: it grows until
+    # a series has at most TARGET_T tiles, capped at TILE_CAP so the
+    # kernel's BLOCK x tile working set stays ~16 MB — beyond the cap
+    # T grows again, which is exactly the long-series scale path.
+    TARGET_T = 8
+    TILE_CAP = 4096
+    eff_tile = F.least(
+        F.greatest(
+            F.lit(tile_), F.ceil(F.col("__k") / F.lit(TARGET_T))
+        ),
+        F.greatest(F.lit(TILE_CAP), F.lit(tile_)),
+    ).cast("int")
     nn_tbl = (
         df.groupBy("series_id")
         .agg(F.count("*").alias("__n"))
         .filter(F.col("__n") >= 2 * m_)
         .withColumn("__k", F.col("__n") - m_ + 1)
+        .withColumn("__tile", eff_tile)
         .withColumn(
-            "__T", F.ceil(F.col("__k") / F.lit(tile_)).cast("int")
+            "__T", F.ceil(F.col("__k") / F.col("__tile")).cast("int")
         )
     )
     pairs = (
         nn_tbl.select(
-            "series_id", "__k",
+            "series_id", "__k", "__tile",
             F.explode(
                 F.sequence(F.lit(0), F.col("__T") - 1)
             ).alias("ta"),
             "__T",
         )
         .select(
-            "series_id", "__k", "ta",
+            "series_id", "__k", "__tile", "ta",
             F.explode(
                 F.sequence(F.col("ta"), F.col("__T") - 1)
             ).alias("tb"),
@@ -277,25 +303,28 @@ def matrix_profile_tiled(
         .withColumn("pair_id", F.concat_ws("_", "ta", "tb"))
     )
     ra = pairs.select(
-        "series_id", "pair_id", "__k", "ta", "tb",
+        "series_id", "pair_id", "__k", "__tile", "ta", "tb",
         F.col("ta").alias("tile"), F.lit("A").alias("role"),
     )
     rb = pairs.filter(F.col("tb") != F.col("ta")).select(
-        "series_id", "pair_id", "__k", "ta", "tb",
+        "series_id", "pair_id", "__k", "__tile", "ta", "tb",
         F.col("tb").alias("tile"), F.lit("B").alias("role"),
     )
     roles = ra.unionByName(rb)
 
     p = F.col("rn") - 1
-    t_main = F.floor(p / F.lit(tile_)).cast("int")
+    t_main = F.floor(p / F.col("__tile")).cast("int")
     member = (
         df.select("series_id", "rn", "value")
-        .join(F.broadcast(nn_tbl.select("series_id", "__T")), "series_id")
+        .join(
+            F.broadcast(nn_tbl.select("series_id", "__T", "__tile")),
+            "series_id",
+        )
         .withColumn("__t1", F.least(t_main, F.col("__T") - 1))
         .withColumn(
             "__t2",
             F.when(
-                (p % F.lit(tile_) <= F.lit(m_ - 2))
+                (p % F.col("__tile") <= F.lit(m_ - 2))
                 & (t_main <= F.col("__T") - 1)
                 & (t_main >= 1),
                 t_main - 1,
@@ -317,17 +346,18 @@ def matrix_profile_tiled(
         ta = int(pdf["ta"].iloc[0])
         tb = int(pdf["tb"].iloc[0])
         k = int(pdf["__k"].iloc[0])
+        tw = int(pdf["__tile"].iloc[0])  # per-series effective tile
         a = pdf[pdf["role"] == "A"].sort_values("rn")
         xa = a["value"].to_numpy(np.float64)
-        a0 = ta * tile_
-        ka = min(tile_, k - a0)
+        a0 = ta * tw
+        ka = min(tw, k - a0)
         if ta == tb:
             xb, b0, kb = xa, a0, ka
         else:
             b = pdf[pdf["role"] == "B"].sort_values("rn")
             xb = b["value"].to_numpy(np.float64)
-            b0 = tb * tile_
-            kb = min(tile_, k - b0)
+            b0 = tb * tw
+            kb = min(tw, k - b0)
         (a_best, a_nn), (b_best, b_nn) = _cross_tile_kernel(
             xa, xb, a0, b0, ka, kb, m_
         )

@@ -30,6 +30,12 @@ from ..operators.scaling import mad_scores
 from ..operators.splits import fractional_split
 from ..operators.sweep import threshold_sweep_pointwise
 
+# Zero-Python column-algebra model families: for these, recomputing
+# the scoring lineage is cheaper than an eager-cache materialization
+# barrier (warm benchmark_leaderboard_ar1: 3.1 s uncached vs 7.3 s
+# cached, r08), so the reuse-point caches apply only to UDF families.
+NATIVE_SQL_MODELS = frozenset({"ar1"})
+
 
 def score_model(df: DataFrame, model: str = "kalman", **kw) -> DataFrame:
     """Attach ``resid`` + ``score`` columns for one model family.
@@ -130,7 +136,9 @@ def detection_pipeline(
         labeled.select("series_id", "rn", "is_anomaly"), ["series_id", "rn"]
     )
     scored = fractional_split(scored)
-    scored = eager_cache(scored)  # consumed by sweep AND final detection
+    has_udf = model not in NATIVE_SQL_MODELS
+    if has_udf:  # consumed by sweep AND final detection
+        scored = eager_cache(scored)
 
     sweep = threshold_sweep_pointwise(
         scored.filter(F.col("split") == "Validation"), "score", "is_anomaly"
@@ -146,7 +154,8 @@ def detection_pipeline(
     # model UDF reruns once per consumer.  Persistence rides inside the
     # metrics as a run-length filter; row-level flags stay lazy for
     # prediction sinks.
-    with_k = eager_cache(with_k)
+    if has_udf:
+        with_k = eager_cache(with_k)
     flagged = persistence_filter(with_k, "flag", p=persist_p)
     return {
         "scored": scored,
@@ -482,10 +491,14 @@ def run_benchmark(
     """
     if on_error not in ("raise", "skip"):
         raise ValueError("on_error must be 'raise' or 'skip'")
-    # cache only when >1 model branch will consume the frame — with a
-    # single branch the lineage runs once and the materialization job
-    # is pure overhead (measured ~1s on benchmark_leaderboard_ar1)
-    if len(models) > 1:
+    # Caching exists to keep EXPENSIVE model UDFs from re-running when
+    # the scored frame is consumed twice (sweep + final detection).
+    # For zero-Python column-algebra families, recomputing the lineage
+    # is cheaper than the materialization barriers themselves: warm
+    # benchmark_leaderboard_ar1 measured 3.1 s uncached vs 7.3 s with
+    # the scored/with_k caches (r08) — the caches were half the query.
+    has_udf = any(m not in NATIVE_SQL_MODELS for m in models)
+    if len(models) > 1 and has_udf:
         series = eager_cache(series)  # see session.eager_cache
     # the truth column is marked PER BRANCH with the fused zero-join
     # top-value marker — joining a separately-built (series_id, rn,
@@ -541,7 +554,8 @@ def run_benchmark(
     for s in scored_frames[1:]:
         scored = scored.unionByName(s)
     keys = ("series_id", "model")
-    scored = eager_cache(scored)  # consumed by sweep AND final detection
+    if has_udf:  # consumed by sweep AND final detection
+        scored = eager_cache(scored)
     sweep = threshold_sweep_pointwise(
         scored.filter(F.col("split") == "Validation"), "score", "is_anomaly",
         keys=keys,
@@ -553,7 +567,8 @@ def run_benchmark(
         "flag",
         (F.col("score") > F.coalesce(F.col("best_k"), F.lit(3.0))).cast("int"),
     )
-    with_k = eager_cache(with_k)
+    if has_udf:
+        with_k = eager_cache(with_k)
     # event P/R/F1 + business columns (FP/day, median latency) in ONE
     # overlap-join pass — the reference's full leaderboard column set
     # (src/aggregate_metrics.py:35-48: Event_F1/Precision/Recall +

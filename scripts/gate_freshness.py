@@ -71,24 +71,40 @@ def main() -> None:
     qs = list(entrymod.queries())
     oracled = set(entrymod.oracle_sql())
 
+    # implementation drift vs the committed snapshot (r07 ADVICE): a
+    # query whose code changed after its last driver check is
+    # effectively UNVERIFIED whatever its last-check round says — sort
+    # those first so they land in the prime gate slots.
+    changed: set[str] = set()
+    try:
+        from impl_snapshot import SNAPSHOT, fingerprints
+
+        snap = json.load(open(SNAPSHOT))
+        cur = fingerprints()
+        changed = {n for n, v in cur.items() if snap.get(n) not in (None, v)}
+    except Exception:
+        pass
+
     rows = []
     for name in qs:
         rnd, status = latest.get(name, (0, "NEVER"))
-        rows.append((rnd, name, status, name in oracled))
+        eff = 0 if name in changed else rnd
+        rows.append((eff, rnd, name, status, name in oracled))
     rows.sort()
 
     shown = 0
-    for rnd, name, status, has_oracle in rows:
-        if stale_cut is not None and rnd > max_round - stale_cut:
+    for eff, rnd, name, status, has_oracle in rows:
+        if stale_cut is not None and eff > max_round - stale_cut:
             continue
         tag = "oracled" if has_oracle else "rows-only-decl"
-        print(f"r{rnd:02d}  {status:9s}  {tag:14s}  {name}")
+        drift = "  CHANGED-since-snapshot" if name in changed else ""
+        print(f"r{rnd:02d}  {status:9s}  {tag:14s}  {name}{drift}")
         shown += 1
     print(
         f"# {shown} shown / {len(qs)} queries; latest driver round r{max_round}",
         file=sys.stderr,
     )
-    fails = [n for r, n, s, _ in rows if s == "FAIL"]
+    fails = [n for _, r, n, s, _ in rows if s == "FAIL"]
     if fails:
         print(f"# FAILING latest check: {fails}", file=sys.stderr)
         sys.exit(1)

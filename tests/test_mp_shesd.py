@@ -226,3 +226,36 @@ def test_matrix_profile_tiled_matches_monolithic(spark):
         # the planted discord is found by both
         n = 1500 if sid == "a" else 700
         assert any(abs(r - (n // 2 + 1)) <= 24 for r in md)
+
+
+def test_matrix_profile_fixed_matches_operator_tail(spark):
+    """The hash-gated 128-point tail twin (m=8, prefix-sum QT) must
+    reproduce matrix_profile_one on the same tail window — identical
+    distance identity, constant conventions, and m/2 exclusion."""
+    import pandas as pd
+
+    from time_series_data_anomaly_detection_spark.functions.matrix_profile import (
+        matrix_profile_one,
+    )
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        q_matrix_profile_fixed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_matrix_profile_fixed(spark, sf).toPandas()
+    assert len(out) > 0
+    ev = pd.read_parquet(sf + "/events.parquet")
+    for sid, grp in ev.groupby("event_type"):
+        x = (
+            grp.sort_values(["ts", "event_id"])["value"]
+            .to_numpy()[-128:]
+            .astype(float)
+        )
+        mp, nn = matrix_profile_one(x, 8)
+        got = out[out["series_id"] == sid].sort_values("rn")
+        assert len(got) == len(mp) == 121
+        np.testing.assert_allclose(
+            got["mp"].to_numpy(), mp, rtol=1e-6, atol=1e-6
+        )
+        # neighbor picks agree except fp near-ties
+        assert (got["nn_idx"].to_numpy() == nn + 1).mean() > 0.95

@@ -3614,6 +3614,273 @@ def q_matrix_profile(spark, sf_dir):
     )
 
 
+def q_matrix_profile_fixed(spark, sf_dir):
+    """Hash-gated fixed twin of the matrix profile: the exact
+    z-normalized nearest-neighbor window distance over each series'
+    LAST 128 points at m=8 — at this window the profile needs no FFT
+    at all.  QT dot products come from per-DIAGONAL prefix sums
+    (``qt(i, i+d) = Σ x·x_lag_d`` over the window, one exact-decimal
+    cumsum per lag d), window moments from the same prefix-sum trick,
+    and the mutual min over neighbors is a keyed ``min(struct)`` —
+    every step is fixed-order double algebra on decimal sums, so
+    DuckDB mirrors it bit-for-bit.  Same distance identity, constant-
+    window conventions and m/2 exclusion as
+    ``functions/matrix_profile.py`` (parity test at rtol 1e-6);
+    discord marking stays with the full operator (greedy selection is
+    sequential), the twin gates the PROFILE.
+
+    Scale shape: per-series state is the 128-point tail; the pair
+    frame is k²/2 ≈ 7k rows per series of pure column algebra —
+    bounded regardless of series length."""
+    W, M = 128, 8
+    EXCL = max(1, M // 2)
+    s = _series(spark, sf_dir).select("series_id", "rn", "value")
+    cnt = (
+        s.groupBy("series_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= W)
+    )
+    tail = (
+        s.join(F.broadcast(cnt), "series_id")
+        .filter(F.col("rn") > F.col("n") - W)
+        .select(
+            "series_id",
+            "rn",
+            "value",
+            (F.col("rn") - (F.col("n") - F.lit(W)) - F.lit(1)).alias("j"),
+        )
+    )
+    wj = (
+        Window.partitionBy("series_id")
+        .orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # window moments from exact-decimal prefix sums (frame diff via
+    # lag is exact in decimal space — the SQL_ROLL recipe)
+    cum = tail.select(
+        "series_id",
+        "j",
+        "rn",
+        F.sum(F.col("value").cast(DEC_T)).over(wj).alias("c1"),
+        F.sum((F.col("value") * F.col("value")).cast(DEC_T))
+        .over(wj)
+        .alias("c2"),
+    )
+    wl = Window.partitionBy("series_id").orderBy("j")
+    zero = F.lit(0).cast(DEC_T)
+    s1 = (
+        F.lead("c1", M - 1).over(wl) - F.coalesce(F.lag("c1").over(wl), zero)
+    ).cast("double")
+    s2 = (
+        F.lead("c2", M - 1).over(wl) - F.coalesce(F.lag("c2").over(wl), zero)
+    ).cast("double")
+    mu = F.col("s1") / F.lit(float(M))
+    var = F.greatest(
+        F.col("s2") / F.lit(float(M)) - mu * mu, F.lit(0.0)
+    )
+    sig = F.sqrt(var)
+    stats = (
+        cum.select("series_id", "j", "rn", s1.alias("s1"), s2.alias("s2"))
+        .filter(F.col("j") <= F.lit(W - M))
+        .select(
+            "series_id",
+            F.col("j").alias("i"),
+            "rn",
+            mu.alias("mu"),
+            sig.alias("sig"),
+            (
+                sig
+                <= F.lit(1e-7) * F.greatest(F.lit(1.0), F.abs(mu))
+            ).alias("is_const"),
+        )
+    )
+    # per-diagonal lagged products -> prefix sums -> QT
+    t2 = tail.select(
+        "series_id", F.col("j").alias("jb"), F.col("value").alias("vb")
+    )
+    prods = (
+        tail.join(t2, "series_id")
+        .filter(
+            (F.col("jb") - F.col("j") > F.lit(EXCL))
+            & (F.col("jb") - F.col("j") <= F.lit(W - M))
+        )
+        .select(
+            "series_id",
+            (F.col("jb") - F.col("j")).alias("d"),
+            "j",
+            (F.col("value") * F.col("vb")).alias("p"),
+        )
+    )
+    wd = (
+        Window.partitionBy("series_id", "d")
+        .orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wdl = Window.partitionBy("series_id", "d").orderBy("j")
+    pc = prods.select(
+        "series_id",
+        "d",
+        "j",
+        F.sum(F.col("p").cast(DEC_T)).over(wd).alias("cp"),
+    )
+    qt = (
+        pc.select(
+            "series_id",
+            "d",
+            "j",
+            (
+                F.lead("cp", M - 1).over(wdl)
+                - F.coalesce(F.lag("cp").over(wdl), zero)
+            ).cast("double").alias("qt"),
+        )
+        .filter(
+            F.col("qt").isNotNull()
+            & (F.col("j") + F.col("d") <= F.lit(W - M))
+        )
+        .select("series_id", F.col("j").alias("i"), "d", "qt")
+    )
+    sa = stats.select(
+        "series_id", "i", F.col("rn").alias("rn_a"),
+        F.col("mu").alias("mu_a"), F.col("sig").alias("sig_a"),
+        F.col("is_const").alias("ca"),
+    )
+    sb = stats.select(
+        "series_id", F.col("i").alias("ib"), F.col("rn").alias("rn_b"),
+        F.col("mu").alias("mu_b"), F.col("sig").alias("sig_b"),
+        F.col("is_const").alias("cb"),
+    )
+    pr = (
+        qt.withColumn("ib", F.col("i") + F.col("d"))
+        .join(sa, ["series_id", "i"])
+        .join(sb, ["series_id", "ib"])
+    )
+    mm = F.lit(float(M))
+    ssafe_a = F.when(F.col("ca"), F.lit(1.0)).otherwise(F.col("sig_a"))
+    ssafe_b = F.when(F.col("cb"), F.lit(1.0)).otherwise(F.col("sig_b"))
+    d2 = (
+        F.when(F.col("ca") & F.col("cb"), F.lit(0.0))
+        .when(F.col("ca") | F.col("cb"), F.lit(2.0) * mm)
+        .otherwise(
+            F.lit(2.0)
+            * mm
+            * (
+                F.lit(1.0)
+                - (F.col("qt") - mm * F.col("mu_a") * F.col("mu_b"))
+                / (mm * ssafe_a * ssafe_b)
+            )
+        )
+    )
+    both = pr.select(
+        "series_id",
+        F.col("i").alias("w"),
+        F.col("rn_a").alias("rn"),
+        d2.alias("d2"),
+        F.col("ib").alias("nn"),
+    ).unionByName(
+        pr.select(
+            "series_id",
+            F.col("ib").alias("w"),
+            F.col("rn_b").alias("rn"),
+            d2.alias("d2"),
+            F.col("i").alias("nn"),
+        )
+    )
+    best = both.groupBy("series_id", "w", "rn").agg(
+        F.min(F.struct("d2", "nn")).alias("b")
+    )
+    return best.select(
+        "series_id",
+        "rn",
+        _rnd(
+            F.sqrt(F.greatest(F.col("b.d2"), F.lit(0.0))), R
+        ).alias("mp"),
+        (F.col("b.nn") + F.lit(1)).cast("long").alias("nn_idx"),
+    )
+
+
+ORACLES["matrix_profile_fixed"] = f"""
+WITH {SQL_S},
+cnt AS (
+  SELECT series_id, count(*) AS n FROM s GROUP BY 1
+  HAVING count(*) >= 128),
+tl AS (
+  SELECT s.series_id, s.rn, s.value, s.rn - (c.n - 128) - 1 AS j
+  FROM s JOIN cnt c USING (series_id)
+  WHERE s.rn > c.n - 128),
+cum AS (
+  SELECT series_id, j, rn,
+         sum(CAST(value AS DECIMAL(38,12))) OVER wj AS c1,
+         sum(CAST(value * value AS DECIMAL(38,12))) OVER wj AS c2
+  FROM tl
+  WINDOW wj AS (PARTITION BY series_id ORDER BY j
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+segs AS (
+  SELECT series_id, j, rn,
+         CAST(lead(c1, 7) OVER wl
+              - coalesce(lag(c1) OVER wl, CAST(0 AS DECIMAL(38,12)))
+              AS DOUBLE) AS s1,
+         CAST(lead(c2, 7) OVER wl
+              - coalesce(lag(c2) OVER wl, CAST(0 AS DECIMAL(38,12)))
+              AS DOUBLE) AS s2
+  FROM cum
+  WINDOW wl AS (PARTITION BY series_id ORDER BY j)),
+stats AS (
+  SELECT series_id, j AS i, rn,
+         s1 / 8.0 AS mu,
+         sqrt(greatest(s2 / 8.0 - (s1 / 8.0) * (s1 / 8.0), 0.0)) AS sig,
+         sqrt(greatest(s2 / 8.0 - (s1 / 8.0) * (s1 / 8.0), 0.0))
+           <= 1e-7 * greatest(1.0, abs(s1 / 8.0)) AS is_const
+  FROM segs WHERE j <= 120),
+prods AS (
+  SELECT a.series_id, b.j - a.j AS d, a.j,
+         a.value * b.value AS p
+  FROM tl a JOIN tl b ON b.series_id = a.series_id
+  WHERE b.j - a.j > 4 AND b.j - a.j <= 120),
+pc AS (
+  SELECT series_id, d, j,
+         sum(CAST(p AS DECIMAL(38,12))) OVER wd AS cp
+  FROM prods
+  WINDOW wd AS (PARTITION BY series_id, d ORDER BY j
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+qt AS (
+  SELECT series_id, j AS i, d,
+         CAST(lead(cp, 7) OVER wdl
+              - coalesce(lag(cp) OVER wdl, CAST(0 AS DECIMAL(38,12)))
+              AS DOUBLE) AS qt
+  FROM pc
+  WINDOW wdl AS (PARTITION BY series_id, d ORDER BY j)),
+pr AS (
+  SELECT q.series_id, q.i, q.i + q.d AS ib, q.qt,
+         a.rn AS rn_a, a.mu AS mu_a, a.sig AS sig_a, a.is_const AS ca,
+         b.rn AS rn_b, b.mu AS mu_b, b.sig AS sig_b, b.is_const AS cb
+  FROM qt q
+  JOIN stats a ON a.series_id = q.series_id AND a.i = q.i
+  JOIN stats b ON b.series_id = q.series_id AND b.i = q.i + q.d
+  WHERE q.qt IS NOT NULL AND q.i + q.d <= 120),
+dd AS (
+  SELECT series_id, i, ib, rn_a, rn_b,
+         CASE WHEN ca AND cb THEN 0.0
+              WHEN ca OR cb THEN 2.0 * 8.0
+              ELSE 2.0 * 8.0 * (1.0 - (qt - 8.0 * mu_a * mu_b)
+                   / (8.0 * (CASE WHEN ca THEN 1.0 ELSE sig_a END)
+                          * (CASE WHEN cb THEN 1.0 ELSE sig_b END)))
+         END AS d2
+  FROM pr),
+bth AS (
+  SELECT series_id, i AS w, rn_a AS rn, d2, ib AS nn FROM dd
+  UNION ALL
+  SELECT series_id, ib AS w, rn_b AS rn, d2, i AS nn FROM dd),
+best AS (
+  SELECT series_id, w, rn,
+         min({{'d2': d2, 'nn': nn}}) AS b
+  FROM bth GROUP BY 1, 2, 3)
+SELECT series_id, rn,
+       round(sqrt(greatest(b.d2, 0.0)), {R}) AS mp,
+       CAST(b.nn + 1 AS BIGINT) AS nn_idx
+FROM best
+"""
+
+
 def q_matrix_profile_tiled(spark, sf_dir):
     """The matrix profile's 100 TB path, exercised as its own gate
     query: SCAMP-style tile-pair decomposition (Zimmerman et al. SoCC
@@ -7149,6 +7416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_label": q_asof_last_label,
         "percentile_summary": q_percentile_summary,
         "matrix_profile": q_matrix_profile,
+        # fixed 128-point tail profile (prefix-sum QT, hash-gated)
+        "matrix_profile_fixed": q_matrix_profile_fixed,
         "shesd_flags": q_shesd_flags,
         "trend_test": q_trend_test,
         # M4 pixel downsampling, EVT/POT threshold, pairwise rolling
@@ -7255,6 +7524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new round-8 queries — never driver-checked
         "spectral_residual_fixed",
         "dtw_distance_fixed",
+        "matrix_profile_fixed",
         "corpus_to_batches_bpe",
         # last checked r05 (green) — next-oldest oracled signal
         "m4_downsample",

@@ -305,3 +305,39 @@ def test_importance_weights_prefers_target_like_docs(spark):
     thr = int(0.2 * (1 << 48))
     tgt_ids = {i for i in range(400) if h48(f"target|{i}") < thr}
     assert set(out["doc_id"]) == set(range(400)) - tgt_ids
+
+
+def test_pelt_fixed_twin_matches_pelt_on_tail(spark):
+    """The hash-gated OPT fold (pelt_changepoints_fixed) must return
+    PELT's exact optimum on the same 128-point tail with the same
+    fixed BIC penalty (2*var*ln128 literal) — PELT's pruning provably
+    preserves the optimal-partitioning solution, so the segment
+    boundaries agree exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from time_series_data_anomaly_detection_spark.functions.pelt import pelt_l2
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        _LN128,
+        q_pelt_changepoints_fixed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_pelt_changepoints_fixed(spark, sf).toPandas()
+    assert len(out) > 0
+    ev = pd.read_parquet(sf + "/events.parquet")
+    for sid, grp in ev.groupby("event_type"):
+        g = grp.sort_values(["ts", "event_id"])
+        x = g["value"].to_numpy()[-128:].astype(float)
+        beta = 2.0 * float(x.var()) * float(_LN128)
+        bounds = [0] + pelt_l2(x, beta) + [128]
+        got = out[out["series_id"] == sid].sort_values("seg")
+        assert len(got) == len(bounds) - 1, sid
+        n_ser = len(g)
+        for i in range(len(bounds) - 1):
+            row = got.iloc[i]
+            assert row["start_rn"] == n_ser - 128 + bounds[i] + 1
+            assert row["end_rn"] == n_ser - 128 + bounds[i + 1]
+            assert row["n"] == bounds[i + 1] - bounds[i]
+            seg_mean = x[bounds[i] : bounds[i + 1]].mean()
+            assert row["seg_mean"] == pytest.approx(seg_mean, abs=1e-5)

@@ -6063,6 +6063,249 @@ def q_pelt_changepoints(spark, sf_dir):
     )
 
 
+# ln(128) as a shared 12-decimal literal — the one transcendental in
+# the fixed PELT penalty, pinned so both engines use the same number
+_LN128 = "4.852030263920"
+
+
+def q_pelt_changepoints_fixed(spark, sf_dir):
+    """Hash-gated fixed twin of PELT: the exact optimal-partitioning
+    DP (which PELT's pruning provably equals) over each series' LAST
+    128 points, L2 mean-shift cost, BIC penalty ``2·var·ln(128)``
+    with ln(128) a shared literal.  F(t) = min_s F(s) + sse(s+1..t)
+    + β is a fold over t carrying (F-values, argmin backpointers) as
+    array state with a nested argmin fold per step; the changepoint
+    set comes from a second backtracking fold — Spark runs both with
+    ``F.aggregate``, DuckDB replays them as recursive CTEs over list
+    state (the dtw_distance_fixed recipe extended to argmin-DP +
+    backtrack).  Segment costs come from exact-decimal prefix sums;
+    ties in the argmin break to the smallest s in both engines
+    (strict-< fold).  Output: the same segment schema as
+    pelt_changepoints, over the tail window."""
+    W = 128
+    s = _series(spark, sf_dir).select("series_id", "rn", "value")
+    cnt = (
+        s.groupBy("series_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= W)
+    )
+    tail = (
+        s.join(F.broadcast(cnt), "series_id")
+        .filter(F.col("rn") > F.col("n") - W)
+        .select(
+            "series_id",
+            "n",
+            (F.col("rn") - (F.col("n") - F.lit(W)) - F.lit(1)).alias("j"),
+            "value",
+        )
+    )
+    wj = (
+        Window.partitionBy("series_id")
+        .orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = tail.select(
+        "series_id",
+        "n",
+        "j",
+        F.sum(F.col("value").cast(DEC_T)).over(wj).cast("double").alias("c1"),
+        F.sum((F.col("value") * F.col("value")).cast(DEC_T))
+        .over(wj)
+        .cast("double")
+        .alias("c2"),
+    )
+    ser = cum.groupBy("series_id").agg(
+        F.max("n").alias("n"),
+        F.concat(
+            F.array(F.lit(0.0)),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "c1"))),
+                lambda t: t["c1"],
+            ),
+        ).alias("l1"),
+        F.concat(
+            F.array(F.lit(0.0)),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "c2"))),
+                lambda t: t["c2"],
+            ),
+        ).alias("l2"),
+    )
+    s1t = F.element_at("l1", W + 1)
+    s2t = F.element_at("l2", W + 1)
+    var = F.greatest(
+        s2t / F.lit(float(W))
+        - (s1t / F.lit(float(W))) * (s1t / F.lit(float(W))),
+        F.lit(0.0),
+    )
+    ser = ser.withColumn(
+        "beta", F.lit(2.0) * var * F.lit(float(_LN128))
+    )
+
+    INF = F.lit(float("inf"))
+
+    def el(arr, i):  # arr[i], 0-based
+        return F.element_at(arr, (i + F.lit(1)).cast("int"))
+
+    init = F.struct(
+        F.array(F.lit(-1.0) * F.col("beta")).alias("fs"),
+        F.array(F.lit(0)).alias("cps"),
+    )
+
+    def step(acc, t):
+        def cand(a2, sx):
+            m = (t - sx).cast("double")
+            d1 = el(F.col("l1"), t) - el(F.col("l1"), sx)
+            d2 = el(F.col("l2"), t) - el(F.col("l2"), sx)
+            val = el(acc["fs"], sx) + (
+                (d2 - (d1 * d1) / m) + F.col("beta")
+            )
+            return F.when(
+                val < a2["v"],
+                F.struct(val.alias("v"), sx.cast("int").alias("s")),
+            ).otherwise(a2)
+
+        best = F.aggregate(
+            F.sequence(F.lit(0), t - 1),
+            F.struct(INF.alias("v"), F.lit(-1).alias("s")),
+            cand,
+        )
+        return F.struct(
+            F.concat(acc["fs"], F.array(best["v"])).alias("fs"),
+            F.concat(acc["cps"], F.array(best["s"])).alias("cps"),
+        )
+
+    dp = F.aggregate(F.sequence(F.lit(1), F.lit(W)), init, step)
+    ser = ser.withColumn("cps", dp["cps"])
+
+    def back(acc, _):
+        cur = acc["cur"]
+        nxt = F.element_at(F.col("cps"), (cur + 1).cast("int"))
+        return F.when(
+            cur > 0,
+            F.struct(
+                nxt.alias("cur"),
+                F.concat(acc["bs"], F.array(nxt)).alias("bs"),
+            ),
+        ).otherwise(acc)
+
+    bt = F.aggregate(
+        F.sequence(F.lit(1), F.lit(W)),
+        F.struct(
+            F.lit(W).cast("int").alias("cur"),
+            F.array(F.lit(W).cast("int")).alias("bs"),
+        ),
+        back,
+    )
+    ser = ser.withColumn(
+        "bounds", F.reverse(F.array_distinct(bt["bs"]))
+    )
+    seg = ser.select(
+        "series_id",
+        "n",
+        "l1",
+        "bounds",
+        F.explode(
+            F.sequence(F.lit(1), F.size("bounds") - 1)
+        ).alias("i"),
+    )
+    b1 = F.element_at("bounds", F.col("i"))
+    b2 = F.element_at("bounds", F.col("i") + 1)
+    segn = (b2 - b1).cast("long")
+    mean = (el(F.col("l1"), b2) - el(F.col("l1"), b1)) / segn.cast("double")
+    base = F.col("n") - F.lit(W)
+    return seg.select(
+        "series_id",
+        (F.col("i") - 1).cast("int").alias("seg"),
+        (base + b1 + 1).cast("long").alias("start_rn"),
+        (base + b2).cast("long").alias("end_rn"),
+        segn.alias("n"),
+        _rnd(mean, R).alias("seg_mean"),
+    )
+
+
+ORACLES["pelt_changepoints_fixed"] = f"""
+WITH RECURSIVE {SQL_S},
+cnt AS (
+  SELECT series_id, count(*) AS n FROM s GROUP BY 1
+  HAVING count(*) >= 128),
+tl AS (
+  SELECT s.series_id, c.n, s.rn - (c.n - 128) - 1 AS j, s.value
+  FROM s JOIN cnt c USING (series_id)
+  WHERE s.rn > c.n - 128),
+cum AS (
+  SELECT series_id, n, j,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) OVER wj AS DOUBLE)
+           AS c1,
+         CAST(sum(CAST(value * value AS DECIMAL(38,12))) OVER wj
+              AS DOUBLE) AS c2
+  FROM tl
+  WINDOW wj AS (PARTITION BY series_id ORDER BY j
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+ser AS (
+  SELECT series_id, max(n) AS n,
+         list_prepend(0.0, list(c1 ORDER BY j)) AS l1,
+         list_prepend(0.0, list(c2 ORDER BY j)) AS l2
+  FROM cum GROUP BY 1),
+ser2 AS (
+  SELECT series_id, n, l1, l2,
+         2.0 * greatest(l2[129] / 128.0
+                        - (l1[129] / 128.0) * (l1[129] / 128.0), 0.0)
+             * {_LN128} AS beta
+  FROM ser),
+dp AS (
+  SELECT series_id, 0 AS t, [-1.0 * beta] AS fs, [0] AS cps
+  FROM ser2
+  UNION ALL
+  SELECT dp.series_id, dp.t + 1,
+         list_append(dp.fs, list_reduce(
+           list_transform(generate_series(0, dp.t), sx -> {{
+             'v': dp.fs[sx + 1]
+                  + (((p.l2[dp.t + 2] - p.l2[sx + 1])
+                      - (p.l1[dp.t + 2] - p.l1[sx + 1])
+                        * (p.l1[dp.t + 2] - p.l1[sx + 1])
+                        / CAST(dp.t + 1 - sx AS DOUBLE)) + p.beta),
+             's': sx }}),
+           (a, b) -> CASE WHEN b.v < a.v THEN b ELSE a END).v),
+         list_append(dp.cps, CAST(list_reduce(
+           list_transform(generate_series(0, dp.t), sx -> {{
+             'v': dp.fs[sx + 1]
+                  + (((p.l2[dp.t + 2] - p.l2[sx + 1])
+                      - (p.l1[dp.t + 2] - p.l1[sx + 1])
+                        * (p.l1[dp.t + 2] - p.l1[sx + 1])
+                        / CAST(dp.t + 1 - sx AS DOUBLE)) + p.beta),
+             's': sx }}),
+           (a, b) -> CASE WHEN b.v < a.v THEN b ELSE a END).s AS INT))
+  FROM dp JOIN ser2 p USING (series_id)
+  WHERE dp.t < 128),
+fin AS (SELECT series_id, cps FROM dp WHERE t = 128),
+bt AS (
+  SELECT series_id, CAST(128 AS INT) AS cur, [CAST(128 AS INT)] AS bs,
+         cps
+  FROM fin
+  UNION ALL
+  SELECT series_id, CAST(cps[cur + 1] AS INT),
+         list_append(bs, CAST(cps[cur + 1] AS INT)), cps
+  FROM bt WHERE cur > 0),
+bounds AS (
+  SELECT series_id, list_reverse(bs) AS bounds
+  FROM bt WHERE cur = 0),
+segs AS (
+  SELECT b.series_id, p.n, p.l1, b.bounds,
+         unnest(generate_series(1, len(b.bounds) - 1)) AS i
+  FROM bounds b JOIN ser2 p USING (series_id))
+SELECT series_id,
+       CAST(i - 1 AS INT) AS seg,
+       CAST(n - 128 + bounds[i] + 1 AS BIGINT) AS start_rn,
+       CAST(n - 128 + bounds[i + 1] AS BIGINT) AS end_rn,
+       CAST(bounds[i + 1] - bounds[i] AS BIGINT) AS n,
+       round((l1[bounds[i + 1] + 1] - l1[bounds[i] + 1])
+             / CAST(bounds[i + 1] - bounds[i] AS DOUBLE), {R})
+         AS seg_mean
+FROM segs
+"""
+
+
 def q_page_hinkley(spark, sf_dir):
     """Page-Hinkley drift test (Page 1954; Gama et al. 2014), fully
     native and hash-gated: PH's statistic has a closed prefix form
@@ -7360,6 +7603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ar2_forecast": q_ar2_forecast,
         "detector_rank_ensemble": q_detector_rank_ensemble,
         "pelt_changepoints": q_pelt_changepoints,
+        # fixed 128-point tail OPT twin (argmin-DP fold, hash-gated)
+        "pelt_changepoints_fixed": q_pelt_changepoints_fixed,
         "page_hinkley": q_page_hinkley,
         "knn_outlier": q_knn_outlier,
         "kde_rarity": q_kde_rarity,
@@ -7525,6 +7770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spectral_residual_fixed",
         "dtw_distance_fixed",
         "matrix_profile_fixed",
+        "pelt_changepoints_fixed",
         "corpus_to_batches_bpe",
         # last checked r05 (green) — next-oldest oracled signal
         "m4_downsample",

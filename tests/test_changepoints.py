@@ -341,3 +341,101 @@ def test_pelt_fixed_twin_matches_pelt_on_tail(spark):
             assert row["n"] == bounds[i + 1] - bounds[i]
             seg_mean = x[bounds[i] : bounds[i + 1]].mean()
             assert row["seg_mean"] == pytest.approx(seg_mean, abs=1e-5)
+
+
+def _gauss_bocpd_fixed_ref(z):
+    """Numpy replica of the bocpd_changepoints_fixed math (known-
+    variance Gaussian, conjugate mean, h=1/50, 8-dp-quantized pdf) —
+    kept in exact float-op lockstep with the Spark fold and the
+    DuckDB recursion."""
+    from math import exp, floor, sqrt
+
+    TWO_PI = 6.283185307180
+    H, GM = 0.02, 0.98
+    n = len(z)
+    l1 = np.concatenate([[0.0], np.cumsum(z)])
+    R = [1.0]
+    cps, shorts = [], []
+    for t in range(n):
+        ps = []
+        for r in range(t + 1):
+            v = 1.0 + 1.0 / (1.0 + float(r))
+            mu = (l1[t] - l1[t - r]) / (1.0 + float(r))
+            d = z[t] - mu
+            p = exp(-(d * d) / (2.0 * v)) / sqrt(TWO_PI * v)
+            ps.append(floor(p * 1e8 + 0.5) / 1e8)
+        rp = [R[r] * ps[r] for r in range(t + 1)]
+        growth = [q * GM for q in rp]
+        cp0 = 0.0
+        for q in rp:
+            cp0 += q * H
+        rn = [cp0] + growth
+        tot = 0.0
+        for v2 in rn:
+            tot += v2
+        R = [v2 / tot for v2 in rn] if tot > 0 else [1.0] + [0.0] * (t + 1)
+        cps.append(R[0])
+        s = 0.0
+        for v2 in R[:6]:
+            s += v2
+        shorts.append(s)
+    return cps, shorts
+
+
+def test_bocpd_fixed_matches_numpy_replica(spark):
+    """The hash-gated BOCPD twin must equal the numpy replica of its
+    own recursion bit-for-bit (up to the 6-dp output quantizer) on
+    real testdata tails — pins that the Spark fold implements exactly
+    the declared math, independently of the DuckDB oracle."""
+    import pandas as pd
+    from math import floor
+
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        q_bocpd_changepoints_fixed,
+    )
+
+    out = q_bocpd_changepoints_fixed(
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert len(out) > 0
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    for sid, grp in ev.groupby("event_type"):
+        x = (
+            grp.sort_values(["ts", "event_id"])["value"]
+            .to_numpy()[-64:]
+            .astype(float)
+        )
+        s1 = 0.0
+        s2 = 0.0
+        for v in x:  # replicate the decimal-sum moments (exact here)
+            s1 += v
+            s2 += v * v
+        # NB: the engine's sums are exact-decimal; replicate closely
+        s1, s2 = float(np.sum(x)), float(np.sum(x * x))
+        m = s1 / 64.0
+        sd = np.sqrt(max((s2 - s1 * s1 / 64.0) / 63.0, 0.0))
+        z = (x - m) / (sd + 1e-9)
+        cps, shorts = _gauss_bocpd_fixed_ref(z)
+        got = out[out["series_id"] == sid].sort_values("rn")
+        assert len(got) == 64
+        q6 = lambda v: floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+        np.testing.assert_allclose(
+            got["cp_prob"].to_numpy(), [q6(v) for v in cps], atol=2e-6
+        )
+        np.testing.assert_allclose(
+            got["cp_score"].to_numpy(), [q6(v) for v in shorts], atol=2e-6
+        )
+        # constant hazard => cp_prob is analytically h = 0.02
+        assert np.allclose(got["cp_prob"].to_numpy(), 0.02, atol=1e-6)
+
+
+def test_bocpd_fixed_ref_detects_planted_shift():
+    """Semantics: the short-run posterior mass (cp_score) must spike
+    right after a planted mean shift."""
+    rng = np.random.default_rng(11)
+    x = np.concatenate([rng.normal(0, 1, 40), rng.normal(4, 1, 24)])
+    z = (x - x.mean()) / (x.std(ddof=1) + 1e-9)
+    _, shorts = _gauss_bocpd_fixed_ref(z)
+    post = np.argmax(shorts[35:]) + 35
+    assert 40 <= post <= 44  # spike lands within a few steps of t=40
+    assert max(shorts[40:46]) > 0.5

@@ -6067,6 +6067,246 @@ def q_pelt_changepoints(spark, sf_dir):
 # the fixed PELT penalty, pinned so both engines use the same number
 _LN128 = "4.852030263920"
 
+# 2π at 12 decimals — the Gaussian-pdf normalizer of the fixed BOCPD
+_TWO_PI = "6.283185307180"
+
+
+def q_bocpd_changepoints_fixed(spark, sf_dir):
+    """Hash-gated fixed twin of BOCPD (Adams & MacKay 2007): known-
+    variance Gaussian predictive with a conjugate-Normal mean (prior
+    N(0,1), κ₀=1) over each series' z-normalized LAST 64 points,
+    constant hazard h=1/50.  The run-length posterior recursion —
+    growth = R(r)·π_r·(1−h), changepoint mass = Σ R(r)·π_r·h,
+    renormalize — carries ONLY the probability vector as state: the
+    conjugate posterior mean for a run of length r is a prefix-sum
+    ratio ``(Σ last r z's)/(1+r)``, so no per-run statistics are
+    stored (the known-variance collapse of functions/bocpd.py's NIG
+    recursion).  The one transcendental per cell (exp of the Gaussian
+    exponent) is quantized to 8 decimals, after which every engine
+    computes identical doubles: Spark folds the 64 steps with
+    ``F.aggregate`` over the probability list; DuckDB replays the
+    identical recursion as a recursive CTE over list state.
+
+    Outputs mirror the full operator: ``cp_prob`` (= h analytically
+    under constant hazard — kept as the formal quantity) and
+    ``cp_score``, the run-length-≤5 posterior mass whose spike IS the
+    detection signal.  Parity test replays the same math in numpy and
+    asserts bit-equality plus a planted-shift spike."""
+    W = 64
+    s = _series(spark, sf_dir).select("series_id", "rn", "value")
+    cnt = (
+        s.groupBy("series_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= W)
+    )
+    tail = (
+        s.join(F.broadcast(cnt), "series_id")
+        .filter(F.col("rn") > F.col("n") - W)
+        .select(
+            "series_id",
+            "n",
+            (F.col("rn") - (F.col("n") - F.lit(W)) - F.lit(1)).alias("j"),
+            "value",
+        )
+    )
+
+    def dsum(expr):
+        return F.sum(expr.cast(DEC_T)).cast("double")
+
+    mo = tail.groupBy("series_id").agg(
+        dsum(F.col("value")).alias("s1"),
+        dsum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    wn = F.lit(float(W))
+    mu_g = F.col("s1") / wn
+    sd_g = F.sqrt(
+        F.greatest(
+            (F.col("s2") - F.col("s1") * F.col("s1") / wn)
+            / (wn - F.lit(1.0)),
+            F.lit(0.0),
+        )
+    )
+    zed = tail.join(F.broadcast(mo), "series_id").select(
+        "series_id",
+        "n",
+        "j",
+        ((F.col("value") - mu_g) / (sd_g + F.lit(1e-9))).alias("z"),
+    )
+    wj = (
+        Window.partitionBy("series_id")
+        .orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = zed.withColumn(
+        "c1", F.sum(F.col("z").cast(DEC_T)).over(wj).cast("double")
+    )
+    ser = cum.groupBy("series_id").agg(
+        F.max("n").alias("n"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "z"))),
+            lambda t: t["z"],
+        ).alias("zv"),
+        F.concat(
+            F.array(F.lit(0.0)),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "c1"))),
+                lambda t: t["c1"],
+            ),
+        ).alias("l1"),
+    )
+
+    H = F.lit(0.02)
+    GM = F.lit(0.98)
+    TWO_PI = F.lit(float(_TWO_PI))
+
+    def el(arr, i):
+        return F.element_at(arr, (i + F.lit(1)).cast("int"))
+
+    def q8(c):
+        return F.floor(c * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)
+
+    init = F.struct(
+        F.array(F.lit(1.0)).alias("rv"),
+        F.array().cast("array<double>").alias("cps"),
+        F.array().cast("array<double>").alias("sh"),
+    )
+
+    def step(acc, t):
+        def pdf(r):
+            rr = r.cast("double")
+            v = F.lit(1.0) + F.lit(1.0) / (F.lit(1.0) + rr)
+            mu = (el(F.col("l1"), t) - el(F.col("l1"), t - r)) / (
+                F.lit(1.0) + rr
+            )
+            d = el(F.col("zv"), t) - mu
+            return q8(
+                F.exp(-(d * d) / (F.lit(2.0) * v)) / F.sqrt(TWO_PI * v)
+            )
+
+        ps = F.transform(F.sequence(F.lit(0), t), pdf)
+        rp = F.zip_with(acc["rv"], ps, lambda a, b: a * b)
+        growth = F.transform(rp, lambda q: q * GM)
+        cp0 = F.aggregate(
+            F.transform(rp, lambda q: q * H), F.lit(0.0), lambda a, b: a + b
+        )
+        rn_ = F.concat(F.array(cp0), growth)
+        tot = F.aggregate(rn_, F.lit(0.0), lambda a, b: a + b)
+        norm = F.when(
+            tot > 0, F.transform(rn_, lambda v2: v2 / tot)
+        ).otherwise(
+            F.concat(
+                F.array(F.lit(1.0)),
+                F.transform(growth, lambda _: F.lit(0.0)),
+            )
+        )
+        short = F.aggregate(
+            F.slice(norm, 1, 6), F.lit(0.0), lambda a, b: a + b
+        )
+        return F.struct(
+            norm.alias("rv"),
+            F.concat(acc["cps"], F.array(el(norm, F.lit(0)))).alias("cps"),
+            F.concat(acc["sh"], F.array(short)).alias("sh"),
+        )
+
+    res = F.aggregate(F.sequence(F.lit(0), F.lit(W - 1)), init, step)
+    ser = ser.withColumn("cps", res["cps"]).withColumn("sh", res["sh"])
+    out = ser.select(
+        "series_id",
+        "n",
+        F.posexplode(F.arrays_zip("cps", "sh")).alias("t", "pair"),
+    )
+    return out.select(
+        "series_id",
+        (F.col("n") - F.lit(W) + F.col("t") + 1).cast("long").alias("rn"),
+        _rnd(F.col("pair.cps"), R).alias("cp_prob"),
+        _rnd(F.col("pair.sh"), R).alias("cp_score"),
+    )
+
+
+def _bocpd_fixed_sql() -> str:
+    """Assemble the DuckDB mirror of q_bocpd_changepoints_fixed — the
+    per-cell expression is long, so it is built once here and spliced
+    into the three places the recursion needs it (DuckDB lacks lambdas
+    across CTE boundaries).  NOTE the parens around the quantizer:
+    ``rv * (floor(..)/1e8)`` — ``a * floor(..) / 1e8`` would associate
+    as ``(a*floor(..))/1e8`` and drift one ulp from the Spark fold."""
+    ps = f"""list_transform(generate_series(0, dp.t), r ->
+        (dp.rv[r + 1] * (floor((exp(-((p.zv[dp.t + 1]
+             - (p.l1[dp.t + 1] - p.l1[dp.t - r + 1])
+               / (1.0 + CAST(r AS DOUBLE)))
+           * (p.zv[dp.t + 1]
+             - (p.l1[dp.t + 1] - p.l1[dp.t - r + 1])
+               / (1.0 + CAST(r AS DOUBLE))))
+           / (2.0 * (1.0 + 1.0 / (1.0 + CAST(r AS DOUBLE)))))
+           / sqrt({_TWO_PI} * (1.0 + 1.0 / (1.0 + CAST(r AS DOUBLE)))))
+           * 100000000.0 + 0.5) / 100000000.0)))"""
+    rn_ = f"""list_prepend(
+      list_reduce(list_transform({ps}, q -> q * 0.02), (a, b) -> a + b),
+      list_transform({ps}, q -> q * 0.98))"""
+    tot = f"list_reduce({rn_}, (a, b) -> a + b)"
+    norm = f"""CASE WHEN {tot} > 0
+         THEN list_transform({rn_}, v2 -> v2 / {tot})
+         ELSE list_prepend(CAST(1.0 AS DOUBLE),
+                           list_transform(dp.rv, v2 -> 0.0)) END"""
+    return f"""
+WITH RECURSIVE {SQL_S},
+cnt AS (
+  SELECT series_id, count(*) AS n FROM s GROUP BY 1
+  HAVING count(*) >= 64),
+tl AS (
+  SELECT s.series_id, c.n, s.rn - (c.n - 64) - 1 AS j, s.value
+  FROM s JOIN cnt c USING (series_id)
+  WHERE s.rn > c.n - 64),
+mo AS (
+  SELECT series_id,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE)
+           AS s2
+  FROM tl GROUP BY 1),
+zed AS (
+  SELECT t.series_id, t.n, t.j,
+         (t.value - m.s1 / 64.0)
+           / (sqrt(greatest((m.s2 - m.s1 * m.s1 / 64.0)
+                            / (64.0 - 1.0), 0.0)) + 1e-9) AS z
+  FROM tl t JOIN mo m USING (series_id)),
+cum AS (
+  SELECT series_id, n, j, z,
+         CAST(sum(CAST(z AS DECIMAL(38,12))) OVER wj AS DOUBLE) AS c1
+  FROM zed
+  WINDOW wj AS (PARTITION BY series_id ORDER BY j
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+ser AS (
+  SELECT series_id, max(n) AS n,
+         list(z ORDER BY j) AS zv,
+         list_prepend(0.0, list(c1 ORDER BY j)) AS l1
+  FROM cum GROUP BY 1),
+dp AS (
+  SELECT series_id, 0 AS t, [CAST(1.0 AS DOUBLE)] AS rv,
+         []::DOUBLE[] AS cps, []::DOUBLE[] AS sh
+  FROM ser
+  UNION ALL
+  SELECT dp.series_id, dp.t + 1,
+         {norm},
+         list_append(dp.cps, ({norm})[1]),
+         list_append(dp.sh,
+           list_reduce(list_slice({norm}, 1, 6), (a, b) -> a + b))
+  FROM dp JOIN ser p USING (series_id)
+  WHERE dp.t < 64),
+fin AS (SELECT series_id, cps, sh FROM dp WHERE t = 64),
+ex AS (
+  SELECT f.series_id, p.n,
+         unnest(generate_series(1, 64)) AS k, f.cps, f.sh
+  FROM fin f JOIN ser p USING (series_id))
+SELECT series_id,
+       CAST(n - 64 + k AS BIGINT) AS rn,
+       round(cps[k], {R}) AS cp_prob,
+       round(sh[k], {R}) AS cp_score
+FROM ex
+"""
+
+
+ORACLES["bocpd_changepoints_fixed"] = _bocpd_fixed_sql()
+
 
 def q_pelt_changepoints_fixed(spark, sf_dir):
     """Hash-gated fixed twin of PELT: the exact optimal-partitioning
@@ -7706,6 +7946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gp_forecast": q_gp_forecast,
         "lstm_forecast": q_lstm_forecast,
         "bocpd_changepoints": q_bocpd_changepoints,
+        # fixed known-variance Gaussian BOCPD twin (hash-gated)
+        "bocpd_changepoints_fixed": q_bocpd_changepoints_fixed,
         "stl_robust": q_stl_robust,
     }
     out.update(registry_datapipe.queries())
@@ -7771,6 +8013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtw_distance_fixed",
         "matrix_profile_fixed",
         "pelt_changepoints_fixed",
+        "bocpd_changepoints_fixed",
         "corpus_to_batches_bpe",
         # last checked r05 (green) — next-oldest oracled signal
         "m4_downsample",

@@ -665,3 +665,30 @@ def test_demand_classification_broadcasts_threshold(spark):
     assert _count(plan, ") SortMergeJoin") == 0
     assert _count(plan, "CartesianProduct") == 0
     assert _count(plan, ") BroadcastHashJoin") >= 1
+
+
+def test_fixed_twins_plans_are_scale_safe(spark):
+    """The r08 hash-gated twins (SR / matrix-profile / PELT / BOCPD /
+    DTW fixed) must stay native column algebra: no Python UDF stages
+    (ArrowEvalPython / FlatMapGroupsInPandas / BatchEvalPython), no
+    CartesianProduct, and the literal twiddle/series-dimension tables
+    ride broadcast joins."""
+    from time_series_data_anomaly_detection_spark.plans import registry as Reg
+
+    sf = "/root/testdata/sf0.001"
+    for name in (
+        "spectral_residual_fixed",
+        "matrix_profile_fixed",
+        "pelt_changepoints_fixed",
+        "bocpd_changepoints_fixed",
+        "dtw_distance_fixed",
+    ):
+        df = Reg.queries()[name](spark, sf)
+        plan = _plan(df)
+        assert _count(plan, "ArrowEvalPython") == 0, name
+        assert _count(plan, "FlatMapGroupsInPandas") == 0, name
+        assert _count(plan, "BatchEvalPython") == 0, name
+        assert _count(plan, "CartesianProduct") == 0, name
+    # the SR twin's two 64-row twiddle joins must be broadcasts
+    plan = _plan(Reg.queries()["spectral_residual_fixed"](spark, sf))
+    assert _count(plan, ") BroadcastHashJoin") >= 2

@@ -177,11 +177,14 @@ def main() -> None:
     # 18.4 s r07 spike look <3x "normal"; honest warm cost is 7.3 s).
     retried: dict[str, dict[str, float]] = {}
     baseline = dict(prior_baseline)
+    # 2.0x (was 2.5x): matrix_profile_tiled sat at 2.1-2.4x its warm
+    # baseline across three r08 runs — real in-bench inflation the
+    # retry should probe, just under the old bar
     suspects = [
         n
         for n in order
         if n in baseline
-        and timings[n] > 2.5 * baseline[n]
+        and timings[n] > 2.0 * baseline[n]
         and timings[n] > 2.0
     ]
     for name in suspects:

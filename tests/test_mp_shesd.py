@@ -259,3 +259,41 @@ def test_matrix_profile_fixed_matches_operator_tail(spark):
         )
         # neighbor picks agree except fp near-ties
         assert (got["nn_idx"].to_numpy() == nn + 1).mean() > 0.95
+
+
+def test_shesd_fixed_matches_esd_core(spark):
+    """The hash-gated S-H-ESD twin must agree with the numpy ESD core
+    (functions/shesd.esd_test) on the same 128-point tail residuals:
+    same seasonal/median detrend, same robust scores, same t-based
+    critical values (the twin bakes them as literals from the same
+    t_ppf)."""
+    import pandas as pd
+
+    from time_series_data_anomaly_detection_spark.functions.shesd import (
+        esd_test,
+    )
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        q_shesd_fixed,
+    )
+
+    out = q_shesd_fixed(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(out) > 0
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    for sid, grp in ev.groupby("event_type"):
+        x = (
+            grp.sort_values(["ts", "event_id"])["value"]
+            .to_numpy()[-128:]
+            .astype(float)
+        )
+        pos = np.arange(128) % 24
+        seasonal = np.array([np.median(x[pos == p]) for p in range(24)])
+        detr = x - seasonal[pos]
+        resid = detr - np.median(detr)
+        anoms = set(esd_test(resid, max_anoms=6, alpha=0.05))
+        got = out[out["series_id"] == sid].sort_values("rn")
+        assert len(got) == 128
+        np.testing.assert_allclose(
+            got["resid"].to_numpy(), resid, rtol=1e-6, atol=1e-6
+        )
+        flagged = set(np.nonzero(got["anomaly"].to_numpy())[0])
+        assert flagged == anoms, (sid, flagged, anoms)

@@ -3918,6 +3918,264 @@ def q_shesd_flags(spark, sf_dir):
     )
 
 
+def _shesd_lams(n: int = 128, alpha: float = 0.05, k: int = 6):
+    """ESD critical values λ_i for the fixed twin, computed once from
+    the engine's own scipy-free t-quantile (functions/shesd.t_ppf) and
+    rounded to 12 decimals — shared literals, so the one
+    transcendental chain (normal PPF expansion) never runs inside
+    either engine."""
+    import math
+
+    from ..functions.shesd import t_ppf
+
+    out = []
+    for i in range(1, k + 1):
+        m = n - i + 1
+        p = 1 - alpha / (2 * m)
+        t = t_ppf(p, m - 2)
+        out.append(round((m - 1) * t / math.sqrt((m - 2 + t * t) * m), 12))
+    return out
+
+
+_SHESD_LAMS = _shesd_lams()
+
+
+def q_shesd_fixed(spark, sf_dir):
+    """Hash-gated fixed twin of S-H-ESD: each series' LAST 128 points,
+    period-24 seasonal medians + overall-median centering (exact
+    percentiles — engine-identical), then K=6 generalized-ESD rounds
+    with robust median/MAD scores against λ literals precomputed from
+    the engine's own t-quantile (``_shesd_lams``).
+
+    The iterative remove-the-max loop UNROLLS: K is fixed, so each
+    round is a block of deterministic column algebra over the
+    remaining-values array (sorted-array medians with the midpoint
+    rule, strict-> argmax fold keeping the first max like np.argmax,
+    λ_i literal compare, list_filter removal) — Spark chains six
+    withColumn blocks, DuckDB chains six CTE blocks, no recursion
+    needed.  Every op is fixed-order double algebra on exact-median /
+    raw-double inputs, so the gate is exact.  The anomaly count is the
+    largest i whose test statistic exceeded λ_i (the paper's rule);
+    flags mark the first n_det removed points."""
+    W, PERIOD, K = 128, 24, 6
+    s = _series(spark, sf_dir).select("series_id", "rn", "value")
+    cnt = (
+        s.groupBy("series_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= W)
+    )
+    tail = (
+        s.join(F.broadcast(cnt), "series_id")
+        .filter(F.col("rn") > F.col("n") - W)
+        .select(
+            "series_id",
+            "rn",
+            "value",
+            (F.col("rn") - (F.col("n") - F.lit(W)) - F.lit(1)).alias("j"),
+        )
+        .withColumn("pos", (F.col("j") % F.lit(PERIOD)).cast("int"))
+    )
+    seas = tail.groupBy("series_id", "pos").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("seasonal")
+    )
+    detr = tail.join(F.broadcast(seas), ["series_id", "pos"]).withColumn(
+        "detr", F.col("value") - F.col("seasonal")
+    )
+    medall = detr.groupBy("series_id").agg(
+        F.percentile(F.col("detr"), F.lit(0.5)).alias("med_all")
+    )
+    rz = detr.join(F.broadcast(medall), "series_id").withColumn(
+        "resid", F.col("detr") - F.col("med_all")
+    )
+    ser = rz.groupBy("series_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("j").cast("int").alias("idx"), F.col("resid").alias("v")))
+            ),
+            lambda t: F.struct(t["v"].alias("v"), t["idx"].alias("idx")),
+        ).alias("st0"),
+    ).withColumn("cands0", F.array().cast("array<int>")).withColumn(
+        "ndet0", F.lit(0)
+    )
+
+    def arr_median(ls):
+        m = F.size(ls)
+        half = (m / F.lit(2)).cast("int")
+        return F.when(
+            m % 2 == 1,
+            F.element_at(ls, ((m + F.lit(1)) / F.lit(2)).cast("int")),
+        ).otherwise(
+            (F.element_at(ls, half) + F.element_at(ls, half + F.lit(1)))
+            / F.lit(2.0)
+        )
+
+    for i in range(1, K + 1):
+        p = f"st{i - 1}"
+        av_sorted = F.array_sort(F.transform(F.col(p), lambda t: t["v"]))
+        ser = ser.withColumn(f"med{i}", arr_median(av_sorted))
+        ad_sorted = F.array_sort(
+            F.transform(F.col(p), lambda t: F.abs(t["v"] - F.col(f"med{i}")))
+        )
+        ser = ser.withColumn(
+            f"mad{i}", F.lit(1.4826) * arr_median(ad_sorted)
+        )
+        med_i, mad_i = F.col(f"med{i}"), F.col(f"mad{i}")
+        best = F.aggregate(
+            F.col(p),
+            F.struct(
+                F.lit(float("-inf")).alias("score"), F.lit(-1).alias("idx")
+            ),
+            lambda a, t: F.when(
+                F.abs(t["v"] - med_i) / mad_i > a["score"],
+                F.struct(
+                    (F.abs(t["v"] - med_i) / mad_i).alias("score"),
+                    t["idx"].alias("idx"),
+                ),
+            ).otherwise(a),
+        )
+        ser = ser.withColumn(f"best{i}", best)
+        ok = mad_i >= F.lit(1e-12)
+        bi = F.col(f"best{i}")
+        ser = (
+            ser.withColumn(
+                f"st{i}",
+                F.when(
+                    ok,
+                    F.filter(F.col(p), lambda t: t["idx"] != bi["idx"]),
+                ).otherwise(F.col(p)),
+            )
+            .withColumn(
+                f"cands{i}",
+                F.when(
+                    ok,
+                    F.concat(
+                        F.col(f"cands{i - 1}"), F.array(bi["idx"])
+                    ),
+                ).otherwise(F.col(f"cands{i - 1}")),
+            )
+            .withColumn(
+                f"ndet{i}",
+                F.when(
+                    ok & (bi["score"] > F.lit(_SHESD_LAMS[i - 1])),
+                    F.lit(i),
+                ).otherwise(F.col(f"ndet{i - 1}")),
+            )
+        )
+    anoms = ser.select(
+        "series_id",
+        F.slice(F.col(f"cands{K}"), 1, F.col(f"ndet{K}")).alias("anoms"),
+    )
+    out = rz.join(F.broadcast(anoms), "series_id")
+    return out.select(
+        "series_id",
+        "rn",
+        _rnd("value", R).alias("value"),
+        _rnd("resid", R).alias("resid"),
+        F.array_contains(
+            F.col("anoms"), F.col("j").cast("int")
+        ).cast("int").alias("anomaly"),
+    )
+
+
+def _shesd_fixed_sql() -> str:
+    """DuckDB mirror of q_shesd_fixed: the K=6 ESD rounds unroll as
+    CTE blocks (med/mad from sorted-list midpoint medians, argmax via
+    a strict-> list_reduce keeping the first max, λ literals)."""
+    steps = []
+    for i in range(1, 7):
+        p = f"s{i - 1}"
+        lam = f"{_SHESD_LAMS[i - 1]:.12f}"
+        steps.append(f"""
+m{i} AS (
+  SELECT series_id, st, cands, ndet,
+         list_sort(list_transform(st, t -> t.v)) AS ls
+  FROM {p}),
+m{i}b AS (
+  SELECT series_id, st, cands, ndet,
+         CASE WHEN len(ls) % 2 = 1 THEN ls[(len(ls) + 1) // 2]
+              ELSE (ls[len(ls) // 2] + ls[len(ls) // 2 + 1]) / 2.0
+         END AS med
+  FROM m{i}),
+m{i}c AS (
+  SELECT series_id, st, cands, ndet, med,
+         list_sort(list_transform(st, t -> abs(t.v - med))) AS ad
+  FROM m{i}b),
+m{i}d AS (
+  SELECT series_id, st, cands, ndet, med,
+         1.4826 * (CASE WHEN len(ad) % 2 = 1 THEN ad[(len(ad) + 1) // 2]
+                        ELSE (ad[len(ad) // 2] + ad[len(ad) // 2 + 1]) / 2.0
+                   END) AS mad
+  FROM m{i}c),
+m{i}e AS (
+  SELECT series_id, st, cands, ndet, med, mad,
+         list_reduce(
+           list_transform(st, t -> {{'score': abs(t.v - med) / mad,
+                                     'idx': t.idx}}),
+           (a, b) -> CASE WHEN b.score > a.score THEN b ELSE a END)
+           AS best
+  FROM m{i}d),
+s{i} AS (
+  SELECT series_id,
+         CASE WHEN mad >= 1e-12
+              THEN list_filter(st, t -> t.idx != best.idx)
+              ELSE st END AS st,
+         CASE WHEN mad >= 1e-12
+              THEN list_append(cands, best.idx)
+              ELSE cands END AS cands,
+         CASE WHEN mad >= 1e-12 AND best.score > {lam}
+              THEN {i} ELSE ndet END AS ndet
+  FROM m{i}e)""")
+    step_sql = ",".join(steps)
+    return f"""
+WITH {SQL_S},
+cnt AS (
+  SELECT series_id, count(*) AS n FROM s GROUP BY 1
+  HAVING count(*) >= 128),
+tl AS (
+  SELECT s.series_id, s.rn, s.value,
+         s.rn - (c.n - 128) - 1 AS j,
+         CAST((s.rn - (c.n - 128) - 1) % 24 AS INT) AS pos
+  FROM s JOIN cnt c USING (series_id)
+  WHERE s.rn > c.n - 128),
+seas AS (
+  SELECT series_id, pos, quantile_cont(value, 0.5) AS seasonal
+  FROM tl GROUP BY 1, 2),
+detr AS (
+  SELECT t.series_id, t.rn, t.j, t.value,
+         t.value - se.seasonal AS detr
+  FROM tl t JOIN seas se ON se.series_id = t.series_id
+                        AND se.pos = t.pos),
+medall AS (
+  SELECT series_id, quantile_cont(detr, 0.5) AS med_all
+  FROM detr GROUP BY 1),
+rz AS (
+  SELECT d.series_id, d.rn, d.j, d.value,
+         d.detr - m.med_all AS resid
+  FROM detr d JOIN medall m USING (series_id)),
+s0 AS (
+  SELECT series_id,
+         list_transform(
+           list_sort(list(
+             {{'idx': CAST(j AS INT), 'v': resid}})),
+           t -> {{'v': t.v, 'idx': t.idx}}) AS st,
+         []::INT[] AS cands,
+         0 AS ndet
+  FROM rz GROUP BY 1),
+{step_sql},
+an AS (
+  SELECT series_id, cands[1:ndet] AS anoms FROM s6)
+SELECT r.series_id, r.rn,
+       round(r.value, {R}) AS value,
+       round(r.resid, {R}) AS resid,
+       CAST(CASE WHEN list_contains(a.anoms, CAST(r.j AS INT))
+            THEN 1 ELSE 0 END AS INT) AS anomaly
+FROM rz r JOIN an a USING (series_id)
+"""
+
+
+ORACLES["shesd_fixed"] = _shesd_fixed_sql()
+
+
 def _baseline_long(s):
     """(model, series_id, rn, value, pred_mean) for the three baseline
     forecasters on the Test split — shared by q_baseline_forecasts and
@@ -7904,6 +8162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixed 128-point tail profile (prefix-sum QT, hash-gated)
         "matrix_profile_fixed": q_matrix_profile_fixed,
         "shesd_flags": q_shesd_flags,
+        # fixed 128-point tail S-H-ESD twin (unrolled ESD, hash-gated)
+        "shesd_fixed": q_shesd_fixed,
         "trend_test": q_trend_test,
         # M4 pixel downsampling, EVT/POT threshold, pairwise rolling
         # corr, decompose-residual anomaly composite
@@ -8014,6 +8274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_profile_fixed",
         "pelt_changepoints_fixed",
         "bocpd_changepoints_fixed",
+        "shesd_fixed",
         "corpus_to_batches_bpe",
         # last checked r05 (green) — next-oldest oracled signal
         "m4_downsample",

@@ -126,6 +126,65 @@ def test_bpe_merge_loop_known_corpus(spark):
     assert merges[1]["merged"] == "low"
 
 
+def test_bpe_incremental_matches_naive_recount():
+    # the r09 incremental pair-count index must be bit-equivalent to
+    # recounting from scratch every merge (the r08 implementation) —
+    # random corpora with repeated chars exercise overlap/zero-count
+    # deletion paths
+    import random
+
+    from time_series_data_anomaly_detection_spark.datapipe.tokenize_bpe import (
+        _merge_loop,
+    )
+
+    def naive(words, n_merges):
+        merges = []
+        for rank in range(n_merges):
+            counts = {}
+            for syms, freq in words:
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + freq
+            if not counts:
+                break
+            (left, right), cnt = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            if cnt < 2:
+                break
+            merges.append((rank, left, right, cnt))
+            merged = left + right
+            for k, (syms, freq) in enumerate(words):
+                j, out = 0, []
+                while j < len(syms):
+                    if (
+                        j + 1 < len(syms)
+                        and syms[j] == left
+                        and syms[j + 1] == right
+                    ):
+                        out.append(merged)
+                        j += 2
+                    else:
+                        out.append(syms[j])
+                        j += 1
+                words[k] = (out, freq)
+        return merges
+
+    rng = random.Random(42)
+    for trial in range(8):
+        vocab = "abc" if trial % 2 == 0 else "ab"
+        words = [
+            (
+                [rng.choice(vocab) for _ in range(rng.randint(1, 9))],
+                rng.randint(1, 5),
+            )
+            for _ in range(60)
+        ]
+        w1 = [(list(s), f) for s, f in words]
+        w2 = [(list(s), f) for s, f in words]
+        assert _merge_loop(w1, 12) == naive(w2, 12), f"trial {trial}"
+        assert w1 == w2, f"trial {trial} final word tables diverge"
+
+
 def test_bpe_pair_counts_deterministic_topn(spark):
     docs = spark.createDataFrame(
         [(1, "aa ab aa ba"), (2, "ab aa")], "doc_id long, text string"

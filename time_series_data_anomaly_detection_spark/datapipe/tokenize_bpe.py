@@ -85,13 +85,31 @@ def _merge_loop(
 ) -> list[tuple[int, str, str, int]]:
     """Local phase: greedy highest-count merge, ties broken by the
     lexicographic pair — deterministic.  Returns
-    ``(rank, left, right, count_at_merge)``."""
+    ``(rank, left, right, count_at_merge)``.
+
+    Incremental pair-count maintenance (the classic Sennrich trainer
+    index: pair → count plus pair → containing-word set): the full
+    corpus-wide count runs ONCE; each merge then touches only the
+    words that actually contain the chosen pair, subtracting their old
+    adjacent-pair contributions and adding the new ones.  Bit-exact
+    equivalent of recounting from scratch every round (pinned by
+    ``test_bpe_merge_loop_known_corpus`` and the incremental-vs-naive
+    sweep in ``test_datapipe.py``) but ~10x faster on the 30k-word
+    vocab head — recount-per-merge was the single heaviest bench cost
+    of ``corpus_to_batches_bpe`` (r08 verdict item #3)."""
     merges: list[tuple[int, str, str, int]] = []
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for k, (syms, freq) in enumerate(words):
+        for a, b in zip(syms, syms[1:]):
+            pr = (a, b)
+            counts[pr] = counts.get(pr, 0) + freq
+            s = where.get(pr)
+            if s is None:
+                where[pr] = {k}
+            else:
+                s.add(k)
     for rank in range(n_merges):
-        counts: dict[tuple[str, str], int] = {}
-        for syms, freq in words:
-            for a, b in zip(syms, syms[1:]):
-                counts[(a, b)] = counts.get((a, b), 0) + freq
         if not counts:
             break
         (left, right), cnt = min(
@@ -101,9 +119,19 @@ def _merge_loop(
             break
         merges.append((rank, left, right, cnt))
         merged = left + right
-        for k, (syms, freq) in enumerate(words):
-            j = 0
+        best = (left, right)
+        for k in sorted(where.get(best, ())):
+            syms, freq = words[k]
+            # retract this word's adjacent pairs from the index
+            for pr in zip(syms, syms[1:]):
+                c = counts[pr] - freq
+                if c:
+                    counts[pr] = c
+                else:
+                    del counts[pr]
+                    del where[pr]
             out = []
+            j = 0
             while j < len(syms):
                 if j + 1 < len(syms) and syms[j] == left and syms[j + 1] == right:
                     out.append(merged)
@@ -112,6 +140,20 @@ def _merge_loop(
                     out.append(syms[j])
                     j += 1
             words[k] = (out, freq)
+            # re-add the merged word's pairs
+            for pr in zip(out, out[1:]):
+                counts[pr] = counts.get(pr, 0) + freq
+                s = where.get(pr)
+                if s is None:
+                    where[pr] = {k}
+                else:
+                    s.add(k)
+            # drop stale membership: pairs this word no longer contains
+            still = set(zip(out, out[1:]))
+            for pr in set(zip(syms, syms[1:])) - still:
+                s = where.get(pr)
+                if s is not None:
+                    s.discard(k)
     return merges
 
 
@@ -174,6 +216,7 @@ def bpe_encode_stats(
     df: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Apply a learned merge list to every document: per-doc BPE token
     count, word count, and chars-per-token compression — the
@@ -181,6 +224,10 @@ def bpe_encode_stats(
     broadcast; encoding runs in Arrow batches via ``mapInPandas``;
     per-batch word memoization collapses the Zipf head so each unique
     word is encoded once per batch).
+
+    ``keep_cols`` are carried through the Arrow batches verbatim —
+    downstream consumers (sequence packing needs ``source``) then skip
+    a second corpus scan + join against the encoder output.
     """
     import re
 
@@ -209,18 +256,23 @@ def bpe_encode_stats(
                 n_tok.append(total)
                 n_words.append(len(words))
                 n_chars.append(chars)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bpe_tokens": pd.array(n_tok, dtype="int64"),
-                    "n_words": pd.array(n_words, dtype="int64"),
-                    "chars_per_token": [
-                        (c / t) if t else 0.0 for c, t in zip(n_chars, n_tok)
-                    ],
-                }
-            )
+            out = {
+                "doc_id": pdf["doc_id"],
+                "n_bpe_tokens": pd.array(n_tok, dtype="int64"),
+                "n_words": pd.array(n_words, dtype="int64"),
+                "chars_per_token": [
+                    (c / t) if t else 0.0 for c, t in zip(n_chars, n_tok)
+                ],
+            }
+            for c in keep_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return df.select("doc_id", text_col).mapInPandas(
+    keep_schema = "".join(
+        f", {c} {df.schema[c].dataType.simpleString()}" for c in keep_cols
+    )
+    return df.select("doc_id", text_col, *keep_cols).mapInPandas(
         encode_batches,
-        "doc_id long, n_bpe_tokens long, n_words long, chars_per_token double",
+        "doc_id long, n_bpe_tokens long, n_words long, chars_per_token double"
+        + keep_schema,
     )

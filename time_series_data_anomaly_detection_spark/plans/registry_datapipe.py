@@ -1835,33 +1835,41 @@ def q_corpus_to_batches_bpe(spark, sf_dir):
     test ties Σ n_tokens to Σ per-doc BPE counts.
 
     100 TB shape: word-freq is one distributed groupBy capped at the
-    vocab head; the merge loop touches only that dimension-sized
-    table; encoding is mapInPandas with per-batch word memoization;
-    packing is the same per-shard window + explode as pack_chunks."""
+    vocab head; the merge loop (incremental pair-count index) touches
+    only that dimension-sized table; encoding is mapInPandas with
+    per-batch word memoization carrying ``source`` through the Arrow
+    batches (packing then needs no second corpus scan); packing is the
+    same per-shard window + explode as pack_chunks.  Only the
+    doc_id-sized keep set is cached — the corpus text is scanned
+    exactly twice (word-freq pass, encode pass), never materialized,
+    which is the only cache that exists at 100 TB."""
     from ..datapipe import corpus_prep
     from ..datapipe.packing import pack_stats_from_counts
     from ..datapipe.tokenize_bpe import bpe_encode_stats, bpe_learn_merges
     from ..session import eager_cache
 
     docs = _docs(spark, sf_dir)
-    kept = (
+    # cache the ID-SIZED keep set (not the text!): the funnel's
+    # near-dup pass runs once; each consumer re-reads the parquet scan
+    # and broadcast-joins the cached ids — cheap, and the shape that
+    # still works when the corpus doesn't fit in cluster memory
+    kept = eager_cache(
         corpus_prep(docs, jaccard_threshold=JACCARD_T)
         .filter(F.col("verdict") == "keep")
         .select("doc_id")
     )
-    # consumed by BOTH the merge learner (word-count job) and the
-    # encoder — cache so the prep funnel's near-dup pass runs once
-    kd = eager_cache(docs.join(kept, "doc_id"))
+    kd = docs.join(F.broadcast(kept), "doc_id")
     merges = [
         (r["left"], r["right"])
         for r in bpe_learn_merges(kd, spark, n_merges=64)
         .orderBy("merge_rank")
         .collect()
     ]
-    counts = bpe_encode_stats(kd, merges).select("doc_id", "n_bpe_tokens")
-    src = kd.select("doc_id", "source").join(counts, "doc_id")
+    counts = bpe_encode_stats(kd, merges, keep_cols=("source",)).select(
+        "doc_id", "source", "n_bpe_tokens"
+    )
     out = pack_stats_from_counts(
-        src, ctx=PACK_CTX, count_col="n_bpe_tokens"
+        counts, ctx=PACK_CTX, count_col="n_bpe_tokens"
     )
     return out.select(
         "source", "chunk_id", "n_docs", "n_tokens", "fill_ratio",

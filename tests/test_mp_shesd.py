@@ -261,6 +261,81 @@ def test_matrix_profile_fixed_matches_operator_tail(spark):
         assert (got["nn_idx"].to_numpy() == nn + 1).mean() > 0.95
 
 
+def test_shesd_fixed_full_matches_esd_core(spark):
+    """The FULL-extent S-H-ESD hash twin (r09): w = least(n, 2048)
+    covers the whole series at small SFs, with λ drawn from the
+    per-w literal table — must agree with the numpy ESD core on the
+    full-series residuals."""
+    import pandas as pd
+
+    from time_series_data_anomaly_detection_spark.functions.shesd import (
+        esd_test,
+    )
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        q_shesd_fixed_full,
+    )
+
+    out = q_shesd_fixed_full(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(out) > 0
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    for sid, grp in ev.groupby("event_type"):
+        x = (
+            grp.sort_values(["ts", "event_id"])["value"]
+            .to_numpy()
+            .astype(float)
+        )
+        x = x[-2048:]
+        n = len(x)
+        assert n >= 128
+        pos = np.arange(n) % 24
+        seasonal = np.array(
+            [np.median(x[pos == p]) for p in range(24)]
+        )
+        detr = x - seasonal[pos]
+        resid = detr - np.median(detr)
+        anoms = set(esd_test(resid, max_anoms=6, alpha=0.05))
+        got = out[out["series_id"] == sid].sort_values("rn")
+        assert len(got) == n
+        np.testing.assert_allclose(
+            got["resid"].to_numpy(), resid, rtol=1e-6, atol=1e-6
+        )
+        flagged = set(np.nonzero(got["anomaly"].to_numpy())[0])
+        assert flagged == anoms, (sid, flagged, anoms)
+
+
+def test_matrix_profile_fixed_full_matches_operator(spark):
+    """The FULL-extent hash twin (r09): w = least(n, 2048) means the
+    whole series at small SFs — it must reproduce matrix_profile_one
+    over each entire series, not a tail window."""
+    import pandas as pd
+
+    from time_series_data_anomaly_detection_spark.functions.matrix_profile import (
+        matrix_profile_one,
+    )
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        q_matrix_profile_fixed_full,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_matrix_profile_fixed_full(spark, sf).toPandas()
+    assert len(out) > 0
+    ev = pd.read_parquet(sf + "/events.parquet")
+    for sid, grp in ev.groupby("event_type"):
+        x = (
+            grp.sort_values(["ts", "event_id"])["value"]
+            .to_numpy()
+            .astype(float)
+        )
+        x = x[-2048:]
+        mp, nn = matrix_profile_one(x, 8)
+        got = out[out["series_id"] == sid].sort_values("rn")
+        assert len(got) == len(mp) == len(x) - 8 + 1
+        np.testing.assert_allclose(
+            got["mp"].to_numpy(), mp, rtol=1e-6, atol=1e-6
+        )
+        assert (got["nn_idx"].to_numpy() == nn + 1).mean() > 0.95
+
+
 def test_shesd_fixed_matches_esd_core(spark):
     """The hash-gated S-H-ESD twin must agree with the numpy ESD core
     (functions/shesd.esd_test) on the same 128-point tail residuals:

@@ -3881,6 +3881,294 @@ FROM best
 """
 
 
+def q_matrix_profile_fixed_full(spark, sf_dir):
+    """FULL-EXTENT hash-gated matrix-profile twin (r08 verdict item
+    #1): same exact per-diagonal prefix-sum QT algebra as
+    ``matrix_profile_fixed``, but over each series' last
+    ``w = least(n, 2048)`` points at m=8 — at the gate SF (sf0.01,
+    ~2000-point series) that is the ENTIRE series, so the hash gate
+    covers the same data extent the rows-only ``matrix_profile``
+    operator processes, not a 128-point tail.  At larger SFs the
+    2048-point cap bounds the O(w²) pair frame (~2M rows/series of
+    pure column algebra) so the query stays benchable; the uncapped
+    scale path is ``matrix_profile_tiled``.
+
+    Parity: ``tests/test_changepoints.py`` pins this twin against
+    ``functions/matrix_profile.py`` scores at m=8 on the same tail."""
+    M = 8
+    W_CAP = 2048
+    EXCL = max(1, M // 2)
+    s = _series(spark, sf_dir).select("series_id", "rn", "value")
+    cnt = (
+        s.groupBy("series_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 64)
+        .withColumn("w", F.least(F.col("n"), F.lit(W_CAP)))
+    )
+    tail = (
+        s.join(F.broadcast(cnt), "series_id")
+        .filter(F.col("rn") > F.col("n") - F.col("w"))
+        .select(
+            "series_id",
+            "rn",
+            "value",
+            (F.col("rn") - (F.col("n") - F.col("w")) - F.lit(1)).alias("j"),
+            "w",
+        )
+    )
+    wj = (
+        Window.partitionBy("series_id")
+        .orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = tail.select(
+        "series_id",
+        "j",
+        "rn",
+        "w",
+        F.sum(F.col("value").cast(DEC_T)).over(wj).alias("c1"),
+        F.sum((F.col("value") * F.col("value")).cast(DEC_T))
+        .over(wj)
+        .alias("c2"),
+    )
+    wl = Window.partitionBy("series_id").orderBy("j")
+    zero = F.lit(0).cast(DEC_T)
+    s1 = (
+        F.lead("c1", M - 1).over(wl) - F.coalesce(F.lag("c1").over(wl), zero)
+    ).cast("double")
+    s2 = (
+        F.lead("c2", M - 1).over(wl) - F.coalesce(F.lag("c2").over(wl), zero)
+    ).cast("double")
+    mu = F.col("s1") / F.lit(float(M))
+    var = F.greatest(
+        F.col("s2") / F.lit(float(M)) - mu * mu, F.lit(0.0)
+    )
+    sig = F.sqrt(var)
+    stats = (
+        cum.select(
+            "series_id", "j", "rn", "w", s1.alias("s1"), s2.alias("s2")
+        )
+        .filter(F.col("j") <= F.col("w") - F.lit(M))
+        .select(
+            "series_id",
+            F.col("j").alias("i"),
+            "rn",
+            mu.alias("mu"),
+            sig.alias("sig"),
+            (
+                sig
+                <= F.lit(1e-7) * F.greatest(F.lit(1.0), F.abs(mu))
+            ).alias("is_const"),
+        )
+    )
+    # pair generation: NOT a join on series_id (5 keys -> 5 tasks for
+    # an O(w²) frame); instead each row map-side EXPLODES its diagonal
+    # range and fetches the partner value via a BROADCAST equi-join on
+    # (series_id, jb) — the 10M-row pair frame is produced in parallel
+    # across however many partitions the repartition spreads the tail
+    # over, with zero shuffle before the per-diagonal cumsum
+    t2 = tail.select(
+        "series_id", F.col("j").alias("jb"), F.col("value").alias("vb")
+    )
+    d_hi = F.least(
+        F.col("w") - F.lit(M), F.col("w") - F.lit(1) - F.col("j")
+    ).cast("int")
+    exploded = (
+        tail.repartition(64, "series_id", "j")
+        .select(
+            "series_id",
+            "j",
+            "w",
+            F.col("value").alias("va"),
+            F.explode(
+                F.when(
+                    d_hi >= F.lit(EXCL + 1),
+                    F.sequence(F.lit(EXCL + 1), d_hi),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("d"),
+        )
+        .withColumn("jb", F.col("j") + F.col("d"))
+    )
+    prods = exploded.join(F.broadcast(t2), ["series_id", "jb"]).select(
+        "series_id",
+        "d",
+        "j",
+        "w",
+        (F.col("va") * F.col("vb")).alias("p"),
+    )
+    wd = (
+        Window.partitionBy("series_id", "d")
+        .orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wdl = Window.partitionBy("series_id", "d").orderBy("j")
+    pc = prods.select(
+        "series_id",
+        "d",
+        "j",
+        "w",
+        F.sum(F.col("p").cast(DEC_T)).over(wd).alias("cp"),
+    )
+    qt = (
+        pc.select(
+            "series_id",
+            "d",
+            "j",
+            "w",
+            (
+                F.lead("cp", M - 1).over(wdl)
+                - F.coalesce(F.lag("cp").over(wdl), zero)
+            ).cast("double").alias("qt"),
+        )
+        .filter(
+            F.col("qt").isNotNull()
+            & (F.col("j") + F.col("d") <= F.col("w") - F.lit(M))
+        )
+        .select("series_id", F.col("j").alias("i"), "d", "qt")
+    )
+    sa = stats.select(
+        "series_id", "i", F.col("rn").alias("rn_a"),
+        F.col("mu").alias("mu_a"), F.col("sig").alias("sig_a"),
+        F.col("is_const").alias("ca"),
+    )
+    sb = stats.select(
+        "series_id", F.col("i").alias("ib"), F.col("rn").alias("rn_b"),
+        F.col("mu").alias("mu_b"), F.col("sig").alias("sig_b"),
+        F.col("is_const").alias("cb"),
+    )
+    pr = (
+        qt.withColumn("ib", F.col("i") + F.col("d"))
+        .join(F.broadcast(sa), ["series_id", "i"])
+        .join(F.broadcast(sb), ["series_id", "ib"])
+    )
+    mm = F.lit(float(M))
+    ssafe_a = F.when(F.col("ca"), F.lit(1.0)).otherwise(F.col("sig_a"))
+    ssafe_b = F.when(F.col("cb"), F.lit(1.0)).otherwise(F.col("sig_b"))
+    d2 = (
+        F.when(F.col("ca") & F.col("cb"), F.lit(0.0))
+        .when(F.col("ca") | F.col("cb"), F.lit(2.0) * mm)
+        .otherwise(
+            F.lit(2.0)
+            * mm
+            * (
+                F.lit(1.0)
+                - (F.col("qt") - mm * F.col("mu_a") * F.col("mu_b"))
+                / (mm * ssafe_a * ssafe_b)
+            )
+        )
+    )
+    both = pr.select(
+        "series_id",
+        F.col("i").alias("wi"),
+        F.col("rn_a").alias("rn"),
+        d2.alias("d2"),
+        F.col("ib").alias("nn"),
+    ).unionByName(
+        pr.select(
+            "series_id",
+            F.col("ib").alias("wi"),
+            F.col("rn_b").alias("rn"),
+            d2.alias("d2"),
+            F.col("i").alias("nn"),
+        )
+    )
+    best = both.groupBy("series_id", "wi", "rn").agg(
+        F.min(F.struct("d2", "nn")).alias("b")
+    )
+    return best.select(
+        "series_id",
+        "rn",
+        _rnd(
+            F.sqrt(F.greatest(F.col("b.d2"), F.lit(0.0))), R
+        ).alias("mp"),
+        (F.col("b.nn") + F.lit(1)).cast("long").alias("nn_idx"),
+    )
+
+
+ORACLES["matrix_profile_fixed_full"] = f"""
+WITH {SQL_S},
+cnt AS (
+  SELECT series_id, count(*) AS n, least(count(*), 2048) AS w
+  FROM s GROUP BY 1
+  HAVING count(*) >= 64),
+tl AS (
+  SELECT s.series_id, s.rn, s.value, s.rn - (c.n - c.w) - 1 AS j, c.w
+  FROM s JOIN cnt c USING (series_id)
+  WHERE s.rn > c.n - c.w),
+cum AS (
+  SELECT series_id, j, rn, w,
+         sum(CAST(value AS DECIMAL(38,12))) OVER wj AS c1,
+         sum(CAST(value * value AS DECIMAL(38,12))) OVER wj AS c2
+  FROM tl
+  WINDOW wj AS (PARTITION BY series_id ORDER BY j
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+segs AS (
+  SELECT series_id, j, rn, w,
+         CAST(lead(c1, 7) OVER wl
+              - coalesce(lag(c1) OVER wl, CAST(0 AS DECIMAL(38,12)))
+              AS DOUBLE) AS s1,
+         CAST(lead(c2, 7) OVER wl
+              - coalesce(lag(c2) OVER wl, CAST(0 AS DECIMAL(38,12)))
+              AS DOUBLE) AS s2
+  FROM cum
+  WINDOW wl AS (PARTITION BY series_id ORDER BY j)),
+stats AS (
+  SELECT series_id, j AS i, rn,
+         s1 / 8.0 AS mu,
+         sqrt(greatest(s2 / 8.0 - (s1 / 8.0) * (s1 / 8.0), 0.0)) AS sig,
+         sqrt(greatest(s2 / 8.0 - (s1 / 8.0) * (s1 / 8.0), 0.0))
+           <= 1e-7 * greatest(1.0, abs(s1 / 8.0)) AS is_const
+  FROM segs WHERE j <= w - 8),
+prods AS (
+  SELECT a.series_id, b.j - a.j AS d, a.j, a.w,
+         a.value * b.value AS p
+  FROM tl a JOIN tl b ON b.series_id = a.series_id
+  WHERE b.j - a.j > 4 AND b.j - a.j <= a.w - 8),
+pc AS (
+  SELECT series_id, d, j, w,
+         sum(CAST(p AS DECIMAL(38,12))) OVER wd AS cp
+  FROM prods
+  WINDOW wd AS (PARTITION BY series_id, d ORDER BY j
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+qt AS (
+  SELECT series_id, j AS i, d,
+         CAST(lead(cp, 7) OVER wdl
+              - coalesce(lag(cp) OVER wdl, CAST(0 AS DECIMAL(38,12)))
+              AS DOUBLE) AS qt
+  FROM pc
+  WINDOW wdl AS (PARTITION BY series_id, d ORDER BY j)
+  QUALIFY qt IS NOT NULL AND j + d <= w - 8),
+pr AS (
+  SELECT q.series_id, q.i, q.i + q.d AS ib, q.qt,
+         a.rn AS rn_a, a.mu AS mu_a, a.sig AS sig_a, a.is_const AS ca,
+         b.rn AS rn_b, b.mu AS mu_b, b.sig AS sig_b, b.is_const AS cb
+  FROM qt q
+  JOIN stats a ON a.series_id = q.series_id AND a.i = q.i
+  JOIN stats b ON b.series_id = q.series_id AND b.i = q.i + q.d),
+dd AS (
+  SELECT series_id, i, ib, rn_a, rn_b,
+         CASE WHEN ca AND cb THEN 0.0
+              WHEN ca OR cb THEN 2.0 * 8.0
+              ELSE 2.0 * 8.0 * (1.0 - (qt - 8.0 * mu_a * mu_b)
+                   / (8.0 * (CASE WHEN ca THEN 1.0 ELSE sig_a END)
+                          * (CASE WHEN cb THEN 1.0 ELSE sig_b END)))
+         END AS d2
+  FROM pr),
+bth AS (
+  SELECT series_id, i AS wi, rn_a AS rn, d2, ib AS nn FROM dd
+  UNION ALL
+  SELECT series_id, ib AS wi, rn_b AS rn, d2, i AS nn FROM dd),
+best AS (
+  SELECT series_id, wi, rn,
+         min({{'d2': d2, 'nn': nn}}) AS b
+  FROM bth GROUP BY 1, 2, 3)
+SELECT series_id, rn,
+       round(sqrt(greatest(b.d2, 0.0)), {R}) AS mp,
+       CAST(b.nn + 1 AS BIGINT) AS nn_idx
+FROM best
+"""
+
+
 def q_matrix_profile_tiled(spark, sf_dir):
     """The matrix profile's 100 TB path, exercised as its own gate
     query: SCAMP-style tile-pair decomposition (Zimmerman et al. SoCC
@@ -4174,6 +4462,281 @@ FROM rz r JOIN an a USING (series_id)
 
 
 ORACLES["shesd_fixed"] = _shesd_fixed_sql()
+
+
+# λ critical values for EVERY test-set size the full-extent twin can
+# see (w = least(n, 2048), n >= 128) — one shared literal table, so
+# the t-quantile transcendental chain never runs inside either engine
+# (the literal-table recipe that made harmonic_forecast_fixed exact)
+_SHESD_LAM_TABLE = [
+    (w, *_shesd_lams(w)) for w in range(128, 2049)
+]
+
+
+def q_shesd_fixed_full(spark, sf_dir):
+    """FULL-EXTENT hash-gated S-H-ESD twin (r08 verdict item #1): the
+    same unrolled K=6 generalized-ESD rounds as ``shesd_fixed``, but
+    over each series' last ``w = least(n, 2048)`` points — the ENTIRE
+    series at the gate SF (sf0.01, ~2000 points), so the hash gate
+    covers the extent the rows-only ``shesd_flags`` operator processes.
+
+    The ESD critical values λ_i depend on the test-set size, so the
+    twin joins a shared literal table (``_SHESD_LAM_TABLE``: λ_1..λ_6
+    for every w in [128, 2048], precomputed from the engine's own
+    t-quantile and rounded to 12 decimals) instead of baking a single
+    n=128 constant — Spark gets it as a broadcast frame, DuckDB as a
+    VALUES list, both parsing the identical decimal literals."""
+    W_CAP, PERIOD, K = 2048, 24, 6
+    s = _series(spark, sf_dir).select("series_id", "rn", "value")
+    cnt = (
+        s.groupBy("series_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 128)
+        .withColumn("w", F.least(F.col("n"), F.lit(W_CAP)))
+    )
+    tail = (
+        s.join(F.broadcast(cnt), "series_id")
+        .filter(F.col("rn") > F.col("n") - F.col("w"))
+        .select(
+            "series_id",
+            "rn",
+            "value",
+            (F.col("rn") - (F.col("n") - F.col("w")) - F.lit(1)).alias("j"),
+        )
+        .withColumn("pos", (F.col("j") % F.lit(PERIOD)).cast("int"))
+    )
+    seas = tail.groupBy("series_id", "pos").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("seasonal")
+    )
+    detr = tail.join(F.broadcast(seas), ["series_id", "pos"]).withColumn(
+        "detr", F.col("value") - F.col("seasonal")
+    )
+    medall = detr.groupBy("series_id").agg(
+        F.percentile(F.col("detr"), F.lit(0.5)).alias("med_all")
+    )
+    rz = detr.join(F.broadcast(medall), "series_id").withColumn(
+        "resid", F.col("detr") - F.col("med_all")
+    )
+    lam_df = spark.createDataFrame(
+        _SHESD_LAM_TABLE,
+        "w int, lam1 double, lam2 double, lam3 double, "
+        "lam4 double, lam5 double, lam6 double",
+    )
+    ser = (
+        rz.groupBy("series_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("j").cast("int").alias("idx"),
+                            F.col("resid").alias("v"),
+                        )
+                    )
+                ),
+                lambda t: F.struct(t["v"].alias("v"), t["idx"].alias("idx")),
+            ).alias("st0"),
+        )
+        .withColumn("cands0", F.array().cast("array<int>"))
+        .withColumn("ndet0", F.lit(0))
+        .join(
+            F.broadcast(cnt.select("series_id", F.col("w").cast("int").alias("w"))),
+            "series_id",
+        )
+        .join(F.broadcast(lam_df), "w")
+    )
+
+    def arr_median(ls):
+        m = F.size(ls)
+        half = (m / F.lit(2)).cast("int")
+        return F.when(
+            m % 2 == 1,
+            F.element_at(ls, ((m + F.lit(1)) / F.lit(2)).cast("int")),
+        ).otherwise(
+            (F.element_at(ls, half) + F.element_at(ls, half + F.lit(1)))
+            / F.lit(2.0)
+        )
+
+    for i in range(1, K + 1):
+        p = f"st{i - 1}"
+        av_sorted = F.array_sort(F.transform(F.col(p), lambda t: t["v"]))
+        ser = ser.withColumn(f"med{i}", arr_median(av_sorted))
+        ad_sorted = F.array_sort(
+            F.transform(F.col(p), lambda t: F.abs(t["v"] - F.col(f"med{i}")))
+        )
+        ser = ser.withColumn(
+            f"mad{i}", F.lit(1.4826) * arr_median(ad_sorted)
+        )
+        med_i, mad_i = F.col(f"med{i}"), F.col(f"mad{i}")
+        best = F.aggregate(
+            F.col(p),
+            F.struct(
+                F.lit(float("-inf")).alias("score"), F.lit(-1).alias("idx")
+            ),
+            lambda a, t: F.when(
+                F.abs(t["v"] - med_i) / mad_i > a["score"],
+                F.struct(
+                    (F.abs(t["v"] - med_i) / mad_i).alias("score"),
+                    t["idx"].alias("idx"),
+                ),
+            ).otherwise(a),
+        )
+        ser = ser.withColumn(f"best{i}", best)
+        ok = mad_i >= F.lit(1e-12)
+        bi = F.col(f"best{i}")
+        ser = (
+            ser.withColumn(
+                f"st{i}",
+                F.when(
+                    ok,
+                    F.filter(F.col(p), lambda t: t["idx"] != bi["idx"]),
+                ).otherwise(F.col(p)),
+            )
+            .withColumn(
+                f"cands{i}",
+                F.when(
+                    ok,
+                    F.concat(
+                        F.col(f"cands{i - 1}"), F.array(bi["idx"])
+                    ),
+                ).otherwise(F.col(f"cands{i - 1}")),
+            )
+            .withColumn(
+                f"ndet{i}",
+                F.when(
+                    ok & (bi["score"] > F.col(f"lam{i}")),
+                    F.lit(i),
+                ).otherwise(F.col(f"ndet{i - 1}")),
+            )
+        )
+    anoms = ser.select(
+        "series_id",
+        F.slice(F.col(f"cands{K}"), 1, F.col(f"ndet{K}")).alias("anoms"),
+    )
+    out = rz.join(F.broadcast(anoms), "series_id")
+    return out.select(
+        "series_id",
+        "rn",
+        _rnd("value", R).alias("value"),
+        _rnd("resid", R).alias("resid"),
+        F.array_contains(
+            F.col("anoms"), F.col("j").cast("int")
+        ).cast("int").alias("anomaly"),
+    )
+
+
+def _shesd_fixed_full_sql() -> str:
+    """DuckDB mirror of q_shesd_fixed_full: the K=6 rounds unroll as
+    CTE blocks exactly like ``_shesd_fixed_sql``, but λ comes from the
+    shared per-w literal table instead of n=128 constants."""
+    lam_rows = ",\n".join(
+        "(%d, %.12f, %.12f, %.12f, %.12f, %.12f, %.12f)" % row
+        for row in _SHESD_LAM_TABLE
+    )
+    steps = []
+    for i in range(1, 7):
+        p = f"s{i - 1}"
+        steps.append(f"""
+m{i} AS (
+  SELECT series_id, st, cands, ndet, lam{i},
+         {"lam" + ", lam".join(str(k) for k in range(i + 1, 7)) + "," if i < 6 else ""}
+         list_sort(list_transform(st, t -> t.v)) AS ls
+  FROM {p}),
+m{i}b AS (
+  SELECT * EXCLUDE (ls),
+         CASE WHEN len(ls) % 2 = 1 THEN ls[(len(ls) + 1) // 2]
+              ELSE (ls[len(ls) // 2] + ls[len(ls) // 2 + 1]) / 2.0
+         END AS med
+  FROM m{i}),
+m{i}c AS (
+  SELECT * EXCLUDE (med), med,
+         list_sort(list_transform(st, t -> abs(t.v - med))) AS ad
+  FROM m{i}b),
+m{i}d AS (
+  SELECT * EXCLUDE (ad, med), med,
+         1.4826 * (CASE WHEN len(ad) % 2 = 1 THEN ad[(len(ad) + 1) // 2]
+                        ELSE (ad[len(ad) // 2] + ad[len(ad) // 2 + 1]) / 2.0
+                   END) AS mad
+  FROM m{i}c),
+m{i}e AS (
+  SELECT * EXCLUDE (med, mad), med, mad,
+         list_reduce(
+           list_transform(st, t -> {{'score': abs(t.v - med) / mad,
+                                     'idx': t.idx}}),
+           (a, b) -> CASE WHEN b.score > a.score THEN b ELSE a END)
+           AS best
+  FROM m{i}d),
+s{i} AS (
+  SELECT series_id,
+         {"lam" + ", lam".join(str(k) for k in range(i + 1, 7)) + "," if i < 6 else ""}
+         CASE WHEN mad >= 1e-12
+              THEN list_filter(st, t -> t.idx != best.idx)
+              ELSE st END AS st,
+         CASE WHEN mad >= 1e-12
+              THEN list_append(cands, best.idx)
+              ELSE cands END AS cands,
+         CASE WHEN mad >= 1e-12 AND best.score > lam{i}
+              THEN {i} ELSE ndet END AS ndet
+  FROM m{i}e)""")
+    step_sql = ",".join(steps)
+    return f"""
+WITH {SQL_S},
+lams(w, lam1, lam2, lam3, lam4, lam5, lam6) AS (VALUES
+{lam_rows}),
+cnt AS (
+  SELECT series_id, count(*) AS n,
+         CAST(least(count(*), 2048) AS INT) AS w
+  FROM s GROUP BY 1
+  HAVING count(*) >= 128),
+tl AS (
+  SELECT s.series_id, s.rn, s.value,
+         s.rn - (c.n - c.w) - 1 AS j,
+         CAST((s.rn - (c.n - c.w) - 1) % 24 AS INT) AS pos
+  FROM s JOIN cnt c USING (series_id)
+  WHERE s.rn > c.n - c.w),
+seas AS (
+  SELECT series_id, pos, quantile_cont(value, 0.5) AS seasonal
+  FROM tl GROUP BY 1, 2),
+detr AS (
+  SELECT t.series_id, t.rn, t.j, t.value,
+         t.value - se.seasonal AS detr
+  FROM tl t JOIN seas se ON se.series_id = t.series_id
+                        AND se.pos = t.pos),
+medall AS (
+  SELECT series_id, quantile_cont(detr, 0.5) AS med_all
+  FROM detr GROUP BY 1),
+rz AS (
+  SELECT d.series_id, d.rn, d.j, d.value,
+         d.detr - m.med_all AS resid
+  FROM detr d JOIN medall m USING (series_id)),
+s0 AS (
+  SELECT g.series_id,
+         l.lam1, l.lam2, l.lam3, l.lam4, l.lam5, l.lam6,
+         g.st, g.cands, g.ndet
+  FROM (
+    SELECT series_id,
+           list_transform(
+             list_sort(list(
+               {{'idx': CAST(j AS INT), 'v': resid}})),
+             t -> {{'v': t.v, 'idx': t.idx}}) AS st,
+           []::INT[] AS cands,
+           0 AS ndet
+    FROM rz GROUP BY 1) g
+  JOIN cnt c USING (series_id)
+  JOIN lams l ON l.w = c.w),
+{step_sql},
+an AS (
+  SELECT series_id, cands[1:ndet] AS anoms FROM s6)
+SELECT r.series_id, r.rn,
+       round(r.value, {R}) AS value,
+       round(r.resid, {R}) AS resid,
+       CAST(CASE WHEN list_contains(a.anoms, CAST(r.j AS INT))
+            THEN 1 ELSE 0 END AS INT) AS anomaly
+FROM rz r JOIN an a USING (series_id)
+"""
+
+
+ORACLES["shesd_fixed_full"] = _shesd_fixed_full_sql()
 
 
 def _baseline_long(s):
@@ -8161,9 +8724,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_profile": q_matrix_profile,
         # fixed 128-point tail profile (prefix-sum QT, hash-gated)
         "matrix_profile_fixed": q_matrix_profile_fixed,
+        "matrix_profile_fixed_full": q_matrix_profile_fixed_full,
         "shesd_flags": q_shesd_flags,
         # fixed 128-point tail S-H-ESD twin (unrolled ESD, hash-gated)
         "shesd_fixed": q_shesd_fixed,
+        "shesd_fixed_full": q_shesd_fixed_full,
         "trend_test": q_trend_test,
         # M4 pixel downsampling, EVT/POT threshold, pairwise rolling
         # corr, decompose-residual anomaly composite

@@ -482,3 +482,50 @@ def test_acf_fft_agrees_with_stack_plan(spark):
     tiny = series_df(spark, [1.0, 2.0, 1.5, 3.0], series_id="t")
     t = acf_fft(tiny, max_lag=10).toPandas()
     assert list(t["lag"]) == [1, 2, 3]
+
+
+def test_acf_fft_fixed_twin_matches_operator(spark):
+    """The hash-gated literal-twiddle DFT twin (r09) must reproduce
+    the numpy-rFFT operator on the same 64-point tail at lags 1..16 —
+    same demean, same nfft=128 zero-padding, same Wiener–Khinchin
+    normalization; only the twiddle source differs (12-dp literals vs
+    libm), bounded well inside 1e-6."""
+    import pandas as pd
+
+    from time_series_data_anomaly_detection_spark.operators.acf import (
+        acf_fft,
+    )
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        q_acf_fft_fixed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_acf_fft_fixed(spark, sf)
+        .toPandas()
+        .sort_values(["series_id", "lag"])
+    )
+    assert len(got) > 0
+    ev = pd.read_parquet(sf + "/events.parquet")
+    tails = []
+    for sid, grp in ev.groupby("event_type"):
+        g = grp.sort_values(["ts", "event_id"]).tail(64)
+        tails.append(
+            pd.DataFrame(
+                {
+                    "series_id": sid,
+                    "rn": np.arange(1, len(g) + 1),
+                    "value": g["value"].to_numpy(float),
+                }
+            )
+        )
+    tail_df = spark.createDataFrame(pd.concat(tails))
+    want = (
+        acf_fft(tail_df, max_lag=16)
+        .toPandas()
+        .sort_values(["series_id", "lag"])
+    )
+    assert len(got) == len(want)
+    np.testing.assert_allclose(
+        got["acf"].to_numpy(), want["acf"].to_numpy(), atol=1e-6
+    )

@@ -185,6 +185,79 @@ def test_bpe_incremental_matches_naive_recount():
         assert w1 == w2, f"trial {trial} final word tables diverge"
 
 
+def test_bpe_encode_fixed_matches_arrow_encoder(spark):
+    """The hash-gated unrolled-apply twin must agree EXACTLY (integer
+    counts) with the Arrow greedy encoder on the same pinned merges —
+    same lowest-rank-first loop, two execution strategies."""
+    from time_series_data_anomaly_detection_spark.datapipe.tokenize_bpe import (
+        bpe_encode_stats,
+    )
+    from time_series_data_anomaly_detection_spark.plans.registry_datapipe import (
+        _BPE_FIXED_MERGES,
+        _docs,
+        q_bpe_encode_fixed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_bpe_encode_fixed(spark, sf)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        bpe_encode_stats(_docs(spark, sf), list(_BPE_FIXED_MERGES))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert (got["doc_id"] == want["doc_id"]).all()
+    assert (got["n_bpe_tokens"] == want["n_bpe_tokens"]).all()
+    assert (got["n_words"] == want["n_words"]).all()
+    np.testing.assert_allclose(
+        got["chars_per_token"].to_numpy(),
+        want["chars_per_token"].to_numpy(),
+        atol=1e-6,
+    )
+    # adversarial overlap/chaining words through BOTH paths
+    toy = spark.createDataFrame(
+        [
+            (1, "erer ererer inin joinjoin hashhash"),
+            (2, "rowrow owow stst parpar asas eeee"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    g2 = (
+        _encode_fixed_on(toy, spark)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    w2 = (
+        bpe_encode_stats(toy, list(_BPE_FIXED_MERGES))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (g2["n_bpe_tokens"] == w2["n_bpe_tokens"]).all()
+    assert (g2["n_words"] == w2["n_words"]).all()
+
+
+def _encode_fixed_on(docs_df, spark):
+    """Run the q_bpe_encode_fixed plan on an arbitrary docs frame by
+    monkey-patching its _docs loader."""
+    import time_series_data_anomaly_detection_spark.plans.registry_datapipe as rd
+
+    orig = rd._docs
+    rd._docs = lambda s, d: docs_df
+    try:
+        return rd.q_bpe_encode_fixed(spark, "ignored")
+    finally:
+        rd._docs = orig
+
+
 def test_bpe_pair_counts_deterministic_topn(spark):
     docs = spark.createDataFrame(
         [(1, "aa ab aa ba"), (2, "ab aa")], "doc_id long, text string"

@@ -639,6 +639,175 @@ def q_acf_fft(spark, sf_dir):
     return out.select("series_id", "lag", _rnd("acf", R).alias("acf"))
 
 
+def _dft_twiddles(nfft: int = 128):
+    """Shared cos/sin literal table for the fixed-DFT twin — computed
+    once in Python, rounded to 12 decimals, fed to BOTH engines (the
+    literal-table recipe: decimal literals parse to identical doubles,
+    so no transcendental ever runs inside either engine)."""
+    import math
+
+    return [
+        (
+            r,
+            round(math.cos(2.0 * math.pi * r / nfft), 12),
+            round(math.sin(2.0 * math.pi * r / nfft), 12),
+        )
+        for r in range(nfft)
+    ]
+
+
+_DFT_TW = _dft_twiddles(128)
+
+
+def q_acf_fft_fixed(spark, sf_dir):
+    """Hash-gated fixed twin of the FFT-ACF path (r08 verdict item
+    #5): the frequency-domain Wiener–Khinchin pipeline — DFT → power
+    spectrum → inverse DFT — run EXACTLY in both engines on each
+    series' last 64 points, zero-padded to nfft=128 (the operator's
+    ``1 << ceil(log2(2n))`` convention), lags 1..16.
+
+    The one transcendental (the twiddle basis) arrives as DATA: a
+    shared 128-row cos/sin literal table indexed by ``(k·t) mod 128``
+    — the DFT reduces to fixed products + exact-decimal sums, so the
+    twin gates the SPECTRAL ALGORITHM (not just its time-domain
+    equivalent, which ``acf``/``acf_statsmodels`` already gate).
+    Parity with ``operators/acf.acf_fft`` (numpy rFFT) is pinned at
+    1e-6 in tests/test_control_robust.py; the full-length FFT
+    operator stays rows-only."""
+    N, NF, K = 64, 128, 16
+    tw = spark.createDataFrame(_DFT_TW, "r int, c double, sn double")
+    s = _series(spark, sf_dir).select("series_id", "rn", "value")
+    cnt = (
+        s.groupBy("series_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= N)
+    )
+    tail = (
+        s.join(F.broadcast(cnt), "series_id")
+        .filter(F.col("rn") > F.col("n") - N)
+        .select(
+            "series_id",
+            (F.col("rn") - (F.col("n") - F.lit(N)) - F.lit(1))
+            .cast("int")
+            .alias("t"),
+            "value",
+        )
+    )
+    mu = tail.groupBy("series_id").agg(
+        (
+            F.sum(F.col("value").cast(DEC_T)).cast("double")
+            / F.lit(float(N))
+        ).alias("mu")
+    )
+    xc = tail.join(F.broadcast(mu), "series_id").select(
+        "series_id", "t", (F.col("value") - F.col("mu")).alias("xc")
+    )
+    # DFT: X_k = sum_t xc_t * (cos - i*sin)(2*pi*k*t/NF), k = 0..127 —
+    # the (k*t) mod NF index folds every twiddle into the literal table
+    terms = (
+        xc.select(
+            "series_id",
+            "xc",
+            F.explode(F.sequence(F.lit(0), F.lit(NF - 1))).alias("k"),
+            "t",
+        )
+        .withColumn("r", (F.col("k") * F.col("t")) % F.lit(NF))
+        .join(F.broadcast(tw), "r")
+    )
+    spec = terms.groupBy("series_id", "k").agg(
+        F.sum((F.col("xc") * F.col("c")).cast(DEC_T))
+        .cast("double")
+        .alias("re"),
+        F.sum((F.col("xc") * F.col("sn")).cast(DEC_T))
+        .cast("double")
+        .alias("im"),
+    )
+    power = spec.select(
+        "series_id",
+        "k",
+        (F.col("re") * F.col("re") + F.col("im") * F.col("im")).alias("p"),
+    )
+    # inverse DFT of the (symmetric, real) power spectrum at lags
+    # 0..16: acov_j ∝ sum_k p_k cos(2*pi*k*j/NF)
+    acov = (
+        power.select(
+            "series_id",
+            "p",
+            F.explode(F.sequence(F.lit(0), F.lit(K))).alias("lag"),
+            "k",
+        )
+        .withColumn("r", (F.col("k") * F.col("lag")) % F.lit(NF))
+        .join(F.broadcast(tw.select("r", "c")), "r")
+        .groupBy("series_id", "lag")
+        .agg(
+            F.sum((F.col("p") * F.col("c")).cast(DEC_T))
+            .cast("double")
+            .alias("s")
+        )
+    )
+    a0 = acov.filter(F.col("lag") == 0).select(
+        "series_id", F.col("s").alias("s0")
+    )
+    return (
+        acov.filter(F.col("lag") >= 1)
+        .join(F.broadcast(a0), "series_id")
+        .select(
+            "series_id",
+            F.col("lag").cast("int").alias("lag"),
+            _rnd(F.col("s") / F.col("s0"), R).alias("acf"),
+        )
+    )
+
+
+def _acf_fft_fixed_sql() -> str:
+    tw_rows = ",".join(
+        "(%d, %.12f, %.12f)" % row for row in _DFT_TW
+    )
+    return f"""
+WITH {SQL_S},
+tw(r, c, sn) AS (VALUES {tw_rows}),
+cnt AS (
+  SELECT series_id, count(*) AS n FROM s GROUP BY 1
+  HAVING count(*) >= 64),
+tl AS (
+  SELECT s.series_id,
+         CAST(s.rn - (c.n - 64) - 1 AS INT) AS t, s.value
+  FROM s JOIN cnt c USING (series_id)
+  WHERE s.rn > c.n - 64),
+mu AS (
+  SELECT series_id,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / 64.0 AS mu
+  FROM tl GROUP BY 1),
+xc AS (
+  SELECT t.series_id, t.t, t.value - m.mu AS xc
+  FROM tl t JOIN mu m USING (series_id)),
+terms AS (
+  SELECT x.series_id, x.xc, f.k,
+         (f.k * x.t) % 128 AS r
+  FROM xc x CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS k) f),
+spec AS (
+  SELECT te.series_id, te.k,
+         CAST(sum(CAST(te.xc * w.c AS DECIMAL(38,12))) AS DOUBLE) AS re,
+         CAST(sum(CAST(te.xc * w.sn AS DECIMAL(38,12))) AS DOUBLE) AS im
+  FROM terms te JOIN tw w ON w.r = te.r
+  GROUP BY 1, 2),
+pw AS (
+  SELECT series_id, k, re * re + im * im AS p FROM spec),
+acov AS (
+  SELECT pw.series_id, l.lag,
+         CAST(sum(CAST(pw.p * w.c AS DECIMAL(38,12))) AS DOUBLE) AS sm
+  FROM pw
+  CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS lag) l
+  JOIN tw w ON w.r = (pw.k * l.lag) % 128
+  GROUP BY 1, 2),
+a0 AS (SELECT series_id, sm AS s0 FROM acov WHERE lag = 0)
+SELECT a.series_id, CAST(a.lag AS INT) AS lag,
+       round(a.sm / z.s0, {R}) AS acf
+FROM acov a JOIN a0 z USING (series_id)
+WHERE a.lag >= 1
+"""
+
+
 def q_pacf(spark, sf_dir):
     from ..operators.acf import pacf
 
@@ -4462,6 +4631,7 @@ FROM rz r JOIN an a USING (series_id)
 
 
 ORACLES["shesd_fixed"] = _shesd_fixed_sql()
+ORACLES["acf_fft_fixed"] = _acf_fft_fixed_sql()
 
 
 # λ critical values for EVERY test-set size the full-extent twin can
@@ -8650,6 +8820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf": q_acf,
         "acf_statsmodels": q_acf_statsmodels,
         "acf_fft": q_acf_fft,
+        "acf_fft_fixed": q_acf_fft_fixed,
         "hbos_flags": q_hbos_flags,
         "sax_words": q_sax_words,
         "sax_mindist": q_sax_mindist,

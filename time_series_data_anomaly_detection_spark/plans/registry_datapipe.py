@@ -2928,6 +2928,224 @@ def q_mixture_schedule(spark, sf_dir):
     return mixture_schedule(_docs(spark, sf_dir))
 
 
+# Pinned 16-merge tokenizer for the hash-gated encode twin: learned
+# ONCE by the engine's own trainer (bpe_learn_merges, sf0.01 corpus)
+# and frozen as literals — applying a FROZEN tokenizer is exactly what
+# production encode does, and with the merge list fixed the greedy
+# lowest-rank-first apply loop unrolls into pure table algebra.
+_BPE_FIXED_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
+    ("a", "r"), ("p", "ar"), ("j", "o"), ("jo", "in"),
+    ("a", "s"), ("as", "h"), ("h", "ash"), ("r", "ow"),
+]
+# apply-rounds to unroll: each round applies ONE merge type (the
+# lowest rank present) across the word and shortens it by >=1 symbol,
+# so maxlen-1 rounds always reach the fixed point; corpus words are
+# <= 8 chars (and the round is an identity once no pair applies)
+_BPE_ENC_ROUNDS = 7
+_BPE_NO_RANK = 999
+
+
+def q_bpe_encode_fixed(spark, sf_dir):
+    """Hash-gated fixed twin of ``bpe_encode`` (r08 verdict item #6):
+    apply the PINNED merge list ``_BPE_FIXED_MERGES`` to every
+    document with the same greedy lowest-rank-first loop as
+    ``tokenize_bpe._encode_word`` — unrolled to ``_BPE_ENC_ROUNDS``
+    rounds of pure column algebra, so DuckDB mirrors it exactly.
+
+    Per round, on the char-symbol array of each DISTINCT word (the
+    vocabulary — dimension-sized, never the corpus): rank every
+    adjacent pair against the merge literals, take the array-min rank,
+    and left-fold the matched merge through the array (the fold is
+    bit-equivalent to the scan-and-skip apply: a merged token can
+    never be the LEFT of its own rule in the same pass).  Token counts
+    then join back to per-doc word occurrences — encoding cost scales
+    with |vocab|, the corpus only pays the word explode + one groupBy.
+    Parity with the Arrow encoder on the same pinned merges is exact
+    (integer counts) in tests/test_trend_spectral_bpe.py."""
+    from ..datapipe.tokenize_bpe import WORD_RE
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+        ).alias("word"),
+    )
+    wpd = words.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    vocab = wpd.select("word").distinct()
+    enc = vocab.withColumn(
+        "syms",
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.substring(F.col("word"), i, 1),
+        ),
+    )
+
+    def _case_chain(sel, default):
+        """best-rank -> literal lookup as a when-chain."""
+        expr = F.lit(default)
+        for rank in range(len(_BPE_FIXED_MERGES) - 1, -1, -1):
+            expr = F.when(
+                F.col("best") == rank, F.lit(sel(rank))
+            ).otherwise(expr)
+        return expr
+
+    def pair_rank(i):
+        syms = F.col("syms")
+        expr = F.lit(_BPE_NO_RANK)
+        for r in range(len(_BPE_FIXED_MERGES) - 1, -1, -1):
+            lft, rgt = _BPE_FIXED_MERGES[r]
+            expr = F.when(
+                (F.element_at(syms, i) == lft)
+                & (F.element_at(syms, i + F.lit(1)) == rgt),
+                F.lit(r),
+            ).otherwise(expr)
+        return expr
+
+    for _ in range(_BPE_ENC_ROUNDS):
+        syms = F.col("syms")
+        enc = enc.withColumn(
+            "best",
+            F.when(
+                F.size(syms) >= 2,
+                F.array_min(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(syms) - 1), pair_rank
+                    )
+                ),
+            ).otherwise(F.lit(_BPE_NO_RANK)),
+        )
+        lft = _case_chain(lambda r: _BPE_FIXED_MERGES[r][0], "")
+        rgt = _case_chain(lambda r: _BPE_FIXED_MERGES[r][1], "")
+        mrg = _case_chain(
+            lambda r: _BPE_FIXED_MERGES[r][0] + _BPE_FIXED_MERGES[r][1], ""
+        )
+        applied = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, t: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == lft)
+                & (t == rgt),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(mrg)
+                ),
+            ).otherwise(F.concat(acc, F.array(t))),
+        )
+        enc = enc.withColumn(
+            "syms",
+            F.when(F.col("best") < _BPE_NO_RANK, applied).otherwise(
+                F.col("syms")
+            ),
+        ).drop("best")
+    tok = enc.select("word", F.size("syms").cast("long").alias("n_tok"))
+    per_doc = (
+        wpd.join(F.broadcast(tok), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_tok")).alias("n_bpe_tokens"),
+            F.sum(F.col("c") * F.length("word")).alias("chars"),
+        )
+    )
+    out = docs.select("doc_id").join(per_doc, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("n_bpe_tokens"), F.lit(0)).alias("n_bpe_tokens"),
+        F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
+        _rnd(
+            F.when(
+                F.coalesce(F.col("n_bpe_tokens"), F.lit(0)) > 0,
+                F.col("chars").cast("double") / F.col("n_bpe_tokens"),
+            ).otherwise(F.lit(0.0)),
+            R,
+        ).alias("chars_per_token"),
+    )
+
+
+def _bpe_encode_fixed_sql() -> str:
+    """DuckDB mirror of q_bpe_encode_fixed: the same unrolled rounds
+    as CTE blocks (list_min pair-rank scan, 2-arg list_reduce fold
+    over wrapped single-element lists)."""
+    no = _BPE_NO_RANK
+    pair_cases = " ".join(
+        f"WHEN syms[i] = '{lft}' AND syms[i+1] = '{rgt}' THEN {r}"
+        for r, (lft, rgt) in enumerate(_BPE_FIXED_MERGES)
+    )
+
+    def lookup(sel):
+        return (
+            "CASE best "
+            + " ".join(
+                f"WHEN {r} THEN '{sel(r)}'"
+                for r in range(len(_BPE_FIXED_MERGES))
+            )
+            + " ELSE '' END"
+        )
+
+    lft = lookup(lambda r: _BPE_FIXED_MERGES[r][0])
+    rgt = lookup(lambda r: _BPE_FIXED_MERGES[r][1])
+    mrg = lookup(
+        lambda r: _BPE_FIXED_MERGES[r][0] + _BPE_FIXED_MERGES[r][1]
+    )
+    rounds = []
+    for i in range(1, _BPE_ENC_ROUNDS + 1):
+        p = f"enc{i - 1}"
+        rounds.append(f"""
+enc{i}a AS (
+  SELECT word, syms,
+         CASE WHEN len(syms) >= 2
+              THEN list_min(list_transform(
+                     generate_series(1, len(syms) - 1),
+                     i -> CASE {pair_cases} ELSE {no} END))
+              ELSE {no} END AS best
+  FROM {p}),
+enc{i} AS (
+  SELECT word,
+         CASE WHEN best < {no}
+              THEN list_reduce(
+                     list_transform(syms, t -> [t]),
+                     (a, b) -> CASE
+                       WHEN len(a) > 0 AND a[-1] = {lft} AND b[1] = {rgt}
+                       THEN list_append(a[1:len(a)-1], {mrg})
+                       ELSE list_concat(a, b) END)
+              ELSE syms END AS syms
+  FROM enc{i}a)""")
+    round_sql = ",".join(rounds)
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents),
+wpd AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+vocab AS (SELECT DISTINCT word FROM wpd),
+enc0 AS (
+  SELECT word, regexp_extract_all(word, '.') AS syms FROM vocab),
+{round_sql},
+tok AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_tok
+        FROM enc{_BPE_ENC_ROUNDS}),
+per_doc AS (
+  SELECT wpd.doc_id,
+         CAST(sum(wpd.c) AS BIGINT) AS n_words,
+         CAST(sum(wpd.c * tok.n_tok) AS BIGINT) AS n_bpe_tokens,
+         CAST(sum(wpd.c * strlen(wpd.word)) AS BIGINT) AS chars
+  FROM wpd JOIN tok USING (word)
+  GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(p.n_bpe_tokens, 0) AS n_bpe_tokens,
+       coalesce(p.n_words, 0) AS n_words,
+       round(CASE WHEN coalesce(p.n_bpe_tokens, 0) > 0
+                  THEN CAST(p.chars AS DOUBLE) / p.n_bpe_tokens
+                  ELSE 0.0 END, {R}) AS chars_per_token
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+ORACLES["bpe_encode_fixed"] = _bpe_encode_fixed_sql()
+
+
 ORACLES["bpe_pair_counts"] = """
 WITH tok AS (
   SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
@@ -3054,6 +3272,7 @@ def queries():
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
+        "bpe_encode_fixed": q_bpe_encode_fixed,
         "mixture_schedule": q_mixture_schedule,
         "doc_stats": q_doc_stats,
         "lang_id": q_lang_id,

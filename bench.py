@@ -139,13 +139,18 @@ def main() -> None:
     # benchmark_leaderboard 35.4 vs 6.0).  Running the same DAG once
     # on sf0.001 compiles the family's codegen and primes its Arrow
     # workers for ~1 s each instead.
-    for name in heavy + [n for n in order if n not in prior]:
-        try:
-            qs[name](spark, warm_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-        except Exception:
-            pass  # warm-up must never fail the bench
+    # ...but only when a SMALLER warm SF exists: with warm_dir ==
+    # sf_dir every heavy query would execute twice at the target SF
+    # (double wall time, warm-only timings).  And LOG warm-up
+    # failures — a genuine query bug must not hide until the timed run
+    if warm_dir != sf_dir:
+        for name in heavy + [n for n in order if n not in prior]:
+            try:
+                qs[name](spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as exc:  # warm-up must never fail the bench
+                print(f"# warm-up FAILED {name}: {exc!r}", file=sys.stderr)
 
     def run_one(name: str) -> float:
         fn = qs[name]
@@ -203,6 +208,14 @@ def main() -> None:
 
     release_caches()
     total = round(sum(timings.values()), 4)
+    # WARM view (r08 verdict item #2): per-query best-known-warm =
+    # monotone min of this run and the persisted baseline — the number
+    # any "X s warm" claim must quote, committed alongside the raw
+    # first-pass timings so claims and artifacts can't drift apart
+    warm = {
+        n: round(min(baseline.get(n, t), t), 4) for n, t in timings.items()
+    }
+    warm_total = round(sum(warm.values()), 4)
 
     # Full per-query detail goes to a file; the stdout line must stay
     # SHORT. The driver keeps only the last ~2000 chars of stdout, and
@@ -219,16 +232,18 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # per-query warm numbers for THIS SF (same values as
+                # baseline[sf] — duplicated under an explicit name so
+                # readers quoting "warm" cite the committed artifact)
+                "warm": warm,
+                "warm_total": warm_total,
                 "retried": retried,
                 # best known warm time per query (monotone min across
                 # runs), keyed by SF — the retry reference, not a
                 # timing report; other SFs' entries pass through intact
                 "baseline": {
                     **baselines_by_sf,
-                    sf_key: {
-                        n: round(min(baseline.get(n, t), t), 4)
-                        for n, t in timings.items()
-                    },
+                    sf_key: warm,
                 },
                 "sf": sf,
             },
@@ -251,6 +266,7 @@ def main() -> None:
                 "metric": "total_query_seconds",
                 "value": total,
                 "unit": "sec",
+                "warm_total": warm_total,
                 "n_queries": len(timings),
                 "queries": shown,
                 "queries_shown": len(shown),

@@ -76,19 +76,30 @@ def main() -> None:
     # effectively UNVERIFIED whatever its last-check round says — sort
     # those first so they land in the prime gate slots.
     changed: set[str] = set()
+    suspect: dict[str, str] = {}  # name -> NEW / UNHASHABLE
     try:
         from impl_snapshot import SNAPSHOT, fingerprints
 
         snap = json.load(open(SNAPSHOT))
         cur = fingerprints()
-        changed = {n for n, v in cur.items() if snap.get(n) not in (None, v)}
+        for n, v in cur.items():
+            # snapshot-missing and 'unhashable' fingerprints are NOT
+            # "unchanged" (r08 ADVICE): a new query, or one whose
+            # source became un-inspectable, has no verified snapshot —
+            # flag it into the prime slots explicitly
+            if n not in snap:
+                suspect[n] = "NEW"
+            elif v == "unhashable":
+                suspect[n] = "UNHASHABLE"
+            elif snap[n] != v:
+                changed.add(n)
     except Exception:
         pass
 
     rows = []
     for name in qs:
         rnd, status = latest.get(name, (0, "NEVER"))
-        eff = 0 if name in changed else rnd
+        eff = 0 if (name in changed or name in suspect) else rnd
         rows.append((eff, rnd, name, status, name in oracled))
     rows.sort()
 
@@ -97,7 +108,11 @@ def main() -> None:
         if stale_cut is not None and eff > max_round - stale_cut:
             continue
         tag = "oracled" if has_oracle else "rows-only-decl"
-        drift = "  CHANGED-since-snapshot" if name in changed else ""
+        drift = (
+            "  CHANGED-since-snapshot"
+            if name in changed
+            else f"  {suspect[name]}-fingerprint" if name in suspect else ""
+        )
         print(f"r{rnd:02d}  {status:9s}  {tag:14s}  {name}{drift}")
         shown += 1
     print(

@@ -81,7 +81,26 @@ def fingerprints() -> dict[str, str]:
             preamble_cache[path] = src[: m.start()] if m else src
         return preamble_cache[path]
 
+    # one level of transitive closure (r08 ADVICE): a module a query
+    # imports may itself import package modules at ITS top (pipelines
+    # imports operators/*); hash those too so an operator rewrite
+    # flags every query routing through a pipeline facade
+    dep_cache: dict[str, list[str]] = {}
+
+    def dep_files(path: str, mod: str) -> list[str]:
+        if path not in dep_cache:
+            files = []
+            for rel in sorted(set(_IMPORT_RE.findall(read(path)))):
+                f = _module_file(mod, rel)
+                if f:
+                    files.append(f)
+            dep_cache[path] = files
+        return dep_cache[path]
+
     for name, fn in entrymod.queries().items():
+        fn = inspect.unwrap(fn)  # past the cache-release wrapper:
+        # hashing the wrapper gave every query ONE identical
+        # fingerprint and drift detection never fired (r08 ADVICE)
         try:
             src = inspect.getsource(fn)
             mod = fn.__module__
@@ -92,12 +111,46 @@ def fingerprints() -> dict[str, str]:
         h = hashlib.sha1()
         h.update(src.encode())
         h.update(preamble(mod_file).encode())
-        for rel in sorted(set(_IMPORT_RE.findall(src))):
-            f = _module_file(mod, rel)
-            if f:
-                h.update(read(f).encode())
+        # module files imported by the wrapper body AND by the
+        # registry module header (module-top imports feed queries
+        # that don't import inside the body), each with one level of
+        # their own package imports
+        seen: set[str] = set()
+        first = [
+            f
+            for rel in sorted(set(_IMPORT_RE.findall(src))
+                              | set(_IMPORT_RE.findall(preamble(mod_file))))
+            for f in ([_module_file(mod, rel)] if _module_file(mod, rel) else [])
+        ]
+        queue = list(dict.fromkeys(first))
+        for f in queue:
+            if f in seen:
+                continue
+            seen.add(f)
+            h.update(read(f).encode())
+            fmod = _path_to_module(f)
+            for g in dep_files(f, fmod):
+                if g not in seen:
+                    seen.add(g)
+                    h.update(read(g).encode())
         out[name] = h.hexdigest()[:16]
     return out
+
+
+def _path_to_module(path: str) -> str:
+    """package file path -> dotted module name (for resolving ITS
+    relative imports)."""
+    parts = path.replace("\\", "/").split("/")
+    try:
+        i = parts.index(PKG)
+    except ValueError:
+        return PKG
+    mod_parts = parts[i:]
+    if mod_parts[-1].endswith(".py"):
+        mod_parts[-1] = mod_parts[-1][:-3]
+    if mod_parts[-1] == "__init__":
+        mod_parts = mod_parts[:-1]
+    return ".".join(mod_parts)
 
 
 def main() -> None:

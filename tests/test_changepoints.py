@@ -405,12 +405,8 @@ def test_bocpd_fixed_matches_numpy_replica(spark):
             .to_numpy()[-64:]
             .astype(float)
         )
-        s1 = 0.0
-        s2 = 0.0
-        for v in x:  # replicate the decimal-sum moments (exact here)
-            s1 += v
-            s2 += v * v
-        # NB: the engine's sums are exact-decimal; replicate closely
+        # the engine's sums are exact-decimal; np.sum pairwise
+        # summation replicates them closely enough for the 2e-6 gate
         s1, s2 = float(np.sum(x)), float(np.sum(x * x))
         m = s1 / 64.0
         sd = np.sqrt(max((s2 - s1 * s1 / 64.0) / 63.0, 0.0))

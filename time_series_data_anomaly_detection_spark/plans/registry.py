@@ -8956,194 +8956,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Long-stable rows-only queries (weakest signal, green twice) sink
     # to the back where a cap costs the least information.
     gate_first = [
-        # r08 PRIME SLOTS part A — implementation changed since the
-        # query's last driver check (r07 ADVICE: promote impl-changed
-        # regardless of last-check round).  rolling_quantile_flags /
-        # detector_ap_leaderboard were rewritten in r07 AFTER their
-        # r06 check; granger_screen (directional guard + join-cond
-        # self-pair rejection), benchmark_leaderboard_ar1 (melted
-        # tail), matrix_profile_tiled (tile batching) and
-        # pelt_changepoints (r07 numpy candidate scan, rows-only)
-        # changed in r07/r08.
-        "rolling_quantile_flags",
-        "detector_ap_leaderboard",
-        "granger_screen",
-        "benchmark_leaderboard_ar1",
-        "matrix_profile_tiled",
-        "pelt_changepoints",
-        # r08 PRIME SLOTS part B — the r04-stale oracled greens (r07
-        # verdict item #1): hash-green but last driver-checked three
-        # rounds ago; the engine's most load-bearing reference
-        # semantics (SURVEY §2.3/§2.4).  After r08 no oracled query's
-        # latest driver row should be older than r05.
-        "event_metrics",
-        "label_windows",
-        "adaptive_flags",
-        "threshold_sweep",
-        "threshold_sweep_event",
-        "business_metrics",
-        "pointwise_metrics",
-        "detect_events",
-        "rolling_stats",
-        "mad_scores",
-        "pr_curve",
-        "walk_forward_cv_ar1",
-        "hybrid_detection_sql",
-        "global_zscore",
-        "median_center",
-        "residual_sigma",
-        "fractional_split",
-        "sliding_windows",
-        "ann_topk",
-        "corpus_filter",
-        "corpus_prep",
-        "cosine_topk",
-        "embedding_near_dup",
-        "minhash_lsh",
-        "multimodal_features",
-        "simhash",
-        "source_stats",
-        "top_ngrams",
-        # new round-8 queries — never driver-checked
-        "spectral_residual_fixed",
-        "dtw_distance_fixed",
-        "matrix_profile_fixed",
-        "pelt_changepoints_fixed",
-        "bocpd_changepoints_fixed",
-        "shesd_fixed",
+        # r09 PRIME SLOTS part A — NEW hash-gated queries, never
+        # driver-checked: the full-extent detector twins (r08 verdict
+        # item #1) and the two rows-only conversions (items #5/#6)
+        "matrix_profile_fixed_full",
+        "shesd_fixed_full",
+        "acf_fft_fixed",
+        "bpe_encode_fixed",
+        # r09 PRIME SLOTS part B — implementation changed this round
+        # (tokenize_bpe.py: incremental merge loop, keep_cols encoder;
+        # corpus_to_batches_bpe: id-only cache + single-join packing)
         "corpus_to_batches_bpe",
-        # last checked r05 (green) — next-oldest oracled signal
-        "m4_downsample",
-        "pot_threshold",
-        "rolling_corr",
-        "stl_anomaly",
-        "event_impact",
-        "seasonal_heatmap",
-        "detector_agreement",
-        "ensemble_forecast",
-        "changepoint_segments",
-        "pot_flags",
-        "trend_test",
-        "score_calibration",
-        "baseline_forecasts",
-        "theta_forecast",
-        "forecast_leaderboard",
-        "asof_last_label",
-        "percentile_summary",
         "bpe_pair_counts",
-        "mixture_schedule",
-        "seasonal_strength",
-        "holt_winters_fixed",
-        "quality_classifier",
-        "length_buckets",
-        "ewma_flags",
-        "cusum_changepoints",
-        "cusum_alarms",
-        "hampel_flags",
-        "quantile_flags",
-        "diff_zscore",
-        "detector_consensus",
-        "seasonal_profile_flags",
-        "detect_period",
-        "gap_stats",
-        "split_drift",
-        "cross_correlation",
-        "minhash_recall",
-        "dup_source_matrix",
-        "pq_rerank",
-        "containment_pairs",
-        "vocab_coverage",
-        "pii_scan",
-        "training_order",
-        "repetition_stats",
-        "decontaminate",
-        "semantic_dedup",
-        "curation_pipeline",
-        "corpus_drift",
-        "pq_topk",
-        "pq_recall",
-        "incremental_semantic_dedup",
-        # last checked r06 (green) — lower priority
-        "chunk_documents",
-        "retention_cohorts",
-        "embedding_density",
-        "hbos_flags",
-        "importance_select",
-        "sax_words",
-        "ar2_forecast",
-        "detector_rank_ensemble",
-        "page_hinkley",
-        "knn_outlier",
-        "kde_rarity",
-        "croston_forecast",
-        "sax_bitmap",
-        "vocab_stats",
-        "winnow_near_dup",
-        "distinctive_terms",
-        "variance_ratio",
-        "forecast_features",
-        "doc_novelty",
-        "rs_hurst",
-        "ks_drift",
-        "cusum_squares",
-        "holt_linear",
-        "ljung_box",
-        "runs_test",
-        "source_concentration",
-        "rolling_moments",
-        "stl_forecast",
-        "max_drawdown",
-        # last checked r07 (green, freshest signal) — lowest priority
-        # among oracled queries; a capped run loses the least here
-        "average_precision",
-        "global_moments",
-        "acf",
-        "pacf",
-        "resample_decompose",
-        "interval_exceedance",
-        "ensemble_fusion",
-        "ar1_forecast",
-        "doc_stats",
-        "lang_id",
-        "fingerprint",
-        "exact_dedup",
-        "ngram_jaccard",
-        "acf_statsmodels",
-        "revenue_anomaly",
-        "forecast_accuracy",
-        "kalman_forecast_fixed",
-        "gp_train_subsample",
-        "winnow_fingerprints",
-        "stratified_sample",
-        "source_mix",
-        "quality_deciles",
-        "pack_chunks",
-        "session_funnel",
-        "event_rollup",
-        "resample_fill",
-        "doc_embed_topk",
-        "multimodal_sampled",
-        "ann_recall",
-        "dedup_clusters",
-        "dedup_clusters_best",
+        "bpe_encode",
+        "bpe_merges",
         "corpus_to_batches",
-        "incremental_dedup",
-        "ivf_topk",
-        "knn_label_agreement",
-        "props_stats",
-        "user_sessions",
-        "bsts_forecast_fixed",
-        "qq_plot",
-        "histogram_fit",
-        "harmonic_forecast_fixed",
-        "bigram_surprise",
-        "forecast_mase",
-        "sax_mindist",
-        "conformal_intervals",
-        "demand_classification",
-        "seasonal_mann_kendall",
-        "granger_screen",
+        # r09 PRIME SLOTS part C — the r05-stale oracled greens
+        # (r08 verdict item #4): hash-green but last driver-checked
+        # four rounds ago; after r09 no oracled query should be older
+        # than r06.
+        "asof_last_label",
+        "baseline_forecasts",
+        "containment_pairs",
+        "corpus_drift",
+        "cross_correlation",
+        "curation_pipeline",
+        "cusum_alarms",
+        "cusum_changepoints",
+        "decontaminate",
+        "detect_period",
+        "detector_consensus",
+        "diff_zscore",
+        "dup_source_matrix",
+        "ewma_flags",
+        "forecast_leaderboard",
+        "gap_stats",
+        "hampel_flags",
+        "holt_winters_fixed",
+        "incremental_semantic_dedup",
+        "length_buckets",
+        "minhash_recall",
+        "mixture_schedule",
+        "percentile_summary",
+        "pii_scan",
+        "pot_flags",
+        "pq_recall",
+        "pq_rerank",
+        "pq_topk",
+        "quality_classifier",
+        "quantile_flags",
+        "repetition_stats",
+        "score_calibration",
+        "seasonal_profile_flags",
+        "seasonal_strength",
+        "semantic_dedup",
+        "split_drift",
+        "theta_forecast",
+        "training_order",
+        "trend_test",
+        "vocab_coverage",
+        # next-oldest (r06-checked greens) fill the remaining gate
+        # capacity in freshness order
+        "ar2_forecast",
+        "chunk_documents",
+        "croston_forecast",
+        "cusum_squares",
+        "detector_rank_ensemble",
+        "distinctive_terms",
+        "doc_novelty",
+        "embedding_density",
+        "forecast_features",
+        "hbos_flags",
+        "holt_linear",
+        "importance_select",
+        "kde_rarity",
+        "knn_outlier",
+        "ks_drift",
+        "ljung_box",
+        "max_drawdown",
     ]
+    assert len(gate_first) == len(set(gate_first)), "duplicate gate slot"
     gate_last = [  # rows-only (no_oracle) and stable: weakest signal
         "walk_forward_cv",
         "benchmark_leaderboard",
@@ -9160,8 +9052,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spectral_residual",
         "matrix_profile",
         "shesd_flags",
-        "bpe_merges",
-        "bpe_encode",
         "acf_fft",
         "compression_ratio",
         "harmonic_forecast",
@@ -9188,6 +9078,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return fn(spark, sf_dir)
 
         wrapped.__name__ = getattr(fn, "__name__", "query")
+        # let inspect.unwrap reach the real query body — the impl
+        # fingerprints (scripts/impl_snapshot.py) hash the ORIGINAL
+        # source; without this every query hashed the same 8-line
+        # wrapper and drift detection was silently dead (r08 ADVICE)
+        wrapped.__wrapped__ = fn
         return wrapped
 
     return {name: _scoped(fn) for name, fn in out.items()}

@@ -258,6 +258,106 @@ def _encode_fixed_on(docs_df, spark):
         rd._docs = orig
 
 
+def test_bpe_merges_fixed_matches_trainer(spark):
+    """The unrolled table-algebra trainer twin must reproduce
+    bpe_learn_merges' first rounds exactly (ranks, pairs, counts) on
+    the real corpus and on a toy corpus exercising ties + the
+    count>=2 stop rule."""
+    from time_series_data_anomaly_detection_spark.datapipe.tokenize_bpe import (
+        bpe_learn_merges,
+    )
+    from time_series_data_anomaly_detection_spark.plans.registry_datapipe import (
+        _BPE_TRAIN_ROUNDS,
+        q_bpe_merges_fixed,
+    )
+    import time_series_data_anomaly_detection_spark.plans.registry_datapipe as rd
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_bpe_merges_fixed(spark, sf)
+        .toPandas()
+        .sort_values("merge_rank")
+        .reset_index(drop=True)
+    )
+    want = (
+        bpe_learn_merges(rd._docs(spark, sf), spark,
+                         n_merges=_BPE_TRAIN_ROUNDS)
+        .toPandas()
+        .sort_values("merge_rank")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for col in ("merge_rank", "left", "right", "merged", "pair_count"):
+        assert (got[col] == want[col]).all(), col
+    # toy: the stop rule — every pair unique => count 1 => no merges
+    toy = spark.createDataFrame(
+        [(1, "ab cd ef gh ij kl mn op")], "doc_id long, text string"
+    )
+    orig = rd._docs
+    rd._docs = lambda s, d: toy
+    try:
+        t = q_bpe_merges_fixed(spark, "ignored").toPandas()
+    finally:
+        rd._docs = orig
+    assert len(t) == 0
+
+
+def test_corpus_to_batches_bpe_fixed_matches_production_path(spark):
+    """The SQL-algebra end-to-end twin must equal the production path
+    (corpus_prep keep set -> Arrow encoder with the SAME pinned merges
+    -> pack_stats_from_counts) exactly."""
+    from pyspark.sql import functions as F
+
+    from time_series_data_anomaly_detection_spark.datapipe import corpus_prep
+    from time_series_data_anomaly_detection_spark.datapipe.packing import (
+        pack_stats_from_counts,
+    )
+    from time_series_data_anomaly_detection_spark.datapipe.tokenize_bpe import (
+        bpe_encode_stats,
+    )
+    from time_series_data_anomaly_detection_spark.plans.registry_datapipe import (
+        _BPE_FIXED_MERGES,
+        JACCARD_T,
+        PACK_CTX,
+        _docs,
+        q_corpus_to_batches_bpe_fixed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    key = ["source", "chunk_id"]
+    got = (
+        q_corpus_to_batches_bpe_fixed(spark, sf)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    docs = _docs(spark, sf)
+    kept = (
+        corpus_prep(docs, jaccard_threshold=JACCARD_T)
+        .filter(F.col("verdict") == "keep")
+        .select("doc_id")
+    )
+    kd = docs.join(kept, "doc_id")
+    counts = bpe_encode_stats(
+        kd, list(_BPE_FIXED_MERGES), keep_cols=("source",)
+    ).select("doc_id", "source", "n_bpe_tokens")
+    want = (
+        pack_stats_from_counts(counts, ctx=PACK_CTX,
+                               count_col="n_bpe_tokens")
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for col in (
+        "source", "chunk_id", "n_docs", "n_tokens", "first_doc", "last_doc"
+    ):
+        assert (got[col] == want[col]).all(), col
+    np.testing.assert_allclose(
+        got["fill_ratio"].to_numpy(), want["fill_ratio"].to_numpy()
+    )
+
+
 def test_bpe_pair_counts_deterministic_topn(spark):
     docs = spark.createDataFrame(
         [(1, "aa ab aa ba"), (2, "ab aa")], "doc_id long, text string"

@@ -8963,6 +8963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shesd_fixed_full",
         "acf_fft_fixed",
         "bpe_encode_fixed",
+        "bpe_merges_fixed",
+        "corpus_to_batches_bpe_fixed",
         # r09 PRIME SLOTS part B — implementation changed this round
         # (tokenize_bpe.py: incremental merge loop, keep_cols encoder;
         # corpus_to_batches_bpe: id-only cache + single-join packing)

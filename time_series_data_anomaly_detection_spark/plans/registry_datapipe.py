@@ -3146,6 +3146,260 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 ORACLES["bpe_encode_fixed"] = _bpe_encode_fixed_sql()
 
 
+_BPE_TRAIN_ROUNDS = 8
+
+
+def q_bpe_merges_fixed(spark, sf_dir):
+    """Hash-gated fixed twin of the BPE TRAINER loop itself: the first
+    ``_BPE_TRAIN_ROUNDS`` greedy merges, unrolled as pure table
+    algebra — per round, explode the vocabulary's adjacent symbol
+    pairs (frequency-weighted), take the (count desc, pair asc)
+    argmax as a one-row aggregate, broadcast it back, and left-fold
+    the winning merge through every word.  Bit-equivalent to
+    ``tokenize_bpe._merge_loop`` (same counting — every adjacent
+    occurrence — same tie-break, same ``count >= 2`` stop rule) and
+    ALL-INTEGER, so the DuckDB mirror is exact by construction.
+
+    The full 50-merge trainer stays rows-only (``bpe_merges``); this
+    twin proves the loop's single-round semantics under the driver's
+    value hash.  Scale shape: each round touches only the vocab-sized
+    word table — identical to the production trainer's local phase,
+    expressed distributed."""
+    from ..datapipe.tokenize_bpe import WORD_RE
+
+    docs = _docs(spark, sf_dir)
+    wf = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(WORD_RE), 0
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    words = wf.select(
+        "freq",
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.substring(F.col("word"), i, 1),
+        ).alias("syms"),
+    )
+    rounds = []
+    for rank in range(_BPE_TRAIN_ROUNDS):
+        pairs = words.select(
+            "freq",
+            F.explode(
+                F.when(
+                    F.size("syms") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at(F.col("syms"), i).alias("la"),
+                            F.element_at(
+                                F.col("syms"), i + F.lit(1)
+                            ).alias("ra"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast(
+                        "array<struct<la:string,ra:string>>"
+                    )
+                )
+            ).alias("pr"),
+        )
+        counts = pairs.groupBy(
+            F.col("pr.la").alias("la"), F.col("pr.ra").alias("ra")
+        ).agg(F.sum("freq").alias("cnt"))
+        best = counts.agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("nc"),
+                    F.col("la").alias("l"),
+                    F.col("ra").alias("r"),
+                )
+            ).alias("b")
+        ).select(
+            F.col("b.l").alias("bl"),
+            F.col("b.r").alias("br"),
+            (-F.col("b.nc")).alias("bc"),
+            (
+                F.col("b").isNotNull() & ((-F.col("b.nc")) >= 2)
+            ).alias("ok"),
+        )
+        rounds.append(
+            best.select(
+                F.lit(rank).cast("int").alias("merge_rank"),
+                F.col("bl").alias("left"),
+                F.col("br").alias("right"),
+                F.concat("bl", "br").alias("merged"),
+                F.col("bc").cast("long").alias("pair_count"),
+                "ok",
+            )
+        )
+        wb = words.crossJoin(F.broadcast(best))
+        applied = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, t: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.col("bl"))
+                & (t == F.col("br")),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat("bl", "br")),
+                ),
+            ).otherwise(F.concat(acc, F.array(t))),
+        )
+        words = wb.select(
+            "freq",
+            F.when(F.col("ok"), applied).otherwise(F.col("syms")).alias(
+                "syms"
+            ),
+        )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out.filter(F.col("ok")).drop("ok")
+
+
+def _bpe_merges_fixed_sql() -> str:
+    """DuckDB mirror: per-round CTE blocks (pair explode over
+    generate_series, integer count argmax via min-struct with the
+    (-cnt, la, ra) key, cross-join apply fold)."""
+    rounds = []
+    for rank in range(_BPE_TRAIN_ROUNDS):
+        p = f"w{rank}"
+        rounds.append(f"""
+c{rank} AS (
+  SELECT syms[i] AS la, syms[i+1] AS ra, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM {p}, unnest(generate_series(1, len(syms) - 1)) AS u(i)
+  WHERE len(syms) >= 2
+  GROUP BY 1, 2),
+b{rank} AS (
+  SELECT min({{'nc': -cnt, 'l': la, 'r': ra}}) AS b FROM c{rank}),
+bb{rank} AS (
+  SELECT b.l AS bl, b.r AS br, -b.nc AS bc,
+         b IS NOT NULL AND -b.nc >= 2 AS ok
+  FROM b{rank}),
+w{rank + 1} AS (
+  SELECT freq,
+         CASE WHEN ok
+              THEN list_reduce(
+                     list_transform(syms, t -> [t]),
+                     (a, x) -> CASE
+                       WHEN len(a) > 0 AND a[-1] = bl AND x[1] = br
+                       THEN list_append(a[1:len(a)-1], bl || br)
+                       ELSE list_concat(a, x) END)
+              ELSE syms END AS syms
+  FROM {p} CROSS JOIN bb{rank})""")
+    round_sql = ",".join(rounds)
+    merge_rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({rank} AS INT) AS merge_rank,"
+        f" bl AS \"left\", br AS \"right\", bl || br AS merged,"
+        f" CAST(bc AS BIGINT) AS pair_count FROM bb{rank} WHERE ok"
+        for rank in range(_BPE_TRAIN_ROUNDS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents),
+wf AS (SELECT word, count(*) AS freq FROM tok GROUP BY 1),
+w0 AS (
+  SELECT freq, regexp_extract_all(word, '.') AS syms FROM wf),
+{round_sql}
+{merge_rows}
+"""
+
+
+ORACLES["bpe_merges_fixed"] = _bpe_merges_fixed_sql()
+
+
+def q_corpus_to_batches_bpe_fixed(spark, sf_dir):
+    """Hash-gated fixed twin of the END-TO-END token-exact pipeline
+    (``corpus_to_batches_bpe``): the same prep funnel → keep set →
+    token-exact packing, but encoding with the PINNED tokenizer
+    (``_BPE_FIXED_MERGES``) through the unrolled table-algebra encoder
+    instead of the learned-merge Arrow loop — every stage
+    SQL-expressible, so the driver's value hash covers the full
+    funnel→encode→pack composition.  The learned-tokenizer variant
+    stays rows-only; the parity test pins this twin exactly equal to
+    the production path (Arrow encoder + pack_stats_from_counts) run
+    with the same pinned merges."""
+    from ..datapipe import corpus_prep
+    from ..datapipe.packing import pack_stats_from_counts
+    from ..session import eager_cache
+
+    docs = _docs(spark, sf_dir)
+    kept = eager_cache(
+        corpus_prep(docs, jaccard_threshold=JACCARD_T)
+        .filter(F.col("verdict") == "keep")
+        .select("doc_id")
+    )
+    counts = q_bpe_encode_fixed(spark, sf_dir)
+    src = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(kept), "doc_id")
+        .join(counts.select("doc_id", "n_bpe_tokens"), "doc_id")
+    )
+    out = pack_stats_from_counts(
+        src, ctx=PACK_CTX, count_col="n_bpe_tokens"
+    )
+    return out.select(
+        "source", "chunk_id", "n_docs", "n_tokens", "fill_ratio",
+        "first_doc", "last_doc",
+    )
+
+
+def _corpus_to_batches_bpe_fixed_sql() -> str:
+    """kept CTE (prep funnel) ∘ pinned-merge encode CTEs ∘ the
+    corpus_to_batches pack CTEs, with BPE counts as n_tok."""
+    encode_sql = _bpe_encode_fixed_sql()
+    return f"""
+WITH kept AS (
+  SELECT doc_id FROM ({ORACLES["corpus_prep"]}) WHERE verdict = 'keep'
+),
+bpe AS (
+  SELECT doc_id, n_bpe_tokens FROM ({encode_sql})
+),
+d AS (
+  SELECT dd.source, dd.doc_id, b.n_bpe_tokens AS n_tok
+  FROM documents dd
+  JOIN kept USING (doc_id)
+  JOIN bpe b USING (doc_id)
+),
+o AS (
+  SELECT *, CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS end_off
+  FROM d WHERE n_tok > 0
+),
+s AS (SELECT *, end_off - n_tok AS start_off FROM o),
+e AS (
+  SELECT source, doc_id, start_off, end_off,
+         unnest(generate_series(start_off // {PACK_CTX},
+                                (end_off - 1) // {PACK_CTX})) AS chunk_id
+  FROM s
+),
+t AS (
+  SELECT source, chunk_id, doc_id,
+         least(end_off, (chunk_id + 1) * {PACK_CTX})
+           - greatest(start_off, chunk_id * {PACK_CTX}) AS tok_in_chunk
+  FROM e
+)
+SELECT source, chunk_id,
+       count(*) AS n_docs,
+       CAST(sum(tok_in_chunk) AS BIGINT) AS n_tokens,
+       round(sum(tok_in_chunk) / {PACK_CTX}.0, {R}) AS fill_ratio,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM t GROUP BY 1, 2
+"""
+
+
+ORACLES["corpus_to_batches_bpe_fixed"] = _corpus_to_batches_bpe_fixed_sql()
+
+
 ORACLES["bpe_pair_counts"] = """
 WITH tok AS (
   SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
@@ -3273,6 +3527,8 @@ def queries():
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "bpe_encode_fixed": q_bpe_encode_fixed,
+        "bpe_merges_fixed": q_bpe_merges_fixed,
+        "corpus_to_batches_bpe_fixed": q_corpus_to_batches_bpe_fixed,
         "mixture_schedule": q_mixture_schedule,
         "doc_stats": q_doc_stats,
         "lang_id": q_lang_id,

@@ -4085,39 +4085,34 @@ def q_matrix_profile_fixed_full(spark, sf_dir):
             "w",
         )
     )
-    wj = (
-        Window.partitionBy("series_id")
-        .orderBy("j")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    # window moments and QT both come from ROLLING exact-decimal frame
+    # sums (ROWS current..+7): decimal addition is exact, so the
+    # sliding-frame sum is bit-identical to the cumsum-difference form
+    # but needs ONE window expression instead of cumsum+lead+lag
+    wroll = (
+        Window.partitionBy("series_id").orderBy("j").rowsBetween(0, M - 1)
     )
     cum = tail.select(
         "series_id",
         "j",
         "rn",
         "w",
-        F.sum(F.col("value").cast(DEC_T)).over(wj).alias("c1"),
+        F.sum(F.col("value").cast(DEC_T))
+        .over(wroll)
+        .cast("double")
+        .alias("s1"),
         F.sum((F.col("value") * F.col("value")).cast(DEC_T))
-        .over(wj)
-        .alias("c2"),
+        .over(wroll)
+        .cast("double")
+        .alias("s2"),
     )
-    wl = Window.partitionBy("series_id").orderBy("j")
-    zero = F.lit(0).cast(DEC_T)
-    s1 = (
-        F.lead("c1", M - 1).over(wl) - F.coalesce(F.lag("c1").over(wl), zero)
-    ).cast("double")
-    s2 = (
-        F.lead("c2", M - 1).over(wl) - F.coalesce(F.lag("c2").over(wl), zero)
-    ).cast("double")
     mu = F.col("s1") / F.lit(float(M))
     var = F.greatest(
         F.col("s2") / F.lit(float(M)) - mu * mu, F.lit(0.0)
     )
     sig = F.sqrt(var)
     stats = (
-        cum.select(
-            "series_id", "j", "rn", "w", s1.alias("s1"), s2.alias("s2")
-        )
-        .filter(F.col("j") <= F.col("w") - F.lit(M))
+        cum.filter(F.col("j") <= F.col("w") - F.lit(M))
         .select(
             "series_id",
             F.col("j").alias("i"),
@@ -4165,34 +4160,23 @@ def q_matrix_profile_fixed_full(spark, sf_dir):
         "w",
         (F.col("va") * F.col("vb")).alias("p"),
     )
-    wd = (
+    wdroll = (
         Window.partitionBy("series_id", "d")
         .orderBy("j")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wdl = Window.partitionBy("series_id", "d").orderBy("j")
-    pc = prods.select(
-        "series_id",
-        "d",
-        "j",
-        "w",
-        F.sum(F.col("p").cast(DEC_T)).over(wd).alias("cp"),
+        .rowsBetween(0, M - 1)
     )
     qt = (
-        pc.select(
+        prods.select(
             "series_id",
             "d",
             "j",
             "w",
-            (
-                F.lead("cp", M - 1).over(wdl)
-                - F.coalesce(F.lag("cp").over(wdl), zero)
-            ).cast("double").alias("qt"),
+            F.sum(F.col("p").cast(DEC_T))
+            .over(wdroll)
+            .cast("double")
+            .alias("qt"),
         )
-        .filter(
-            F.col("qt").isNotNull()
-            & (F.col("j") + F.col("d") <= F.col("w") - F.lit(M))
-        )
+        .filter(F.col("j") + F.col("d") <= F.col("w") - F.lit(M))
         .select("series_id", F.col("j").alias("i"), "d", "qt")
     )
     sa = stats.select(
@@ -4264,23 +4248,14 @@ tl AS (
   SELECT s.series_id, s.rn, s.value, s.rn - (c.n - c.w) - 1 AS j, c.w
   FROM s JOIN cnt c USING (series_id)
   WHERE s.rn > c.n - c.w),
-cum AS (
-  SELECT series_id, j, rn, w,
-         sum(CAST(value AS DECIMAL(38,12))) OVER wj AS c1,
-         sum(CAST(value * value AS DECIMAL(38,12))) OVER wj AS c2
-  FROM tl
-  WINDOW wj AS (PARTITION BY series_id ORDER BY j
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
 segs AS (
   SELECT series_id, j, rn, w,
-         CAST(lead(c1, 7) OVER wl
-              - coalesce(lag(c1) OVER wl, CAST(0 AS DECIMAL(38,12)))
-              AS DOUBLE) AS s1,
-         CAST(lead(c2, 7) OVER wl
-              - coalesce(lag(c2) OVER wl, CAST(0 AS DECIMAL(38,12)))
+         CAST(sum(CAST(value AS DECIMAL(38,12))) OVER wr AS DOUBLE) AS s1,
+         CAST(sum(CAST(value * value AS DECIMAL(38,12))) OVER wr
               AS DOUBLE) AS s2
-  FROM cum
-  WINDOW wl AS (PARTITION BY series_id ORDER BY j)),
+  FROM tl
+  WINDOW wr AS (PARTITION BY series_id ORDER BY j
+                ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)),
 stats AS (
   SELECT series_id, j AS i, rn,
          s1 / 8.0 AS mu,
@@ -4293,20 +4268,13 @@ prods AS (
          a.value * b.value AS p
   FROM tl a JOIN tl b ON b.series_id = a.series_id
   WHERE b.j - a.j > 4 AND b.j - a.j <= a.w - 8),
-pc AS (
-  SELECT series_id, d, j, w,
-         sum(CAST(p AS DECIMAL(38,12))) OVER wd AS cp
-  FROM prods
-  WINDOW wd AS (PARTITION BY series_id, d ORDER BY j
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
 qt AS (
   SELECT series_id, j AS i, d,
-         CAST(lead(cp, 7) OVER wdl
-              - coalesce(lag(cp) OVER wdl, CAST(0 AS DECIMAL(38,12)))
-              AS DOUBLE) AS qt
-  FROM pc
-  WINDOW wdl AS (PARTITION BY series_id, d ORDER BY j)
-  QUALIFY qt IS NOT NULL AND j + d <= w - 8),
+         CAST(sum(CAST(p AS DECIMAL(38,12))) OVER wdr AS DOUBLE) AS qt
+  FROM prods
+  WINDOW wdr AS (PARTITION BY series_id, d ORDER BY j
+                 ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+  QUALIFY j + d <= w - 8),
 pr AS (
   SELECT q.series_id, q.i, q.i + q.d AS ib, q.qt,
          a.rn AS rn_a, a.mu AS mu_a, a.sig AS sig_a, a.is_const AS ca,

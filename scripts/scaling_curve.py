@@ -86,6 +86,13 @@ HEADLINE = [
     "doc_novelty",
     "compression_ratio",
     "importance_select",
+    # round-9: full-extent twins + pinned-tokenizer pipeline
+    "matrix_profile_fixed_full",
+    "shesd_fixed_full",
+    "acf_fft_fixed",
+    "bpe_encode_fixed",
+    "bpe_merges_fixed",
+    "corpus_to_batches_bpe_fixed",
 ]
 
 SFS = ["0.001", "0.01", "0.1"]

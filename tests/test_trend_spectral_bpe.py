@@ -258,48 +258,61 @@ def _encode_fixed_on(docs_df, spark):
         rd._docs = orig
 
 
-def test_bpe_merges_fixed_matches_trainer(spark):
-    """The unrolled table-algebra trainer twin must reproduce
-    bpe_learn_merges' first rounds exactly (ranks, pairs, counts) on
-    the real corpus and on a toy corpus exercising ties + the
-    count>=2 stop rule."""
+def test_bpe_merges_fixed_oracle_matches_merge_loop():
+    """The DuckDB unrolled-SQL trainer mirror (the hash gate's oracle
+    side) must reproduce tokenize_bpe._merge_loop exactly on toy
+    corpora exercising lexicographic TIES, merge chaining, and the
+    count>=2 stop rule — the gate then certifies the production
+    trainer against an independently-derived SQL implementation."""
+    import duckdb
+    import pandas as pd
+
     from time_series_data_anomaly_detection_spark.datapipe.tokenize_bpe import (
-        bpe_learn_merges,
+        _merge_loop,
     )
     from time_series_data_anomaly_detection_spark.plans.registry_datapipe import (
         _BPE_TRAIN_ROUNDS,
-        q_bpe_merges_fixed,
+        _bpe_merges_fixed_sql,
     )
-    import time_series_data_anomaly_detection_spark.plans.registry_datapipe as rd
 
-    sf = "/root/testdata/sf0.001"
-    got = (
-        q_bpe_merges_fixed(spark, sf)
-        .toPandas()
-        .sort_values("merge_rank")
-        .reset_index(drop=True)
-    )
-    want = (
-        bpe_learn_merges(rd._docs(spark, sf), spark,
-                         n_merges=_BPE_TRAIN_ROUNDS)
-        .toPandas()
-        .sort_values("merge_rank")
-        .reset_index(drop=True)
-    )
-    assert len(got) == len(want) > 0
-    for col in ("merge_rank", "left", "right", "merged", "pair_count"):
-        assert (got[col] == want[col]).all(), col
-    # toy: the stop rule — every pair unique => count 1 => no merges
-    toy = spark.createDataFrame(
-        [(1, "ab cd ef gh ij kl mn op")], "doc_id long, text string"
-    )
-    orig = rd._docs
-    rd._docs = lambda s, d: toy
-    try:
-        t = q_bpe_merges_fixed(spark, "ignored").toPandas()
-    finally:
-        rd._docs = orig
-    assert len(t) == 0
+    corpora = [
+        # stem sharing + chaining ('lo' then 'lo'+'w')
+        ["low lower lowest low low"] * 3,
+        # lexicographic ties: 'aa' vs 'ab' pair counts collide
+        ["aab aba baa aab"] * 2,
+        # stop rule: every pair count 1 => zero merges
+        ["ab cd ef gh ij kl mn op"],
+        # overlap runs
+        ["aaaa aaa aa aaaa"] * 2,
+    ]
+    for texts in corpora:
+        docs = pd.DataFrame(
+            {"doc_id": range(len(texts)), "text": texts}
+        )
+        con = duckdb.connect()
+        con.register("documents", docs)
+        got = con.execute(_bpe_merges_fixed_sql()).fetchdf()
+        got = got.sort_values("merge_rank").reset_index(drop=True)
+        # reference: the engine's own incremental loop on the same
+        # word-frequency table
+        wf: dict[str, int] = {}
+        import re
+
+        for t in texts:
+            for w in re.findall(r"[a-z0-9]+", t.lower()):
+                wf[w] = wf.get(w, 0) + 1
+        words = [(list(w), f) for w, f in wf.items()]
+        want = _merge_loop(words, _BPE_TRAIN_ROUNDS)
+        assert len(got) == len(want), texts[0]
+        for i, (rank, lft, rgt, cnt) in enumerate(want):
+            row = got.iloc[i]
+            assert (
+                int(row["merge_rank"]),
+                row["left"],
+                row["right"],
+                row["merged"],
+                int(row["pair_count"]),
+            ) == (rank, lft, rgt, lft + rgt, cnt), (texts[0], i)
 
 
 def test_corpus_to_batches_bpe_fixed_matches_production_path(spark):

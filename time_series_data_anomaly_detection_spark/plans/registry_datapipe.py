@@ -3150,118 +3150,32 @@ _BPE_TRAIN_ROUNDS = 8
 
 
 def q_bpe_merges_fixed(spark, sf_dir):
-    """Hash-gated fixed twin of the BPE TRAINER loop itself: the first
-    ``_BPE_TRAIN_ROUNDS`` greedy merges, unrolled as pure table
-    algebra — per round, explode the vocabulary's adjacent symbol
-    pairs (frequency-weighted), take the (count desc, pair asc)
-    argmax as a one-row aggregate, broadcast it back, and left-fold
-    the winning merge through every word.  Bit-equivalent to
-    ``tokenize_bpe._merge_loop`` (same counting — every adjacent
-    occurrence — same tie-break, same ``count >= 2`` stop rule) and
-    ALL-INTEGER, so the DuckDB mirror is exact by construction.
+    """Hash-gated twin of the BPE TRAINER loop: the PRODUCTION trainer
+    (``bpe_learn_merges`` — distributed word count, incremental-index
+    merge loop) run for ``_BPE_TRAIN_ROUNDS`` merges, gated against a
+    DuckDB oracle that re-derives the same merges as pure unrolled SQL
+    (per round: pair explode → integer-count argmax with the
+    (count desc, pair asc) tie-break → fold apply, the ``count >= 2``
+    stop rule as a validity flag).  ALL-INTEGER, so the gate is exact
+    by construction — and because the Spark side IS the production
+    code path, a hash match certifies the real trainer, not a
+    SQL re-expression of it.
 
-    The full 50-merge trainer stays rows-only (``bpe_merges``); this
-    twin proves the loop's single-round semantics under the driver's
-    value hash.  Scale shape: each round touches only the vocab-sized
-    word table — identical to the production trainer's local phase,
-    expressed distributed."""
-    from ..datapipe.tokenize_bpe import WORD_RE
+    (A first cut expressed the Spark side as the same unrolled
+    DataFrame rounds; Catalyst plans are trees, so round k's double
+    reference to round k-1 duplicated lineage exponentially, and even
+    per-round caching left 30-50 s of cache-manager plan matching —
+    the driver-side incremental loop over the vocab-capped word table
+    is the right engine shape, exactly as ``bpe_learn_merges``
+    documents.  The trainer's ``max_words=30000`` vocab cap is a
+    no-op at every test SF, matching the cap-free oracle.)
 
-    docs = _docs(spark, sf_dir)
-    wf = (
-        docs.select(
-            F.explode(
-                F.regexp_extract_all(
-                    F.lower(F.col("text")), F.lit(WORD_RE), 0
-                )
-            ).alias("word")
-        )
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
+    The full 50-merge trainer stays rows-only (``bpe_merges``)."""
+    from ..datapipe.tokenize_bpe import bpe_learn_merges
+
+    return bpe_learn_merges(
+        _docs(spark, sf_dir), spark, n_merges=_BPE_TRAIN_ROUNDS
     )
-    words = wf.select(
-        "freq",
-        F.transform(
-            F.sequence(F.lit(1), F.length("word")),
-            lambda i: F.substring(F.col("word"), i, 1),
-        ).alias("syms"),
-    )
-    rounds = []
-    for rank in range(_BPE_TRAIN_ROUNDS):
-        pairs = words.select(
-            "freq",
-            F.explode(
-                F.when(
-                    F.size("syms") >= 2,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("syms") - 1),
-                        lambda i: F.struct(
-                            F.element_at(F.col("syms"), i).alias("la"),
-                            F.element_at(
-                                F.col("syms"), i + F.lit(1)
-                            ).alias("ra"),
-                        ),
-                    ),
-                ).otherwise(
-                    F.array().cast(
-                        "array<struct<la:string,ra:string>>"
-                    )
-                )
-            ).alias("pr"),
-        )
-        counts = pairs.groupBy(
-            F.col("pr.la").alias("la"), F.col("pr.ra").alias("ra")
-        ).agg(F.sum("freq").alias("cnt"))
-        best = counts.agg(
-            F.min(
-                F.struct(
-                    (-F.col("cnt")).alias("nc"),
-                    F.col("la").alias("l"),
-                    F.col("ra").alias("r"),
-                )
-            ).alias("b")
-        ).select(
-            F.col("b.l").alias("bl"),
-            F.col("b.r").alias("br"),
-            (-F.col("b.nc")).alias("bc"),
-            (
-                F.col("b").isNotNull() & ((-F.col("b.nc")) >= 2)
-            ).alias("ok"),
-        )
-        rounds.append(
-            best.select(
-                F.lit(rank).cast("int").alias("merge_rank"),
-                F.col("bl").alias("left"),
-                F.col("br").alias("right"),
-                F.concat("bl", "br").alias("merged"),
-                F.col("bc").cast("long").alias("pair_count"),
-                "ok",
-            )
-        )
-        wb = words.crossJoin(F.broadcast(best))
-        applied = F.aggregate(
-            F.col("syms"),
-            F.array().cast("array<string>"),
-            lambda acc, t: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.col("bl"))
-                & (t == F.col("br")),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1),
-                    F.array(F.concat("bl", "br")),
-                ),
-            ).otherwise(F.concat(acc, F.array(t))),
-        )
-        words = wb.select(
-            "freq",
-            F.when(F.col("ok"), applied).otherwise(F.col("syms")).alias(
-                "syms"
-            ),
-        )
-    out = rounds[0]
-    for r in rounds[1:]:
-        out = out.unionByName(r)
-    return out.filter(F.col("ok")).drop("ok")
 
 
 def _bpe_merges_fixed_sql() -> str:

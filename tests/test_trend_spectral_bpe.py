@@ -186,9 +186,11 @@ def test_bpe_incremental_matches_naive_recount():
 
 
 def test_bpe_encode_fixed_matches_arrow_encoder(spark):
-    """The hash-gated unrolled-apply twin must agree EXACTLY (integer
-    counts) with the Arrow greedy encoder on the same pinned merges —
-    same lowest-rank-first loop, two execution strategies."""
+    """The hash-gated twin (vocab-level production encoder) must agree
+    EXACTLY (integer counts) with the doc-level Arrow greedy encoder
+    on the same pinned merges — same lowest-rank-first loop, two
+    plumbing strategies (distinct-vocab UDF + count join-back vs
+    per-doc memoized mapInPandas)."""
     from time_series_data_anomaly_detection_spark.datapipe.tokenize_bpe import (
         bpe_encode_stats,
     )
@@ -245,15 +247,54 @@ def test_bpe_encode_fixed_matches_arrow_encoder(spark):
     assert (g2["n_words"] == w2["n_words"]).all()
 
 
-def _encode_fixed_on(docs_df, spark):
-    """Run the q_bpe_encode_fixed plan on an arbitrary docs frame by
+def test_bpe_encode_unrolled_catalyst_matches_production(spark):
+    """The all-Catalyst unrolled apply (_bpe_encode_fixed_unrolled —
+    executable documentation that the greedy apply is SQL-expressible,
+    the same unrolling the DuckDB oracle runs) stays integer-exact
+    against the production twin on the adversarial toy corpus AND the
+    sf0.001 corpus."""
+    import time_series_data_anomaly_detection_spark.plans.registry_datapipe as rd
+
+    toy = spark.createDataFrame(
+        [
+            (1, "erer ererer inin joinjoin hashhash"),
+            (2, "rowrow owow stst parpar asas eeee"),
+            (3, "lower lowest er i n o w jo in hash row"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    for frame, sf in ((toy, None), (None, "/root/testdata/sf0.001")):
+        if frame is not None:
+            got = _encode_fixed_on(
+                frame, spark, fn=rd._bpe_encode_fixed_unrolled
+            )
+            want = _encode_fixed_on(frame, spark)
+        else:
+            got = rd._bpe_encode_fixed_unrolled(spark, sf)
+            want = rd.q_bpe_encode_fixed(spark, sf)
+        g = got.toPandas().sort_values("doc_id").reset_index(drop=True)
+        w = want.toPandas().sort_values("doc_id").reset_index(drop=True)
+        assert len(g) == len(w) > 0
+        assert (g["doc_id"] == w["doc_id"]).all()
+        assert (g["n_bpe_tokens"] == w["n_bpe_tokens"]).all()
+        assert (g["n_words"] == w["n_words"]).all()
+        np.testing.assert_allclose(
+            g["chars_per_token"].to_numpy(),
+            w["chars_per_token"].to_numpy(),
+            atol=0,
+        )
+
+
+def _encode_fixed_on(docs_df, spark, fn=None):
+    """Run a fixed-encode plan on an arbitrary docs frame by
     monkey-patching its _docs loader."""
     import time_series_data_anomaly_detection_spark.plans.registry_datapipe as rd
 
     orig = rd._docs
     rd._docs = lambda s, d: docs_df
     try:
-        return rd.q_bpe_encode_fixed(spark, "ignored")
+        return (fn or rd.q_bpe_encode_fixed)(spark, "ignored")
     finally:
         rd._docs = orig
 

@@ -2949,21 +2949,94 @@ _BPE_NO_RANK = 999
 
 def q_bpe_encode_fixed(spark, sf_dir):
     """Hash-gated fixed twin of ``bpe_encode`` (r08 verdict item #6):
-    apply the PINNED merge list ``_BPE_FIXED_MERGES`` to every
-    document with the same greedy lowest-rank-first loop as
-    ``tokenize_bpe._encode_word`` — unrolled to ``_BPE_ENC_ROUNDS``
-    rounds of pure column algebra, so DuckDB mirrors it exactly.
+    apply the PINNED merge list ``_BPE_FIXED_MERGES`` with the
+    PRODUCTION greedy lowest-rank-first encoder
+    (``tokenize_bpe._encode_word``) — the ``bpe_merges_fixed``
+    philosophy: the gate certifies the real code path, while the
+    DuckDB oracle re-derives the encoding INDEPENDENTLY as
+    ``_BPE_ENC_ROUNDS`` unrolled rounds of pure table algebra
+    (``_bpe_encode_fixed_sql``), so a bug in either implementation
+    breaks the integer-exact hash.
 
-    Per round, on the char-symbol array of each DISTINCT word (the
-    vocabulary — dimension-sized, never the corpus): rank every
-    adjacent pair against the merge literals, take the array-min rank,
-    and left-fold the matched merge through the array (the fold is
-    bit-equivalent to the scan-and-skip apply: a merged token can
-    never be the LEFT of its own rule in the same pass).  Token counts
-    then join back to per-doc word occurrences — encoding cost scales
-    with |vocab|, the corpus only pays the word explode + one groupBy.
-    Parity with the Arrow encoder on the same pinned merges is exact
-    (integer counts) in tests/test_trend_spectral_bpe.py."""
+    Plan shape: the word explode + per-doc counts stay JVM-side; only
+    the DISTINCT-word vocabulary (dimension-sized, never the corpus)
+    runs through the Arrow-batched encoder UDF, and token counts
+    broadcast-join back to the per-doc word occurrences.  (The r09
+    first cut unrolled the apply loop into Catalyst column algebra
+    too — semantically identical, kept as
+    ``_bpe_encode_fixed_unrolled`` and pinned to this path in
+    tests/test_trend_spectral_bpe.py — but 7 rounds x 16 merge
+    literals of nested WHEN/fold expressions cost ~3 s of DRIVER-side
+    plan compilation at any data size; the vocab UDF is
+    plan-compile-free and produces the same exact integers.)"""
+    from ..datapipe.tokenize_bpe import WORD_RE, _encode_word
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), 0)
+        ).alias("word"),
+    )
+    wpd = words.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    ranks = {pair: i for i, pair in enumerate(_BPE_FIXED_MERGES)}
+
+    _ntok = F.pandas_udf(
+        lambda ws: ws.map(lambda w: len(_encode_word(w, ranks))), "long"
+    )
+
+    tok = (
+        wpd.select("word")
+        .distinct()
+        .select("word", _ntok("word").alias("n_tok"))
+    )
+    return _bpe_counts_to_doc_stats(docs, wpd, tok)
+
+
+def _bpe_counts_to_doc_stats(docs, wpd, tok):
+    """(doc_id, word, c) ⨝ broadcast (word, n_tok) → per-doc token
+    stats — the shared tail of the fixed-encode twin and its unrolled
+    Catalyst variant."""
+    per_doc = (
+        wpd.join(F.broadcast(tok), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.sum(F.col("c") * F.col("n_tok")).alias("n_bpe_tokens"),
+            F.sum(F.col("c") * F.length("word")).alias("chars"),
+        )
+    )
+    out = docs.select("doc_id").join(per_doc, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("n_bpe_tokens"), F.lit(0)).alias("n_bpe_tokens"),
+        F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
+        _rnd(
+            F.when(
+                F.coalesce(F.col("n_bpe_tokens"), F.lit(0)) > 0,
+                F.col("chars").cast("double") / F.col("n_bpe_tokens"),
+            ).otherwise(F.lit(0.0)),
+            R,
+        ).alias("chars_per_token"),
+    )
+
+
+def _bpe_encode_fixed_unrolled(spark, sf_dir):
+    """The all-Catalyst form of the fixed-encode twin: the greedy
+    lowest-rank-first apply loop unrolled to ``_BPE_ENC_ROUNDS``
+    rounds of pure column algebra over the char-symbol array of each
+    DISTINCT word — executable documentation that the apply IS
+    SQL-expressible (the DuckDB oracle uses the same unrolling), and
+    pinned integer-exact against the production path in
+    tests/test_trend_spectral_bpe.py.  Not registered: the nested
+    WHEN/fold expression tree costs ~3 s of driver-side plan
+    compilation regardless of data size.
+
+    Per round: rank every adjacent pair against the merge literals,
+    take the array-min rank, and left-fold the matched merge through
+    the array (the fold is bit-equivalent to the scan-and-skip apply:
+    a merged token can never be the LEFT of its own rule in the same
+    pass)."""
     from ..datapipe.tokenize_bpe import WORD_RE
 
     docs = _docs(spark, sf_dir)
@@ -3041,28 +3114,7 @@ def q_bpe_encode_fixed(spark, sf_dir):
             ),
         ).drop("best")
     tok = enc.select("word", F.size("syms").cast("long").alias("n_tok"))
-    per_doc = (
-        wpd.join(F.broadcast(tok), "word")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_words"),
-            F.sum(F.col("c") * F.col("n_tok")).alias("n_bpe_tokens"),
-            F.sum(F.col("c") * F.length("word")).alias("chars"),
-        )
-    )
-    out = docs.select("doc_id").join(per_doc, "doc_id", "left")
-    return out.select(
-        "doc_id",
-        F.coalesce(F.col("n_bpe_tokens"), F.lit(0)).alias("n_bpe_tokens"),
-        F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
-        _rnd(
-            F.when(
-                F.coalesce(F.col("n_bpe_tokens"), F.lit(0)) > 0,
-                F.col("chars").cast("double") / F.col("n_bpe_tokens"),
-            ).otherwise(F.lit(0.0)),
-            R,
-        ).alias("chars_per_token"),
-    )
+    return _bpe_counts_to_doc_stats(docs, wpd, tok)
 
 
 def _bpe_encode_fixed_sql() -> str:

@@ -616,3 +616,41 @@ def test_spectral_residual_fixed_matches_numpy_tail(spark):
         np.testing.assert_allclose(
             got["sr_score"].to_numpy(), score, rtol=1e-4, atol=1e-4
         )
+
+
+def test_spectral_residual_fixed_512_matches_numpy_tail(spark):
+    """The widened 512-point SR twin (same _sr_fixed_plan builder at
+    nfft=512) must agree with the numpy SR operator on the same
+    512-point tails.  sf0.01: sf0.001 series are ~200 points and are
+    correctly filtered out by the n >= 512 guard."""
+    import pandas as pd
+
+    from time_series_data_anomaly_detection_spark.functions.spectral import (
+        spectral_residual_saliency,
+    )
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        q_spectral_residual_fixed_512,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    out = q_spectral_residual_fixed_512(spark, sf).toPandas()
+    ev = pd.read_parquet(sf + "/events.parquet")
+    assert len(out) > 0
+    for sid, grp in ev.groupby("event_type"):
+        x = (
+            grp.sort_values(["ts", "event_id"])["value"]
+            .to_numpy()[-512:]
+            .astype(float)
+        )
+        if len(x) < 512:
+            assert (out["series_id"] == sid).sum() == 0
+            continue
+        sal, score = spectral_residual_saliency(x, q=3, score_window=40)
+        got = out[out["series_id"] == sid].sort_values("rn")
+        assert len(got) == 512
+        np.testing.assert_allclose(
+            got["saliency"].to_numpy(), sal, rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            got["sr_score"].to_numpy(), score, rtol=1e-4, atol=1e-4
+        )

@@ -3399,47 +3399,54 @@ def _sr_trig_table(n: int = 64):
 _SR_TRIG_ROWS, _SR_TRIG_VALUES_SQL = _sr_trig_table(64)
 
 
-def q_spectral_residual_fixed(spark, sf_dir):
-    """Hash-gated fixed twin of the Spectral Residual detector (r07
-    verdict item #2): SR saliency over each series' LAST 64 points —
-    the paper's own streaming framing (score the recent window), at a
-    window where the DFT is a literal matrix product against the
-    shared 64-row twiddle table.
+def _sr_fixed_plan(spark, sf_dir, nfft):
+    """Shared builder for the hash-gated Spectral Residual twins: SR
+    saliency over each series' LAST ``nfft`` points, where the DFT is
+    a literal matrix product against the shared ``nfft``-row twiddle
+    table (``_sr_trig_table``).
 
     Every step is closed-form column algebra both engines can mirror
     bit-for-bit:
 
     - forward DFT: re/im are exact-decimal sums of value × the
-      12-decimal table literals indexed by (j·k) mod 64;
+      12-decimal table literals indexed by (j·k) mod nfft;
     - the log-spectrum moving average collapses algebraically —
       ``exp(L − MA₃(L)) = (A+ε) / cbrt(Πap)`` — so no log/exp enters;
       the one libm call (cbrt) is ulp-insulated by an 8-decimal
       quantize of the magnitude ratio;
     - inverse DFT: exact-decimal sums of bit-identical g·twiddle
-      terms; saliency = |·|/64; score = (S − trailing-mean₄₀)/(mean+ε)
-      with a decimal-sum trailing mean (functions/spectral.py:53-70
-      is the full-series numpy twin; parity test at rtol 1e-9).
+      terms; saliency = |·|/nfft; score = (S − trailing-mean₄₀)/
+      (mean+ε) with a decimal-sum trailing mean
+      (functions/spectral.py:53-70 is the full-series numpy twin;
+      parity test at rtol 1e-9).
 
-    Scale shape: two broadcast joins against the 64-row table, a 64²
-    fan per series (bounded state), two keyed aggregates — no UDF.
+    Scale shape: two broadcast joins against the nfft-row table, an
+    nfft² fan per series (bounded state), two keyed aggregates — no
+    UDF.  Cost is O(nfft²) per series regardless of SF, so the gated
+    extent is a knob: 64 (the paper's streaming window) and 512 are
+    registered; the uncapped O(n log n) production path stays
+    ``spectral_residual`` (numpy rFFT per series).
     """
+    trig_rows, _ = _sr_trig_table(nfft)
     s = _series(spark, sf_dir).select("series_id", "rn", "value")
     trig = spark.createDataFrame(
-        _SR_TRIG_ROWS, "m long, cs double, sn double"
+        trig_rows, "m long, cs double, sn double"
     )
     cnt = (
         s.groupBy("series_id")
         .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= 64)
+        .filter(F.col("n") >= nfft)
     )
     tail = (
         s.join(F.broadcast(cnt), "series_id")
-        .filter(F.col("rn") > F.col("n") - 64)
+        .filter(F.col("rn") > F.col("n") - nfft)
         .select(
             "series_id",
             "rn",
             "value",
-            (F.col("rn") - (F.col("n") - F.lit(64)) - F.lit(1)).alias("j"),
+            (F.col("rn") - (F.col("n") - F.lit(nfft)) - F.lit(1)).alias(
+                "j"
+            ),
         )
     )
 
@@ -3451,9 +3458,9 @@ def q_spectral_residual_fixed(spark, sf_dir):
             "series_id",
             "j",
             "value",
-            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("k"),
+            F.explode(F.sequence(F.lit(0), F.lit(nfft - 1))).alias("k"),
         )
-        .withColumn("m", (F.col("j") * F.col("k")) % F.lit(64))
+        .withColumn("m", (F.col("j") * F.col("k")) % F.lit(nfft))
         .join(F.broadcast(trig), "m")
         .groupBy("series_id", "k")
         .agg(
@@ -3487,9 +3494,9 @@ def q_spectral_residual_fixed(spark, sf_dir):
             "k",
             "gre",
             "gim",
-            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j"),
+            F.explode(F.sequence(F.lit(0), F.lit(nfft - 1))).alias("j"),
         )
-        .withColumn("m", (F.col("j") * F.col("k")) % F.lit(64))
+        .withColumn("m", (F.col("j") * F.col("k")) % F.lit(nfft))
         .join(F.broadcast(trig), "m")
         .groupBy("series_id", "j")
         .agg(
@@ -3503,7 +3510,7 @@ def q_spectral_residual_fixed(spark, sf_dir):
     )
     sal = (
         F.sqrt(F.col("sre") * F.col("sre") + F.col("sim") * F.col("sim"))
-        / F.lit(64.0)
+        / F.lit(float(nfft))
     )
     out = inv.join(tail, ["series_id", "j"]).withColumn("sal", sal)
     wj = Window.partitionBy("series_id").orderBy("j").rowsBetween(-39, 0)
@@ -3521,20 +3528,39 @@ def q_spectral_residual_fixed(spark, sf_dir):
     )
 
 
-ORACLES["spectral_residual_fixed"] = f"""
+def q_spectral_residual_fixed(spark, sf_dir):
+    """Hash-gated fixed SR twin at the paper's streaming window
+    (last 64 points) — see ``_sr_fixed_plan``."""
+    return _sr_fixed_plan(spark, sf_dir, 64)
+
+
+def q_spectral_residual_fixed_512(spark, sf_dir):
+    """Hash-gated fixed SR twin over the last 512 points — widens the
+    value-hash-gated extent of the SR algebra 8× beyond the 64-point
+    streaming window (r09; the matrix_profile_fixed_full /
+    shesd_fixed_full widening theme applied to SR).  512² keeps the
+    O(nfft²) literal-DFT fan at ~1.3M rows per series — benchable —
+    while covering a quarter of each sf0.01 gate series."""
+    return _sr_fixed_plan(spark, sf_dir, 512)
+
+
+def _sr_fixed_sql(nfft: int) -> str:
+    """DuckDB mirror of ``_sr_fixed_plan`` at the given DFT size."""
+    _, trig_values_sql = _sr_trig_table(nfft)
+    return f"""
 WITH {SQL_S},
 t(m, cs, sn) AS (
   VALUES
-    {_SR_TRIG_VALUES_SQL}
+    {trig_values_sql}
 ),
 cnt AS (
   SELECT series_id, count(*) AS n FROM s GROUP BY 1
-  HAVING count(*) >= 64),
+  HAVING count(*) >= {nfft}),
 tl AS (
-  SELECT s.series_id, s.rn, s.value, s.rn - (c.n - 64) - 1 AS j
+  SELECT s.series_id, s.rn, s.value, s.rn - (c.n - {nfft}) - 1 AS j
   FROM s JOIN cnt c USING (series_id)
-  WHERE s.rn > c.n - 64),
-kk AS (SELECT unnest(generate_series(0, 63)) AS k),
+  WHERE s.rn > c.n - {nfft}),
+kk AS (SELECT unnest(generate_series(0, {nfft - 1})) AS k),
 fwd AS (
   SELECT tl.series_id, kk.k,
          CAST(sum(CAST(tl.value * t.cs AS DECIMAL(38,12))) AS DOUBLE)
@@ -3542,7 +3568,7 @@ fwd AS (
          CAST(sum(CAST(-(tl.value * t.sn) AS DECIMAL(38,12))) AS DOUBLE)
            AS im
   FROM tl CROSS JOIN kk
-  JOIN t ON t.m = (tl.j * kk.k) % 64
+  JOIN t ON t.m = (tl.j * kk.k) % {nfft}
   GROUP BY 1, 2),
 spec AS (
   SELECT series_id, k, re, im,
@@ -3563,7 +3589,7 @@ g AS (
          (mag * im) / (CASE WHEN amp > 1e-8 THEN amp ELSE 1e-8 END)
            AS gim
   FROM mags),
-jj AS (SELECT unnest(generate_series(0, 63)) AS j),
+jj AS (SELECT unnest(generate_series(0, {nfft - 1})) AS j),
 inv AS (
   SELECT g.series_id, jj.j,
          CAST(sum(CAST(g.gre * t.cs - g.gim * t.sn
@@ -3571,11 +3597,11 @@ inv AS (
          CAST(sum(CAST(g.gre * t.sn + g.gim * t.cs
                        AS DECIMAL(38,12))) AS DOUBLE) AS sim
   FROM g CROSS JOIN jj
-  JOIN t ON t.m = (jj.j * g.k) % 64
+  JOIN t ON t.m = (jj.j * g.k) % {nfft}
   GROUP BY 1, 2),
 sal AS (
   SELECT i.series_id, i.j, tl.rn, tl.value,
-         sqrt(i.sre * i.sre + i.sim * i.sim) / 64.0 AS sal
+         sqrt(i.sre * i.sre + i.sim * i.sim) / {nfft}.0 AS sal
   FROM inv i
   JOIN tl ON tl.series_id = i.series_id AND tl.j = i.j),
 sc AS (
@@ -3593,6 +3619,10 @@ SELECT series_id, rn,
             THEN 1 ELSE 0 END AS INT) AS flag
 FROM sc
 """
+
+
+ORACLES["spectral_residual_fixed"] = _sr_fixed_sql(64)
+ORACLES["spectral_residual_fixed_512"] = _sr_fixed_sql(512)
 
 
 def q_theta_forecast(spark, sf_dir):
@@ -8890,6 +8920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spectral_residual": q_spectral_residual,
         # fixed 64-point tail-window SR twin (literal-DFT, hash-gated)
         "spectral_residual_fixed": q_spectral_residual_fixed,
+        "spectral_residual_fixed_512": q_spectral_residual_fixed_512,
         # period auto-detection + time-grid gap report
         "detect_period": q_detect_period,
         "gap_stats": q_gap_stats,
@@ -8934,6 +8965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # item #1) and the two rows-only conversions (items #5/#6)
         "matrix_profile_fixed_full",
         "shesd_fixed_full",
+        "spectral_residual_fixed_512",
         "acf_fft_fixed",
         "bpe_encode_fixed",
         "bpe_merges_fixed",

@@ -692,3 +692,31 @@ def test_fixed_twins_plans_are_scale_safe(spark):
     # the SR twin's two 64-row twiddle joins must be broadcasts
     plan = _plan(Reg.queries()["spectral_residual_fixed"](spark, sf))
     assert _count(plan, ") BroadcastHashJoin") >= 2
+
+
+def test_widened_twins_plans_are_scale_safe(spark):
+    """The r09 widened twins keep the same native-algebra guarantees:
+    no Python UDF stages, no cartesian product.  The full-extent
+    matrix profile must additionally show NO sort/window on its O(w²)
+    pair frame — the QT dot products are born inside a projection
+    (explode of a transform), so the only Window nodes are the tiny
+    per-series stats windows and the only exchanges are the per-i
+    fan-out repartition and aggregate shuffles."""
+    from time_series_data_anomaly_detection_spark.plans import registry as Reg
+
+    sf = "/root/testdata/sf0.001"
+    for name in (
+        "matrix_profile_fixed_full",
+        "shesd_fixed_full",
+        "spectral_residual_fixed_512",
+        "acf_fft_fixed",
+    ):
+        df = Reg.queries()[name](spark, sf)
+        plan = _plan(df)
+        assert _count(plan, "ArrowEvalPython") == 0, name
+        assert _count(plan, "FlatMapGroupsInPandas") == 0, name
+        assert _count(plan, "BatchEvalPython") == 0, name
+        assert _count(plan, "CartesianProduct") == 0, name
+    # SR-512: both nfft-row twiddle joins ride broadcasts
+    plan = _plan(Reg.queries()["spectral_residual_fixed_512"](spark, sf))
+    assert _count(plan, ") BroadcastHashJoin") >= 2

@@ -529,3 +529,52 @@ def test_acf_fft_fixed_twin_matches_operator(spark):
     np.testing.assert_allclose(
         got["acf"].to_numpy(), want["acf"].to_numpy(), atol=1e-6
     )
+
+
+def test_acf_fft_fixed_512_twin_matches_operator(spark):
+    """The widened FFT-ACF twin (same _acf_fft_fixed_plan builder at
+    n=512/nfft=1024) must reproduce the numpy-rFFT operator on the
+    same 512-point tails.  sf0.01: sf0.001 series are ~200 points and
+    are filtered by the n >= 512 guard."""
+    import pandas as pd
+
+    from time_series_data_anomaly_detection_spark.operators.acf import (
+        acf_fft,
+    )
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        q_acf_fft_fixed_512,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = (
+        q_acf_fft_fixed_512(spark, sf)
+        .toPandas()
+        .sort_values(["series_id", "lag"])
+    )
+    assert len(got) > 0
+    ev = pd.read_parquet(sf + "/events.parquet")
+    tails = []
+    for sid, grp in ev.groupby("event_type"):
+        g = grp.sort_values(["ts", "event_id"]).tail(512)
+        if len(g) < 512:
+            assert (got["series_id"] == sid).sum() == 0
+            continue
+        tails.append(
+            pd.DataFrame(
+                {
+                    "series_id": sid,
+                    "rn": np.arange(1, len(g) + 1),
+                    "value": g["value"].to_numpy(float),
+                }
+            )
+        )
+    tail_df = spark.createDataFrame(pd.concat(tails))
+    want = (
+        acf_fft(tail_df, max_lag=16)
+        .toPandas()
+        .sort_values(["series_id", "lag"])
+    )
+    assert len(got) == len(want)
+    np.testing.assert_allclose(
+        got["acf"].to_numpy(), want["acf"].to_numpy(), atol=1e-6
+    )

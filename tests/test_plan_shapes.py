@@ -710,6 +710,7 @@ def test_widened_twins_plans_are_scale_safe(spark):
         "shesd_fixed_full",
         "spectral_residual_fixed_512",
         "acf_fft_fixed",
+        "acf_fft_fixed_512",
     ):
         df = Reg.queries()[name](spark, sf)
         plan = _plan(df)

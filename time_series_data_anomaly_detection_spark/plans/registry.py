@@ -656,26 +656,25 @@ def _dft_twiddles(nfft: int = 128):
     ]
 
 
-_DFT_TW = _dft_twiddles(128)
-
-
-def q_acf_fft_fixed(spark, sf_dir):
-    """Hash-gated fixed twin of the FFT-ACF path (r08 verdict item
-    #5): the frequency-domain Wiener–Khinchin pipeline — DFT → power
-    spectrum → inverse DFT — run EXACTLY in both engines on each
-    series' last 64 points, zero-padded to nfft=128 (the operator's
-    ``1 << ceil(log2(2n))`` convention), lags 1..16.
+def _acf_fft_fixed_plan(spark, sf_dir, n_win, nfft, max_lag):
+    """Shared builder for the hash-gated FFT-ACF twins: the
+    frequency-domain Wiener–Khinchin pipeline — DFT → power spectrum →
+    inverse DFT — run EXACTLY in both engines on each series' last
+    ``n_win`` points, zero-padded to ``nfft`` (the operator's
+    ``1 << ceil(log2(2n))`` convention), lags 1..``max_lag``.
 
     The one transcendental (the twiddle basis) arrives as DATA: a
-    shared 128-row cos/sin literal table indexed by ``(k·t) mod 128``
-    — the DFT reduces to fixed products + exact-decimal sums, so the
-    twin gates the SPECTRAL ALGORITHM (not just its time-domain
+    shared nfft-row cos/sin literal table indexed by ``(k·t) mod
+    nfft`` — the DFT reduces to fixed products + exact-decimal sums,
+    so the twin gates the SPECTRAL ALGORITHM (not just its time-domain
     equivalent, which ``acf``/``acf_statsmodels`` already gate).
     Parity with ``operators/acf.acf_fft`` (numpy rFFT) is pinned at
     1e-6 in tests/test_control_robust.py; the full-length FFT
     operator stays rows-only."""
-    N, NF, K = 64, 128, 16
-    tw = spark.createDataFrame(_DFT_TW, "r int, c double, sn double")
+    N, NF, K = n_win, nfft, max_lag
+    tw = spark.createDataFrame(
+        _dft_twiddles(NF), "r int, c double, sn double"
+    )
     s = _series(spark, sf_dir).select("series_id", "rn", "value")
     cnt = (
         s.groupBy("series_id")
@@ -702,7 +701,7 @@ def q_acf_fft_fixed(spark, sf_dir):
     xc = tail.join(F.broadcast(mu), "series_id").select(
         "series_id", "t", (F.col("value") - F.col("mu")).alias("xc")
     )
-    # DFT: X_k = sum_t xc_t * (cos - i*sin)(2*pi*k*t/NF), k = 0..127 —
+    # DFT: X_k = sum_t xc_t * (cos - i*sin)(2*pi*k*t/NF), k = 0..NF-1 —
     # the (k*t) mod NF index folds every twiddle into the literal table
     terms = (
         xc.select(
@@ -728,7 +727,7 @@ def q_acf_fft_fixed(spark, sf_dir):
         (F.col("re") * F.col("re") + F.col("im") * F.col("im")).alias("p"),
     )
     # inverse DFT of the (symmetric, real) power spectrum at lags
-    # 0..16: acov_j ∝ sum_k p_k cos(2*pi*k*j/NF)
+    # 0..max_lag: acov_j ∝ sum_k p_k cos(2*pi*k*j/NF)
     acov = (
         power.select(
             "series_id",
@@ -759,32 +758,51 @@ def q_acf_fft_fixed(spark, sf_dir):
     )
 
 
-def _acf_fft_fixed_sql() -> str:
+def q_acf_fft_fixed(spark, sf_dir):
+    """Hash-gated fixed twin of the FFT-ACF path (r08 verdict item
+    #5) at the original extent: last 64 points, nfft=128, lags 1..16
+    — see ``_acf_fft_fixed_plan``."""
+    return _acf_fft_fixed_plan(spark, sf_dir, 64, 128, 16)
+
+
+def q_acf_fft_fixed_512(spark, sf_dir):
+    """Widened FFT-ACF twin (r09): last 512 points, nfft=1024, lags
+    1..16 — the same literal-twiddle spectral pipeline over 8× the
+    gated extent (the matrix_profile_fixed_full / shesd_fixed_full /
+    spectral_residual_fixed_512 widening theme).  The 512×1024 DFT
+    fan is ~0.5M exact-decimal terms per series — bounded per-series
+    state, benchable at any SF."""
+    return _acf_fft_fixed_plan(spark, sf_dir, 512, 1024, 16)
+
+
+def _acf_fft_fixed_sql(n_win=64, nfft=128, max_lag=16) -> str:
     tw_rows = ",".join(
-        "(%d, %.12f, %.12f)" % row for row in _DFT_TW
+        "(%d, %.12f, %.12f)" % row for row in _dft_twiddles(nfft)
     )
     return f"""
 WITH {SQL_S},
 tw(r, c, sn) AS (VALUES {tw_rows}),
 cnt AS (
   SELECT series_id, count(*) AS n FROM s GROUP BY 1
-  HAVING count(*) >= 64),
+  HAVING count(*) >= {n_win}),
 tl AS (
   SELECT s.series_id,
-         CAST(s.rn - (c.n - 64) - 1 AS INT) AS t, s.value
+         CAST(s.rn - (c.n - {n_win}) - 1 AS INT) AS t, s.value
   FROM s JOIN cnt c USING (series_id)
-  WHERE s.rn > c.n - 64),
+  WHERE s.rn > c.n - {n_win}),
 mu AS (
   SELECT series_id,
-         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / 64.0 AS mu
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) / {n_win}.0
+           AS mu
   FROM tl GROUP BY 1),
 xc AS (
   SELECT t.series_id, t.t, t.value - m.mu AS xc
   FROM tl t JOIN mu m USING (series_id)),
 terms AS (
   SELECT x.series_id, x.xc, f.k,
-         (f.k * x.t) % 128 AS r
-  FROM xc x CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS k) f),
+         (f.k * x.t) % {nfft} AS r
+  FROM xc x CROSS JOIN (SELECT unnest(generate_series(0, {nfft - 1}))
+                        AS k) f),
 spec AS (
   SELECT te.series_id, te.k,
          CAST(sum(CAST(te.xc * w.c AS DECIMAL(38,12))) AS DOUBLE) AS re,
@@ -797,8 +815,8 @@ acov AS (
   SELECT pw.series_id, l.lag,
          CAST(sum(CAST(pw.p * w.c AS DECIMAL(38,12))) AS DOUBLE) AS sm
   FROM pw
-  CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS lag) l
-  JOIN tw w ON w.r = (pw.k * l.lag) % 128
+  CROSS JOIN (SELECT unnest(generate_series(0, {max_lag})) AS lag) l
+  JOIN tw w ON w.r = (pw.k * l.lag) % {nfft}
   GROUP BY 1, 2),
 a0 AS (SELECT series_id, sm AS s0 FROM acov WHERE lag = 0)
 SELECT a.series_id, CAST(a.lag AS INT) AS lag,
@@ -4635,6 +4653,7 @@ FROM rz r JOIN an a USING (series_id)
 
 ORACLES["shesd_fixed"] = _shesd_fixed_sql()
 ORACLES["acf_fft_fixed"] = _acf_fft_fixed_sql()
+ORACLES["acf_fft_fixed_512"] = _acf_fft_fixed_sql(512, 1024, 16)
 
 
 # λ critical values for EVERY test-set size the full-extent twin can
@@ -8824,6 +8843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_statsmodels": q_acf_statsmodels,
         "acf_fft": q_acf_fft,
         "acf_fft_fixed": q_acf_fft_fixed,
+        "acf_fft_fixed_512": q_acf_fft_fixed_512,
         "hbos_flags": q_hbos_flags,
         "sax_words": q_sax_words,
         "sax_mindist": q_sax_mindist,
@@ -8967,6 +8987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shesd_fixed_full",
         "spectral_residual_fixed_512",
         "acf_fft_fixed",
+        "acf_fft_fixed_512",
         "bpe_encode_fixed",
         "bpe_merges_fixed",
         "corpus_to_batches_bpe_fixed",

@@ -718,6 +718,24 @@ def test_widened_twins_plans_are_scale_safe(spark):
         assert _count(plan, "FlatMapGroupsInPandas") == 0, name
         assert _count(plan, "BatchEvalPython") == 0, name
         assert _count(plan, "CartesianProduct") == 0, name
+    # the full-extent matrix profile's O(w²) pair frame must stay a
+    # pure projection: NO window machinery (Window/Sort/Exchange) may
+    # touch the diagonal column d — a regression back to the
+    # per-diagonal rolling form shows up as a windowspecdefinition or
+    # hashpartitioning that mentions d#NNN (d2#/nn#/event_id# don't
+    # match the bounded pattern)
+    import re as _re
+
+    mp_plan = _plan(Reg.queries()["matrix_profile_fixed_full"](spark, sf))
+    assert not _re.search(
+        r"windowspecdefinition\([^)]*[^a-z0-9_]d#\d+", mp_plan
+    ), "Window over the diagonal column: pair-frame window regression"
+    assert not _re.search(
+        r"hashpartitioning\([^)]*[^a-z0-9_]d#\d+", mp_plan
+    ), "Exchange keyed on the diagonal column: pair-frame shuffle regression"
+    # and total window machinery stays bounded at today's shape (10
+    # Windows: 6 row_number rn-assignments + 4 M-point stats windows)
+    assert _count(mp_plan, ") Window") <= 10
     # SR-512: both nfft-row twiddle joins ride broadcasts
     plan = _plan(Reg.queries()["spectral_residual_fixed_512"](spark, sf))
     assert _count(plan, ") BroadcastHashJoin") >= 2

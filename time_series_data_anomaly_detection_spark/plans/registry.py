@@ -4181,11 +4181,18 @@ def q_matrix_profile_fixed_full(spark, sf_dir):
     # diagonal range — the pair frame is born as (series_id, i, d, qt)
     # scalars with NO shuffle, NO sort, and no per-pair array copies
     # (the array dies inside the projection).  Each product is a
-    # double multiply cast to decimal and the 8 terms chain-add in
-    # decimal — decimal addition is exact hence associative, so the
-    # values are bit-identical to the per-diagonal rolling decimal
-    # window sum this replaces (which needed a 10M-row exchange + sort
-    # on (series_id, d): measured 2-3x the runtime of this form).
+    # double multiply cast to decimal(30,12) and the 8 terms chain-add
+    # in decimal.  The narrow cast matters: Spark's add rule gives
+    # (30,12)+(30,12) -> (31,12) and precision then grows +1 per term
+    # (last add lands at (37,12) <= 38), so the SCALE STAYS 12 through
+    # the whole chain and every add is exact — had the products been
+    # cast to decimal(38,12), allowPrecisionLoss would shave one scale
+    # digit per add (12->11->...->6) and qt would carry ~5e-7 rounding
+    # vs the oracle's scale-12 windowed SUM.  With scale pinned at 12,
+    # decimal addition is exact hence associative, so the values are
+    # bit-identical to the per-diagonal rolling decimal window sum this
+    # replaces (which needed a 10M-row exchange + sort on
+    # (series_id, d): measured 2-3x the runtime of this form).
     arr = (
         tail.groupBy("series_id", "w")
         .agg(
@@ -4210,7 +4217,9 @@ def q_matrix_profile_fixed_full(spark, sf_dir):
         )
         total = None
         for t in range(M):
-            p = (at(F.lit(t + 1)) * at(d + F.lit(t + 1))).cast(DEC_T)
+            p = (at(F.lit(t + 1)) * at(d + F.lit(t + 1))).cast(
+                "decimal(30,12)"
+            )
             total = p if total is None else total + p
         return total.cast("double")
 

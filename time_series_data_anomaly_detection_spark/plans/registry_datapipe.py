@@ -2941,9 +2941,14 @@ _BPE_FIXED_MERGES: list[tuple[str, str]] = [
 ]
 # apply-rounds to unroll: each round applies ONE merge type (the
 # lowest rank present) across the word and shortens it by >=1 symbol,
-# so maxlen-1 rounds always reach the fixed point; corpus words are
-# <= 8 chars (and the round is an identity once no pair applies)
-_BPE_ENC_ROUNDS = 7
+# so maxlen-1 rounds always reach the fixed point (a round is an
+# identity once no pair applies).  16 rounds therefore cover every
+# word up to 17 chars — and instead of ASSUMING the corpus stays under
+# that, the oracle carries a guard CTE that raises a DuckDB error()
+# if any vocab word exceeds _BPE_ENC_ROUNDS+1 chars, so a longer word
+# surfaces as a loud gate error, never a silent engine disagreement
+# with the UNBOUNDED production encoder (r09 advice item).
+_BPE_ENC_ROUNDS = 16
 _BPE_NO_RANK = 999
 
 
@@ -3173,8 +3178,18 @@ WITH w AS (
   FROM documents),
 wpd AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
 vocab AS (SELECT DISTINCT word FROM wpd),
+guard AS (
+  SELECT CASE WHEN max(strlen(word)) > {_BPE_ENC_ROUNDS + 1}
+              THEN error('bpe_encode_fixed oracle: vocab word longer than '
+                         || '{_BPE_ENC_ROUNDS + 1} chars exceeds the '
+                         || 'unrolled apply rounds')
+              ELSE 1 END AS ok
+  FROM vocab),
 enc0 AS (
-  SELECT word, regexp_extract_all(word, '.') AS syms FROM vocab),
+  -- the WHERE forces guard.ok's evaluation (a bare CROSS JOIN lets
+  -- projection pruning skip the CASE and the error() with it)
+  SELECT word, regexp_extract_all(word, '.') AS syms
+  FROM vocab CROSS JOIN guard WHERE guard.ok = 1),
 {round_sql},
 tok AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_tok
         FROM enc{_BPE_ENC_ROUNDS}),

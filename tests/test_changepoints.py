@@ -435,3 +435,83 @@ def test_bocpd_fixed_ref_detects_planted_shift():
     post = np.argmax(shorts[35:]) + 35
     assert 40 <= post <= 44  # spike lands within a few steps of t=40
     assert max(shorts[40:46]) > 0.5
+
+
+def test_pelt_fixed_full_matches_pelt_on_full_series(spark):
+    """The r10 full-extent twin (pelt_changepoints_fixed_full) must
+    return PELT's exact optimum over each ENTIRE sf0.001 series
+    (w = n < 2048 there) with the generalized BIC penalty
+    2*var*q8(ln(w)) — the pruned fold's segment boundaries agree
+    exactly with the numpy PELT."""
+    import numpy as np
+    import pandas as pd
+    from math import floor, log
+
+    from time_series_data_anomaly_detection_spark.functions.pelt import pelt_l2
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        q_pelt_changepoints_fixed_full,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_pelt_changepoints_fixed_full(spark, sf).toPandas()
+    assert len(out) > 0
+    ev = pd.read_parquet(sf + "/events.parquet")
+    for sid, grp in ev.groupby("event_type"):
+        g = grp.sort_values(["ts", "event_id"])
+        x = g["value"].to_numpy().astype(float)
+        w = min(len(x), 2048)
+        x = x[-w:]
+        lnw = floor(log(float(w)) * 1e8 + 0.5) / 1e8
+        beta = 2.0 * float(x.var()) * lnw
+        bounds = [0] + pelt_l2(x, beta) + [w]
+        got = out[out["series_id"] == sid].sort_values("seg")
+        assert len(got) == len(bounds) - 1, sid
+        n_ser = len(g)
+        for i in range(len(bounds) - 1):
+            row = got.iloc[i]
+            assert row["start_rn"] == n_ser - w + bounds[i] + 1
+            assert row["end_rn"] == n_ser - w + bounds[i + 1]
+            assert row["n"] == bounds[i + 1] - bounds[i]
+            seg_mean = x[bounds[i] : bounds[i + 1]].mean()
+            assert row["seg_mean"] == pytest.approx(seg_mean, abs=1e-5)
+
+
+def test_bocpd_fixed_full_matches_numpy_replica(spark):
+    """The r10 full-extent BOCPD twin must equal the numpy replica of
+    the recursion over each ENTIRE sf0.001 series (w = n there), not
+    just a 64-point tail — same math, dynamic extent."""
+    import pandas as pd
+    from math import floor
+
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        q_bocpd_changepoints_fixed_full,
+    )
+
+    out = q_bocpd_changepoints_fixed_full(
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert len(out) > 0
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    for sid, grp in ev.groupby("event_type"):
+        xall = (
+            grp.sort_values(["ts", "event_id"])["value"]
+            .to_numpy()
+            .astype(float)
+        )
+        w = min(len(xall), 2048)
+        x = xall[-w:]
+        s1, s2 = float(np.sum(x)), float(np.sum(x * x))
+        m = s1 / w
+        sd = np.sqrt(max((s2 - s1 * s1 / w) / (w - 1.0), 0.0))
+        z = (x - m) / (sd + 1e-9)
+        cps, shorts = _gauss_bocpd_fixed_ref(z)
+        got = out[out["series_id"] == sid].sort_values("rn")
+        assert len(got) == w
+        q6 = lambda v: floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+        np.testing.assert_allclose(
+            got["cp_prob"].to_numpy(), [q6(v) for v in cps], atol=2e-6
+        )
+        np.testing.assert_allclose(
+            got["cp_score"].to_numpy(), [q6(v) for v in shorts], atol=2e-6
+        )
+        assert np.allclose(got["cp_prob"].to_numpy(), 0.02, atol=1e-6)

@@ -1192,3 +1192,35 @@ def test_dtw_distance_fixed_matches_banded_dp(spark):
         expect = dtw_banded(vecs[row["series_a"]], vecs[row["series_b"]], 8)
         assert row["dtw"] == pytest.approx(expect, abs=2e-6)
         assert row["band"] == 8
+
+
+def test_dtw_distance_fixed_64_matches_banded_dp(spark):
+    """The r10 widened twin: same anti-diagonal fold at PAA-64 /
+    band-16 must reproduce dtw_banded on the twin's own prep."""
+    import pandas as pd
+
+    from time_series_data_anomaly_detection_spark.functions.dtw import (
+        dtw_banded,
+    )
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        q_dtw_distance_fixed_64,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_dtw_distance_fixed_64(spark, sf).toPandas()
+    assert len(out) > 0
+
+    ev = pd.read_parquet(sf + "/events.parquet")
+    vecs = {}
+    for sid, grp in ev.groupby("event_type"):
+        x = grp.sort_values(["ts", "event_id"])["value"].to_numpy().astype(float)
+        n = len(x)
+        g = (np.arange(n) * 64) // n
+        pa = np.array([x[g == i].mean() for i in range(64)])
+        sd = pa.std(ddof=1)
+        vecs[sid] = (pa - pa.mean()) / (sd + 1e-9)
+
+    for _, row in out.iterrows():
+        expect = dtw_banded(vecs[row["series_a"]], vecs[row["series_b"]], 16)
+        assert row["dtw"] == pytest.approx(expect, abs=2e-6)
+        assert row["band"] == 16

@@ -711,6 +711,9 @@ def test_widened_twins_plans_are_scale_safe(spark):
         "spectral_residual_fixed_512",
         "acf_fft_fixed",
         "acf_fft_fixed_512",
+        "bocpd_changepoints_fixed_full",
+        "pelt_changepoints_fixed_full",
+        "dtw_distance_fixed_64",
     ):
         df = Reg.queries()[name](spark, sf)
         plan = _plan(df)

@@ -6733,29 +6733,28 @@ def q_dtw_distance(spark, sf_dir):
     )
 
 
-def q_dtw_distance_fixed(spark, sf_dir):
-    """Hash-gated fixed twin of the banded DTW (r07 verdict item #6):
-    PAA to exactly 32 segments (integer binning ``g = (rn−1)·32 div
-    n``, exact-decimal segment means), z-normalized AFTER downsampling,
-    then Sakoe-Chiba banded DP (band 8, squared local cost, sqrt of
-    the accumulated cost — functions/dtw.py:38 semantics at fixed
-    parameters).
+def _dtw_fixed_plan(spark, sf_dir, L, W, name):
+    """Shared builder for the hash-gated fixed DTW twins (r07 verdict
+    item #6; r10 widened per the r09 verdict): PAA to exactly ``L``
+    segments (integer binning ``g = (rn−1)·L div n``, exact-decimal
+    segment means), z-normalized AFTER downsampling, then Sakoe-Chiba
+    banded DP (band ``W``, squared local cost, sqrt of the accumulated
+    cost — functions/dtw.py:38 semantics at fixed parameters).
 
     The DP is re-expressed over ANTI-DIAGONALS so it has no intra-step
     dependence: diagonal d needs only diagonals d−1 and d−2, so each
     cell is an independent ``least()`` of three neighbors.  Spark
-    folds the 63 diagonals with ``F.aggregate`` over array state (two
-    33-slot diagonals per pair, out-of-band cells pinned to the 1e18
-    sentinel); DuckDB replays the identical recursion as a recursive
-    CTE over list state — the kalman/holt list-state recipe extended
-    to a 2-D DP.  All arithmetic is fixed-order double algebra on
-    decimal-sum inputs, so the gate is exact.  |series|² pair frame
-    bounded by the unordered-pair API guard."""
+    folds the 2L−1 diagonals with ``F.aggregate`` over array state
+    (two (L+1)-slot diagonals per pair, out-of-band cells pinned to
+    the 1e18 sentinel); DuckDB replays the identical recursion as a
+    recursive CTE over list state — the kalman/holt list-state recipe
+    extended to a 2-D DP.  All arithmetic is fixed-order double
+    algebra on decimal-sum inputs, so the gate is exact.  |series|²
+    pair frame bounded by the unordered-pair API guard."""
     from ..operators.acf import _guard_pair_explosion
 
-    L, W = 32, 8
     s = _series(spark, sf_dir).select("series_id", "rn", "value")
-    s = _guard_pair_explosion(s, None, 64, False, "dtw_distance_fixed")
+    s = _guard_pair_explosion(s, None, 64, False, name)
 
     def dsum(expr):
         return F.sum(expr.cast(DEC_T)).cast("double")
@@ -6856,14 +6855,28 @@ def q_dtw_distance_fixed(spark, sf_dir):
     )
 
 
-ORACLES["dtw_distance_fixed"] = f"""
-WITH RECURSIVE {SQL_S},
+def q_dtw_distance_fixed(spark, sf_dir):
+    """32-segment / band-8 fixed DTW twin (see _dtw_fixed_plan)."""
+    return _dtw_fixed_plan(spark, sf_dir, 32, 8, "dtw_distance_fixed")
+
+
+def q_dtw_distance_fixed_64(spark, sf_dir):
+    """64-segment / band-16 fixed DTW twin (r09 verdict item #1):
+    same builder at 2× the gated PAA resolution — 127 anti-diagonals
+    over 65-slot state, 4× the DP cells of the 32-segment twin."""
+    return _dtw_fixed_plan(spark, sf_dir, 64, 16, "dtw_distance_fixed_64")
+
+
+def _dtw_fixed_sql(L: int, W: int) -> str:
+    """DuckDB mirror of _dtw_fixed_plan at (L, W)."""
+    return f"""
+WITH RECURSIVE {{SQL_S}},
 cnt AS (
   SELECT series_id, count(*) AS n FROM s GROUP BY 1
-  HAVING count(*) >= 32),
+  HAVING count(*) >= {L}),
 bb AS (
   SELECT s.series_id, s.rn, s.value, c.n,
-         CAST(((s.rn - 1) * 32) // c.n AS INT) AS g
+         CAST(((s.rn - 1) * {L}) // c.n AS INT) AS g
   FROM s JOIN cnt c USING (series_id)),
 paa AS (
   SELECT series_id, g,
@@ -6872,16 +6885,16 @@ paa AS (
          max(n) AS n
   FROM bb GROUP BY 1, 2),
 mo AS (
-  SELECT series_id, count(*) AS c32,
+  SELECT series_id, count(*) AS cL,
          CAST(sum(CAST(pa AS DECIMAL(38,12))) AS DOUBLE) AS s1,
          CAST(sum(CAST(pa * pa AS DECIMAL(38,12))) AS DOUBLE) AS s2,
          max(n) AS n
   FROM paa GROUP BY 1),
 zed AS (
   SELECT p.series_id, p.g,
-         (p.pa - m.s1 / m.c32)
-           / (sqrt(greatest((m.s2 - m.s1 * m.s1 / m.c32)
-                            / (m.c32 - 1), 0.0)) + 1e-9) AS z,
+         (p.pa - m.s1 / m.cL)
+           / (sqrt(greatest((m.s2 - m.s1 * m.s1 / m.cL)
+                            / (m.cL - 1), 0.0)) + 1e-9) AS z,
          m.n
   FROM paa p JOIN mo m USING (series_id)),
 vec AS (
@@ -6893,31 +6906,40 @@ pxy AS (
   FROM vec a JOIN vec b ON a.series_id < b.series_id),
 dp AS (
   SELECT series_a, series_b, 1 AS d,
-         list_transform(generate_series(0, 32),
+         list_transform(generate_series(0, {L}),
                         i -> CASE WHEN i = 0 THEN 0.0 ELSE 1e18 END)
            AS pm2,
-         list_transform(generate_series(0, 32), i -> 1e18 + 0.0 * i)
+         list_transform(generate_series(0, {L}), i -> 1e18 + 0.0 * i)
            AS pm1
   FROM pxy
   UNION ALL
   SELECT dp.series_a, dp.series_b, dp.d + 1,
          dp.pm1,
-         list_transform(generate_series(0, 32), i ->
-           CASE WHEN i < 1 OR dp.d + 1 - i < 1 OR dp.d + 1 - i > 32
-                     OR abs(2 * i - (dp.d + 1)) > 8
+         list_transform(generate_series(0, {L}), i ->
+           CASE WHEN i < 1 OR dp.d + 1 - i < 1 OR dp.d + 1 - i > {L}
+                     OR abs(2 * i - (dp.d + 1)) > {W}
                 THEN 1e18
                 ELSE (p.xa[i] - p.xb[dp.d + 1 - i])
                      * (p.xa[i] - p.xb[dp.d + 1 - i])
                      + least(dp.pm1[i], dp.pm1[i + 1], dp.pm2[i]) END)
   FROM dp
   JOIN pxy p ON p.series_a = dp.series_a AND p.series_b = dp.series_b
-  WHERE dp.d < 64)
-SELECT p.series_a, p.series_b, p.n_a, p.n_b, CAST(8 AS INT) AS band,
-       round(sqrt(dp.pm1[33]), {R}) AS dtw
+  WHERE dp.d < {2 * L})
+SELECT p.series_a, p.series_b, p.n_a, p.n_b, CAST({W} AS INT) AS band,
+       round(sqrt(dp.pm1[{L + 1}]), {{R}}) AS dtw
 FROM dp
 JOIN pxy p ON p.series_a = dp.series_a AND p.series_b = dp.series_b
-WHERE dp.d = 64
+WHERE dp.d = {2 * L}
 """
+
+
+ORACLES["dtw_distance_fixed_64"] = (
+    _dtw_fixed_sql(64, 16).replace("{SQL_S}", SQL_S).replace("{R}", str(R))
+)
+
+ORACLES["dtw_distance_fixed"] = (
+    _dtw_fixed_sql(32, 8).replace("{SQL_S}", SQL_S).replace("{R}", str(R))
+)
 
 
 def q_ar2_forecast(spark, sf_dir):
@@ -7560,6 +7582,585 @@ SELECT series_id,
        CAST(i - 1 AS INT) AS seg,
        CAST(n - 128 + bounds[i] + 1 AS BIGINT) AS start_rn,
        CAST(n - 128 + bounds[i + 1] AS BIGINT) AS end_rn,
+       CAST(bounds[i + 1] - bounds[i] AS BIGINT) AS n,
+       round((l1[bounds[i + 1] + 1] - l1[bounds[i] + 1])
+             / CAST(bounds[i + 1] - bounds[i] AS DOUBLE), {R})
+         AS seg_mean
+FROM segs
+"""
+
+
+def _let(val, body):
+    """Evaluate-once binding for Catalyst expressions: Catalyst does
+    NO common-subexpression elimination inside higher-order-function
+    lambdas, so referencing an expression twice re-evaluates its whole
+    subtree (the O(w²) folds below would otherwise re-run their pdf /
+    cost scans up to ~20× per step).  Wrapping the value as the sole
+    element of an array and binding it through a ``transform`` lambda
+    makes it a NamedLambdaVariable — evaluated exactly once per step —
+    at the cost of one single-element array allocation."""
+    return F.element_at(F.transform(F.array(val), body), 1)
+
+
+def q_bocpd_changepoints_fixed_full(spark, sf_dir):
+    """FULL-EXTENT hash-gated BOCPD twin (r09 verdict item #1, the
+    matrix-profile treatment): identical known-variance Gaussian
+    run-length recursion as ``bocpd_changepoints_fixed``, but over
+    each series' last ``w = least(n, 2048)`` points — at the gate SF
+    (sf0.01, ~2000-point series) that is the ENTIRE series, so the
+    hash gate covers the same extent the rows-only ``bocpd_changepoints``
+    operator processes, not a 64-point tail.  The O(w²) posterior
+    recursion stays a single ``F.aggregate`` fold per series (the
+    run-length probability vector is the only state); DuckDB replays
+    it as a recursive CTE whose per-step intermediates (rp, rn_, tot,
+    norm) are STAGED through nested subqueries so each is computed
+    once per step — the naive single-expression splice of the 64-pt
+    twin re-evaluates the pdf list ~18× per step, which is harmless
+    at w=64 and a ~30× slowdown at w=2048.  The Spark fold stages the
+    same intermediates through ``_let`` lambda bindings for the same
+    reason (Catalyst HOF lambdas get no CSE).  At larger SFs the cap
+    bounds the quadratic work; the uncapped scale path remains the
+    applyInPandas ``bocpd_changepoints``."""
+    W_CAP = 2048
+    s = _series(spark, sf_dir).select("series_id", "rn", "value")
+    cnt = (
+        s.groupBy("series_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 64)
+        .withColumn("w", F.least(F.col("n"), F.lit(W_CAP)))
+    )
+    tail = (
+        s.join(F.broadcast(cnt), "series_id")
+        .filter(F.col("rn") > F.col("n") - F.col("w"))
+        .select(
+            "series_id",
+            "n",
+            "w",
+            (F.col("rn") - (F.col("n") - F.col("w")) - F.lit(1)).alias("j"),
+            "value",
+        )
+    )
+
+    def dsum(expr):
+        return F.sum(expr.cast(DEC_T)).cast("double")
+
+    mo = tail.groupBy("series_id").agg(
+        dsum(F.col("value")).alias("s1"),
+        dsum(F.col("value") * F.col("value")).alias("s2"),
+        F.max("w").alias("wm"),
+    )
+    wn = F.col("wm").cast("double")
+    mu_g = F.col("s1") / wn
+    sd_g = F.sqrt(
+        F.greatest(
+            (F.col("s2") - F.col("s1") * F.col("s1") / wn)
+            / (wn - F.lit(1.0)),
+            F.lit(0.0),
+        )
+    )
+    zed = tail.join(F.broadcast(mo), "series_id").select(
+        "series_id",
+        "n",
+        "w",
+        "j",
+        ((F.col("value") - mu_g) / (sd_g + F.lit(1e-9))).alias("z"),
+    )
+    wj = (
+        Window.partitionBy("series_id")
+        .orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = zed.withColumn(
+        "c1", F.sum(F.col("z").cast(DEC_T)).over(wj).cast("double")
+    )
+    ser = cum.groupBy("series_id").agg(
+        F.max("n").alias("n"),
+        F.max("w").alias("w"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "z"))),
+            lambda t: t["z"],
+        ).alias("zv"),
+        F.concat(
+            F.array(F.lit(0.0)),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "c1"))),
+                lambda t: t["c1"],
+            ),
+        ).alias("l1"),
+    )
+
+    H = F.lit(0.02)
+    GM = F.lit(0.98)
+    TWO_PI = F.lit(float(_TWO_PI))
+
+    def el(arr, i):
+        return F.element_at(arr, (i + F.lit(1)).cast("int"))
+
+    def q8(c):
+        return F.floor(c * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)
+
+    init = F.struct(
+        F.array(F.lit(1.0)).alias("rv"),
+        F.array().cast("array<double>").alias("cps"),
+        F.array().cast("array<double>").alias("sh"),
+    )
+
+    def step(acc, t):
+        def pdf(r):
+            rr = r.cast("double")
+            v = F.lit(1.0) + F.lit(1.0) / (F.lit(1.0) + rr)
+            mu = (el(F.col("l1"), t) - el(F.col("l1"), t - r)) / (
+                F.lit(1.0) + rr
+            )
+            d = el(F.col("zv"), t) - mu
+            return q8(
+                F.exp(-(d * d) / (F.lit(2.0) * v)) / F.sqrt(TWO_PI * v)
+            )
+
+        ps = F.transform(F.sequence(F.lit(0), t), pdf)
+        rp_expr = F.zip_with(acc["rv"], ps, lambda a, b: a * b)
+
+        def with_rp(rp):
+            cp0 = F.aggregate(
+                F.transform(rp, lambda q: q * H),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+            growth = F.transform(rp, lambda q: q * GM)
+            rn_expr = F.concat(F.array(cp0), growth)
+
+            def with_rn(rn_):
+                tot_expr = F.aggregate(rn_, F.lit(0.0), lambda a, b: a + b)
+
+                def with_tot(tot):
+                    # ELSE arm: [1, 0, 0, ...] of len(rn_) — built by
+                    # an indexed transform (values identical to the
+                    # prepend-zeros form of the 64-pt twin)
+                    norm_expr = F.when(
+                        tot > 0, F.transform(rn_, lambda v2: v2 / tot)
+                    ).otherwise(
+                        F.transform(
+                            rn_,
+                            lambda _, i: F.when(
+                                i == 0, F.lit(1.0)
+                            ).otherwise(F.lit(0.0)),
+                        )
+                    )
+
+                    def with_norm(norm):
+                        short = F.aggregate(
+                            F.slice(norm, 1, 6),
+                            F.lit(0.0),
+                            lambda a, b: a + b,
+                        )
+                        return F.struct(
+                            norm.alias("rv"),
+                            F.concat(
+                                acc["cps"], F.array(el(norm, F.lit(0)))
+                            ).alias("cps"),
+                            F.concat(acc["sh"], F.array(short)).alias("sh"),
+                        )
+
+                    return _let(norm_expr, with_norm)
+
+                return _let(tot_expr, with_tot)
+
+            return _let(rn_expr, with_rn)
+
+        return _let(rp_expr, with_rp)
+
+    res = F.aggregate(
+        F.sequence(F.lit(0), (F.col("w") - F.lit(1)).cast("int")),
+        init,
+        step,
+    )
+    ser = ser.withColumn("cps", res["cps"]).withColumn("sh", res["sh"])
+    out = ser.select(
+        "series_id",
+        "n",
+        "w",
+        F.posexplode(F.arrays_zip("cps", "sh")).alias("t", "pair"),
+    )
+    return out.select(
+        "series_id",
+        (F.col("n") - F.col("w") + F.col("t") + 1).cast("long").alias("rn"),
+        _rnd(F.col("pair.cps"), R).alias("cp_prob"),
+        _rnd(F.col("pair.sh"), R).alias("cp_score"),
+    )
+
+
+def _bocpd_fixed_full_sql() -> str:
+    """DuckDB mirror of q_bocpd_changepoints_fixed_full.  Unlike the
+    64-pt twin's single-expression splice, the per-step intermediates
+    are staged through nested subqueries inside the recursive term
+    (DuckDB allows any SELECT shape as long as the recursive ref
+    appears once): rp (pdf×prob list) is computed ONCE, then rn_,
+    then tot, then norm — the fold order of additions matches the
+    Spark ``F.aggregate`` left-fold exactly, and the pdf quantizer
+    keeps its parens (``rv * (floor(..)/1e8)``) so both engines
+    produce identical doubles."""
+    pdf = f"""(floor((exp(-((p.zv[dp.t + 1]
+             - (p.l1[dp.t + 1] - p.l1[dp.t - r + 1])
+               / (1.0 + CAST(r AS DOUBLE)))
+           * (p.zv[dp.t + 1]
+             - (p.l1[dp.t + 1] - p.l1[dp.t - r + 1])
+               / (1.0 + CAST(r AS DOUBLE))))
+           / (2.0 * (1.0 + 1.0 / (1.0 + CAST(r AS DOUBLE)))))
+           / sqrt({_TWO_PI} * (1.0 + 1.0 / (1.0 + CAST(r AS DOUBLE)))))
+           * 100000000.0 + 0.5) / 100000000.0)"""
+    return f"""
+WITH RECURSIVE {SQL_S},
+cnt AS (
+  SELECT series_id, count(*) AS n, least(count(*), 2048) AS w
+  FROM s GROUP BY 1
+  HAVING count(*) >= 64),
+tl AS (
+  SELECT s.series_id, c.n, c.w, s.rn - (c.n - c.w) - 1 AS j, s.value
+  FROM s JOIN cnt c USING (series_id)
+  WHERE s.rn > c.n - c.w),
+mo AS (
+  SELECT series_id,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE)
+           AS s2,
+         max(w) AS wm
+  FROM tl GROUP BY 1),
+zed AS (
+  SELECT t.series_id, t.n, t.w, t.j,
+         (t.value - m.s1 / CAST(m.wm AS DOUBLE))
+           / (sqrt(greatest((m.s2 - m.s1 * m.s1 / CAST(m.wm AS DOUBLE))
+                            / (CAST(m.wm AS DOUBLE) - 1.0), 0.0))
+              + 1e-9) AS z
+  FROM tl t JOIN mo m USING (series_id)),
+cum AS (
+  SELECT series_id, n, w, j, z,
+         CAST(sum(CAST(z AS DECIMAL(38,12))) OVER wj AS DOUBLE) AS c1
+  FROM zed
+  WINDOW wj AS (PARTITION BY series_id ORDER BY j
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+ser AS (
+  SELECT series_id, max(n) AS n, max(w) AS w,
+         list(z ORDER BY j) AS zv,
+         list_prepend(0.0, list(c1 ORDER BY j)) AS l1
+  FROM cum GROUP BY 1),
+dp AS (
+  SELECT series_id, 0 AS t, [CAST(1.0 AS DOUBLE)] AS rv,
+         []::DOUBLE[] AS cps, []::DOUBLE[] AS sh
+  FROM ser
+  UNION ALL
+  SELECT series_id, t, norm,
+         list_append(cps, norm[1]),
+         list_append(sh,
+           list_reduce(list_slice(norm, 1, 6), (a, b) -> a + b))
+  FROM (
+    SELECT series_id, t, cps, sh,
+           CASE WHEN tot > 0
+                THEN list_transform(rn_, v2 -> v2 / tot)
+                ELSE list_prepend(CAST(1.0 AS DOUBLE),
+                                  list_transform(rn_[2:], v2 -> 0.0))
+           END AS norm
+    FROM (
+      SELECT series_id, t, cps, sh, rn_,
+             list_reduce(rn_, (a, b) -> a + b) AS tot
+      FROM (
+        SELECT series_id, t, cps, sh,
+               list_prepend(
+                 list_reduce(list_transform(rp, q -> q * 0.02),
+                             (a, b) -> a + b),
+                 list_transform(rp, q -> q * 0.98)) AS rn_
+        FROM (
+          SELECT dp.series_id, dp.t + 1 AS t, dp.cps, dp.sh,
+                 list_transform(generate_series(0, dp.t), r ->
+                   dp.rv[r + 1] * {pdf}) AS rp
+          FROM dp JOIN ser p USING (series_id)
+          WHERE dp.t < p.w) q1) q2) q3) q4),
+fin AS (
+  SELECT dp.series_id, p.n, p.w, dp.cps, dp.sh
+  FROM dp JOIN ser p USING (series_id)
+  WHERE dp.t = p.w),
+ex AS (
+  SELECT series_id, n, w,
+         unnest(generate_series(1, CAST(w AS INT))) AS k, cps, sh
+  FROM fin)
+SELECT series_id,
+       CAST(n - w + k AS BIGINT) AS rn,
+       round(cps[k], {R}) AS cp_prob,
+       round(sh[k], {R}) AS cp_score
+FROM ex
+"""
+
+
+ORACLES["bocpd_changepoints_fixed_full"] = _bocpd_fixed_full_sql()
+
+
+def q_pelt_changepoints_fixed_full(spark, sf_dir):
+    """FULL-EXTENT hash-gated PELT twin (r09 verdict item #1): the
+    exact optimal-partitioning DP of ``pelt_changepoints_fixed`` over
+    each series' last ``w = least(n, 2048)`` points — the entire
+    series at the gate SF — instead of a 128-point tail.  The BIC
+    penalty generalizes from the pinned ln(128) literal to
+    ``2·var·q8(ln(w))``: ln is the one transcendental, so it is
+    quantized to 8 decimals with the same floor-quantizer on both
+    engines (libm lns agree far beyond 1e-8, so the quantized values
+    are identical; the bocpd exp-quantization recipe).  The DuckDB
+    recursion stages the argmin ONCE per step through a nested
+    subquery — the 128-pt twin's splice evaluates the candidate scan
+    twice (once for .v, once for .s), which doubles the dominant
+    O(w²) term at full extent."""
+    W_CAP = 2048
+    s = _series(spark, sf_dir).select("series_id", "rn", "value")
+    cnt = (
+        s.groupBy("series_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 64)
+        .withColumn("w", F.least(F.col("n"), F.lit(W_CAP)))
+    )
+    tail = (
+        s.join(F.broadcast(cnt), "series_id")
+        .filter(F.col("rn") > F.col("n") - F.col("w"))
+        .select(
+            "series_id",
+            "n",
+            "w",
+            (F.col("rn") - (F.col("n") - F.col("w")) - F.lit(1)).alias("j"),
+            "value",
+        )
+    )
+    wj = (
+        Window.partitionBy("series_id")
+        .orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = tail.select(
+        "series_id",
+        "n",
+        "w",
+        "j",
+        F.sum(F.col("value").cast(DEC_T)).over(wj).cast("double").alias("c1"),
+        F.sum((F.col("value") * F.col("value")).cast(DEC_T))
+        .over(wj)
+        .cast("double")
+        .alias("c2"),
+    )
+    ser = cum.groupBy("series_id").agg(
+        F.max("n").alias("n"),
+        F.max("w").alias("w"),
+        F.concat(
+            F.array(F.lit(0.0)),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "c1"))),
+                lambda t: t["c1"],
+            ),
+        ).alias("l1"),
+        F.concat(
+            F.array(F.lit(0.0)),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "c2"))),
+                lambda t: t["c2"],
+            ),
+        ).alias("l2"),
+    )
+    wd = F.col("w").cast("double")
+    s1t = F.element_at("l1", (F.col("w") + F.lit(1)).cast("int"))
+    s2t = F.element_at("l2", (F.col("w") + F.lit(1)).cast("int"))
+    var = F.greatest(
+        s2t / wd - (s1t / wd) * (s1t / wd),
+        F.lit(0.0),
+    )
+    lnw = F.floor(F.log(wd) * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)
+    ser = ser.withColumn("beta", F.lit(2.0) * var * lnw)
+
+    def el(arr, i):  # arr[i], 0-based
+        return F.element_at(arr, (i + F.lit(1)).cast("int"))
+
+    init = F.struct(
+        F.array(F.lit(-1.0) * F.col("beta")).alias("fs"),
+        F.array(F.lit(0)).alias("cps"),
+        F.array(F.lit(0)).alias("cand"),
+    )
+
+    def step(acc, t):
+        # TRUE PELT: the argmin scans only the surviving candidate
+        # set, and s is pruned once F(s)+C(s+1..t) > F(t) — for the L2
+        # cost the pruned s is STRICTLY worse at every future t'
+        # (Killick et al. 2012, Thm 3.1), so values, argmins and the
+        # first-min tie-break are identical to the full O(w²) scan
+        # while the candidate list stays ~O(1) on changepoint-sparse
+        # data.  Both engines replay the same pruning on bit-identical
+        # doubles, so the kept sets never diverge.  Costs are staged
+        # ONCE through _let bindings (Catalyst HOF lambdas get no CSE).
+        def cost(sx):
+            m = (t - sx).cast("double")
+            d1 = el(F.col("l1"), t) - el(F.col("l1"), sx)
+            d2 = el(F.col("l2"), t) - el(F.col("l2"), sx)
+            return el(acc["fs"], sx) + (
+                (d2 - (d1 * d1) / m) + F.col("beta")
+            )
+
+        vals_expr = F.transform(acc["cand"], lambda sx: cost(sx))
+
+        def with_vals(vals):
+            def with_v(v):
+                sstar = F.element_at(
+                    acc["cand"], F.array_position(vals, v).cast("int")
+                )
+                kept = F.filter(
+                    acc["cand"],
+                    lambda sx, i: F.element_at(vals, (i + F.lit(1)).cast("int"))
+                    - F.col("beta")
+                    <= v,
+                )
+                return F.struct(
+                    F.concat(acc["fs"], F.array(v)).alias("fs"),
+                    F.concat(acc["cps"], F.array(sstar)).alias("cps"),
+                    F.concat(kept, F.array(t.cast("int"))).alias("cand"),
+                )
+
+            return _let(F.array_min(vals), with_v)
+
+        return _let(vals_expr, with_vals)
+
+    dp = F.aggregate(
+        F.sequence(F.lit(1), F.col("w").cast("int")), init, step
+    )
+    ser = ser.withColumn("cps", dp["cps"])
+
+    def back(acc, _):
+        cur = acc["cur"]
+        nxt = F.element_at(F.col("cps"), (cur + 1).cast("int"))
+        return F.when(
+            cur > 0,
+            F.struct(
+                nxt.alias("cur"),
+                F.concat(acc["bs"], F.array(nxt)).alias("bs"),
+            ),
+        ).otherwise(acc)
+
+    bt = F.aggregate(
+        F.sequence(F.lit(1), F.col("w").cast("int")),
+        F.struct(
+            F.col("w").cast("int").alias("cur"),
+            F.array(F.col("w").cast("int")).alias("bs"),
+        ),
+        back,
+    )
+    ser = ser.withColumn(
+        "bounds", F.reverse(F.array_distinct(bt["bs"]))
+    )
+    seg = ser.select(
+        "series_id",
+        "n",
+        "w",
+        "l1",
+        "bounds",
+        F.explode(
+            F.sequence(F.lit(1), F.size("bounds") - 1)
+        ).alias("i"),
+    )
+    b1 = F.element_at("bounds", F.col("i"))
+    b2 = F.element_at("bounds", F.col("i") + 1)
+    segn = (b2 - b1).cast("long")
+    mean = (el(F.col("l1"), b2) - el(F.col("l1"), b1)) / segn.cast("double")
+    base = F.col("n") - F.col("w")
+    return seg.select(
+        "series_id",
+        (F.col("i") - 1).cast("int").alias("seg"),
+        (base + b1 + 1).cast("long").alias("start_rn"),
+        (base + b2).cast("long").alias("end_rn"),
+        segn.alias("n"),
+        _rnd(mean, R).alias("seg_mean"),
+    )
+
+
+ORACLES["pelt_changepoints_fixed_full"] = f"""
+WITH RECURSIVE {SQL_S},
+cnt AS (
+  SELECT series_id, count(*) AS n, least(count(*), 2048) AS w
+  FROM s GROUP BY 1
+  HAVING count(*) >= 64),
+tl AS (
+  SELECT s.series_id, c.n, c.w, s.rn - (c.n - c.w) - 1 AS j, s.value
+  FROM s JOIN cnt c USING (series_id)
+  WHERE s.rn > c.n - c.w),
+cum AS (
+  SELECT series_id, n, w, j,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) OVER wj AS DOUBLE)
+           AS c1,
+         CAST(sum(CAST(value * value AS DECIMAL(38,12))) OVER wj
+              AS DOUBLE) AS c2
+  FROM tl
+  WINDOW wj AS (PARTITION BY series_id ORDER BY j
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+ser AS (
+  SELECT series_id, max(n) AS n, max(w) AS w,
+         list_prepend(0.0, list(c1 ORDER BY j)) AS l1,
+         list_prepend(0.0, list(c2 ORDER BY j)) AS l2
+  FROM cum GROUP BY 1),
+ser2 AS (
+  SELECT series_id, n, w, l1, l2,
+         2.0 * greatest(l2[CAST(w AS INT) + 1] / CAST(w AS DOUBLE)
+                        - (l1[CAST(w AS INT) + 1] / CAST(w AS DOUBLE))
+                          * (l1[CAST(w AS INT) + 1] / CAST(w AS DOUBLE)),
+                        0.0)
+             * (floor(ln(CAST(w AS DOUBLE)) * 100000000.0 + 0.5)
+                / 100000000.0) AS beta
+  FROM ser),
+dp AS (
+  SELECT series_id, 0 AS t, [-1.0 * beta] AS fs, [0] AS cps,
+         [0] AS cand
+  FROM ser2
+  UNION ALL
+  -- TRUE PELT (mirrors the Spark fold): costs over the surviving
+  -- candidate set only, staged ONCE; list_min + first-match
+  -- list_position keep the earliest-argmin tie-break; s is pruned
+  -- once F(s)+C(s+1..t) > F(t) (vals[i]-beta <= v keeps it) — for
+  -- the L2 cost pruned candidates are strictly worse at every later
+  -- t, so the pruned argmin equals the full scan on both engines
+  SELECT series_id, t, list_append(fs, v),
+         list_append(cps, CAST(cand[list_position(vals, v)] AS INT)),
+         list_append(
+           list_transform(
+             list_filter(generate_series(1, len(cand)),
+                         i -> vals[i] - beta <= v),
+             i -> cand[i]),
+           t)
+  FROM (
+    SELECT series_id, t, fs, cps, cand, beta, vals,
+           list_min(vals) AS v
+    FROM (
+      SELECT dp.series_id, dp.t + 1 AS t, dp.fs, dp.cps, dp.cand,
+             p.beta,
+             list_transform(dp.cand, sx ->
+               dp.fs[sx + 1]
+               + (((p.l2[dp.t + 2] - p.l2[sx + 1])
+                   - (p.l1[dp.t + 2] - p.l1[sx + 1])
+                     * (p.l1[dp.t + 2] - p.l1[sx + 1])
+                     / CAST(dp.t + 1 - sx AS DOUBLE)) + p.beta)) AS vals
+      FROM dp JOIN ser2 p USING (series_id)
+      WHERE dp.t < p.w) qa) qb),
+fin AS (
+  SELECT dp.series_id, p.w, dp.cps
+  FROM dp JOIN ser2 p USING (series_id)
+  WHERE dp.t = p.w),
+bt AS (
+  SELECT series_id, CAST(w AS INT) AS cur, [CAST(w AS INT)] AS bs,
+         cps
+  FROM fin
+  UNION ALL
+  SELECT series_id, CAST(cps[cur + 1] AS INT),
+         list_append(bs, CAST(cps[cur + 1] AS INT)), cps
+  FROM bt WHERE cur > 0),
+bounds AS (
+  SELECT series_id, list_reverse(bs) AS bounds
+  FROM bt WHERE cur = 0),
+segs AS (
+  SELECT b.series_id, p.n, p.w, p.l1, b.bounds,
+         unnest(generate_series(1, len(b.bounds) - 1)) AS i
+  FROM bounds b JOIN ser2 p USING (series_id))
+SELECT series_id,
+       CAST(i - 1 AS INT) AS seg,
+       CAST(n - w + bounds[i] + 1 AS BIGINT) AS start_rn,
+       CAST(n - w + bounds[i + 1] AS BIGINT) AS end_rn,
        CAST(bounds[i + 1] - bounds[i] AS BIGINT) AS n,
        round((l1[bounds[i + 1] + 1] - l1[bounds[i] + 1])
              / CAST(bounds[i + 1] - bounds[i] AS DOUBLE), {R})
@@ -8859,6 +9460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtw_distance": q_dtw_distance,
         # fixed PAA-32/band-8 DTW twin (anti-diagonal DP, hash-gated)
         "dtw_distance_fixed": q_dtw_distance_fixed,
+        "dtw_distance_fixed_64": q_dtw_distance_fixed_64,
         "matrix_profile_tiled": q_matrix_profile_tiled,
         "conformal_intervals": q_conformal_intervals,
         "demand_classification": q_demand_classification,
@@ -8869,6 +9471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pelt_changepoints": q_pelt_changepoints,
         # fixed 128-point tail OPT twin (argmin-DP fold, hash-gated)
         "pelt_changepoints_fixed": q_pelt_changepoints_fixed,
+        "pelt_changepoints_fixed_full": q_pelt_changepoints_fixed_full,
         "page_hinkley": q_page_hinkley,
         "knn_outlier": q_knn_outlier,
         "kde_rarity": q_kde_rarity,
@@ -8977,6 +9580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bocpd_changepoints": q_bocpd_changepoints,
         # fixed known-variance Gaussian BOCPD twin (hash-gated)
         "bocpd_changepoints_fixed": q_bocpd_changepoints_fixed,
+        "bocpd_changepoints_fixed_full": q_bocpd_changepoints_fixed_full,
         "stl_robust": q_stl_robust,
     }
     out.update(registry_datapipe.queries())
@@ -9125,9 +9729,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _scoped(fn) for name, fn in out.items()}
 
 
+def _materialize_ctes(sql: str) -> str:
+    """Mark every non-self-referencing CTE of a WITH RECURSIVE oracle
+    as ``AS MATERIALIZED``.  DuckDB inlines plain CTEs, and an inlined
+    CTE that is JOINed inside a recursive term is RE-EVALUATED — scan,
+    windows and all — at every iteration of the recursion: the
+    full-extent PELT twin's oracle measured 112 s with its ser2 CTE
+    inlined vs 4.3 s materialized (2048 iterations × a re-run parquet
+    scan + prefix-sum window).  Materializing is semantics-preserving,
+    so it is applied mechanically to all recursive oracles rather than
+    hand-annotated per query.  CTE headers are recognized at line
+    start (``name AS (``); WINDOW clauses are indented and never
+    match.  The recursive CTEs themselves (which reference their own
+    name inside their balanced-paren body) are left untouched —
+    MATERIALIZED is invalid on them."""
+    import re as _re
+
+    if "WITH RECURSIVE" not in sql:
+        return sql
+    out = []
+    last = 0
+    for m in _re.finditer(r"(?m)^([A-Za-z_]\w*) AS \(", sql):
+        name = m.group(1)
+        # balanced-paren scan of the CTE body
+        depth, i = 1, m.end()
+        while depth and i < len(sql):
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        body = sql[m.end(): i - 1]
+        if _re.search(rf"\b{name}\b", body):
+            continue  # self-referencing: the recursive member
+        out.append(sql[last: m.start()])
+        out.append(f"{name} AS MATERIALIZED (")
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
 def oracle_sql() -> dict[str, str]:
     from . import registry_datapipe
 
     out = dict(ORACLES)
     out.update(registry_datapipe.oracle_sql())
-    return {name: tieproof_round_sql(sql) for name, sql in out.items()}
+    return {
+        name: _materialize_ctes(tieproof_round_sql(sql))
+        for name, sql in out.items()
+    }

@@ -440,3 +440,44 @@ def test_bsts_fixed_matches_scalar_recursion_and_tracks_trend(spark):
     np.testing.assert_allclose(out.resid.to_numpy(), y - exp_m, rtol=0, atol=0)
     # the slope state removes ramp lag: residuals on the ramp are unbiased
     assert abs(out.resid.to_numpy()[50:].mean()) < 0.05
+
+
+def test_gp_fixed_twin_matches_production_gp(spark):
+    """The hash-gated GP twin (q_gp_forecast_fixed) must agree with
+    the PRODUCTION numpy GP (gp_forecast) run at the twin's fixed
+    hyperparameters and 64-row train window — same kernel family,
+    same train slice, same standardization.  The twin quantizes each
+    kernel value at 1e-8 before the solve, so agreement is at solve-
+    amplified tolerance, not bit-exact."""
+    from time_series_data_anomaly_detection_spark.functions import gp_forecast
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        _series,
+        q_gp_forecast_fixed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    twin = (
+        q_gp_forecast_fixed(spark, sf)
+        .toPandas()
+        .sort_values(["series_id", "rn"])
+        .reset_index(drop=True)
+    )
+    prod = (
+        gp_forecast(
+            _series(spark, sf),
+            train_frac=0.5,
+            max_train=64,
+            period=24.0,
+            length_scale=50.0,
+            noise=0.1,
+            optimize=False,
+        )
+        .select("series_id", "rn", "pred_mean")
+        .toPandas()
+        .sort_values(["series_id", "rn"])
+        .reset_index(drop=True)
+    )
+    assert len(twin) == len(prod) > 0
+    assert (twin["series_id"] == prod["series_id"]).all()
+    diff = np.abs(twin["pred_mean"].to_numpy() - prod["pred_mean"].to_numpy())
+    assert diff.max() < 1e-3, diff.max()

@@ -654,3 +654,24 @@ def test_spectral_residual_fixed_512_matches_numpy_tail(spark):
         np.testing.assert_allclose(
             got["sr_score"].to_numpy(), score, rtol=1e-4, atol=1e-4
         )
+
+
+def test_bpe_trainer_gate_learns_the_pinned_encoder_vocab(spark):
+    """The 16-round trainer twin and the 16-merge pinned encoder twin
+    must agree: bpe_merges_fixed's learned merges at the gate SF ARE
+    _BPE_FIXED_MERGES, so the trainer gate and the encoder gate cover
+    one tokenizer end-to-end (r09 verdict item #4)."""
+    from time_series_data_anomaly_detection_spark.plans.registry_datapipe import (
+        _BPE_FIXED_MERGES,
+        _BPE_TRAIN_ROUNDS,
+        q_bpe_merges_fixed,
+    )
+
+    assert _BPE_TRAIN_ROUNDS == len(_BPE_FIXED_MERGES) == 16
+    rows = (
+        q_bpe_merges_fixed(spark, "/root/testdata/sf0.01")
+        .orderBy("merge_rank")
+        .collect()
+    )
+    learned = [(r["left"], r["right"]) for r in rows]
+    assert learned == _BPE_FIXED_MERGES

@@ -8169,6 +8169,331 @@ FROM segs
 """
 
 
+# sin²(π·r/24) for r = 0..23 as shared 12-decimal literals — the GP
+# twin's periodic kernel component sin²(π|d|/24) has period 24 in the
+# INTEGER lag d, so the one risky transcendental (sin) never runs
+# inside either engine (the SR-512 literal-twiddle recipe); only exp
+# remains, handled by the proven 8-dp quantizer.
+def _gp_sin2_table() -> list[float]:
+    import math
+
+    return [
+        round(math.sin(math.pi * r / 24.0) ** 2, 12) for r in range(24)
+    ]
+
+
+_GP_SIN2 = _gp_sin2_table()
+_GP_TR = 64  # fixed train-window size (tail of the train fraction)
+_GP_N2 = 0.01  # fixed noise variance (production noise=0.1 squared)
+
+
+def q_gp_forecast_fixed(spark, sf_dir):
+    """Hash-gated fixed twin of the GP forecaster (r09 verdict item
+    #5 — the last M-family with no hash-anchored core): posterior MEAN
+    of a GP with the production kernel family (RBF ls=50 + daily
+    ExpSineSquared period=24, amp²=1, noise²=0.01 —
+    functions/gp.py:42/_kernel, reference src/run_gp.py:26-44) trained
+    on the last 64 rows of the 0.5 train fraction, predicting every
+    row.  The train slice is CONTIGUOUS in the row index, so the
+    kernel matrix entry K[i,j] depends only on i−j: the whole fit
+    reduces to ``kq(i−j)`` lookups with the sin² factor read from the
+    shared 24-entry literal table and only exp evaluated at runtime
+    (8-dp-quantized, the bocpd recipe — after quantization both
+    engines hold identical doubles and everything downstream is
+    rational algebra).
+
+    The solve α = (K+σ²I)⁻¹·yn is Gaussian elimination WITHOUT
+    pivoting (valid: K is SPD) as two folds over flat array state —
+    forward elimination (m−1 steps over the m×(m+1) augmented matrix)
+    then back-substitution — and DuckDB replays the identical
+    recursions as recursive CTEs over list state.  Predictions are a
+    per-row m-term quantized-kernel dot with α.  pred_mean only: the
+    posterior std needs an O(m²) solve per prediction row, which is
+    the production operator's job (``gp_forecast``, rows-only)."""
+    s = _series(spark, sf_dir).select("series_id", "rn", "value")
+    cnt = (
+        s.groupBy("series_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 128)
+    )
+    pos = (F.col("rn") - F.lit(1)).alias("pos")
+    base = s.join(F.broadcast(cnt), "series_id").select(
+        "series_id", "rn", "value", "n", (F.col("rn") - F.lit(1)).alias("pos")
+    )
+    n_train = F.greatest(
+        F.floor(F.col("n") * F.lit(0.5)).cast("long"), F.lit(2)
+    )
+    lo = F.greatest(n_train - F.lit(_GP_TR), F.lit(0))
+    tr = base.filter((F.col("pos") >= lo) & (F.col("pos") < n_train))
+
+    def dsum(expr):
+        return F.sum(expr.cast(DEC_T)).cast("double")
+
+    ser = tr.groupBy("series_id").agg(
+        F.count("*").alias("m"),
+        F.min("pos").alias("lo"),
+        dsum(F.col("value")).alias("s1"),
+        dsum(F.col("value") * F.col("value")).alias("s2"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "value"))),
+            lambda t: t["value"],
+        ).alias("ys"),
+    )
+    md = F.col("m").cast("double")
+    mu = F.col("s1") / md
+    sd0 = F.sqrt(F.greatest(F.col("s2") / md - mu * mu, F.lit(0.0)))
+    sd = F.when(sd0 == 0, F.lit(1.0)).otherwise(sd0)
+    ser = (
+        ser.withColumn("mu", mu)
+        .withColumn("sd", sd)
+        .withColumn(
+            "yn",
+            F.transform(
+                F.col("ys"), lambda y: (y - F.col("mu")) / F.col("sd")
+            ),
+        )
+        .drop("s1", "s2", "ys")
+    )
+
+    S2 = F.array(*[F.lit(v) for v in _GP_SIN2])
+
+    def q8(c):
+        return F.floor(c * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)
+
+    def kq(d):
+        # d: integer lag column
+        dd = d.cast("double")
+        e1 = F.exp(-(dd * dd) / F.lit(5000.0))  # 2·ls² = 2·50²
+        e2 = F.exp(
+            F.lit(-2.0)
+            * F.element_at(S2, (F.abs(d) % F.lit(24) + F.lit(1)).cast("int"))
+        )
+        return q8(e1 + e2)
+
+    mp1 = (F.col("m") + F.lit(1)).cast("int")
+    mi = F.col("m").cast("int")
+
+    def build(idx):
+        j = idx % mp1
+        i = ((idx - j) / mp1).cast("int")
+        jj = F.least(j, mi - 1)  # clamp for the y-column branch
+        kv = kq(i - jj) + F.when(i == jj, F.lit(_GP_N2)).otherwise(
+            F.lit(0.0)
+        )
+        return F.when(
+            j == mi, F.element_at(F.col("yn"), (i + 1).cast("int"))
+        ).otherwise(kv)
+
+    a0 = F.transform(
+        F.sequence(F.lit(0), (F.col("m") * mp1 - F.lit(1)).cast("int")),
+        build,
+    )
+
+    def elim_step(acc, k):
+        def upd(a, idx):
+            j = idx % mp1
+            i = ((idx - j) / mp1).cast("int")
+            f = F.element_at(
+                acc, (i * mp1 + k + F.lit(1)).cast("int")
+            ) / F.element_at(acc, (k * mp1 + k + F.lit(1)).cast("int"))
+            return F.when(
+                (i > k) & (j >= k),
+                a - f * F.element_at(acc, (k * mp1 + j + F.lit(1)).cast("int")),
+            ).otherwise(a)
+
+        return F.transform(acc, upd)
+
+    a_fin = F.aggregate(
+        F.sequence(F.lit(0), (F.col("m") - F.lit(2)).cast("int")),
+        a0,
+        elim_step,
+    )
+
+    def with_a(A):
+        alpha0 = F.transform(
+            F.sequence(F.lit(1), mi), lambda _: F.lit(0.0)
+        )
+
+        def back_step(al, st):
+            k = (mi - st).cast("int")
+
+            def upd(v, idx):
+                dot = F.when(
+                    k + F.lit(1) <= mi - F.lit(1),
+                    F.aggregate(
+                        F.transform(
+                            F.sequence((k + F.lit(1)).cast("int"), mi - 1),
+                            lambda j: F.element_at(
+                                A, (k * mp1 + j + F.lit(1)).cast("int")
+                            )
+                            * F.element_at(al, (j + F.lit(1)).cast("int")),
+                        ),
+                        F.lit(0.0),
+                        lambda x, y: x + y,
+                    ),
+                ).otherwise(F.lit(0.0))
+                return F.when(
+                    idx == k,
+                    (
+                        F.element_at(
+                            A, (k * mp1 + mi + F.lit(1)).cast("int")
+                        )
+                        - dot
+                    )
+                    / F.element_at(
+                        A, (k * mp1 + k + F.lit(1)).cast("int")
+                    ),
+                ).otherwise(v)
+
+            return F.transform(al, upd)
+
+        return F.aggregate(F.sequence(F.lit(1), mi), alpha0, back_step)
+
+    ser = ser.withColumn("alpha", _let(a_fin, with_a))
+
+    out = base.join(
+        F.broadcast(ser.select("series_id", "m", "lo", "mu", "sd", "alpha")),
+        "series_id",
+    )
+    pred = F.col("mu") + F.col("sd") * F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), mi - 1),
+            lambda j: kq(F.col("pos") - F.col("lo") - j)
+            * F.element_at(F.col("alpha"), (j + F.lit(1)).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda x, y: x + y,
+    )
+    return out.select(
+        "series_id", "rn", _rnd(pred, R).alias("pred_mean")
+    )
+
+
+def _gp_fixed_sql() -> str:
+    """DuckDB mirror of q_gp_forecast_fixed: same literal sin² table,
+    same quantized kernel, same two recursions over list state (1-based
+    DuckDB lambda indexes mapped back to the 0-based flat layout)."""
+    s2_lit = "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in _GP_SIN2) + "]"
+    # kq as a SQL macro body over integer lag expression {d}
+    kq = (
+        "(floor((exp(-(CAST(({d}) AS DOUBLE) * CAST(({d}) AS DOUBLE))"
+        " / 5000.0)"
+        f" + exp(-2.0 * ({s2_lit})[(abs({{d}}) % 24) + 1]))"
+        " * 100000000.0 + 0.5) / 100000000.0)"
+    )
+    kq_ij = kq.format(d="(((i1 - 1) - ((i1 - 1) % p.mp1)) // p.mp1)"
+                        " - least((i1 - 1) % p.mp1, p.m - 1)")
+    kq_pred = kq.format(d="r.pos - f.lo - (j - 1)")
+    return f"""
+WITH RECURSIVE {SQL_S},
+cnt AS (
+  SELECT series_id, count(*) AS n FROM s GROUP BY 1
+  HAVING count(*) >= 128),
+base AS (
+  SELECT s.series_id, s.rn, s.value, c.n, s.rn - 1 AS pos
+  FROM s JOIN cnt c USING (series_id)),
+tr AS (
+  SELECT series_id, pos, value,
+         greatest(CAST(floor(n * 0.5) AS BIGINT), 2) AS n_train
+  FROM base
+  WHERE pos >= greatest(greatest(CAST(floor(n * 0.5) AS BIGINT), 2)
+                        - {_GP_TR}, 0)
+    AND pos < greatest(CAST(floor(n * 0.5) AS BIGINT), 2)),
+mo AS (
+  SELECT series_id, count(*) AS m, min(pos) AS lo,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE)
+           AS s2,
+         list(value ORDER BY pos) AS ys
+  FROM tr GROUP BY 1),
+ser2 AS (
+  SELECT series_id, m, CAST(m + 1 AS INT) AS mp1, lo,
+         s1 / CAST(m AS DOUBLE) AS mu,
+         CASE WHEN sqrt(greatest(s2 / CAST(m AS DOUBLE)
+                 - (s1 / CAST(m AS DOUBLE)) * (s1 / CAST(m AS DOUBLE)),
+                 0.0)) = 0
+              THEN 1.0
+              ELSE sqrt(greatest(s2 / CAST(m AS DOUBLE)
+                 - (s1 / CAST(m AS DOUBLE)) * (s1 / CAST(m AS DOUBLE)),
+                 0.0)) END AS sd,
+         ys
+  FROM mo),
+ser3 AS (
+  SELECT series_id, m, mp1, lo, mu, sd,
+         list_transform(ys, y -> (y - mu) / sd) AS yn
+  FROM ser2),
+mat AS (
+  SELECT p.series_id,
+         list_transform(generate_series(1, CAST(p.m AS INT) * p.mp1),
+           i1 -> CASE
+             WHEN (i1 - 1) % p.mp1 = p.m
+             THEN p.yn[CAST((((i1 - 1) - ((i1 - 1) % p.mp1)) // p.mp1)
+                       AS INT) + 1]
+             ELSE {kq_ij}
+                  + CASE WHEN (((i1 - 1) - ((i1 - 1) % p.mp1)) // p.mp1)
+                              = least((i1 - 1) % p.mp1, p.m - 1)
+                         THEN {_GP_N2} ELSE 0.0 END
+           END) AS A
+  FROM ser3 p),
+elim AS (
+  SELECT series_id, 0 AS k, A FROM mat
+  UNION ALL
+  SELECT e.series_id, e.k + 1,
+         list_transform(e.A, (a, i1) -> CASE
+           WHEN (((i1 - 1) - ((i1 - 1) % p.mp1)) // p.mp1) > e.k
+                AND ((i1 - 1) % p.mp1) >= e.k
+           THEN a - (e.A[CAST((((i1 - 1) - ((i1 - 1) % p.mp1)) // p.mp1)
+                         AS INT) * p.mp1 + e.k + 1]
+                     / e.A[e.k * p.mp1 + e.k + 1])
+                    * e.A[e.k * p.mp1 + ((i1 - 1) % p.mp1) + 1]
+           ELSE a END)
+  FROM elim e JOIN ser3 p USING (series_id)
+  WHERE e.k < p.m - 1),
+efin AS (
+  SELECT e.series_id, e.A
+  FROM elim e JOIN ser3 p USING (series_id)
+  WHERE e.k = p.m - 1),
+bk AS (
+  SELECT f.series_id, 0 AS st, f.A,
+         list_transform(generate_series(1, CAST(p.m AS INT)),
+                        x -> CAST(0.0 AS DOUBLE)) AS alpha
+  FROM efin f JOIN ser3 p USING (series_id)
+  UNION ALL
+  SELECT b.series_id, b.st + 1, b.A,
+         list_transform(b.alpha, (v, i1) -> CASE
+           WHEN i1 - 1 = p.m - 1 - b.st
+           THEN (b.A[CAST(p.m - 1 - b.st AS INT) * p.mp1 + p.m + 1]
+                 - CASE WHEN p.m - b.st <= p.m - 1
+                        THEN list_reduce(
+                          list_transform(
+                            generate_series(CAST(p.m - b.st AS INT),
+                                            CAST(p.m - 1 AS INT)),
+                            j -> b.A[CAST(p.m - 1 - b.st AS INT) * p.mp1
+                                     + j + 1]
+                                 * b.alpha[j + 1]),
+                          (x, y) -> x + y)
+                        ELSE 0.0 END)
+                / b.A[CAST(p.m - 1 - b.st AS INT) * p.mp1
+                      + CAST(p.m - 1 - b.st AS INT) + 1]
+           ELSE v END)
+  FROM bk b JOIN ser3 p USING (series_id)
+  WHERE b.st < p.m),
+fin AS (
+  SELECT b.series_id, p.m, p.lo, p.mu, p.sd, b.alpha
+  FROM bk b JOIN ser3 p USING (series_id)
+  WHERE b.st = p.m)
+SELECT r.series_id, r.rn,
+       round(f.mu + f.sd * list_reduce(
+         list_transform(generate_series(1, CAST(f.m AS INT)),
+           j -> {kq_pred} * f.alpha[j]),
+         (x, y) -> x + y), {R}) AS pred_mean
+FROM base r JOIN fin f USING (series_id)
+"""
+
+
+ORACLES["gp_forecast_fixed"] = _gp_fixed_sql()
+
+
 def q_page_hinkley(spark, sf_dir):
     """Page-Hinkley drift test (Page 1954; Gama et al. 2014), fully
     native and hash-gated: PH's statistic has a closed prefix form
@@ -9576,6 +9901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bsts_forecast": q_bsts_forecast,
         "bsts_forecast_multiseasonal": q_bsts_forecast_multiseasonal,
         "gp_forecast": q_gp_forecast,
+        # fixed-hyperparameter GP posterior-mean twin (hash-gated)
+        "gp_forecast_fixed": q_gp_forecast_fixed,
         "lstm_forecast": q_lstm_forecast,
         "bocpd_changepoints": q_bocpd_changepoints,
         # fixed known-variance Gaussian BOCPD twin (hash-gated)

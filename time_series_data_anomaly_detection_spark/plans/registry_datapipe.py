@@ -3213,7 +3213,12 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 ORACLES["bpe_encode_fixed"] = _bpe_encode_fixed_sql()
 
 
-_BPE_TRAIN_ROUNDS = 8
+# 16 unrolled trainer rounds (r09 verdict item #4: widened from 8) —
+# the gated vocabulary now equals the pinned 16-merge tokenizer the
+# encode twin applies (_BPE_FIXED_MERGES), closing the loop between
+# the trainer gate and the encoder gate; test_trend_spectral_bpe
+# asserts the trainer's 16 merges ARE the pinned list.
+_BPE_TRAIN_ROUNDS = 16
 
 
 def q_bpe_merges_fixed(spark, sf_dir):
@@ -3248,23 +3253,28 @@ def q_bpe_merges_fixed(spark, sf_dir):
 def _bpe_merges_fixed_sql() -> str:
     """DuckDB mirror: per-round CTE blocks (pair explode over
     generate_series, integer count argmax via min-struct with the
-    (-cnt, la, ra) key, cross-join apply fold)."""
+    (-cnt, la, ra) key, cross-join apply fold).  Every per-round CTE
+    is MATERIALIZED: round k references round k-1 twice (the apply
+    fold and the merge-row output), so plain inlining doubles the
+    expansion per round — at 8 rounds that was a tolerable 2⁸ re-scan
+    of the documents parquet, at 16 rounds the 2¹⁶ inlined scans blow
+    the open-file limit before the query even runs."""
     rounds = []
     for rank in range(_BPE_TRAIN_ROUNDS):
         p = f"w{rank}"
         rounds.append(f"""
-c{rank} AS (
+c{rank} AS MATERIALIZED (
   SELECT syms[i] AS la, syms[i+1] AS ra, CAST(sum(freq) AS BIGINT) AS cnt
   FROM {p}, unnest(generate_series(1, len(syms) - 1)) AS u(i)
   WHERE len(syms) >= 2
   GROUP BY 1, 2),
-b{rank} AS (
+b{rank} AS MATERIALIZED (
   SELECT min({{'nc': -cnt, 'l': la, 'r': ra}}) AS b FROM c{rank}),
-bb{rank} AS (
+bb{rank} AS MATERIALIZED (
   SELECT b.l AS bl, b.r AS br, -b.nc AS bc,
          b IS NOT NULL AND -b.nc >= 2 AS ok
   FROM b{rank}),
-w{rank + 1} AS (
+w{rank + 1} AS MATERIALIZED (
   SELECT freq,
          CASE WHEN ok
               THEN list_reduce(

@@ -23,8 +23,12 @@ import time
 sys.path.insert(0, "/root/repo")
 
 BASE = "/root/testdata/sf0.1"
-BIG = "/tmp/scale10x"
-REPL = 10
+# replication factor: 10 (default) reproduces the r05 dup-heavy 10x
+# stress; SCALE_REPL=100 builds the ~500k-doc / 200k-vector corpus the
+# r09 verdict asked for (the 100 TB dedup claims should rest on a
+# measured 100x, not a 10x extrapolation)
+REPL = int(os.environ.get("SCALE_REPL", "10"))
+BIG = f"/tmp/scale{REPL}x"
 
 QUERIES = [
     "doc_stats",
@@ -54,19 +58,56 @@ def build() -> None:
     n_docs = con.execute(
         f"SELECT count(*) FROM '{BASE}/documents.parquet'"
     ).fetchone()[0]
+    # Dup construction.  DUP_FRAC of base docs spawn near-identical
+    # replicas (REPL-member near-dup cliques); the rest get replica
+    # text dominated by unique md5-derived filler so they stay below
+    # the Jaccard threshold.  At REPL=10 (legacy) DUP_FRAC defaults to
+    # 1.0 — every doc a 10-clique, matching the committed r05 numbers.
+    # At REPL=100 it defaults to 0.1: a 100-member clique for EVERY
+    # doc makes the TRUE near-dup edge set itself quadratic (~25M
+    # verified pairs, >80 GB of cumulative shuffle on one box) — that
+    # is a property of the synthetic corpus, not of the plans; a real
+    # dup-heavy crawl has a dup RATE.  10% heavy cliques over 500k
+    # docs still yields ~2.5M true pairs — brutally dup-heavy, but
+    # bounded by data volume rather than by construction.
+    dup_frac = float(
+        os.environ.get("SCALE_DUP_FRAC", "1.0" if REPL <= 10 else "0.1")
+    )
+    dup_mod = max(1, round(1.0 / dup_frac))
     if not os.path.exists(f"{BIG}/documents.parquet"):
         con.execute(
             f"""
             COPY (
               SELECT d.doc_id + {n_docs} * r.r AS doc_id,
-                     CASE WHEN r.r = 0 THEN d.text
-                          ELSE d.text || ' rep' || r.r || ' '
-                               || substr(o.text, 1, 200) END AS text,
+                     CASE
+                       WHEN r.r = 0 THEN d.text
+                       WHEN d.doc_id % {dup_mod} = 0
+                       THEN d.text || ' rep' || r.r || ' '
+                            || substr(o.text, 1, 200)
+                       ELSE substr(d.text, 1, 80) || ' '
+                            || md5(CAST(d.doc_id AS VARCHAR)
+                                   || '_' || r.r)
+                            || ' ' || md5(CAST(d.doc_id * 31 + r.r
+                                               AS VARCHAR))
+                            || ' ' || md5(CAST(d.doc_id * 37 + r.r
+                                               AS VARCHAR))
+                            || ' ' || substr(o.text, 1, 120)
+                     END AS text,
                      d.lang, d.source,
-                     length(CASE WHEN r.r = 0 THEN d.text
-                                 ELSE d.text || ' rep' || r.r || ' '
-                                      || substr(o.text, 1, 200) END)
-                       AS n_chars
+                     length(CASE
+                       WHEN r.r = 0 THEN d.text
+                       WHEN d.doc_id % {dup_mod} = 0
+                       THEN d.text || ' rep' || r.r || ' '
+                            || substr(o.text, 1, 200)
+                       ELSE substr(d.text, 1, 80) || ' '
+                            || md5(CAST(d.doc_id AS VARCHAR)
+                                   || '_' || r.r)
+                            || ' ' || md5(CAST(d.doc_id * 31 + r.r
+                                               AS VARCHAR))
+                            || ' ' || md5(CAST(d.doc_id * 37 + r.r
+                                               AS VARCHAR))
+                            || ' ' || substr(o.text, 1, 120)
+                     END) AS n_chars
               FROM '{BASE}/documents.parquet' d
               CROSS JOIN range({REPL}) r(r)
               JOIN '{BASE}/documents.parquet' o
@@ -88,7 +129,7 @@ def build() -> None:
             ) TO '{BIG}/embeddings.parquet' (FORMAT parquet)
             """
         )
-    print(f"10x corpus ready: {n_docs * REPL} docs, {n_vecs * REPL} vectors")
+    print(f"{REPL}x corpus ready: {n_docs * REPL} docs, {n_vecs * REPL} vectors")
 
 
 def main() -> None:
@@ -107,13 +148,14 @@ def main() -> None:
     out = {}
     for name in names:
         row = {}
-        for label, d in (("sf0.1", BASE), ("10x", BIG)):
+        for label, d in (("sf0.1", BASE), (f"{REPL}x", BIG)):
             t = time.time()
             qs[name](spark, d).write.format("noop").mode("overwrite").save()
             row[label] = round(time.time() - t, 2)
-        row["growth"] = round(row["10x"] / max(row["sf0.1"], 1e-9), 2)
+        row["growth"] = round(row[f"{REPL}x"] / max(row["sf0.1"], 1e-9), 2)
         out[name] = row
-        print(f"{name:25s} sf0.1 {row['sf0.1']:7.2f}s   10x {row['10x']:7.2f}s"
+        print(f"{name:25s} sf0.1 {row['sf0.1']:7.2f}s   "
+              f"{REPL}x {row[f'{REPL}x']:7.2f}s"
               f"   growth {row['growth']:5.2f}x", flush=True)
     print(json.dumps(out))
 

@@ -1,0 +1,186 @@
+"""Micro-batch floor analysis (r09 verdict item #6): WHERE does the
+~1 s per-batch latency of the streaming detectors come from, and what
+configuration moves it?
+
+STREAM_BENCH.json (r09) measured the stateful detectors at ~1.0-1.1 s
+batch p50 on local[32] with the session default of 32 shuffle
+partitions.  Hypotheses, each isolated here on ONE representative
+detector (ewma_cusum — applyInPandasWithState, O(1) state/series):
+
+  a. STATE-STORE FAN-OUT: every stateful micro-batch runs one task
+     per shuffle partition (state is hash-partitioned at plan time),
+     each opening/committing its own HDFSBackedStateStore and forking
+     or reusing an Arrow Python worker — with 5 series, 32 partitions
+     means ~27 empty-but-committed stores per batch.  Knob:
+     spark.sql.shuffle.partitions at stream start {32, 8, 4}.
+  b. BATCH SIZE AMORTIZATION: if p50 barely moves when the batch
+     carries 4x the rows, the floor is fixed overhead, not data —
+     rows/s then scales with batch size and the "floor" is a
+     latency property, not a throughput one.  Knob: N_BATCHES
+     {20, 5} over the same 100k rows.
+
+Emits ONE json line and writes STREAM_BENCH_r10.json.
+
+The transformWithStateInPandas variant (streaming_control_flags_tws)
+is measured too when the protobuf package is importable; in this
+container it is not, so the row records "unavailable" with the reason
+— the migration path is prototyped in streaming/detectors.py and
+parity-tested where it can run.
+
+Usage: python scripts/stream_bench_r10.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROWS_TOTAL = 100_000
+
+
+def _percentiles(durs: list[int]) -> tuple[int | None, int | None]:
+    durs = sorted(durs)
+    if not durs:
+        return None, None
+    return (
+        durs[len(durs) // 2],
+        durs[min(len(durs) - 1, int(0.95 * len(durs)))],
+    )
+
+
+def main() -> None:
+    import numpy as np
+    import pandas as pd
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from time_series_data_anomaly_detection_spark import get_spark
+    from time_series_data_anomaly_detection_spark.streaming import (
+        streaming_control_flags,
+    )
+
+    spark = get_spark(app_name="tsad-stream-bench-r10")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ev = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    pdf = (
+        pd.DataFrame(
+            {
+                "series_id": ev["event_type"].astype(str),
+                "timestamp": pd.to_datetime(ev["ts"]),
+                "value": ev["value"].astype(float),
+                "event_id": ev["event_id"].astype("int64"),
+            }
+        )
+        .sort_values(["timestamp", "event_id"])
+        .head(ROWS_TOTAL)
+    )
+    mu = float(pdf["value"].mean())
+    sd = float(pdf["value"].std(ddof=1))
+    schema = (
+        "series_id string, timestamp timestamp, value double, event_id long"
+    )
+    kw = dict(
+        index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+
+    def run_config(n_batches: int, shuffle: int, tag: str) -> dict:
+        root = tempfile.mkdtemp(prefix=f"sb10_{tag}_src_")
+        ck = tempfile.mkdtemp(prefix=f"sb10_{tag}_ck_")
+        for i, chunk in enumerate(
+            np.array_split(np.arange(len(pdf)), n_batches)
+        ):
+            pdf.iloc[chunk].to_parquet(
+                os.path.join(root, f"part{i:03d}.parquet"), **kw
+            )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
+        try:
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(root)
+            )
+            out = streaming_control_flags(stream, norm_mu=mu, norm_sd=sd)
+            t0 = time.perf_counter()
+            q = (
+                out.writeStream.format("noop")
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(ck, "q"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+            wall = time.perf_counter() - t0
+            prog = [
+                json.loads(p.json) if isinstance(p.json, str)
+                else json.loads(p.json())
+                for p in q.recentProgress
+            ]
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+            shutil.rmtree(root, ignore_errors=True)
+            shutil.rmtree(ck, ignore_errors=True)
+        durs = [
+            p["durationMs"].get("triggerExecution", 0)
+            for p in prog
+            if p.get("numInputRows", 0) > 0
+        ]
+        rows_in = sum(p.get("numInputRows", 0) for p in prog)
+        p50, p95 = _percentiles(durs)
+        row = {
+            "n_batches": n_batches,
+            "shuffle_partitions": shuffle,
+            "rows": int(rows_in),
+            "wall_sec": round(wall, 3),
+            "rows_per_sec": round(rows_in / wall, 1) if wall else None,
+            "batch_p50_ms": p50,
+            "batch_p95_ms": p95,
+        }
+        print(f"# {tag}: {row}", file=sys.stderr)
+        return row
+
+    # warm-up (uncounted): compiles stateful exec + forks Arrow workers
+    run_config(2, 8, "warm")
+
+    results = {
+        "files20_shuffle32": run_config(20, 32, "files20_shuffle32"),
+        "files20_shuffle8": run_config(20, 8, "files20_shuffle8"),
+        "files20_shuffle4": run_config(20, 4, "files20_shuffle4"),
+        "files5_shuffle32": run_config(5, 32, "files5_shuffle32"),
+        "files5_shuffle8": run_config(5, 8, "files5_shuffle8"),
+    }
+    try:
+        import google.protobuf  # noqa: F401
+
+        tws_status = "available (not benchmarked in this run)"
+    except ImportError:
+        tws_status = (
+            "unavailable: transformWithStateInPandas needs the protobuf "
+            "package for its state-server protocol; prototype + parity "
+            "test are in streaming/detectors.py::streaming_control_flags_tws"
+        )
+    out = {
+        "metric": "stream_floor_analysis",
+        "detector": "ewma_cusum",
+        "sf_dir": sf_dir,
+        "rows": ROWS_TOTAL,
+        "configs": results,
+        "transform_with_state": tws_status,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "STREAM_BENCH_r10.json"),
+        "w",
+    ) as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

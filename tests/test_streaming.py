@@ -1240,3 +1240,63 @@ def test_streaming_conformal_matches_reference_loop(spark, stream_data):
         settled = got[got["q_hat"].notna()]
         assert len(settled) == len(vals) - n_cal - 1
         assert settled["covered"].astype(float).mean() > 0.8
+
+
+def test_streaming_control_flags_tws_matches_groupstate(spark, stream_data):
+    """The transformWithStateInPandas migration prototype must emit
+    row-identical output to the applyInPandasWithState detector —
+    same math, different state plumbing (RocksDB-backed ValueState).
+    Skipped where the protobuf package (required by pyspark's
+    transformWithState state-server protocol) is absent; the gated
+    RuntimeError path is asserted instead.
+    """
+    from time_series_data_anomaly_detection_spark.streaming.detectors import (
+        streaming_control_flags,
+        streaming_control_flags_tws,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        root, _ = stream_data
+        stream0 = spark.readStream.schema(SCHEMA).parquet(root)
+        with pytest.raises(RuntimeError, match="protobuf"):
+            streaming_control_flags_tws(stream0)
+        pytest.skip("protobuf not installed: transformWithState cannot run")
+
+    root, pdf = stream_data
+    g = pdf[pdf.series_id == "a"]
+    mu, sd = g["value"].mean(), g["value"].std(ddof=1)
+    prov = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov, None)
+    spark.conf.set(
+        prov,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(SCHEMA).parquet(root)
+        tws = _run_stream(
+            spark,
+            streaming_control_flags_tws(stream, norm_mu=mu, norm_sd=sd),
+            "ctrltws",
+        ).toPandas()
+    finally:
+        if prev is None:
+            spark.conf.unset(prov)
+        else:
+            spark.conf.set(prov, prev)
+    stream2 = spark.readStream.schema(SCHEMA).parquet(root)
+    ref = _run_stream(
+        spark,
+        streaming_control_flags(stream2, norm_mu=mu, norm_sd=sd),
+        "ctrlref",
+    ).toPandas()
+    key = ["series_id", "timestamp"]
+    tws = tws.sort_values(key).reset_index(drop=True)
+    ref = ref.sort_values(key).reset_index(drop=True)
+    assert len(tws) == len(ref) == len(pdf)
+    for col in ("ewma", "ucl", "lcl", "cusum_pos", "cusum_neg"):
+        np.testing.assert_allclose(tws[col], ref[col], rtol=0, atol=0)
+    for col in ("ewma_flag", "cusum_flag"):
+        assert (tws[col].to_numpy() == ref[col].to_numpy()).all()

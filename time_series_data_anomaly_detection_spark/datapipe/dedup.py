@@ -132,11 +132,13 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("inter"))
     )
+    # per-doc size table is corpus-scaled: shuffle_hash, never a
+    # driver broadcast (the 100x stress lesson — see minhash_lsh_pairs)
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     out = (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
+        inter.join(na.hint("shuffle_hash"), "id_a")
+        .join(nb.hint("shuffle_hash"), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -239,21 +241,30 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # exact verification restricted to candidates
+    # exact verification restricted to candidates.  The shingle table
+    # (corpus × shingles rows) and the per-doc size table are both
+    # CORPUS-SCALED: pin them to shuffle-hash joins — Catalyst's static
+    # estimate of the cached/pruned shingle frame lands under the
+    # broadcast threshold and auto-broadcasts it, which holds at 5k
+    # docs and OOMs the driver at the 100x stress corpus (500k docs /
+    # ~25M shingle rows), i.e. it would never survive a real crawl.
+    # Found by scripts/scale_stress.py SCALE_REPL=100 (r09 verdict
+    # item #3); shuffle_hash keeps the build per-partition and scales
+    # with executors.
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     sa = sh.select(F.col(id_col).alias("id_a"), "shingle_hash")
     sb = sh.select(F.col(id_col).alias("id_b"), "shingle_hash")
     inter = (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle_hash"])
+        cand.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), ["id_b", "shingle_hash"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
+        inter.join(na.hint("shuffle_hash"), "id_a")
+        .join(nb.hint("shuffle_hash"), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -567,7 +578,7 @@ def _apply_keep_policy(
         F.desc("__q"), F.asc(id_col)
     )
     return (
-        clustered.join(q, id_col)
+        clustered.join(q.hint("shuffle_hash"), id_col)
         .withColumn(
             "keep", (F.row_number().over(w) == 1).cast("int")
         )
@@ -581,7 +592,11 @@ def _attach_clusters(df: DataFrame, labels: DataFrame, id_col: str) -> DataFrame
     isolated docs become their own singleton cluster."""
     out = (
         df.select(id_col)
-        .join(labels.withColumnRenamed("node", id_col), id_col, "left")
+        .join(
+            labels.withColumnRenamed("node", id_col).hint("shuffle_hash"),
+            id_col,
+            "left",
+        )
         .withColumn("cluster_id", F.coalesce("label", F.col(id_col)))
         .drop("label")
     )
@@ -826,8 +841,8 @@ def lsh_recall_stats(
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     truth = (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
+        inter.join(na.hint("shuffle_hash"), "id_a")
+        .join(nb.hint("shuffle_hash"), "id_b")
         .select(
             "id_a",
             "id_b",

@@ -8216,7 +8216,6 @@ def q_gp_forecast_fixed(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 128)
     )
-    pos = (F.col("rn") - F.lit(1)).alias("pos")
     base = s.join(F.broadcast(cnt), "series_id").select(
         "series_id", "rn", "value", "n", (F.col("rn") - F.lit(1)).alias("pos")
     )
@@ -9920,88 +9919,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Long-stable rows-only queries (weakest signal, green twice) sink
     # to the back where a cap costs the least information.
     gate_first = [
-        # r09 PRIME SLOTS part A — NEW hash-gated queries, never
-        # driver-checked: the full-extent detector twins (r08 verdict
-        # item #1) and the two rows-only conversions (items #5/#6)
+        # r10 PRIME SLOTS part A — NEW hash-gated queries, never
+        # driver-checked: the full-extent detector twins (r09 verdict
+        # item #1), the widened DTW, and the GP posterior-mean twin
+        # (item #5)
+        "bocpd_changepoints_fixed_full",
+        "pelt_changepoints_fixed_full",
+        "dtw_distance_fixed_64",
+        "gp_forecast_fixed",
+        # r10 PRIME SLOTS part B — implementation or oracle changed
+        # this round: the decimal(30,12) QT fix (advice item #1), the
+        # 16-round BPE trainer/encoder gates (items #2/#4), the shared
+        # DTW builder, and every recursive-CTE oracle (all now carry
+        # AS MATERIALIZED on their non-recursive CTEs)
         "matrix_profile_fixed_full",
-        "shesd_fixed_full",
-        "spectral_residual_fixed_512",
-        "acf_fft_fixed",
-        "acf_fft_fixed_512",
         "bpe_encode_fixed",
         "bpe_merges_fixed",
-        "corpus_to_batches_bpe_fixed",
-        # r09 PRIME SLOTS part B — implementation changed this round
-        # (tokenize_bpe.py: incremental merge loop, keep_cols encoder;
-        # corpus_to_batches_bpe: id-only cache + single-join packing)
-        "corpus_to_batches_bpe",
-        "bpe_pair_counts",
-        "bpe_encode",
-        "bpe_merges",
+        "dtw_distance_fixed",
+        "pelt_changepoints_fixed",
+        "bocpd_changepoints_fixed",
+        "bsts_forecast_fixed",
+        "changepoint_segments",
+        "corpus_prep",
         "corpus_to_batches",
-        # r09 PRIME SLOTS part C — the r05-stale oracled greens
-        # (r08 verdict item #4): hash-green but last driver-checked
-        # four rounds ago; after r09 no oracled query should be older
-        # than r06.
-        "asof_last_label",
-        "baseline_forecasts",
-        "containment_pairs",
-        "corpus_drift",
-        "cross_correlation",
-        "curation_pipeline",
+        "corpus_to_batches_bpe_fixed",
+        "croston_forecast",
         "cusum_alarms",
         "cusum_changepoints",
-        "decontaminate",
-        "detect_period",
+        "dedup_clusters",
+        "dedup_clusters_best",
+        "detector_agreement",
         "detector_consensus",
-        "diff_zscore",
-        "dup_source_matrix",
+        "ensemble_forecast",
         "ewma_flags",
         "forecast_leaderboard",
-        "gap_stats",
-        "hampel_flags",
+        "holt_linear",
         "holt_winters_fixed",
-        "incremental_semantic_dedup",
-        "length_buckets",
-        "minhash_recall",
-        "mixture_schedule",
-        "percentile_summary",
-        "pii_scan",
-        "pot_flags",
-        "pq_recall",
-        "pq_rerank",
-        "pq_topk",
-        "quality_classifier",
-        "quantile_flags",
-        "repetition_stats",
-        "score_calibration",
-        "seasonal_profile_flags",
-        "seasonal_strength",
-        "semantic_dedup",
-        "split_drift",
+        "kalman_forecast_fixed",
         "theta_forecast",
+        # r10 PRIME SLOTS part C — the stalest oracled greens
+        # (r05/r06-checked, per scripts/gate_freshness.py)
         "training_order",
-        "trend_test",
         "vocab_coverage",
-        # next-oldest (r06-checked greens) fill the remaining gate
-        # capacity in freshness order
-        "ar2_forecast",
         "chunk_documents",
-        "croston_forecast",
-        "cusum_squares",
-        "detector_rank_ensemble",
         "distinctive_terms",
         "doc_novelty",
         "embedding_density",
-        "forecast_features",
-        "hbos_flags",
-        "holt_linear",
         "importance_select",
-        "kde_rarity",
-        "knn_outlier",
-        "ks_drift",
-        "ljung_box",
-        "max_drawdown",
+        "retention_cohorts",
+        "source_concentration",
+        "vocab_stats",
+        "winnow_near_dup",
+        # next-stalest (r07-checked greens) fill remaining capacity
+        "ann_recall",
+        "bigram_surprise",
+        "doc_embed_topk",
+        "doc_stats",
+        "event_rollup",
+        "exact_dedup",
+        "fingerprint",
+        "incremental_dedup",
+        "ivf_topk",
+        "knn_label_agreement",
+        "lang_id",
+        "multimodal_sampled",
+        "ngram_jaccard",
+        "pack_chunks",
+        "props_stats",
     ]
     assert len(gate_first) == len(set(gate_first)), "duplicate gate slot"
     gate_last = [  # rows-only (no_oracle) and stable: weakest signal

@@ -961,3 +961,123 @@ def streaming_conformal(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_control_flags_tws(
+    stream: DataFrame,
+    norm_mu: float = 0.0,
+    norm_sd: float = 1.0,
+    lam: float = 0.25,
+    nsig: float = 3.0,
+    k: float = 0.5,
+    h: float = 5.0,
+) -> DataFrame:
+    """``streaming_control_flags`` on the Spark 4 ``transformWithState
+    InPandas`` API — the designated migration path off the
+    soft-deprecated ``applyInPandasWithState`` (SPARK-49564).  Same
+    EWMA+CUSUM math and output schema, identical per-row values
+    (asserted by tests/test_streaming.py); what changes is the state
+    plumbing:
+
+    - state lives in a named ``ValueState`` slot managed per key by
+      the RocksDB state-store provider (transformWithState requires
+      it: set ``spark.sql.streaming.stateStore.providerClass`` to
+      ``...state.RocksDBStateStoreProvider`` on the session),
+    - the processor object carries init/close lifecycle hooks and
+      (unused here) timers and TTL, which the old API lacked,
+    - schema evolution of the state type is supported natively —
+      the operational reason to migrate long-lived checkpoints.
+
+    Kept BESIDE the GroupState detectors rather than replacing them:
+    the stable API remains the default until the fleet baseline is
+    Spark 4 everywhere; scripts/stream_bench_r10.py measures both
+    plumbing variants at identical math.
+
+    Environment requirement: the transformWithState driver protocol
+    talks protobuf to a JVM-side state server, so the ``protobuf``
+    Python package must be installed (it is NOT bundled with pyspark).
+    Checked eagerly here — without the check the failure surfaces as
+    an opaque 'driver worker exited unexpectedly (crashed)' at stream
+    start."""
+    try:
+        from google.protobuf import descriptor as _descriptor  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env dependent
+        raise RuntimeError(
+            "streaming_control_flags_tws needs the 'protobuf' package: "
+            "pyspark's transformWithStateInPandas state-server protocol "
+            "imports google.protobuf at stream start.  Install protobuf "
+            "or use streaming_control_flags (applyInPandasWithState), "
+            "which is functionally identical."
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    lam = float(lam)
+    w2 = (1.0 - lam) * (1.0 - lam)
+    ratio = lam / (2.0 - lam)
+    nsig, k, h = float(nsig), float(k), float(h)
+    mu, sd = float(norm_mu), float(norm_sd)
+
+    class _CtrlProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "ctrl", "z double, w double, sp double, sn double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (series_id,) = key
+            got = self._state.get()
+            if got is not None:
+                z, w, sp, sn = got
+            else:
+                z, w, sp, sn = mu, 1.0, 0.0, 0.0
+            for pdf in rows:
+                pdf = pdf.sort_values("timestamp").reset_index(drop=True)
+                y = pdf["value"].to_numpy(float)
+                n = len(y)
+                ew = np.empty(n)
+                ucl = np.empty(n)
+                lcl = np.empty(n)
+                cp = np.empty(n)
+                cn = np.empty(n)
+                for i in range(n):
+                    z = z + lam * (y[i] - z)
+                    w = w * w2
+                    hw = nsig * sd * np.sqrt(ratio * (1.0 - w))
+                    ew[i] = z
+                    ucl[i] = mu + hw
+                    lcl[i] = mu - hw
+                    zs = (y[i] - mu) / (sd + 1e-9)
+                    sp = max(0.0, sp + (zs - k))
+                    sn = max(0.0, sn + (-zs - k))
+                    cp[i] = sp
+                    cn[i] = sn
+                yield pd.DataFrame(
+                    {
+                        "series_id": series_id,
+                        "timestamp": pdf["timestamp"],
+                        "value": y,
+                        "ewma": ew,
+                        "ucl": ucl,
+                        "lcl": lcl,
+                        "ewma_flag": ((ew > ucl) | (ew < lcl)).astype(
+                            "int32"
+                        ),
+                        "cusum_pos": cp,
+                        "cusum_neg": cn,
+                        "cusum_flag": ((cp > h) | (cn > h)).astype("int32"),
+                    }
+                )
+            self._state.update((float(z), float(w), float(sp), float(sn)))
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("series_id").transformWithStateInPandas(
+        statefulProcessor=_CtrlProcessor(),
+        outputStructType=_CTRL_OUT,
+        outputMode="Append",
+        timeMode="None",
+    )

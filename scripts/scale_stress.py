@@ -118,12 +118,26 @@ def build() -> None:
     n_vecs = con.execute(
         f"SELECT count(*) FROM '{BASE}/embeddings.parquet'"
     ).fetchone()[0]
+    # same dup-RATE logic for vectors: verbatim replication makes
+    # EVERY vector a REPL-member identical group, and the cosine-dup
+    # pair set goes quadratic by construction (semantic_dedup measured
+    # 218x for 100x data on the verbatim corpus — the pairs are real,
+    # the corpus isn't).  dup_frac of base vectors stay exact dups;
+    # the rest get a deterministic per-(vec, dim) perturbation large
+    # enough to fall below the near-dup threshold.
     if not os.path.exists(f"{BIG}/embeddings.parquet"):
         con.execute(
             f"""
             COPY (
               SELECT v.vec_id + {n_vecs} * r.r AS vec_id,
-                     v.embedding, v.label
+                     CASE WHEN r.r = 0 OR v.vec_id % {dup_mod} = 0
+                          THEN v.embedding
+                          ELSE list_transform(v.embedding, (e, i) ->
+                            CAST(e + (((v.vec_id * 31 + r.r * 7 + i)
+                                       % 97) - 48.0) / 120.0
+                                 AS FLOAT))
+                     END AS embedding,
+                     v.label
               FROM '{BASE}/embeddings.parquet' v
               CROSS JOIN range({REPL}) r(r)
             ) TO '{BIG}/embeddings.parquet' (FORMAT parquet)

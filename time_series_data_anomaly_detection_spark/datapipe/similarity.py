@@ -320,57 +320,13 @@ def knn_label_agreement(
     )
 
 
-def semantic_dedup(
-    corpus: DataFrame,
-    threshold: float = 0.95,
-    n_cells: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    centroid_mode: str = "seed",
-    bucket_cap: int = 4096,
-) -> DataFrame:
-    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
-    cluster the embedding space into ``n_cells`` centroid cells, then
-    inside each cell drop every vector whose cosine to a LOWER-ID
-    cell-mate reaches ``threshold`` (the lowest id of each semantic
-    clump survives — deterministic, single pass, no fixpoint).
+def _literal_cell_assign(s, cent_rows, id_col):
+    """Nearest-centroid assignment with the centroid table riding the
+    scan as a LITERAL array — zero-shuffle, for dimension-sized
+    centroid counts.  Argmax cosine with cent_id-asc tie-break == min
+    over (-cos, cid)."""
+    from .dedup import _dot
 
-    Output: one row per corpus vector — ``(vec_id, cell,
-    max_lower_cos, keep)`` with ``max_lower_cos`` = the max cosine to
-    any lower-id member of the same cell (-1.0 when none exists).
-
-    Scale shape: the all-pairs comparison is confined to cells (the
-    SemDeDup trick — cells shrink the quadratic term by ~n_cells²),
-    the within-cell self-join rides the salted skew guard
-    (:func:`datapipe._skew.salted_self_join_pairs`) so one hot cell
-    cannot become a straggler task.  Cell ASSIGNMENT is zero-shuffle:
-    the centroid table is O(n_cells) rows by construction, so it rides
-    into the corpus scan as a LITERAL array and the nearest-cell argmax
-    is a per-row ``transform`` + ``sort_array`` head — the corpus is
-    never exchanged just to pick a cell (the ivf_topk join+window shape
-    would move n_cells copies of every row).  Grow ``n_cells`` ~
-    O(sqrt(N)) with the corpus to keep per-cell membership flat;
-    ``centroid_mode="kmeans"`` trains real k-means|| centroids (seed
-    mode is the deterministic, oracle-checkable fixture).
-    """
-    from ._skew import salted_self_join_pairs
-    from .dedup import _dot, _norm
-
-    if centroid_mode == "kmeans":
-        cents = kmeans_centroids(corpus, n_cells, vec_col)
-    else:
-        cents = (
-            corpus.orderBy(id_col)
-            .limit(n_cells)
-            .select(
-                F.col(id_col).alias("cent_id"),
-                F.col(vec_col).alias("cent_v"),
-                _norm(F.col(vec_col)).alias("cent_n"),
-            )
-        )
-    # centroids -> driver literal (tiny by construction): assignment is
-    # then a map-side expression, no join/window exchange of the corpus
-    cent_rows = sorted(cents.collect(), key=lambda r: r["cent_id"])
     cent_arr = F.array(
         *[
             F.struct(
@@ -381,10 +337,6 @@ def semantic_dedup(
             for r in cent_rows
         ]
     )
-    s = corpus.select(
-        F.col(id_col), F.col(vec_col).alias("v"), _norm(F.col(vec_col)).alias("nrm")
-    )
-    # argmax cosine with cent_id-asc tie-break == min over (-cos, cid)
     scored = F.transform(
         cent_arr,
         lambda c: F.struct(
@@ -397,9 +349,131 @@ def semantic_dedup(
             c["cid"].alias("cid"),
         ),
     )
-    assigned = s.select(
+    return s.select(
         id_col, "v", "nrm", F.sort_array(scored)[0]["cid"].alias("cell")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mode: str = "seed",
+    bucket_cap: int = 4096,
+    target_cell: int = 128,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the embedding space into ``n_cells`` centroid cells, then
+    inside each cell drop every vector whose cosine to a LOWER-ID
+    cell-mate reaches ``threshold`` (the lowest id of each semantic
+    clump survives — deterministic, single pass, no fixpoint).
+
+    Output: one row per corpus vector — ``(vec_id, cell,
+    max_lower_cos, keep)`` with ``max_lower_cos`` = the max cosine to
+    any lower-id member of the same cell (-1.0 when none exists).
+
+    Scale shape: the all-pairs comparison is confined to cells (the
+    SemDeDup trick), the within-cell self-join rides the salted skew
+    guard (:func:`datapipe._skew.salted_self_join_pairs`) so one hot
+    cell cannot become a straggler task.  ``n_cells=None`` (default)
+    AUTO-SCALES the cell count to ``max(16, N // target_cell)`` —
+    with a FIXED cell count the within-cell pair term is O(N²/k) and
+    the r10 100× stress measured exactly that (218–245× growth for
+    100× vectors at k=16); constant per-cell occupancy makes pair
+    work linear in N.  Assignment by cell count:
+
+    - ≤ 64 cells: the centroid table rides the corpus scan as a
+      LITERAL array — zero shuffle, no join (the gate-SF shape).
+    - > 64 cells: TWO-LEVEL seed assignment (the IVF-style answer to
+      "k grows with N but a literal array cannot"): ~√n_cells
+      super-centroids assign map-side from a literal array, then each
+      row meets only ITS super-cell's ~√n_cells sub-centroids through
+      an equi-join on the super-cell key — assignment cost N·√k
+      instead of N·k, pair cost stays N·target_cell.  The final cell
+      key is the chosen sub-centroid's vec_id (globally unique).
+
+    ``centroid_mode="kmeans"`` trains real k-means|| centroids at an
+    explicit ``n_cells`` (seed mode is the deterministic,
+    oracle-checkable fixture).
+    """
+    from ._skew import salted_self_join_pairs
+    from .dedup import _dot, _norm
+
+    s = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("v"), _norm(F.col(vec_col)).alias("nrm")
+    )
+    if n_cells is None:
+        n_cells = max(16, s.count() // int(target_cell))
+
+    if centroid_mode == "kmeans":
+        cents = kmeans_centroids(corpus, n_cells, vec_col)
+        cent_rows = sorted(cents.collect(), key=lambda r: r["cent_id"])
+        assigned = _literal_cell_assign(s, cent_rows, id_col)
+    elif n_cells <= 64:
+        cents = (
+            corpus.orderBy(id_col)
+            .limit(n_cells)
+            .select(
+                F.col(id_col).alias("cent_id"),
+                F.col(vec_col).alias("cent_v"),
+                _norm(F.col(vec_col)).alias("cent_n"),
+            )
+        )
+        cent_rows = sorted(cents.collect(), key=lambda r: r["cent_id"])
+        assigned = _literal_cell_assign(s, cent_rows, id_col)
+    else:
+        # two-level seed assignment (see docstring)
+        l1_cnt = min(64, max(8, int(n_cells ** 0.5) + 1))
+        l1 = (
+            corpus.orderBy(id_col)
+            .limit(l1_cnt)
+            .select(
+                F.col(id_col).alias("cent_id"),
+                F.col(vec_col).alias("cent_v"),
+                _norm(F.col(vec_col)).alias("cent_n"),
+            )
+        )
+        l1_rows = sorted(l1.collect(), key=lambda r: r["cent_id"])
+        a1 = _literal_cell_assign(s, l1_rows, id_col).withColumnRenamed(
+            "cell", "__l1"
+        )
+        per = max(1, n_cells // l1_cnt)
+        wsub = Window.partitionBy("__l1").orderBy(id_col)
+        subs = (
+            a1.withColumn("__rk", F.row_number().over(wsub))
+            .filter(F.col("__rk") <= per)
+            .select(
+                F.col("__l1"),
+                F.col(id_col).alias("__cid"),
+                F.col("v").alias("__cv"),
+                F.col("nrm").alias("__cn"),
+            )
+        )
+        # sub-centroid table is n_cells rows: broadcast while it is
+        # dimension-sized, shuffle-hash once it is corpus-scaled
+        # (never an estimate-driven auto-broadcast — the dedup lesson)
+        subs_j = (
+            F.broadcast(subs)
+            if n_cells <= 200_000
+            else subs.hint("shuffle_hash")
+        )
+        neg = -(
+            _dot(F.col("v"), F.col("__cv"))
+            / (F.col("nrm") * F.col("__cn") + F.lit(1e-12))
+        )
+        assigned = (
+            a1.join(subs_j, "__l1")
+            .groupBy(id_col)
+            .agg(
+                F.first("v").alias("v"),
+                F.first("nrm").alias("nrm"),
+                F.min(
+                    F.struct(neg.alias("neg"), F.col("__cid").alias("cid"))
+                )["cid"].alias("cell"),
+            )
+        )
     pairs = salted_self_join_pairs(
         assigned, keys=["cell"], id_col=id_col, cap=bucket_cap
     )

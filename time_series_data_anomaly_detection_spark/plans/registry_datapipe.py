@@ -564,8 +564,11 @@ def q_semantic_dedup(spark, sf_dir):
     within 0.4 of a lower-id cell-mate (lowest id survives)."""
     from ..datapipe.similarity import semantic_dedup
 
+    # n_cells=None exercises the production AUTO-scaling default —
+    # at every gate SF it resolves to the same 16 cells the oracle
+    # hard-codes (auto = max(16, N // 128), N <= 2000 at sf0.1)
     out = semantic_dedup(
-        _embs(spark, sf_dir), threshold=SEMDEDUP_T, n_cells=IVF_CELLS
+        _embs(spark, sf_dir), threshold=SEMDEDUP_T, n_cells=None
     )
     return out.select(
         "vec_id", "cell",

@@ -10292,6 +10292,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_winters_fixed",
         "kalman_forecast_fixed",
         "theta_forecast",
+        # ...and the similarity family: semantic_dedup gained the
+        # auto-scaling two-level assignment this round (identical
+        # results at gate SFs, but the implementation changed)
+        "semantic_dedup",
+        "incremental_semantic_dedup",
+        "pq_topk",
+        "cosine_topk",
+        "ann_topk",
         # r10 PRIME SLOTS part C — the stalest oracled greens
         # (r05/r06-checked, per scripts/gate_freshness.py)
         "training_order",

@@ -1158,3 +1158,68 @@ def test_corpus_to_batches_bpe_token_sum_parity(spark):
         assert g["n_tokens"].iloc[-1] <= PACK_CTX
         # chunk ids are dense from 0
         assert list(g["chunk_id"]) == list(range(len(g))), src
+
+
+def test_jsonl_and_text_corpus_loaders(spark, tmp_path):
+    """Raw-corpus ingestion: JSONL and one-doc-per-file trees must
+    land in the documents schema with DETERMINISTIC content-derived
+    ids (stable across repartitionings; exact dups share an id by
+    construction) and feed the datapipe operators directly."""
+    import json
+
+    from time_series_data_anomaly_detection_spark.datapipe import (
+        doc_stats,
+        read_jsonl_corpus,
+        read_text_corpus,
+    )
+
+    jl = tmp_path / "crawl"
+    jl.mkdir()
+    rows = [
+        {"text": "the quick brown fox jumps", "site": "a.com"},
+        {"text": "pack my box with five dozen jugs", "site": "b.org"},
+        {"text": "the quick brown fox jumps", "site": "a.com"},  # exact dup
+        {"text": None, "site": "c.net"},  # dropped
+    ]
+    (jl / "part0.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in rows)
+    )
+    docs = read_jsonl_corpus(
+        spark, str(jl), text_field="text", source_field="site"
+    )
+    assert [f.name for f in docs.schema.fields] == [
+        "doc_id", "text", "lang", "source", "n_chars",
+    ]
+    got = docs.toPandas().sort_values("text").reset_index(drop=True)
+    assert len(got) == 3  # null text dropped
+    assert (got["n_chars"] == got["text"].str.len()).all()
+    # exact dups share the content-derived id; distinct docs don't
+    from pyspark.sql import functions as F
+
+    ids = (
+        docs.groupBy("text")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .toPandas()
+    )
+    assert (ids["n"] == 1).all()
+    assert got["doc_id"].nunique() == 2
+    # ids survive a repartition (determinism — no monotonic ids)
+    again = read_jsonl_corpus(
+        spark, str(jl), text_field="text", source_field="site"
+    ).repartition(7)
+    assert sorted(r.doc_id for r in again.collect()) == sorted(
+        r.doc_id for r in docs.collect()
+    )
+
+    td = tmp_path / "tree"
+    td.mkdir()
+    (td / "d1.txt").write_text("alpha beta gamma")
+    (td / "d2.txt").write_text("delta epsilon")
+    (td / "ignored.bin").write_bytes(b"\x00\x01")
+    files = read_text_corpus(spark, str(td))
+    fp = files.toPandas().sort_values("text").reset_index(drop=True)
+    assert len(fp) == 2  # glob filtered the .bin
+    assert fp["source"].str.contains("d1.txt|d2.txt", regex=True).all()
+    # the loaded frame drives the operators directly
+    stats = doc_stats(files).toPandas()
+    assert len(stats) == 2 and (stats["n_tokens"] > 0).all()

@@ -12,6 +12,10 @@ on one portable primitive: ``md5`` hex parsed to int is identical in
 Spark and DuckDB, so every hash-derived value is oracle-checkable.
 """
 
+from .io import (  # noqa: F401
+    read_jsonl_corpus,
+    read_text_corpus,
+)
 from .text import (  # noqa: F401
     tokenize,
     doc_stats,

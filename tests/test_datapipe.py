@@ -1223,3 +1223,56 @@ def test_jsonl_and_text_corpus_loaders(spark, tmp_path):
     # the loaded frame drives the operators directly
     stats = doc_stats(files).toPandas()
     assert len(stats) == 2 and (stats["n_tokens"] > 0).all()
+
+
+def test_jsonl_ingest_null_handling_and_report(spark, tmp_path):
+    """r10 ADVICE fixes: (a) NULL-source rows must NOT collide with
+    same-text docs from named sources (source coalesced to '' inside
+    the id hash); (b) provided-but-NULL id_field rows fall back to the
+    content id instead of passing NULL into join keys; (c) malformed
+    JSON lines and null-text lines are COUNTED (jsonl_ingest_report),
+    not silently dropped."""
+    import json
+
+    from time_series_data_anomaly_detection_spark.datapipe import (
+        jsonl_ingest_report,
+        read_jsonl_corpus,
+    )
+
+    jl = tmp_path / "crawl"
+    jl.mkdir()
+    lines = [
+        json.dumps({"text": "same words here", "site": "a.com", "id": 7}),
+        json.dumps({"text": "same words here", "id": None}),  # null source+id
+        json.dumps({"text": "same words here"}),  # missing source+id
+        json.dumps({"text": None, "site": "b.org", "id": 9}),  # null text
+        "{not valid json at all",  # corrupt
+        json.dumps({"text": "other words", "site": "a.com", "id": None}),
+    ]
+    (jl / "part0.jsonl").write_text("\n".join(lines))
+
+    docs = read_jsonl_corpus(
+        spark, str(jl), text_field="text", id_field="id",
+        source_field="site",
+    ).toPandas()
+    # null text + corrupt dropped from the documents frame
+    assert len(docs) == 4
+    # no NULL doc_id escapes (provided-but-NULL ids -> content ids)
+    assert docs["doc_id"].notna().all()
+    # explicit id wins where present
+    assert 7 in set(docs["doc_id"])
+    # the two null-source same-text rows share a content id (both hash
+    # with source=''), and it differs from any named-source doc's id
+    null_src = docs[docs["source"].isna()]
+    assert len(null_src) == 2
+    assert null_src["doc_id"].nunique() == 1
+    named = docs[docs["source"].notna()]
+    assert not set(null_src["doc_id"]) & set(named["doc_id"])
+
+    rep = jsonl_ingest_report(
+        spark, str(jl), text_field="text", id_field="id",
+        source_field="site",
+    ).toPandas().set_index("disposition")["n_lines"]
+    assert rep.get("kept", 0) == 4
+    assert rep.get("corrupt", 0) == 1
+    assert rep.get("null_text", 0) == 1

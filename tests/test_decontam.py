@@ -201,6 +201,50 @@ def test_semantic_dedup_kmeans_mode(spark):
     assert (out.groupby("clump")["cell"].nunique() == 1).all()
 
 
+def test_semantic_dedup_kmeans_guards_and_two_level(spark):
+    """r10 ADVICE: kmeans mode must not auto-scale k into a literal
+    plan — n_cells=None raises; and above 64 cells the trained
+    centroids route through the two-level assignment (no thousands of
+    literals) while still clustering clumps together."""
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 1, (5, 8))
+    ids, vecs = [], []
+    for i in range(300):
+        ids.append(i)
+        vecs.append((centers[i % 5] + rng.normal(0, 0.01, 8)).tolist())
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": ids, "embedding": vecs})
+    )
+    with pytest.raises(ValueError, match="explicit n_cells"):
+        semantic_dedup(df, centroid_mode="kmeans")
+
+    out = semantic_dedup(
+        df, threshold=0.999, n_cells=80, centroid_mode="kmeans"
+    ).toPandas()
+    assert len(out) == 300
+    # keep == (max_lower_cos < threshold) everywhere
+    assert (
+        (out.keep == 1) == (out.max_lower_cos < 0.999)
+    ).all()
+    # clump members are mutually near-dup and cross-clump cosines are
+    # far below threshold, so WITHIN each (cell, clump) group exactly
+    # the lowest id survives — however k-means split the clumps
+    out["clump"] = out.vec_id % 5
+    grp = out.groupby(["cell", "clump"])
+    assert (
+        grp.apply(
+            lambda g: g.loc[g.vec_id.idxmin(), "keep"] == 1
+            and (g.drop(g.vec_id.idxmin()).keep == 0).all()
+        )
+    ).all()
+    assert out.keep.sum() == grp.ngroups
+    # deduplication really happened (cells are not singletons)
+    assert out.keep.sum() < 300
+
+
 def test_write_training_shards_layout(spark, tmp_path_factory):
     """One file per (epoch, shard) directory; in-file row order == pos
     order; every doc present exactly once per epoch."""

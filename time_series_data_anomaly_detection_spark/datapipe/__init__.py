@@ -13,6 +13,7 @@ Spark and DuckDB, so every hash-derived value is oracle-checkable.
 """
 
 from .io import (  # noqa: F401
+    jsonl_ingest_report,
     read_jsonl_corpus,
     read_text_corpus,
 )

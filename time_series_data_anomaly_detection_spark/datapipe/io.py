@@ -43,9 +43,18 @@ def _content_id(source, text):
     # 60-bit positive long from md5(source || '\x1f' || text) — the
     # hash48 recipe widened to 15 hex digits (collision odds ~n²/2⁶¹;
     # at 1e9 docs ≈ 4e-4 — acceptable for ingest ids, and exact dups
-    # INTENTIONALLY collide)
+    # INTENTIONALLY collide).  source is coalesced to '' BEFORE the
+    # concat: concat_ws skips NULL args, so without it a NULL-source
+    # row would hash as md5(text) alone and silently collide with
+    # same-text docs from other null-source shards.
     return F.conv(
-        F.md5(F.concat_ws("\x1f", source, text)).substr(1, 15), 16, 10
+        F.md5(
+            F.concat_ws(
+                "\x1f", F.coalesce(source.cast("string"), F.lit("")), text
+            )
+        ).substr(1, 15),
+        16,
+        10,
     ).cast("long")
 
 
@@ -56,8 +65,12 @@ def _normalize(df: DataFrame, text_col, id_col, lang_col, source_col,
         if source_col
         else F.lit(default_source)
     )
+    # provided-but-NULL ids fall back to the content id — a NULL
+    # doc_id would silently poison every downstream dedup/join key
     doc_id = (
-        F.col(id_col).cast("long")
+        F.coalesce(
+            F.col(id_col).cast("long"), _content_id(src, F.col(text_col))
+        )
         if id_col
         else _content_id(src, F.col(text_col))
     )
@@ -85,6 +98,19 @@ def read_jsonl_corpus(
     the requested fields (all strings except an optional numeric id),
     NOT inferred — schema inference runs a whole extra pass over the
     data at scale and silently widens types between drops."""
+    raw = _read_jsonl_raw(
+        spark, path, text_field, id_field, lang_field, source_field
+    )
+    return _normalize(
+        raw, text_field, id_field, lang_field, source_field, default_source
+    )
+
+
+def _read_jsonl_raw(spark, path, text_field, id_field, lang_field,
+                    source_field):
+    # PERMISSIVE parse with an explicit corrupt-record column so
+    # malformed lines are countable (jsonl_ingest_report) instead of
+    # vanishing as all-NULL rows into the text-not-null filter
     fields = [f"`{text_field}` string"]
     if id_field:
         fields.append(f"`{id_field}` long")
@@ -92,9 +118,46 @@ def read_jsonl_corpus(
         fields.append(f"`{lang_field}` string")
     if source_field:
         fields.append(f"`{source_field}` string")
-    raw = spark.read.schema(", ".join(fields)).json(path)
-    return _normalize(
-        raw, text_field, id_field, lang_field, source_field, default_source
+    fields.append("`_corrupt_record` string")
+    return (
+        spark.read.schema(", ".join(fields))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def jsonl_ingest_report(
+    spark: SparkSession,
+    path: str,
+    text_field: str = "text",
+    id_field: str | None = None,
+    lang_field: str | None = None,
+    source_field: str | None = None,
+) -> DataFrame:
+    """Line-disposition accounting for a JSONL ingest: how many lines
+    were kept, how many were malformed JSON (``corrupt``), and how many
+    parsed but carried no text (``null_text``) — so crawl ingest loss
+    is visible instead of silently dropped by the not-null filter.
+
+    Returns ``(disposition string, n_lines long)``, one row per
+    non-empty disposition.
+    """
+    raw = _read_jsonl_raw(
+        spark, path, text_field, id_field, lang_field, source_field
+    )
+    # the text column must appear in the projection alongside the
+    # corrupt column — Spark refuses plans that reference ONLY the
+    # internal corrupt-record column of a JSON scan
+    disp = (
+        F.when(F.col("_corrupt_record").isNotNull(), F.lit("corrupt"))
+        .when(F.col(text_field).isNull(), F.lit("null_text"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        raw.select(disp.alias("disposition"))
+        .groupBy("disposition")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
     )
 
 
@@ -102,12 +165,13 @@ def read_text_corpus(
     spark: SparkSession,
     path: str,
     glob: str = "*.txt",
-    default_source: str = "files",
 ) -> DataFrame:
     """One document per file → documents frame.  Uses the
     ``binaryFile`` DataFrame source (not RDD ``wholeTextFiles``), so
     listing, pruning and partitioning behave like any other scan; the
-    file path becomes ``source`` and the id derives from content."""
+    file path ALWAYS becomes ``source`` (there is no default-source
+    knob here — a per-file corpus has an unambiguous provenance) and
+    the id derives from content."""
     raw = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
@@ -126,5 +190,5 @@ def read_text_corpus(
         None,
         None,
         "src",
-        default_source,
+        None,
     )

@@ -354,6 +354,41 @@ def _literal_cell_assign(s, cent_rows, id_col):
     )
 
 
+def _subcentroid_assign(a1, subs, n_cells, dim, id_col):
+    """Second level of the two-level cell assignment: each row (already
+    carrying its super-cell ``__l1``) meets only its super-cell's
+    sub-centroids through an equi-join, then keeps the argmax-cosine
+    sub-centroid as its final cell.
+
+    The sub-centroid table is ``n_cells`` rows of ``dim`` doubles —
+    broadcast only while its BYTES stay dimension-sized (rows × dim ×
+    8 ≤ 32 MB; a fixed row-count cutoff would ship ~1 GB per executor
+    at 768-dim), shuffle-hash beyond that (never an estimate-driven
+    auto-broadcast — the dedup lesson)."""
+    from .dedup import _dot
+
+    subs_j = (
+        F.broadcast(subs)
+        if n_cells * dim * 8 <= 32 * 1024 * 1024
+        else subs.hint("shuffle_hash")
+    )
+    neg = -(
+        _dot(F.col("v"), F.col("__cv"))
+        / (F.col("nrm") * F.col("__cn") + F.lit(1e-12))
+    )
+    return (
+        a1.join(subs_j, "__l1")
+        .groupBy(id_col)
+        .agg(
+            F.first("v").alias("v"),
+            F.first("nrm").alias("nrm"),
+            F.min(
+                F.struct(neg.alias("neg"), F.col("__cid").alias("cid"))
+            )["cid"].alias("cell"),
+        )
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -396,7 +431,12 @@ def semantic_dedup(
 
     ``centroid_mode="kmeans"`` trains real k-means|| centroids at an
     explicit ``n_cells`` (seed mode is the deterministic,
-    oracle-checkable fixture).
+    oracle-checkable fixture; auto-scaled ``n_cells=None`` raises here
+    — the trained-centroid count must be sized by the caller).  Above
+    64 cells the trained centroids route through the SAME two-level
+    assignment as seed mode: the first ~√k centroids become
+    super-centroids and the rest are themselves nearest-assigned
+    Spark-side, so no plan ever embeds thousands of centroid literals.
     """
     from ._skew import salted_self_join_pairs
     from .dedup import _dot, _norm
@@ -405,12 +445,51 @@ def semantic_dedup(
         F.col(id_col), F.col(vec_col).alias("v"), _norm(F.col(vec_col)).alias("nrm")
     )
     if n_cells is None:
+        if centroid_mode == "kmeans":
+            # auto-scaled k would silently feed thousands of trained
+            # centroids into ONE literal Catalyst expression (the
+            # exact plan/driver blow-up the two-level path exists to
+            # avoid); kmeans callers must size k explicitly
+            raise ValueError(
+                "centroid_mode='kmeans' requires an explicit n_cells"
+            )
         n_cells = max(16, s.count() // int(target_cell))
 
     if centroid_mode == "kmeans":
         cents = kmeans_centroids(corpus, n_cells, vec_col)
-        cent_rows = sorted(cents.collect(), key=lambda r: r["cent_id"])
-        assigned = _literal_cell_assign(s, cent_rows, id_col)
+        if n_cells <= 64:
+            cent_rows = sorted(cents.collect(), key=lambda r: r["cent_id"])
+            assigned = _literal_cell_assign(s, cent_rows, id_col)
+        else:
+            # same two-level split as seed mode: the first ~sqrt(k)
+            # TRAINED centroids act as super-centroids; every other
+            # centroid is itself assigned to its nearest super-centroid
+            # Spark-side (never collected into plan literals)
+            l1_cnt = min(64, max(8, int(n_cells ** 0.5) + 1))
+            l1_rows = sorted(
+                cents.orderBy("cent_id").limit(l1_cnt).collect(),
+                key=lambda r: r["cent_id"],
+            )
+            a1 = _literal_cell_assign(s, l1_rows, id_col).withColumnRenamed(
+                "cell", "__l1"
+            )
+            subs = _literal_cell_assign(
+                cents.select(
+                    F.col("cent_id"),
+                    F.col("cent_v").alias("v"),
+                    F.col("cent_n").alias("nrm"),
+                ),
+                l1_rows,
+                "cent_id",
+            ).select(
+                F.col("cell").alias("__l1"),
+                F.col("cent_id").cast("long").alias("__cid"),
+                F.col("v").alias("__cv"),
+                F.col("nrm").alias("__cn"),
+            )
+            assigned = _subcentroid_assign(
+                a1, subs, n_cells, len(l1_rows[0]["cent_v"]), id_col
+            )
     elif n_cells <= 64:
         cents = (
             corpus.orderBy(id_col)
@@ -451,28 +530,8 @@ def semantic_dedup(
                 F.col("nrm").alias("__cn"),
             )
         )
-        # sub-centroid table is n_cells rows: broadcast while it is
-        # dimension-sized, shuffle-hash once it is corpus-scaled
-        # (never an estimate-driven auto-broadcast — the dedup lesson)
-        subs_j = (
-            F.broadcast(subs)
-            if n_cells <= 200_000
-            else subs.hint("shuffle_hash")
-        )
-        neg = -(
-            _dot(F.col("v"), F.col("__cv"))
-            / (F.col("nrm") * F.col("__cn") + F.lit(1e-12))
-        )
-        assigned = (
-            a1.join(subs_j, "__l1")
-            .groupBy(id_col)
-            .agg(
-                F.first("v").alias("v"),
-                F.first("nrm").alias("nrm"),
-                F.min(
-                    F.struct(neg.alias("neg"), F.col("__cid").alias("cid"))
-                )["cid"].alias("cell"),
-            )
+        assigned = _subcentroid_assign(
+            a1, subs, n_cells, len(l1_rows[0]["cent_v"]), id_col
         )
     pairs = salted_self_join_pairs(
         assigned, keys=["cell"], id_col=id_col, cap=bucket_cap

@@ -4111,7 +4111,15 @@ def q_matrix_profile_fixed_full(spark, sf_dir):
     scale path is ``matrix_profile_tiled``.
 
     Parity: ``tests/test_changepoints.py`` pins this twin against
-    ``functions/matrix_profile.py`` scores at m=8 on the same tail."""
+    ``functions/matrix_profile.py`` scores at m=8 on the same tail.
+
+    Input-magnitude bound (r10 ADVICE): the QT products are cast to
+    decimal(30,12) — 18 integer digits — so a per-term |a·b| ≥ 1e18
+    would silently NULL under non-ANSI decimal overflow.  The tail
+    projection therefore ENFORCES |value| < 1e9 (product < 1e18) with
+    ``raise_error``; extreme-magnitude series must be rescaled before
+    this twin (the production ``matrix_profile`` z-normalizes in
+    float and has no such bound)."""
     M = 8
     W_CAP = 2048
     EXCL = max(1, M // 2)
@@ -4122,13 +4130,23 @@ def q_matrix_profile_fixed_full(spark, sf_dir):
         .filter(F.col("n") >= 64)
         .withColumn("w", F.least(F.col("n"), F.lit(W_CAP)))
     )
+    guarded_value = F.when(
+        F.abs(F.col("value")) < F.lit(1e9), F.col("value")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "matrix_profile_fixed_full: |value| >= 1e9 overflows the"
+                " decimal(30,12) QT chain — rescale the series first"
+            )
+        )
+    )
     tail = (
         s.join(F.broadcast(cnt), "series_id")
         .filter(F.col("rn") > F.col("n") - F.col("w"))
         .select(
             "series_id",
             "rn",
-            "value",
+            guarded_value.alias("value"),
             (F.col("rn") - (F.col("n") - F.col("w")) - F.lit(1)).alias("j"),
             "w",
         )

@@ -117,6 +117,45 @@ def q_vocab_stats(spark, sf_dir):
     )
 
 
+def q_jsonl_ingest(spark, sf_dir):
+    """Raw-corpus JSONL ingestion, round-tripped and hash-gated.
+
+    The fixture IS derived from the sf parquet (tiny; rewritten
+    deterministically on every call): documents → Spark JSONL sink
+    with renamed fields (``body``/``src``) and a NULL-source shard
+    (every ``doc_id % 7 == 0`` row loses its source) → read back via
+    :func:`datapipe.io.read_jsonl_corpus` with content-derived ids.
+    The oracle derives the same ids directly from the ``documents``
+    view, so the gate checks the full write→parse→normalize path:
+    field mapping, NULL-source coalescing inside the id hash (the r10
+    ADVICE collision bug), ``n_chars``, and id determinism across the
+    round trip."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..datapipe.io import read_jsonl_corpus
+
+    fixture = _os.path.join(
+        _tempfile.gettempdir(),
+        "tsdad_jsonl_gate_" + _os.path.basename(_os.path.normpath(sf_dir)),
+    )
+    (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.col("text").alias("body"),
+            F.when(F.col("doc_id") % 7 != 0, F.col("source")).alias("src"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .json(fixture)
+    )
+    docs = read_jsonl_corpus(
+        spark, fixture, text_field="body", source_field="src"
+    )
+    return docs.select("doc_id", "source", "n_chars")
+
+
 def q_winnow_near_dup(spark, sf_dir):
     """Passage-level near-dup pairs by shared winnowing fingerprints
     (Schleimer et al. SIGMOD'03 / MOSS) — catches copied substrings
@@ -801,6 +840,24 @@ jac AS (
 """
 
 ORACLES: dict[str, str] = {}
+
+# jsonl_ingest: the Spark side round-trips documents through a JSONL
+# sink + read_jsonl_corpus; the oracle derives the expected output
+# DIRECTLY from the parquet view with the same id recipe (md5 over
+# coalesce(source,'') || \\x1f || text, first 15 hex digits → long) —
+# so any drift in the write/parse/normalize path breaks the hash.
+ORACLES["jsonl_ingest"] = """
+WITH base AS (
+  SELECT CASE WHEN doc_id % 7 <> 0 THEN source END AS src, text
+  FROM documents
+  WHERE text IS NOT NULL
+)
+SELECT CAST('0x' || substr(md5(coalesce(src, '') || chr(31) || text), 1, 15)
+            AS BIGINT) AS doc_id,
+       src AS source,
+       CAST(length(text) AS INT) AS n_chars
+FROM base
+"""
 
 ORACLES["doc_stats"] = f"""
 WITH {SQL_TOKS},
@@ -3524,6 +3581,7 @@ def queries():
         "bpe_merges_fixed": q_bpe_merges_fixed,
         "corpus_to_batches_bpe_fixed": q_corpus_to_batches_bpe_fixed,
         "mixture_schedule": q_mixture_schedule,
+        "jsonl_ingest": q_jsonl_ingest,
         "doc_stats": q_doc_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,

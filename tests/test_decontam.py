@@ -245,6 +245,59 @@ def test_semantic_dedup_kmeans_guards_and_two_level(spark):
     assert out.keep.sum() < 300
 
 
+def test_semantic_dedup_int8_pair_payload_parity(spark):
+    """pair_payload='int8' (the shuffle-payload scale mode) must make
+    IDENTICAL keep decisions to exact mode, report the bit-equal exact
+    max_lower_cos for every dropped row, and stay within the quantized
+    error bound for kept rows."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    centers = rng.normal(0, 1, (4, 16))
+    ids, vecs = [], []
+    for i in range(240):
+        base = centers[i % 4]
+        # a mix of near-dups (tiny noise) and mid-similarity vectors
+        # (larger noise) so pairs straddle the threshold
+        noise = 0.002 if i % 3 else 0.25
+        vecs.append((base + rng.normal(0, noise, 16)).tolist())
+        ids.append(i)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": ids, "embedding": vecs})
+    )
+    exact = (
+        semantic_dedup(df, threshold=0.98, n_cells=4)
+        .toPandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    q8 = (
+        semantic_dedup(df, threshold=0.98, n_cells=4, pair_payload="int8")
+        .toPandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert (exact["cell"] == q8["cell"]).all()
+    # keep decisions identical everywhere
+    assert (exact["keep"] == q8["keep"]).all()
+    dropped = exact.index[exact["keep"] == 0]
+    kept = exact.index[exact["keep"] == 1]
+    assert len(dropped) > 20 and len(kept) > 3
+    # dropped rows: bit-equal exact max (same float expression)
+    assert (
+        exact.loc[dropped, "max_lower_cos"].to_numpy()
+        == q8.loc[dropped, "max_lower_cos"].to_numpy()
+    ).all()
+    # kept rows: estimate within the int8 quantization bound of truth
+    # (16-dim unit-ish vectors: bound ~ sqrt(d)/127 ~ 0.032; allow 2x)
+    diff = (
+        exact.loc[kept, "max_lower_cos"] - q8.loc[kept, "max_lower_cos"]
+    ).abs()
+    assert float(diff.max()) < 0.07
+    # and the keep invariant holds on the reported values
+    assert (q8.loc[kept, "max_lower_cos"] < 0.98).all()
+
+
 def test_write_training_shards_layout(spark, tmp_path_factory):
     """One file per (epoch, shard) directory; in-file row order == pos
     order; every doc present exactly once per epoch."""

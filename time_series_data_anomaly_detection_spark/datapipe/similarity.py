@@ -354,6 +354,122 @@ def _literal_cell_assign(s, cent_rows, id_col):
     )
 
 
+def _int8_lower_max(assigned, threshold, bucket_cap, id_col):
+    """int8-quantized pair pass for :func:`semantic_dedup` — the
+    shuffle-payload scale lever (r10 SCALING noted-not-taken item):
+    the salted within-cell self-join carries 1-byte codes + one scale
+    float per vector (~8× lighter than the float64 embedding at any
+    dim) and only pairs whose QUANTIZED cosine upper bound can reach
+    ``threshold`` are re-checked exactly against the full vectors (an
+    id-equi join touching just the candidate ids).
+
+    Guarantees (and the unit test pins them):
+
+    - ``keep`` decisions are EXACT: for any pair with true cosine ≥
+      threshold, the conservative error bound makes its upper bound ≥
+      threshold, so it is always re-checked; the exact re-check uses
+      the IDENTICAL float expression as exact mode, so the surviving
+      max is bit-equal.
+    - ``max_lower_cos`` is exact for every DROPPED row (its true
+      argmax pair is in the re-checked set); for KEPT rows it is the
+      best available estimate (max of quantized scores and any exact
+      re-checks), clamped below threshold so the keep invariant
+      ``keep ⇔ max_lower_cos < threshold`` still holds.
+
+    Error bound per pair: with per-vector scale s = max|v_i|/127 the
+    reconstruction error satisfies ‖v − r‖ ≤ s·√d/2, so
+    |cos − q| ≤ (e_a·‖b‖ + (‖a‖+e_a)·e_b) / (‖a‖·‖b‖), e_x = s_x·√d/2
+    (inflated by 1e-4 relative + 1e-9 absolute for float evaluation).
+    """
+    from ._skew import salted_self_join_pairs
+    from .dedup import _dot
+
+    m = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    s = F.greatest(m / F.lit(127.0), F.lit(1e-30))
+    codes = F.transform(
+        F.col("v"), lambda x: F.round(x / s).cast("tinyint")
+    )
+    q8 = assigned.select(
+        F.col(id_col), "cell", "nrm", s.alias("qs"), codes.alias("qc")
+    )
+    pairs = salted_self_join_pairs(
+        q8, keys=["cell"], id_col=id_col, cap=bucket_cap
+    )
+    idot = F.aggregate(
+        F.zip_with(
+            F.col("a.qc"),
+            F.col("b.qc"),
+            lambda x, y: x.cast("long") * y.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    den = F.col("a.nrm") * F.col("b.nrm") + F.lit(1e-12)
+    q = (F.col("a.qs") * F.col("b.qs") * idot.cast("double")) / den
+    half = F.sqrt(F.size(F.col("a.qc")).cast("double")) / F.lit(2.0)
+    ea = F.col("a.qs") * half
+    eb = F.col("b.qs") * half
+    err = (
+        (ea * F.col("b.nrm") + (F.col("a.nrm") + ea) * eb) / den
+    ) * F.lit(1.0001) + F.lit(1e-9)
+    scored = pairs.select(
+        F.col(f"a.{id_col}").alias("__aid"),
+        F.col(f"b.{id_col}").alias("__bid"),
+        q.alias("__q"),
+        (q + err >= F.lit(float(threshold))).alias("__cand"),
+    )
+    vecs = assigned.select(F.col(id_col), "v", "nrm")
+    exact = (
+        scored.filter(F.col("__cand"))
+        .select("__aid", "__bid")
+        .join(
+            vecs.select(
+                F.col(id_col).alias("__aid"),
+                F.col("v").alias("__av"),
+                F.col("nrm").alias("__an"),
+            ),
+            "__aid",
+        )
+        .join(
+            vecs.select(
+                F.col(id_col).alias("__bid"),
+                F.col("v").alias("__bv"),
+                F.col("nrm").alias("__bn"),
+            ),
+            "__bid",
+        )
+        .select(
+            "__bid",
+            (
+                _dot(F.col("__av"), F.col("__bv"))
+                / (F.col("__an") * F.col("__bn") + F.lit(1e-12))
+            ).alias("__c"),
+        )
+        .groupBy(F.col("__bid").alias(id_col))
+        .agg(F.max("__c").alias("__exact"))
+    )
+    thr = F.lit(float(threshold))
+    return (
+        scored.groupBy(F.col("__bid").alias(id_col))
+        .agg(F.max("__q").alias("__est"))
+        .join(exact, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__exact") >= thr, F.col("__exact"))
+            .otherwise(
+                F.least(
+                    F.greatest(
+                        F.col("__est"),
+                        F.coalesce(F.col("__exact"), F.lit(-1.0)),
+                    ),
+                    thr - F.lit(1e-9),
+                )
+            )
+            .alias("__max_lower"),
+        )
+    )
+
+
 def _subcentroid_assign(a1, subs, n_cells, dim, id_col):
     """Second level of the two-level cell assignment: each row (already
     carrying its super-cell ``__l1``) meets only its super-cell's
@@ -398,6 +514,7 @@ def semantic_dedup(
     centroid_mode: str = "seed",
     bucket_cap: int = 4096,
     target_cell: int = 128,
+    pair_payload: str = "exact",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023):
     cluster the embedding space into ``n_cells`` centroid cells, then
@@ -428,6 +545,13 @@ def semantic_dedup(
       an equi-join on the super-cell key — assignment cost N·√k
       instead of N·k, pair cost stays N·target_cell.  The final cell
       key is the chosen sub-centroid's vec_id (globally unique).
+
+    ``pair_payload="int8"`` switches the within-cell pair pass to
+    1-byte quantized codes with exact re-check of threshold-possible
+    pairs — ~8× lighter pair shuffle at any dim, identical ``keep``
+    decisions and exact ``max_lower_cos`` for every dropped row (see
+    :func:`_int8_lower_max`); ``"exact"`` (default, the gate path)
+    carries the full vectors and reports exact maxes everywhere.
 
     ``centroid_mode="kmeans"`` trains real k-means|| centroids at an
     explicit ``n_cells`` (seed mode is the deterministic,
@@ -533,19 +657,26 @@ def semantic_dedup(
         assigned = _subcentroid_assign(
             a1, subs, n_cells, len(l1_rows[0]["cent_v"]), id_col
         )
-    pairs = salted_self_join_pairs(
-        assigned, keys=["cell"], id_col=id_col, cap=bucket_cap
-    )
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (
-        F.col("a.nrm") * F.col("b.nrm") + F.lit(1e-12)
-    )
-    # a[id] < b[id] by construction: the higher id accumulates the max
-    # cosine to its lower-id cell-mates
-    lower_max = (
-        pairs.select(F.col(f"b.{id_col}").alias(id_col), cos.alias("__cos"))
-        .groupBy(id_col)
-        .agg(F.max("__cos").alias("__max_lower"))
-    )
+    if pair_payload == "int8":
+        # scale mode: 1-byte codes through the pair shuffle, exact
+        # re-check of threshold-possible pairs only (see helper doc)
+        lower_max = _int8_lower_max(assigned, threshold, bucket_cap, id_col)
+    else:
+        pairs = salted_self_join_pairs(
+            assigned, keys=["cell"], id_col=id_col, cap=bucket_cap
+        )
+        cos = _dot(F.col("a.v"), F.col("b.v")) / (
+            F.col("a.nrm") * F.col("b.nrm") + F.lit(1e-12)
+        )
+        # a[id] < b[id] by construction: the higher id accumulates the
+        # max cosine to its lower-id cell-mates
+        lower_max = (
+            pairs.select(
+                F.col(f"b.{id_col}").alias(id_col), cos.alias("__cos")
+            )
+            .groupBy(id_col)
+            .agg(F.max("__cos").alias("__max_lower"))
+        )
     out = assigned.select(id_col, "cell").join(lower_max, id_col, "left")
     mx = F.coalesce(F.col("__max_lower"), F.lit(-1.0))
     # max_lower_cos emitted RAW (gate queries quantize with _rnd); keep

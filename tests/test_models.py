@@ -483,6 +483,54 @@ def test_gp_fixed_twin_matches_production_gp(spark):
     assert diff.max() < 1e-3, diff.max()
 
 
+def test_gp_fixed_std_twin_matches_production_gp(spark):
+    """The posterior-STD sibling (q_gp_forecast_fixed_std) must agree
+    with the production numpy GP's pred_std at the twin's fixed
+    hyperparameters on the capped extent — pins that the Gauss-Jordan
+    inverse + per-row quadratic form implements the production
+    ``var = k** − diag(Ks·K⁻¹·Ksᵀ)`` (functions/gp.py:259-268),
+    independently of the DuckDB oracle."""
+    from time_series_data_anomaly_detection_spark.functions import gp_forecast
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        _series,
+        q_gp_forecast_fixed_std,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    twin = (
+        q_gp_forecast_fixed_std(spark, sf)
+        .toPandas()
+        .sort_values(["series_id", "rn"])
+        .reset_index(drop=True)
+    )
+    prod = (
+        gp_forecast(
+            _series(spark, sf),
+            train_frac=0.5,
+            max_train=64,
+            period=24.0,
+            length_scale=50.0,
+            noise=0.1,
+            optimize=False,
+        )
+        .select("series_id", "rn", "pred_std")
+        .toPandas()
+        .sort_values(["series_id", "rn"])
+        .reset_index(drop=True)
+    )
+    merged = twin.merge(
+        prod, on=["series_id", "rn"], how="left",
+        suffixes=("_twin", "_prod"),
+    )
+    assert len(merged) == len(twin) > 0
+    assert merged["pred_std_prod"].notna().all()
+    diff = np.abs(
+        merged["pred_std_twin"].to_numpy()
+        - merged["pred_std_prod"].to_numpy()
+    )
+    assert diff.max() < 1e-3, diff.max()
+
+
 def test_lstm_fixed_twin_matches_numpy_replica(spark):
     """The hash-gated LSTM inference twin must equal a numpy replay of
     its own quantized cell (PyTorch gate order, q8 exp-based σ/tanh,

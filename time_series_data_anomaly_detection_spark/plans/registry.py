@@ -8511,6 +8511,281 @@ FROM base r JOIN fin f USING (series_id)
 ORACLES["gp_forecast_fixed"] = _gp_fixed_sql()
 
 
+_GP_STD_W = 512  # capped prediction extent for the posterior-std twin
+
+
+def q_gp_forecast_fixed_std(spark, sf_dir):
+    """Hash-gated GP posterior-STD sibling of ``gp_forecast_fixed``
+    (r10 verdict stretch item #8 — the last interval surface with no
+    twin): the reference's GP emits per-step std that drives its
+    detection mode (``src/gp_model.py:35-42``), and the production
+    operator computes ``var = k** − diag(Ks·K⁻¹·Ksᵀ)`` scaled back by
+    the train sd (``functions/gp.py:259-268``).  This twin replays
+    that algebra exactly at the fixed hyperparameters on the same
+    64-row train tail, on a CAPPED extent (the first ``_GP_STD_W``
+    rows from the train-window start — the O(m²)-per-row solve is the
+    honest cost and the cap keeps the gate benchable; the uncapped
+    path is the production ``gp_forecast``).
+
+    Plan shape: C = (K+σ²I)⁻¹ via Gauss-Jordan (no pivoting — SPD) as
+    one fold over a flat m×2m array.  K depends only on m (stationary
+    kernel, contiguous train index), so C is computed once per
+    DISTINCT m and broadcast-joined back to the series — at 1M series
+    with one train-window size that is ONE 64×64 inverse total, not
+    per-series work.  Per row: ks hoisted once via ``_let`` (Catalyst
+    HOF lambdas get no CSE), then the O(m²) quadratic form; the
+    DuckDB oracle replays the identical recursion and sum order."""
+    s = _series(spark, sf_dir).select("series_id", "rn", "value")
+    cnt = (
+        s.groupBy("series_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 128)
+    )
+    base = s.join(F.broadcast(cnt), "series_id").select(
+        "series_id", "rn", "value", "n", (F.col("rn") - F.lit(1)).alias("pos")
+    )
+    n_train = F.greatest(
+        F.floor(F.col("n") * F.lit(0.5)).cast("long"), F.lit(2)
+    )
+    lo = F.greatest(n_train - F.lit(_GP_TR), F.lit(0))
+    tr = base.filter((F.col("pos") >= lo) & (F.col("pos") < n_train))
+
+    def dsum(expr):
+        return F.sum(expr.cast(DEC_T)).cast("double")
+
+    ser = tr.groupBy("series_id").agg(
+        F.count("*").alias("m"),
+        F.min("pos").alias("lo"),
+        dsum(F.col("value")).alias("s1"),
+        dsum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    md = F.col("m").cast("double")
+    mu = F.col("s1") / md
+    sd0 = F.sqrt(F.greatest(F.col("s2") / md - mu * mu, F.lit(0.0)))
+    ser = ser.withColumn(
+        "sd", F.when(sd0 == 0, F.lit(1.0)).otherwise(sd0)
+    ).drop("s1", "s2")
+
+    S2 = F.array(*[F.lit(v) for v in _GP_SIN2])
+
+    def q8(c):
+        return F.floor(c * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)
+
+    def kq(d):
+        dd = d.cast("double")
+        e1 = F.exp(-(dd * dd) / F.lit(5000.0))
+        e2 = F.exp(
+            F.lit(-2.0)
+            * F.element_at(S2, (F.abs(d) % F.lit(24) + F.lit(1)).cast("int"))
+        )
+        return q8(e1 + e2)
+
+    mi = F.col("m").cast("int")
+    m2 = (F.col("m") * 2).cast("int")
+
+    # Gauss-Jordan inverse of (K + σ²I), once per DISTINCT m
+    def build_aug(idx):
+        j = idx % m2
+        i = ((idx - j) / m2).cast("int")
+        kv = kq(i - j) + F.when(i == j, F.lit(_GP_N2)).otherwise(F.lit(0.0))
+        return F.when(j < mi, kv).otherwise(
+            F.when(j - mi == i, F.lit(1.0)).otherwise(F.lit(0.0))
+        )
+
+    a0 = F.transform(
+        F.sequence(F.lit(0), (F.col("m") * m2 - F.lit(1)).cast("int")),
+        build_aug,
+    )
+
+    def gj_step(acc, k):
+        piv = F.element_at(acc, (k * m2 + k + F.lit(1)).cast("int"))
+
+        def upd(a, idx):
+            j = idx % m2
+            i = ((idx - j) / m2).cast("int")
+            return F.when(i == k, a / piv).otherwise(
+                a
+                - F.element_at(acc, (i * m2 + k + F.lit(1)).cast("int"))
+                * (
+                    F.element_at(acc, (k * m2 + j + F.lit(1)).cast("int"))
+                    / piv
+                )
+            )
+
+        return F.transform(acc, upd)
+
+    a_inv = F.aggregate(F.sequence(F.lit(0), mi - 1), a0, gj_step)
+
+    def cslice(A):
+        return F.transform(
+            F.sequence(F.lit(0), (F.col("m") * F.col("m") - F.lit(1)).cast("int")),
+            lambda idx: F.element_at(
+                A,
+                (
+                    ((idx - idx % mi) / mi).cast("int") * m2
+                    + mi
+                    + (idx % mi)
+                    + F.lit(1)
+                ).cast("int"),
+            ),
+        )
+
+    cm = (
+        ser.select("m")
+        .distinct()
+        .withColumn("cmat", _let(a_inv, cslice))
+    )
+    fin = ser.join(F.broadcast(cm), "m")
+
+    out = base.join(
+        F.broadcast(fin.select("series_id", "m", "lo", "sd", "cmat")),
+        "series_id",
+    ).filter(
+        (F.col("pos") >= F.col("lo"))
+        & (F.col("pos") < F.col("lo") + F.lit(_GP_STD_W))
+    )
+    d = F.col("pos") - F.col("lo")
+    ks = F.transform(F.sequence(F.lit(0), mi - 1), lambda j: kq(d - j))
+
+    def with_ks(KS):
+        def inner(i):
+            return F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(0), mi - 1),
+                    lambda j: F.element_at(
+                        F.col("cmat"), (i * mi + j + F.lit(1)).cast("int")
+                    )
+                    * F.element_at(KS, (j + F.lit(1)).cast("int")),
+                ),
+                F.lit(0.0),
+                lambda x, y: x + y,
+            )
+
+        quad = F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), mi - 1),
+                lambda i: F.element_at(KS, (i + F.lit(1)).cast("int"))
+                * inner(i),
+            ),
+            F.lit(0.0),
+            lambda x, y: x + y,
+        )
+        kss = kq(F.lit(0)) + F.lit(_GP_N2)
+        return F.col("sd") * F.sqrt(F.greatest(kss - quad, F.lit(0.0)))
+
+    std = _let(ks, with_ks)
+    return out.select("series_id", "rn", _rnd(std, R).alias("pred_std"))
+
+
+def _gp_fixed_std_sql() -> str:
+    """DuckDB mirror of q_gp_forecast_fixed_std: same quantized kernel
+    macro, Gauss-Jordan recursion per distinct m over flat list state,
+    identical ascending sum order in the per-row quadratic form."""
+    s2_lit = "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in _GP_SIN2) + "]"
+    kq = (
+        "(floor((exp(-(CAST(({d}) AS DOUBLE) * CAST(({d}) AS DOUBLE))"
+        " / 5000.0)"
+        f" + exp(-2.0 * ({s2_lit})[(abs({{d}}) % 24) + 1]))"
+        " * 100000000.0 + 0.5) / 100000000.0)"
+    )
+    # augmented-matrix kernel entry: row i = (i1-1) // m2, col j = (i1-1) % m2
+    kq_ij = kq.format(
+        d="(((i1 - 1) - ((i1 - 1) % d.m2)) // d.m2) - ((i1 - 1) % d.m2)"
+    )
+    kq_ks = kq.format(d="r.pos - f.lo - (j - 1)")
+    kq_0 = kq.format(d="0")
+    return f"""
+WITH RECURSIVE {SQL_S},
+cnt AS (
+  SELECT series_id, count(*) AS n FROM s GROUP BY 1
+  HAVING count(*) >= 128),
+base AS (
+  SELECT s.series_id, s.rn, s.value, c.n, s.rn - 1 AS pos
+  FROM s JOIN cnt c USING (series_id)),
+tr AS (
+  SELECT series_id, pos, value
+  FROM base
+  WHERE pos >= greatest(greatest(CAST(floor(n * 0.5) AS BIGINT), 2)
+                        - {_GP_TR}, 0)
+    AND pos < greatest(CAST(floor(n * 0.5) AS BIGINT), 2)),
+mo AS (
+  SELECT series_id, count(*) AS m, min(pos) AS lo,
+         CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+         CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE)
+           AS s2
+  FROM tr GROUP BY 1),
+serx AS (
+  SELECT series_id, m, lo,
+         CASE WHEN sqrt(greatest(s2 / CAST(m AS DOUBLE)
+                 - (s1 / CAST(m AS DOUBLE)) * (s1 / CAST(m AS DOUBLE)),
+                 0.0)) = 0
+              THEN 1.0
+              ELSE sqrt(greatest(s2 / CAST(m AS DOUBLE)
+                 - (s1 / CAST(m AS DOUBLE)) * (s1 / CAST(m AS DOUBLE)),
+                 0.0)) END AS sd
+  FROM mo),
+dm AS (SELECT DISTINCT m, CAST(2 * m AS INT) AS m2 FROM serx),
+mat AS (
+  SELECT d.m, d.m2,
+         list_transform(generate_series(1, CAST(d.m AS INT) * d.m2),
+           i1 -> CASE
+             WHEN ((i1 - 1) % d.m2) < d.m
+             THEN {kq_ij}
+                  + CASE WHEN (((i1 - 1) - ((i1 - 1) % d.m2)) // d.m2)
+                              = ((i1 - 1) % d.m2)
+                         THEN {_GP_N2} ELSE 0.0 END
+             ELSE CASE WHEN ((i1 - 1) % d.m2) - d.m
+                            = (((i1 - 1) - ((i1 - 1) % d.m2)) // d.m2)
+                       THEN 1.0 ELSE 0.0 END
+           END) AS A
+  FROM dm d),
+gj AS (
+  SELECT m, m2, 0 AS k, A FROM mat
+  UNION ALL
+  SELECT g.m, g.m2, g.k + 1,
+         list_transform(g.A, (a, i1) -> CASE
+           WHEN (((i1 - 1) - ((i1 - 1) % g.m2)) // g.m2) = g.k
+           THEN a / g.A[g.k * g.m2 + g.k + 1]
+           ELSE a - g.A[CAST((((i1 - 1) - ((i1 - 1) % g.m2)) // g.m2)
+                        AS INT) * g.m2 + g.k + 1]
+                    * (g.A[g.k * g.m2 + ((i1 - 1) % g.m2) + 1]
+                       / g.A[g.k * g.m2 + g.k + 1])
+           END)
+  FROM gj g
+  WHERE g.k < g.m),
+cmt AS (
+  SELECT g.m,
+         list_transform(generate_series(1, CAST(g.m * g.m AS INT)),
+           i1 -> g.A[CAST((((i1 - 1) - ((i1 - 1) % CAST(g.m AS INT)))
+                           // CAST(g.m AS INT)) AS INT) * g.m2
+                     + CAST(g.m AS INT) + ((i1 - 1) % CAST(g.m AS INT))
+                     + 1]) AS C
+  FROM gj g
+  WHERE g.k = g.m),
+fin AS (
+  SELECT s.series_id, s.m, s.lo, s.sd, c.C
+  FROM serx s JOIN cmt c USING (m)),
+pr AS (
+  SELECT r.series_id, r.rn, f.m, f.sd, f.C,
+         list_transform(generate_series(1, CAST(f.m AS INT)),
+                        j -> {kq_ks}) AS ks
+  FROM base r JOIN fin f USING (series_id)
+  WHERE r.pos >= f.lo AND r.pos < f.lo + {_GP_STD_W})
+SELECT series_id, rn,
+       round(sd * sqrt(greatest(({kq_0} + {_GP_N2}) - list_reduce(
+         list_transform(generate_series(1, CAST(m AS INT)), i ->
+           ks[i] * list_reduce(
+             list_transform(generate_series(1, CAST(m AS INT)), j ->
+               C[(i - 1) * CAST(m AS INT) + j] * ks[j]),
+             (x, y) -> x + y)),
+         (x, y) -> x + y), 0.0)), {R}) AS pred_std
+FROM pr
+"""
+
+
+ORACLES["gp_forecast_fixed_std"] = _gp_fixed_std_sql()
+
+
 # Pinned LSTM(1->4) weights for the M5 inference twin: PyTorch gate
 # blocks (i, f, g, o) exactly as functions/_lstm_numpy.py lays them
 # out, generated once (numpy default_rng(7), uniform(-0.5, 0.5),
@@ -10252,6 +10527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gp_forecast": q_gp_forecast,
         # fixed-hyperparameter GP posterior-mean twin (hash-gated)
         "gp_forecast_fixed": q_gp_forecast_fixed,
+        # GP posterior-std sibling (capped extent, per-distinct-m inverse)
+        "gp_forecast_fixed_std": q_gp_forecast_fixed_std,
         "lstm_forecast": q_lstm_forecast,
         # pinned-weight LSTM inference twin (hash-gated)
         "lstm_forecast_fixed": q_lstm_forecast_fixed,

@@ -1268,11 +1268,12 @@ def q_cross_correlation(spark, sf_dir):
     lead which, the view the per-series ACF (W8) cannot see."""
     from ..operators.acf import cross_correlation
 
-    # channel dim is the 5 event types by construction — skip the
-    # guard's distinct-count job (the API default measures + bounds)
-    out = cross_correlation(
-        _series(spark, sf_dir), max_lag=12, allow_all_pairs=True
-    )
+    # r11 wide-series stress finding: allow_all_pairs=True here baked
+    # in the gate fixture's 5-series shape — pointed at a 500-series
+    # table the wrapper silently ran 124,750 pairs (114 s).  The guard
+    # stays ON (one tiny distinct-count job) so the wrapper is safe on
+    # ANY table; the gate fixture's 10 pairs pass it untouched.
+    out = cross_correlation(_series(spark, sf_dir), max_lag=12)
     return out.select(
         "series_a", "series_b",
         # stack() literals land int32; the oracle's generate_series is
@@ -6017,10 +6018,8 @@ def q_rolling_corr(spark, sf_dir):
     ``rolling(w).corr()`` in the reference's notebook idiom."""
     from ..operators.acf import rolling_corr
 
-    out = rolling_corr(
-        _series(spark, sf_dir), window=48, min_periods=5,
-        allow_all_pairs=True,
-    )
+    # guard ON (r11 stress finding — see q_cross_correlation)
+    out = rolling_corr(_series(spark, sf_dir), window=48, min_periods=5)
     return out.select(
         "series_a", "series_b", "rn", "n_w",
         _rnd("rcorr", R).alias("rcorr"),

@@ -715,6 +715,7 @@ def test_widened_twins_plans_are_scale_safe(spark):
         "pelt_changepoints_fixed_full",
         "dtw_distance_fixed_64",
         "gp_forecast_fixed",
+        "gp_forecast_fixed_std",
         "lstm_forecast_fixed",
     ):
         df = Reg.queries()[name](spark, sf)

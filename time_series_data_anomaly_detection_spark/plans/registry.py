@@ -10547,82 +10547,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Long-stable rows-only queries (weakest signal, green twice) sink
     # to the back where a cap costs the least information.
     gate_first = [
-        # r10 PRIME SLOTS part A — NEW hash-gated queries, never
-        # driver-checked: the full-extent detector twins (r09 verdict
-        # item #1), the widened DTW, and the GP posterior-mean twin
-        # (item #5)
-        "bocpd_changepoints_fixed_full",
-        "pelt_changepoints_fixed_full",
-        "dtw_distance_fixed_64",
-        "gp_forecast_fixed",
-        "lstm_forecast_fixed",
-        # r10 PRIME SLOTS part B — implementation or oracle changed
-        # this round: the decimal(30,12) QT fix (advice item #1), the
-        # 16-round BPE trainer/encoder gates (items #2/#4), the shared
-        # DTW builder, and every recursive-CTE oracle (all now carry
-        # AS MATERIALIZED on their non-recursive CTEs)
-        "matrix_profile_fixed_full",
-        "bpe_encode_fixed",
-        "bpe_merges_fixed",
-        "dtw_distance_fixed",
-        "pelt_changepoints_fixed",
-        "bocpd_changepoints_fixed",
-        "bsts_forecast_fixed",
-        "changepoint_segments",
+        # r11 PRIME SLOTS part A — NEW hash-gated queries, never
+        # driver-checked: the JSONL ingest round-trip gate (r10
+        # verdict item #3) and the GP posterior-std sibling (item #8)
+        "jsonl_ingest",
+        "gp_forecast_fixed_std",
+        # r11 PRIME SLOTS part B — implementation changed this round
+        # (scripts/impl_snapshot.py --check): the MinHash size
+        # prefilter touches every query routed through
+        # minhash_lsh_pairs / dedup.py; the int8 pair mode +
+        # two-level kmeans routing touch the similarity module; the
+        # |value| overflow guard and the corr-guard re-arming touch
+        # three registry wrappers
+        "minhash_lsh",
+        "dedup_clusters",
+        "dedup_clusters_best",
         "corpus_prep",
         "corpus_to_batches",
         "corpus_to_batches_bpe_fixed",
-        "croston_forecast",
-        "cusum_alarms",
-        "cusum_changepoints",
-        "dedup_clusters",
-        "dedup_clusters_best",
-        "detector_agreement",
-        "detector_consensus",
-        "ensemble_forecast",
-        "ewma_flags",
-        "forecast_leaderboard",
-        "holt_linear",
-        "holt_winters_fixed",
-        "kalman_forecast_fixed",
-        "theta_forecast",
-        # ...and the similarity family: semantic_dedup gained the
-        # auto-scaling two-level assignment this round (identical
-        # results at gate SFs, but the implementation changed)
+        "minhash_recall",
+        "dup_source_matrix",
+        "curation_pipeline",
+        "incremental_dedup",
+        "ngram_jaccard",
+        "exact_dedup",
+        "containment_pairs",
         "semantic_dedup",
         "incremental_semantic_dedup",
         "pq_topk",
         "cosine_topk",
         "ann_topk",
-        # r10 PRIME SLOTS part C — the stalest oracled greens
-        # (r05/r06-checked, per scripts/gate_freshness.py)
-        "training_order",
-        "vocab_coverage",
-        "chunk_documents",
-        "distinctive_terms",
-        "doc_novelty",
-        "embedding_density",
-        "importance_select",
-        "retention_cohorts",
-        "source_concentration",
-        "vocab_stats",
-        "winnow_near_dup",
-        # next-stalest (r07-checked greens) fill remaining capacity
-        "ann_recall",
-        "bigram_surprise",
-        "doc_embed_topk",
-        "doc_stats",
-        "event_rollup",
-        "exact_dedup",
-        "fingerprint",
-        "incremental_dedup",
         "ivf_topk",
+        "embedding_density",
+        "pq_recall",
+        "pq_rerank",
+        "ann_recall",
+        "doc_embed_topk",
         "knn_label_agreement",
-        "lang_id",
-        "multimodal_sampled",
-        "ngram_jaccard",
-        "pack_chunks",
-        "props_stats",
+        "matrix_profile_fixed_full",
+        "cross_correlation",
+        "rolling_corr",
+        # r11 PRIME SLOTS part C — the stalest oracled greens
+        # (r05/r06-checked, per scripts/gate_freshness.py)
+        "trend_test",
+        "ar2_forecast",
+        "cusum_squares",
+        "detector_rank_ensemble",
+        "forecast_features",
+        "hbos_flags",
+        "kde_rarity",
+        "knn_outlier",
+        "ks_drift",
+        "ljung_box",
+        "max_drawdown",
+        "page_hinkley",
+        "rolling_moments",
+        "rs_hurst",
+        "runs_test",
+        "sax_bitmap",
+        "sax_words",
+        "stl_forecast",
+        "variance_ratio",
+        "acf",
     ]
     assert len(gate_first) == len(set(gate_first)), "duplicate gate slot"
     gate_last = [  # rows-only (no_oracle) and stable: weakest signal

@@ -744,6 +744,32 @@ def _incremental_core(
         .select(F.col(id_col).alias("id_c"), "id_b")
         .distinct()
     )
+    # exact-preserving size prefilter (same bound as minhash_lsh_pairs:
+    # J ≤ min/max of the shingle-set sizes) — candidates die on a cheap
+    # int join BEFORE the per-shingle verification fan-out; the batch
+    # size table broadcasts, the corpus one stays shuffle-hash
+    bc_cand = (
+        bc_cand.join(
+            sz_c.select(
+                F.col(id_col).alias("id_c"), F.col("n_sh").alias("__nc")
+            ).hint("shuffle_hash"),
+            "id_c",
+        )
+        .join(
+            F.broadcast(
+                sz_b.select(
+                    F.col(id_col).alias("id_b"), F.col("n_sh").alias("__nb")
+                )
+            ),
+            "id_b",
+        )
+        .filter(
+            F.least("__nc", "__nb").cast("double")
+            >= F.lit(float(threshold)) * F.greatest("__nc", "__nb")
+            - F.lit(1e-9)
+        )
+        .select("id_c", "id_b")
+    )
     bc_inter = (
         bc_cand.join(
             sh_b.select(F.col(id_col).alias("id_b"), "shingle_hash"), "id_b"
@@ -782,6 +808,30 @@ def _incremental_core(
             F.col(f"b.{id_col}").alias("id_b"),
         )
         .distinct()
+    )
+    bb_cand = (  # same size prefilter, batch×batch (both sides tiny)
+        bb_cand.join(
+            F.broadcast(
+                sz_b.select(
+                    F.col(id_col).alias("id_a"), F.col("n_sh").alias("__na")
+                )
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                sz_b.select(
+                    F.col(id_col).alias("id_b"), F.col("n_sh").alias("__nb")
+                )
+            ),
+            "id_b",
+        )
+        .filter(
+            F.least("__na", "__nb").cast("double")
+            >= F.lit(float(threshold)) * F.greatest("__na", "__nb")
+            - F.lit(1e-9)
+        )
+        .select("id_a", "id_b")
     )
     bb_inter = (
         bb_cand.join(

@@ -8634,14 +8634,20 @@ def q_gp_forecast_fixed_std(spark, sf_dir):
         .distinct()
         .withColumn("cmat", _let(a_inv, cslice))
     )
-    fin = ser.join(F.broadcast(cm), "m")
-
-    out = base.join(
-        F.broadcast(fin.select("series_id", "m", "lo", "sd", "cmat")),
-        "series_id",
-    ).filter(
-        (F.col("pos") >= F.col("lo"))
-        & (F.col("pos") < F.col("lo") + F.lit(_GP_STD_W))
+    # two SEPARATE broadcasts so the m×m inverse is shipped once per
+    # DISTINCT m, not duplicated into every series row (at 1M series a
+    # fused per-series broadcast would carry 1M × 32 KB of identical
+    # cmat copies; split, it is O(series) small rows + O(#m) matrices)
+    out = (
+        base.join(
+            F.broadcast(ser.select("series_id", "m", "lo", "sd")),
+            "series_id",
+        )
+        .filter(
+            (F.col("pos") >= F.col("lo"))
+            & (F.col("pos") < F.col("lo") + F.lit(_GP_STD_W))
+        )
+        .join(F.broadcast(cm), "m")
     )
     d = F.col("pos") - F.col("lo")
     ks = F.transform(F.sequence(F.lit(0), mi - 1), lambda j: kq(d - j))

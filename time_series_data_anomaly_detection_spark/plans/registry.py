@@ -8367,8 +8367,16 @@ def q_gp_forecast_fixed(spark, sf_dir):
 
     ser = ser.withColumn("alpha", _let(a_fin, with_a))
 
+    # NO explicit broadcast hint (r11 wide-series audit): alpha is 64
+    # doubles of genuinely PER-SERIES fit state — 512 B/series is tiny
+    # at the gate's 5 series but ~512 MB at 1M series, so a pinned
+    # broadcast is the same baked-shape mistake as the corr guard
+    # opt-out.  The per-series frame arrives post-aggregation, where
+    # AQE sizes the join from TRUE runtime bytes (reliable, unlike the
+    # static estimates that mis-broadcast corpus-scaled tables in r09)
+    # — broadcast when small, shuffle when wide.
     out = base.join(
-        F.broadcast(ser.select("series_id", "m", "lo", "mu", "sd", "alpha")),
+        ser.select("series_id", "m", "lo", "mu", "sd", "alpha"),
         "series_id",
     )
     pred = F.col("mu") + F.col("sd") * F.aggregate(

@@ -44,10 +44,29 @@ from .text import grams, hash48, tokenize
 MERSENNE_P = (1 << 61) - 1
 NUM_PERM = 16
 BAND_ROWS = 4
+# 64 permutation slots (primes, A < 2^10 to keep A*hash48 < 2^58).
+# The FIRST 16 are the original gate-pinned contract — the default
+# (num_perm=16, band_rows=4) signature pipeline is byte-identical to
+# every prior round; slots 16..63 exist only for the opt-in
+# threshold-matched banding configs (more rows/band sharpens the
+# s-curve and cuts candidate false positives exponentially; see
+# minhash_lsh_pairs).
 PERM_A = (131, 137, 139, 149, 151, 157, 163, 167,
-          173, 179, 181, 191, 193, 197, 199, 211)
+          173, 179, 181, 191, 193, 197, 199, 211,
+          223, 227, 229, 233, 239, 241, 251, 257,
+          263, 269, 271, 277, 281, 283, 293, 307,
+          311, 313, 317, 331, 337, 347, 349, 353,
+          359, 367, 373, 379, 383, 389, 397, 401,
+          409, 419, 421, 431, 433, 439, 443, 449,
+          457, 461, 463, 467, 479, 487, 491, 499)
 PERM_B = (17, 19, 23, 29, 31, 37, 41, 43,
-          47, 53, 59, 61, 67, 71, 73, 79)
+          47, 53, 59, 61, 67, 71, 73, 79,
+          83, 89, 97, 101, 103, 107, 109, 113,
+          127, 131, 137, 139, 149, 151, 157, 163,
+          167, 173, 179, 181, 191, 193, 197, 199,
+          211, 223, 227, 229, 233, 239, 241, 251,
+          257, 263, 269, 271, 277, 281, 283, 293,
+          307, 311, 313, 317, 331, 337, 347, 349)
 
 SIMHASH_BITS = 32
 
@@ -151,11 +170,15 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
-def minhash_signatures_from(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def minhash_signatures_from(
+    sh: DataFrame, id_col: str = "doc_id", num_perm: int = NUM_PERM
+) -> DataFrame:
     """MinHash signatures from a prebuilt shingle-hash frame."""
+    if not 1 <= num_perm <= len(PERM_A):
+        raise ValueError(f"num_perm must be in [1, {len(PERM_A)}], got {num_perm}")
     aggs = [
         F.min((F.lit(PERM_A[i]) * F.col("shingle_hash") + F.lit(PERM_B[i])) % MERSENNE_P).alias(f"m{i}")
-        for i in range(NUM_PERM)
+        for i in range(num_perm)
     ]
     return sh.groupBy(id_col).agg(*aggs)
 
@@ -172,10 +195,19 @@ def minhash_signatures(
     return minhash_signatures_from(shingles(df, n, text_col, id_col), id_col)
 
 
-def _banded(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def _banded(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    band_rows: int = BAND_ROWS,
+    num_perm: int = NUM_PERM,
+) -> DataFrame:
     """Signature rows → (id, band, band_key): all bands in ONE pass
     (signature row -> array of (band, key) structs -> explode; a 4-way
     union would re-derive the whole signature pipeline per band)."""
+    if num_perm % band_rows != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be a multiple of band_rows ({band_rows})"
+        )
     band_structs = F.array(
         *[
             F.struct(
@@ -184,13 +216,13 @@ def _banded(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     F.concat_ws(
                         "_",
                         *[
-                            F.col(f"m{band * BAND_ROWS + r}")
-                            for r in range(BAND_ROWS)
+                            F.col(f"m{band * band_rows + r}")
+                            for r in range(band_rows)
                         ],
                     )
                 ).alias("band_key"),
             )
-            for band in range(NUM_PERM // BAND_ROWS)
+            for band in range(num_perm // band_rows)
         ]
     )
     return sig.select(
@@ -209,18 +241,45 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     bucket_cap: int = DEFAULT_BUCKET_CAP,
+    band_rows: int = BAND_ROWS,
+    num_perm: int = NUM_PERM,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, exact-Jaccard verified.
 
-    Pipeline: signatures → band keys (md5 of each 4-row band) →
-    equi-join on (band, key) for candidates → exact Jaccard on the
-    candidate set only → filter. The full O(n²) never materializes;
-    candidate volume is governed by the band collision probability
-    (s-curve around ~0.55 for 4 bands × 4 rows).  A hot band bucket
+    Pipeline: signatures → band keys (md5 of each ``band_rows``-row
+    band) → equi-join on (band, key) for candidates → exact Jaccard on
+    the candidate set only → filter. The full O(n²) never
+    materializes; candidate volume is governed by the band collision
+    probability (s-curve midpoint ≈ (1/b)^(1/r)).  A hot band bucket
     (mass-duplicated boilerplate) is the one remaining skew hazard:
     the candidate join runs through the salted cell decomposition
     (``bucket_cap``, see ``_skew.py``) — same pairs out, per-task
     input bounded.
+
+    ``band_rows``/``num_perm`` are the THRESHOLD-MATCHED BANDING
+    opt-in: the default (4 rows × 4 bands from 16 perms) is the
+    gate-pinned contract; a config with more rows per band (e.g.
+    ``band_rows=6, num_perm=48`` → 8 bands of 6) sharpens the s-curve
+    and cuts low-similarity candidate false positives exponentially —
+    at 100 TB the exact-verification cost is linear in candidate
+    volume, so this is the recall-vs-cost dial.  Measure any
+    non-default config with :func:`lsh_recall_stats` at the same
+    (band_rows, num_perm) before trusting it.
+
+    Exact-verification cost levers (all EXACT-preserving, always on):
+
+    - size prefilter: J(a,b) ≤ min(|a|,|b|)/max(|a|,|b|), applied as a
+      ROW-LOCAL predicate on the band self-join output (sizes ride the
+      join payload) — dead pairs never even reach the candidate
+      ``distinct`` shuffle, and no corpus-scale size join is needed.
+    - df≥2 shingle filter: a shingle occurring in exactly ONE document
+      can never contribute to any intersection — both verification
+      join sides drop df=1 shingles (on real corpora the Zipf tail is
+      the majority of distinct shingles).
+    - smaller-side explode: each candidate pair fans out by its
+      SMALLER member's shingle count, not id_a's arbitrary one
+      (orientation is internal; output pairs stay canonical
+      ``id_a < id_b`` and Jaccard is symmetric).
     """
     # shingles feed the signatures AND the verification joins — cache
     # instead of recomputing the tokenize+explode pipeline per branch
@@ -229,72 +288,87 @@ def minhash_lsh_pairs(
     from ..session import tracked_cache
 
     sh = tracked_cache(shingles(df, n, text_col, id_col))
-    sig = minhash_signatures_from(sh, id_col)
-    banded = _banded(sig, id_col)
+    szs = sh.groupBy(id_col).agg(F.count("*").alias("__n"))
+    sig = minhash_signatures_from(sh, id_col, num_perm=num_perm)
+    # the shingle-set size rides the band rows into the self-join
+    # payload (one row/doc join against the 4-rows/doc band frame), so
+    # the size prefilter below is a LOCAL predicate on the join output
+    # instead of two corpus-scale joins against the candidate set
+    banded = _banded(sig, id_col, band_rows=band_rows, num_perm=num_perm).join(
+        szs.hint("shuffle_hash"), id_col
+    )
+    # exact-preserving SIZE prefilter BEFORE the candidate distinct:
+    # J(a,b) ≤ min(|a|,|b|)/max(|a|,|b|), so any pair whose smaller
+    # shingle set is under threshold·(larger) cannot reach the
+    # threshold (r11 100× breakdown: verification is 394 s of the
+    # 453 s pipeline; 14% of the 92M LSH candidates on that corpus die
+    # here, more on real corpora with genuine length spread).  The
+    # 1e-9 slack keeps the float product from ever pruning an
+    # exactly-at-threshold pair.  Applying it pre-distinct also
+    # shrinks the distinct shuffle itself.
+    raw = salted_self_join_pairs(
+        banded, ["band", "band_key"], id_col, cap=bucket_cap
+    ).filter(
+        F.least(F.col("a.__n"), F.col("b.__n")).cast("double")
+        >= F.lit(float(threshold)) * F.greatest(F.col("a.__n"), F.col("b.__n"))
+        - F.lit(1e-9)
+    )
+    # orient each pair so the verification explode below fans out by
+    # the SMALLER member's shingle count (ids are canonical a<b, so
+    # (sm, lg) determines the pair and Jaccard is symmetric)
+    a_small = (F.col("a.__n") < F.col("b.__n")) | (
+        (F.col("a.__n") == F.col("b.__n"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
     cand = (
-        salted_self_join_pairs(
-            banded, ["band", "band_key"], id_col, cap=bucket_cap
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+        raw.select(
+            F.when(a_small, F.col(f"a.{id_col}"))
+            .otherwise(F.col(f"b.{id_col}"))
+            .alias("sm"),
+            F.when(a_small, F.col(f"b.{id_col}"))
+            .otherwise(F.col(f"a.{id_col}"))
+            .alias("lg"),
         )
         .distinct()
     )
-    # exact-preserving SIZE prefilter before the per-shingle fan-out:
-    # J(a,b) ≤ min(|a|,|b|)/max(|a|,|b|), so any pair whose smaller
-    # shingle set is under threshold·(larger) cannot reach the
-    # threshold — prune it with a cheap int join BEFORE the candidate
-    # explodes ~|shingles| times through the verification joins (r11
-    # 100× breakdown: verification is 394 s of the 453 s pipeline;
-    # 14% of the 92M LSH candidates on that corpus die here, more on
-    # real corpora with genuine length spread).  The 1e-9 slack keeps
-    # the float product from ever pruning an exactly-at-threshold
-    # pair.
-    szs = sh.groupBy(id_col).agg(F.count("*").alias("__n"))
-    cand = (
-        cand.join(
-            szs.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na")).hint("shuffle_hash"),
-            "id_a",
-        )
-        .join(
-            szs.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb")).hint("shuffle_hash"),
-            "id_b",
-        )
-        .filter(
-            F.least("__na", "__nb").cast("double")
-            >= F.lit(float(threshold)) * F.greatest("__na", "__nb")
-            - F.lit(1e-9)
-        )
-        .select("id_a", "id_b")
-    )
     # exact verification restricted to candidates.  The shingle table
-    # (corpus × shingles rows) and the per-doc size table are both
-    # CORPUS-SCALED: pin them to shuffle-hash joins — Catalyst's static
-    # estimate of the cached/pruned shingle frame lands under the
-    # broadcast threshold and auto-broadcasts it, which holds at 5k
-    # docs and OOMs the driver at the 100x stress corpus (500k docs /
-    # ~25M shingle rows), i.e. it would never survive a real crawl.
-    # Found by scripts/scale_stress.py SCALE_REPL=100 (r09 verdict
-    # item #3); shuffle_hash keeps the build per-partition and scales
-    # with executors.
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    sa = sh.select(F.col(id_col).alias("id_a"), "shingle_hash")
-    sb = sh.select(F.col(id_col).alias("id_b"), "shingle_hash")
+    # (corpus × shingles rows) is CORPUS-SCALED: pin it to
+    # shuffle-hash joins — Catalyst's static estimate of the
+    # cached/pruned shingle frame lands under the broadcast threshold
+    # and auto-broadcasts it, which holds at 5k docs and OOMs the
+    # driver at the 100x stress corpus (500k docs / ~25M shingle
+    # rows), i.e. it would never survive a real crawl.  Found by
+    # scripts/scale_stress.py SCALE_REPL=100 (r09 verdict item #3);
+    # shuffle_hash keeps the build per-partition and scales with
+    # executors.
+    #
+    # df≥2 filter: intersection shingles occur in ≥2 docs by
+    # definition, so BOTH verification sides drop df=1 shingles
+    # (exact; one map-side-combinable agg over 8-byte keys).
+    shared = sh.join(
+        sh.groupBy("shingle_hash")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") >= 2)
+        .select("shingle_hash")
+        .hint("shuffle_hash"),
+        "shingle_hash",
+    )
+    s_sm = shared.select(F.col(id_col).alias("sm"), "shingle_hash")
+    s_lg = shared.select(F.col(id_col).alias("lg"), "shingle_hash")
     inter = (
-        cand.join(sa.hint("shuffle_hash"), "id_a")
-        .join(sb.hint("shuffle_hash"), ["id_b", "shingle_hash"])
-        .groupBy("id_a", "id_b")
+        cand.join(s_sm.hint("shuffle_hash"), "sm")
+        .join(s_lg.hint("shuffle_hash"), ["lg", "shingle_hash"])
+        .groupBy("sm", "lg")
         .agg(F.count("*").alias("inter"))
     )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    na = szs.select(F.col(id_col).alias("sm"), F.col("__n").alias("n_a"))
+    nb = szs.select(F.col(id_col).alias("lg"), F.col("__n").alias("n_b"))
     return (
-        inter.join(na.hint("shuffle_hash"), "id_a")
-        .join(nb.hint("shuffle_hash"), "id_b")
+        inter.join(na.hint("shuffle_hash"), "sm")
+        .join(nb.hint("shuffle_hash"), "lg")
         .select(
-            "id_a",
-            "id_b",
+            F.least("sm", "lg").alias("id_a"),
+            F.greatest("sm", "lg").alias("id_b"),
             (
                 F.col("inter")
                 / (F.col("n_a") + F.col("n_b") - F.col("inter"))
@@ -885,6 +959,8 @@ def lsh_recall_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     bucket_cap: int = DEFAULT_BUCKET_CAP,
+    band_rows: int = BAND_ROWS,
+    num_perm: int = NUM_PERM,
 ) -> DataFrame:
     """Acceptance probe for the MinHash-LSH banding config: recall of
     the banded candidate set against the EXACT n-gram-Jaccard pair set
@@ -933,10 +1009,11 @@ def lsh_recall_stats(
     )
     truth = tracked_cache(truth)
 
-    sig = minhash_signatures_from(sh, id_col)
+    sig = minhash_signatures_from(sh, id_col, num_perm=num_perm)
     cand = (
         salted_self_join_pairs(
-            _banded(sig, id_col), ["band", "band_key"], id_col,
+            _banded(sig, id_col, band_rows=band_rows, num_perm=num_perm),
+            ["band", "band_key"], id_col,
             cap=bucket_cap,
         )
         .select(

@@ -87,6 +87,36 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
         assert pairs[(0, 1)] == pytest.approx(8 / 14, abs=1e-9)
 
 
+def test_minhash_permutations_are_independent():
+    """r12 regression: the r01–r11 affine constants were small primes
+    (A < 2^10), so A·x + B < 2^58 never wrapped mod P = 2^61−1 — every
+    h_i was MONOTONE in the base hash and all 16 permutations picked
+    the SAME argmin shingle (one effective min-hash; banding a no-op;
+    measured as the 92M-candidate blowup at the 100× stress).  Pin the
+    fix: over a fixed shingle-hash set, the per-permutation argmins
+    must actually differ across permutations."""
+    from time_series_data_anomaly_detection_spark.datapipe.dedup import (
+        MERSENNE_P,
+        PERM_A,
+        PERM_B,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    hs = [rng.getrandbits(48) for _ in range(200)]
+    argmins = {
+        min(range(len(hs)), key=lambda j: (PERM_A[i] * hs[j] + PERM_B[i]) % MERSENNE_P)
+        for i in range(16)
+    }
+    # 16 independent permutations over 200 elements: expected ~15.5
+    # distinct argmins; the monotone-collapse bug gives exactly 1
+    assert len(argmins) >= 10
+    # and every constant must be large enough to wrap the modulus on
+    # 48-bit inputs (the property whose absence caused the collapse)
+    assert all(a * ((1 << 48) - 1) > MERSENNE_P for a in PERM_A)
+
+
 def test_simhash_similarity(spark, docs):
     fp = {r.doc_id: r.simhash for r in simhash(docs).collect()}
     assert fp[0] == fp[2]  # identical token sets
@@ -443,7 +473,10 @@ def test_corpus_prep_verdict_ladder(spark):
     texts = {
         0: base,                           # canonical of the near-dup cluster
         1: base,                           # exact duplicate of 0
-        2: base + " extra tail words here yes", # near-dup of 0
+        # near-dup of 0: ONE extra word (J = 34/35 ≈ 0.97) — with the
+        # r12 honest-s-curve banding a J≈0.87 pair has a real ~3% miss
+        # probability and this fixture's hashes happened to land in it
+        2: base + " yes",
         3: "tiny doc",                     # too_short
         4: "le chat est sur la table et il y a des choses que nous ne "
            "savons pas encore dans la vie quotidienne de tous les jours "
@@ -930,10 +963,19 @@ def test_dup_source_matrix_counts_and_rates(spark):
         dup_source_matrix,
     )
 
+    # base/variant differ in ONE word over a long text (J ≈ 0.93):
+    # post-r12 the banding follows the honest s-curve, so a J=0.8
+    # fixture pair carries a real ~12% miss probability — keep unit
+    # fixtures well above the probabilistic band
+    base = (
+        "the quick brown fox jumps over the lazy dog near the wide "
+        "river while the morning sun rises slowly over the green hills "
+        "and the birds sing in the tall trees by the water"
+    )
     rows = [
-        (0, "the quick brown fox jumps over the lazy dog near the river", "web"),
-        (1, "the quick brown fox jumps over the lazy dog near the rivers", "web"),
-        (2, "the quick brown fox jumps over the lazy dog near the river", "wiki"),
+        (0, base, "web"),
+        (1, base.replace("morning", "evening"), "web"),
+        (2, base, "wiki"),
         (3, "completely unrelated text about distributed query planning", "wiki"),
     ]
     docs = spark.createDataFrame(
@@ -1248,6 +1290,10 @@ def test_jsonl_ingest_null_handling_and_report(spark, tmp_path):
         json.dumps({"text": None, "site": "b.org", "id": 9}),  # null text
         "{not valid json at all",  # corrupt
         json.dumps({"text": "other words", "site": "a.com", "id": None}),
+        # valid JSON, text present, non-text field type-mismatch: the
+        # loader KEEPS this row (id falls back to content id), so the
+        # report must say kept_coerced, not corrupt (r11 ADVICE)
+        json.dumps({"text": "coerced row", "site": "c.net", "id": "x9"}),
     ]
     (jl / "part0.jsonl").write_text("\n".join(lines))
 
@@ -1255,8 +1301,10 @@ def test_jsonl_ingest_null_handling_and_report(spark, tmp_path):
         spark, str(jl), text_field="text", id_field="id",
         source_field="site",
     ).toPandas()
-    # null text + corrupt dropped from the documents frame
-    assert len(docs) == 4
+    # null text + corrupt dropped from the documents frame; the
+    # type-mismatch line survives with its text
+    assert len(docs) == 5
+    assert "coerced row" in set(docs["text"])
     # no NULL doc_id escapes (provided-but-NULL ids -> content ids)
     assert docs["doc_id"].notna().all()
     # explicit id wins where present
@@ -1274,5 +1322,9 @@ def test_jsonl_ingest_null_handling_and_report(spark, tmp_path):
         source_field="site",
     ).toPandas().set_index("disposition")["n_lines"]
     assert rep.get("kept", 0) == 4
+    assert rep.get("kept_coerced", 0) == 1
     assert rep.get("corrupt", 0) == 1
     assert rep.get("null_text", 0) == 1
+    # kept + kept_coerced == loaded document count (the report's
+    # documented invariant)
+    assert rep.get("kept", 0) + rep.get("kept_coerced", 0) == len(docs)

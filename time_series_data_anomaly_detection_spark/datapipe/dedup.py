@@ -44,29 +44,56 @@ from .text import grams, hash48, tokenize
 MERSENNE_P = (1 << 61) - 1
 NUM_PERM = 16
 BAND_ROWS = 4
-# 64 permutation slots (primes, A < 2^10 to keep A*hash48 < 2^58).
-# The FIRST 16 are the original gate-pinned contract — the default
-# (num_perm=16, band_rows=4) signature pipeline is byte-identical to
-# every prior round; slots 16..63 exist only for the opt-in
-# threshold-matched banding configs (more rows/band sharpens the
-# s-curve and cuts candidate false positives exponentially; see
-# minhash_lsh_pairs).
-PERM_A = (131, 137, 139, 149, 151, 157, 163, 167,
-          173, 179, 181, 191, 193, 197, 199, 211,
-          223, 227, 229, 233, 239, 241, 251, 257,
-          263, 269, 271, 277, 281, 283, 293, 307,
-          311, 313, 317, 331, 337, 347, 349, 353,
-          359, 367, 373, 379, 383, 389, 397, 401,
-          409, 419, 421, 431, 433, 439, 443, 449,
-          457, 461, 463, 467, 479, 487, 491, 499)
-PERM_B = (17, 19, 23, 29, 31, 37, 41, 43,
-          47, 53, 59, 61, 67, 71, 73, 79,
-          83, 89, 97, 101, 103, 107, 109, 113,
-          127, 131, 137, 139, 149, 151, 157, 163,
-          167, 173, 179, 181, 191, 193, 197, 199,
-          211, 223, 227, 229, 233, 239, 241, 251,
-          257, 263, 269, 271, 277, 281, 283, 293,
-          307, 311, 313, 317, 331, 337, 347, 349)
+# 64 permutation slots: full-range affine hashes h_i(x) = (A_i·x + B_i)
+# mod P over the 48-bit shingle hash, A_i, B_i drawn uniformly from
+# [1, P) / [0, P) (fixed seed, hardcoded — the same literals feed the
+# DuckDB oracle SQL).  The A MUST span the full modulus: rounds 1–11
+# used small primes (A < 2^10), which keeps A·x + B < 2^58 < P — NO
+# modular wraparound, so every h_i is MONOTONE in x and all 16
+# "permutations" pick the SAME argmin shingle.  That collapsed the
+# whole signature to one effective min-hash: band agreement degenerated
+# to "docs share their min shingle" (probability J, not the 4×4
+# s-curve), which is exactly the ~178× candidate false-positive blowup
+# the r11 100× stress measured (92M candidates for 517k true pairs).
+# With full-range A the products exceed int64, so both engines compute
+# the affine step in wide arithmetic (Spark decimal(38,0) — exact, ≤33
+# digits; DuckDB HUGEINT).
+PERM_A = (
+    980474131530148546, 487140565101860798, 2164434528772101932, 2228857686457714699,
+    1165022818974244805, 37648638357188, 1294995559468533704, 1523002620845390733,
+    703839336389010067, 1952200781935718356, 1031717404324534188, 2117797122367424117,
+    1258518270899747162, 1686975509030551079, 580634568362577099, 2244202253257477703,
+    1120183678600425351, 1478944327013620111, 147711900595660211, 1417106338085789031,
+    245153588138654053, 1599544812769093518, 2029322940774852043, 1933605860654622155,
+    1413241858158754417, 1607967349714645273, 330528923267028016, 2274961599614790148,
+    691290581731931163, 295713074036070191, 1889977618708961493, 677422417734088017,
+    2248320644942836729, 2020904158080019718, 149468513066986475, 1827784785257444335,
+    1589068292177557948, 1244829620315932143, 934906954541771198, 798960332875615918,
+    1621726616914369019, 1450279492400525601, 816839659695542859, 1950926105539131218,
+    913439212274495122, 2292439857560379827, 1464189052812394184, 442055604438069734,
+    1929252298547219810, 385532137581158861, 451815818889547716, 2098871844315828954,
+    1415614905498115345, 772658894426793322, 2015803382810394292, 1102252489072126872,
+    646783197111418600, 264621865281914338, 410678124655327530, 480961151561570738,
+    1894861598480638083, 524451035872663414, 1397230646621352062, 86355860149662154,
+)
+PERM_B = (
+    1224427188392149557, 1764047685985645993, 432592869503804792, 322299681577216355,
+    2199968263331926650, 1444963790759102114, 992374961676854113, 1445323654744115358,
+    2068062516017597637, 811042529916198454, 1409655930018862593, 838186605262124717,
+    43268002027410431, 1997970831508688488, 926088814738898700, 2000298738167630218,
+    2115272308180755602, 666315931217503547, 1956632817260089728, 1367501477853605010,
+    1001516683045854505, 497483357950216584, 1093582245545154799, 322569686220903504,
+    1696106846071639516, 18222831683515350, 1576178293193629016, 1023988961062360599,
+    2155116249249791012, 136878652951647468, 2250531577830635046, 281968565192082403,
+    890783994349797405, 1988512988272557457, 1794055784833408216, 990961423630128714,
+    969477034185069232, 1196914223166578470, 1061084699708385656, 851747942637753349,
+    1316967159283150508, 1994416230914199910, 2235781458966136509, 1079842567776763964,
+    1481781641355524993, 1952751525005737280, 1479198715150268026, 1856157496043931307,
+    1038349713182392274, 108344145294764213, 1434321470205649993, 1114697261357759682,
+    2050066161812069220, 761615890326338107, 1822635088553759384, 1806510825836835752,
+    1496783276403171038, 1373354357201499106, 1224700187854462969, 1942091054615133958,
+    1971667350998932434, 591279661094990409, 2114900624211378256, 1559508277606277569,
+)
 
 SIMHASH_BITS = 32
 
@@ -176,8 +203,20 @@ def minhash_signatures_from(
     """MinHash signatures from a prebuilt shingle-hash frame."""
     if not 1 <= num_perm <= len(PERM_A):
         raise ValueError(f"num_perm must be in [1, {len(PERM_A)}], got {num_perm}")
+    # A_i spans the full modulus, so A_i·x needs ~109 bits: compute the
+    # affine step in decimal(38,0) (exact) and land back in a long
+    # (result < P < 2^63).  DuckDB mirrors this with HUGEINT.
     aggs = [
-        F.min((F.lit(PERM_A[i]) * F.col("shingle_hash") + F.lit(PERM_B[i])) % MERSENNE_P).alias(f"m{i}")
+        F.min(
+            (
+                (
+                    F.lit(PERM_A[i]).cast("decimal(20,0)")
+                    * F.col("shingle_hash")
+                    + F.lit(PERM_B[i])
+                )
+                % F.lit(MERSENNE_P)
+            ).cast("long")
+        ).alias(f"m{i}")
         for i in range(num_perm)
     ]
     return sh.groupBy(id_col).agg(*aggs)

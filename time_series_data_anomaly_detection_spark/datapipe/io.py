@@ -140,8 +140,20 @@ def jsonl_ingest_report(
     parsed but carried no text (``null_text``) — so crawl ingest loss
     is visible instead of silently dropped by the not-null filter.
 
-    Returns ``(disposition string, n_lines long)``, one row per
-    non-empty disposition.
+    Dispositions mirror what :func:`read_jsonl_corpus` actually does
+    with each line (r11 ADVICE: PERMISSIVE also flags valid-JSON lines
+    whose NON-text field type-mismatched, and the loader KEEPS those):
+
+    - ``kept`` — clean parse, text present;
+    - ``kept_coerced`` — text present but some other declared field
+      type-mismatched and was nulled (the loader keeps the row);
+    - ``null_text`` — valid JSON, no usable text (dropped);
+    - ``corrupt`` — true parse failure: flagged AND no text recovered
+      (dropped).
+
+    ``kept + kept_coerced`` therefore equals the loaded document
+    count.  Returns ``(disposition string, n_lines long)``, one row
+    per non-empty disposition.
     """
     raw = _read_jsonl_raw(
         spark, path, text_field, id_field, lang_field, source_field
@@ -149,10 +161,29 @@ def jsonl_ingest_report(
     # the text column must appear in the projection alongside the
     # corrupt column — Spark refuses plans that reference ONLY the
     # internal corrupt-record column of a JSON scan
+    flagged = F.col("_corrupt_record").isNotNull()
+    # PERMISSIVE only flags a type-mismatched field if the scan PARSES
+    # it — and column pruning narrows the JSON scan to the fields this
+    # expression touches, which would leave id/lang/source mismatches
+    # unflagged.  Splice a zero-length substring of every declared
+    # field into the 'kept' literal: value unchanged, but the pruner
+    # must now keep the full schema in the scan.
+    others = [
+        f for f in (id_field, lang_field, source_field) if f
+    ]
+    full_parse_probe = (
+        F.substring(
+            F.concat_ws("", *[F.col(f).cast("string") for f in others]),
+            1, 0,
+        )
+        if others
+        else F.lit("")
+    )
     disp = (
-        F.when(F.col("_corrupt_record").isNotNull(), F.lit("corrupt"))
+        F.when(flagged & F.col(text_field).isNull(), F.lit("corrupt"))
         .when(F.col(text_field).isNull(), F.lit("null_text"))
-        .otherwise(F.lit("kept"))
+        .when(flagged, F.lit("kept_coerced"))
+        .otherwise(F.concat(F.lit("kept"), full_parse_probe))
     )
     return (
         raw.select(disp.alias("disposition"))

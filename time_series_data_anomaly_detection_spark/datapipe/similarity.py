@@ -552,6 +552,12 @@ def semantic_dedup(
     decisions and exact ``max_lower_cos`` for every dropped row (see
     :func:`_int8_lower_max`); ``"exact"`` (default, the gate path)
     carries the full vectors and reports exact maxes everywhere.
+    Caveat (int8 mode only): for KEPT rows ``max_lower_cos`` is the
+    max over quantized estimates and exact re-checks, and a quantized
+    estimate can EXCEED the true cosine by up to the quantization
+    error (clamped below threshold) — so a kept row's value may
+    overstate, not just differ from, the true max.  The keep
+    invariant ``keep ⇔ max_lower_cos < threshold`` still holds.
 
     ``centroid_mode="kmeans"`` trains real k-means|| centroids at an
     explicit ``n_cells`` (seed mode is the deterministic,

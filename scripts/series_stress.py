@@ -95,6 +95,7 @@ def main() -> None:
     ).save()
 
     out: dict[str, dict] = {}
+    warm = os.environ.get("SERIES_WARM") == "1"
     for name in names:
         row: dict[str, float] = {}
         for n in NS:
@@ -103,6 +104,12 @@ def main() -> None:
                 "overwrite"
             ).save()
             row[str(n)] = round(time.time() - t, 2)
+            if warm:
+                t = time.time()
+                qs[name](spark, dirs[n]).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                row[f"{n}_warm"] = round(time.time() - t, 2)
         # growth over the widest 10x step (the scale verdict number)
         hi, lo = str(NS[-1]), str(NS[-2] if len(NS) > 1 else NS[-1])
         row["last_step_growth"] = round(row[hi] / max(row[lo], 1e-9), 2)
@@ -113,7 +120,21 @@ def main() -> None:
             + f"   last-step {row['last_step_growth']:5.2f}x",
             flush=True,
         )
-    print(json.dumps({"len": L, "ns": NS, "queries": out}))
+    # ONE protocol for every cell (the r11 artifact mixed a first-pass
+    # sweep with a separate warm-only 500k run and drew ADVICE for it):
+    # every number is labeled, and the JSON says how it was measured.
+    print(json.dumps({
+        "len": L,
+        "ns": NS,
+        "protocol": (
+            "shared session, queries serial, box otherwise idle; "
+            "unsuffixed cells = first execution of the plan in this "
+            "session (cold python workers at the first cell only); "
+            "'_warm' cells = immediate re-run of the same plan"
+            + ("" if warm else "; SERIES_WARM=1 not set -> no warm cells")
+        ),
+        "queries": out,
+    }))
 
 
 if __name__ == "__main__":

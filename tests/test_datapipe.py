@@ -193,6 +193,70 @@ def test_multimodal_features(spark, docs):
     assert row0.f_max == pytest.approx(padded[:64].max())
 
 
+def _ppm_bytes(w, h, pixels):
+    """Binary P6 PPM payload from an (h, w, 3) uint8 array."""
+    return b"P6\n# test image\n%d %d\n255\n" % (w, h) + bytes(
+        np.asarray(pixels, dtype=np.uint8).reshape(-1)
+    )
+
+
+def test_multimodal_real_decode_seam(spark):
+    """r11 verdict #6: the decode seam must be proven with a REAL
+    decoder, not only the byte-histogram stand-in.  decode_ppm parses
+    binary P6 PPM (public netpbm spec) in pure numpy: pinned-bytes
+    check, end-to-end extract_features(decode_fn=...) through the same
+    mapInPandas plumbing, and — where PIL exists — bit parity between
+    the PIL path and the numpy path on the same payload."""
+    import pandas as pd
+
+    from time_series_data_anomaly_detection_spark.datapipe.multimodal import (
+        decode_image,
+        decode_ppm,
+        extract_features,
+    )
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, size=(3, 4, 3), dtype=np.uint8)  # h=3 w=4
+    payload = _ppm_bytes(4, 3, img)
+
+    frames = decode_ppm(payload)
+    assert frames.shape == (3, 12)  # one frame per pixel row
+    np.testing.assert_array_equal(
+        frames, img.reshape(3, 12).astype(np.float64)
+    )
+
+    # PIL parity where the lib exists; a clear ImportError where not —
+    # the torch/numpy LSTM dual-backend pattern
+    try:
+        pil_frames = decode_image(payload)
+    except ImportError:
+        pil_frames = None
+    if pil_frames is not None:
+        np.testing.assert_array_equal(pil_frames, frames)
+
+    # end-to-end through the Spark seam: same schema, real decode
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "payload": [bytearray(payload)]})
+    )
+    rows = sorted(
+        extract_features(df, decode_fn=decode_ppm).collect(),
+        key=lambda r: r.frame_id,
+    )
+    assert [r.frame_id for r in rows] == [0, 1, 2]
+    assert all(r.n_frames == 3 for r in rows)
+    assert rows[0].byte_sum == sum(payload)
+    row0 = img.reshape(3, 12)[0].astype(np.float64)
+    assert rows[0].f_mean == pytest.approx(row0.mean())
+    assert rows[0].f_max == pytest.approx(row0.max())
+    # frame_stride samples through the SAME decode path
+    sampled = extract_features(df, decode_fn=decode_ppm, frame_stride=2)
+    assert sorted(r.frame_id for r in sampled.collect()) == [0, 2]
+
+    # header hygiene: comments + malformed magic
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+
+
 def test_near_dup_clusters_transitive(spark):
     """A~B and B~C must land in ONE cluster even when the A~C pair is
     never emitted — the closure property that makes clustering the

@@ -93,6 +93,8 @@ from .events import (  # noqa: F401
 )
 from .multimodal import (  # noqa: F401
     as_binary_payload,
+    decode_image,
+    decode_ppm,
     extract_features,
     resize_frames,
 )

@@ -55,8 +55,63 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return np.stack([f_mean, f_std, framed.max(axis=1)], axis=1)
 
 
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL image decode for binary P6 PPM (netpbm spec) in pure
+    numpy — no codec library needed, so the decode seam is provable in
+    this container.  Returns (height, width*3) float64: one frame per
+    pixel ROW, RGB interleaved — the (n_frames, feat_dim) shape
+    contract every ``decode_fn`` must meet."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header = magic, width, height, maxval as whitespace/comment
+    # separated tokens, then ONE whitespace byte, then raw RGB
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    pos += 1  # the single whitespace after maxval
+    n = w * h * 3
+    raster = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return raster.reshape(h, w * 3).astype(np.float64)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """PIL-backed decode for real image formats (PNG/JPEG/...), the
+    same (height, width*channels) frame contract as :func:`decode_ppm`.
+    Import-gated exactly like the torch LSTM backend: this container
+    has no PIL, so the call raises with a clear message; where PIL
+    exists the unit parity test proves it returns bit-identical frames
+    to the pure-numpy PPM decoder on the same payload."""
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - container lacks PIL
+        raise ImportError(
+            "decode_image needs Pillow; in codec-less environments use "
+            "decode_ppm (pure numpy) or the default byte-level decoder"
+        ) from exc
+    import io
+
+    arr = np.asarray(Image.open(io.BytesIO(payload)))
+    if arr.ndim == 2:  # grayscale: one channel
+        return arr.astype(np.float64)
+    return arr.reshape(arr.shape[0], -1).astype(np.float64)
+
+
 def extract_features(
-    df: DataFrame, id_col: str = "doc_id", frame_stride: int = 1
+    df: DataFrame,
+    id_col: str = "doc_id",
+    frame_stride: int = 1,
+    decode_fn=None,
 ) -> DataFrame:
     """Decode + frame-sample + feature-extract over the binary
     ``payload`` column (``mapInPandas``, Arrow-batched).
@@ -64,12 +119,57 @@ def extract_features(
     Emits one row per sampled frame: (id, frame_id, n_frames,
     byte_sum, f_mean, f_std, f_max). ``byte_sum`` is decoder-
     independent (checksum over raw bytes) and is the oracle-checkable
-    part; ``f_*`` come from the (stand-in) decoder.
+    part; ``f_*`` come from the decoder.
+
+    ``decode_fn`` is the decode seam: ``bytes -> (n_frames, feat_dim)
+    float64``.  ``None`` (default, the gate-pinned path) keeps the
+    vectorized byte-histogram stand-in below; :func:`decode_ppm` is a
+    REAL pure-numpy image decoder proving the seam in this container;
+    :func:`decode_image` swaps in PIL where it exists.  Custom
+    decoders run per payload (codecs are per-file anyway); everything
+    else — Arrow batching, map-side-only placement, output schema —
+    is identical to the fast path.
     """
     schema = (
         f"{id_col} long, frame_id int, n_frames int, byte_sum long, "
         "f_mean double, f_std double, f_max double"
     )
+
+    if decode_fn is not None:
+
+        def gen_decode(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                rows = []
+                for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                    p = bytes(p)
+                    frames = np.asarray(decode_fn(p), dtype=np.float64)
+                    nf = frames.shape[0]
+                    width = frames.shape[1] if frames.ndim > 1 else 1
+                    frames = frames.reshape(nf, width)
+                    mean = frames.sum(axis=1) / width
+                    sq = (frames * frames).sum(axis=1) / width
+                    std = np.sqrt(np.maximum(sq - mean * mean, 0.0))
+                    bsum = int(
+                        np.frombuffer(p, dtype=np.uint8)
+                        .astype(np.int64)
+                        .sum()
+                    )
+                    for fid in range(0, nf, frame_stride):
+                        rows.append(
+                            (doc_id, fid, nf, bsum,
+                             mean[fid], std[fid], frames[fid].max())
+                        )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[id_col, "frame_id", "n_frames", "byte_sum",
+                             "f_mean", "f_std", "f_max"],
+                )
+
+        return df.select(id_col, "payload").mapInPandas(gen_decode, schema)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

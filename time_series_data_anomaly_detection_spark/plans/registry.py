@@ -10561,68 +10561,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Long-stable rows-only queries (weakest signal, green twice) sink
     # to the back where a cap costs the least information.
     gate_first = [
-        # r11 PRIME SLOTS part A — NEW hash-gated queries, never
-        # driver-checked: the JSONL ingest round-trip gate (r10
-        # verdict item #3) and the GP posterior-std sibling (item #8)
-        "jsonl_ingest",
-        "gp_forecast_fixed_std",
-        # r11 PRIME SLOTS part B — implementation changed this round
-        # (scripts/impl_snapshot.py --check): the MinHash size
-        # prefilter touches every query routed through
-        # minhash_lsh_pairs / dedup.py; the int8 pair mode +
-        # two-level kmeans routing touch the similarity module; the
-        # |value| overflow guard and the corr-guard re-arming touch
-        # three registry wrappers
+        # r12 PRIME SLOTS part A — NEW hash-gated query, never
+        # driver-checked: the one-doc-per-file ingest round trip
+        # (r11 verdict item #3, the last unit-only ingest surface)
+        "text_ingest",
+        # r12 PRIME SLOTS part B — BEHAVIOR changed this round: the
+        # MinHash hash family was rebuilt (full-range affine
+        # permutations replacing the degenerate monotone small-prime
+        # rehashes — see dedup.py PERM_A), which changes the candidate
+        # set and therefore the OUTPUT of every query routed through
+        # minhash_lsh_pairs / the persisted index; jsonl_ingest's
+        # fixture path moved to per-application-id
         "minhash_lsh",
+        "minhash_recall",
         "dedup_clusters",
         "dedup_clusters_best",
+        "incremental_dedup",
+        "dup_source_matrix",
+        "curation_pipeline",
         "corpus_prep",
         "corpus_to_batches",
         "corpus_to_batches_bpe_fixed",
-        "minhash_recall",
-        "dup_source_matrix",
-        "curation_pipeline",
-        "incremental_dedup",
-        "ngram_jaccard",
-        "exact_dedup",
-        "containment_pairs",
-        "semantic_dedup",
-        "incremental_semantic_dedup",
-        "pq_topk",
-        "cosine_topk",
-        "ann_topk",
-        "ivf_topk",
-        "embedding_density",
-        "pq_recall",
-        "pq_rerank",
-        "ann_recall",
-        "doc_embed_topk",
-        "knn_label_agreement",
-        "matrix_profile_fixed_full",
-        "cross_correlation",
-        "rolling_corr",
-        # r11 PRIME SLOTS part C — the stalest oracled greens
-        # (r05/r06-checked, per scripts/gate_freshness.py)
-        "trend_test",
-        "ar2_forecast",
-        "cusum_squares",
-        "detector_rank_ensemble",
-        "forecast_features",
-        "hbos_flags",
-        "kde_rarity",
-        "knn_outlier",
-        "ks_drift",
-        "ljung_box",
-        "max_drawdown",
-        "page_hinkley",
-        "rolling_moments",
-        "rs_hurst",
-        "runs_test",
-        "sax_bitmap",
-        "sax_words",
-        "stl_forecast",
-        "variance_ratio",
-        "acf",
+        "jsonl_ingest",
+        # r12 PRIME SLOTS part C — the stalest oracled greens
+        # (r07/r08-checked, per scripts/gate_freshness.py; the r05/r06
+        # cohort rotated through the r11 window)
+        "event_rollup",
+        "fingerprint",
+        "lang_id",
+        "multimodal_sampled",
+        "pack_chunks",
+        "props_stats",
+        "quality_deciles",
+        "session_funnel",
+        "source_mix",
+        "stratified_sample",
+        "user_sessions",
+        "winnow_fingerprints",
+        "corpus_filter",
+        "embedding_near_dup",
+        "multimodal_features",
+        "simhash",
+        "source_stats",
+        "top_ngrams",
     ]
     assert len(gate_first) == len(set(gate_first)), "duplicate gate slot"
     gate_last = [  # rows-only (no_oracle) and stable: weakest signal

@@ -325,6 +325,39 @@ def test_ivf_topk_bounded_candidates_and_recall(spark):
     assert (approx.groupby("query_id").size() <= 3).all()
 
 
+def test_ivf_topk_two_level_above_64_cells(spark):
+    """r12: above 64 cells ivf_topk must route assignment through the
+    two-level scheme (flat broadcast assignment is N·k — a 2B-row
+    ranked cross join at 2M vectors × 1000 cells).  Pin that the
+    two-level path still recalls the exact top-k on a fixture and
+    bounds per-query results."""
+    import pandas as pd
+
+    from time_series_data_anomaly_detection_spark.datapipe.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(600, 16))
+    e = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(600), "embedding": list(map(list, vecs))}
+        )
+    )
+    q = e.filter("vec_id < 6")
+    exact = cosine_topk(e, q, k=4).toPandas()
+    approx = ivf_topk(e, q, k=4, n_cells=100, nprobe=10).toPandas()
+    hits = len(
+        set(map(tuple, exact[["query_id", "match_id"]].values))
+        & set(map(tuple, approx[["query_id", "match_id"]].values))
+    )
+    assert hits / len(exact) >= 0.5  # random data, wide probes
+    assert (approx.groupby("query_id").size() <= 4).all()
+    # cell keys remain globally-unique centroid ids
+    assert approx["match_id"].notna().all()
+
+
 def test_winnow_fingerprints_catch_shared_substrings(spark):
     """The winnowing guarantee: any common substring longer than
     window+k-1 chars must contribute at least one SHARED selected

@@ -204,6 +204,50 @@ def ivf_topk(
             )
         )
 
+    # ≤ 64 cells (the gate shape): flat assignment — every row meets
+    # every centroid through one broadcast join, N·k dot products.
+    # BEYOND 64 cells flat assignment is the baked-small-shape trap
+    # (2M vectors × 1000 cells = a 2B-row ranked cross join): route
+    # through the SAME two-level scheme as semantic_dedup — ~√k
+    # super-centroids assign map-side from a literal array, each row
+    # then meets only ITS super-cell's sub-centroids via an equi-join
+    # (cost N·√k + N·(k/√k)); the cell key stays the globally-unique
+    # cent_id, so the downstream probe join is identical.  Queries
+    # rank their own super-cell's sub-centroids and keep nprobe — a
+    # query on a super-cell boundary probes within one super-cell
+    # only, which is the standard hierarchical-IVF recall trade;
+    # measure it with topk_recall before trusting a layout (the
+    # r12_ann2m protocol).
+    two_level = n_cells > 64
+    if two_level:
+        l1_cnt = min(64, max(8, int(n_cells ** 0.5) + 1))
+        l1_rows = sorted(
+            cents.orderBy("cent_id").limit(l1_cnt).collect(),
+            key=lambda r: r["cent_id"],
+        )
+        dim = len(l1_rows[0]["cent_v"])
+        subs = _literal_cell_assign(
+            cents.select(
+                "cent_id",
+                F.col("cent_v").alias("v"),
+                F.col("cent_n").alias("nrm"),
+            ),
+            l1_rows,
+            "cent_id",
+        ).select(
+            F.col("cell").alias("__l1"),
+            "cent_id",
+            F.col("v").alias("cent_v"),
+            F.col("nrm").alias("cent_n"),
+        )
+        # broadcast only while dimension-sized (bytes rule, the
+        # semantic_dedup lesson) — never an estimate-driven auto pick
+        subs_j = (
+            F.broadcast(subs)
+            if n_cells * dim * 8 <= 32 * 1024 * 1024
+            else subs.hint("shuffle_hash")
+        )
+
     def assign(side: DataFrame, out_id: str, n_keep: int) -> DataFrame:
         s = side.select(
             F.col(id_col).alias(out_id),
@@ -217,9 +261,14 @@ def ivf_topk(
         w = Window.partitionBy(out_id).orderBy(
             F.desc("__cc"), F.asc("cent_id")
         )
+        if two_level:
+            meet = _literal_cell_assign(s, l1_rows, out_id).withColumnRenamed(
+                "cell", "__l1"
+            ).join(subs_j, "__l1")
+        else:
+            meet = s.join(F.broadcast(cents))
         return (
-            s.join(F.broadcast(cents))
-            .withColumn("__cc", cc)
+            meet.withColumn("__cc", cc)
             .withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= n_keep)
             .select(out_id, "v", "nrm", F.col("cent_id").alias("cell"))

@@ -100,14 +100,48 @@ def main() -> None:
         / len(truth), 4,
     )
 
+    # IVF's cost at 32 queries is index-build dominated (the corpus
+    # assignment); its win is per-query amortization.  Measure the
+    # SAME call at 32x the queries: if the wall barely moves, query
+    # cost is marginal and the crossover vs exact (linear in queries)
+    # is a few hundred queries.
+    qs_many = emb.filter(F.col("vec_id") < N_Q * 32)
     t = time.time()
-    pq = pq_topk(emb, qs, k=K, m=4, n_codes=16).select(
-        "query_id", "match_id"
+    ivf_topk(
+        emb, qs_many, k=K, n_cells=n_cells, nprobe=8,
+        centroid_mode="seed",
+    ).write.format("noop").mode("overwrite").save()
+    out["ivf_1024q_sec"] = round(time.time() - t, 1)
+
+    # PQ at production code size: 16 bits/vector (m=4, n_codes=16, the
+    # gate-scale toy) cannot rank 2M vectors (65k distinct codes, ~30
+    # vectors per code -> tie soup); m=8 x 256 codes = 64 bits is the
+    # standard setting, and the rerank stage buys exact ordering back
+    # from a 10x shortlist.
+    for m, n_codes, tag in ((4, 16, "pq16bit"), (8, 256, "pq64bit")):
+        t = time.time()
+        pq = pq_topk(emb, qs, k=K, m=m, n_codes=n_codes).select(
+            "query_id", "match_id"
+        )
+        pq_rows = pq.collect()
+        out[f"{tag}_sec"] = round(time.time() - t, 1)
+        out[f"{tag}_recall"] = round(
+            len(truth & {(r.query_id, r.match_id) for r in pq_rows})
+            / len(truth), 4,
+        )
+
+    from time_series_data_anomaly_detection_spark.datapipe.similarity import (
+        pq_rerank_topk,
     )
-    pq_rows = pq.collect()
-    out["pq_sec"] = round(time.time() - t, 1)
-    out["pq_recall"] = round(
-        len(truth & {(r.query_id, r.match_id) for r in pq_rows})
+
+    t = time.time()
+    rr = pq_rerank_topk(
+        emb, qs, k=K, shortlist=100, m=8, n_codes=256
+    ).select("query_id", "match_id")
+    rr_rows = rr.collect()
+    out["pq_rerank_sec"] = round(time.time() - t, 1)
+    out["pq_rerank_recall"] = round(
+        len(truth & {(r.query_id, r.match_id) for r in rr_rows})
         / len(truth), 4,
     )
 

@@ -358,6 +358,64 @@ def test_ivf_topk_two_level_above_64_cells(spark):
     assert approx["match_id"].notna().all()
 
 
+def test_pq_topk_numpy_scale_path_parity(spark):
+    """r12: above 128 codebook entries pq_topk routes through the
+    Arrow-batched numpy kernel (the expression encode is an
+    interpreted per-element lambda — measured stuck at 2M vectors x
+    8x256 codes).  Pin (a) the dispatch, (b) exact agreement with a
+    test-local ADC oracle, (c) rerank composition through the same
+    path."""
+    import pandas as pd
+
+    from time_series_data_anomaly_detection_spark.datapipe.similarity import (
+        pq_rerank_topk,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    n, dim, m, n_codes, k = 300, 16, 4, 40, 5  # 160 entries > 128
+    vecs = rng.normal(size=(n, dim))
+    e = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(n), "embedding": list(map(list, vecs))})
+    )
+    q = e.filter("vec_id < 4")
+    df = pq_topk(e, q, k=k, m=m, n_codes=n_codes)
+    # dispatch really happened: the plan is the Arrow kernel, not the
+    # literal-codebook expression tree
+    assert "MapInPandas" in df._jdf.queryExecution().analyzed().toString()
+    got = df.toPandas()
+    # test-local ADC oracle: seed codebooks = sub-vectors of the
+    # n_codes smallest ids, encode by sub-space argmin, ties by cid
+    sub = dim // m
+    cbs = [vecs[:n_codes, j * sub:(j + 1) * sub] for j in range(m)]
+    codes = np.stack(
+        [
+            (((vecs[:, None, j * sub:(j + 1) * sub]
+               - cbs[j][None, :, :]) ** 2).sum(-1)).argmin(1)
+            for j in range(m)
+        ],
+        axis=1,
+    )
+    for qi in range(4):
+        ad = np.zeros(n)
+        for j in range(m):
+            d = ((vecs[qi, j * sub:(j + 1) * sub][None, :]
+                  - cbs[j][codes[:, j]]) ** 2).sum(-1)
+            ad += d
+        ad[qi] = np.inf  # self excluded
+        order = np.lexsort((np.arange(n), ad))[:k]
+        mine = got[got.query_id == qi].sort_values("rank")
+        assert list(mine["match_id"]) == list(order)
+        np.testing.assert_allclose(
+            mine["adist"].to_numpy(), ad[order], rtol=0, atol=1e-9
+        )
+    # rerank composes through the numpy shortlist
+    rr = pq_rerank_topk(e, q, k=3, shortlist=20, m=m, n_codes=n_codes)
+    rrp = rr.toPandas()
+    assert set(rrp["query_id"]) == {0, 1, 2, 3}
+    assert (rrp.groupby("query_id").size() == 3).all()
+
+
 def test_winnow_fingerprints_catch_shared_substrings(spark):
     """The winnowing guarantee: any common substring longer than
     window+k-1 chars must contribute at least one SHARED selected

@@ -782,6 +782,18 @@ def pq_topk(
     dim = len(rows[0][vec_col])
     assert dim % m == 0, "embedding dim must divide into m sub-spaces"
     sub = dim // m
+    # beyond gate-sized codebooks the expression encode is the wrong
+    # tool: per-row sort_array over n_codes structs × m sub-spaces is
+    # an interpreted Catalyst lambda per element — measured STUCK at
+    # 2M vectors × (8 × 256 codes) where the 4×16 config finishes in
+    # ~150 s.  Production code sizes route through the Arrow-batched
+    # numpy kernel (vectorized encode + LUT ADC + partition-local
+    # top-k); the ≤128-entry configs — every gate — keep the
+    # oracle-replayable expression path byte-for-byte.
+    if m * n_codes > 128:
+        return _pq_topk_numpy(
+            corpus, queries, rows, k, m, sub, id_col, vec_col
+        )
     # codebooks[j] = literal array of structs (cid, 16-d codeword)
     cb = [
         F.array(
@@ -1058,6 +1070,95 @@ def embedding_density(
         "bucket",
         F.coalesce("n_neighbors", F.lit(0)).cast("long").alias("n_neighbors"),
         F.coalesce("__density", F.lit(-1.0)).alias("density"),
+    )
+
+
+def _pq_topk_numpy(corpus, queries, rows, k, m, sub, id_col, vec_col):
+    """PQ ADC top-k, the production-codebook scale path: vectorized
+    numpy encode (−2·X·Cᵀ + ‖C‖² argmin — the ‖x‖² term is constant
+    per row and drops out of the argmin), per-query ADC lookup tables
+    (|queries| × m × n_codes floats, closure-shipped), and
+    PARTITION-LOCAL top-k so the global exchange carries only
+    n_partitions × |queries| × k rows instead of |corpus| × |queries|.
+
+    Queries are the bounded side (collected once, same contract as
+    every broadcast-query operator in this module).  Distance VALUES
+    match the expression path up to float summation order; near-tie
+    code flips are possible in the last ulp — this path is the scale
+    engine, the ≤128-entry expression path is the oracle-pinned
+    fixture (a parity unit test pins set-equality on separated data).
+    Output schema identical: (query_id, match_id, rank, adist).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = sorted(queries.collect(), key=lambda r: r[id_col])
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    cbs = [
+        np.array(
+            [list(r[vec_col])[j * sub : (j + 1) * sub] for r in rows],
+            dtype=np.float64,
+        )
+        for j in range(m)
+    ]
+    # luts[j][qi, code] = squared L2 between query qi's j-th sub-vector
+    # and codeword `code`
+    luts = []
+    for j in range(m):
+        Qs = Q[:, j * sub : (j + 1) * sub]
+        C = cbs[j]
+        luts.append(
+            (Qs * Qs).sum(1)[:, None]
+            - 2.0 * (Qs @ C.T)
+            + (C * C).sum(1)[None, :]
+        )
+    n_q = len(q_ids)
+    kk = int(k)
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            adist = np.zeros((n_q, len(ids)))
+            for j in range(m):
+                Xs = X[:, j * sub : (j + 1) * sub]
+                C = cbs[j]
+                codes = (
+                    (C * C).sum(1)[None, :] - 2.0 * (Xs @ C.T)
+                ).argmin(1)
+                adist += luts[j][:, codes]
+            # self-pairs excluded exactly like the expression path
+            self_mask = ids[None, :] == q_ids[:, None]
+            adist[self_mask] = np.inf
+            take = min(kk, len(ids))
+            out_q, out_m, out_d = [], [], []
+            for qi in range(n_q):
+                order = np.lexsort((ids, adist[qi]))[:take]
+                keep = adist[qi][order] < np.inf
+                order = order[keep]
+                out_q.append(np.full(len(order), q_ids[qi]))
+                out_m.append(ids[order])
+                out_d.append(adist[qi][order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "match_id": np.concatenate(out_m),
+                    "adist": np.concatenate(out_d),
+                }
+            )
+
+    partial = corpus.select(
+        F.col(id_col), F.col(vec_col)
+    ).mapInPandas(gen, "query_id long, match_id long, adist double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("match_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )
 
 

@@ -344,17 +344,30 @@ def test_streaming_ingest_with_index(spark, tmp_path_factory):
             "text": [
                 base + "  LAKE",                     # exact dup of corpus
                 base + " pond",                      # near-dup of corpus
-                "a genuinely new document body one",  # admit
+                # long enough that a one-word edit stays J ≈ 0.92 —
+                # post-r12 the banding is the honest s-curve, so a
+                # J=0.6 near-dup carries a real ~57% miss probability
+                "a genuinely new document body with many more "
+                "interesting words inside it today",  # admit
             ],
         }
     ).to_parquet(root / "in" / "b1.parquet", **kw)
-    # batch file 2: re-post of the admitted doc + another fresh one
+    # batch file 2: re-post of the admitted doc, a NEAR-dup of it, and
+    # another fresh one.  The near-dup is the load-bearing case: exact
+    # re-posts only need the digests table, but near-dup rejection
+    # needs bands/shingles/sizes to have been EXTENDED by batch 1 —
+    # the r12 100× stream measurement caught extension silently
+    # appending zero rows to those three tables (cache invalidated by
+    # the digests append's refresh-by-path, see streaming/dedup.py)
     pd.DataFrame(
         {
-            "doc_id": [20, 21],
+            "doc_id": [20, 21, 22],
             "text": [
-                "a genuinely new document body one",  # dup of doc 12 (cross-batch)
+                "a genuinely new document body with many more "
+                "interesting words inside it today",  # dup of doc 12 (cross-batch)
                 "a second brand new document body",   # admit
+                "a genuinely new document body with many more "
+                "interesting words inside it today yes",  # NEAR-dup of 12 (cross-batch)
             ],
         }
     ).to_parquet(root / "in" / "b2.parquet", **kw)
@@ -376,6 +389,13 @@ def test_streaming_ingest_with_index(spark, tmp_path_factory):
         r.doc_id for r in spark.read.parquet(str(root / "out")).collect()
     )
     assert admitted == [12, 21]
+    # the index actually GREW: all four tables carry the admitted
+    # docs, not just digests (seed corpus = 1 doc + 2 admitted)
+    assert spark.read.parquet(f"{idx}/sizes").count() == 3
+    assert spark.read.parquet(f"{idx}/bands").count() == 3 * 4
+    assert spark.read.parquet(f"{idx}/digests").count() == 3
+    seed_sh = 8  # 10-token seed doc -> 8 distinct 3-gram shingles
+    assert spark.read.parquet(f"{idx}/shingles").count() > seed_sh
 
 
 def test_streaming_ingest_hygiene_gate(spark, tmp_path_factory):

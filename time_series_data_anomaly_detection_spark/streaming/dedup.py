@@ -98,19 +98,29 @@ def streaming_ingest_with_index(
             spark, index_path, batch_df, n=n, threshold=threshold,
             text_col=text_col, id_col=id_col,
         )
+        # EAGER localCheckpoint, not persist: the admitted frame's
+        # lineage reads the index parquet, and extend_dedup_index
+        # appends to those same paths table by table — each append
+        # refreshes-by-path and INVALIDATES any cache that depends on
+        # the path, so a persisted frame silently re-evaluates against
+        # the half-extended index (its own digests are in by then) and
+        # every later table appends ZERO rows.  Found by the r12
+        # 100×-corpus stream measurement: digests grew 469k rows while
+        # bands/shingles/sizes stayed at the seed — cross-batch
+        # NEAR-dup rejection never worked, only exact.  The eager
+        # checkpoint pins admitted as executor RDD blocks with no file
+        # dependency; a lost-executor retry replays the whole batch,
+        # which the index dedup makes idempotent (docstring above).
         admitted = batch_df.join(
             verdicts.filter(F.col("verdict") == "new").select(id_col),
             id_col,
-        ).persist()
-        try:
-            if not admitted.isEmpty():
-                admitted.write.mode("append").parquet(out_path)
-                extend_dedup_index(
-                    admitted, index_path, n=n,
-                    text_col=text_col, id_col=id_col,
-                )
-        finally:
-            admitted.unpersist()
+        ).localCheckpoint(eager=True)
+        if not admitted.isEmpty():
+            admitted.write.mode("append").parquet(out_path)
+            extend_dedup_index(
+                admitted, index_path, n=n,
+                text_col=text_col, id_col=id_col,
+            )
 
     return (
         stream.writeStream.foreachBatch(process)

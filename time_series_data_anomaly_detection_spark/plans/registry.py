@@ -10561,10 +10561,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Long-stable rows-only queries (weakest signal, green twice) sink
     # to the back where a cap costs the least information.
     gate_first = [
-        # r12 PRIME SLOTS part A — NEW hash-gated query, never
+        # r12 PRIME SLOTS part A — NEW hash-gated queries, never
         # driver-checked: the one-doc-per-file ingest round trip
         # (r11 verdict item #3, the last unit-only ingest surface)
+        # and the threshold-matched banding opt-in + its recall probe
+        # (the knob itself driver-checked at a non-default config)
         "text_ingest",
+        "minhash_lsh_banded",
+        "minhash_recall_banded",
         # r12 PRIME SLOTS part B — BEHAVIOR changed this round: the
         # MinHash hash family was rebuilt (full-range affine
         # permutations replacing the degenerate monotone small-prime

@@ -294,6 +294,21 @@ def q_minhash_lsh(spark, sf_dir):
     return out.select("id_a", "id_b", _rnd("jaccard", R).alias("jaccard"))
 
 
+def q_minhash_lsh_banded(spark, sf_dir):
+    """The threshold-matched banding OPT-IN (8 bands × 6 rows, 48
+    perms) through the same pipeline — hash-gating the knob itself:
+    the DuckDB oracle replays the 6-row band keys, so a regression in
+    the parameterized signature/banding path (e.g. the r12 degenerate-
+    permutation class of bug, whose smoking gun was bit-identical
+    candidates across band layouts) breaks this gate while the default
+    4×4 gate stays green."""
+    out = minhash_lsh_pairs(
+        _docs(spark, sf_dir), n=3, threshold=JACCARD_T,
+        band_rows=B6_ROWS, num_perm=B6_PERMS,
+    )
+    return out.select("id_a", "id_b", _rnd("jaccard", R).alias("jaccard"))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Connected components over the MinHash-LSH pair graph — the
     corpus dedup decision step (canonical doc per near-dup cluster).
@@ -1024,20 +1039,35 @@ SELECT id_a, id_b, round(jaccard, {R}) AS jaccard
 FROM jac WHERE jaccard >= {JACCARD_T}
 """
 
-_MINHASH_COLS = ",\n         ".join(
-    # full-range affine constants overflow BIGINT — the exact affine
-    # step runs in HUGEINT, mirroring Spark's decimal(38,0) (dedup.py)
-    f"min(CAST((CAST({PERM_A[i]} AS HUGEINT) * shingle_hash + {PERM_B[i]})"
-    f" % {MERSENNE_P} AS BIGINT)) AS m{i}"
-    for i in range(NUM_PERM)
-)
-_BAND_SELECTS = "\n  UNION ALL\n".join(
-    "  SELECT doc_id, {band} AS band, md5(concat_ws('_', {cols})) AS band_key FROM sig".format(
-        band=band,
-        cols=", ".join(f"m{band * BAND_ROWS + r}" for r in range(BAND_ROWS)),
+def _minhash_cols(num_perm: int = NUM_PERM) -> str:
+    return ",\n         ".join(
+        # full-range affine constants overflow BIGINT — the exact
+        # affine step runs in HUGEINT, mirroring Spark's decimal(38,0)
+        # (dedup.py)
+        f"min(CAST((CAST({PERM_A[i]} AS HUGEINT) * shingle_hash + {PERM_B[i]})"
+        f" % {MERSENNE_P} AS BIGINT)) AS m{i}"
+        for i in range(num_perm)
     )
-    for band in range(NUM_PERM // BAND_ROWS)
-)
+
+
+def _band_selects(band_rows: int = BAND_ROWS, num_perm: int = NUM_PERM) -> str:
+    return "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {band} AS band, md5(concat_ws('_', {cols})) AS band_key FROM sig".format(
+            band=band,
+            cols=", ".join(
+                f"m{band * band_rows + r}" for r in range(band_rows)
+            ),
+        )
+        for band in range(num_perm // band_rows)
+    )
+
+
+_MINHASH_COLS = _minhash_cols()
+_BAND_SELECTS = _band_selects()
+# the threshold-matched banding OPT-IN config (8 bands of 6 rows from
+# 48 perms — sharper s-curve); hash-gated alongside the default so the
+# knob itself is driver-checked cross-engine, not just unit-tested
+B6_ROWS, B6_PERMS = 6, 48
 
 ORACLES["minhash_lsh"] = f"""
 WITH {SQL_TOKS}, {SQL_SHINGLES},
@@ -2740,6 +2770,27 @@ def q_minhash_recall(spark, sf_dir):
     )
 
 
+def q_minhash_recall_banded(spark, sf_dir):
+    """The recall probe AT the banding opt-in config (8×6, 48 perms) —
+    'recall reported at both settings' as a driver-checked gate, not a
+    one-off measurement: anyone flipping the knob reads this row next
+    to ``minhash_recall`` and sees exactly what the sharper s-curve
+    buys and costs on the same corpus."""
+    from ..datapipe.dedup import lsh_recall_stats
+
+    out = lsh_recall_stats(
+        _docs(spark, sf_dir), n=3, threshold=JACCARD_T,
+        band_rows=B6_ROWS, num_perm=B6_PERMS,
+    )
+    return out.select(
+        "n_true_pairs",
+        "n_candidates",
+        "n_hits",
+        _rnd("recall", R).alias("recall"),
+        _rnd("candidate_precision", R).alias("candidate_precision"),
+    )
+
+
 def q_quality_classifier(spark, sf_dir):
     """Frozen-weight linear quality classifier margin over the
     doc_stats features — the model-based quality filter applied
@@ -2776,6 +2827,67 @@ sig AS (
 ),
 banded AS (
 {_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+truth AS (SELECT id_a, id_b FROM jac WHERE jaccard >= {JACCARD_T}),
+tc AS (SELECT count(*) AS n_true_pairs FROM truth),
+cc AS (SELECT count(*) AS n_candidates FROM cand),
+hc AS (SELECT count(*) AS n_hits
+       FROM truth t JOIN cand c USING (id_a, id_b))
+SELECT CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       round(CASE WHEN n_true_pairs > 0
+                  THEN n_hits * 1.0 / n_true_pairs END, {R}) AS recall,
+       round(CASE WHEN n_candidates > 0
+                  THEN n_hits * 1.0 / n_candidates END, {R})
+         AS candidate_precision
+FROM tc, cc, hc
+"""
+
+ORACLES["minhash_lsh_banded"] = f"""
+WITH {SQL_TOKS}, {SQL_SHINGLES},
+sig AS (
+  SELECT doc_id,
+         {_minhash_cols(48)}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+{_band_selects(6, 48)}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle_hash = a.shingle_hash
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b, inter * 1.0 / (na.n_sh + nb.n_sh - inter) AS jaccard
+  FROM inter JOIN szs na ON na.doc_id = id_a JOIN szs nb ON nb.doc_id = id_b
+)
+SELECT id_a, id_b, round(jaccard, {R}) AS jaccard
+FROM jac WHERE jaccard >= {JACCARD_T}
+"""
+
+ORACLES["minhash_recall_banded"] = f"""
+WITH {SQL_TOKS}, {SQL_SHINGLES}, {SQL_JACCARD_PAIRS},
+sig AS (
+  SELECT doc_id,
+         {_minhash_cols(48)}
+  FROM sh GROUP BY doc_id
+),
+banded AS (
+{_band_selects(6, 48)}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -3649,6 +3761,8 @@ def queries():
         "mixture_schedule": q_mixture_schedule,
         "jsonl_ingest": q_jsonl_ingest,
         "text_ingest": q_text_ingest,
+        "minhash_lsh_banded": q_minhash_lsh_banded,
+        "minhash_recall_banded": q_minhash_recall_banded,
         "doc_stats": q_doc_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,

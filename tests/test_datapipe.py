@@ -255,6 +255,16 @@ def test_multimodal_real_decode_seam(spark):
     # header hygiene: comments + malformed magic
     with pytest.raises(ValueError):
         decode_ppm(b"P5\n1 1\n255\n\x00")
+    # r12 ADVICE: int() happily parses '-1' — non-positive dims and
+    # out-of-range maxval must be parse errors, not mis-shaped arrays
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_ppm(b"P6\n-1 1\n255\n\x00\x00\x00")
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_ppm(b"P6\n1 0\n255\n")
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n1 1\n0\n\x00\x00\x00")
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n1 1\n65535\n\x00\x00\x00")
 
 
 def test_near_dup_clusters_transitive(spark):
@@ -983,6 +993,201 @@ def test_dedup_index_roundtrip(spark, tmp_path_factory):
     assert again[20] == "duplicate_of_corpus"
 
 
+def test_dedup_index_meta_guard(spark, tmp_path_factory):
+    """r12 ADVICE (medium): an index persisted under one MinHash
+    family silently never matches batches hashed under another — the
+    band-key equi-join finds nothing, no error.  The meta stamp turns
+    that into a loud failure: wrong family, wrong shingle n, and
+    missing meta must all raise instead of admitting duplicates."""
+    from time_series_data_anomaly_detection_spark.datapipe.index import (
+        HASH_FAMILY,
+        INDEX_FORMAT_VERSION,
+        build_dedup_index,
+        extend_dedup_index,
+        load_dedup_index,
+    )
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0], "text": ["some corpus text here"]})
+    )
+    path = str(tmp_path_factory.mktemp("idx_meta"))
+    build_dedup_index(corpus, path, n=3)
+    meta = spark.read.parquet(f"{path}/meta").head()
+    assert meta.format_version == INDEX_FORMAT_VERSION
+    assert meta.hash_family == HASH_FAMILY
+    assert meta.shingle_n == 3
+    load_dedup_index(spark, path, n=3)  # matching stamp: fine
+
+    # shingle-n mismatch: shingle hashes would never collide
+    with pytest.raises(ValueError, match="shingle n"):
+        load_dedup_index(spark, path, n=5)
+    with pytest.raises(ValueError, match="shingle n"):
+        extend_dedup_index(corpus, path, n=5)
+
+    # foreign hash family: band keys would match nothing
+    spark.createDataFrame(
+        [(INDEX_FORMAT_VERSION, "deadbeefdeadbeef", 3)],
+        "format_version int, hash_family string, shingle_n int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    with pytest.raises(ValueError, match="family"):
+        load_dedup_index(spark, path, n=3)
+
+    # pre-versioned index (no meta at all)
+    import shutil
+
+    shutil.rmtree(f"{path}/meta")
+    with pytest.raises(ValueError, match="no meta"):
+        load_dedup_index(spark, path)
+
+
+def test_dedup_index_compaction_parity_and_retire(spark, tmp_path_factory):
+    """Compaction is exact-preserving: admission verdicts for a future
+    batch are identical pre/post compact on a clean index; a
+    crash-retry DOUBLE append (duplicate shingle rows double-count the
+    verification intersection) is repaired back to the direct
+    computation; retirement drops a doc's near-dup suppression while
+    its content digest keeps rejecting exact re-posts."""
+    from time_series_data_anomaly_detection_spark.datapipe.dedup import (
+        incremental_dedup,
+    )
+    from time_series_data_anomaly_detection_spark.datapipe.index import (
+        build_dedup_index,
+        compact_dedup_index,
+        extend_dedup_index,
+        incremental_dedup_against_index,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": [base + " lake", "unrelated corpus text about engines"],
+            }
+        )
+    )
+    extra = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [2], "text": ["novel admitted document body"]})
+    )
+    probe = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [30, 31, 32],
+                "text": [
+                    base + " pond",                    # near-dup of 0
+                    "novel admitted document body",    # exact dup of 2
+                    "completely different new words",  # new
+                ],
+            }
+        )
+    )
+    path = str(tmp_path_factory.mktemp("idx_compact"))
+    build_dedup_index(corpus, path)
+    extend_dedup_index(extra, path)
+    # crash-retry simulation: the SAME admitted frame appended twice
+    extend_dedup_index(extra, path)
+
+    def verdicts():
+        return {
+            r.doc_id: r.verdict
+            for r in incremental_dedup_against_index(
+                spark, path, probe, threshold=0.4
+            ).collect()
+        }
+
+    stats = compact_dedup_index(spark, path)
+    after = verdicts()
+    # repaired to the direct corpus-vs-batch computation
+    direct = {
+        r.doc_id: r.verdict
+        for r in incremental_dedup(
+            corpus.union(extra), probe, threshold=0.4
+        ).collect()
+    }
+    assert after == direct
+    assert after[30] == "near_dup_of_corpus"
+    assert after[31] == "duplicate_of_corpus"
+    assert after[32] == "new"
+    for name in ("digests", "bands", "shingles", "sizes"):
+        assert stats[name]["after"]["files"] >= 1
+
+    # clean-index parity: compact again, nothing may change
+    assert compact_dedup_index(spark, path) and verdicts() == after
+
+    # retirement: doc 2 stops near-dup-suppressing, digest still rejects
+    retire = spark.createDataFrame(pd.DataFrame({"doc_id": [2]}))
+    compact_dedup_index(spark, path, retire=retire)
+    probe2 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [40, 41],
+                "text": [
+                    "novel admitted document body",        # exact re-post
+                    "novel admitted document frame",       # near-dup of retired 2
+                ],
+            }
+        )
+    )
+    out2 = {
+        r.doc_id: r.verdict
+        for r in incremental_dedup_against_index(
+            spark, path, probe2, threshold=0.4
+        ).collect()
+    }
+    assert out2[40] == "duplicate_of_corpus"
+    assert out2[41] == "new"
+
+
+def test_dedup_index_repair(spark, tmp_path_factory):
+    """repair_dedup_index restores 'every corpus doc fully indexed'
+    after the partial-extend crash window: a corpus doc missing its
+    index rows regains near-dup suppression; a healthy index is a
+    no-op."""
+    from time_series_data_anomaly_detection_spark.datapipe.index import (
+        build_dedup_index,
+        compact_dedup_index,
+        incremental_dedup_against_index,
+        repair_dedup_index,
+    )
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": [
+                    "seed document about lakes and rivers flowing",
+                    "orphaned document body that never got indexed",
+                ],
+            }
+        )
+    )
+    path = str(tmp_path_factory.mktemp("idx_repair"))
+    # index only doc 0: doc 1 is in the corpus but unindexed — the
+    # partial-extend crash state
+    build_dedup_index(corpus.filter("doc_id = 0"), path)
+    probe = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [30],
+                "text": ["orphaned document body that never got indexed no"],
+            }
+        )
+    )
+
+    def verdict():
+        return (
+            incremental_dedup_against_index(
+                spark, path, probe, threshold=0.4
+            ).head().verdict
+        )
+
+    assert verdict() == "new"  # near-dup of the orphan slips through
+    assert repair_dedup_index(corpus, path) == 1
+    compact_dedup_index(spark, path)
+    assert verdict() == "near_dup_of_corpus"
+    assert repair_dedup_index(corpus, path) == 0  # healthy = no-op
+
+
 def test_near_dup_clusters_max_quality_policy(spark):
     """keep_policy='max_quality': the survivor is the richest member
     of the cluster, not the smallest id; cluster_id stays the min-id
@@ -1483,3 +1688,39 @@ def test_jsonl_ingest_null_handling_and_report(spark, tmp_path):
     # kept + kept_coerced == loaded document count (the report's
     # documented invariant)
     assert rep.get("kept", 0) + rep.get("kept_coerced", 0) == len(docs)
+
+
+def test_jsonl_report_scan_keeps_full_schema(spark, tmp_path):
+    """Canary for the kept_coerced full-parse probe (r12 ADVICE): the
+    report's zero-length-substring splice exists ONLY to defeat column
+    pruning, so PERMISSIVE parses (and flags) every declared field.  It
+    relies on Catalyst not constant-folding substring(x, 1, 0); if a
+    future optimizer rule folds it away, pruning narrows the JSON scan
+    and kept_coerced silently under-counts.  Assert the physical scan
+    still reads ALL declared fields — this test failing = rewrite the
+    probe (e.g. count per-field isnull flags in separate aggregates),
+    not loosen the assert."""
+    import json
+
+    from time_series_data_anomaly_detection_spark.datapipe import (
+        jsonl_ingest_report,
+    )
+
+    jl = tmp_path / "crawl2"
+    jl.mkdir()
+    (jl / "a.jsonl").write_text(
+        json.dumps({"text": "t", "site": "s", "id": 1, "lang": "en"})
+    )
+    rep = jsonl_ingest_report(
+        spark, str(jl), text_field="text", id_field="id",
+        lang_field="lang", source_field="site",
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan json" in ln]
+    assert scan_lines, f"no JSON FileScan in plan:\n{plan}"
+    scan = scan_lines[0]
+    for field in ("text", "id", "lang", "site", "_corrupt_record"):
+        assert field in scan, (
+            f"column pruning dropped {field!r} from the JSON scan — the "
+            f"full-parse probe got optimized away:\n{scan}"
+        )

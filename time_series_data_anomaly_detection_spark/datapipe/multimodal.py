@@ -77,8 +77,14 @@ def decode_ppm(payload: bytes) -> np.ndarray:
             pos += 1
         tokens.append(int(payload[start:pos]))
     w, h, maxval = tokens
-    if maxval > 255:
-        raise ValueError("16-bit PPM not supported")
+    # int() happily parses '-1': reject non-positive dims / maxval here
+    # or the reshape below yields empty or mis-shaped frames downstream
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid PPM dimensions {w}x{h}")
+    if not 0 < maxval <= 255:
+        raise ValueError(
+            f"invalid PPM maxval {maxval} (need 1..255; 16-bit unsupported)"
+        )
     pos += 1  # the single whitespace after maxval
     n = w * h * 3
     raster = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)

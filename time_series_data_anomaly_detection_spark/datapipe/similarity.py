@@ -190,6 +190,21 @@ def ivf_topk(
     identical either way, and that dataflow is what this operator
     pins: one broadcast of the (tiny) centroid table, one argmax pass
     per side, one equi-join on cell.
+
+    Above 64 cells the operator switches to TWO-LEVEL routing (the
+    flat assignment would be an N·n_cells ranked cross join): ~√n_cells
+    super-centroids partition the centroid table, and each row — corpus
+    AND query — is assigned within its single nearest super-cell.  This
+    changes ``nprobe`` semantics at >64 cells: a query ranks only the
+    sub-centroids inside its own super-cell, so its effective probe
+    breadth is capped by that super-cell's size and neighbors that
+    quantize across the super-cell boundary are unreachable — the
+    standard hierarchical-IVF recall trade.  Measured at 2M vectors /
+    1024 cells the two-level recall was 1.000 vs flat (r12_ann2m,
+    SCALING.md); re-measure with :func:`topk_recall` before trusting a
+    materially different dimension/cell layout, and if boundary loss
+    shows up, probe the top-2 super-cells (doubles the assignment join
+    fan-in, halves the boundary exposure).
     """
     if centroid_mode == "kmeans":
         cents = kmeans_centroids(corpus, n_cells, vec_col)

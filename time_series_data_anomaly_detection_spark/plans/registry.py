@@ -10561,53 +10561,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Long-stable rows-only queries (weakest signal, green twice) sink
     # to the back where a cap costs the least information.
     gate_first = [
-        # r12 PRIME SLOTS part A — NEW hash-gated queries, never
-        # driver-checked: the one-doc-per-file ingest round trip
-        # (r11 verdict item #3, the last unit-only ingest surface)
-        # and the threshold-matched banding opt-in + its recall probe
-        # (the knob itself driver-checked at a non-default config)
-        "text_ingest",
-        "minhash_lsh_banded",
-        "minhash_recall_banded",
-        # r12 PRIME SLOTS part B — BEHAVIOR changed this round: the
-        # MinHash hash family was rebuilt (full-range affine
-        # permutations replacing the degenerate monotone small-prime
-        # rehashes — see dedup.py PERM_A), which changes the candidate
-        # set and therefore the OUTPUT of every query routed through
-        # minhash_lsh_pairs / the persisted index; jsonl_ingest's
-        # fixture path moved to per-application-id
-        "minhash_lsh",
-        "minhash_recall",
-        "dedup_clusters",
-        "dedup_clusters_best",
-        "incremental_dedup",
-        "dup_source_matrix",
-        "curation_pipeline",
-        "corpus_prep",
-        "corpus_to_batches",
-        "corpus_to_batches_bpe_fixed",
-        "jsonl_ingest",
-        # r12 PRIME SLOTS part C — the stalest oracled greens
-        # (r07/r08-checked, per scripts/gate_freshness.py; the r05/r06
-        # cohort rotated through the r11 window)
-        "event_rollup",
-        "fingerprint",
-        "lang_id",
-        "multimodal_sampled",
-        "pack_chunks",
-        "props_stats",
-        "quality_deciles",
-        "session_funnel",
-        "source_mix",
-        "stratified_sample",
-        "user_sessions",
-        "winnow_fingerprints",
-        "corpus_filter",
-        "embedding_near_dup",
-        "multimodal_features",
-        "simhash",
-        "source_stats",
-        "top_ngrams",
+        # r13 PRIME SLOTS part A — NEW hash-gated queries, never
+        # driver-checked: the PRODUCTION 64-bit PQ shape (8×256 codes
+        # routes through the Arrow/numpy kernel, the dispatch path the
+        # r12 verdict asked to put under a hash instead of script
+        # evidence), alone and under the exact-cosine re-rank stack
+        "pq_topk_prod",
+        "pq_rerank_prod",
+        # r13 PRIME SLOTS part B — the r07-stale cohort (20 queries
+        # last hash-verified five rounds ago; r12 verdict item #2:
+        # they hit the "no gate >5 rounds unexercised" bar this round)
+        "acf_statsmodels",
+        "ar1_forecast",
+        "average_precision",
+        "conformal_intervals",
+        "demand_classification",
+        "ensemble_fusion",
+        "forecast_accuracy",
+        "forecast_mase",
+        "global_moments",
+        "gp_train_subsample",
+        "harmonic_forecast_fixed",
+        "histogram_fit",
+        "interval_exceedance",
+        "pacf",
+        "qq_plot",
+        "resample_decompose",
+        "resample_fill",
+        "revenue_anomaly",
+        "sax_mindist",
+        "seasonal_mann_kendall",
+        # r13 PRIME SLOTS part C — the r08-stale cohort (12 queries)
+        "detector_ap_leaderboard",
+        "event_impact",
+        "granger_screen",
+        "m4_downsample",
+        "matrix_profile_fixed",
+        "pot_threshold",
+        "pr_curve",
+        "rolling_quantile_flags",
+        "seasonal_heatmap",
+        "shesd_fixed",
+        "spectral_residual_fixed",
+        "stl_anomaly",
+        # r13 PRIME SLOTS part D — oldest of the r09 cohort, filling
+        # the 50-slot window so the post-r13 stalest gate is ≤4 rounds
+        "acf_fft_fixed",
+        "acf_fft_fixed_512",
+        "asof_last_label",
+        "baseline_forecasts",
+        "bpe_pair_counts",
+        "corpus_drift",
+        "decontaminate",
+        "detect_period",
+        "diff_zscore",
+        "gap_stats",
+        "hampel_flags",
+        "length_buckets",
+        "mixture_schedule",
+        "percentile_summary",
+        "pii_scan",
+        "pot_flags",
     ]
     assert len(gate_first) == len(set(gate_first)), "duplicate gate slot"
     gate_last = [  # rows-only (no_oracle) and stable: weakest signal

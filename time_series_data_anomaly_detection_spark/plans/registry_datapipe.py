@@ -715,6 +715,13 @@ def q_curation_pipeline(spark, sf_dir):
 
 PQ_M = 4
 PQ_CODES = 16
+# the PRODUCTION code shape: 8 sub-spaces × 256 codewords = 64-bit
+# codes — m·n_codes = 2048 > 128 routes pq_topk through the
+# Arrow-batched numpy kernel (_pq_topk_numpy), the path the r12 2M
+# measurement proved and the r12 verdict asked to put under a hash
+# gate (the 4×16 gate exercises only the expression path)
+PQ_PROD_M = 8
+PQ_PROD_CODES = 256
 
 
 def q_pq_topk(spark, sf_dir):
@@ -727,6 +734,24 @@ def q_pq_topk(spark, sf_dir):
     out = pq_topk(
         e, e.filter(F.col("vec_id") < N_QUERIES), k=TOPK,
         m=PQ_M, n_codes=PQ_CODES,
+    )
+    return out.select(
+        "query_id", "match_id", "rank", _rnd("adist", R).alias("adist")
+    )
+
+
+def q_pq_topk_prod(spark, sf_dir):
+    """pq_topk at the PRODUCTION 64-bit code shape (8×256): dispatches
+    to the vectorized numpy encode + LUT ADC + partition-local top-k
+    kernel, so the scale path itself holds a value hash — a
+    regression in the kernel (not just the expression fixture) now
+    breaks a driver gate."""
+    from ..datapipe.similarity import pq_topk
+
+    e = _embs(spark, sf_dir)
+    out = pq_topk(
+        e, e.filter(F.col("vec_id") < N_QUERIES), k=TOPK,
+        m=PQ_PROD_M, n_codes=PQ_PROD_CODES,
     )
     return out.select(
         "query_id", "match_id", "rank", _rnd("adist", R).alias("adist")
@@ -2344,33 +2369,54 @@ LEFT JOIN hits h ON h.doc_id = q.doc_id
 
 # product-quantization ANN — per-subspace argmin codes from the seed
 # codebook, pivoted to columns so the ADC sum is a FIXED-order
-# expression (bit-identical to the Spark d0+d1+d2+d3 accumulation)
-_PQ_SUB = 64 // PQ_M
-_PQ_DJ = " + ".join(
-    f"""list_sum(list_transform(generate_series(1, {_PQ_SUB}),
-       i -> (q.qe[{j} * {_PQ_SUB} + i] - s{j}.e[{j} * {_PQ_SUB} + i])
-          * (q.qe[{j} * {_PQ_SUB} + i] - s{j}.e[{j} * {_PQ_SUB} + i])))"""
-    for j in range(PQ_M)
-)
-_PQ_PIVOT = ",\n         ".join(
-    f"max(CASE WHEN j = {j} THEN cid END) AS c{j}" for j in range(PQ_M)
-)
-_PQ_SEED_JOINS = "\n".join(
-    f"JOIN seeds s{j} ON s{j}.cid = m.c{j}" for j in range(PQ_M)
-)
+# expression (bit-identical to the Spark d0+d1+...+dm accumulation on
+# the ≤128-entry expression path; the numpy kernel path accumulates in
+# the same j=0..m-1 order, with the expanded-dot-product encode — the
+# round({R}) on both sides absorbs the last-ulp algebra difference,
+# and the sf0.01 hash gate is the proof it does on real data)
 
-ORACLES["pq_topk"] = f"""
+
+def _pq_parts(m: int) -> tuple[int, str, str, str]:
+    """(sub, adc-sum, code-pivot, seed-joins) SQL fragments for an
+    m-sub-space PQ over 64-d vectors."""
+    sub = 64 // m
+    dj = " + ".join(
+        f"""list_sum(list_transform(generate_series(1, {sub}),
+       i -> (q.qe[{j} * {sub} + i] - s{j}.e[{j} * {sub} + i])
+          * (q.qe[{j} * {sub} + i] - s{j}.e[{j} * {sub} + i])))"""
+        for j in range(m)
+    )
+    pivot = ",\n         ".join(
+        f"max(CASE WHEN j = {j} THEN cid END) AS c{j}" for j in range(m)
+    )
+    seed_joins = "\n".join(
+        f"JOIN seeds s{j} ON s{j}.cid = m.c{j}" for j in range(m)
+    )
+    return sub, dj, pivot, seed_joins
+
+
+# the 4×16 fixture fragments, used verbatim by the pq_recall oracle
+_PQ_SUB, _PQ_DJ, _PQ_PIVOT, _PQ_SEED_JOINS = _pq_parts(PQ_M)
+
+
+def _pq_scored_sql(m: int, codes: int) -> str:
+    """The shared PQ CTE stack through `scored` (query_id, match_id,
+    adist), parameterized by sub-space count and codebook size so the
+    4×16 expression-path gate and the 8×256 numpy-kernel-path gate
+    replay the SAME oracle algebra."""
+    sub, dj, pivot, seed_joins = _pq_parts(m)
+    return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 seeds AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e
-  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {PQ_CODES})
+  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {codes})
 ),
-sp AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j),
+sp AS (SELECT unnest(generate_series(0, {m - 1})) AS j),
 dists AS (
   SELECT s.vec_id, sp.j, c.cid,
-         list_sum(list_transform(generate_series(1, {_PQ_SUB}),
-           i -> (s.e[sp.j * {_PQ_SUB} + i] - c.e[sp.j * {_PQ_SUB} + i])
-              * (s.e[sp.j * {_PQ_SUB} + i] - c.e[sp.j * {_PQ_SUB} + i])))
+         list_sum(list_transform(generate_series(1, {sub}),
+           i -> (s.e[sp.j * {sub} + i] - c.e[sp.j * {sub} + i])
+              * (s.e[sp.j * {sub} + i] - c.e[sp.j * {sub} + i])))
            AS d
   FROM v s CROSS JOIN sp CROSS JOIN seeds c
 ),
@@ -2383,17 +2429,21 @@ enc AS (
 ),
 encp AS (
   SELECT vec_id AS match_id,
-         {_PQ_PIVOT}
+         {pivot}
   FROM enc GROUP BY 1
 ),
 q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {N_QUERIES}),
 scored AS (
   SELECT q.query_id, m.match_id,
-         {_PQ_DJ} AS adist
+         {dj} AS adist
   FROM encp m CROSS JOIN q
-  {_PQ_SEED_JOINS}
+  {seed_joins}
   WHERE m.match_id <> q.query_id
-),
+)"""
+
+
+def _pq_topk_oracle(m: int, codes: int) -> str:
+    return f"""{_pq_scored_sql(m, codes)},
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY adist ASC, match_id ASC) AS rank
@@ -2402,6 +2452,10 @@ ranked AS (
 SELECT query_id, match_id, rank, round(adist, {R}) AS adist
 FROM ranked WHERE rank <= {TOPK}
 """
+
+
+ORACLES["pq_topk"] = _pq_topk_oracle(PQ_M, PQ_CODES)
+ORACLES["pq_topk_prod"] = _pq_topk_oracle(PQ_PROD_M, PQ_PROD_CODES)
 
 # per-vector neighborhood density — in-bucket top-k mean cosine with
 # an exact DECIMAL mean (mirrors datapipe.similarity.embedding_density)
@@ -2707,6 +2761,24 @@ def q_pq_rerank(spark, sf_dir):
     )
 
 
+def q_pq_rerank_prod(spark, sf_dir):
+    """The full production retrieval stack under one hash: 64-bit PQ
+    codes (numpy-kernel shortlist) + exact-cosine re-rank — the shape
+    that delivered recall 1.000 at 2M vectors (r12_ann2m), now
+    driver-gated instead of script-proven."""
+    from ..datapipe.similarity import pq_rerank_topk
+
+    e = _embs(spark, sf_dir)
+    out = pq_rerank_topk(
+        e, e.filter(F.col("vec_id") < N_QUERIES), k=TOPK,
+        shortlist=PQ_RERANK_C, m=PQ_PROD_M, n_codes=PQ_PROD_CODES,
+    )
+    return out.select(
+        "query_id", "match_id", "rank",
+        _rnd("cosine", R).alias("cosine"),
+    )
+
+
 def q_containment_pairs(spark, sf_dir):
     """Asymmetric shingle containment |A∩B|/|A| ≥ 0.8 — catches
     quote/subset absorption that symmetric Jaccard misses."""
@@ -2960,41 +3032,8 @@ SELECT c.k, t.n_vocab, t.total_tokens,
 FROM cov c, totals t
 """
 
-ORACLES["pq_rerank"] = f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-seeds AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e
-  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {PQ_CODES})
-),
-sp AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS j),
-dists AS (
-  SELECT s.vec_id, sp.j, c.cid,
-         list_sum(list_transform(generate_series(1, {_PQ_SUB}),
-           i -> (s.e[sp.j * {_PQ_SUB} + i] - c.e[sp.j * {_PQ_SUB} + i])
-              * (s.e[sp.j * {_PQ_SUB} + i] - c.e[sp.j * {_PQ_SUB} + i])))
-           AS d
-  FROM v s CROSS JOIN sp CROSS JOIN seeds c
-),
-enc AS (
-  SELECT vec_id, j, cid
-  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, j
-                                     ORDER BY d ASC, cid ASC) AS rk
-        FROM dists)
-  WHERE rk = 1
-),
-encp AS (
-  SELECT vec_id AS match_id,
-         {_PQ_PIVOT}
-  FROM enc GROUP BY 1
-),
-q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {N_QUERIES}),
-scored AS (
-  SELECT q.query_id, m.match_id,
-         {_PQ_DJ} AS adist
-  FROM encp m CROSS JOIN q
-  {_PQ_SEED_JOINS}
-  WHERE m.match_id <> q.query_id
-),
+def _pq_rerank_oracle(m: int, codes: int) -> str:
+    return f"""{_pq_scored_sql(m, codes)},
 short AS (
   SELECT query_id, match_id FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
@@ -3019,6 +3058,10 @@ rr2 AS (
 SELECT query_id, match_id, rank, round(cosine, {R}) AS cosine
 FROM rr2 WHERE rank <= {TOPK}
 """
+
+
+ORACLES["pq_rerank"] = _pq_rerank_oracle(PQ_M, PQ_CODES)
+ORACLES["pq_rerank_prod"] = _pq_rerank_oracle(PQ_PROD_M, PQ_PROD_CODES)
 
 ORACLES["dup_source_matrix"] = f"""
 WITH {SQL_TOKS}, {SQL_SHINGLES},
@@ -3813,6 +3856,7 @@ def queries():
         "curation_pipeline": q_curation_pipeline,
         "corpus_drift": q_corpus_drift,
         "pq_topk": q_pq_topk,
+        "pq_topk_prod": q_pq_topk_prod,
         "pq_recall": q_pq_recall,
         "incremental_semantic_dedup": q_incremental_semantic_dedup,
         "chunk_documents": q_chunk_documents,
@@ -3821,6 +3865,7 @@ def queries():
         "minhash_recall": q_minhash_recall,
         "dup_source_matrix": q_dup_source_matrix,
         "pq_rerank": q_pq_rerank,
+        "pq_rerank_prod": q_pq_rerank_prod,
         "containment_pairs": q_containment_pairs,
         "vocab_coverage": q_vocab_coverage,
         "quality_classifier": q_quality_classifier,

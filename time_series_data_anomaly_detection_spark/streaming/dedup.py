@@ -67,7 +67,15 @@ def streaming_ingest_with_index(
     ``foreachBatch`` batches run sequentially, so extend-then-next-batch
     is race-free; the checkpoint makes the loop restartable (a replayed
     batch re-tests against an index that already contains its docs and
-    re-admits nothing — idempotent by the dedup itself).
+    re-admits nothing — idempotent by the dedup itself).  Each batch's
+    admitted docs land in their own ``{out_path}/ingest_batch=<epoch>``
+    directory with overwrite semantics (epoch ids are checkpoint-stable),
+    so a crash BEFORE the index extension replays without double-writing
+    the corpus.  The one non-idempotent window left is a crash BETWEEN
+    the four index-table appends — docs then sit in the corpus with only
+    partial index rows; ``datapipe.index.repair_dedup_index`` (followed
+    by ``compact_dedup_index``) restores the invariant, and both are
+    no-ops after a clean run.
 
     ``hygiene=True`` runs :func:`datapipe.decontam.ingest_gate` on each
     micro-batch BEFORE the index dedup: pii-heavy / repetitive /
@@ -115,12 +123,35 @@ def streaming_ingest_with_index(
             verdicts.filter(F.col("verdict") == "new").select(id_col),
             id_col,
         ).localCheckpoint(eager=True)
-        if not admitted.isEmpty():
-            admitted.write.mode("append").parquet(out_path)
-            extend_dedup_index(
-                admitted, index_path, n=n,
-                text_col=text_col, id_col=id_col,
-            )
+        try:
+            if not admitted.isEmpty():
+                # idempotent per-epoch landing dir (epoch ids are
+                # stable across checkpoint restarts): a batch replayed
+                # after a crash between this write and the index
+                # extension OVERWRITES its own directory instead of
+                # double-appending the same docs into the corpus.
+                # Readers of out_path see an extra `ingest_batch`
+                # partition column — additive only.
+                admitted.write.mode("overwrite").parquet(
+                    f"{out_path}/ingest_batch={batch_id}"
+                )
+                extend_dedup_index(
+                    admitted, index_path, n=n,
+                    text_col=text_col, id_col=id_col,
+                )
+        finally:
+            # Release the checkpointed MEMORY_AND_DISK blocks before
+            # the next batch: localCheckpoint has no unpersist handle,
+            # so drop the only reference and collect — the py4j proxy
+            # dies with the refcount, the JVM Dataset (and its
+            # LogicalRDD → checkpointed RDD) becomes unreachable, and
+            # ContextCleaner unpersists the blocks.  Without this a
+            # long availableNow run holds every batch's blocks until
+            # an incidental driver GC (r12 ADVICE).
+            import gc
+
+            del admitted
+            gc.collect()
 
     return (
         stream.writeStream.foreachBatch(process)

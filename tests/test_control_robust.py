@@ -484,6 +484,25 @@ def test_acf_fft_agrees_with_stack_plan(spark):
     assert list(t["lag"]) == [1, 2, 3]
 
 
+def test_dft_twiddle_table_symmetry():
+    """Premise of the r13 half-spectrum halving in _acf_fft_fixed_plan:
+    the 12-dp twiddle literals must be EXACTLY conjugate-symmetric
+    (c[NF−r] == c[r], sn[NF−r] == −sn[r]) — that is what makes the
+    k and NF−k per-term decimal values bit-identical, so computing the
+    half spectrum and adding interior terms twice reproduces the full
+    1024-point sums exactly.  If a future table edit broke symmetry
+    the hash gate would drift; this pins the premise by itself."""
+    from time_series_data_anomaly_detection_spark.plans.registry import (
+        _dft_twiddles,
+    )
+
+    for nfft in (128, 1024):
+        tw = _dft_twiddles(nfft)
+        for r in range(nfft):
+            assert tw[r][1] == tw[(nfft - r) % nfft][1]
+            assert tw[r][2] == -tw[(nfft - r) % nfft][2]
+
+
 def test_acf_fft_fixed_twin_matches_operator(spark):
     """The hash-gated literal-twiddle DFT twin (r09) must reproduce
     the numpy-rFFT operator on the same 64-point tail at lags 1..16 —

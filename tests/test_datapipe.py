@@ -117,6 +117,45 @@ def test_minhash_permutations_are_independent():
     assert all(a * ((1 << 48) - 1) > MERSENNE_P for a in PERM_A)
 
 
+def test_affine_mod_p_matches_wide_int(spark):
+    """r13 optimization: the signature affine runs in pure int64 via
+    Mersenne folding instead of decimal(38,0).  Pin exact equality of
+    the SPARK EXPRESSION against the wide-int reference ((A·x+B) mod P
+    in Python ints) over edge cases + random 48-bit inputs, for every
+    permutation slot — a folding-bound bug would desynchronize the
+    Spark signatures from the DuckDB HUGEINT oracle."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from time_series_data_anomaly_detection_spark.datapipe.dedup import (
+        MERSENNE_P,
+        PERM_A,
+        PERM_B,
+        _affine_mod_p,
+    )
+
+    rng = random.Random(13)
+    xs = [0, 1, (1 << 24) - 1, 1 << 24, (1 << 48) - 1] + [
+        rng.getrandbits(48) for _ in range(500)
+    ]
+    df = spark.createDataFrame([(x,) for x in xs], "x long").select(
+        "x",
+        F.shiftright("x", 24).alias("__x1"),
+        F.col("x").bitwiseAND(F.lit((1 << 24) - 1)).alias("__x0"),
+    )
+    cols = [
+        _affine_mod_p(F.col("__x1"), F.col("__x0"), PERM_A[i], PERM_B[i]).alias(
+            f"h{i}"
+        )
+        for i in range(len(PERM_A))
+    ]
+    rows = df.select("x", *cols).collect()
+    for r in rows:
+        for i in range(len(PERM_A)):
+            assert r[f"h{i}"] == (PERM_A[i] * r.x + PERM_B[i]) % MERSENNE_P
+
+
 def test_simhash_similarity(spark, docs):
     fp = {r.doc_id: r.simhash for r in simhash(docs).collect()}
     assert fp[0] == fp[2]  # identical token sets

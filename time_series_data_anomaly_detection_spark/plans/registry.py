@@ -701,13 +701,23 @@ def _acf_fft_fixed_plan(spark, sf_dir, n_win, nfft, max_lag):
     xc = tail.join(F.broadcast(mu), "series_id").select(
         "series_id", "t", (F.col("value") - F.col("mu")).alias("xc")
     )
-    # DFT: X_k = sum_t xc_t * (cos - i*sin)(2*pi*k*t/NF), k = 0..NF-1 —
-    # the (k*t) mod NF index folds every twiddle into the literal table
+    # DFT: X_k = sum_t xc_t * (cos - i*sin)(2*pi*k*t/NF) — the (k*t)
+    # mod NF index folds every twiddle into the literal table.  The
+    # input is REAL, so X_{NF-k} = conj(X_k): only k = 0..NF/2 is
+    # computed (the r13 halving).  Exactness: the twiddle literal
+    # table is exactly symmetric after its round-to-12-decimals
+    # (c[NF-r] == c[r], sn[NF-r] == -sn[r], asserted in
+    # tests/test_control_robust.py), so re_{NF-k} == re_k and
+    # im_{NF-k} == -im_k BIT-exactly, p_k == p_{NF-k}, and the k and
+    # NF-k rows of every downstream decimal sum are identical values —
+    # emitting each once and adding it twice (decimal add is exact)
+    # reproduces the full-spectrum sum bit-for-bit at half the
+    # 512×1024-terms/series DFT fan.
     terms = (
         xc.select(
             "series_id",
             "xc",
-            F.explode(F.sequence(F.lit(0), F.lit(NF - 1))).alias("k"),
+            F.explode(F.sequence(F.lit(0), F.lit(NF // 2))).alias("k"),
             "t",
         )
         .withColumn("r", (F.col("k") * F.col("t")) % F.lit(NF))
@@ -727,7 +737,14 @@ def _acf_fft_fixed_plan(spark, sf_dir, n_win, nfft, max_lag):
         (F.col("re") * F.col("re") + F.col("im") * F.col("im")).alias("p"),
     )
     # inverse DFT of the (symmetric, real) power spectrum at lags
-    # 0..max_lag: acov_j ∝ sum_k p_k cos(2*pi*k*j/NF)
+    # 0..max_lag: acov_j ∝ sum_{k=0}^{NF-1} p_k cos(2*pi*k*j/NF),
+    # folded over the half spectrum: the k ∈ {1..NF/2−1} term appears
+    # twice (k and NF−k, identical per-term decimal values — see the
+    # DFT comment), so it enters the sum as term+term; k = 0 and
+    # k = NF/2 are self-symmetric and enter once.  The doubling happens
+    # AFTER the per-term decimal(38,12) quantization (t + t, exact),
+    # never before it (DEC(2·x) can round differently than 2·DEC(x)).
+    acov_t = (F.col("p") * F.col("c")).cast(DEC_T)
     acov = (
         power.select(
             "series_id",
@@ -739,7 +756,12 @@ def _acf_fft_fixed_plan(spark, sf_dir, n_win, nfft, max_lag):
         .join(F.broadcast(tw.select("r", "c")), "r")
         .groupBy("series_id", "lag")
         .agg(
-            F.sum((F.col("p") * F.col("c")).cast(DEC_T))
+            F.sum(
+                F.when(
+                    (F.col("k") == 0) | (F.col("k") == NF // 2),
+                    acov_t,
+                ).otherwise(acov_t + acov_t)
+            )
             .cast("double")
             .alias("s")
         )

@@ -567,8 +567,16 @@ def run_benchmark(
         "flag",
         (F.col("score") > F.coalesce(F.col("best_k"), F.lit(3.0))).cast("int"),
     )
-    if has_udf:
-        with_k = eager_cache(with_k)
+    # with_k is consumed 3x by leaderboard_metrics (true-event runs,
+    # pred-event runs, duration base) — cache it for NATIVE models too:
+    # uncached, the full scored lineage recomputes per consumer (5 fact
+    # passes total; at cluster scale that is 5 corpus scans), and the
+    # r13 A/B measured the cache ~12% faster even at sf0.1 (medians
+    # 8.2 s vs 9.4 s, 4 alternating cells).  The r08 "caches were half
+    # the query" regression came from ALSO caching `scored` (whose only
+    # consumers are the sweep and this join) — that one stays lazy for
+    # native models.
+    with_k = eager_cache(with_k)
     # event P/R/F1 + business columns (FP/day, median latency) in ONE
     # overlap-join pass — the reference's full leaderboard column set
     # (src/aggregate_metrics.py:35-48: Event_F1/Precision/Recall +

@@ -3494,12 +3494,22 @@ def _sr_fixed_plan(spark, sf_dir, nfft):
     def dsum(expr):
         return F.sum(expr.cast(DEC_T)).cast("double")
 
-    fwd = (
+    # forward DFT over the HALF spectrum only (r13): the input is real,
+    # so X_{nfft−k} = conj(X_k) — and the 12-dp twiddle literals are
+    # exactly conjugate-symmetric (cs[nfft−m] == cs[m], sn[nfft−m] ==
+    # −sn[m], pinned by tests/test_control_robust.py), so the k and
+    # nfft−k per-term decimal values are identical up to the exact
+    # negation of the sn terms.  Computing k = 0..nfft/2 and UNION-ing
+    # the mirrored rows (re, −im) is bit-identical to the full fan at
+    # half its nfft²-terms/series cost.  Only the forward transform can
+    # be halved: the inverse input g is NOT symmetric (the log-spectrum
+    # MA₃ has asymmetric lag/lead edges at k=0 / k=nfft−1).
+    half = (
         tail.select(
             "series_id",
             "j",
             "value",
-            F.explode(F.sequence(F.lit(0), F.lit(nfft - 1))).alias("k"),
+            F.explode(F.sequence(F.lit(0), F.lit(nfft // 2))).alias("k"),
         )
         .withColumn("m", (F.col("j") * F.col("k")) % F.lit(nfft))
         .join(F.broadcast(trig), "m")
@@ -3507,6 +3517,14 @@ def _sr_fixed_plan(spark, sf_dir, nfft):
         .agg(
             dsum(F.col("value") * F.col("cs")).alias("re"),
             dsum(-(F.col("value") * F.col("sn"))).alias("im"),
+        )
+    )
+    fwd = half.unionByName(
+        half.filter((F.col("k") > 0) & (F.col("k") < nfft // 2)).select(
+            "series_id",
+            (F.lit(nfft) - F.col("k")).alias("k"),
+            "re",
+            (-F.col("im")).alias("im"),
         )
     )
     amp = F.sqrt(F.col("re") * F.col("re") + F.col("im") * F.col("im"))
@@ -4243,6 +4261,12 @@ def q_matrix_profile_fixed_full(spark, sf_dir):
         )
         .select("series_id", "w", F.col("__jv.value").alias("vals"))
     )
+    # scale-adaptive spread for the O(w²) QT arithmetic: 2 waves per
+    # task slot (local[32] → 64, same value the r12 constant pinned;
+    # a cluster inherits its real slot count instead of a magic 64).
+    # Round-robin repartition is row-count balanced — output is
+    # independent of the partitioning (per-(i,d) scalar algebra).
+    n_spread = 2 * spark.sparkContext.defaultParallelism
     per_i = arr.select(
         "series_id",
         "w",
@@ -4250,7 +4274,7 @@ def q_matrix_profile_fixed_full(spark, sf_dir):
         F.explode(
             F.sequence(F.lit(0), (F.col("w") - F.lit(M)).cast("int"))
         ).alias("i"),
-    ).repartition(64)
+    ).repartition(n_spread)
 
     def _qt_terms(d):
         at = lambda off: F.element_at(  # noqa: E731

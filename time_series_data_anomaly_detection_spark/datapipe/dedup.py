@@ -1087,6 +1087,12 @@ def lsh_recall_stats(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b")
     )
+    # LAZY (r13 A/B, kept deliberately): truth feeds two of the three
+    # aggregate branches under one crossJoin action, but the eager
+    # materialization barrier measured SLOWER than any recompute race
+    # (minhash_recall 6.8-7.8 s eager vs 5.3-5.8 s lazy, 3 alternating
+    # cells; the banded config a wash) — AQE's ReusedExchange already
+    # dedupes the shared lineage within the action.
     truth = tracked_cache(truth)
 
     sig = minhash_signatures_from(sh, id_col, num_perm=num_perm)

@@ -90,25 +90,25 @@ def get_spark(
         # floor never binds.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus)))
-        # Prefer shuffled-hash over sort-merge when the planner's size
-        # conditions hold, and let AQE rewrite SMJ→SHJ at runtime when
-        # every post-shuffle partition is measured under the threshold
-        # (guide §3.1 / §9).  r13 A/B at sf0.1, medians of 3 alternating
-        # cells: minhash_recall 8.5→6.2 s, business_metrics 4.6→3.4 s,
-        # semantic_dedup 3.4→2.9 s, others within noise.  The AQE knob
-        # is size-guarded at runtime so it stays safe at cluster scale;
-        # the static preference can be reverted per-deployment via
-        # SPARK_GRAFT_PREFER_SMJ=true (sort-merge spills gracefully —
-        # the right default for joins whose build side can exceed task
-        # memory; here every non-broadcast join side is either
-        # corpus-keyed and AQE-split or a per-series frame).
+        # Join-strategy preference: MEASURED BOTH WAYS in r13 and kept
+        # at the Spark defaults.  Flipping preferSortMergeJoin=false
+        # (+ AQE SMJ→SHJ rewrite at 64m) won 1-2 s on a few sf0.1
+        # queries (minhash_recall 8.5→6.2 s, business_metrics
+        # 4.6→3.4 s) but REGRESSED the 100× corpus (minhash_lsh warm
+        # 54.4 → 82.5 s: the verification joins' build sides grow with
+        # the corpus, exactly the case sort-merge handles and a local
+        # hash build does not) — a local[32]-only win, rejected per the
+        # optimization-round rules.  The AQE-only variant measured
+        # mixed (first 80.4→74.9, warm 54.4→61.4 at 100×), so it also
+        # stays off.  Env knobs preserved for deployments whose join
+        # profile differs; numbers in OPTIMIZATION_r13.md #5.
         .config(
             "spark.sql.join.preferSortMergeJoin",
-            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "true"),
         )
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", "64m"),
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", "0"),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")

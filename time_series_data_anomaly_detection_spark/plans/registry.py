@@ -3494,22 +3494,19 @@ def _sr_fixed_plan(spark, sf_dir, nfft):
     def dsum(expr):
         return F.sum(expr.cast(DEC_T)).cast("double")
 
-    # forward DFT over the HALF spectrum only (r13): the input is real,
-    # so X_{nfft−k} = conj(X_k) — and the 12-dp twiddle literals are
-    # exactly conjugate-symmetric (cs[nfft−m] == cs[m], sn[nfft−m] ==
-    # −sn[m], pinned by tests/test_control_robust.py), so the k and
-    # nfft−k per-term decimal values are identical up to the exact
-    # negation of the sn terms.  Computing k = 0..nfft/2 and UNION-ing
-    # the mirrored rows (re, −im) is bit-identical to the full fan at
-    # half its nfft²-terms/series cost.  Only the forward transform can
-    # be halved: the inverse input g is NOT symmetric (the log-spectrum
-    # MA₃ has asymmetric lag/lead edges at k=0 / k=nfft−1).
-    half = (
+    # forward DFT: the half-spectrum mirror trick that pays off in the
+    # acf twins (where the power spectrum collapses the phase) was
+    # measured a WASH here — the union's mirror branch re-derives the
+    # half fan (no static exchange reuse), and the inverse fan + the
+    # per-k windows dominate this query (r13 A/B old 3.23/3.21/2.40 s
+    # vs mirrored 3.34/2.50/2.58 s, parity 0) — so the straightforward
+    # full fan stays.
+    fwd = (
         tail.select(
             "series_id",
             "j",
             "value",
-            F.explode(F.sequence(F.lit(0), F.lit(nfft // 2))).alias("k"),
+            F.explode(F.sequence(F.lit(0), F.lit(nfft - 1))).alias("k"),
         )
         .withColumn("m", (F.col("j") * F.col("k")) % F.lit(nfft))
         .join(F.broadcast(trig), "m")
@@ -3517,14 +3514,6 @@ def _sr_fixed_plan(spark, sf_dir, nfft):
         .agg(
             dsum(F.col("value") * F.col("cs")).alias("re"),
             dsum(-(F.col("value") * F.col("sn"))).alias("im"),
-        )
-    )
-    fwd = half.unionByName(
-        half.filter((F.col("k") > 0) & (F.col("k") < nfft // 2)).select(
-            "series_id",
-            (F.lit(nfft) - F.col("k")).alias("k"),
-            "re",
-            (-F.col("im")).alias("im"),
         )
     )
     amp = F.sqrt(F.col("re") * F.col("re") + F.col("im") * F.col("im"))

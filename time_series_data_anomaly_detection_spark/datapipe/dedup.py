@@ -211,8 +211,9 @@ def _affine_mod_p(x1, x0, a: int, b: int):
     r12 decimal(38,0) form; equality pinned across the full 2⁴⁸ input
     domain in tests/test_datapipe.py) at a fraction of the cost:
     decimal multiply/mod ran interpreted 128-bit arithmetic per
-    shingle×perm term, this is ~15 codegen long ops (measured r13:
-    48-perm signature stage 3.4× faster at sf0.1).  DuckDB's oracle
+    shingle×perm term, this is ~15 codegen long ops (r13 alternating
+    A/B at sf0.1: 48-perm signature stage 0.58-0.71 s decimal vs
+    0.26-0.42 s int64, ≈2.2×; 16-perm ≈1.7×).  DuckDB's oracle
     keeps the HUGEINT form — cross-engine parity is part of the gate.
     """
     a1, a0 = a >> 31, a & ((1 << 31) - 1)
@@ -240,7 +241,7 @@ def minhash_signatures_from(
     # A_i spans the full modulus, so A_i·x needs ~109 bits: the affine
     # step runs in pure int64 via Mersenne folding (see _affine_mod_p;
     # r12 computed it in decimal(38,0) — exact but interpreted 128-bit
-    # arithmetic per term, measured 3.4× slower on the 48-perm config).
+    # arithmetic per term, measured ≈2.2× slower on the 48-perm config).
     # DuckDB mirrors the same values with HUGEINT.
     x = F.col("shingle_hash")
     split = sh.select(

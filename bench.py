@@ -202,6 +202,33 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Host-window calibration probe (r13 VERDICT item #3): the sandbox
+    # drifts between multi-hour fast/slow host windows (r13: identical
+    # plans drifted 1.08x median, up to 2.7x, across two same-code
+    # runs; the driver's 8-core rerun beat its own 32-core run).  Emit
+    # three warm cells of ONE fixed query at the very END of the run —
+    # after the timed pass and retries, so the probe cannot pre-warm
+    # anything it shares lineage with — so PERF readers can separate
+    # window drift from code change.  acf_fft_fixed_512 is the probe:
+    # pure-JVM exact-decimal plan (no Python workers), historically
+    # 2.5-3.9 s warm in fast windows vs 4.5-6.7 s in slow ones at
+    # sf0.1/local[32].  Additions-only: every pre-existing field keeps
+    # its meaning and no timed query's methodology changes.
+    probe_name = "acf_fft_fixed_512"
+    probe_cells: list[float] = []
+    if probe_name in qs:
+        for _ in range(3):
+            try:
+                probe_cells.append(run_one(probe_name))
+            except Exception as exc:  # never fail the bench
+                print(f"# probe FAILED: {exc!r}", file=sys.stderr)
+                break
+        print(
+            f"# window probe {probe_name}: "
+            + "/".join(f"{c:.2f}s" for c in probe_cells),
+            file=sys.stderr,
+        )
+
     # the registry wrapper releases the previous query's caches at each
     # query start; drop the final query's too so the session ends clean
     from time_series_data_anomaly_detection_spark.session import release_caches
@@ -238,6 +265,10 @@ def main() -> None:
                 "warm": warm,
                 "warm_total": warm_total,
                 "retried": retried,
+                # end-of-run host-window calibration cells (see probe
+                # comment above); compare against the committed
+                # fast/slow bands before reading first-pass deltas
+                "probe": {"query": probe_name, "cells": probe_cells},
                 # best known warm time per query (monotone min across
                 # runs), keyed by SF — the retry reference, not a
                 # timing report; other SFs' entries pass through intact
@@ -278,6 +309,10 @@ def main() -> None:
                     for n, r in list(retried.items())[:6]
                 },
                 "n_retried": len(retried),
+                # host-window probe: 3 end-of-run warm cells of one
+                # fixed pure-JVM query (additions-only field; fast
+                # window ~2.5-3.9 s, slow ~4.5-6.7 s at sf0.1/32c)
+                "probe": [round(c, 2) for c in probe_cells],
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf,
             },

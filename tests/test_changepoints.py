@@ -515,3 +515,91 @@ def test_bocpd_fixed_full_matches_numpy_replica(spark):
             got["cp_score"].to_numpy(), [q6(v) for v in shorts], atol=2e-6
         )
         assert np.allclose(got["cp_prob"].to_numpy(), 0.02, atol=1e-6)
+
+
+def test_bocpd_run_matches_r13_reference_bitwise():
+    """The r14 table-gather/preallocation rewrite of ``bocpd_run`` must
+    be BIT-IDENTICAL to the r13 per-step loop (same operands, same op
+    order — the rewrite only moves run-length-determined quantities
+    into gather tables and replaces concatenates with buffer writes).
+    This pins exact equality against an inline replica of the r13 loop
+    on a series long enough to exercise the eps-truncation AND the
+    max_run argsort cap."""
+    from math import lgamma, pi
+
+    import numpy as np
+
+    from time_series_data_anomaly_detection_spark.functions.bocpd import (
+        bocpd_run,
+        initial_state,
+    )
+
+    def reference_r13(y, hazard_lam=100.0, mu0=0.0, kappa0=1.0,
+                      alpha0=1.0, beta0=1.0, max_run=500, eps=1e-9,
+                      short_run=5):
+        n = len(y)
+        h = 1.0 / hazard_lam
+        r = np.array([1.0]); mu = np.array([mu0])
+        kappa = np.array([kappa0]); alpha = np.array([alpha0])
+        beta = np.array([beta0]); run_len = np.array([0])
+        cp = np.empty(n); short = np.empty(n)
+        rl_cap = int(run_len.max()) + n + 2
+        grid = alpha0 + np.arange(rl_cap) / 2.0
+        lg_den_tab = np.array([lgamma(a) for a in grid])
+        lg_num_tab = np.array([lgamma(a + 0.5) for a in grid])
+        for t in range(n):
+            df = 2 * alpha
+            scale = np.sqrt(beta * (kappa + 1) / (alpha * kappa))
+            z = (y[t] - mu) / scale
+            pred = np.exp(
+                lg_num_tab[run_len] - lg_den_tab[run_len]
+                - 0.5 * np.log(df * pi) - np.log(scale)
+                - (df + 1) / 2 * np.log1p(z * z / df)
+            )
+            growth = r * pred * (1 - h)
+            cp0 = float(np.sum(r * pred * h))
+            r_new = np.concatenate([[cp0], growth])
+            total = r_new.sum()
+            r_new = (r_new / total if total > 0
+                     else np.r_[1.0, np.zeros(len(growth))])
+            cp[t] = r_new[0]
+            rl_new = np.concatenate([[0], run_len + 1])
+            short[t] = float(r_new[rl_new <= short_run].sum())
+            mu_new = np.concatenate([[mu0], (kappa * mu + y[t]) / (kappa + 1)])
+            kappa_new = np.concatenate([[kappa0], kappa + 1])
+            alpha_new = np.concatenate([[alpha0], alpha + 0.5])
+            beta_new = np.concatenate(
+                [[beta0], beta + kappa * (y[t] - mu) ** 2 / (2 * (kappa + 1))]
+            )
+            keep = r_new > eps
+            keep[0] = True
+            if keep.sum() > max_run:
+                idx = np.argsort(r_new)[::-1][:max_run]
+                keep = np.zeros_like(keep)
+                keep[idx] = True
+                keep[0] = True
+            r = r_new[keep]; r = r / r.sum()
+            mu, kappa, alpha, beta = (
+                mu_new[keep], kappa_new[keep], alpha_new[keep], beta_new[keep]
+            )
+            run_len = rl_new[keep]
+        return cp, short, {"r": r, "mu": mu, "kappa": kappa,
+                           "alpha": alpha, "beta": beta, "run_len": run_len}
+
+    rng = np.random.default_rng(7)
+    # level shifts force truncation resets; 700 > max_run=120 exercises
+    # the argsort cap branch repeatedly
+    y = np.concatenate([
+        rng.normal(0.0, 1.0, 300),
+        rng.normal(4.0, 1.5, 200),
+        rng.normal(-2.0, 0.5, 200),
+    ])
+    ref_cp, ref_short, ref_st = reference_r13(y, max_run=120)
+    got_cp, got_short, got_st = bocpd_run(
+        y, initial_state(), max_run=120
+    )
+    assert np.array_equal(ref_cp, got_cp)
+    assert np.array_equal(ref_short, got_short)
+    for k in ("r", "mu", "kappa", "alpha", "beta", "run_len"):
+        assert np.array_equal(np.asarray(ref_st[k], float),
+                              np.asarray(got_st[k], float)), k

@@ -493,10 +493,13 @@ def test_dft_twiddle_table_symmetry():
     1024-point sums exactly.  If a future table edit broke symmetry
     the hash gate would drift; this pins the premise by itself."""
     from time_series_data_anomaly_detection_spark.plans.registry import (
+        ACF_FFT_FIXED_CONFIGS,
         _dft_twiddles,
     )
 
-    for nfft in (128, 1024):
+    # derive the tested extents from the plan instantiations so a new
+    # twin config is automatically covered (ADVICE r13)
+    for nfft in sorted({cfg[1] for cfg in ACF_FFT_FIXED_CONFIGS}):
         tw = _dft_twiddles(nfft)
         for r in range(nfft):
             assert tw[r][1] == tw[(nfft - r) % nfft][1]

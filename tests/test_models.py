@@ -593,3 +593,85 @@ def test_lstm_fixed_twin_matches_numpy_replica(spark):
         np.testing.assert_allclose(
             got["pred"].to_numpy(), exp_pred, atol=2e-6
         )
+
+
+def test_lstm_numpy_matches_r13_reference_bitwise():
+    """The r14 dispatch cuts in NumpyLSTM (hoisted k=1 input
+    projection, fused i/f sigmoid, preallocated dz buffer) must be
+    BIT-IDENTICAL to the r13 per-step loop: same products, same
+    left-associative groupings.  Pins fit + fp32 predict outputs
+    against an inline replica of the r13 forward/backward."""
+    import numpy as np
+
+    from time_series_data_anomaly_detection_spark.functions._lstm_numpy import (
+        NumpyLSTM,
+        _sigmoid,
+    )
+
+    class RefLSTM(NumpyLSTM):
+        def _forward(self, X, want_cache):
+            p, H = self.params, self.H
+            B, T, _ = X.shape
+            dt = p["Wx"].dtype
+            h = np.zeros((B, H), dtype=dt)
+            c = np.zeros((B, H), dtype=dt)
+            cache = []
+            for t in range(T):
+                z = X[:, t, :] @ p["Wx"] + h @ p["Wh"] + p["b"]
+                i = _sigmoid(z[:, :H])
+                f = _sigmoid(z[:, H: 2 * H])
+                g = np.tanh(z[:, 2 * H: 3 * H])
+                o = _sigmoid(z[:, 3 * H:])
+                c_new = f * c + i * g
+                tc = np.tanh(c_new)
+                if want_cache:
+                    cache.append((X[:, t, :], h, c, i, f, g, o, c_new, tc))
+                h = o * tc
+                c = c_new
+            pred = (h @ p["Wy"] + p["by"]).ravel()
+            return pred, h, cache
+
+        def _backward(self, dpred, h_last, cache):
+            p = self.params
+            g_ = {n: np.zeros_like(v) for n, v in p.items()}
+            dp = dpred[:, None]
+            g_["Wy"] = h_last.T @ dp
+            g_["by"] = dp.sum(axis=0)
+            dh = dp @ p["Wy"].T
+            dc = np.zeros_like(dh)
+            for x_t, h_prev, c_prev, i, f, g, o, c_new, tc in reversed(cache):
+                do = dh * tc
+                dc = dc + dh * o * (1.0 - tc * tc)
+                di = dc * g
+                df = dc * c_prev
+                dg = dc * i
+                dz = np.concatenate(
+                    [
+                        di * i * (1.0 - i),
+                        df * f * (1.0 - f),
+                        dg * (1.0 - g * g),
+                        do * o * (1.0 - o),
+                    ],
+                    axis=1,
+                )
+                g_["Wx"] += x_t.T @ dz
+                g_["Wh"] += h_prev.T @ dz
+                g_["b"] += dz.sum(axis=0)
+                dh = dz @ p["Wh"].T
+                dc = dc * f
+            return g_
+
+    rng = np.random.default_rng(3)
+    y = np.sin(np.arange(400) * 2 * np.pi / 24) + 0.1 * rng.standard_normal(400)
+    seq = 32
+    X = np.lib.stride_tricks.sliding_window_view(y, seq)[:-1][:, :, None]
+    t = y[seq:]
+    new = NumpyLSTM(hidden=12, seed=0)
+    ref = RefLSTM(hidden=12, seed=0)
+    for n, v in new.params.items():
+        assert np.array_equal(v, ref.params[n]), f"init {n}"
+    new.fit(X, t, epochs=3, batch=48, seed=0, lr=3e-3)
+    ref.fit(X, t, epochs=3, batch=48, seed=0, lr=3e-3)
+    for n in new.params:
+        assert np.array_equal(new.params[n], ref.params[n]), f"trained {n}"
+    assert np.array_equal(new.predict(X), ref.predict(X))

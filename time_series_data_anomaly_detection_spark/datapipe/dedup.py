@@ -37,9 +37,9 @@ from .text import grams, hash48, tokenize
 
 # ---------------------------------------------------------------------------
 # MinHash parameters: 16 permutations in 4 bands of 4 rows.
-# h_i(x) = (A[i] * hash48(x) + B[i]) mod P  with P = 2^61 - 1.
-# hash48 < 2^48 and A[i] < 2^10 keep A*h < 2^58 — no int64 overflow,
-# in Spark or DuckDB.
+# h_i(x) = (A[i] * hash48(x) + B[i]) mod P  with P = 2^61 - 1,
+# A[i] drawn from the FULL modulus range (see the block comment below —
+# small A would degenerate every permutation to the same argmin).
 # ---------------------------------------------------------------------------
 MERSENNE_P = (1 << 61) - 1
 NUM_PERM = 16
@@ -235,7 +235,15 @@ def _affine_mod_p(x1, x0, a: int, b: int):
 def minhash_signatures_from(
     sh: DataFrame, id_col: str = "doc_id", num_perm: int = NUM_PERM
 ) -> DataFrame:
-    """MinHash signatures from a prebuilt shingle-hash frame."""
+    """MinHash signatures from a prebuilt shingle-hash frame.
+
+    Input contract: ``shingle_hash`` must be < 2⁴⁸ (the ``hash48``
+    domain).  The int64 Mersenne folding in :func:`_affine_mod_p`
+    splits x as ``x >> 24`` / ``x & (2²⁴−1)``; a ≥48-bit input would
+    overflow int64 in the sub-products and silently produce wrong
+    signatures (the pre-r13 decimal(38,0) path was exact for any
+    long).  All engine call sites feed ``hash48`` outputs.
+    """
     if not 1 <= num_perm <= len(PERM_A):
         raise ValueError(f"num_perm must be in [1, {len(PERM_A)}], got {num_perm}")
     # A_i spans the full modulus, so A_i·x needs ~109 bits: the affine

@@ -49,17 +49,29 @@ class NumpyLSTM:
         self._t = 0
 
     def _forward(self, X: np.ndarray, want_cache: bool):
-        """X: (B, T, 1) -> pred (B,), optional per-step cache."""
+        """X: (B, T, 1) -> pred (B,), optional per-step cache.
+
+        Two dispatch cuts vs the r13 loop, both bit-identical: the
+        input projection ``X[:,t,:] @ Wx`` has inner dim 1, so a
+        broadcast multiply produces the same single-rounded products
+        without the BLAS call (hoisting the whole (B,T,4H) projection
+        out of the loop was ALSO tried and measured SLOWER — the 75 MB
+        materialization per predict chunk evicts cache; r14 A/B), and
+        the i/f gates are adjacent columns of z, so one sigmoid call
+        covers both (ufunc on a strided view, per-element values
+        unchanged)."""
         p, H = self.params, self.H
         B, T, _ = X.shape
         dt = p["Wx"].dtype  # fp64 in training, fp32 in predict
         h = np.zeros((B, H), dtype=dt)
         c = np.zeros((B, H), dtype=dt)
+        wx0 = p["Wx"][0]
         cache = []
         for t in range(T):
-            z = X[:, t, :] @ p["Wx"] + h @ p["Wh"] + p["b"]
-            i = _sigmoid(z[:, :H])
-            f = _sigmoid(z[:, H : 2 * H])
+            z = X[:, t, :] * wx0 + h @ p["Wh"] + p["b"]
+            sif = _sigmoid(z[:, : 2 * H])
+            i = sif[:, :H]
+            f = sif[:, H:]
             g = np.tanh(z[:, 2 * H : 3 * H])
             o = _sigmoid(z[:, 3 * H :])
             c_new = f * c + i * g
@@ -75,26 +87,25 @@ class NumpyLSTM:
         """dpred: (B,) dLoss/dpred -> parameter grads via BPTT."""
         p, H = self.params, self.H
         g_ = {n: np.zeros_like(v) for n, v in p.items()}
+        H = self.H
         dp = dpred[:, None]
         g_["Wy"] = h_last.T @ dp
         g_["by"] = dp.sum(axis=0)
         dh = dp @ p["Wy"].T
         dc = np.zeros_like(dh)
+        # reused (B, 4H) gate-gradient buffer: the r13 loop built it
+        # with a 4-way concatenate per step; writing the four blocks in
+        # place is the same values without the per-step allocations
+        dz = np.empty((dh.shape[0], 4 * H), dtype=dh.dtype)
         for x_t, h_prev, c_prev, i, f, g, o, c_new, tc in reversed(cache):
             do = dh * tc
             dc = dc + dh * o * (1.0 - tc * tc)
-            di = dc * g
-            df = dc * c_prev
-            dg = dc * i
-            dz = np.concatenate(
-                [
-                    di * i * (1.0 - i),
-                    df * f * (1.0 - f),
-                    dg * (1.0 - g * g),
-                    do * o * (1.0 - o),
-                ],
-                axis=1,
-            )
+            # groupings kept left-associative exactly as r13 spelled
+            # them (FP multiply is not associative)
+            np.multiply(dc * g * i, 1.0 - i, out=dz[:, :H])
+            np.multiply(dc * c_prev * f, 1.0 - f, out=dz[:, H : 2 * H])
+            np.multiply(dc * i, 1.0 - g * g, out=dz[:, 2 * H : 3 * H])
+            np.multiply(do * o, 1.0 - o, out=dz[:, 3 * H :])
             g_["Wx"] += x_t.T @ dz
             g_["Wh"] += h_prev.T @ dz
             g_["b"] += dz.sum(axis=0)

@@ -780,11 +780,19 @@ def _acf_fft_fixed_plan(spark, sf_dir, n_win, nfft, max_lag):
     )
 
 
+# every (n_win, nfft, max_lag) the FFT-ACF twins instantiate — the
+# half-spectrum halving inside _acf_fft_fixed_plan assumes the 12-dp
+# twiddle table of each nfft here is exactly conjugate-symmetric, and
+# tests/test_control_robust.py::test_dft_twiddle_table_symmetry pins
+# that premise for THIS list (add a twin extent ⇒ it is auto-covered)
+ACF_FFT_FIXED_CONFIGS = ((64, 128, 16), (512, 1024, 16))
+
+
 def q_acf_fft_fixed(spark, sf_dir):
     """Hash-gated fixed twin of the FFT-ACF path (r08 verdict item
     #5) at the original extent: last 64 points, nfft=128, lags 1..16
     — see ``_acf_fft_fixed_plan``."""
-    return _acf_fft_fixed_plan(spark, sf_dir, 64, 128, 16)
+    return _acf_fft_fixed_plan(spark, sf_dir, *ACF_FFT_FIXED_CONFIGS[0])
 
 
 def q_acf_fft_fixed_512(spark, sf_dir):
@@ -794,7 +802,7 @@ def q_acf_fft_fixed_512(spark, sf_dir):
     spectral_residual_fixed_512 widening theme).  The 512×1024 DFT
     fan is ~0.5M exact-decimal terms per series — bounded per-series
     state, benchable at any SF."""
-    return _acf_fft_fixed_plan(spark, sf_dir, 512, 1024, 16)
+    return _acf_fft_fixed_plan(spark, sf_dir, *ACF_FFT_FIXED_CONFIGS[1])
 
 
 def _acf_fft_fixed_sql(n_win=64, nfft=128, max_lag=16) -> str:
@@ -10596,67 +10604,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Long-stable rows-only queries (weakest signal, green twice) sink
     # to the back where a cap costs the least information.
     gate_first = [
-        # r13 PRIME SLOTS part A — NEW hash-gated queries, never
-        # driver-checked: the PRODUCTION 64-bit PQ shape (8×256 codes
-        # routes through the Arrow/numpy kernel, the dispatch path the
-        # r12 verdict asked to put under a hash instead of script
-        # evidence), alone and under the exact-cosine re-rank stack
-        "pq_topk_prod",
-        "pq_rerank_prod",
-        # r13 PRIME SLOTS part B — the r07-stale cohort (20 queries
-        # last hash-verified five rounds ago; r12 verdict item #2:
-        # they hit the "no gate >5 rounds unexercised" bar this round)
-        "acf_statsmodels",
-        "ar1_forecast",
-        "average_precision",
-        "conformal_intervals",
-        "demand_classification",
-        "ensemble_fusion",
-        "forecast_accuracy",
-        "forecast_mase",
-        "global_moments",
-        "gp_train_subsample",
-        "harmonic_forecast_fixed",
-        "histogram_fit",
-        "interval_exceedance",
-        "pacf",
-        "qq_plot",
-        "resample_decompose",
-        "resample_fill",
-        "revenue_anomaly",
-        "sax_mindist",
-        "seasonal_mann_kendall",
-        # r13 PRIME SLOTS part C — the r08-stale cohort (12 queries)
-        "detector_ap_leaderboard",
-        "event_impact",
-        "granger_screen",
-        "m4_downsample",
-        "matrix_profile_fixed",
-        "pot_threshold",
-        "pr_curve",
-        "rolling_quantile_flags",
-        "seasonal_heatmap",
-        "shesd_fixed",
-        "spectral_residual_fixed",
-        "stl_anomaly",
-        # r13 PRIME SLOTS part D — oldest of the r09 cohort, filling
-        # the 50-slot window so the post-r13 stalest gate is ≤4 rounds
-        "acf_fft_fixed",
-        "acf_fft_fixed_512",
-        "asof_last_label",
-        "baseline_forecasts",
-        "bpe_pair_counts",
-        "corpus_drift",
-        "decontaminate",
-        "detect_period",
-        "diff_zscore",
-        "gap_stats",
-        "hampel_flags",
-        "length_buckets",
-        "mixture_schedule",
-        "percentile_summary",
-        "pii_scan",
-        "pot_flags",
+        # r14 PRIME SLOTS part A — the queries whose IMPLEMENTATION
+        # changed in r13 after their last driver check (r12): the whole
+        # MinHash funnel rides the int64 Mersenne-fold affine (r13
+        # change #1, builder-verified only) and benchmark_leaderboard_ar1
+        # gained the with_k eager cache (r13 change #4).  The r13
+        # rotation could not cover them (the driver samples before the
+        # round's changes land); r13 VERDICT item #2 asks for exactly
+        # this cohort.
+        "minhash_lsh",
+        "minhash_lsh_banded",
+        "minhash_recall",
+        "minhash_recall_banded",
+        "dedup_clusters",
+        "dedup_clusters_best",
+        "incremental_dedup",
+        "dup_source_matrix",
+        "corpus_prep",
+        "curation_pipeline",
+        "corpus_to_batches",
+        "corpus_to_batches_bpe_fixed",
+        "benchmark_leaderboard_ar1",
+        # r14 PRIME SLOTS part B — the r09-stale oracled cohort (the
+        # oldest green checks in the registry after r13's rotation)
+        "quality_classifier",
+        "quantile_flags",
+        "repetition_stats",
+        "score_calibration",
+        "seasonal_profile_flags",
+        "seasonal_strength",
+        "shesd_fixed_full",
+        "spectral_residual_fixed_512",
+        "split_drift",
+        # r14 PRIME SLOTS part C — the r10-stale cohort, hash-gated
+        # twins of the operator families r14's kernel rewrites touched
+        # first (bocpd/lstm; the twins are Catalyst plans, independent
+        # of the numpy kernels, but a green check on them this round
+        # brackets the changed families from both sides), then the
+        # remainder of the r10 cohort filling the 50-slot window
+        "bocpd_changepoints_fixed",
+        "bocpd_changepoints_fixed_full",
+        "lstm_forecast_fixed",
+        "kalman_forecast_fixed",
+        "bsts_forecast_fixed",
+        "gp_forecast_fixed",
+        "bigram_surprise",
+        "bpe_encode_fixed",
+        "bpe_merges_fixed",
+        "changepoint_segments",
+        "chunk_documents",
+        "croston_forecast",
+        "cusum_alarms",
+        "cusum_changepoints",
+        "detector_agreement",
+        "detector_consensus",
+        "distinctive_terms",
+        "doc_novelty",
+        "doc_stats",
+        "dtw_distance_fixed",
+        "dtw_distance_fixed_64",
+        "ensemble_forecast",
+        "ewma_flags",
+        "forecast_leaderboard",
+        "holt_linear",
+        "holt_winters_fixed",
+        "importance_select",
+        "pelt_changepoints_fixed",
     ]
     assert len(gate_first) == len(set(gate_first)), "duplicate gate slot"
     gate_last = [  # rows-only (no_oracle) and stable: weakest signal

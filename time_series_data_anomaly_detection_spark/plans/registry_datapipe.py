@@ -1066,9 +1066,11 @@ FROM jac WHERE jaccard >= {JACCARD_T}
 
 def _minhash_cols(num_perm: int = NUM_PERM) -> str:
     return ",\n         ".join(
-        # full-range affine constants overflow BIGINT — the exact
-        # affine step runs in HUGEINT, mirroring Spark's decimal(38,0)
-        # (dedup.py)
+        # full-range affine constants overflow BIGINT — the oracle's
+        # exact affine step runs in HUGEINT; Spark computes the same
+        # values in pure int64 via Mersenne folding (dedup._affine_mod_p,
+        # equality vs the wide-int form pinned over the full 48-bit
+        # domain in tests/test_datapipe.py)
         f"min(CAST((CAST({PERM_A[i]} AS HUGEINT) * shingle_hash + {PERM_B[i]})"
         f" % {MERSENNE_P} AS BIGINT)) AS m{i}"
         for i in range(num_perm)
